@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Join inventory (SURVEY.md §2 Part B, Q-J1..Q-J6).
+  *
+  * The reference's only join is the implicit per-document point-read merge
+  * (/root/reference/src/migration.py:119-122): 2 serial HTTPS round-trips per
+  * document. Re-expressed relationally, the point-read is a join against a
+  * target snapshot — the insert branch is a LEFT ANTI join, the existence
+  * probe a LEFT SEMI, the bidirectional diff a FULL OUTER.
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - dimension joins (Q-J1, Q-J4-ish shapes) broadcast the small side —
+  *    zero shuffle of the fact table for the join itself;
+  *  - fact-fact joins (Q-J2, Q-J6) shuffle both sides on the join key once;
+  *    AQE handles skewed keys (skew-join split) at runtime;
+  *  - composite keys (Q-J6) mirror the reference's hierarchical partition key
+  *    (migration.py:21-39): the join key is the full pk path list.
+  */
+object Joins {
+
+  /** Q-J1 — broadcast hash equi-join: small dim (nation, 25 rows at any SF)
+    * against customer. Explicit broadcast() hint — never shuffle a fact
+    * table to join a dimension that fits in memory. */
+  def qJ1(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("n_name")
+  }
+
+  /** Q-J2 — fact-fact equi-join (orders x lineitem): sort-merge with a single
+    * shuffle per side on the key; at scale this is the shape to co-locate via
+    * bucketing on l_orderkey/o_orderkey. */
+  def qJ2(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q-J3 — LEFT ANTI: the insert-branch dedup (create only when absent,
+    * migration.py:140-146) as one distributed join instead of N point reads. */
+  def qJ3(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val o = Tables.orders(s, d)
+    e.join(o, e("user_id") === o("o_custkey"), "left_anti")
+      .select("event_id")
+      .orderBy("event_id")
+  }
+
+  /** Q-J4 — LEFT SEMI: existence probe (the point-read hit path,
+    * migration.py:119-122). */
+  def qJ4(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** Q-J5 — FULL OUTER: bidirectional diff for verification (A10/A15) —
+    * rows only in target vs only in source in one pass. */
+  def qJ5(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select("o_custkey").distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+        col("c_custkey").isNull.as("only_t"),
+        col("o_custkey").isNull.as("only_s"))
+      .orderBy("k")
+  }
+
+  /** Q-J6 — composite-key join: hierarchical partition key
+    * (migration.py:21-39) as a multi-column join key. Self-join of lineitem
+    * on (orderkey, linenumber). */
+  def qJ6(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+    val r = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+    l.join(r, Seq("l_orderkey", "l_linenumber"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational core of the engine: scans, filters, projections, aggregates,
+  * sort/limit, and set operators (SURVEY.md §2 Part B, Q-S/F/P/A/O/U/V rows).
+  *
+  * Derivations from the reference:
+  *  - full scan + projection  <- `SELECT * FROM c` pagination
+  *    (/root/reference/src/migration.py:78-90); Spark partitions the scan, so
+  *    no continuation-token machinery is needed.
+  *  - valid-id filter          <- /root/reference/src/migration.py:92-97
+  *  - coalesce pk-injection    <- /root/reference/src/migration.py:112-114
+  *  - COUNT(*) verification    <- /root/reference/src/migration.py:61-69,182-211
+  *  - content-hash parity (Q-V2) fixes the count-only verification weakness
+  *    (SURVEY.md §2.3 B5): an order-independent checksum (sum of per-row
+  *    hashes) that distributes as a partial+final aggregate at 100 TB.
+  *
+  * Every query ends with a total ORDER BY and wraps float aggregates in
+  * ROUND(x, 2) so results hash-match the DuckDB oracle (SURVEY §2 Part B
+  * preamble). All scans are plain parquet relations: Catalyst pushes filters
+  * (`PushedFilters`) and prunes columns (`ReadSchema`) into the scan, which is
+  * exactly the shape that survives a 100x scale-up.
+  */
+object Relational {
+
+  /** Q-S1 — parquet scan + projection; only 3 of 11 lineitem columns read. */
+  def qS1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q-S2 — JSON-in-string access over the schemaless `props` column
+    * (document model, SURVEY §1.4). */
+  def qS2(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+      .orderBy("event_id")
+
+  /** Q-F1 — conjunctive predicates; both land in PushedFilters. */
+  def qF1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") > 0.05 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q-F2 — valid-id filter, the reference's missing-id error branch
+    * (migration.py:92-97) expressed as a count. */
+  def qF2(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .agg(count(lit(1)).as("n"))
+
+  /** Q-P1 — computed column via coalesce: the pk-injection projection
+    * (migration.py:112-114). */
+  def qP1(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        coalesce(col("o_orderpriority"), lit("NONE")).as("pr"))
+      .orderBy("o_orderkey")
+
+  /** Q-A1 — COUNT(*): the reference's only aggregate (migration.py:61-69). */
+  def qA1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+
+  /** Q-A2 — multi-measure hash aggregate (TPC-H Q1 core). Partial+final
+    * aggregation is automatic; the shuffle moves one row per (flag,status). */
+  def qA2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("c"),
+        round(sum("l_quantity"), 2).as("sq"),
+        round(avg("l_extendedprice"), 2).as("ap"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q-A3 — COUNT(DISTINCT): id-uniqueness check at scale (2-phase expand). */
+  def qA3(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(countDistinct(col("o_custkey")).as("n"))
+
+  /** Q-A4 — ROLLUP over a 3-table join (reporting extension). The nation and
+    * customer dims are broadcast; only orders shuffles. */
+  def qA4(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    // Alias the grouping keys before rollup: the rollup's Expand node keeps
+    // both the original and the null-padded copy of each grouping attribute,
+    // which makes post-agg references to the bare names ambiguous.
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name").as("g_name"), col("o_orderstatus").as("g_status"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("g_name").as("n_name"),
+        col("g_status").as("o_orderstatus"), col("c"))
+      .orderBy(col("n_name").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first, col("c"))
+  }
+
+  /** Q-O1 — global top-k: planned as TakeOrderedAndProject (per-partition
+    * heap + single merge), not a global sort. */
+  def qO1(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q-U1 — UNION ALL: the multi-container consolidation loop
+    * (/root/reference/src/main.py:141-148) as one plan. */
+  def qU1(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .unionAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q-U2 — EXCEPT: one-directional content diff (A10). */
+  def qU2(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey")
+      .except(Tables.orders(s, d).select("o_custkey"))
+      .orderBy("c_custkey")
+
+  /** Q-U3 — INTERSECT. */
+  def qU3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_nationkey")
+      .intersect(Tables.supplier(s, d).select("s_nationkey"))
+      .orderBy("c_nationkey")
+
+  /** Q-X1 — scalar function battery: string/date/math over lineitem
+    * (the reference's only scalar ops are lower() and strip();
+    * sanitizer.py:49, migration.py:22). */
+  def qX1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        lower(col("l_returnflag")).as("lf"),
+        substring(col("l_linestatus"), 1, 1).as("s1"),
+        year(col("l_shipdate")).as("y"),
+        month(col("l_shipdate")).as("m"),
+        // price*(1-disc) is an exact 4-decimal rational, so its double sits
+        // right on x.xx5 ROUND boundaries; round via DECIMAL(18,4) so this
+        // engine and the DuckDB oracle resolve halves identically
+        round(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")), 2)
+          .cast("double").as("net"),
+        abs(col("l_quantity")).as("q"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q-X3 — JSON access + aggregation over the document-model props. */
+  def qX3(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("event_type")
+
+  /** Q-V1 — count-parity verification, the reference's verify_migration
+    * (migration.py:182-211): count both sides, compare. */
+  def qV1(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.lineitem(s, d).agg(count(lit(1)).as("n_src"))
+    val tgt = Tables.lineitem(s, d).agg(count(lit(1)).as("n_tgt"))
+    src.crossJoin(tgt).select((col("n_src") === col("n_tgt")).as("ok"))
+  }
+
+  /** Q-V2 — content-hash parity (fixes SURVEY §2.3 B5: equal counts don't
+    * prove equal contents). Order-independent checksum = sum of per-row
+    * hashes; engine-agnostic via md5-hex-prefix so DuckDB reproduces it. */
+  def qV2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long")).as("h"))
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Window-function inventory (SURVEY.md §2 Part B, Q-W1..Q-W3).
+  *
+  * The reference has no window functions; these derive from its north-star
+  * extensions: keep-latest dedup (the streaming form of the conflict-safe
+  * insert, /root/reference/src/migration.py:140-146), running aggregates for
+  * its rate metrics (migration.py:156-176), and lag-based session-gap
+  * detection (precursor to session windows, ST-3).
+  *
+  * Scale: one shuffle on the PARTITION BY key per window spec; all three
+  * share `(user_id)` partitioning so a multi-window plan reuses the exchange.
+  * Skewed users are the risk at 100 TB — mitigation is AQE + pre-salting the
+  * heavy hitters (the key set is low-cardinality per partition after hashing).
+  * Ordering ties are always broken with event_id so results are total.
+  */
+object Windows {
+
+  private def byUser = Window.partitionBy(col("user_id"))
+
+  /** Q-W1 — row_number keep-latest dedup: one survivor per
+    * (user_id, event_type), newest ts wins, event_id tiebreak. */
+  def qW1(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id")
+      .orderBy("event_id")
+  }
+
+  /** Q-W2 — analytic frame: running sum per user (rate/metrics accumulation,
+    * migration.py:156-176, as a distributed operator). */
+  def qW2(s: SparkSession, d: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), round(sum(col("value")).over(w), 2).as("rs"))
+      .orderBy("event_id")
+  }
+
+  /** Q-W3 — lag: inter-event gap in microseconds (sessionization precursor).
+    * Microsecond integers (unix_micros vs DuckDB epoch_us) keep the oracle
+    * comparison exact — no float epoch. */
+  def qW3(s: SparkSession, d: String): DataFrame = {
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+      .orderBy("event_id")
+  }
+}
