@@ -54,6 +54,24 @@ object SparkEntry {
     // verification
     "q_v1_count_parity"    -> (Relational.qV1 _),
     "q_v2_content_hash"    -> (Relational.qV2 _),
+    // text analysis (LLM-pipeline battery)
+    "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
+    "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
+    "q_t2_quality_score"   -> (TextAnalysis.qT2 _),
+    "q_t3_token_count"     -> (TextAnalysis.qT3 _),
+    "q_t4_fingerprint"     -> (TextAnalysis.qT4 _),
+    // dedup family
+    "q_x5_distinct_hash"   -> (Dedup.qX5 _),
+    "q_d1_exact_dedup"     -> (Dedup.qD1 _),
+    "q_d2_jaccard_pairs"   -> (Dedup.qD2 _),
+    "q_d3_minhash_sig"     -> (Dedup.qD3 _),
+    "q_d4_lsh_pairs"       -> (Dedup.qD4 _),
+    "q_d5_simhash"         -> (Dedup.qD5 _),
+    "q_d6_simhash_pairs"   -> (Dedup.qD6 _),
+    "q_d7_emb_neardup"     -> (Dedup.qD7 _),
+    // similarity search
+    "q_x2_cosine_topk"     -> (Similarity.qX2 _),
+    "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
   )
 
   /** DuckDB-dialect equivalent for each key in `queries` (the driver runs
@@ -121,5 +139,109 @@ object SparkEntry {
       "SELECT ((SELECT count(1) FROM lineitem) = (SELECT count(1) FROM lineitem)) AS ok"),
     "q_v2_content_hash" -> (
       "SELECT count(1) AS n, CAST(sum(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS h FROM orders"),
+    "q_x4_term_freq" -> (
+      "SELECT w, count(1) AS c FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t " +
+        "WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20"),
+    "q_t1_lang_id" -> (
+      "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        "len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it'))) AS en_hits, " +
+        "len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un'))) AS es_hits, " +
+        "len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein'))) AS de_hits, " +
+        "len(list_filter(toks, w -> w IN ('le','la','de','et','un','une','est'))) AS fr_hits FROM t) " +
+        "SELECT doc_id, en_hits, es_hits, de_hits, fr_hits, " +
+        "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' " +
+        "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
+        "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
+        "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM h ORDER BY doc_id"),
+    "q_t2_quality_score" -> (
+      "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words, " +
+        "CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS awl_raw, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)" +
+        " / len(string_split(text, ' ')) AS sr_raw FROM documents) " +
+        "SELECT doc_id, n_words, ROUND(awl_raw, 4) AS avg_wlen, ROUND(sr_raw, 4) AS stop_ratio, " +
+        "ROUND(least(n_words, 100) / 100 * 0.5 + sr_raw * 0.3 + least(awl_raw, 10.0) / 10 * 0.2, 4) AS quality " +
+        "FROM t ORDER BY doc_id"),
+    "q_t3_token_count" -> (
+      "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens FROM documents ORDER BY doc_id"),
+    "q_t4_fingerprint" -> (
+      "WITH idx AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-7, 1))) AS i FROM documents), " +
+        "h AS (SELECT doc_id, ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT AS hv FROM idx) " +
+        "SELECT doc_id, min(hv) AS fp_min, CAST(count(DISTINCT hv) AS BIGINT) AS n_grams FROM h GROUP BY doc_id ORDER BY doc_id"),
+    "q_x5_distinct_hash" -> (
+      "SELECT count(DISTINCT md5(lower(text))) AS n FROM documents"),
+    "q_d1_exact_dedup" -> (
+      "SELECT min(doc_id) AS doc_id, count(1) AS dups FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id"),
+    "q_d2_jaccard_pairs" -> (
+      "WITH ws AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w FROM documents WHERE doc_id < 100) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))), 4) AS jac " +
+        "FROM ws a JOIN ws b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.9 " +
+        "ORDER BY a_id, b_id"),
+    "q_d3_minhash_sig" -> (minhashSigSql +
+      " SELECT doc_id, " + minhashMinsSql + " FROM h GROUP BY doc_id ORDER BY doc_id"),
+    "q_d4_lsh_pairs" -> (minhashSigSql +
+      ", sig AS (SELECT doc_id, " + minhashMinsSql + " FROM h GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, 1 AS band, m1 || '_' || m2 AS bk FROM sig " +
+      "UNION ALL SELECT doc_id, 2, m3 || '_' || m4 FROM sig), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), " +
+      "gs AS (SELECT doc_id, list_distinct(list(g)) AS gl FROM grams GROUP BY doc_id) " +
+      "SELECT c.a_id, c.b_id, ROUND(CAST(len(list_intersect(x.gl, y.gl)) AS DOUBLE) / len(list_distinct(list_concat(x.gl, y.gl))), 4) AS jac " +
+      "FROM cand c JOIN gs x ON c.a_id = x.doc_id JOIN gs y ON c.b_id = y.doc_id ORDER BY a_id, b_id"),
+    "q_d5_simhash" -> (simhashSql + " SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
+    "q_d6_simhash_pairs" -> (simhashSql +
+      " SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 2 ORDER BY a_id, b_id"),
+    "q_d7_emb_neardup" -> (cosinePairsSql("a.vec_id < b.vec_id") +
+      " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
+      "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY a_id, b_id"),
+    "q_x2_cosine_topk" -> (cosinePairsSql("a.vec_id < b.vec_id AND a.vec_id <= 20") +
+      " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
+      "ORDER BY sim DESC, a_id, b_id LIMIT 50"),
+    "q_sim1_knn_brute" -> (
+      "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        cosineSumSql +
+        ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
+        "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
   )
+
+  // ---- shared DuckDB oracle fragments (minhash / simhash / cosine) ----
+  // Constants mirror graft.functions.Hashing.MinhashParams / MinhashPrime.
+
+  /** CTEs: documents → word arrays → distinct 3-gram shingles → 32-bit md5 hashes. */
+  private val minhashSigSql: String =
+    "WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+      "idx AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-2, 0))) AS i FROM ws), " +
+      "grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx), " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS hv FROM grams)"
+
+  private val minhashMinsSql: String =
+    "min((1000003*hv + 12345) % 4294967311) AS m1, min((2000003*hv + 54321) % 4294967311) AS m2, " +
+      "min((3000017*hv + 98765) % 4294967311) AS m3, min((4000037*hv + 13579) % 4294967311) AS m4"
+
+  /** CTEs ending in `sh(doc_id, simhash)`: 32-bit simhash by per-bit majority
+    * vote over md5 token hashes. */
+  private val simhashSql: String =
+    "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok), " +
+      "bits AS (SELECT doc_id, hv, unnest(generate_series(0, 31)) AS b FROM h), " +
+      "votes AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM bits GROUP BY doc_id, b), " +
+      "sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id)"
+
+  /** CTEs `u`,`s`: explicit index-order double-precision cosine terms for the
+    * pair set defined by `p` — must match CosineSimilarity's accumulation
+    * order so ROUND(.,4) is bit-stable across engines. */
+  private val cosineSumSql: String =
+    "u AS (SELECT a_id, b_id, unnest(generate_series(1, 64)) AS i, ea, eb FROM p), " +
+      "s AS (SELECT a_id, b_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+      "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb FROM u GROUP BY a_id, b_id)"
+
+  private def cosinePairsSql(cond: String): String =
+    s"WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+      s"FROM embeddings a JOIN embeddings b ON $cond), " + cosineSumSql
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{GraftFunctions, Hashing}
+import graft.functions.Hashing.md5h32
+
+/** Deduplication operators over `documents` / `embeddings` — the dedup family
+  * a training-data pipeline needs (SURVEY.md Q-X5 + the exact / MinHash-LSH /
+  * SimHash / n-gram-Jaccard / embedding-cosine extensions).
+  *
+  * Scale design: signatures (minhash, simhash, fingerprints) are computed as
+  * per-row HOF expressions — one corpus scan, zero shuffle, no materialized
+  * token table. Pairwise comparison is never all-pairs at scale: the LSH path
+  * (qD4) shuffles only (doc, band-key) rows and compares within buckets,
+  * which is the standard sub-quadratic route; the all-pairs forms (qD2, qD7)
+  * are deliberately bounded (key-range predicates / verified candidate sets)
+  * and serve as the oracle-checked exact baselines for LSH recall.
+  */
+object Dedup {
+
+  /** Q-X5: exact content-hash dedup — distinct canonical-hash count. */
+  def qX5(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("count(DISTINCT md5(lower(text))) AS n")
+
+  /** Exact dedup, keep-first: group by canonical hash, keep min doc_id and
+    * the duplicate count. Single hash-agg; at 100 TB this is the cheapest
+    * dedup and runs map-side-partial first. */
+  def qD1(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(expr("md5(lower(text))").as("h"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dups"))
+      .select("doc_id", "dups")
+      .orderBy("doc_id")
+
+  /** Distinct word-set per document (1-gram shingles). */
+  private def wordSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "array_distinct(split(lower(text), ' ')) AS w")
+
+  /** n-gram Jaccard near-dup pairs (exact, bounded): word-set Jaccard >= 0.9
+    * over doc_id < 100. The exact-verification baseline the LSH path (qD4)
+    * approximates; unbounded all-pairs is O(n²) and intentionally NOT offered
+    * as a scale path. */
+  def qD2(s: SparkSession, dir: String): DataFrame = {
+    val ws = wordSets(s, dir).where(col("doc_id") < 100)
+    val a = ws.select(col("doc_id").as("a_id"), col("w").as("wa"))
+    val b = ws.select(col("doc_id").as("b_id"), col("w").as("wb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("jac",
+        expr("CAST(size(array_intersect(wa, wb)) AS DOUBLE) / size(array_union(wa, wb))"))
+      .where(col("jac") >= 0.9)
+      .selectExpr("a_id", "b_id", "ROUND(jac, 4) AS jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Distinct word-3-gram shingle set per document, as one per-row HOF pass
+    * (no explode). Docs shorter than 3 words get an empty set. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(lower(text), ' ') AS w")
+      .selectExpr(
+        "doc_id",
+        """array_distinct(CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+          |  ELSE array() END) AS g""".stripMargin)
+      .where(size(col("g")) > 0)
+
+  /** MinHash signatures (k=4 permutations over 3-gram shingles), computed
+    * per-row: min over the shingle set of (a_i*md5h(g)+b_i) mod P. One scan,
+    * no shuffle, no materialized shingle table. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val perms = Hashing.MinhashParams.indices.map { i =>
+      s"array_min(transform(g, x -> ${Hashing.minhashPerm(i, md5h32("x"))})) AS m${i + 1}"
+    }
+    shingles(s, dir).selectExpr(Seq("doc_id") ++ perms: _*)
+  }
+
+  /** MinHash signature query (oracle-checked form of the signature math). */
+  def qD3(s: SparkSession, dir: String): DataFrame =
+    minhashSig(s, dir).orderBy("doc_id")
+
+  /** MinHash-LSH near-dup pairs: band the 4-row signature into 2 bands of 2,
+    * self-join on band key (the ONLY shuffle — (doc, band) rows, not pairs),
+    * then exact-verify candidates with true shingle Jaccard. This is the
+    * sub-quadratic dedup path that survives 100 TB: candidate count is
+    * bucket-bounded, never n². */
+  def qD4(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val bands = sig.selectExpr("doc_id", "1 AS band", "concat(m1, '_', m2) AS bk")
+      .unionAll(sig.selectExpr("doc_id", "2 AS band", "concat(m3, '_', m4) AS bk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        expr("x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id"))
+      .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id")
+      .distinct()
+    val g = shingles(s, dir)
+    cand
+      .join(g.selectExpr("doc_id AS a_id", "g AS ga"), "a_id")
+      .join(g.selectExpr("doc_id AS b_id", "g AS gb"), "b_id")
+      .withColumn("jac",
+        expr("CAST(size(array_intersect(ga, gb)) AS DOUBLE) / size(array_union(ga, gb))"))
+      .selectExpr("a_id", "b_id", "ROUND(jac, 4) AS jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash-32 per document: majority vote per bit over the md5-hashes of
+    * the token stream (duplicates count — frequency weights the vote). The
+    * whole signature is one nested-HOF expression per row: zero shuffle. */
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", s"transform(split(lower(text), ' '), w -> ${md5h32("w")}) AS hs")
+      .selectExpr(
+        "doc_id",
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
+          |  IF(aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a + (shiftright(h, b) & 1)) * 2 > size(hs),
+          |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS simhash""".stripMargin)
+
+  /** SimHash signature query (oracle-checked form of the signature math). */
+  def qD5(s: SparkSession, dir: String): DataFrame =
+    simhash(s, dir).orderBy("doc_id")
+
+  /** SimHash near-dup pairs: Hamming distance <= 2 on the 32-bit signature.
+    * All-pairs here (bounded corpus); the scale path blocks on signature
+    * bytes (split the 32 bits into 3 bands — any pair at distance <=2 shares
+    * a band) before comparing, same shape as qD4. */
+  def qD6(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(s, dir)
+    val a = sh.selectExpr("doc_id AS a_id", "simhash AS sa")
+    val b = sh.selectExpr("doc_id AS b_id", "simhash AS sb")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("ham", expr("bit_count(sa ^ sb)"))
+      .where(col("ham") <= 2)
+      .selectExpr("a_id", "b_id", "CAST(ham AS INT) AS ham")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup pairs: cosine >= 0.4 via the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression. Exact baseline for the
+    * ANN path in [[Similarity]]; at scale the candidate set comes from LSH
+    * bucketing, not an all-pairs join. */
+  def qD7(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.selectExpr("vec_id AS a_id", "embedding AS ea")
+    val b = e.selectExpr("vec_id AS b_id", "embedding AS eb")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", expr("cosine_sim(ea, eb)"))
+      .where(col("sim") >= 0.4)
+      .selectExpr("a_id", "b_id", "ROUND(sim, 4) AS sim")
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Hashing.md5h32
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline battery (SURVEY.md §2 Part B Q-X4 plus the language-ID / quality /
+  * token-count / fingerprint extensions).
+  *
+  * Scale posture: every query here is a single scan + per-row expression work
+  * (HOFs over the token array stay inside the row — no explode-shuffle except
+  * where the semantics genuinely aggregate across documents), followed by one
+  * hash aggregation. At 100 TB that plan is scan-bound, which is the best
+  * case; nothing materializes a tokenized copy of the corpus.
+  */
+object TextAnalysis {
+
+  /** Q-X4: tokenize + global term frequency, top-20. The only text query that
+    * must shuffle (cross-document aggregate); partial aggregation on the
+    * mapper side collapses the per-word stream before the exchange. */
+  def qX4(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w"))
+      .limit(20)
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. Tiny
+    * high-frequency function-word sets; deterministic and oracle-matchable
+    * (the same lists are inlined in the DuckDB SQL). */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est"))
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Language-ID: count function-word hits per language over the token array
+    * (duplicates count — frequency matters), classify as the max-hit language
+    * with a fixed priority-order tiebreak, 'und' when nothing hits. */
+  def qT1(s: SparkSession, dir: String): DataFrame = {
+    val hitCols = StopWords.map { case (lang, ws) =>
+      s"size(filter(toks, w -> w IN (${inList(ws)}))) AS ${lang}_hits"
+    }
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "split(lower(text), ' ') AS toks")
+      .selectExpr(Seq("doc_id") ++ hitCols: _*)
+      .selectExpr(
+        "doc_id", "en_hits", "es_hits", "de_hits", "fr_hits",
+        """CASE
+          |  WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+          |  WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+          |  WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+          |  WHEN fr_hits > 0 THEN 'fr'
+          |  ELSE 'und'
+          |END AS lang_pred""".stripMargin)
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, average word length, stopword ratio, and a
+    * weighted composite score — the "keep or drop this document" signal of a
+    * training-data pipeline. Formula evaluated in identical IEEE order on
+    * both engines so ROUND(.,4) is stable. */
+  def qT2(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_words",
+        "CAST(n_chars AS DOUBLE) / size(split(text, ' ')) AS awl_raw",
+        s"CAST(size(filter(split(lower(text), ' '), w -> w IN (${inList(StopWords.head._2)}))) AS DOUBLE)" +
+          " / size(split(text, ' ')) AS sr_raw")
+      .selectExpr(
+        "doc_id", "n_words",
+        "ROUND(awl_raw, 4) AS avg_wlen",
+        "ROUND(sr_raw, 4) AS stop_ratio",
+        "ROUND(least(n_words, 100) / 100 * 0.5 + sr_raw * 0.3 + least(awl_raw, 10.0) / 10 * 0.2, 4) AS quality")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenizer (letter
+    * runs | digit runs | single punctuation). Both are per-row expressions —
+    * no tokenized corpus is materialized. */
+  def qT3(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS ws_tokens",
+        "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS re_tokens")
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: rolling 8-char-gram hashes per document, keep
+    * the min hash (a 1-permutation MinHash over character shingles — the
+    * winnowing primitive) and the distinct-gram count. All inside one HOF
+    * pass per row. */
+  def qT4(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        s"transform(sequence(1, greatest(length(text) - 7, 1)), i -> ${md5h32("substring(text, i, 8)")}) AS hs")
+      .selectExpr(
+        "doc_id",
+        "array_min(hs) AS fp_min",
+        "CAST(size(array_distinct(hs)) AS BIGINT) AS n_grams")
+      .orderBy("doc_id")
+}
