@@ -72,6 +72,10 @@ object SparkEntry {
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
+    // merge engine (the reference's core pipeline, A9-A12)
+    "q_m1_merge_classify"  -> (Merge.qM1 _),
+    "q_m2_merge_state"     -> (Merge.qM2 _),
+    "q_m3_merge_idempotent" -> (Merge.qM3 _),
   )
 
   /** DuckDB-dialect equivalent for each key in `queries` (the driver runs
@@ -208,7 +212,37 @@ object SparkEntry {
         ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_m1_merge_classify" -> (mergeSnapshotsSql +
+      " SELECT action, count(1) AS c FROM (" + mergeClassifySql("tgt", "t") +
+      ") x GROUP BY action ORDER BY action"),
+    "q_m2_merge_state" -> (mergeSnapshotsSql +
+      " SELECT count(1) AS n, CAST(sum(('0x' || substr(md5(id || '|' || pk || '|' || text), 1, 8))::BIGINT) AS BIGINT) AS h FROM merged"),
+    "q_m3_merge_idempotent" -> (mergeSnapshotsSql +
+      " SELECT action, count(1) AS c FROM (" + mergeClassifySql("merged", "m") +
+      ") x GROUP BY action ORDER BY action"),
   )
+
+  // ---- shared DuckDB oracle fragments (merge engine) ----
+  // Deterministic source/target snapshots derived from `documents`; must
+  // mirror Merge.sourceSnapshot / Merge.targetSnapshot exactly.
+
+  private val mergeSnapshotsSql: String =
+    "WITH src AS (SELECT CASE WHEN doc_id % 53 = 0 THEN NULL ELSE CAST(doc_id AS VARCHAR) END AS id, " +
+      "CASE WHEN doc_id % 71 = 0 THEN '' ELSE lang END AS pk, text FROM documents), " +
+      "tgt AS (SELECT CAST(doc_id AS VARCHAR) AS id, lang AS pk, " +
+      "CASE WHEN doc_id % 10 = 7 THEN text || ' [stale]' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 10 <> 3), " +
+      "vsrc AS (SELECT * FROM src WHERE id IS NOT NULL AND id <> '' AND pk IS NOT NULL AND pk <> ''), " +
+      "merged AS (SELECT coalesce(s.id, t.id) AS id, coalesce(s.pk, t.pk) AS pk, coalesce(s.text, t.text) AS text " +
+      "FROM vsrc s FULL JOIN tgt t ON s.id = t.id AND s.pk = t.pk)"
+
+  /** Per-row action CASE over `src LEFT JOIN <rel>` (reference branch order:
+    * error → insert → skip → update, migration.py:91-146). */
+  private def mergeClassifySql(rel: String, a: String): String =
+    "SELECT CASE WHEN s.id IS NULL OR s.id = '' OR s.pk IS NULL OR s.pk = '' THEN 'error' " +
+      s"WHEN $a.id IS NULL THEN 'insert' " +
+      s"WHEN s.text = $a.text THEN 'skip' ELSE 'update' END AS action " +
+      s"FROM src s LEFT JOIN $rel $a ON s.id = $a.id AND s.pk = $a.pk"
 
   // ---- shared DuckDB oracle fragments (minhash / simhash / cosine) ----
   // Constants mirror graft.functions.Hashing.MinhashParams / MinhashPrime.
