@@ -76,6 +76,8 @@ object SparkEntry {
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
     "q_m3_merge_idempotent" -> (Merge.qM3 _),
+    // PII masking (U-1)
+    "q_k1_mask_pii"        -> (Sanitize.qK1 _),
   )
 
   /** DuckDB-dialect equivalent for each key in `queries` (the driver runs
@@ -220,6 +222,20 @@ object SparkEntry {
     "q_m3_merge_idempotent" -> (mergeSnapshotsSql +
       " SELECT action, count(1) AS c FROM (" + mergeClassifySql("merged", "m") +
       ") x GROUP BY action ORDER BY action"),
+    "q_k1_mask_pii" -> (
+      // seed(x) = unsigned 32-bit md5 prefix (Hashing.md5h32); templates
+      // mirror graft.functions.Masking generators exactly
+      "WITH src AS (SELECT c_custkey, c_name AS name, c_mktsegment AS city, " +
+        "CAST(c_custkey AS VARCHAR) AS accountnumber, " +
+        "CAST(c_custkey % 97 AS DOUBLE) AS payrate, " +
+        "CAST(c_nationkey AS BIGINT) AS ratingarea FROM customer) " +
+        "SELECT c_custkey, " +
+        "'Fn' || substr(md5(name), 1, 6) || ' Ln' || substr(md5(name), 1, 6) AS name, " +
+        "'City' || substr(md5(city), 1, 6) AS city, " +
+        "'BBAN' || lpad(CAST(('0x' || substr(md5(accountnumber), 1, 8))::BIGINT % 1000000000000 AS VARCHAR), 12, '0') AS accountnumber, " +
+        "ROUND(15.0 + CAST(('0x' || substr(md5(CAST(payrate AS VARCHAR)), 1, 8))::BIGINT % 13500 AS DOUBLE) / 100.0, 2) AS payrate, " +
+        "1 + ('0x' || substr(md5(CAST(ratingarea AS VARCHAR)), 1, 8))::BIGINT % 5 AS ratingarea " +
+        "FROM src ORDER BY c_custkey"),
   )
 
   // ---- shared DuckDB oracle fragments (merge engine) ----
