@@ -78,6 +78,12 @@ object SparkEntry {
     "q_m3_merge_idempotent" -> (Merge.qM3 _),
     // PII masking (U-1)
     "q_k1_mask_pii"        -> (Sanitize.qK1 _),
+    // streaming cores, batch form (ST-1..ST-5; streaming form in StreamingSpec)
+    "q_st1_tumbling"       -> (graft.streaming.Streams.qSt1 _),
+    "q_st2_sliding"        -> (graft.streaming.Streams.qSt2 _),
+    "q_st3_session"        -> (graft.streaming.Streams.qSt3 _),
+    "q_st4_dedup_count"    -> (graft.streaming.Streams.qSt4 _),
+    "q_st5_incremental_merge" -> (graft.streaming.Streams.qSt5 _),
   )
 
   /** DuckDB-dialect equivalent for each key in `queries` (the driver runs
@@ -236,6 +242,31 @@ object SparkEntry {
         "ROUND(15.0 + CAST(('0x' || substr(md5(CAST(payrate AS VARCHAR)), 1, 8))::BIGINT % 13500 AS DOUBLE) / 100.0, 2) AS payrate, " +
         "1 + ('0x' || substr(md5(CAST(ratingarea AS VARCHAR)), 1, 8))::BIGINT % 5 AS ratingarea " +
         "FROM src ORDER BY c_custkey"),
+    "q_st1_tumbling" -> (
+      "SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type, count(1) AS c " +
+        "FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+    "q_st2_sliding" -> (
+      // a 1h window sliding by 30m covers each event twice: the 30m-aligned
+      // window starting at floor(ts, 30m) and the one 30m earlier
+      "WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS s0, event_type FROM events), " +
+        "w AS (SELECT s0 AS w_start, event_type FROM b " +
+        "UNION ALL SELECT s0 - INTERVAL '30 minutes', event_type FROM b) " +
+        "SELECT w_start, event_type, count(1) AS c FROM w GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+    "q_st3_session" -> (
+      // gap-based sessionization (SURVEY Q-W3 lag + cumulative new-session
+      // flags); session end = last event + 30m gap, as session_window defines
+      "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o) " +
+        "SELECT min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end, user_id, count(1) AS n " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"),
+    "q_st4_dedup_count" -> (
+      "SELECT count(DISTINCT event_id) AS n FROM events"),
+    "q_st5_incremental_merge" -> (
+      // final state of the two-batch incremental merge == all events upserted
+      // by (event_id, event_type) — batch split is irrelevant to the result
+      "SELECT count(1) AS n, CAST(sum(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' || event_type || '|' || props), 1, 8))::BIGINT) AS BIGINT) AS h FROM events"),
   )
 
   // ---- shared DuckDB oracle fragments (merge engine) ----

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Merge
+
+/** Streaming surface (SURVEY.md §2 Part B, ST-1..ST-5). The reference's only
+  * "streaming" is a resumable pagination cursor
+  * (/root/reference/src/migration.py:83-87,152-154); Structured Streaming is
+  * its Spark-native generalization: checkpointed incremental processing over
+  * an unbounded source.
+  *
+  * Each transformation is written against a plain DataFrame so the SAME code
+  * runs in batch (oracle-checked below at sf0.01) and on a stream (tested
+  * with MemoryStream in StreamingSpec) — the core Structured Streaming
+  * contract: a streaming query's result equals the batch query over the data
+  * seen so far. Watermarks bound state at 100 TB: without one, the window /
+  * dedup state grows with the key space forever.
+  */
+object Streams {
+
+  /** ST-1 core: tumbling 1-hour counts per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("c"))
+
+  /** ST-2 core: sliding 1-hour windows advancing every 30 minutes — each
+    * event lands in 2 windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("c"))
+
+  /** ST-3 core: 30-minute-gap session windows per user. Session end = last
+    * event + gap (Spark `session_window` semantics). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** ST-4 core: keyed dedup — batch form of
+    * `dropDuplicatesWithinWatermark("event_id")` (the streaming form is
+    * exercised in StreamingSpec; state is bounded by the watermark there). */
+  def dedupCount(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id").agg(count(lit(1)).as("n"))
+
+  // ---- oracle-checked batch forms ----
+
+  def qSt1(spark: SparkSession, dir: String): DataFrame =
+    tumblingCounts(Tables.events(spark, dir)).orderBy("w_start", "event_type")
+
+  def qSt2(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(spark, dir)).orderBy("w_start", "event_type")
+
+  def qSt3(spark: SparkSession, dir: String): DataFrame =
+    sessionCounts(Tables.events(spark, dir)).orderBy("user_id", "s_start")
+
+  def qSt4(spark: SparkSession, dir: String): DataFrame =
+    dedupCount(Tables.events(spark, dir))
+
+  /** ST-5 (batch form): incremental MERGE equivalence — applying the merge
+    * in two half-batches (foreachBatch style) must land on the same final
+    * state as one full-refresh merge; the oracle pins the final state's
+    * order-independent checksum. Exercises the real [[Merge.merged]] path
+    * twice, seeded from an empty target. */
+  def qSt5(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id").cast("string").as("id"),
+      col("event_type").as("pk"),
+      col("props").as("text"))
+    val batch1 = ev.filter(xxhash64(col("id")) % 2 === 0)
+    val batch2 = ev.filter(xxhash64(col("id")) % 2 =!= 0)
+    val empty = ev.limit(0)
+    val t1 = Merge.merged(batch1, empty, "id", Seq("pk"), Seq("text"))
+    val t2 = Merge.merged(batch2, t1, "id", Seq("pk"), Seq("text"))
+    t2.selectExpr(
+      s"${graft.functions.Hashing.md5h32("concat(id, '|', pk, '|', text)")} AS h32")
+      .agg(count(lit(1)).as("n"), sum(col("h32")).as("h"))
+  }
+}

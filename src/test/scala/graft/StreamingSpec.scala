@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Merge
+import graft.streaming.Streams
+
+/** ST-1..ST-5 streaming tests (SURVEY.md §5.2 item 4): every streaming query
+  * must be batch-equivalent — running the same transformation over a
+  * MemoryStream replay of the rows yields the same result as the static
+  * DataFrame. Watermark/state behavior (late rows, in-watermark dedup) is
+  * exercised explicitly.
+  */
+/** Top-level so Spark encoders can instantiate it without an outer scope. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "streaming-spec")
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2025-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val rows = Seq(
+    Ev(1, ts(5), 1, "click", 1.0, "{}"),
+    Ev(2, ts(20), 1, "click", 2.0, "{}"),
+    Ev(3, ts(65), 1, "view", 3.0, "{}"),   // new hour, >30m gap → new session
+    Ev(4, ts(70), 2, "click", 4.0, "{}"),
+    Ev(5, ts(130), 2, "view", 5.0, "{}"),
+    Ev(6, ts(135), 1, "click", 6.0, "{}"))
+
+  /** Run a streaming transformation over a MemoryStream replay of `rows` to
+    * completion and return the sink contents. */
+  private def runStream(name: String, mode: OutputMode)
+                       (f: DataFrame => DataFrame): DataFrame = {
+    val src = MemoryStream[Ev](spark)
+    val q = f(src.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    // two chunks: exercises incremental state across micro-batches
+    src.addData(rows.take(3)); q.processAllAvailable()
+    src.addData(rows.drop(3)); q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("ST-1 tumbling window counts: stream == batch") {
+    val got = runStream("st1", OutputMode.Complete())(Streams.tumblingCounts)
+    assert(canon(got) == canon(Streams.tumblingCounts(rows.toDF())))
+  }
+
+  test("ST-2 sliding window counts: stream == batch") {
+    val got = runStream("st2", OutputMode.Complete())(Streams.slidingCounts)
+    assert(canon(got) == canon(Streams.slidingCounts(rows.toDF())))
+  }
+
+  test("ST-3 session windows: stream == batch") {
+    val got = runStream("st3", OutputMode.Complete())(Streams.sessionCounts)
+    assert(canon(got) == canon(Streams.sessionCounts(rows.toDF())))
+    // user 1: sessions {5,20}, {65}, {135} (gaps >= 30m split)
+    assert(got.filter(col("user_id") === 1).count() == 3)
+  }
+
+  test("ST-4 dropDuplicatesWithinWatermark absorbs in-watermark duplicates") {
+    val src = MemoryStream[Ev](spark)
+    val q = src.toDF()
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("st4")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(rows)
+    q.processAllAvailable()
+    src.addData(rows.take(2)) // exact duplicates, still inside the watermark
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("st4").count() == rows.size)
+  }
+
+  test("ST-1 with watermark drops too-late rows from open windows") {
+    val src = MemoryStream[Ev](spark)
+    val q = src.toDF()
+      .withWatermark("ts", "10 minutes")
+      .transform(Streams.tumblingCounts)
+      .writeStream.format("memory").queryName("st1w")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(rows); q.processAllAvailable()
+    // watermark is now ts(135)-10m = 02:05; hour-0 windows are closed and
+    // emitted; a row at ts(6) must be discarded, not re-open the window
+    src.addData(Ev(99, ts(6), 1, "click", 9.0, "{}")); q.processAllAvailable()
+    q.stop()
+    val hour0 = spark.table("st1w")
+      .filter(col("w_start") === ts(0) && col("event_type") === "click")
+    assert(hour0.select("c").as[Long].collect().toSeq == Seq(2L),
+      "late row must not change the closed hour-0 click count")
+  }
+
+  test("ST-5 foreachBatch incremental merge == full-refresh merge") {
+    val ev = rows.toDF().select(
+      col("event_id").cast("string").as("id"),
+      col("event_type").as("pk"),
+      col("value").cast("string").as("text"))
+    var state = ev.limit(0).collect().toSeq // driver-held tiny target fixture
+
+    val src = MemoryStream[Ev](spark)
+    val q = src.toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(
+          col("event_id").cast("string").as("id"),
+          col("event_type").as("pk"),
+          col("value").cast("string").as("text"))
+        val tgt = spark.createDataFrame(
+          spark.sparkContext.parallelize(state), b.schema)
+        state = Merge.merged(b, tgt, "id", Seq("pk"), Seq("text"))
+          .collect().toSeq
+        ()
+      }.start()
+    src.addData(rows.take(2)); q.processAllAvailable()
+    src.addData(rows.drop(2)); q.processAllAvailable()
+    // replay of batch 1: idempotence under reprocessing (checkpoint retry)
+    src.addData(rows.take(2)); q.processAllAvailable()
+    q.stop()
+
+    val incremental = state.map(_.toString).sorted
+    val fullRefresh = Merge.merged(ev, ev.limit(0), "id", Seq("pk"), Seq("text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(incremental == fullRefresh)
+  }
+}
