@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Canonical, FileAccount}
+import graft.functions.Masking
+import graft.operators.Merge
+
+/** Account-level migration orchestration — the reference's `main.py` loop
+  * (A26: account → database → container, with `--database`/`--container`
+  * narrowing) re-expressed as driver-side Scala over [[FileAccount]]s, with
+  * the per-container work delegated to the distributed [[Merge]] plan.
+  *
+  * Per container (reference E3, SURVEY.md §3): read source, canonicalize,
+  * classify against the target, optionally mask PII, write the merged state
+  * back, then verify. Counters come from one aggregation over the classified
+  * frame (the reference increments Python ints per document,
+  * migration.py:130-146). Verification fixes the reference's B5 wart: count
+  * parity AND an order-independent content hash, not counts alone.
+  */
+object Orchestrator {
+
+  /** A28: the reference's CLI/env config surface (main.py:10-28), minus
+    * Cosmos connection secrets. `sanitize` is a real boolean (B3 fix). */
+  case class Config(
+    scopeDatabase: Option[String] = None,
+    scopeContainer: Option[String] = None,
+    sanitize: Boolean = false)
+
+  case class ContainerResult(
+    database: String, container: String,
+    inserted: Long, updated: Long, skipped: Long, errors: Long,
+    sourceCount: Long, targetCount: Long, verified: Boolean)
+
+  case class Summary(results: Seq[ContainerResult], durationSec: Double) {
+    def ok: Boolean = results.forall(_.verified)
+  }
+
+  /** A16: abort when source and target pk paths disagree
+    * (migration.py:47-58). */
+  def assertPkAligned(src: Seq[String], tgt: Seq[String],
+                      db: String, container: String): Unit =
+    require(src == tgt,
+      s"partition key mismatch for $db/$container: source=$src target=$tgt")
+
+  def migrateContainer(spark: SparkSession, source: FileAccount,
+                       target: FileAccount, db: String, container: String,
+                       cfg: Config): ContainerResult = {
+    val props = source.containerProperties(db, container)
+    target.createDatabaseIfAbsent(db)
+    target.createContainerIfAbsent(db, container, props)
+    assertPkAligned(props.pkPaths,
+      target.containerProperties(db, container).pkPaths, db, container)
+
+    val srcRaw = Canonical.strip(source.read(spark, db, container))
+    // A7: make each pk path a queryable top-level column. Nested paths get a
+    // '/'→'__' flattened name (the reference injects the raw path string as
+    // the key, migration.py:112-114; '__' keeps the name Spark-safe).
+    val pkPairs = props.pkPaths.map(p =>
+      (p.stripPrefix("/").replace("/", "__"), p))
+    val pkCols = pkPairs.map(_._1)
+    val src = pkPairs.foldLeft(srcRaw) { case (df, (name, path)) =>
+      if (df.columns.contains(name)) df
+      else df.withColumn(name, graft.core.PartitionKeys.extract(path))
+    }
+    val tgt =
+      if (target.hasData(db, container))
+        Canonical.strip(target.read(spark, db, container))
+      else src.limit(0)
+
+    val contentCols = src.columns.toSeq.diff("id" +: pkCols)
+    val classified = Merge.classify(src, tgt, "id", pkCols, contentCols).cache()
+    val counts = classified.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+
+    val mergedState = Merge.merged(src, tgt, "id", pkCols, contentCols)
+    val masked = if (cfg.sanitize) Masking(mergedState) else mergedState
+    target.write(masked, db, container)
+    classified.unpersist()
+
+    // A15 + B5 fix: count parity and content-hash parity of what landed.
+    // Hash the merged frame we intended vs the files actually written.
+    val written = Canonical.strip(target.read(spark, db, container))
+    val expected = counts("insert") + counts("update") + counts("skip") +
+      tgt.join(src.filter(graft.core.PartitionKeys.validDoc(col("id"), pkCols.map(col)))
+          .select(("id" +: pkCols).map(col): _*),
+        "id" +: pkCols, "left_anti").count()
+    def stateHash(df: org.apache.spark.sql.DataFrame): Long = {
+      val ordered = df.select(df.columns.sorted.map(col): _*)
+      ordered.select(xxhash64(to_json(struct(ordered.columns.map(col): _*))).as("h"))
+        .agg(coalesce(sum("h"), lit(0L))).head.getLong(0)
+    }
+    val verified = written.count() == expected &&
+      (cfg.sanitize || stateHash(written) == stateHash(masked))
+
+    ContainerResult(db, container,
+      counts("insert"), counts("update"), counts("skip"), counts("error"),
+      src.count(), written.count(), verified)
+  }
+
+  /** A26 top loop with scoping; `--container` requires `--database`
+    * (main.py:109-110). */
+  def migrate(spark: SparkSession, source: FileAccount, target: FileAccount,
+              cfg: Config = Config()): Summary = {
+    require(cfg.scopeContainer.isEmpty || cfg.scopeDatabase.nonEmpty,
+      "--container requires --database")
+    require(source.testConnection(), s"source account unreachable: ${source.root}")
+    require(target.testConnection(), s"target account unreachable: ${target.root}")
+
+    val t0 = System.nanoTime()
+    val dbs = cfg.scopeDatabase.map(Seq(_)).getOrElse(source.listDatabases())
+    val results = for {
+      db <- dbs
+      c <- cfg.scopeContainer.map(Seq(_)).getOrElse(source.listContainers(db))
+    } yield migrateContainer(spark, source, target, db, c, cfg)
+    Summary(results, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** A25: nested JSON run report (main.py:154-160). */
+  def writeSummary(s: Summary, path: String): Unit = {
+    val rows = s.results.map { r =>
+      s"""    {"database": "${r.database}", "container": "${r.container}",
+         |     "inserted": ${r.inserted}, "updated": ${r.updated},
+         |     "skipped": ${r.skipped}, "errors": ${r.errors},
+         |     "source_count": ${r.sourceCount}, "target_count": ${r.targetCount},
+         |     "verified": ${r.verified}}""".stripMargin
+    }.mkString(",\n")
+    Files.writeString(Paths.get(path),
+      s"""{\n  "duration_sec": ${s.durationSec},\n  "ok": ${s.ok},\n  "containers": [\n$rows\n  ]\n}\n""")
+  }
+}

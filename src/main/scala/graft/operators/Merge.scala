@@ -36,7 +36,7 @@ object Merge {
     */
   def classify(src: DataFrame, tgt: DataFrame, idCol: String,
                pkCols: Seq[String], contentCols: Seq[String]): DataFrame = {
-    val keys = idCol +: pkCols
+    val keys = (idCol +: pkCols).distinct
     val valid = PartitionKeys.validDoc(col(idCol), pkCols.map(col))
     val srcCols = src.columns.toSeq.map(col)
 
@@ -63,7 +63,7 @@ object Merge {
     */
   def merged(src: DataFrame, tgt: DataFrame, idCol: String,
              pkCols: Seq[String], contentCols: Seq[String]): DataFrame = {
-    val keys = idCol +: pkCols
+    val keys = (idCol +: pkCols).distinct
     val valid = PartitionKeys.validDoc(col(idCol), pkCols.map(col))
     val srcV = src.filter(valid)
     val tgtSel = tgt.select(

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ContainerProps, FileAccount}
+import graft.Orchestrator.{Config, migrate}
+
+/** M6 catalog-orchestration tests: account/database/container enumeration
+  * and creation (A17-A21), connection probe (A22), pk alignment abort (A16),
+  * scoping rules (A26), counters + verification (A15/A23/B5), summary file
+  * (A25), sanitize flag (A14/B3), and the FIXTURES.md §2.4 idempotence
+  * invariant at the whole-account level.
+  */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "catalog-spec")
+
+  private def newAccount(prefix: String): FileAccount = {
+    val root = Files.createTempDirectory(Paths.get("target"), prefix)
+    FileAccount(root.toString)
+  }
+
+  private def seedContainer(acc: FileAccount, db: String, c: String,
+                            pk: Seq[String], docs: Seq[String]): Unit = {
+    acc.createDatabaseIfAbsent(db)
+    acc.createContainerIfAbsent(db, c, ContainerProps(pk))
+    Files.createDirectories(Paths.get(acc.root, db, c, "data"))
+    Files.writeString(Paths.get(acc.root, db, c, "data", "part-0.json"),
+      docs.mkString("\n"))
+  }
+
+  private def freshSource(): FileAccount = {
+    val src = newAccount("cat-src")
+    seedContainer(src, "hr", "employees", Seq("/department"), Seq(
+      """{"id":"e1","department":"eng","email":"a@real.com","level":3,"_etag":"x1","_ts":1}""",
+      """{"id":"e2","department":"eng","email":"b@real.com","level":4,"_etag":"x2","_ts":2}""",
+      """{"id":"e3","department":"ops","email":"c@real.com","level":5,"_etag":"x3","_ts":3}""",
+      """{"department":"ops","email":"noid@real.com","level":9}"""))  // error row
+    seedContainer(src, "hr", "teams", Seq("/id"), Seq(
+      """{"id":"t1","size":5}""", """{"id":"t2","size":7}"""))
+    seedContainer(src, "fin", "accounts", Seq("/owner/region"), Seq(
+      """{"id":"a1","owner":{"region":"emea"},"balance":10.5}""",
+      """{"id":"a2","owner":{"region":"apac"},"balance":20.5}"""))
+    src
+  }
+
+  test("catalog enumeration and idempotent creation (A17-A21)") {
+    val src = freshSource()
+    assert(src.listDatabases() == Seq("fin", "hr"))
+    assert(src.listContainers("hr") == Seq("employees", "teams"))
+    assert(src.containerProperties("hr", "employees").pkPaths == Seq("/department"))
+    assert(src.containerProperties("fin", "accounts").pkPaths == Seq("/owner/region"))
+    // fallback to /id when metadata absent (containers.py:38-44)
+    assert(src.containerProperties("hr", "nonexistent").pkPaths == Seq("/id"))
+    // create-if-absent keeps existing metadata
+    src.createContainerIfAbsent("hr", "employees", ContainerProps(Seq("/other")))
+    assert(src.containerProperties("hr", "employees").pkPaths == Seq("/department"))
+  }
+
+  test("connection probe fails on a missing account root (A22)") {
+    assert(!FileAccount("target/does-not-exist-xyz").testConnection())
+    val err = intercept[IllegalArgumentException] {
+      migrate(spark, FileAccount("target/does-not-exist-xyz"), newAccount("cat-t"))
+    }
+    assert(err.getMessage.contains("unreachable"))
+  }
+
+  test("full-account migration: counters, verification, idempotence") {
+    val src = freshSource()
+    val tgt = newAccount("cat-tgt")
+    val first = migrate(spark, src, tgt)
+    assert(first.ok, s"verification failed: ${first.results}")
+    assert(first.results.size == 3)
+    val emp = first.results.find(_.container == "employees").get
+    assert(emp.inserted == 3 && emp.errors == 1 && emp.updated == 0)
+    // target now mirrors the catalog
+    assert(tgt.listDatabases() == Seq("fin", "hr"))
+    assert(tgt.containerProperties("fin", "accounts").pkPaths == Seq("/owner/region"))
+    // second run: nothing inserted/updated — the reference's implicit
+    // contract (A10/A12, FIXTURES.md §2.4)
+    val second = migrate(spark, src, tgt)
+    assert(second.ok)
+    assert(second.results.forall(r => r.inserted == 0 && r.updated == 0))
+    assert(second.results.find(_.container == "employees").get.skipped == 3)
+  }
+
+  test("changed source docs become updates; target-only docs survive") {
+    val src = freshSource()
+    val tgt = newAccount("cat-tgt2")
+    migrate(spark, src, tgt)
+    // mutate one source doc + add a target-only doc
+    Files.writeString(Paths.get(src.root, "hr", "teams", "data", "part-0.json"),
+      Seq("""{"id":"t1","size":6}""", """{"id":"t2","size":7}""").mkString("\n"))
+    val extra = Paths.get(tgt.root, "hr", "teams", "data", "zz-extra.json")
+    Files.writeString(extra, """{"id":"t9","size":99}""")
+    val run = migrate(spark, src, tgt,
+      Config(scopeDatabase = Some("hr"), scopeContainer = Some("teams")))
+    val teams = run.results.head
+    assert(teams.updated == 1 && teams.skipped == 1 && teams.inserted == 0)
+    assert(teams.targetCount == 3, "target-only doc must survive the merge")
+    assert(run.ok)
+  }
+
+  test("scoping: --container requires --database (A26)") {
+    val err = intercept[IllegalArgumentException] {
+      migrate(spark, freshSource(), newAccount("cat-t"),
+        Config(scopeContainer = Some("employees")))
+    }
+    assert(err.getMessage.contains("requires"))
+  }
+
+  test("pk misalignment aborts the container (A16)") {
+    val src = freshSource()
+    val tgt = newAccount("cat-tgt3")
+    tgt.createDatabaseIfAbsent("hr")
+    tgt.createContainerIfAbsent("hr", "employees", ContainerProps(Seq("/id")))
+    val err = intercept[IllegalArgumentException] {
+      migrate(spark, src, tgt, Config(scopeDatabase = Some("hr"),
+        scopeContainer = Some("employees")))
+    }
+    assert(err.getMessage.contains("partition key mismatch"))
+  }
+
+  test("sanitize masks PII in the landed target (A14, B3 fix)") {
+    val src = freshSource()
+    val tgt = newAccount("cat-tgt4")
+    migrate(spark, src, tgt, Config(scopeDatabase = Some("hr"),
+      scopeContainer = Some("employees"), sanitize = true))
+    val landed = tgt.read(spark, "hr", "employees")
+    val emails = landed.select("email").collect().map(_.getString(0)).toSeq
+    assert(emails.forall(_.endsWith("@masked.example")), s"unmasked: $emails")
+    // non-PII fields untouched
+    assert(landed.filter(col("id") === "e1").head.getAs[Long]("level") == 3L)
+  }
+
+  test("summary JSON is written with per-container counters (A25)") {
+    val src = freshSource()
+    val tgt = newAccount("cat-tgt5")
+    val s = migrate(spark, src, tgt)
+    val path = Files.createTempFile(Paths.get("target"), "summary", ".json")
+    Orchestrator.writeSummary(s, path.toString)
+    val txt = Files.readString(path)
+    assert(txt.contains("\"containers\"") && txt.contains("\"employees\""))
+    assert(txt.contains("\"inserted\": 3"))
+    assert(txt.contains("\"ok\": true"))
+  }
+}
