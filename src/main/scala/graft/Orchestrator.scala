@@ -88,10 +88,11 @@ object Orchestrator {
       tgt.join(src.filter(graft.core.PartitionKeys.validDoc(col("id"), pkCols.map(col)))
           .select(("id" +: pkCols).map(col): _*),
         "id" +: pkCols, "left_anti").count()
+    // bit_xor, not sum: ANSI mode errors on 64-bit hash-sum overflow
     def stateHash(df: org.apache.spark.sql.DataFrame): Long = {
       val ordered = df.select(df.columns.sorted.map(col): _*)
       ordered.select(xxhash64(to_json(struct(ordered.columns.map(col): _*))).as("h"))
-        .agg(coalesce(sum("h"), lit(0L))).head.getLong(0)
+        .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head.getLong(0)
     }
     val verified = written.count() == expected &&
       (cfg.sanitize || stateHash(written) == stateHash(masked))

@@ -84,6 +84,11 @@ object SparkEntry {
     "q_st3_session"        -> (graft.streaming.Streams.qSt3 _),
     "q_st4_dedup_count"    -> (graft.streaming.Streams.qSt4 _),
     "q_st5_incremental_merge" -> (graft.streaming.Streams.qSt5 _),
+    // multimodal binary-column pipeline
+    "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
+    "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
+    // document flattener (U-3 Generator)
+    "q_u3_flatten"          -> (Documents.qU3 _),
   )
 
   /** DuckDB-dialect equivalent for each key in `queries` (the driver runs
@@ -267,6 +272,24 @@ object SparkEntry {
       // final state of the two-batch incremental merge == all events upserted
       // by (event_id, event_type) — batch split is irrelevant to the result
       "SELECT count(1) AS n, CAST(sum(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' || event_type || '|' || props), 1, 8))::BIGINT) AS BIGINT) AS h FROM events"),
+    "q_mm1_asset_features" -> (
+      // documents.text is pure ASCII (verified), so char ops == byte ops
+      "SELECT doc_id AS asset_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(length(text) AS BIGINT) AS n_bytes, ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp " +
+        "FROM documents ORDER BY asset_id"),
+    "q_mm2_frame_sample" -> (
+      "WITH v AS (SELECT doc_id, text, length(text) // 4 AS flen FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS i, text, flen FROM v) " +
+        "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx, CAST(flen AS BIGINT) AS frame_len, " +
+        "('0x' || substr(md5(substr(text, CAST(1 + i * flen AS INT), CAST(flen AS INT))), 1, 8))::BIGINT AS frame_fp " +
+        "FROM f ORDER BY asset_id, frame_idx"),
+    "q_u3_flatten" -> (
+      "SELECT doc_id, path, value FROM (" +
+        "SELECT doc_id, 'lang' AS path, lang AS value FROM documents " +
+        "UNION ALL SELECT doc_id, 'n_chars', CAST(n_chars AS VARCHAR) FROM documents " +
+        "UNION ALL SELECT doc_id, 'source', source FROM documents " +
+        "UNION ALL SELECT doc_id, 'text', text FROM documents) t " +
+        "ORDER BY doc_id, path"),
   )
 
   // ---- shared DuckDB oracle fragments (merge engine) ----

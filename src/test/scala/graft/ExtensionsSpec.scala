@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ContentChecksum, GraftFunctions}
+import graft.operators.Multimodal
+
+/** Tests for the extension surface: multimodal binary plumbing, the
+  * ContentChecksum Aggregator (U-2), and the DocFlatten Generator (U-3).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "ext-spec")
+  val sf = "/root/testdata/sf0.001"
+
+  test("asset table: binary column, typed metadata, kind partitioning") {
+    val a = Multimodal.assets(spark, sf)
+    assert(a.schema("bytes").dataType == org.apache.spark.sql.types.BinaryType)
+    val kinds = a.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    // metadata-only query over a MATERIALIZED asset table must not read the
+    // blob column: parquet ReadSchema excludes `bytes` (column pruning —
+    // at 100 TB this is the difference between a metadata scan and reading
+    // every pixel)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "assets").toString
+    a.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val metaPlan = stored.select("asset_id", "meta.n_bytes")
+      .filter(col("meta.n_bytes") > 100)
+      .queryExecution.executedPlan.toString
+    val readSchema = metaPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("bytes:binary") && !readSchema.contains("origin"),
+      s"metadata query should prune blob column and unused meta fields: $readSchema")
+  }
+
+  test("decodeFeatures: batched per-partition decode preserves every asset") {
+    val a = Multimodal.assets(spark, sf)
+    val f = Multimodal.decodeFeatures(a)
+    assert(f.count() == a.count())
+    // fingerprint agrees with the SQL md5 path (the oracle's definition)
+    val viaSql = a.selectExpr("asset_id",
+      s"${graft.functions.Hashing.md5h32("cast(bytes as string)")} AS fp")
+    val joined = f.join(viaSql.withColumnRenamed("fp", "fp_sql"), "asset_id")
+    assert(joined.filter(col("fp") =!= col("fp_sql")).count() == 0)
+  }
+
+  test("sampleFrames: video-only fan-out, FrameCount frames per asset, no shuffle") {
+    val a = Multimodal.assets(spark, sf)
+    val frames = Multimodal.sampleFrames(a)
+    val nVideo = a.filter(col("kind") === "video").count()
+    assert(frames.count() == nVideo * Multimodal.FrameCount)
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+  }
+
+  test("ContentChecksum is order- and partitioning-independent (U-2)") {
+    val df = graft.core.Tables.orders(spark, sf)
+    val base = df.select(ContentChecksum.ofFrame(df).as("h")).head.getLong(0)
+    val shuffled = df.repartition(13).sortWithinPartitions("o_totalprice")
+    val h2 = shuffled.select(ContentChecksum.ofFrame(shuffled).as("h")).head.getLong(0)
+    assert(base == h2)
+    // equals the plain SQL bit_xor-of-hashes path (same definition, B5 fix)
+    val viaSql = df.select(xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    assert(base == viaSql)
+    // any single-row change must move the checksum
+    val mutated = df.limit(1).withColumn("o_totalprice", lit(-1.0))
+      .union(df.exceptAll(df.limit(1)))
+    val h3 = mutated.select(ContentChecksum.ofFrame(mutated).as("h")).head.getLong(0)
+    assert(base != h3)
+  }
+
+  test("DocFlatten walks structs, arrays, maps; nulls stay null (U-3)") {
+    GraftFunctions.register(spark)
+    val df = spark.read.json(spark.createDataset(Seq(
+      """{"a":{"b":[{"c":1},{"c":2}],"d":"x"},"e":null}"""))(
+      org.apache.spark.sql.Encoders.STRING))
+    val rows = df.selectExpr("flatten_doc(struct(a, e))")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq.sorted
+    assert(rows == Seq(
+      ("a.b[0].c", Some("1")),
+      ("a.b[1].c", Some("2")),
+      ("a.d", Some("x")),
+      ("e", None)))
+  }
+
+  test("DocFlatten round-trip: every scalar leaf appears exactly once") {
+    GraftFunctions.register(spark)
+    val doc = graft.core.Tables.documents(spark, sf).limit(10)
+    val flat = doc.select(col("doc_id"),
+      expr("flatten_doc(struct(lang, n_chars, source, text))"))
+    assert(flat.count() == doc.count() * 4)
+    assert(flat.groupBy("doc_id").count().filter(col("count") =!= 4).count() == 0)
+  }
+}
