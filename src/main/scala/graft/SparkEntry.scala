@@ -72,6 +72,7 @@ object SparkEntry {
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
+    "q_sim2_lsh_ann"       -> (Similarity.qSim2 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -225,6 +226,19 @@ object SparkEntry {
         ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim2_lsh_ann" -> (
+      // random-hyperplane signs recomputed from md5("p_i") — must mirror
+      // Similarity.planeSign; dot summation in index order like cosineSumSql
+      "WITH planes AS (SELECT p, i, CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sg " +
+        "FROM (SELECT unnest(generate_series(0, 7)) AS p) pp, (SELECT unnest(generate_series(1, 64)) AS i) ii), " +
+        "dots AS (SELECT e.vec_id, pl.p, sum(e.embedding[pl.i]::DOUBLE * pl.sg) AS dot FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p), " +
+        "sigs AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM dots GROUP BY vec_id), " +
+        "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id " +
+        "JOIN embeddings a ON a.vec_id = x.vec_id JOIN embeddings b ON b.vec_id = y.vec_id), " +
+        cosineSumSql +
+        " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
+        "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY a_id, b_id"),
     "q_m1_merge_classify" -> (mergeSnapshotsSql +
       " SELECT action, count(1) AS c FROM (" + mergeClassifySql("tgt", "t") +
       ") x GROUP BY action ORDER BY action"),

@@ -57,26 +57,37 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Distinct word-3-gram shingle set per document, as one per-row HOF pass
-    * (no explode). Docs shorter than 3 words get an empty set. */
+  /** Distinct word-3-gram shingle set per document. Built by zipping the
+    * word array against its own 1- and 2-shifted slices — `zip_with` pads
+    * the shorter side with nulls, `concat` nulls those out, `filter` drops
+    * them. This avoids per-index `w[i]` lambda lookups (`transform` over
+    * `sequence` re-walks the array per emitted element when exploded —
+    * measured ~10× slower at sf0.1). Docs shorter than 3 words get an empty
+    * set. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .selectExpr("doc_id", "split(lower(text), ' ') AS w")
-      .selectExpr(
-        "doc_id",
-        """array_distinct(CASE WHEN size(w) >= 3
-          |  THEN transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-          |  ELSE array() END) AS g""".stripMargin)
+      .selectExpr("doc_id",
+        "array_distinct(filter(" +
+          "zip_with(zip_with(w, slice(w, 2, size(w)), (a, b) -> concat(a, ' ', b)), " +
+          "slice(w, 3, size(w)), (ab, c) -> concat(ab, ' ', c)), x -> x IS NOT NULL)) AS g")
       .where(size(col("g")) > 0)
 
-  /** MinHash signatures (k=4 permutations over 3-gram shingles), computed
-    * per-row: min over the shingle set of (a_i*md5h(g)+b_i) mod P. One scan,
-    * no shuffle, no materialized shingle table. */
+  /** MinHash signatures (k=4 permutations over 3-gram shingles).
+    *
+    * Shape: explode the shingle set, hash each gram ONCE, then one hash-agg
+    * taking the 4 permutation minima. The agg partials map-side, so the
+    * shuffle carries only (doc_id, 4 longs) per document — while the md5
+    * work stays in whole-stage codegen. (A per-row HOF formulation avoids
+    * the explode but re-hashes every gram per permutation in interpreted
+    * lambdas: measured 5× slower at sf0.1.) */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val perms = Hashing.MinhashParams.indices.map { i =>
-      s"array_min(transform(g, x -> ${Hashing.minhashPerm(i, md5h32("x"))})) AS m${i + 1}"
-    }
-    shingles(s, dir).selectExpr(Seq("doc_id") ++ perms: _*)
+    val grams = shingles(s, dir)
+      .selectExpr("doc_id", s"explode(g) AS gram")
+      .selectExpr("doc_id", s"${md5h32("gram")} AS h")
+    val mins = Hashing.MinhashParams.indices.map(i =>
+      min(expr(Hashing.minhashPerm(i, "h"))).as(s"m${i + 1}"))
+    grams.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash signature query (oracle-checked form of the signature math). */
@@ -107,16 +118,27 @@ object Dedup {
   }
 
   /** SimHash-32 per document: majority vote per bit over the md5-hashes of
-    * the token stream (duplicates count — frequency weights the vote). The
-    * whole signature is one nested-HOF expression per row: zero shuffle. */
-  private def simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .selectExpr("doc_id", s"transform(split(lower(text), ' '), w -> ${md5h32("w")}) AS hs")
-      .selectExpr(
-        "doc_id",
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
-          |  IF(aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a + (shiftright(h, b) & 1)) * 2 > size(hs),
-          |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS simhash""".stripMargin)
+    * the token stream (duplicates count — frequency weights the vote).
+    *
+    * Shape: explode tokens, hash each ONCE, then one hash-agg with 32
+    * per-bit popcount sums + the token count, and assemble the signature in
+    * a final projection. Partial aggregation shrinks the shuffle to
+    * (doc_id, 33 longs) per document and keeps all arithmetic in codegen —
+    * the nested-HOF alternative re-walks the token array once per bit in
+    * interpreted lambdas (measured ~40× slower at sf0.1). */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS w")
+      .selectExpr("doc_id", s"${md5h32("w")} AS h")
+    val bitSums = (0 until 32).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
+    val counts = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until 32).map(b =>
+      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    counts.select(col("doc_id"), sig.as("simhash"))
+  }
 
   /** SimHash signature query (oracle-checked form of the signature math). */
   def qD5(s: SparkSession, dir: String): DataFrame =

@@ -33,6 +33,52 @@ object Similarity {
       .limit(50)
   }
 
+  /** Number of random hyperplanes for the sign-LSH signature (2^P buckets). */
+  val LshPlanes = 8
+  private val Dim = 64
+
+  /** Deterministic ±1 hyperplane entries, seeded from md5 of "p_i" — the
+    * exact value the DuckDB oracle recomputes, so both engines build the
+    * same planes without sharing state. */
+  private def planeSign(p: Int, i: Int): Double = {
+    val fp = Multimodal.fingerprint(s"${p}_$i".getBytes("UTF-8"), 0, s"${p}_$i".length)
+    if (fp % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Q-SIM2: sub-quadratic near-duplicate search via random-hyperplane LSH.
+    *
+    * Each vector gets a P-bit signature (bit p = sign of the dot with plane
+    * p); only vectors sharing the full signature become candidate pairs, and
+    * candidates are then scored EXACTLY with the codegen'd cosine kernel —
+    * so precision is 1.0 by construction and only recall is approximate
+    * (pairs split across buckets are missed; the qD7 brute-force query is
+    * the exact reference).
+    *
+    * Scale shape: signatures are a map-only pass (no shuffle); the candidate
+    * join shuffles on the bucket key, whose cardinality (2^P) is tunable to
+    * keep per-bucket pair counts bounded — at 100 TB this replaces the
+    * O(n^2) pair join with sum over buckets of O(|bucket|^2), and AQE splits
+    * any skewed bucket. */
+  def qSim2(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val bucket = (0 until LshPlanes).map { p =>
+      val plane = array((1 to Dim).map(i => lit(planeSign(p, i))): _*)
+      val dot = aggregate(
+        zip_with(col("embedding"), plane, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = e.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val a = sigs.selectExpr("vec_id AS a_id", "embedding AS ea", "bucket")
+    val b = sigs.selectExpr("vec_id AS b_id", "embedding AS eb", "bucket AS b_bucket")
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("sim_raw", expr("cosine_sim(ea, eb)"))
+      .where(col("sim_raw") >= 0.4)
+      .selectExpr("a_id", "b_id", "ROUND(sim_raw, 4) AS sim")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Brute-force k-NN: for each query vector (vec_id < 10), the top-3
     * neighbors over the whole corpus by cosine. The query side is tiny and
     * broadcast; the corpus side streams — scan-bound at any corpus size.

@@ -86,6 +86,18 @@ class ExtensionsSpec extends AnyFunSuite {
       ("e", None)))
   }
 
+  test("LSH ANN: exact precision, bounded recall loss vs brute force") {
+    import graft.operators.{Dedup, Similarity}
+    val lsh = Similarity.qSim2(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.qD7(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute),
+      "every LSH pair must be a true >=0.4 pair (candidates scored exactly)")
+    assert(brute.isEmpty || lsh.nonEmpty,
+      "LSH should recover at least some true pairs")
+  }
+
   test("DocFlatten round-trip: every scalar leaf appears exactly once") {
     GraftFunctions.register(spark)
     val doc = graft.core.Tables.documents(spark, sf).limit(10)

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Joins, Relational}
+
+/** Plan-shape audit (the 100 TB posture, SURVEY.md §4.2): the operators must
+  * produce the plan a 1000-executor cluster needs, not merely a correct one.
+  * Checked structurally on the optimized/executed plans at sf0.001 — plan
+  * shape is SF-independent for these queries (broadcast threshold: nation is
+  * 25 rows at every SF).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "plan-audit")
+  val sf = "/root/testdata/sf0.001"
+
+  test("Q-S1 projection prunes to the selected columns at the scan") {
+    val plan = Relational.qS1(spark, sf).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_extendedprice"),
+      s"scan must read only projected columns: $readSchema")
+  }
+
+  test("Q-F1 filter is pushed down to the parquet scan") {
+    val plan = Relational.qF1(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      (plan.contains("GreaterThan(l_discount") || plan.contains("EqualTo(l_returnflag")),
+      s"predicates must reach the scan:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+  }
+
+  test("Q-J1 small-dim join broadcasts (no shuffle of the fact side on the dim key)") {
+    val plan = Joins.qJ1(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "25-row nation dim must broadcast, not sort-merge")
+  }
+
+  test("Q-A2 aggregates partially before the shuffle (map-side combine)") {
+    val plan = Relational.qA2(spark, sf).queryExecution.executedPlan.toString
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial_")),
+      s"hash agg must have a partial phase:\n${aggs.mkString("\n")}")
+  }
+
+  test("Q-O1 top-k uses TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.qO1(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "LIMIT 10 over ORDER BY must be top-k, not a full sort")
+  }
+
+  test("hot-path queries stay inside whole-stage codegen") {
+    for ((name, q) <- Seq(
+      "q_a2" -> Relational.qA2(spark, sf),
+      "q_j2" -> Joins.qJ2(spark, sf))) {
+      q.collect() // materialize so AQE finalizes the plan (isFinalPlan=true)
+      val plan = q.queryExecution.executedPlan.toString
+      // "*(n)" prefixes mark WholeStageCodegen spans in the plan string
+      assert(plan.contains("*("), s"$name fell out of codegen")
+      assert(!plan.contains("ScalaUDF"), s"$name contains a UDF barrier")
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Canonical
+import graft.operators.Merge
+
+/** Property-based tests (SURVEY.md §5.2 item 3) over scalacheck-generated
+  * adversarial documents (FIXTURES.md §2.3): random nesting with system
+  * fields at arbitrary depth (incl. inside arrays — the B2 bug class),
+  * missing/empty ids, invalid pks, unicode values.
+  *
+  * Generation is seeded so runs are reproducible; each property evaluates
+  * one Spark job over the whole generated corpus (per-sample jobs would be
+  * prohibitively slow).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "property-spec")
+
+  // ---- JSON document generator ----
+
+  private val scalarGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => "\"" + s.take(8) + "\""),
+    Gen.choose(-1000, 1000).map(_.toString),
+    Gen.const("null"),
+    Gen.const("\"uniçode-Ж\""))
+
+  private def fieldName: Gen[String] = Gen.oneOf(
+    "a", "b", "c", "payload", "Email", "note", "_etag", "_rid", "_self", "_ts")
+
+  private def valueGen(depth: Int): Gen[String] =
+    if (depth <= 0) scalarGen
+    else Gen.frequency(
+      4 -> scalarGen,
+      2 -> Gen.listOfN(2, valueGen(depth - 1)).map(_.mkString("[", ",", "]")),
+      3 -> objGen(depth - 1))
+
+  private def objGen(depth: Int): Gen[String] = for {
+    n <- Gen.choose(1, 4)
+    names <- Gen.listOfN(n, fieldName)
+    vals <- Gen.listOfN(n, valueGen(depth))
+  } yield names.distinct.zip(vals)
+    .map { case (k, v) => "\"" + k + "\": " + v }.mkString("{", ",", "}")
+
+  private val docGen: Gen[String] = for {
+    idPart <- Gen.oneOf(
+      Gen.choose(0, 10000).map(i => Some(s""""id": "doc-$i"""")),
+      Gen.const(Some("\"id\": null")),
+      Gen.const(Some("\"id\": \"\"")),
+      Gen.const(None)).flatMap(identity(_))
+    pk <- Gen.oneOf(s""""pk": "p1"""", s""""pk": "p2"""", s""""pk": null""", s""""pk": """"")
+    body <- objGen(3)
+  } yield "{" + (idPart.toSeq :+ pk :+ ("\"payload\": " + body)).mkString(",") + "}"
+
+  private def sample(n: Int, seed: Long): Seq[String] =
+    (0 until n).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def frame(jsons: Seq[String]) =
+    spark.read.json(spark.createDataset(jsons)(org.apache.spark.sql.Encoders.STRING))
+
+  test("canonicalizer: no system field survives at any depth; idempotent") {
+    val df = frame(sample(60, 42L))
+    val stripped = Canonical.strip(df)
+    // schema-level: no system-field name anywhere in the canonical schema
+    def names(dt: org.apache.spark.sql.types.DataType): Seq[String] = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq.flatMap(f => f.name +: names(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => names(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => names(m.valueType)
+      case _ => Seq.empty
+    }
+    val leaked = names(stripped.schema).filter(Canonical.SystemFields)
+    assert(leaked.isEmpty, s"system fields survived: $leaked")
+    // idempotence over the whole corpus
+    val once = stripped.select(to_json(struct(col("*"))).as("j"))
+    val twice = Canonical.strip(stripped).select(to_json(struct(col("*"))).as("j"))
+    assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+  }
+
+  test("merge classification partitions the source: sum of branches == |src|") {
+    val jsons = sample(80, 7L)
+    val src = frame(jsons)
+    // target: a mutated subset (drop a third, null the payload of another
+    // third), read with the SOURCE schema so content columns align — the
+    // schemaless-fidelity strategy of SURVEY §7.3 item 1
+    val tgtJsons = jsons.zipWithIndex.collect {
+      case (j, i) if i % 3 != 0 =>
+        if (i % 3 == 1) j.replaceFirst("\"payload\": \\{.*\\}$", "\"payload\": null}") else j
+    }
+    val tgt = spark.read.schema(src.schema).json(
+      spark.createDataset(tgtJsons)(org.apache.spark.sql.Encoders.STRING))
+    val contentCols = src.columns.toSeq.diff(Seq("id", "pk"))
+    val counts = Merge.classify(src, tgt, "id", Seq("pk"), contentCols)
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == src.count(),
+      s"classification must partition the source exactly once: $counts vs ${src.count()}")
+    assert(Set("error", "insert", "skip", "update").intersect(counts.keySet).nonEmpty)
+  }
+
+  test("merged state is idempotent for generated corpora (re-merge == no-op)") {
+    val jsons = sample(50, 99L)
+    val src = frame(jsons)
+    val contentCols = src.columns.toSeq.diff(Seq("id", "pk"))
+    val after = Merge.merged(src, src.limit(0), "id", Seq("pk"), contentCols)
+    val counts = Merge.classify(src, after, "id", Seq("pk"), contentCols)
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("insert", 0L) == 0L && counts.getOrElse("update", 0L) == 0L,
+      s"second run must write nothing: $counts")
+  }
+}
