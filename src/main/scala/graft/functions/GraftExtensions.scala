@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Spark-native extension entry point: registers graft's custom Catalyst
+  * expressions through `SparkSessionExtensions`, so any session created with
+  *
+  *   `spark.sql.extensions=graft.functions.GraftExtensions`
+  *
+  * (or `.withExtensions(new GraftExtensions)`) has `cosine_sim` and
+  * `flatten_doc` available in SQL — the idiomatic deployment path on a real
+  * cluster, where per-session `functionRegistry` calls
+  * ([[GraftFunctions.register]], kept for tests/tools) don't reach every
+  * context. No analyzer/optimizer rules are injected: the whole declared
+  * inventory stays Catalyst-plannable (SURVEY.md §4.2).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("flatten_doc"),
+      new ExpressionInfo(classOf[DocFlatten].getName, "flatten_doc"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DocFlatten(exprs.head)))
+  }
+}

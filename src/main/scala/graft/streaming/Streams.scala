@@ -48,6 +48,47 @@ object Streams {
   def dedupCount(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id").agg(count(lit(1)).as("n"))
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
+                        s_end: java.sql.Timestamp, n: Long)
+
+  /** ST-3 alternative via CUSTOM STATE (`KeyValueGroupedDataset.
+    * flatMapGroupsWithState`): gap-based sessionization written as an
+    * explicit state machine — the extension point for session semantics
+    * `session_window` can't express (e.g. value-dependent gaps, session
+    * caps). Semantics match [[sessionCounts]]: a gap >= `gapMinutes` starts
+    * a new session, session end = last event + gap.
+    *
+    * State per key is the open session only (bounded); in streaming it
+    * would be closed by an event-time timeout tied to the watermark. */
+  def statefulSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60L * 1000L
+    events.select(col("user_id"), col("ts")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[List[Long]]) =>
+          val times = (state.getOption.getOrElse(Nil) ++
+            it.map(_.ts.getTime)).sorted
+          state.remove()
+          if (times.isEmpty) Iterator.empty
+          else {
+            val sessions = times.tail.foldLeft(List(List(times.head))) {
+              case (acc @ cur :: rest, t) =>
+                if (t - cur.head >= gapMs) List(t) :: acc
+                else (t :: cur) :: rest
+              case (Nil, t) => List(List(t))
+            }.map(_.reverse).reverse
+            sessions.iterator.map(ts => SessionOut(uid,
+              new java.sql.Timestamp(ts.head),
+              new java.sql.Timestamp(ts.last + gapMs), ts.size.toLong))
+          }
+      }.toDF()
+  }
+
   // ---- oracle-checked batch forms ----
 
   def qSt1(spark: SparkSession, dir: String): DataFrame =

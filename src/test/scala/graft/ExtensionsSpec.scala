@@ -98,6 +98,47 @@ class ExtensionsSpec extends AnyFunSuite {
       "LSH should recover at least some true pairs")
   }
 
+  test("SparkSessionExtensions registration exposes custom functions in SQL") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists
+    // force a SIBLING session (same SparkContext, fresh sessionState built
+    // through the extensions hook); never stop it — the context is shared
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark, "must be a fresh session, not the shared one")
+      val r = s2.sql(
+        "SELECT round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 4) AS c")
+        .head.getDouble(0)
+      assert(r == 1.0)
+      val f = s2.sql("SELECT flatten_doc(named_struct('a', 1, 'b', 'x'))")
+        .collect().map(r0 => (r0.getString(0), r0.getString(1))).toSeq
+      assert(f == Seq(("a", "1"), ("b", "x")))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("salted aggregation equals plain aggregation (skew path)") {
+    import graft.operators.Skew
+    val ev = graft.core.Tables.events(spark, sf)
+    val plain = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(ev, "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    val cs = Skew.saltedCollectSet(ev, "user_id", "event_type")
+      .filter(col("user_id") === plain.keys.head)
+      .head.getSeq[String](1).toSet
+    val plainSet = ev.filter(col("user_id") === plain.keys.head)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(cs == plainSet)
+  }
+
   test("DocFlatten round-trip: every scalar leaf appears exactly once") {
     GraftFunctions.register(spark)
     val doc = graft.core.Tables.documents(spark, sf).limit(10)

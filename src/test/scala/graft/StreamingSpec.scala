@@ -103,6 +103,15 @@ class StreamingSpec extends AnyFunSuite {
       "late row must not change the closed hour-0 click count")
   }
 
+  test("ST-3b custom-state sessionization matches session_window semantics") {
+    val got = Streams.statefulSessions(rows.toDF())
+      .orderBy("user_id", "s_start").collect().map(_.toString).toSeq
+    val want = Streams.sessionCounts(rows.toDF())
+      .select("user_id", "s_start", "s_end", "n")
+      .orderBy("user_id", "s_start").collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
   test("ST-5 foreachBatch incremental merge == full-refresh merge") {
     val ev = rows.toDF().select(
       col("event_id").cast("string").as("id"),
