@@ -21,6 +21,7 @@ object SparkEntry {
     // scans / sources
     "q_s1_scan_projection" -> (Relational.qS1 _),
     "q_s2_json_access"     -> (Relational.qS2 _),
+    "q_s3_variant"         -> (Relational.qS3 _),
     // filters
     "q_f1_conjunctive"     -> (Relational.qF1 _),
     "q_f2_valid_id"        -> (Relational.qF2 _),
@@ -99,6 +100,8 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "q_s2_json_access" -> (
       "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY event_id"),
+    "q_s3_variant" -> (
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS kv FROM events ORDER BY event_id"),
     "q_f1_conjunctive" -> (
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.05 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber"),
     "q_f2_valid_id" -> (

@@ -37,13 +37,19 @@ object Joins {
 
   /** Q-J2 — fact-fact equi-join (orders x lineitem): sort-merge with a single
     * shuffle per side on the key; at scale this is the shape to co-locate via
-    * bucketing on l_orderkey/o_orderkey. */
+    * bucketing on l_orderkey/o_orderkey.
+    *
+    * The count is aggregated BELOW the join (valid because o_orderkey is
+    * unique in orders): partial aggregation then shrinks the lineitem side
+    * map-side before its shuffle, and the join moves one pre-counted row per
+    * key instead of every line item — an agg-pushdown Catalyst doesn't do
+    * on its own. */
   def qJ2(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    val l = Tables.lineitem(s, d)
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .groupBy("o_orderkey")
+    val lc = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(count(lit(1)).as("c"))
+    o.select("o_orderkey").join(lc, "o_orderkey")
       .orderBy("o_orderkey")
   }
 

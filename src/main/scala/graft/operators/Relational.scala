@@ -40,6 +40,16 @@ object Relational {
       .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
       .orderBy("event_id")
 
+  /** Q-S3 — Spark 4 VARIANT path for semi-structured access (SURVEY.md §1.4
+    * option c): parse once into a variant, extract typed fields without a
+    * per-field JSON re-parse — the fidelity-preserving representation for
+    * the schemaless document payloads of the reference's data model. */
+  def qS3(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .selectExpr("event_id",
+        "variant_get(parse_json(props), '$.k', 'int') AS kv")
+      .orderBy("event_id")
+
   /** Q-F1 — conjunctive predicates; both land in PushedFilters. */
   def qF1(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -96,15 +96,32 @@ class MergeSpec extends AnyFunSuite {
     assert(rerun == Map("skip" -> 3L))
   }
 
-  test("observe metrics report the four counters") {
-    val src = Seq(("1", "p", "a"), ("2", "p", "b")).toDF("id", "pk", "text")
-    val tgt = Seq(("1", "p", "a")).toDF("id", "pk", "text")
-    val classified = Merge.withMetrics(
-      Merge.classify(src, tgt, "id", Seq("pk"), Seq("text")))
-    classified.collect()
-    // observe metrics surface via listener; here just assert the plan runs
-    // and the classified output is complete
-    assert(classified.count() == 2)
+  test("observe metrics surface via QueryExecutionListener (A23)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var captured: Option[org.apache.spark.sql.Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("merge").foreach(r => captured = Some(r))
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val src = Seq(("1", "p", "a"), ("2", "p", "b"), ("3", "p", "c"),
+        (null, "p", "x")).toDF("id", "pk", "text")
+      val tgt = Seq(("1", "p", "a"), ("2", "p", "OLD")).toDF("id", "pk", "text")
+      Merge.withMetrics(
+        Merge.classify(src, tgt, "id", Seq("pk"), Seq("text"))).collect()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = captured.getOrElse(fail("no 'merge' observed metrics delivered"))
+      val got = Map("insert" -> m.getAs[Long]("insert"),
+        "update" -> m.getAs[Long]("update"),
+        "skip" -> m.getAs[Long]("skip"), "error" -> m.getAs[Long]("error"))
+      assert(got == Map("insert" -> 1L, "update" -> 1L, "skip" -> 1L, "error" -> 1L),
+        s"counters: $got")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("end-to-end file-backed merge is idempotent (FIXTURES.md §2.4)") {
