@@ -97,5 +97,14 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "flatten_doc", exprs => DocFlatten(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs.head, shingleN(exprs)), "built-in")
   }
+
+  /** Optional literal-int second arg of word_shingles; default 3-grams. */
+  private[functions] def shingleN(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int =
+    if (exprs.lengthCompare(1) > 0)
+      exprs(1).eval(null).asInstanceOf[Number].intValue()
+    else 3
 }

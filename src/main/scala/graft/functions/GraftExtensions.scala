@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DocFlatten].getName, "flatten_doc"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DocFlatten(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs.head, GraftFunctions.shingleN(exprs))))
   }
 }

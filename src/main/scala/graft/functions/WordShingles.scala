@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, NullType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `word_shingles(text[, n])` — distinct word n-gram shingle set of a
+  * document, the input signature for MinHash/Jaccard dedup (SURVEY.md §2
+  * Part B dedup family; generalizes the reference's content-identity diff,
+  * /root/reference/src/migration.py:124-130, from exact to near-duplicate).
+  *
+  * Semantics are defined to be EXACTLY what the composable built-in form
+  * computes — `array_distinct` of space-joined n-grams over
+  * `split(lower(text), ' ')` (single-space regex split, trailing empties
+  * kept) — so the DuckDB oracle can reproduce the shingle set. It exists
+  * because that built-in form needs n-1 nested `zip_with` lambdas, which
+  * evaluate interpreted per element: measured at sf0.1 this expression is
+  * ~2× faster steady-state and ~4× faster on first run (the nested-HOF
+  * codegen alone costs multiple seconds to compile). One virtual call per
+  * ROW (not per element) from the generated code keeps the surrounding
+  * whole-stage-codegen span intact.
+  *
+  * Documents with fewer than `n` words yield an empty array. Null in →
+  * null out.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // NullType admitted: a NULL literal input always evaluates to null via the
+  // UnaryExpression null short-circuit, matching the built-ins' behavior.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType && child.dataType != NullType)
+      TypeCheckResult.TypeCheckFailure(
+        s"word_shingles expects a string column, got ${child.dataType.sql}")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"word_shingles n must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** One-pass shingler; called once per row from both eval paths. */
+  def shingle(text: UTF8String): ArrayData = {
+    // Match Spark's split(lower(text), ' ') exactly: regex single-space,
+    // limit -1 (trailing empty tokens preserved).
+    val words = text.toString.toLowerCase.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val last = words.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $self.shingle($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -57,21 +57,20 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Distinct word-3-gram shingle set per document. Built by zipping the
-    * word array against its own 1- and 2-shifted slices — `zip_with` pads
-    * the shorter side with nulls, `concat` nulls those out, `filter` drops
-    * them. This avoids per-index `w[i]` lambda lookups (`transform` over
-    * `sequence` re-walks the array per emitted element when exploded —
-    * measured ~10× slower at sf0.1). Docs shorter than 3 words get an empty
-    * set. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** Distinct word-3-gram shingle set per document, via the codegen'd
+    * [[graft.functions.WordShingles]] expression (one virtual call per row
+    * inside the whole-stage span). Semantically identical to the composable
+    * built-in form — `array_distinct` over space-joined 3-grams of
+    * `split(lower(text), ' ')` — but that form needs two nested `zip_with`
+    * lambdas which evaluate interpreted per element: measured ~2× slower
+    * steady-state and ~4× slower on first run (nested-HOF codegen compile)
+    * at sf0.1. Docs shorter than 3 words get an empty set. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(lower(text), ' ') AS w")
-      .selectExpr("doc_id",
-        "array_distinct(filter(" +
-          "zip_with(zip_with(w, slice(w, 2, size(w)), (a, b) -> concat(a, ' ', b)), " +
-          "slice(w, 3, size(w)), (ab, c) -> concat(ab, ' ', c)), x -> x IS NOT NULL)) AS g")
+      .selectExpr("doc_id", "word_shingles(text, 3) AS g")
       .where(size(col("g")) > 0)
+  }
 
   /** MinHash signatures (k=4 permutations over 3-gram shingles).
     *

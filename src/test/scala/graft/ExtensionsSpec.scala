@@ -123,6 +123,27 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_shingles == composable zip_with form; edge cases") {
+    GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(lower(text), ' ') AS w")
+      .selectExpr("doc_id",
+        "array_distinct(filter(" +
+          "zip_with(zip_with(w, slice(w, 2, size(w)), (a, b) -> concat(a, ' ', b)), " +
+          "slice(w, 3, size(w)), (ab, c) -> concat(ab, ' ', c)), x -> x IS NOT NULL)) AS ref")
+      .join(graft.core.Tables.documents(spark, sf)
+        .selectExpr("doc_id", "word_shingles(text, 3) AS got"), "doc_id")
+    // same elements, same first-occurrence order (array_distinct keeps order)
+    assert(docs.filter(col("ref") =!= col("got")).count() == 0)
+    // short docs -> empty; null -> null; n=1 -> distinct words
+    val edge = spark.sql(
+      "SELECT word_shingles('one two', 3) a, word_shingles(NULL, 3) b, " +
+        "word_shingles('X x y', 1) c").head
+    assert(edge.getSeq[String](0).isEmpty)
+    assert(edge.isNullAt(1))
+    assert(edge.getSeq[String](2) == Seq("x", "y"))
+  }
+
   test("salted aggregation equals plain aggregation (skew path)") {
     import graft.operators.Skew
     val ev = graft.core.Tables.events(spark, sf)
