@@ -74,6 +74,7 @@ object SparkEntry {
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
     "q_sim2_lsh_ann"       -> (Similarity.qSim2 _),
+    "q_sim3_ivf_ann"       -> (Similarity.qSim3 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -242,6 +243,26 @@ object SparkEntry {
         cosineSumSql +
         " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
         "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY a_id, b_id"),
+    "q_sim3_ivf_ann" -> (
+      // IVF with seeded centroids (vec_id < 16), nprobe 4, exact rescoring —
+      // mirrors Similarity.qSim3: assignment/probe tiebreak on lower cid,
+      // candidate ranking tiebreak on n_id; cosine terms in index order
+      "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 10 AND rn <= 4), " +
+        "p2 AS (SELECT pr.q_id AS a_id, t.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM probe pr JOIN cell t ON t.cid = pr.cid AND t.vec_id <> pr.q_id " +
+        "JOIN embeddings a ON a.vec_id = pr.q_id JOIN embeddings b ON b.vec_id = t.vec_id), " +
+        "u2 AS (SELECT a_id, b_id, unnest(generate_series(1, 64)) AS i, ea, eb FROM p2), " +
+        "s2 AS (SELECT a_id, b_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+        "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb FROM u2 GROUP BY a_id, b_id), " +
+        "r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s2) " +
+        "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
     "q_m1_merge_classify" -> (mergeSnapshotsSql +
       " SELECT action, count(1) AS c FROM (" + mergeClassifySql("tgt", "t") +
       ") x GROUP BY action ORDER BY action"),

@@ -79,6 +79,59 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** IVF coarse-quantizer cell count and probe width (qSim3). */
+  val IvfCells = 16
+  val IvfProbe = 4
+
+  /** Q-SIM3: ANN via an IVF (inverted-file) index — the second classic
+    * sub-quadratic route next to LSH (qSim2).
+    *
+    * The coarse quantizer is seeded deterministically: the [[IvfCells]]
+    * vectors with the lowest ids serve as centroids (production would k-means
+    * them; the assignment/probe mechanics and the plan shape — which is what
+    * an engine owns — are identical, and seeding keeps the query
+    * oracle-checkable). Every vector is assigned to its nearest centroid by
+    * cosine (ties → lower centroid id); each query probes its [[IvfProbe]]
+    * nearest cells and is scored EXACTLY against only those cells' members
+    * with the codegen'd cosine kernel, top-3 per query.
+    *
+    * Scale shape: centroids are a bounded metadata-sized collect inlined as
+    * literals, so cell assignment is a map-only corpus pass (16×64 fused
+    * multiply-adds per row, no join, no shuffle). The probe side is tiny and
+    * broadcast, so candidate generation is a broadcast hash join — the corpus
+    * never shuffles. Scored work drops from O(|corpus|) per query to
+    * O(|corpus| × nprobe / K), the IVF contract; at 100 TB K grows to ~√N and
+    * the per-cell member lists become the partition layout. */
+  def qSim3(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val cents: Array[(Long, Seq[Float])] = e.where(col("vec_id") < IvfCells)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // literal centroid, cast back to float so both engines see identical bits
+    def centSql(emb: Seq[Float]): String =
+      s"cast(array(${emb.mkString(", ")}) as array<float>)"
+    // array of (sim, -cid) structs: array_max picks highest sim, then lowest
+    // cid; descending array_sort yields the probe order under the same tiebreak
+    val cellsArr = cents.map { case (cid, emb) =>
+      s"named_struct('s', cosine_sim(embedding, ${centSql(emb)}), 'nc', ${-cid}L)"
+    }.mkString("array(", ", ", ")")
+    val asg = e.selectExpr("vec_id", "embedding", s"array_max($cellsArr).nc AS ncell")
+      .selectExpr("vec_id", "embedding", "-ncell AS cell")
+    val probes = e.where(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS eq",
+        s"slice(reverse(array_sort($cellsArr)), 1, $IvfProbe) AS pr")
+      .selectExpr("q_id", "eq", "explode(transform(pr, x -> -x.nc)) AS cell")
+    val w = Window.partitionBy("q_id").orderBy(desc("sim_raw"), col("n_id"))
+    broadcast(probes).join(asg, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS n_id", "cosine_sim(eq, embedding) AS sim_raw")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** Brute-force k-NN: for each query vector (vec_id < 10), the top-3
     * neighbors over the whole corpus by cosine. The query side is tiny and
     * broadcast; the corpus side streams — scan-bound at any corpus size.

@@ -123,6 +123,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: exact rescoring, valid ranks, sims agree with brute force") {
+    import graft.operators.Similarity
+    GraftFunctions.register(spark)
+    val ivf = Similarity.qSim3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(ivf.nonEmpty)
+    // at most 3 per query, ranks contiguous from 1
+    ivf.keys.groupBy(_._1).foreach { case (q, ks) =>
+      val ranks = ks.map(k => ivf(k)._2).toSeq.sorted
+      assert(ranks == (1 to ranks.size), s"ranks for q=$q: $ranks")
+    }
+    // every reported sim is the EXACT cosine (IVF approximates the candidate
+    // set, never the score): compare against an all-pairs brute scorer
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val brute = e.selectExpr("vec_id AS q_id", "embedding AS eq")
+      .where(col("q_id") < 10)
+      .crossJoin(e.selectExpr("vec_id AS n_id", "embedding AS en"))
+      .where(col("q_id") =!= col("n_id"))
+      .selectExpr("q_id", "n_id", "ROUND(cosine_sim(eq, en), 4) AS sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (k, (sim, _)) => assert(brute(k) == sim, s"pair $k") }
+  }
+
   test("word_shingles == composable zip_with form; edge cases") {
     GraftFunctions.register(spark)
     val docs = graft.core.Tables.documents(spark, sf)
