@@ -47,6 +47,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "LIMIT 10 over ORDER BY must be top-k, not a full sort")
   }
 
+  test("Q-SIM3 IVF: corpus never shuffles — probe side broadcasts") {
+    val q = graft.operators.Similarity.qSim3(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe->cell candidate join must be a broadcast hash join")
+    // the only Exchanges allowed are the broadcast itself and the tiny
+    // candidate-side shuffle into the per-query ranking window + final sort
+    val shuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.forall(l => l.contains("hashpartitioning(q_id") ||
+      l.contains("rangepartitioning")),
+      s"corpus-side shuffle detected:\n${shuffles.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
