@@ -34,6 +34,7 @@ object SparkEntry {
     "q_j4_left_semi"       -> (Joins.qJ4 _),
     "q_j5_full_outer_diff" -> (Joins.qJ5 _),
     "q_j6_composite_key"   -> (Joins.qJ6 _),
+    "q_j7_bucketed_cojoin" -> (Bucketing.qJ7 _),
     // aggregates
     "q_a1_count"           -> (Relational.qA1 _),
     "q_a2_hash_agg"        -> (Relational.qA2 _),
@@ -112,6 +113,9 @@ object SparkEntry {
     "q_j1_broadcast_dim" -> (
       "SELECT n_name, count(1) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
     "q_j2_fact_fact" -> (
+      "SELECT o_orderkey, count(1) AS c FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "q_j7_bucketed_cojoin" -> (
+      // same logical result as q_j2 — bucketing only changes the physical plan
       "SELECT o_orderkey, count(1) AS c FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey ORDER BY o_orderkey"),
     "q_j3_left_anti" -> (
       "SELECT event_id FROM events ANTI JOIN orders ON user_id = o_custkey ORDER BY event_id"),

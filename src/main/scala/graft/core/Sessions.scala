@@ -18,6 +18,9 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
+    // managed tables (the bucketed-join path) land under target/, not the cwd
+    .config("spark.sql.warehouse.dir",
+      new java.io.File("target/spark-warehouse").getAbsolutePath)
 
   /** Local session for tests/tools: `cores` threads, shuffle partitions
     * matched to cores (not the 200 default, wrong for local mode). */

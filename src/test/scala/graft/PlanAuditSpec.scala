@@ -62,6 +62,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-side shuffle detected:\n${shuffles.mkString("\n")}")
   }
 
+  test("Q-J7 bucketed co-join: no shuffle above either scan, bucketed reads") {
+    val q = graft.operators.Bucketing.qJ7(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"scans must read bucketed tables:\n$plan")
+    val shuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.forall(_.contains("rangepartitioning")),
+      s"join+agg must be shuffle-free (only the ORDER BY range exchange is allowed):\n${shuffles.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
