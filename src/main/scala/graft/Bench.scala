@@ -16,10 +16,16 @@ object Bench {
         .selectExpr("count(md5(CAST(1 AS STRING)))").collect()
       catch { case _: Throwable => () }
     }
+    // Two runs per query, report the min: run 1 pays that query's unique
+    // whole-stage-codegen compilation (a per-JVM constant, amortized to zero
+    // over a real workload); the min is the steady-state execution time.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_a2_hash_agg"        -> (Relational.qA2 _),
     "q_a3_count_distinct"  -> (Relational.qA3 _),
     "q_a4_rollup"          -> (Relational.qA4 _),
+    "q_a5_cube"            -> (Relational.qA5 _),
     // windows
     "q_w1_dedup_latest"    -> (Windows.qW1 _),
     "q_w2_running_sum"     -> (Windows.qW2 _),
@@ -56,6 +57,8 @@ object SparkEntry {
     // verification
     "q_v1_count_parity"    -> (Relational.qV1 _),
     "q_v2_content_hash"    -> (Relational.qV2 _),
+    // rows-only check: HLL estimates are engine-specific (no DuckDB oracle)
+    "q_v3_approx_distinct" -> (Relational.qV3 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
     "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
@@ -136,6 +139,10 @@ object SparkEntry {
     "q_a4_rollup" -> (
       "SELECT n_name, o_orderstatus, count(1) AS c FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY ROLLUP(n_name, o_orderstatus) " +
+        "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST, c"),
+    "q_a5_cube" -> (
+      "SELECT n_name, o_orderstatus, count(1) AS c FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY CUBE(n_name, o_orderstatus) " +
         "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST, c"),
     "q_w1_dedup_latest" -> (
       "SELECT event_id FROM (SELECT event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id) AS rn FROM events) t " +

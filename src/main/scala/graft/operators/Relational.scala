@@ -110,6 +110,36 @@ object Relational {
         col("o_orderstatus").asc_nulls_first, col("c"))
   }
 
+  /** Q-A5 — CUBE over the same 3-table join as Q-A4: all four grouping
+    * combinations in ONE Expand pass over the joined rows (4× row expansion
+    * before the partial agg — still a single shuffle, vs four separate
+    * GROUP BY jobs re-scanning the fact table). */
+  def qA5(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name").as("g_name"), col("o_orderstatus").as("g_status"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("g_name").as("n_name"),
+        col("g_status").as("o_orderstatus"), col("c"))
+      .orderBy(col("n_name").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first, col("c"))
+  }
+
+  /** Q-V3 — sketch-based verification at scale (the A15 extension SURVEY §2
+    * A15 calls out): HyperLogLog++ distinct estimate next to the exact
+    * count. At 100 TB the exact COUNT(DISTINCT) is a full shuffle of the key
+    * column; the sketch is a fixed-size mergeable state per partition — the
+    * cheap continuous drift check between migration runs. HLL estimates are
+    * implementation-specific, so this query is rows-only-checked (no DuckDB
+    * oracle); the spec asserts the 2% rsd contract against the exact count. */
+  def qV3(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+
   /** Q-O1 — global top-k: planned as TakeOrderedAndProject (per-partition
     * heap + single merge), not a global sort. */
   def qO1(s: SparkSession, d: String): DataFrame =

@@ -146,6 +146,16 @@ class ExtensionsSpec extends AnyFunSuite {
     ivf.foreach { case (k, (sim, _)) => assert(brute(k) == sim, s"pair $k") }
   }
 
+  test("Q-V3 sketch verification: HLL estimate tracks the exact count") {
+    val r = graft.operators.Relational.qV3(spark, sf).head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(exact > 0)
+    // 0.02 rsd target; allow 5 sigma before calling the sketch broken
+    assert(math.abs(approx - exact) / exact <= 0.10,
+      s"approx=$approx exact=$exact")
+  }
+
   test("word_shingles == composable zip_with form; edge cases") {
     GraftFunctions.register(spark)
     val docs = graft.core.Tables.documents(spark, sf)
