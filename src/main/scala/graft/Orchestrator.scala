@@ -120,6 +120,49 @@ object Orchestrator {
     Summary(results, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** CLI surface (A28, main.py:10-28 minus Cosmos secrets):
+    * {{{
+    * runMain graft.Orchestrator <sourceDir> <targetDir>
+    *   [--database D] [--container C] [--sanitize] [--summary path]
+    * }}}
+    * `--sanitize` is a plain flag (B3 fix: the reference's `type=bool` parses
+    * any non-empty string, including "false", as true). Returns the process
+    * exit code (0 = all containers verified, 1 = failure; main.py:163-167). */
+  def run(args: Array[String]): Int = {
+    var pos = Vector.empty[String]
+    var cfg = Config()
+    var summaryPath: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--database"  => cfg = cfg.copy(scopeDatabase = Some(args(i + 1))); i += 2
+        case "--container" => cfg = cfg.copy(scopeContainer = Some(args(i + 1))); i += 2
+        case "--sanitize"  => cfg = cfg.copy(sanitize = true); i += 1
+        case "--summary"   => summaryPath = Some(args(i + 1)); i += 2
+        case p             => pos = pos :+ p; i += 1
+      }
+    }
+    require(pos.length == 2,
+      s"usage: graft.Orchestrator <sourceDir> <targetDir> [--database D] " +
+        s"[--container C] [--sanitize] [--summary path]; got $pos")
+    val spark = graft.core.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-migrate")
+    try {
+      val summary = migrate(spark, FileAccount(pos(0)), FileAccount(pos(1)), cfg)
+      summaryPath.foreach(writeSummary(summary, _))
+      summary.results.foreach { r =>
+        println(s"${r.database}/${r.container}: inserted=${r.inserted} " +
+          s"updated=${r.updated} skipped=${r.skipped} errors=${r.errors} " +
+          s"verified=${r.verified}")
+      }
+      if (summary.ok) 0 else 1
+    } catch {
+      case e: Exception => System.err.println(s"migration failed: ${e.getMessage}"); 1
+    }
+  }
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
   /** A25: nested JSON run report (main.py:154-160). */
   def writeSummary(s: Summary, path: String): Unit = {
     val rows = s.results.map { r =>

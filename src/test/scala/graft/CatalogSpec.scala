@@ -46,6 +46,26 @@ class CatalogSpec extends AnyFunSuite {
     src
   }
 
+  test("CLI run(): args parse, exit codes, summary file, idempotent rerun (A28)") {
+    spark.sparkContext // ensure the shared local session exists for run()
+    val src = freshSource()
+    val tgt = newAccount("cat-cli-t")
+    val summary = Files.createTempFile(Paths.get("target"), "cli-sum", ".json")
+    val code = Orchestrator.run(Array(
+      src.root, tgt.root, "--database", "hr", "--summary", summary.toString))
+    assert(code == 0)
+    val js = Files.readString(summary)
+    assert(js.contains("\"ok\": true") && js.contains("\"container\": \"employees\""))
+    assert(!js.contains("\"database\": \"fin\""), "--database must scope the run")
+    // rerun: everything already migrated -> all skipped, still exit 0
+    assert(Orchestrator.run(Array(src.root, tgt.root, "--database", "hr",
+      "--summary", summary.toString)) == 0)
+    assert(Files.readString(summary).contains("\"inserted\": 0"))
+    // --container without --database (main.py:109-110) and bad paths -> 1
+    assert(Orchestrator.run(Array(src.root, tgt.root, "--container", "x")) == 1)
+    assert(Orchestrator.run(Array("target/nope-src", tgt.root)) == 1)
+  }
+
   test("catalog enumeration and idempotent creation (A17-A21)") {
     val src = freshSource()
     assert(src.listDatabases() == Seq("fin", "hr"))
