@@ -188,12 +188,16 @@ object SparkEntry {
         "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
         "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM h ORDER BY doc_id"),
     "q_t2_quality_score" -> (
-      "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words, " +
-        "CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS awl_raw, " +
-        "CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)" +
-        " / len(string_split(text, ' ')) AS sr_raw FROM documents) " +
-        "SELECT doc_id, n_words, ROUND(awl_raw, 4) AS avg_wlen, ROUND(sr_raw, 4) AS stop_ratio, " +
-        "ROUND(least(n_words, 100) / 100 * 0.5 + sr_raw * 0.3 + least(awl_raw, 10.0) / 10 * 0.2, 4) AS quality " +
+      // integer-exact HALF_UP rounding of each ratio — see TextAnalysis.qT2
+      "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS w, " +
+        "CAST(n_chars AS BIGINT) AS nc, " +
+        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and','to','in','is','it'))) AS h " +
+        "FROM documents) " +
+        "SELECT doc_id, w AS n_words, " +
+        "CAST((20000 * nc + w) // (2 * w) AS DOUBLE) / 10000 AS avg_wlen, " +
+        "CAST((20000 * h + w) // (2 * w) AS DOUBLE) / 10000 AS stop_ratio, " +
+        "CAST((20000 * (5 * least(w, 100) * w + 300 * h + 20 * least(nc, 10 * w)) + 1000 * w) " +
+        "// (2000 * w) AS DOUBLE) / 10000 AS quality " +
         "FROM t ORDER BY doc_id"),
     "q_t3_token_count" -> (
       "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +

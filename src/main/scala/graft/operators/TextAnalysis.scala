@@ -64,21 +64,32 @@ object TextAnalysis {
 
   /** Quality scoring: length, average word length, stopword ratio, and a
     * weighted composite score — the "keep or drop this document" signal of a
-    * training-data pipeline. Formula evaluated in identical IEEE order on
-    * both engines so ROUND(.,4) is stable. */
+    * training-data pipeline.
+    *
+    * Every score is a ratio of integers, so ROUND(n/d, 4) is computed in
+    * EXACT integer arithmetic — HALF_UP(10000·n/d) = (20000n + d) div 2d —
+    * instead of rounding a double. Rounding the double is engine-divergent
+    * on ties: at sf0.1 a stop_ratio of exactly 0.37875 rounds to 0.3788 in
+    * Spark (BigDecimal of the shortest decimal string, HALF_UP) but 0.3787
+    * in DuckDB (scaled-double path sees 3787.4999…, the truncated binary
+    * value below the tie). Integer form is bit-identical on both engines.
+    *
+    * quality = least(w,100)/100·0.5 + (h/w)·0.3 + least(nc/w,10)/10·0.2
+    *         = (5·least(w,100)·w + 300·h + 20·least(nc,10w)) / (1000·w). */
   def qT2(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .selectExpr(
         "doc_id",
-        "size(split(text, ' ')) AS n_words",
-        "CAST(n_chars AS DOUBLE) / size(split(text, ' ')) AS awl_raw",
-        s"CAST(size(filter(split(lower(text), ' '), w -> w IN (${inList(StopWords.head._2)}))) AS DOUBLE)" +
-          " / size(split(text, ' ')) AS sr_raw")
+        "CAST(size(split(text, ' ')) AS BIGINT) AS w",
+        "CAST(n_chars AS BIGINT) AS nc",
+        s"CAST(size(filter(split(lower(text), ' '), x -> x IN (${inList(StopWords.head._2)}))) AS BIGINT) AS h")
       .selectExpr(
-        "doc_id", "n_words",
-        "ROUND(awl_raw, 4) AS avg_wlen",
-        "ROUND(sr_raw, 4) AS stop_ratio",
-        "ROUND(least(n_words, 100) / 100 * 0.5 + sr_raw * 0.3 + least(awl_raw, 10.0) / 10 * 0.2, 4) AS quality")
+        "doc_id",
+        "w AS n_words",
+        "CAST((20000 * nc + w) DIV (2 * w) AS DOUBLE) / 10000 AS avg_wlen",
+        "CAST((20000 * h + w) DIV (2 * w) AS DOUBLE) / 10000 AS stop_ratio",
+        "CAST((20000 * (5 * least(w, 100) * w + 300 * h + 20 * least(nc, 10 * w)) + 1000 * w) " +
+          "DIV (2000 * w) AS DOUBLE) / 10000 AS quality")
       .orderBy("doc_id")
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenizer (letter
