@@ -81,6 +81,33 @@ class PropertySpec extends AnyFunSuite {
     assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
   }
 
+  test("word_shingles == naive Scala reference on adversarial strings") {
+    graft.functions.GraftFunctions.register(spark)
+    // adversarial: empty, multi-space runs, leading/trailing spaces, unicode,
+    // mixed case, single-word, exactly-n-word docs
+    val textGen: Gen[String] = Gen.oneOf(
+      Gen.const(""), Gen.const(" "), Gen.const("  a  b "),
+      Gen.const("uniÇode Ж ж UNIÇODE"),
+      Gen.listOf(Gen.oneOf("The", "cat", "CAT", "", "saT", "on", "мат"))
+        .map(_.mkString(" ")))
+    val texts = (0 until 200).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(1234L + i)))
+    def naive(t: String, n: Int): Seq[String] = {
+      val w = t.toLowerCase.split(" ", -1).toSeq
+      if (w.length < n) Seq.empty
+      else w.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    val df = spark.createDataset(texts)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("t")
+    for (n <- Seq(1, 2, 3)) {
+      val got = df.selectExpr("t", s"word_shingles(t, $n) AS g")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      texts.distinct.foreach { t =>
+        assert(got(t) == naive(t, n), s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("merge classification partitions the source: sum of branches == |src|") {
     val jsons = sample(80, 7L)
     val src = frame(jsons)
