@@ -144,14 +144,26 @@ object Dedup {
     simhash(s, dir).orderBy("doc_id")
 
   /** SimHash near-dup pairs: Hamming distance <= 2 on the 32-bit signature.
-    * All-pairs here (bounded corpus); the scale path blocks on signature
-    * bytes (split the 32 bits into 3 bands — any pair at distance <=2 shares
-    * a band) before comparing, same shape as qD4. */
+    *
+    * EXACT and sub-quadratic by pigeonhole: the 32 bits split into 3 bands
+    * (11+11+10); a pair at distance <= 2 differs in at most 2 bands, so it
+    * shares at least one band — the band-bucket join is a COMPLETE candidate
+    * set, and candidates are then verified with the exact bit_count. Same
+    * shape as the MinHash LSH join (qD4) but with zero recall loss. At scale
+    * the shuffle key is (band, value): cardinality 3×2^11 here, widened by
+    * taking more/wider bands as the corpus grows; AQE splits hot buckets. */
   def qD6(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(s, dir)
-    val a = sh.selectExpr("doc_id AS a_id", "simhash AS sa")
-    val b = sh.selectExpr("doc_id AS b_id", "simhash AS sb")
-    a.join(b, col("a_id") < col("b_id"))
+    val sh = simhash(s, dir).selectExpr("doc_id", "simhash",
+      "simhash & 2047 AS v0", "(simhash >> 11) & 2047 AS v1",
+      "(simhash >> 22) & 1023 AS v2")
+    val bands = sh.selectExpr("doc_id", "simhash",
+      "stack(3, 0, v0, 1, v1, 2, v2) AS (band, bv)")
+    val a = bands.selectExpr("doc_id AS a_id", "simhash AS sa", "band", "bv")
+    val b = bands.selectExpr("doc_id AS b_id", "simhash AS sb",
+      "band AS band_b", "bv AS bv_b")
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sa", "sb").distinct() // pairs sharing >1 band
       .withColumn("ham", expr("bit_count(sa ^ sb)"))
       .where(col("ham") <= 2)
       .selectExpr("a_id", "b_id", "CAST(ham AS INT) AS ham")
