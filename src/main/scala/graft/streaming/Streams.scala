@@ -89,6 +89,55 @@ object Streams {
       }.toDF()
   }
 
+  case class DedupRecord(event_id: Long, user_id: Long, event_type: String)
+
+  /** ST-4 alternative via the Spark 4 arbitrary-state API
+    * (`transformWithState` + [[org.apache.spark.sql.streaming.StatefulProcessor]]):
+    * first-seen keyed dedup whose per-key state carries a processing-time
+    * TTL. `dropDuplicatesWithinWatermark` bounds dedup state by EVENT time —
+    * if the source's event time stalls (a stuck upstream producer), the
+    * watermark stalls and state grows without bound; a TTL bounds it by
+    * PROCESSING time regardless. At 100 TB of keys that eviction policy is
+    * what keeps the state store (RocksDB-backed, required by this API) from
+    * becoming a second copy of the dataset. */
+  class FirstSeenDedup(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DedupRecord, DedupRecord] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: Long, rows: Iterator[DedupRecord],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DedupRecord] =
+      if (seen.exists() || !rows.hasNext) Iterator.empty
+      else { seen.update(true); Iterator.single(rows.next()) }
+  }
+
+  /** First occurrence of each `event_id` (streaming only; exercised with
+    * MemoryStream + RocksDB state store + query restart in StreamingSpec).
+    *
+    * With `ttl = Some(d)` the state store evicts each key `d` after it was
+    * written — wall-clock-bounded state even when the source's event time
+    * stalls. TTL forces `TimeMode.ProcessingTime`, under which the engine
+    * schedules timer micro-batches continuously — use it with a periodic
+    * `Trigger.ProcessingTime` pipeline, NOT with available-now/drain
+    * semantics (the query never reports "caught up"). `ttl = None` runs in
+    * `TimeMode.None`: batches are purely data-driven, state lives until the
+    * query dies. */
+  def dedupFirstSeen(events: DataFrame,
+      ttl: Option[java.time.Duration] = None) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("event_id"), col("user_id"), col("event_type"))
+      .as[DedupRecord]
+      .groupByKey(_.event_id)
+      .transformWithState(new FirstSeenDedup(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   // ---- oracle-checked batch forms ----
 
   def qSt1(spark: SparkSession, dir: String): DataFrame =

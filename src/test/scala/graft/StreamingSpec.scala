@@ -112,6 +112,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ST-4b transformWithState TTL dedup: first-seen only, across batches") {
+    // the arbitrary-state API requires the RocksDB state store provider;
+    // checkpoint file checksums are disabled because their async writer
+    // deadlocks RocksDB snapshot uploads on the local filesystem (tasks pin
+    // in ChecksumCheckpointFileManager.awaitResult)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevCk = spark.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try {
+      // AvailableNow (not processAllAvailable): ProcessingTime mode keeps
+      // scheduling timer micro-batches forever, so processAllAvailable never
+      // settles; available-now drains the data and terminates. Restarting
+      // from the same checkpoint then proves the dedup state SURVIVES a
+      // restart (each restart gets a fresh, empty memory sink).
+      val ckpt = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "st4b-ckpt").toString
+      val src = MemoryStream[Ev](spark)
+      // foreachBatch sink: supports checkpoint recovery (memory sink doesn't)
+      // driver-side buffer; foreachBatch bodies run sequentially on the driver
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def runOnce(): Seq[Long] = {
+        out.clear()
+        val q = Streams.dedupFirstSeen(src.toDF())
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.DedupRecord], _: Long) =>
+            out ++= batch.collect().map(_.event_id); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode(OutputMode.Append()).start()
+        q.awaitTermination()
+        out.sorted.toSeq
+      }
+      src.addData(rows.take(3) ++ rows.take(2)) // in-batch duplicates of 1,2
+      assert(runOnce() == Seq(1L, 2L, 3L))
+      src.addData(rows) // cross-restart duplicates of 1..3; first sight of 4..6
+      assert(runOnce() == Seq(4L, 5L, 6L),
+        "state must survive the restart and filter 1..3")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None    => spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   test("ST-5 foreachBatch incremental merge == full-refresh merge") {
     val ev = rows.toDF().select(
       col("event_id").cast("string").as("id"),
