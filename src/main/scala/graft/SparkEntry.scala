@@ -94,6 +94,7 @@ object SparkEntry {
     // multimodal binary-column pipeline
     "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
+    "q_mm3_resize"          -> (Multimodal.qMm3 _),
     // document flattener (U-3 Generator)
     "q_u3_flatten"          -> (Documents.qU3 _),
   )
@@ -336,6 +337,16 @@ object SparkEntry {
         "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx, CAST(flen AS BIGINT) AS frame_len, " +
         "('0x' || substr(md5(substr(text, CAST(1 + i * flen AS INT), CAST(flen AS INT))), 1, 8))::BIGINT AS frame_fp " +
         "FROM f ORDER BY asset_id, frame_idx"),
+    "q_mm3_resize" -> (
+      // stride downsample: every k-th byte, k = ceil(n/256); text is ASCII so
+      // character positions == byte offsets (mirrors Multimodal.resize)
+      "WITH a AS (SELECT doc_id AS asset_id, text, len(text) AS n, " +
+        "CAST(ceil(len(text) / 256.0) AS BIGINT) AS k FROM documents WHERE doc_id % 3 = 0), " +
+        "u AS (SELECT asset_id, text, unnest(generate_series(1, n, greatest(k, 1))) AS i FROM a), " +
+        "s AS (SELECT asset_id, string_agg(substr(text, CAST(i AS INT), 1), '' ORDER BY i) AS small " +
+        "FROM u GROUP BY asset_id) " +
+        "SELECT asset_id, CAST(len(small) AS BIGINT) AS r_len, " +
+        "('0x' || substr(md5(small), 1, 8))::BIGINT AS r_fp FROM s ORDER BY asset_id"),
     "q_u3_flatten" -> (
       "SELECT doc_id, path, value FROM (" +
         "SELECT doc_id, 'lang' AS path, lang AS value FROM documents " +

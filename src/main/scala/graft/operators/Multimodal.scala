@@ -93,6 +93,36 @@ object Multimodal {
       }.toDF()
   }
 
+  case class Resized(asset_id: Long, r_len: Long, r_fp: Long)
+
+  /** Target size for [[resize]] output. */
+  val TargetBytes = 256
+
+  /** Resize for image assets: stride-downsample each blob to ~[[TargetBytes]]
+    * bytes (every k-th byte, k = ceil(n/target)) — the deterministic stand-in
+    * for a pixel resample; a real pipeline swaps the stride loop for a codec
+    * scale call on the SAME batched per-partition plumbing. Blobs shrink
+    * executor-side before anything downstream sees them — at 100 TB the
+    * resize is the compression boundary that makes the rest of the pipeline
+    * metadata-sized. */
+  def resize(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("kind") === "image")
+      .select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { a =>
+            val n = a.bytes.length
+            val k = (n + TargetBytes - 1) / TargetBytes
+            val out = Array.range(0, n, math.max(k, 1)).map(a.bytes)
+            Resized(a.asset_id, out.length.toLong,
+              fingerprint(out, 0, out.length))
+          }
+        }
+      }.toDF()
+  }
+
   /** Q-MM1: metadata + stub-decoded features for every asset. */
   def qMm1(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(assets(spark, dir)).orderBy("asset_id")
@@ -100,4 +130,8 @@ object Multimodal {
   /** Q-MM2: deterministic frame samples of the video assets. */
   def qMm2(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(assets(spark, dir)).orderBy("asset_id", "frame_idx")
+
+  /** Q-MM3: stride-downsampled image assets. */
+  def qMm3(spark: SparkSession, dir: String): DataFrame =
+    resize(assets(spark, dir)).orderBy("asset_id")
 }

@@ -55,6 +55,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
 
+  test("resize: image-only, bounded output size, no shuffle") {
+    val a = Multimodal.assets(spark, sf)
+    val r = Multimodal.resize(a)
+    assert(r.count() == a.filter(col("kind") === "image").count())
+    val maxLen = r.agg(max("r_len")).head.getLong(0)
+    assert(maxLen <= Multimodal.TargetBytes,
+      s"downsampled blobs must be <= ${Multimodal.TargetBytes} bytes, got $maxLen")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resize must not shuffle:\n$plan")
+  }
+
   test("ContentChecksum is order- and partitioning-independent (U-2)") {
     val df = graft.core.Tables.orders(spark, sf)
     val base = df.select(ContentChecksum.ofFrame(df).as("h")).head.getLong(0)
