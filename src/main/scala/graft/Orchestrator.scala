@@ -78,7 +78,7 @@ object Orchestrator {
 
     val mergedState = Merge.merged(src, tgt, "id", pkCols, contentCols)
     val masked = if (cfg.sanitize) Masking(mergedState) else mergedState
-    target.write(masked, db, container)
+    target.write(masked, db, container, pkCols)
     classified.unpersist()
 
     // A15 + B5 fix: count parity and content-hash parity of what landed.

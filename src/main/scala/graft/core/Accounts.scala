@@ -76,6 +76,20 @@ case class FileAccount(root: String) {
   def read(spark: SparkSession, db: String, container: String): DataFrame =
     spark.read.json(p(db, container, "data").toString)
 
-  def write(df: DataFrame, db: String, container: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(p(db, container, "data").toString)
+  /** A11/A12 sink. With `pkCols` the frame is hash-repartitioned on the
+    * partition key before landing — the file-sink analogue of Cosmos's
+    * physical pk partitioning (each output file holds one pk-hash bucket),
+    * so a downstream pk-keyed read/join starts co-located instead of
+    * re-shuffling the whole container. Values stay in the data files
+    * (no `partitionBy` directory encoding: schemaless pk values round-trip
+    * byte-exactly, and inference can't retype them). */
+  def write(df: DataFrame, db: String, container: String,
+            pkCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val aligned =
+      if (pkCols.nonEmpty && pkCols.forall(df.columns.contains))
+        df.repartition(pkCols.map(col): _*)
+      else df
+    aligned.write.mode(SaveMode.Overwrite).json(p(db, container, "data").toString)
+  }
 }
