@@ -90,9 +90,9 @@ object Orchestrator {
         "id" +: pkCols, "left_anti").count()
     // bit_xor, not sum: ANSI mode errors on 64-bit hash-sum overflow
     def stateHash(df: org.apache.spark.sql.DataFrame): Long = {
-      val ordered = df.select(df.columns.sorted.map(col): _*)
-      ordered.select(xxhash64(to_json(struct(ordered.columns.map(col): _*))).as("h"))
-        .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head.getLong(0)
+      val ordered = df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
+      ordered.select(xxhash64(to_json(struct(ordered.columns.toIndexedSeq.map(col): _*))).as("h"))
+        .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head().getLong(0)
     }
     val verified = written.count() == expected &&
       (cfg.sanitize || stateHash(written) == stateHash(masked))
