@@ -45,6 +45,7 @@ object SparkEntry {
     "q_w1_dedup_latest"    -> (Windows.qW1 _),
     "q_w2_running_sum"     -> (Windows.qW2 _),
     "q_w3_lag_gap"         -> (Windows.qW3 _),
+    "q_w4_ntile_rank"      -> (Windows.qW4 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
     // set ops
@@ -53,6 +54,7 @@ object SparkEntry {
     "q_u3_intersect"       -> (Relational.qU3 _),
     // scalar battery / json
     "q_x1_scalar_battery"  -> (Relational.qX1 _),
+    "q_x6_date_battery"    -> (Relational.qX6 _),
     "q_x3_json_agg"        -> (Relational.qX3 _),
     // verification
     "q_v1_count_parity"    -> (Relational.qV1 _),
@@ -154,6 +156,14 @@ object SparkEntry {
     "q_w3_lag_gap" -> (
       "SELECT event_id, epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us " +
         "FROM events ORDER BY event_id"),
+    "q_w4_ntile_rank" -> (
+      "SELECT o_orderkey, ntile(4) OVER w AS quartile, rank() OVER w AS rk FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+    "q_x6_date_battery" -> (
+      "SELECT o_orderkey, year(o_orderdate) AS y, quarter(o_orderdate) AS q, month(o_orderdate) AS m, " +
+        "day(o_orderdate) AS dom, date_trunc('month', o_orderdate) AS mstart, " +
+        "datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS dd, " +
+        "CAST(last_day(o_orderdate::DATE) AS VARCHAR) AS ld FROM orders ORDER BY o_orderkey"),
     "q_o1_topk" -> (
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
     "q_u1_union_all" -> (

@@ -140,6 +140,22 @@ object Relational {
       countDistinct(col("o_custkey")).as("exact"),
       approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
 
+  /** Q-X6 — date/time battery over `o_orderdate` (extraction, truncation,
+    * day arithmetic, month boundaries). Date outputs go out as strings —
+    * both engines format ISO — so the oracle compare is representation-
+    * independent; day counts are exact integers. */
+  def qX6(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      quarter(col("o_orderdate")).as("q"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_trunc("month", col("o_orderdate")).as("mstart"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("dd"),
+      last_day(col("o_orderdate").cast("date")).cast("string").as("ld"))
+      .orderBy("o_orderkey")
+
   /** Q-O1 — global top-k: planned as TakeOrderedAndProject (per-partition
     * heap + single merge), not a global sort. */
   def qO1(s: SparkSession, d: String): DataFrame =

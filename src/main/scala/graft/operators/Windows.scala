@@ -57,4 +57,19 @@ object Windows {
           .as("gap_us"))
       .orderBy("event_id")
   }
+
+  /** Q-W4 — ntile quartiles + rank of order value per customer (integer
+    * outputs — exact across engines; the window ORDER BY key set is unique
+    * per partition so tile assignment is deterministic). Partitioned window
+    * only: a global rank would move the table to one task — the
+    * anti-pattern at scale. */
+  def qW4(s: SparkSession, d: String): DataFrame = {
+    val byCust = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        ntile(4).over(byCust).as("quartile"),
+        rank().over(byCust).as("rk"))
+      .orderBy("o_orderkey")
+  }
 }
