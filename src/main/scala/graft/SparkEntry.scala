@@ -41,6 +41,7 @@ object SparkEntry {
     "q_a3_count_distinct"  -> (Relational.qA3 _),
     "q_a4_rollup"          -> (Relational.qA4 _),
     "q_a5_cube"            -> (Relational.qA5 _),
+    "q_a6_pivot"           -> (Relational.qA6 _),
     // windows
     "q_w1_dedup_latest"    -> (Windows.qW1 _),
     "q_w2_running_sum"     -> (Windows.qW2 _),
@@ -147,6 +148,13 @@ object SparkEntry {
       "SELECT n_name, o_orderstatus, count(1) AS c FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY CUBE(n_name, o_orderstatus) " +
         "ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST, c"),
+    "q_a6_pivot" -> (
+      "SELECT user_id, count(1) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(1) FILTER (WHERE event_type = 'error') AS error, " +
+        "count(1) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(1) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(1) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     "q_w1_dedup_latest" -> (
       "SELECT event_id FROM (SELECT event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id) AS rn FROM events) t " +
         "WHERE rn = 1 ORDER BY event_id"),

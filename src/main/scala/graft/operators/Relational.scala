@@ -140,6 +140,19 @@ object Relational {
       countDistinct(col("o_custkey")).as("exact"),
       approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
 
+  /** Q-A6 — pivot: per-user event-type counts as columns. The pivot value
+    * list is DECLARED (the 5 event kinds), not discovered — at scale the
+    * discovery pass is a second full scan plus a collect of the distinct
+    * values to the driver, and an unbounded value set would explode the
+    * schema; a declared list keeps pivot a single-scan single-shuffle agg. */
+  def qA6(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** Q-X6 — date/time battery over `o_orderdate` (extraction, truncation,
     * day arithmetic, month boundaries). Date outputs go out as strings —
     * both engines format ISO — so the oracle compare is representation-
