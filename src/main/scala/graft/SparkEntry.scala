@@ -82,6 +82,7 @@ object SparkEntry {
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
     "q_sim2_lsh_ann"       -> (Similarity.qSim2 _),
     "q_sim3_ivf_ann"       -> (Similarity.qSim3 _),
+    "q_sim4_ivf_kmeans"    -> (Similarity.qSim4 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -286,6 +287,36 @@ object SparkEntry {
         cosineSumSql +
         ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 10 AND rn <= 4), " +
+        "p2 AS (SELECT pr.q_id AS a_id, t.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM probe pr JOIN cell t ON t.cid = pr.cid AND t.vec_id <> pr.q_id " +
+        "JOIN embeddings a ON a.vec_id = pr.q_id JOIN embeddings b ON b.vec_id = t.vec_id), " +
+        "u2 AS (SELECT a_id, b_id, unnest(generate_series(1, 64)) AS i, ea, eb FROM p2), " +
+        "s2 AS (SELECT a_id, b_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+        "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb FROM u2 GROUP BY a_id, b_id), " +
+        "r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s2) " +
+        "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim4_ivf_kmeans" -> (
+      // one Lloyd iteration from the vec_id<16 seeds: assign on seed sims,
+      // recompute centroids as ROUND(mean, 6) per (cell, dim), reassign +
+      // probe on the trained centroids — mirrors Similarity.qSim4 tiebreaks
+      "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs0 AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "asg0 AS (SELECT vec_id, cid FROM cs0 WHERE rn = 1), " +
+        "comp AS (SELECT a.cid AS cell, g.i, ROUND(avg(e.embedding[CAST(g.i AS INT)]::DOUBLE), 6) AS c " +
+        "FROM asg0 a JOIN embeddings e ON e.vec_id = a.vec_id, " +
+        "(SELECT unnest(generate_series(1, 64)) AS i) g GROUP BY a.cid, g.i), " +
+        "vsim AS (SELECT e.vec_id, comp.cell AS cid, " +
+        "sum(e.embedding[CAST(comp.i AS INT)]::DOUBLE * comp.c) AS dot, " +
+        "sum(e.embedding[CAST(comp.i AS INT)]::DOUBLE * e.embedding[CAST(comp.i AS INT)]::DOUBLE) AS na, " +
+        "sum(comp.c * comp.c) AS nb FROM embeddings e, comp GROUP BY e.vec_id, comp.cell), " +
+        "cs AS (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, cid) AS rn FROM vsim), " +
         "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
         "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 10 AND rn <= 4), " +
         "p2 AS (SELECT pr.q_id AS a_id, t.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +

@@ -132,6 +132,61 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Q-SIM4: IVF with a TRAINED coarse quantizer — one Lloyd (k-means)
+    * iteration on top of qSim3's seeded start: assign every vector to its
+    * nearest seed centroid, recompute each cell's centroid as the
+    * element-wise mean of its members, then run the qSim3 probe/rescore
+    * pipeline against the updated centroids. Centroid components are
+    * ROUND(mean, 6)-snapped so the float sum-order difference between
+    * engines (and between partitions) is absorbed — the oracle recomputes
+    * identical centroids.
+    *
+    * Scale shape of the training step: assignment is the same map-only pass
+    * as qSim3; the mean is one groupBy(cell, dim) over posexploded
+    * components — shuffle output bounded by K×dim rows regardless of corpus
+    * size. More Lloyd rounds = repeat the same two stages. */
+  def qSim4(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val seeds: Array[(Long, Seq[Float])] = e.where(col("vec_id") < IvfCells)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def centSql(emb: Seq[String]): String = s"array(${emb.mkString(", ")})"
+    def seedSql(emb: Seq[Float]): String =
+      s"cast(${centSql(emb.map(_.toString))} as array<float>)"
+    def argmaxCell(cents: Seq[(Long, String)]): String =
+      cents.map { case (cid, lit) =>
+        s"named_struct('s', cosine_sim(embedding, $lit), 'nc', ${-cid}L)"
+      }.mkString("array(", ", ", ")")
+    val seedCells = argmaxCell(seeds.map { case (cid, emb) => (cid, seedSql(emb)) })
+    // Lloyd step: mean of members per (cell, dim), snapped to 6 decimals
+    val trained: Array[(Long, Seq[String])] = e
+      .selectExpr("vec_id", "embedding", s"-array_max($seedCells).nc AS cell")
+      .selectExpr("cell", "posexplode(embedding) AS (i, v)")
+      .groupBy("cell", "i").agg(expr("ROUND(avg(CAST(v AS DOUBLE)), 6)").as("c"))
+      .groupBy("cell")
+      .agg(expr("array_sort(collect_list(struct(i, c)))").as("ic"))
+      .selectExpr("cell", "transform(ic, x -> x.c) AS cent")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toString)))
+      .sortBy(_._1)
+    val cells = argmaxCell(trained.map { case (cid, c) =>
+      (cid, s"cast(${centSql(c)} as array<double>)") })
+    val asg = e.selectExpr("vec_id", "embedding", s"-array_max($cells).nc AS cell")
+    val probes = e.where(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS eq",
+        s"slice(reverse(array_sort($cells)), 1, $IvfProbe) AS pr")
+      .selectExpr("q_id", "eq", "explode(transform(pr, x -> -x.nc)) AS cell")
+    val w = Window.partitionBy("q_id").orderBy(desc("sim_raw"), col("n_id"))
+    broadcast(probes).join(asg, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS n_id", "cosine_sim(eq, embedding) AS sim_raw")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** Brute-force k-NN: for each query vector (vec_id < 10), the top-3
     * neighbors over the whole corpus by cosine. The query side is tiny and
     * broadcast; the corpus side streams — scan-bound at any corpus size.
