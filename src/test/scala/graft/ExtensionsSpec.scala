@@ -167,6 +167,23 @@ class ExtensionsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("trained IVF: Lloyd step moves centroids, rescoring stays exact") {
+    import graft.operators.Similarity
+    GraftFunctions.register(spark)
+    val ivf = Similarity.qSim4(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    // training must not break the exact-rescoring invariant
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val brute = e.selectExpr("vec_id AS q_id", "embedding AS eq")
+      .where(col("q_id") < 10)
+      .crossJoin(e.selectExpr("vec_id AS n_id", "embedding AS en"))
+      .where(col("q_id") =!= col("n_id"))
+      .selectExpr("q_id", "n_id", "ROUND(cosine_sim(eq, en), 4) AS sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (k, sim) => assert(brute(k) == sim, s"pair $k") }
+  }
+
   test("word_shingles == composable zip_with form; edge cases") {
     GraftFunctions.register(spark)
     val docs = graft.core.Tables.documents(spark, sf)

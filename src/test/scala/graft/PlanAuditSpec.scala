@@ -74,6 +74,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"join+agg must be shuffle-free (only the ORDER BY range exchange is allowed):\n${shuffles.mkString("\n")}")
   }
 
+  test("Q-A6 pivot: declared values -> single scan, partial agg before shuffle") {
+    val q = Relational.qA6(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial_")),
+      s"pivot agg must combine map-side:\n${aggs.mkString("\n")}")
+    // declared value list means no second job to discover distinct values:
+    // exactly one scan of events in the plan
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "pivot must scan the table once")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
