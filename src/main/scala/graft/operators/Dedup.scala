@@ -163,26 +163,101 @@ object Dedup {
       "band AS band_b", "bv AS bv_b")
     a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
         col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sa", "sb").distinct() // pairs sharing >1 band
+      // verify BEFORE deduplicating candidates: bit_count is a per-row
+      // codegen'd op, so filtering first shrinks the distinct's shuffle to
+      // surviving pairs only (a pair colliding in >1 band is verified once
+      // per collision — 3 cheap popcounts at most — instead of shipping
+      // every band-collision pair through the exchange)
       .withColumn("ham", expr("bit_count(sa ^ sb)"))
       .where(col("ham") <= 2)
       .selectExpr("a_id", "b_id", "CAST(ham AS INT) AS ham")
+      .distinct() // pairs sharing >1 band
       .orderBy("a_id", "b_id")
   }
 
-  /** Embedding-cosine near-dup pairs: cosine >= 0.4 via the codegen'd
-    * [[graft.functions.CosineSimilarity]] expression. Exact baseline for the
-    * ANN path in [[Similarity]]; at scale the candidate set comes from LSH
-    * bucketing, not an all-pairs join. */
+  /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the
+    * codegen'd [[graft.functions.CosineSimilarity]] expression, with a
+    * DECLARED key bound (`a_id < 200`) like its siblings qD2/qX2.
+    *
+    * Why bounded rather than LSH-bucketed: the threshold sits in the tail of
+    * the background similarity distribution of this corpus (qualifying pairs
+    * measured at 0.40–0.51, continuous with the sub-threshold mass at
+    * 0.35–0.40; in angular terms θ(0.4)=66.4° vs θ(0.35)=69.5°). No
+    * sign-LSH banding can separate 66° from 69° with recall 1 — the P=8
+    * full-signature bucketing of [[Similarity.qSim2]] catches 1 of 59
+    * qualifying pairs at sf0.01 — so an EXACT threshold-0.4 result is
+    * inherently Ω(n²) and the exact form stays declared-bounded. The plan is
+    * the [[Similarity.qSim1]] shape: broadcast the bounded side, stream the
+    * corpus — map-only, zero shuffle, linear in corpus size at any scale.
+    * The full-corpus sub-quadratic route is [[qD8]], whose banded-LSH
+    * candidate contract (recall traded for boundedness) is declared and
+    * oracle-mirrored. */
   def qD7(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val a = e.selectExpr("vec_id AS a_id", "embedding AS ea")
+    val a = e.selectExpr("vec_id AS a_id", "embedding AS ea").where(col("a_id") < 200)
     val b = e.selectExpr("vec_id AS b_id", "embedding AS eb")
-    a.join(b, col("a_id") < col("b_id"))
+    broadcast(a).join(b, col("a_id") < col("b_id"))
       .withColumn("sim", expr("cosine_sim(ea, eb)"))
       .where(col("sim") >= 0.4)
       .selectExpr("a_id", "b_id", "ROUND(sim, 4) AS sim")
       .orderBy("a_id", "b_id")
   }
+
+  /** Banded sign-LSH near-dup pairs over the FULL corpus — the sub-quadratic
+    * scale path next to the bounded exact baseline [[qD7]].
+    *
+    * [[LshBands]] bands × [[LshBandBits]] random-hyperplane bits each; a pair
+    * becomes a candidate iff it collides in at least one band, and candidates
+    * are scored EXACTLY with the codegen'd cosine kernel (precision 1.0 by
+    * construction). The DuckDB oracle recomputes the identical planes/bands
+    * (deterministic md5-seeded signs, [[Similarity.planeSign]]), so the
+    * declared contract — LSH candidates, not all pairs — is hash-checked
+    * exactly.
+    *
+    * Recall at the threshold is the declared tradeoff: for a pair at cosine
+    * s, P(collision) = 1-(1-p^r)^b with p = 1-θ(s)/π. At this corpus's
+    * threshold (0.4, the background tail — see [[qD7]]) that is ~0.25;
+    * at real near-dup thresholds (0.9+, p≈0.86) it is ~0.95 and rises with
+    * more bands. Cost side: background pairs (s≈0, p≈0.5) collide w.p.
+    * b·2^-r ≈ 1/16, so candidates are ~6% of n² — tune r up / b up to trade
+    * shuffle volume vs recall as the corpus grows.
+    *
+    * Plan shape: signatures are one map-only corpus pass (no shuffle); the
+    * ONLY shuffles are the (band, value)-keyed candidate equi-join — never a
+    * nested-loop pair join — and the verified-survivor distinct (the qD6
+    * lesson: rescore + threshold BEFORE distinct so the exchange carries
+    * surviving pairs only). */
+  def qD8(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val bandCols = (0 until LshBands).map { k =>
+      val bits = (0 until LshBandBits).map { j =>
+        val p = LshBandBits * k + j
+        val plane = array((1 to 64).map(i => lit(Similarity.planeSign(p, i))): _*)
+        val dot = aggregate(
+          zip_with(col("embedding"), plane, (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      bits.as(s"bk$k")
+    }
+    val sigs = e.select(col("vec_id") +: col("embedding") +: bandCols: _*)
+    val bands = sigs.selectExpr("vec_id", "embedding",
+      s"stack($LshBands, ${(0 until LshBands).map(k => s"$k, bk$k").mkString(", ")}) AS (band, bv)")
+    val a = bands.selectExpr("vec_id AS a_id", "embedding AS ea", "band", "bv")
+    val b = bands.selectExpr("vec_id AS b_id", "embedding AS eb",
+      "band AS band_b", "bv AS bv_b")
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("a_id") < col("b_id"))
+      .withColumn("sim_raw", expr("cosine_sim(ea, eb)"))
+      .where(col("sim_raw") >= 0.4)
+      .selectExpr("a_id", "b_id", "ROUND(sim_raw, 4) AS sim")
+      .distinct() // pairs colliding in >1 band, after the cheap exact verify
+      .orderBy("a_id", "b_id")
+  }
+
+  /** qD8 banding: 4 bands × 6 planes (24 hyperplanes total). */
+  val LshBands = 4
+  val LshBandBits = 6
 }

@@ -39,8 +39,9 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane entries, seeded from md5 of "p_i" — the
     * exact value the DuckDB oracle recomputes, so both engines build the
-    * same planes without sharing state. */
-  private def planeSign(p: Int, i: Int): Double = {
+    * same planes without sharing state. Shared with [[Dedup.qD8]]'s banded
+    * variant (same plane family, different banding). */
+  private[operators] def planeSign(p: Int, i: Int): Double = {
     val fp = Multimodal.fingerprint(s"${p}_$i".getBytes("UTF-8"), 0, s"${p}_$i".length)
     if (fp % 2 == 0) 1.0 else -1.0
   }

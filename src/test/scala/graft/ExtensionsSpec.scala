@@ -101,12 +101,20 @@ class ExtensionsSpec extends AnyFunSuite {
     import graft.operators.{Dedup, Similarity}
     val lsh = Similarity.qSim2(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // qD7 is the exact baseline on its DECLARED bound (a_id < 200); compare
+    // precision on the shared domain
     val brute = Dedup.qD7(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(brute),
+    assert(lsh.filter(_._1 < 200).subsetOf(brute),
       "every LSH pair must be a true >=0.4 pair (candidates scored exactly)")
     assert(brute.isEmpty || lsh.nonEmpty,
       "LSH should recover at least some true pairs")
+    // the banded variant (qD8) widens recall over the single-band qSim2:
+    // same exact-rescore contract, more bands -> strictly more candidates
+    val banded = Dedup.qD8(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.filter(_._1 < 200).subsetOf(brute),
+      "every banded-LSH pair must be a true >=0.4 pair")
   }
 
   test("SparkSessionExtensions registration exposes custom functions in SQL") {

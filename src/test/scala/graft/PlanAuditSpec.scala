@@ -86,6 +86,44 @@ class PlanAuditSpec extends AnyFunSuite {
       "pivot must scan the table once")
   }
 
+  test("Q-D7 bounded exact near-dup: bounded side broadcasts, corpus streams map-only") {
+    val q = graft.operators.Dedup.qD7(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "the declared-bound side must broadcast (qSim1 shape)")
+    // the corpus side must never shuffle: the only non-broadcast exchange is
+    // the final ORDER BY range partitioning — an unbounded all-pairs join
+    // would show a hashpartitioning exchange or an unbroadcast nested loop
+    val shuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.forall(_.contains("rangepartitioning")),
+      s"corpus-side shuffle detected:\n${shuffles.mkString("\n")}")
+    // the declared bound must reach the parquet scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("LessThan(vec_id,200)")),
+      "a_id < 200 bound must push down to the scan")
+  }
+
+  test("Q-D8 LSH near-dup: band-key equi-join, never a nested-loop pair join") {
+    val q = graft.operators.Dedup.qD8(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"full-corpus near-dup must equi-join on band keys:\n$plan")
+  }
+
+  test("Q-D6 verifies before deduplicating: distinct runs on surviving pairs") {
+    val plan = graft.operators.Dedup.qD6(spark, sf)
+      .queryExecution.executedPlan.toString
+    // ham is computed+filtered below the distinct, so the distinct aggregate
+    // keys include ham (pre-fix they were (a_id, b_id, sa, sb) pre-filter)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("ham")),
+      "distinct must key on the post-filter (a_id, b_id, ham) rows")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
