@@ -5,30 +5,40 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.core.{Canonical, FileAccount}
-import graft.functions.Masking
-import graft.operators.Merge
+import graft.core.FileAccount
+import graft.operators.RawMerge
 
 /** Account-level migration orchestration — the reference's `main.py` loop
   * (A26: account → database → container, with `--database`/`--container`
   * narrowing) re-expressed as driver-side Scala over [[FileAccount]]s, with
-  * the per-container work delegated to the distributed [[Merge]] plan.
+  * the per-container work delegated to the distributed [[RawMerge]] plan.
   *
-  * Per container (reference E3, SURVEY.md §3): read source, canonicalize,
-  * classify against the target, optionally mask PII, write the merged state
-  * back, then verify. Counters come from one aggregation over the classified
-  * frame (the reference increments Python ints per document,
-  * migration.py:130-146). Verification fixes the reference's B5 wart: count
-  * parity AND an order-independent content hash, not counts alone.
+  * Per container (reference E3, SURVEY.md §3): read source RAW (schemaless —
+  * unknown fields round-trip byte-exactly, no inference), classify against
+  * the target, optionally mask PII on the written rows, land ONLY the
+  * inserts/updates through the bucketed upsert sink
+  * ([[FileAccount.upsertRaw]] — the skip branch costs zero writes, like the
+  * reference's RU-saving skip, migration.py:124-130), then verify. Counters
+  * come from one aggregation over the classified frame (the reference
+  * increments Python ints per document, migration.py:130-146). Corrupt or
+  * invalid documents land in the error counter and a per-container
+  * dead-letter file (A13) — never a task failure; `maxErrors` bounds how
+  * many before the container aborts. Verification fixes the reference's B5
+  * wart: count parity AND an order-independent content hash, not counts
+  * alone.
   */
 object Orchestrator {
 
   /** A28: the reference's CLI/env config surface (main.py:10-28), minus
-    * Cosmos connection secrets. `sanitize` is a real boolean (B3 fix). */
+    * Cosmos connection secrets. `sanitize` is a real boolean (B3 fix);
+    * `maxErrors` is the dead-letter bound (A13 — the reference's per-doc
+    * retry loop handles transient faults, which Spark task retries cover;
+    * persistent bad documents are counted, dead-lettered, and bounded). */
   case class Config(
     scopeDatabase: Option[String] = None,
     scopeContainer: Option[String] = None,
-    sanitize: Boolean = false)
+    sanitize: Boolean = false,
+    maxErrors: Long = Long.MaxValue)
 
   case class ContainerResult(
     database: String, container: String,
@@ -55,51 +65,59 @@ object Orchestrator {
     assertPkAligned(props.pkPaths,
       target.containerProperties(db, container).pkPaths, db, container)
 
-    val srcRaw = Canonical.strip(source.read(spark, db, container))
-    // A7: make each pk path a queryable top-level column. Nested paths get a
-    // '/'→'__' flattened name (the reference injects the raw path string as
-    // the key, migration.py:112-114; '__' keeps the name Spark-safe).
-    val pkPairs = props.pkPaths.map(p =>
-      (p.stripPrefix("/").replace("/", "__"), p))
-    val pkCols = pkPairs.map(_._1)
-    val src = pkPairs.foldLeft(srcRaw) { case (df, (name, path)) =>
-      if (df.columns.contains(name)) df
-      else df.withColumn(name, graft.core.PartitionKeys.extract(path))
-    }
-    val tgt =
-      if (target.hasData(db, container))
-        Canonical.strip(target.read(spark, db, container))
-      else src.limit(0)
+    val srcRaw = source.readRaw(spark, db, container)
+    val tgtRaw =
+      if (target.hasData(db, container)) target.readRaw(spark, db, container)
+      else srcRaw.limit(0)
 
-    val contentCols = src.columns.toSeq.diff("id" +: pkCols)
-    val classified = Merge.classify(src, tgt, "id", pkCols, contentCols).cache()
+    val pkPaths = props.pkPaths
+    val keyCols = "__id" +: pkPaths.indices.map(i => s"__pk$i")
+    val classified = RawMerge.classify(spark, srcRaw, tgtRaw, pkPaths).cache()
     val counts = classified.groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
 
-    val mergedState = Merge.merged(src, tgt, "id", pkCols, contentCols)
-    val masked = if (cfg.sanitize) Masking(mergedState) else mergedState
-    target.write(masked, db, container, pkCols)
+    // A13 dead-letter: corrupt/invalid documents land next to the data, and
+    // the run aborts only past the configured bound
+    if (counts("error") > 0)
+      classified.filter(col("action") === "error").select("raw")
+        .write.mode("overwrite")
+        .text(Paths.get(target.root, db, container, "_errors").toString)
+    require(counts("error") <= cfg.maxErrors,
+      s"$db/$container: ${counts("error")} error documents exceed maxErrors=${cfg.maxErrors}")
+
+    // A11/A12: only inserts/updates reach the sink (write elision for skips);
+    // masking applies to written rows only (migration.py:131-136)
+    val changedRows = classified
+      .filter(col("action").isin("insert", "update"))
+      .select((("raw" +: keyCols).map(col)): _*)
+    val changed =
+      if (cfg.sanitize) changedRows.withColumn("raw", expr("mask_json(raw)"))
+      else changedRows
+
+    // A15 + B5 fix: count parity and content-hash parity of what landed vs
+    // the intended merged state (byte-level: the raw lines themselves).
+    // Expected-state metrics are materialized BEFORE the sink mutates the
+    // target: the upsert may absorb/delete stray files that `tgtRaw`'s
+    // lineage still references.
+    // bit_xor, not sum: ANSI mode errors on 64-bit hash-sum overflow
+    def stateHash(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(xxhash64(col("raw")).as("h"))
+        .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head().getLong(0)
+    val expected = RawMerge.mergedState(spark, srcRaw, tgtRaw, pkPaths, cfg.sanitize)
+    val expectedCount = expected.count()
+    val expectedHash = stateHash(expected)
+
+    target.upsertRaw(spark, db, container, changed, keyCols, pkPaths)
     classified.unpersist()
 
-    // A15 + B5 fix: count parity and content-hash parity of what landed.
-    // Hash the merged frame we intended vs the files actually written.
-    val written = Canonical.strip(target.read(spark, db, container))
-    val expected = counts("insert") + counts("update") + counts("skip") +
-      tgt.join(src.filter(graft.core.PartitionKeys.validDoc(col("id"), pkCols.map(col)))
-          .select(("id" +: pkCols).map(col): _*),
-        "id" +: pkCols, "left_anti").count()
-    // bit_xor, not sum: ANSI mode errors on 64-bit hash-sum overflow
-    def stateHash(df: org.apache.spark.sql.DataFrame): Long = {
-      val ordered = df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
-      ordered.select(xxhash64(to_json(struct(ordered.columns.toIndexedSeq.map(col): _*))).as("h"))
-        .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head().getLong(0)
-    }
-    val verified = written.count() == expected &&
-      (cfg.sanitize || stateHash(written) == stateHash(masked))
+    val written = target.readRaw(spark, db, container)
+    val writtenCount = written.count()
+    val verified = writtenCount == expectedCount &&
+      stateHash(written) == expectedHash
 
     ContainerResult(db, container,
       counts("insert"), counts("update"), counts("skip"), counts("error"),
-      src.count(), written.count(), verified)
+      srcRaw.count(), writtenCount, verified)
   }
 
   /** A26 top loop with scoping; `--container` requires `--database`
@@ -138,6 +156,7 @@ object Orchestrator {
         case "--database"  => cfg = cfg.copy(scopeDatabase = Some(args(i + 1))); i += 2
         case "--container" => cfg = cfg.copy(scopeContainer = Some(args(i + 1))); i += 2
         case "--sanitize"  => cfg = cfg.copy(sanitize = true); i += 1
+        case "--max-errors" => cfg = cfg.copy(maxErrors = args(i + 1).toLong); i += 2
         case "--summary"   => summaryPath = Some(args(i + 1)); i += 2
         case p             => pos = pos :+ p; i += 1
       }

@@ -88,6 +88,9 @@ object SparkEntry {
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
     "q_m3_merge_idempotent" -> (Merge.qM3 _),
+    // schemaless raw-JSON merge (round-trip fidelity + error channel)
+    "q_m4_raw_classify"    -> (RawMerge.qM4 _),
+    "q_m5_raw_fidelity"    -> (RawMerge.qM5 _),
     // PII masking (U-1)
     "q_k1_mask_pii"        -> (Sanitize.qK1 _),
     // streaming cores, batch form (ST-1..ST-5; streaming form in StreamingSpec)
@@ -353,6 +356,34 @@ object SparkEntry {
     "q_m3_merge_idempotent" -> (mergeSnapshotsSql +
       " SELECT action, count(1) AS c FROM (" + mergeClassifySql("merged", "m") +
       ") x GROUP BY action ORDER BY action"),
+    "q_m4_raw_classify" -> (
+      // analytic ground truth: expected actions are pure doc_id arithmetic
+      // (RawMerge snapshot construction), independent of any JSON machinery
+      "SELECT action, count(1) AS c FROM (SELECT CASE " +
+        "WHEN doc_id % 101 = 0 OR doc_id % 53 = 0 OR doc_id % 71 = 0 THEN 'error' " +
+        "WHEN doc_id % 10 = 3 THEN 'insert' " +
+        "WHEN doc_id % 10 = 7 THEN 'update' ELSE 'skip' END AS action " +
+        "FROM documents) t GROUP BY action ORDER BY action"),
+    "q_m5_raw_fidelity" -> (
+      // byte-fidelity: rebuild the exact raw lines and checksum the merged
+      // state — skips keep TARGET bytes, inserts/updates SOURCE bytes,
+      // target rows whose source row errored survive
+      "WITH m AS (SELECT doc_id, lang, source, " +
+        "(doc_id % 101 = 0 OR doc_id % 53 = 0 OR doc_id % 71 = 0) AS err, " +
+        "CAST(doc_id % 7 AS VARCHAR) AS v, " +
+        "CAST(doc_id % 7 + CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS VARCHAR) AS v2 FROM documents), " +
+        "srcs AS (SELECT doc_id, err, '{\"z\":1.0,\"id\":\"' || " +
+        "CASE WHEN doc_id % 53 = 0 THEN '' ELSE CAST(doc_id AS VARCHAR) END || " +
+        "'\",\"pk\":\"' || CASE WHEN doc_id % 71 = 0 THEN '' ELSE lang END || " +
+        "'\",\"payload\":{\"a\":[{\"v\":' || v || ',\"_etag\":\"s\"}],\"src\":\"' || source || '\"},\"_ts\":1}' AS raw FROM m), " +
+        "tgts AS (SELECT doc_id, '{\"id\":\"' || CAST(doc_id AS VARCHAR) || " +
+        "'\",\"z\":1,\"_rid\":\"r\",\"pk\":\"' || lang || " +
+        "'\",\"payload\":{\"src\":\"' || source || '\",\"a\":[{\"_etag\":\"t\",\"v\":' || v2 || '}]},\"_ts\":2}' AS raw " +
+        "FROM m WHERE doc_id % 10 <> 3), " +
+        "mg AS (SELECT t.raw FROM tgts t JOIN srcs s ON s.doc_id = t.doc_id WHERE s.err " +
+        "UNION ALL SELECT s.raw FROM srcs s WHERE NOT s.err AND (s.doc_id % 10 = 3 OR s.doc_id % 10 = 7) " +
+        "UNION ALL SELECT t.raw FROM tgts t JOIN srcs s ON s.doc_id = t.doc_id WHERE NOT s.err AND t.doc_id % 10 <> 7) " +
+        "SELECT count(1) AS n, CAST(sum(('0x' || substr(md5(raw), 1, 8))::BIGINT) AS BIGINT) AS h FROM mg"),
     "q_k1_mask_pii" -> (
       // seed(x) = unsigned 32-bit md5 prefix (Hashing.md5h32); templates
       // mirror graft.functions.Masking generators exactly

@@ -4,23 +4,33 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Container metadata the engine acts on (A20). The reference also carries
-  * indexing policy and dedicated throughput (containers.py:16-24); those are
-  * Cosmos provisioning concerns declared out of scope (SURVEY.md §2 Part B
-  * non-goals) — only the partition-key path list affects semantics here. */
-case class ContainerProps(pkPaths: Seq[String] = Seq("/id"))
+import graft.functions.GraftFunctions
+
+/** Container metadata the engine acts on (A20/A21). The reference also
+  * carries indexing policy and dedicated throughput (containers.py:16-24);
+  * those are Cosmos provisioning concerns declared out of scope (SURVEY.md §2
+  * Part B non-goals). `buckets` is this engine's physical-layout analogue of
+  * Cosmos's pk-hash partitioning: the container's data directory is split
+  * into `buckets` hash buckets of the merge key, which is what makes the
+  * sink's incremental upsert prune — only buckets containing changed
+  * documents are rewritten. */
+case class ContainerProps(pkPaths: Seq[String] = Seq("/id"), buckets: Int = 16)
 
 /** File-backed account: the catalog surface of the reference
   * (/root/reference/src/clients.py, containers.py) over a directory tree
-  * `root/<database>/<container>/{_meta.json, data/<part>.json}`.
+  * `root/<database>/<container>/{_meta.json, data/b=<k>/<part>.txt}`.
   *
   * The reference's "account" is a Cosmos endpoint; here it is any storage a
-  * Spark reader can scan. Data is JSON-lines (the reference's document
-  * model, schema inferred per container); metadata is a tiny `_meta.json`
-  * the driver reads once per container — catalog calls are driver-side and
-  * out of the data path, exactly like the reference's management-plane
-  * calls vs its document loop.
+  * Spark reader can scan. Documents are RAW JSON lines — read and written as
+  * text, never through schema inference, so unknown fields of any shape
+  * round-trip byte-exactly (the reference's schemaless contract:
+  * migration.py:91-150 only ever touches `id`, the pk paths, and the four
+  * system fields; everything else passes through untouched). Metadata is a
+  * tiny `_meta.json` the driver reads once per container — catalog calls are
+  * driver-side and out of the data path, exactly like the reference's
+  * management-plane calls vs its document loop.
   */
 case class FileAccount(root: String) {
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
@@ -50,10 +60,12 @@ case class FileAccount(root: String) {
     val meta = p(db, container, "_meta.json")
     if (!Files.exists(meta)) ContainerProps()
     else {
-      // one line of driver-side JSON: {"pk": ["/a/b", ...]}
+      // one line of driver-side JSON: {"pk": ["/a/b", ...], "buckets": 16}
       val s = Files.readString(meta)
       val pks = "\"(/[^\"]*)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
-      if (pks.isEmpty) ContainerProps() else ContainerProps(pks)
+      val buckets = "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(16)
+      ContainerProps(if (pks.isEmpty) Seq("/id") else pks, buckets)
     }
   }
 
@@ -65,31 +77,126 @@ case class FileAccount(root: String) {
     val meta = dir.resolve("_meta.json")
     if (!Files.exists(meta))
       Files.writeString(meta,
-        props.pkPaths.map(q => s""""$q"""").mkString("""{"pk": [""", ", ", "]}"))
+        props.pkPaths.map(q => s""""$q"""").mkString(
+          """{"pk": [""", ", ", s"""], "buckets": ${props.buckets}}"""))
   }
 
   def hasData(db: String, container: String): Boolean =
     Files.isDirectory(p(db, container, "data"))
 
-  /** A1: full container scan. Schema inferred per container — the document
-    * model is schemaless (SURVEY.md §1.3). */
-  def read(spark: SparkSession, db: String, container: String): DataFrame =
-    spark.read.json(p(db, container, "data").toString)
+  private def dataDir(db: String, container: String): Path = p(db, container, "data")
 
-  /** A11/A12 sink. With `pkCols` the frame is hash-repartitioned on the
-    * partition key before landing — the file-sink analogue of Cosmos's
-    * physical pk partitioning (each output file holds one pk-hash bucket),
-    * so a downstream pk-keyed read/join starts co-located instead of
-    * re-shuffling the whole container. Values stay in the data files
-    * (no `partitionBy` directory encoding: schemaless pk values round-trip
-    * byte-exactly, and inference can't retype them). */
-  def write(df: DataFrame, db: String, container: String,
-            pkCols: Seq[String] = Nil): Unit = {
-    import org.apache.spark.sql.functions.col
-    val aligned =
-      if (pkCols.nonEmpty && pkCols.forall(df.columns.contains))
-        df.repartition(pkCols.map(col): _*)
-      else df
-    aligned.write.mode(SaveMode.Overwrite).json(p(db, container, "data").toString)
+  /** A1: full container scan, RAW — one `raw` string column per document
+    * line, no inference, bucket layout transparent (recursive lookup). */
+  def readRaw(spark: SparkSession, db: String, container: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .text(dataDir(db, container).toString)
+      .select(col("value").as("raw"))
+
+  /** Typed scan via schema inference — the ANALYTICS view of a container
+    * (aggregations, joins, masking checks). The merge path never uses this:
+    * inference retypes and reorders, which is exactly what the raw path
+    * exists to avoid. */
+  def read(spark: SparkSession, db: String, container: String): DataFrame =
+    spark.read.json(
+      spark.read.option("recursiveFileLookup", "true")
+        .text(dataDir(db, container).toString).as(
+          org.apache.spark.sql.Encoders.STRING))
+
+  // ---- incremental upsert sink (A11/A12) ----
+
+  /** Merge-key hash bucket — the sink's layout column. Stable across runs
+    * (xxhash64 of the ''-joined key columns), so a replaced document
+    * and its replacement always land in the same bucket. */
+  private def bucketCol(keyCols: Seq[String], buckets: Int) =
+    pmod(xxhash64(concat_ws("", keyCols.map(col): _*)), lit(buckets.toLong))
+
+  /** Data files sitting directly under `data/` (not in a `b=<k>` bucket dir):
+    * documents placed by an external writer. They are absorbed into the
+    * bucket layout on the next upsert that sees them. */
+  private def strayFiles(db: String, container: String): Seq[Path] = {
+    val d = dataDir(db, container)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala.filter(Files.isRegularFile(_))
+      .filterNot { f =>
+        val n = f.getFileName.toString
+        n.startsWith("_") || n.startsWith(".") // _SUCCESS, checksums
+      }.toSeq
+  }
+
+  private def bucketDir(db: String, container: String, b: Long): Path =
+    dataDir(db, container).resolve(s"b=$b")
+
+  /** Incremental upsert: land `changed` documents (columns: `raw` + the key
+    * columns `keyCols`, already extracted) into the container, rewriting ONLY
+    * the hash buckets that contain changed keys — the distributed analogue of
+    * the reference's per-document `replace_item`/`create_item`
+    * (migration.py:132-146), where unchanged documents cost nothing.
+    *
+    * Shape: affected buckets = distinct bucket ids of the changed keys (≤
+    * `buckets`, a metadata-sized collect); survivors = the affected buckets'
+    * EXISTING rows (read via explicit bucket-dir paths — physical pruning, no
+    * full-container scan) anti-joined on the merge key against the changed
+    * keys; output = survivors ∪ changed, written with dynamic partition
+    * overwrite so untouched bucket directories keep their files byte-for-byte.
+    * Stray files (out-of-layout external writes) are read, merged, and
+    * absorbed into the layout. At 100 TB with a 1% change rate and
+    * well-chosen bucket count this rewrites ~1% of the container instead of
+    * 100%. Returns the set of bucket ids rewritten. */
+  def upsertRaw(spark: SparkSession, db: String, container: String,
+                changed: DataFrame, keyCols: Seq[String],
+                pkPaths: Seq[String]): Set[Long] = {
+    GraftFunctions.register(spark)
+    val props = containerProperties(db, container)
+    val nb = props.buckets
+    val dir = dataDir(db, container)
+    Files.createDirectories(dir)
+
+    val chg = changed.withColumn("__b", bucketCol(keyCols, nb))
+    val strays = strayFiles(db, container)
+
+    // key extraction for existing rows mirrors the merge's key derivation
+    val keySql = "json_pk(raw, 'id') AS __id" +:
+      pkPaths.map(_.stripPrefix("/")).zipWithIndex.map { case (q, i) =>
+        s"json_pk(raw, '$q') AS __pk$i"
+      }
+    def keyed(rawDf: DataFrame): DataFrame =
+      rawDf.selectExpr("raw" +: keySql: _*)
+        .withColumn("__b", bucketCol(keyCols, nb))
+
+    val strayRows =
+      if (strays.isEmpty) None
+      else Some(keyed(spark.read.text(strays.map(_.toString): _*)
+        .select(col("value").as("raw"))))
+
+    // bounded collects: ≤ nb bucket ids (+ stray bucket ids)
+    val affected: Set[Long] =
+      chg.select("__b").distinct().collect().map(_.getLong(0)).toSet ++
+        strayRows.toSeq.flatMap(_.select("__b").distinct().collect().map(_.getLong(0)))
+    if (affected.isEmpty) return Set.empty
+
+    val existingDirs = affected.toSeq.sorted
+      .map(bucketDir(db, container, _))
+      .filter(Files.isDirectory(_))
+    val existingRows =
+      if (existingDirs.isEmpty) None
+      else Some(keyed(spark.read
+        .option("recursiveFileLookup", "true")
+        .text(existingDirs.map(_.toString): _*)
+        .select(col("value").as("raw"))))
+
+    val survivors = (existingRows.toSeq ++ strayRows.toSeq)
+      .map(_.join(chg.select(keyCols.map(col): _*), keyCols, "left_anti"))
+      .reduceOption(_ unionAll _)
+
+    val out = (survivors.toSeq :+ chg).map(_.select(col("raw"), col("__b").as("b")))
+      .reduce(_ unionAll _)
+    out.write
+      .partitionBy("b")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .text(dir.toString)
+    strays.foreach(Files.deleteIfExists(_))
+    affected
   }
 }

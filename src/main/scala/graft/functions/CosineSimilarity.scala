@@ -99,7 +99,22 @@ object GraftFunctions {
       "flatten_doc", exprs => DocFlatten(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs.head, shingleN(exprs)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "canonical_json", exprs => CanonicalJson(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_pk", exprs => JsonPk(exprs.head, litString(exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_inject_pk",
+      exprs => JsonInjectPk(exprs.head, litString(exprs(1)).split(",").toSeq), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mask_json", exprs => MaskJson(exprs.head), "built-in")
   }
+
+  /** Literal string argument evaluated at registration time (pk paths are
+    * plan constants, like word_shingles' n). */
+  private[functions] def litString(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.eval(null).toString
 
   /** Optional literal-int second arg of word_shingles; default 3-grams. */
   private[functions] def shingleN(

@@ -33,5 +33,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles(exprs.head, GraftFunctions.shingleN(exprs))))
+    ext.injectFunction((
+      FunctionIdentifier("canonical_json"),
+      new ExpressionInfo(classOf[CanonicalJson].getName, "canonical_json"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CanonicalJson(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("json_pk"),
+      new ExpressionInfo(classOf[JsonPk].getName, "json_pk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JsonPk(exprs.head, GraftFunctions.litString(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("json_inject_pk"),
+      new ExpressionInfo(classOf[JsonInjectPk].getName, "json_inject_pk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JsonInjectPk(exprs.head, GraftFunctions.litString(exprs(1)).split(",").toSeq)))
+    ext.injectFunction((
+      FunctionIdentifier("mask_json"),
+      new ExpressionInfo(classOf[MaskJson].getName, "mask_json"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MaskJson(exprs.head)))
   }
 }

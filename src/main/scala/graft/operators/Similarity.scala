@@ -80,113 +80,120 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  /** IVF coarse-quantizer cell count and probe width (qSim3). */
+  /** IVF coarse-quantizer cell count and probe width (qSim3/qSim4). */
   val IvfCells = 16
   val IvfProbe = 4
 
-  /** Q-SIM3: ANN via an IVF (inverted-file) index — the second classic
-    * sub-quadratic route next to LSH (qSim2).
+  /** IVF (inverted-file) ANN index with a BUILD / PROBE split — an ANN index
+    * is built once and probed many times; rebuilding the corpus assignment
+    * per query (the round-1 shape) is the classic anti-pattern the split
+    * removes.
     *
-    * The coarse quantizer is seeded deterministically: the [[IvfCells]]
-    * vectors with the lowest ids serve as centroids (production would k-means
-    * them; the assignment/probe mechanics and the plan shape — which is what
-    * an engine owns — are identical, and seeding keeps the query
-    * oracle-checkable). Every vector is assigned to its nearest centroid by
-    * cosine (ties → lower centroid id); each query probes its [[IvfProbe]]
-    * nearest cells and is scored EXACTLY against only those cells' members
-    * with the codegen'd cosine kernel, top-3 per query.
+    * '''Build''' ([[IvfIndex.build]]): the coarse quantizer starts from the
+    * [[IvfCells]] lowest-id vectors (deterministic, so the index contract is
+    * oracle-checkable) and runs `lloydIters` Lloyd (k-means) refinement
+    * rounds: assign every vector to its nearest centroid by cosine (ties →
+    * lower centroid id), recompute each cell's centroid as the element-wise
+    * member mean, ROUND(·,6)-snapped so float sum-order differences between
+    * engines and partitions are absorbed. Each round is one map-only
+    * assignment pass plus one groupBy(cell, dim) whose shuffle output is
+    * bounded by K×dim rows regardless of corpus size. The final
+    * cell-assignment table is persisted (in production: written bucketed by
+    * cell) and memoized per (session, corpus, iters), so '''subsequent
+    * probes run ZERO corpus-wide passes'''.
     *
-    * Scale shape: centroids are a bounded metadata-sized collect inlined as
-    * literals, so cell assignment is a map-only corpus pass (16×64 fused
-    * multiply-adds per row, no join, no shuffle). The probe side is tiny and
-    * broadcast, so candidate generation is a broadcast hash join — the corpus
-    * never shuffles. Scored work drops from O(|corpus|) per query to
-    * O(|corpus| × nprobe / K), the IVF contract; at 100 TB K grows to ~√N and
-    * the per-cell member lists become the partition layout. */
-  def qSim3(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-    val cents: Array[(Long, Seq[Float])] = e.where(col("vec_id") < IvfCells)
-      .orderBy("vec_id")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    // literal centroid, cast back to float so both engines see identical bits
-    def centSql(emb: Seq[Float]): String =
-      s"cast(array(${emb.mkString(", ")}) as array<float>)"
-    // array of (sim, -cid) structs: array_max picks highest sim, then lowest
-    // cid; descending array_sort yields the probe order under the same tiebreak
-    val cellsArr = cents.map { case (cid, emb) =>
-      s"named_struct('s', cosine_sim(embedding, ${centSql(emb)}), 'nc', ${-cid}L)"
-    }.mkString("array(", ", ", ")")
-    val asg = e.selectExpr("vec_id", "embedding", s"array_max($cellsArr).nc AS ncell")
-      .selectExpr("vec_id", "embedding", "-ncell AS cell")
-    val probes = e.where(col("vec_id") < 10)
-      .selectExpr("vec_id AS q_id", "embedding AS eq",
-        s"slice(reverse(array_sort($cellsArr)), 1, $IvfProbe) AS pr")
-      .selectExpr("q_id", "eq", "explode(transform(pr, x -> -x.nc)) AS cell")
-    val w = Window.partitionBy("q_id").orderBy(desc("sim_raw"), col("n_id"))
-    broadcast(probes).join(asg, "cell")
-      .where(col("vec_id") =!= col("q_id"))
-      .selectExpr("q_id", "vec_id AS n_id", "cosine_sim(eq, embedding) AS sim_raw")
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
-      .orderBy("q_id", "rank")
+    * '''Probe''' ([[IvfIndex.probe]]): each query ranks the K centroids (a
+    * per-row expression over literal centroids), probes its `nprobe` nearest
+    * cells, and is scored EXACTLY against only those cells' members with the
+    * codegen'd cosine kernel — a broadcast hash join into the cached
+    * assignment; the corpus never shuffles. Scored work is
+    * O(|corpus| × nprobe / K) per query, the IVF contract; at 100 TB K grows
+    * to ~√N and the cell becomes the partition/bucket layout.
+    */
+  object IvfIndex {
+    /** `cellsSql`: array-of-(sim,-cid) struct expression over literal
+      * centroids — argmax picks the assignment, sorted-desc prefix the probe
+      * order, both tiebreaking toward the lower centroid id. */
+    final case class Index(cellsSql: String, assigned: DataFrame)
+
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+    private def argmaxCell(cents: Seq[(Long, String)]): String =
+      cents.map { case (cid, litSql) =>
+        s"named_struct('s', cosine_sim(embedding, $litSql), 'nc', ${-cid}L)"
+      }.mkString("array(", ", ", ")")
+
+    private def doBuild(s: SparkSession, dir: String, lloydIters: Int): Index = {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      // bounded metadata-sized collect: K seed rows inlined as literals
+      val seeds: Array[(Long, Seq[Float])] = e.where(col("vec_id") < IvfCells)
+        .orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // seed centroids cast to float so both engines see identical bits
+      var cells = argmaxCell(seeds.map { case (cid, emb) =>
+        (cid, s"cast(array(${emb.mkString(", ")}) as array<float>)")
+      })
+      for (_ <- 1 to lloydIters) {
+        // Lloyd step: member mean per (cell, dim), snapped to 6 decimals;
+        // shuffle bounded at K×dim rows at any corpus size
+        val trained: Array[(Long, Seq[String])] = e
+          .selectExpr("vec_id", "embedding", s"-array_max($cells).nc AS cell")
+          .selectExpr("cell", "posexplode(embedding) AS (i, v)")
+          .groupBy("cell", "i").agg(expr("ROUND(avg(CAST(v AS DOUBLE)), 6)").as("c"))
+          .groupBy("cell")
+          .agg(expr("array_sort(collect_list(struct(i, c)))").as("ic"))
+          .selectExpr("cell", "transform(ic, x -> x.c) AS cent")
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toString)))
+          .sortBy(_._1)
+        cells = argmaxCell(trained.map { case (cid, c) =>
+          (cid, s"cast(array(${c.mkString(", ")}) as array<double>)")
+        })
+      }
+      val asg = e.selectExpr("vec_id", "embedding", s"-array_max($cells).nc AS cell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      asg.count() // materialize: probes must not re-run the corpus pass
+      Index(cells, asg)
+    }
+
+    /** Build (or fetch the memoized) index for `dir` with `lloydIters`
+      * k-means refinement rounds. */
+    def build(s: SparkSession, dir: String, lloydIters: Int): Index =
+      cache.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir|$lloydIters",
+        _ => doBuild(s, dir, lloydIters))
+
+    /** Probe: exact top-`topK` neighbors per query over the `nprobe` nearest
+      * cells' members. Queries broadcast; the assignment table is read from
+      * cache — zero corpus scans. */
+    def probe(s: SparkSession, dir: String, idx: Index,
+              nprobe: Int = IvfProbe, topK: Int = 3): DataFrame = {
+      GraftFunctions.register(s)
+      val probes = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        .selectExpr("vec_id AS q_id", "embedding AS eq",
+          s"slice(reverse(array_sort(${idx.cellsSql})), 1, $nprobe) AS pr")
+        .selectExpr("q_id", "eq", "explode(transform(pr, x -> -x.nc)) AS cell")
+      val w = Window.partitionBy("q_id").orderBy(desc("sim_raw"), col("n_id"))
+      broadcast(probes).join(idx.assigned, "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS n_id", "cosine_sim(eq, embedding) AS sim_raw")
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
+        .orderBy("q_id", "rank")
+    }
   }
 
-  /** Q-SIM4: IVF with a TRAINED coarse quantizer — one Lloyd (k-means)
-    * iteration on top of qSim3's seeded start: assign every vector to its
-    * nearest seed centroid, recompute each cell's centroid as the
-    * element-wise mean of its members, then run the qSim3 probe/rescore
-    * pipeline against the updated centroids. Centroid components are
-    * ROUND(mean, 6)-snapped so the float sum-order difference between
-    * engines (and between partitions) is absorbed — the oracle recomputes
-    * identical centroids.
-    *
-    * Scale shape of the training step: assignment is the same map-only pass
-    * as qSim3; the mean is one groupBy(cell, dim) over posexploded
-    * components — shuffle output bounded by K×dim rows regardless of corpus
-    * size. More Lloyd rounds = repeat the same two stages. */
-  def qSim4(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-    val seeds: Array[(Long, Seq[Float])] = e.where(col("vec_id") < IvfCells)
-      .orderBy("vec_id")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    def centSql(emb: Seq[String]): String = s"array(${emb.mkString(", ")})"
-    def seedSql(emb: Seq[Float]): String =
-      s"cast(${centSql(emb.map(_.toString))} as array<float>)"
-    def argmaxCell(cents: Seq[(Long, String)]): String =
-      cents.map { case (cid, lit) =>
-        s"named_struct('s', cosine_sim(embedding, $lit), 'nc', ${-cid}L)"
-      }.mkString("array(", ", ", ")")
-    val seedCells = argmaxCell(seeds.map { case (cid, emb) => (cid, seedSql(emb)) })
-    // Lloyd step: mean of members per (cell, dim), snapped to 6 decimals
-    val trained: Array[(Long, Seq[String])] = e
-      .selectExpr("vec_id", "embedding", s"-array_max($seedCells).nc AS cell")
-      .selectExpr("cell", "posexplode(embedding) AS (i, v)")
-      .groupBy("cell", "i").agg(expr("ROUND(avg(CAST(v AS DOUBLE)), 6)").as("c"))
-      .groupBy("cell")
-      .agg(expr("array_sort(collect_list(struct(i, c)))").as("ic"))
-      .selectExpr("cell", "transform(ic, x -> x.c) AS cent")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toString)))
-      .sortBy(_._1)
-    val cells = argmaxCell(trained.map { case (cid, c) =>
-      (cid, s"cast(${centSql(c)} as array<double>)") })
-    val asg = e.selectExpr("vec_id", "embedding", s"-array_max($cells).nc AS cell")
-    val probes = e.where(col("vec_id") < 10)
-      .selectExpr("vec_id AS q_id", "embedding AS eq",
-        s"slice(reverse(array_sort($cells)), 1, $IvfProbe) AS pr")
-      .selectExpr("q_id", "eq", "explode(transform(pr, x -> -x.nc)) AS cell")
-    val w = Window.partitionBy("q_id").orderBy(desc("sim_raw"), col("n_id"))
-    broadcast(probes).join(asg, "cell")
-      .where(col("vec_id") =!= col("q_id"))
-      .selectExpr("q_id", "vec_id AS n_id", "cosine_sim(eq, embedding) AS sim_raw")
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
-      .orderBy("q_id", "rank")
-  }
+  /** Q-SIM3: IVF ANN with the seeded quantizer — build(0 Lloyd rounds) +
+    * probe. The build is memoized: repeat invocations are probe-only. */
+  def qSim3(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.probe(s, dir, IvfIndex.build(s, dir, lloydIters = 0))
+
+  /** Q-SIM4: IVF ANN with a TRAINED quantizer — build(1 Lloyd round) +
+    * probe; more rounds are the same bounded stages repeated. */
+  def qSim4(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.probe(s, dir, IvfIndex.build(s, dir, lloydIters = 1))
 
   /** Brute-force k-NN: for each query vector (vec_id < 10), the top-3
     * neighbors over the whole corpus by cosine. The query side is tiny and

@@ -62,6 +62,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-side shuffle detected:\n${shuffles.mkString("\n")}")
   }
 
+  test("Q-SIM3/4 probe reuses the built index: zero corpus-wide passes") {
+    val idx = graft.operators.Similarity.IvfIndex.build(spark, sf, lloydIters = 1)
+    val q = graft.operators.Similarity.IvfIndex.probe(spark, sf, idx)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"assignment must come from the cached index, not a corpus rebuild:\n$plan")
+    // live final plan only: the InMemoryRelation node re-prints its STORED
+    // build plan (incl. its FileScan), and AQE appends the initial plan —
+    // neither executes. Everything before the first InMemoryRelation marker
+    // is what actually runs, and it may touch parquet exactly once: the
+    // pushed-down vec_id<10 probe-side scan.
+    val live = plan.split("== Initial Plan ==").head.split("InMemoryRelation").head
+    val scans = live.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 1 && scans.head.contains("LessThan(vec_id,10)"),
+      s"only the tiny query-side scan may touch parquet:\n${scans.mkString("\n")}")
+  }
+
   test("Q-J7 bucketed co-join: no shuffle above either scan, bucketed reads") {
     val q = graft.operators.Bucketing.qJ7(spark, sf)
     q.collect()

@@ -1,0 +1,239 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ContainerProps, FileAccount}
+import graft.functions.GraftFunctions
+import graft.operators.RawMerge
+
+/** Schemaless raw-document pipeline tests: canonical-JSON diff semantics
+  * (Python-dict equality: key order, number format, system fields at every
+  * depth), the per-document error channel (corrupt lines classify, never
+  * throw), reference pk injection (migration.py:112-114), byte-exact
+  * round-trip through the bucketed sink, and incremental upsert pruning
+  * (only affected bucket directories are rewritten).
+  */
+class RawMergeSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "rawmerge-spec")
+
+  private def canon(s: String): String = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(s).toDF("raw").selectExpr("canonical_json(raw) AS c")
+      .head().getString(0)
+  }
+
+  test("canonical_json: key order, number format, system fields at depth") {
+    assert(canon("""{"a":1.0,"b":[{"_etag":"x","k":2}],"_ts":9}""") ==
+      canon("""{"b":[{"k":2.00}],"a":1}"""))
+    assert(canon("""{"a":1e2}""") == canon("""{"a":100}"""))
+    assert(canon("""{"a":0.0}""") == canon("""{"a":-0.0}"""))
+    // value-different numbers stay different
+    assert(canon("""{"a":1.5}""") != canon("""{"a":1}"""))
+    // string "1" is not number 1 (Python: "1" != 1)
+    assert(canon("""{"a":"1"}""") != canon("""{"a":1}"""))
+    // system fields inside dicts inside arrays (B2) are stripped
+    assert(canon("""{"p":[{"v":1,"_rid":"r","_self":"s"}]}""") ==
+      canon("""{"p":[{"v":1}]}"""))
+    // unicode + escapes round through
+    assert(canon("""{"s":"uniçode-Ж \"q\""}""") ==
+      canon("{\"s\":\"uniçode-Ж \\\"q\\\"\"}"))
+  }
+
+  test("canonical_json: idempotent on generated documents; malformed → null") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = RawMergeSpec.sampleDocs(300, seed = 77L)
+    val bad = docs.toDF("raw")
+      .selectExpr("canonical_json(raw) AS c1",
+        "canonical_json(canonical_json(raw)) AS c2")
+      .where(col("c1").isNull || col("c1") =!= col("c2")).count()
+    assert(bad == 0, "canon must be defined and idempotent on valid docs")
+    val corrupt = Seq("not json", """{"id": """, """{"a":1}trailing""", "")
+    val nn = corrupt.toDF("raw").selectExpr("canonical_json(raw) AS c")
+      .where(col("c").isNotNull).count()
+    assert(nn == 0, "malformed lines must canonicalize to null")
+  }
+
+  test("classify: actions, corrupt-line error channel, pk injection (A4/A6/A13)") {
+    import spark.implicits._
+    val src = Seq(
+      """{"id":"d1","owner":{"region":"emea"},"x":1.0,"_ts":9}""", // skip
+      """{"id":"d2","owner":{"region":"emea"},"x":2}""",           // update
+      """{"id":"d3","owner":{"region":"apac"},"x":1}""",           // insert
+      """{"id":"","owner":{"region":"emea"}}""",                   // error: empty id
+      """{"id":"d4","owner":{"region":{"deep":1}}}""",             // error: dict pk
+      """{"id":"d5","owner":{}}""",                                // error: missing pk
+      "corrupt {{"                                                 // error: not JSON
+    ).toDF("raw")
+    val tgt = Seq(
+      // canonically equal to injected d1: key order + number format + system
+      // fields differ, literal "owner/region" key present from a prior write
+      """{"x":1,"owner":{"region":"emea"},"owner/region":"emea","id":"d1","_etag":"t"}""",
+      """{"id":"d2","owner":{"region":"emea"},"owner/region":"emea","x":3}"""
+    ).toDF("raw")
+
+    val cls = RawMerge.classify(spark, src, tgt, Seq("/owner/region"))
+    val hist = cls.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist == Map("skip" -> 1L, "update" -> 1L, "insert" -> 1L, "error" -> 4L))
+
+    // reference injection: written docs carry the literal pk-path key
+    val d3 = cls.where(col("__id") === "d3").head().getAs[String]("raw")
+    assert(d3.contains(""""owner/region":"apac""""), d3)
+
+    // idempotence: re-classifying against the merged state yields only skips
+    val merged = RawMerge.mergedState(spark, src, tgt, Seq("/owner/region"))
+    val again = RawMerge.classify(spark, src, merged, Seq("/owner/region"))
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == Map("skip" -> 3L, "error" -> 4L))
+
+    // byte fidelity of the merged state: the skipped doc keeps the TARGET's
+    // exact bytes; insert/update rows carry the source's injected bytes
+    val mraw = merged.select("raw").collect().map(_.getString(0)).toSet
+    assert(mraw.contains(
+      """{"x":1,"owner":{"region":"emea"},"owner/region":"emea","id":"d1","_etag":"t"}"""))
+  }
+
+  test("round-trip: generated docs survive the sink byte-exactly") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val acc = RawMergeSpec.newAccount("raw-rt")
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/pk"), buckets = 8))
+    val docs = RawMergeSpec.sampleDocs(400, seed = 11L)
+    val changed = docs.toDF("raw")
+      .selectExpr("raw", "json_pk(raw, 'id') AS __id", "json_pk(raw, 'pk') AS __pk0")
+    acc.upsertRaw(spark, "db", "c", changed, Seq("__id", "__pk0"), Seq("/pk"))
+    val back = acc.readRaw(spark, "db", "c").collect().map(_.getString(0))
+    assert(back.sorted.toSeq == docs.sorted,
+      "every raw line must round-trip byte-exactly through the sink")
+  }
+
+  test("incremental upsert rewrites only affected buckets; strays absorbed") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val acc = RawMergeSpec.newAccount("raw-upsert")
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/pk"), buckets = 8))
+    def keyed(docs: Seq[String]) = docs.toDF("raw")
+      .selectExpr("raw", "json_pk(raw, 'id') AS __id", "json_pk(raw, 'pk') AS __pk0")
+    val initial = (0 until 200).map(i => s"""{"id":"d$i","pk":"p${i % 5}","v":$i}""")
+    acc.upsertRaw(spark, "db", "c", keyed(initial), Seq("__id", "__pk0"), Seq("/pk"))
+
+    val dataDir = Paths.get(acc.root, "db", "c", "data")
+    def snapshot(): Map[String, Long] =
+      Files.walk(dataDir).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("_"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    val before = snapshot()
+
+    // change 2 docs (~1%) → at most 2 of 8 buckets rewritten
+    val delta = Seq(
+      """{"id":"d7","pk":"p2","v":-7}""",
+      """{"id":"d42","pk":"p2","v":-42}""")
+    val touched = acc.upsertRaw(spark, "db", "c", keyed(delta), Seq("__id", "__pk0"), Seq("/pk"))
+    assert(touched.size <= 2, s"expected <=2 affected buckets, got $touched")
+    val after = snapshot()
+    val untouchedDirs = (0 until 8).map(b => dataDir.resolve(s"b=$b").toString)
+      .filterNot(d => touched.exists(t => d.endsWith(s"b=$t")))
+    for (d <- untouchedDirs) {
+      val b4 = before.filter(_._1.startsWith(d))
+      val aft = after.filter(_._1.startsWith(d))
+      assert(b4 == aft, s"unaffected bucket $d must keep its files byte-dated")
+    }
+    // final state: 200 docs, the 2 changed ones replaced
+    val back = acc.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet
+    assert(back.size == 200)
+    assert(back.contains("""{"id":"d7","pk":"p2","v":-7}"""))
+    assert(!back.exists(_.contains(""""id":"d7","pk":"p2","v":7""")))
+
+    // stray file written out-of-band is preserved, then absorbed into the
+    // layout (and superseded correctly when its key changes)
+    Files.writeString(dataDir.resolve("zz-extra.txt"),
+      """{"id":"x1","pk":"p9","v":100}""")
+    acc.upsertRaw(spark, "db", "c",
+      keyed(Seq("""{"id":"d7","pk":"p2","v":-77}""")), Seq("__id", "__pk0"), Seq("/pk"))
+    val back2 = acc.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet
+    assert(back2.contains("""{"id":"x1","pk":"p9","v":100}"""))
+    assert(back2.contains("""{"id":"d7","pk":"p2","v":-77}"""))
+    assert(back2.size == 201)
+    assert(!Files.exists(dataDir.resolve("zz-extra.txt")), "stray must be absorbed")
+  }
+
+  test("mask_json agrees with column masking and leaves non-PII untouched") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val raw =
+      """{"email":"a@real.com","name":"Ada L","level":3,"payload":{"City":"Berlin","note":"keep"}}"""
+    val masked = Seq(raw).toDF("raw").selectExpr("mask_json(raw) AS m")
+      .head().getString(0)
+    // column-based masking of the same doc (schema-inferred view)
+    val df = spark.read.json(Seq(raw).toDS())
+    val viaColumns = graft.functions.Masking(df)
+    val row = viaColumns.head()
+    val expectedEmail = row.getAs[String]("email")
+    val expectedName = row.getAs[String]("name")
+    assert(masked.contains(s""""email":"$expectedEmail""""))
+    assert(masked.contains(s""""name":"$expectedName""""))
+    assert(expectedEmail.endsWith("@masked.example"))
+    assert(masked.contains(""""level":3"""))
+    assert(masked.contains(""""note":"keep""""))
+    // nested PII field (City) masked at depth
+    val expectedCity = row.getAs[org.apache.spark.sql.Row]("payload").getAs[String]("City")
+    assert(masked.contains(s""""City":"$expectedCity""""))
+    assert(expectedCity.startsWith("City"))
+  }
+}
+
+object RawMergeSpec {
+  def newAccount(prefix: String): FileAccount = {
+    val root = Files.createTempDirectory(Paths.get("target"), prefix)
+    FileAccount(root.toString)
+  }
+
+  // ---- single-line JSON document generator (valid docs, adversarial
+  // payloads: unicode, escapes, numbers, deep nesting, system fields) ----
+
+  private val scalarGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => "\"" + s.take(10) + "\""),
+    Gen.choose(-100000, 100000).map(_.toString),
+    Gen.choose(-1000.0, 1000.0).map(d => f"$d%.4f"),
+    Gen.const("null"), Gen.const("true"), Gen.const("false"),
+    Gen.const("\"uniçode-Ж\\\"q\\\" \\\\ tab\""),
+    Gen.const("1.0"), Gen.const("1e3"), Gen.const("-0.0"))
+
+  private val nameGen: Gen[String] = Gen.oneOf(
+    "a", "b", "k1", "payload", "note", "Email", "_etag", "_rid", "_ts", "deep key")
+
+  private def valueGen(depth: Int): Gen[String] =
+    if (depth <= 0) scalarGen
+    else Gen.frequency(
+      4 -> scalarGen,
+      2 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, valueGen(depth - 1)).map(_.mkString("[", ",", "]"))),
+      3 -> objGen(depth - 1))
+
+  private def objGen(depth: Int): Gen[String] = for {
+    n <- Gen.choose(0, 4)
+    names <- Gen.listOfN(n, nameGen)
+    vals <- Gen.listOfN(n, valueGen(depth))
+  } yield names.distinct.zip(vals)
+    .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** `n` valid single-line docs with unique (id, pk) and arbitrary payload. */
+  def sampleDocs(n: Int, seed: Long): Seq[String] =
+    (0 until n).map { i =>
+      val body = objGen(3).apply(Gen.Parameters.default, Seed(seed + i))
+        .getOrElse("{}")
+      s"""{"id":"doc-$i","pk":"p${i % 7}","payload":$body}"""
+    }
+}
