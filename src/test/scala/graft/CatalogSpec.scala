@@ -155,6 +155,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(landed.filter(col("id") === "e1").head.getAs[Long]("level") == 3L)
   }
 
+  test("corrupt documents land in the error channel, bounded by maxErrors (A13)") {
+    val src = newAccount("cat-err-src")
+    seedContainer(src, "db", "c", Seq("/id"), Seq(
+      """{"id":"ok1","v":1}""",
+      """{"id":"ok2","v":2}""",
+      """{"id":"bad", truncated""",   // corrupt line
+      "not json at all"))             // corrupt line
+    val tgt = newAccount("cat-err-tgt")
+    // corrupt lines complete the run (counted + dead-lettered), not a crash
+    val run = migrate(spark, src, tgt)
+    val r = run.results.head
+    assert(r.errors == 2 && r.inserted == 2 && r.verified, r.toString)
+    val dead = Paths.get(tgt.root, "db", "c", "_errors")
+    assert(Files.isDirectory(dead), "error docs must be dead-lettered")
+    // the same container aborts when the error budget is exceeded
+    val tgt2 = newAccount("cat-err-tgt2")
+    val err = intercept[IllegalArgumentException] {
+      migrate(spark, src, tgt2, Config(maxErrors = 1))
+    }
+    assert(err.getMessage.contains("maxErrors"))
+  }
+
   test("summary JSON is written with per-container counters (A25)") {
     val src = freshSource()
     val tgt = newAccount("cat-tgt5")
