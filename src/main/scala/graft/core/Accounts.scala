@@ -16,7 +16,8 @@ import graft.functions.GraftFunctions
   * into `buckets` hash buckets of the merge key, which is what makes the
   * sink's incremental upsert prune — only buckets containing changed
   * documents are rewritten. */
-case class ContainerProps(pkPaths: Seq[String] = Seq("/id"), buckets: Int = 16)
+case class ContainerProps(pkPaths: Seq[String] = Seq("/id"), buckets: Int = 16,
+                          raw: Option[String] = None)
 
 /** File-backed account: the catalog surface of the reference
   * (/root/reference/src/clients.py, containers.py) over a directory tree
@@ -55,30 +56,40 @@ case class FileAccount(root: String) {
   def listContainers(db: String): Seq[String] = listDirs(p(db))
 
   /** A20 with the reference's graceful fallback to pk `/id`
-    * (containers.py:38-44). */
+    * (containers.py:38-44). The engine interprets only `pk` and `buckets`;
+    * everything else in `_meta.json` (the reference also carries indexing
+    * policy and dedicated throughput, containers.py:16-24) is opaque
+    * metadata kept in `raw` and replicated verbatim on container creation —
+    * the same copy-what-you-don't-interpret posture as the document path. */
   def containerProperties(db: String, container: String): ContainerProps = {
     val meta = p(db, container, "_meta.json")
     if (!Files.exists(meta)) ContainerProps()
     else {
-      // one line of driver-side JSON: {"pk": ["/a/b", ...], "buckets": 16}
+      // driver-side JSON: {"pk": ["/a/b", ...], "buckets": 16, ...}
       val s = Files.readString(meta)
-      val pks = "\"(/[^\"]*)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
+      // pk paths come from the "pk" array ONLY — an indexing policy also
+      // holds '/'-prefixed path strings and must not leak into the pk list
+      val pks = "\"pk\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+        .map(m => "\"(/[^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .getOrElse(Seq.empty)
       val buckets = "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
         .map(_.group(1).toInt).getOrElse(16)
-      ContainerProps(if (pks.isEmpty) Seq("/id") else pks, buckets)
+      ContainerProps(if (pks.isEmpty) Seq("/id") else pks, buckets, Some(s))
     }
   }
 
-  /** A21: recreate with matching pk metadata (containers.py:46-76). */
+  /** A21: recreate with matching metadata (containers.py:46-76) — the
+    * source's `_meta.json` is copied byte-for-byte when available, so
+    * indexing policy / throughput / unknown fields survive the migration. */
   def createContainerIfAbsent(db: String, container: String,
                               props: ContainerProps): Unit = {
     val dir = p(db, container)
     Files.createDirectories(dir)
     val meta = dir.resolve("_meta.json")
     if (!Files.exists(meta))
-      Files.writeString(meta,
+      Files.writeString(meta, props.raw.getOrElse(
         props.pkPaths.map(q => s""""$q"""").mkString(
-          """{"pk": [""", ", ", s"""], "buckets": ${props.buckets}}"""))
+          """{"pk": [""", ", ", s"""], "buckets": ${props.buckets}}""")))
   }
 
   def hasData(db: String, container: String): Boolean =
@@ -156,12 +167,13 @@ case class FileAccount(root: String) {
     val strays = strayFiles(db, container)
 
     // key extraction for existing rows mirrors the merge's key derivation
-    val keySql = "json_pk(raw, 'id') AS __id" +:
-      pkPaths.map(_.stripPrefix("/")).zipWithIndex.map { case (q, i) =>
-        s"json_pk(raw, '$q') AS __pk$i"
-      }
+    // (parse-once struct kernel, no injection — stored form is keyed as-is)
+    val csv = pkPaths.map(_.stripPrefix("/")).mkString(",")
     def keyed(rawDf: DataFrame): DataFrame =
-      rawDf.selectExpr("raw" +: keySql: _*)
+      rawDf.selectExpr("raw", s"json_doc_keys(raw, '$csv', 'false') AS __m")
+        .selectExpr(
+          Seq("raw", "__m.id AS __id") ++
+            pkPaths.indices.map(i => s"__m.pk$i AS __pk$i"): _*)
         .withColumn("__b", bucketCol(keyCols, nb))
 
     val strayRows =

@@ -108,6 +108,10 @@ object GraftFunctions {
       exprs => JsonInjectPk(exprs.head, litString(exprs(1)).split(",").toSeq), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mask_json", exprs => MaskJson(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_doc_keys",
+      exprs => JsonDocKeys(exprs.head, litString(exprs(1)).split(",").toSeq,
+        litString(exprs(2)).toBoolean), "built-in")
   }
 
   /** Literal string argument evaluated at registration time (pk paths are

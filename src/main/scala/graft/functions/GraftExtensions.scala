@@ -53,5 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MaskJson].getName, "mask_json"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MaskJson(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("json_doc_keys"),
+      new ExpressionInfo(classOf[JsonDocKeys].getName, "json_doc_keys"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JsonDocKeys(exprs.head, GraftFunctions.litString(exprs(1)).split(",").toSeq,
+          GraftFunctions.litString(exprs(2)).toBoolean)))
   }
 }

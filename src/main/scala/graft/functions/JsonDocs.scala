@@ -191,6 +191,63 @@ object JsonDocs {
     }
   }
 
+  /** Parse-once kernel for the merge path: one Jackson parse yields the
+    * write form (pk-injected), the id, the canonical-content md5, and every
+    * pk value together. The individual kernels ([[canon]], [[pkValue]],
+    * [[injectPk]]) each re-parse the document; after Catalyst pushes the
+    * validity predicates into the scan and collapses projections, that
+    * multiplies into ~8 parses per row — this kernel brings it to one per
+    * operator (codegen subexpression elimination collapses the repeated
+    * struct-field accesses to a single call). Returns null for malformed
+    * input (the 'error' channel); fields: w, id, ch, pk0..pkN.
+    *
+    * `inject` distinguishes the two merge sides: the SOURCE compares and
+    * writes its post-injection form (migration.py:112-114 mutates `item`
+    * before the diff), the TARGET is compared exactly as stored. */
+  def docKeys(raw: UTF8String, paths: Array[String],
+              inject: Boolean): Array[UTF8String] = {
+    val node = parse(raw)
+    if (node == null) return null
+    var w = raw
+    if (inject) node match {
+      case obj: ObjectNode =>
+        var changed = false
+        var i = 0
+        while (i < paths.length) {
+          val p = paths(i)
+          if (!obj.has(p)) {
+            val v = traverse(obj, p)
+            if (v != null && !v.isNull && !v.isContainerNode) {
+              obj.set[JsonNode](p, v)
+              changed = true
+            }
+          }
+          i += 1
+        }
+        if (changed) w = UTF8String.fromString(mapper.writeValueAsString(obj))
+      case _ => ()
+    }
+    def scalarOf(v: JsonNode): UTF8String =
+      if (v == null || v.isNull || v.isContainerNode) null
+      else if (v.isTextual) UTF8String.fromString(v.textValue())
+      else if (v.isNumber) UTF8String.fromString(normNum(v))
+      else if (v.isBoolean) UTF8String.fromString(if (v.booleanValue()) "true" else "false")
+      else null
+    val sb = new java.lang.StringBuilder(raw.numBytes())
+    render(node, sb) // canonical form of the post-injection content
+    val ch = UTF8String.fromString(md5hex(sb.toString))
+    val out = new Array[UTF8String](3 + paths.length)
+    out(0) = w
+    out(1) = scalarOf(node.get("id"))
+    out(2) = ch
+    var i = 0
+    while (i < paths.length) {
+      out(3 + i) = scalarOf(traverse(node, paths(i)))
+      i += 1
+    }
+    out
+  }
+
   // ---- deterministic masking over raw JSON (sanitizer.py semantics) ----
 
   private def md5hex(s: String): String = {
@@ -395,6 +452,52 @@ case class JsonInjectPk(child: Expression, paths: Seq[String]) extends JsonDocEx
        |${ev.isNull} = ${ev.value} == null;
      """.stripMargin)
   }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `json_doc_keys(doc, 'a/b,pk', inject)` — parse-once merge-key kernel, see
+  * [[JsonDocs.docKeys]]. Struct result (w, id, ch, pk0..pkN); null for
+  * malformed documents. */
+case class JsonDocKeys(child: Expression, paths: Seq[String], inject: Boolean)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  private lazy val pathsRef: Array[String] = paths.toArray
+
+  override def dataType: DataType = StructType(
+    Seq(StructField("w", StringType), StructField("id", StringType),
+      StructField("ch", StringType)) ++
+      paths.indices.map(i => StructField(s"pk$i", StringType)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"json_doc_keys expects a string document, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val vals = JsonDocs.docKeys(input.asInstanceOf[UTF8String], pathsRef, inject)
+    if (vals == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      vals.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pathsVar = ctx.addReferenceObj("pkPaths", pathsRef, "java.lang.String[]")
+    val vals = ctx.freshName("vals")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |org.apache.spark.unsafe.types.UTF8String[] $vals =
+       |  graft.functions.JsonDocs.docKeys($c, $pathsVar, $inject);
+       |if ($vals == null) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow((Object[]) $vals);
+       |}
+     """.stripMargin)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

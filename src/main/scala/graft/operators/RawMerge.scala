@@ -42,30 +42,36 @@ object RawMerge {
   private def pkNames(pkPaths: Seq[String]): Seq[String] =
     pkPaths.indices.map(i => s"__pk$i")
 
-  /** Source side: raw + injected write-form + merge keys + canonical hash. */
+  /** Source side: raw + injected write-form + merge keys + canonical hash,
+    * all derived from ONE parse via the [[graft.functions.JsonDocKeys]]
+    * struct kernel (codegen CSE collapses the repeated field accesses, so
+    * even after Catalyst pushes the validity predicates into the scan the
+    * document parses once per operator, not once per derived column). */
   private def srcKeyed(s: SparkSession, src: DataFrame,
                        pkPaths: Seq[String]): DataFrame = {
     GraftFunctions.register(s)
     val paths = pkPaths.map(_.stripPrefix("/"))
     val csv = paths.mkString(",")
-    src.selectExpr(
-      Seq("raw", s"json_inject_pk(raw, '$csv') AS __w",
-        "json_pk(raw, 'id') AS __id") ++
-        paths.zipWithIndex.map { case (q, i) => s"json_pk(raw, '$q') AS __pk$i" }: _*)
-      .withColumn("__ch", expr("md5(canonical_json(__w))"))
+    src.selectExpr("raw", s"json_doc_keys(raw, '$csv', 'true') AS __m")
+      .selectExpr(
+        Seq("raw", "__m.w AS __w", "__m.id AS __id", "__m.ch AS __ch") ++
+          paths.indices.map(i => s"__m.pk$i AS __pk$i"): _*)
   }
 
   /** Target side: keys + canonical hash + original bytes (kept for the skip
     * branch: a skipped document's bytes are the TARGET's, which the
-    * reference leaves untouched, migration.py:124-130). */
+    * reference leaves untouched, migration.py:124-130). No injection — the
+    * target is compared exactly as stored, like the reference's read-back
+    * document. */
   private def tgtKeyed(s: SparkSession, tgt: DataFrame,
                        pkPaths: Seq[String]): DataFrame = {
     GraftFunctions.register(s)
     val paths = pkPaths.map(_.stripPrefix("/"))
-    tgt.selectExpr(
-      Seq("raw AS __t_raw", "json_pk(raw, 'id') AS __t_id") ++
-        paths.zipWithIndex.map { case (q, i) => s"json_pk(raw, '$q') AS __t_pk$i" }: _*)
-      .withColumn("__t_ch", expr("md5(canonical_json(__t_raw))"))
+    val csv = paths.mkString(",")
+    tgt.selectExpr("raw", s"json_doc_keys(raw, '$csv', 'false') AS __m")
+      .selectExpr(
+        Seq("raw AS __t_raw", "__m.id AS __t_id", "__m.ch AS __t_ch") ++
+          paths.indices.map(i => s"__m.pk$i AS __t_pk$i"): _*)
   }
 
   /** Valid document predicate (migration.py:92-109): parseable, id present

@@ -155,6 +155,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(landed.filter(col("id") === "e1").head.getAs[Long]("level") == 3L)
   }
 
+  test("container metadata replicates verbatim: indexing policy, throughput (A20/A21)") {
+    val src = newAccount("cat-meta-src")
+    src.createDatabaseIfAbsent("db")
+    Files.createDirectories(Paths.get(src.root, "db", "c"))
+    // indexing-policy paths are '/'-prefixed too — they must NOT leak into
+    // the parsed pk list, and the whole blob must survive byte-for-byte
+    val meta = """{"pk": ["/tenant"], "buckets": 8, """ +
+      """"indexing_policy": {"includedPaths": ["/*"], "excludedPaths": ["/blob/?"]}, """ +
+      """"throughput": 400}"""
+    Files.writeString(Paths.get(src.root, "db", "c", "_meta.json"), meta)
+    Files.createDirectories(Paths.get(src.root, "db", "c", "data"))
+    Files.writeString(Paths.get(src.root, "db", "c", "data", "p0.json"),
+      """{"id":"x","tenant":"t1"}""")
+    val props = src.containerProperties("db", "c")
+    assert(props.pkPaths == Seq("/tenant"), "indexing paths must not leak into pk")
+    assert(props.buckets == 8)
+    val tgt = newAccount("cat-meta-tgt")
+    assert(migrate(spark, src, tgt).ok)
+    assert(Files.readString(Paths.get(tgt.root, "db", "c", "_meta.json")) == meta,
+      "metadata must replicate byte-for-byte")
+  }
+
   test("corrupt documents land in the error channel, bounded by maxErrors (A13)") {
     val src = newAccount("cat-err-src")
     seedContainer(src, "db", "c", Seq("/id"), Seq(

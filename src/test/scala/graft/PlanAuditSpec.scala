@@ -80,6 +80,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the tiny query-side scan may touch parquet:\n${scans.mkString("\n")}")
   }
 
+  test("Q-M4 raw merge: canonical hashing below the join, no UDF barrier") {
+    val q = graft.operators.RawMerge.qM4(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the JSON kernels are codegen'd expressions, not UDF barriers
+    assert(!plan.contains("ScalaUDF"), "raw merge must not use UDFs")
+    assert(plan.contains("jsondockeys"),
+      s"the parse-once struct kernel must drive the merge keys:\n$plan")
+    // the key match is an equi-join: hash-shuffled on the merge key at scale,
+    // or broadcast when AQE sees a small target — never a nested loop
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("Exchange hashpartitioning(__id"),
+      s"merge must equi-join on the key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"merge join degenerated to a nested loop:\n$plan")
+  }
+
   test("Q-J7 bucketed co-join: no shuffle above either scan, bucketed reads") {
     val q = graft.operators.Bucketing.qJ7(spark, sf)
     q.collect()
