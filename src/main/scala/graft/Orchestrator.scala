@@ -47,6 +47,10 @@ object Orchestrator {
 
   case class Summary(results: Seq[ContainerResult], durationSec: Double) {
     def ok: Boolean = results.forall(_.verified)
+    /** A24: the reference's written-docs/sec rate (migration.py:156-157). */
+    def ratePerSec: Double =
+      if (durationSec <= 0) 0.0
+      else results.map(r => r.inserted + r.updated).sum / durationSec
   }
 
   /** A16: abort when source and target pk paths disagree
@@ -192,6 +196,6 @@ object Orchestrator {
          |     "verified": ${r.verified}}""".stripMargin
     }.mkString(",\n")
     Files.writeString(Paths.get(path),
-      s"""{\n  "duration_sec": ${s.durationSec},\n  "ok": ${s.ok},\n  "containers": [\n$rows\n  ]\n}\n""")
+      s"""{\n  "duration_sec": ${s.durationSec},\n  "rate_docs_per_sec": ${s.ratePerSec},\n  "ok": ${s.ok},\n  "containers": [\n$rows\n  ]\n}\n""")
   }
 }

@@ -163,7 +163,10 @@ case class FileAccount(root: String) {
     val dir = dataDir(db, container)
     Files.createDirectories(dir)
 
+    // evaluated twice (bucket-id collect, then the bucket rewrite) — cache so
+    // callers' upstream joins don't recompute per action
     val chg = changed.withColumn("__b", bucketCol(keyCols, nb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val strays = strayFiles(db, container)
 
     // key extraction for existing rows mirrors the merge's key derivation
@@ -185,7 +188,7 @@ case class FileAccount(root: String) {
     val affected: Set[Long] =
       chg.select("__b").distinct().collect().map(_.getLong(0)).toSet ++
         strayRows.toSeq.flatMap(_.select("__b").distinct().collect().map(_.getLong(0)))
-    if (affected.isEmpty) return Set.empty
+    if (affected.isEmpty) { chg.unpersist(); return Set.empty }
 
     val existingDirs = affected.toSeq.sorted
       .map(bucketDir(db, container, _))
@@ -208,6 +211,7 @@ case class FileAccount(root: String) {
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .text(dir.toString)
+    chg.unpersist()
     strays.foreach(Files.deleteIfExists(_))
     affected
   }

@@ -192,14 +192,18 @@ object JsonDocs {
   }
 
   /** Parse-once kernel for the merge path: one Jackson parse yields the
-    * write form (pk-injected), the id, the canonical-content md5, and every
-    * pk value together. The individual kernels ([[canon]], [[pkValue]],
-    * [[injectPk]]) each re-parse the document; after Catalyst pushes the
-    * validity predicates into the scan and collapses projections, that
-    * multiplies into ~8 parses per row — this kernel brings it to one per
-    * operator (codegen subexpression elimination collapses the repeated
-    * struct-field accesses to a single call). Returns null for malformed
-    * input (the 'error' channel); fields: w, id, ch, pk0..pkN.
+    * write form (pk-injected), the id, and every pk value together. The
+    * individual kernels ([[pkValue]], [[injectPk]]) each re-parse the
+    * document; after Catalyst pushes the validity predicates into the scan
+    * and collapses projections, that multiplies into ~8 parses per row —
+    * this kernel brings it to one per operator (codegen subexpression
+    * elimination collapses the repeated struct-field accesses to a single
+    * call). The canonical-content hash is deliberately NOT part of this
+    * kernel: validity predicates get pushed into the scan, and bundling the
+    * canonical render would make every pushed predicate pay for it
+    * (measured 2× on the merge queries) — the hash belongs in the
+    * projection above, where it runs once per surviving row. Returns null
+    * for malformed input (the 'error' channel); fields: w, id, pk0..pkN.
     *
     * `inject` distinguishes the two merge sides: the SOURCE compares and
     * writes its post-injection form (migration.py:112-114 mutates `item`
@@ -233,16 +237,12 @@ object JsonDocs {
       else if (v.isNumber) UTF8String.fromString(normNum(v))
       else if (v.isBoolean) UTF8String.fromString(if (v.booleanValue()) "true" else "false")
       else null
-    val sb = new java.lang.StringBuilder(raw.numBytes())
-    render(node, sb) // canonical form of the post-injection content
-    val ch = UTF8String.fromString(md5hex(sb.toString))
-    val out = new Array[UTF8String](3 + paths.length)
+    val out = new Array[UTF8String](2 + paths.length)
     out(0) = w
     out(1) = scalarOf(node.get("id"))
-    out(2) = ch
     var i = 0
     while (i < paths.length) {
-      out(3 + i) = scalarOf(traverse(node, paths(i)))
+      out(2 + i) = scalarOf(traverse(node, paths(i)))
       i += 1
     }
     out
@@ -457,7 +457,7 @@ case class JsonInjectPk(child: Expression, paths: Seq[String]) extends JsonDocEx
 }
 
 /** `json_doc_keys(doc, 'a/b,pk', inject)` — parse-once merge-key kernel, see
-  * [[JsonDocs.docKeys]]. Struct result (w, id, ch, pk0..pkN); null for
+  * [[JsonDocs.docKeys]]. Struct result (w, id, pk0..pkN); null for
   * malformed documents. */
 case class JsonDocKeys(child: Expression, paths: Seq[String], inject: Boolean)
     extends UnaryExpression {
@@ -466,8 +466,7 @@ case class JsonDocKeys(child: Expression, paths: Seq[String], inject: Boolean)
   private lazy val pathsRef: Array[String] = paths.toArray
 
   override def dataType: DataType = StructType(
-    Seq(StructField("w", StringType), StructField("id", StringType),
-      StructField("ch", StringType)) ++
+    Seq(StructField("w", StringType), StructField("id", StringType)) ++
       paths.indices.map(i => StructField(s"pk$i", StringType)))
   override def nullable: Boolean = true
 

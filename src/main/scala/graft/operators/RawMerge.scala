@@ -42,11 +42,13 @@ object RawMerge {
   private def pkNames(pkPaths: Seq[String]): Seq[String] =
     pkPaths.indices.map(i => s"__pk$i")
 
-  /** Source side: raw + injected write-form + merge keys + canonical hash,
-    * all derived from ONE parse via the [[graft.functions.JsonDocKeys]]
-    * struct kernel (codegen CSE collapses the repeated field accesses, so
-    * even after Catalyst pushes the validity predicates into the scan the
-    * document parses once per operator, not once per derived column). */
+  /** Source side: raw + injected write-form + merge keys from ONE parse via
+    * the [[graft.functions.JsonDocKeys]] struct kernel (codegen CSE
+    * collapses the repeated field accesses, so even after Catalyst pushes
+    * the validity predicates into the scan the document parses once per
+    * operator, not once per derived column). The canonical hash rides in a
+    * SECOND projection on purpose: it must not be part of the kernel the
+    * scan-pushed predicates evaluate (see [[graft.functions.JsonDocs.docKeys]]). */
   private def srcKeyed(s: SparkSession, src: DataFrame,
                        pkPaths: Seq[String]): DataFrame = {
     GraftFunctions.register(s)
@@ -54,8 +56,9 @@ object RawMerge {
     val csv = paths.mkString(",")
     src.selectExpr("raw", s"json_doc_keys(raw, '$csv', 'true') AS __m")
       .selectExpr(
-        Seq("raw", "__m.w AS __w", "__m.id AS __id", "__m.ch AS __ch") ++
+        Seq("raw", "__m.w AS __w", "__m.id AS __id") ++
           paths.indices.map(i => s"__m.pk$i AS __pk$i"): _*)
+      .withColumn("__ch", expr("md5(canonical_json(__w))"))
   }
 
   /** Target side: keys + canonical hash + original bytes (kept for the skip
@@ -70,8 +73,9 @@ object RawMerge {
     val csv = paths.mkString(",")
     tgt.selectExpr("raw", s"json_doc_keys(raw, '$csv', 'false') AS __m")
       .selectExpr(
-        Seq("raw AS __t_raw", "__m.id AS __t_id", "__m.ch AS __t_ch") ++
+        Seq("raw AS __t_raw", "__m.id AS __t_id") ++
           paths.indices.map(i => s"__m.pk$i AS __t_pk$i"): _*)
+      .withColumn("__t_ch", expr("md5(canonical_json(__t_raw))"))
   }
 
   /** Valid document predicate (migration.py:92-109): parseable, id present

@@ -61,6 +61,53 @@ class RawMergeSpec extends AnyFunSuite {
     assert(nn == 0, "malformed lines must canonicalize to null")
   }
 
+  test("canonical_json: adversarial shapes — big numbers, dup keys, depth, escapes") {
+    // integers beyond double precision compare by exact value (BigInteger)
+    assert(canon("""{"a":9007199254740993}""") == canon("""{"a":9007199254740993}"""))
+    assert(canon("""{"a":9007199254740993}""") != canon("""{"a":9007199254740992}"""))
+    // big-int vs equal-valued float form
+    assert(canon("""{"a":1000000000000000000000}""") == canon("""{"a":1e21}"""))
+    // duplicate keys: last wins (Jackson), deterministically
+    assert(canon("""{"a":1,"a":2}""") == canon("""{"a":2}"""))
+    // 40-deep nesting round-trips without blowing the renderer
+    val deep = "{\"k\":" * 40 + "1" + "}" * 40
+    assert(canon(deep) != null && canon(deep) == canon(canon(deep)))
+    // escape forms normalize (A == A), control chars survive
+    assert(canon("""{"s":"AB"}""") == canon("""{"s":"AB"}"""))
+    assert(canon("{\"s\":\"a\\nb\\tc\"}") == canon("{\"s\":\"a\\u000ab\\u0009c\"}"))
+    // scalar pk extraction normalizes numbers; containers/empty are invalid
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq(
+      """{"id":"a","pk":1.0}""", """{"id":"b","pk":1}""",
+      """{"id":"c","pk":{"x":1}}""", """{"id":"d","pk":[1]}""",
+      """{"id":"e","pk":true}""", """{"id":"f"}""").toDF("raw")
+      .selectExpr("json_pk(raw, 'id') AS id", "json_pk(raw, 'pk') AS pk")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "1" && got("b") == "1", "1.0 and 1 must join as the same pk")
+    assert(got("c") == null && got("d") == null && got("f") == null)
+    assert(got("e") == "true")
+  }
+
+  test("json_doc_keys agrees with the single kernels (parse-once consistency)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = RawMergeSpec.sampleDocs(200, seed = 33L) ++ Seq(
+      """{"id":"n1","owner":{"region":"emea"},"x":1}""",   // nested pk, injection fires
+      """{"id":"n2","owner":{"region":{"bad":1}}}""",      // container pk → null
+      "corrupt")
+    val df = docs.toDF("raw").selectExpr(
+      "json_doc_keys(raw, 'owner/region', 'true') AS m",
+      "json_inject_pk(raw, 'owner/region') AS w2",
+      "json_pk(raw, 'id') AS id2",
+      "json_pk(raw, 'owner/region') AS pk2")
+    val bad = df.where(
+      !(col("m.w") <=> col("w2")) || !(col("m.id") <=> col("id2")) ||
+        !(col("m.pk0") <=> col("pk2")) ||
+        (col("m").isNull =!= col("w2").isNull)).count()
+    assert(bad == 0, "struct kernel must equal the composed single kernels")
+  }
+
   test("classify: actions, corrupt-line error channel, pk injection (A4/A6/A13)") {
     import spark.implicits._
     val src = Seq(
