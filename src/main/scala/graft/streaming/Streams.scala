@@ -138,6 +138,60 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** ST-6: CONTINUOUS container sync — the reference's migration loop
+    * (migrate → wait → migrate again) as one restartable streaming query.
+    * The source container's data tree is a FileStreamSource (the streaming
+    * generalization of the reference's continuation-token pagination, A2:
+    * the checkpoint tracks which files are consumed, so a restart resumes
+    * exactly where the last run stopped); every micro-batch runs the raw
+    * merge against the CURRENT target and lands only inserts/updates
+    * through the bucketed upsert sink — skip-elision and byte fidelity
+    * identical to the batch path.
+    *
+    * Run with `Trigger.AvailableNow` for a catch-up-and-stop sync (the
+    * reference's one-shot run) or a processing-time trigger for true
+    * continuous replication. Reprocessing after a crash is safe: the sink
+    * upserts by merge key, so a replayed batch converges to the same state.
+    */
+  def syncContainers(spark: SparkSession,
+                     source: graft.core.FileAccount,
+                     target: graft.core.FileAccount,
+                     db: String, container: String,
+                     checkpoint: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                     sanitize: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val props = source.containerProperties(db, container)
+    target.createDatabaseIfAbsent(db)
+    target.createContainerIfAbsent(db, container, props)
+    val pkPaths = props.pkPaths
+    val keyCols = "__id" +: pkPaths.indices.map(i => s"__pk$i")
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val s = batch.sparkSession
+      graft.functions.GraftFunctions.register(s)
+      val src = batch.select(col("value").as("raw"))
+      val tgt =
+        if (target.hasData(db, container)) target.readRaw(s, db, container)
+        else src.limit(0)
+      val changedRows = graft.operators.RawMerge.classify(s, src, tgt, pkPaths)
+        .filter(col("action").isin("insert", "update"))
+        .select(("raw" +: keyCols).map(col): _*)
+      val changed =
+        if (sanitize) changedRows.withColumn("raw", expr("mask_json(raw)"))
+        else changedRows
+      target.upsertRaw(s, db, container, changed, keyCols, pkPaths)
+      ()
+    }
+    spark.readStream
+      .text(java.nio.file.Paths.get(source.root, db, container, "data").toString)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(mergeBatch)
+      .start()
+  }
+
   // ---- oracle-checked batch forms ----
 
   def qSt1(spark: SparkSession, dir: String): DataFrame =

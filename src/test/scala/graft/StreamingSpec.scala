@@ -245,4 +245,43 @@ class StreamingSpec extends AnyFunSuite {
     val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
     assert(acc.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet == state2)
   }
+
+  test("ST-6: continuous container sync catches up, resumes, and skips unchanged") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.{ContainerProps, FileAccount}
+    val root = Files.createTempDirectory(Paths.get("target"), "sync-e2e")
+    val src = FileAccount(root.resolve("src").toString)
+    val tgt = FileAccount(root.resolve("tgt").toString)
+    Files.createDirectories(Paths.get(src.root))
+    Files.createDirectories(Paths.get(tgt.root))
+    src.createDatabaseIfAbsent("db")
+    src.createContainerIfAbsent("db", "c", ContainerProps(Seq("/pk"), buckets = 4))
+    val data = Paths.get(src.root, "db", "c", "data")
+    Files.createDirectories(data)
+    Files.writeString(data.resolve("f1.json"), (0 until 8)
+      .map(i => s"""{"id":"s$i","pk":"p${i % 2}","v":$i}""").mkString("\n"))
+    val cp = root.resolve("cp").toString
+
+    // catch-up sync: AvailableNow drains the backlog and stops
+    val q1 = Streams.syncContainers(spark, src, tgt, "db", "c", cp)
+    q1.awaitTermination()
+    assert(tgt.readRaw(spark, "db", "c").count() == 8)
+
+    // source grows: one update + one new doc in a new file; resumed sync
+    // (same checkpoint) processes ONLY the new file and upserts by key
+    Files.writeString(data.resolve("f2.json"), Seq(
+      """{"id":"s3","pk":"p1","v":303}""",
+      """{"id":"s9","pk":"p1","v":9}""").mkString("\n"))
+    val q2 = Streams.syncContainers(spark, src, tgt, "db", "c", cp)
+    q2.awaitTermination()
+    val state = tgt.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet
+    assert(state.size == 9)
+    assert(state.contains("""{"id":"s3","pk":"p1","v":303}"""))
+    assert(!state.contains("""{"id":"s3","pk":"p1","v":3}"""))
+
+    // nothing new: a third sync neither reprocesses nor rewrites
+    val q3 = Streams.syncContainers(spark, src, tgt, "db", "c", cp)
+    q3.awaitTermination()
+    assert(tgt.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet == state)
+  }
 }
