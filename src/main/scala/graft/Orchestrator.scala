@@ -34,11 +34,17 @@ object Orchestrator {
     * `maxErrors` is the dead-letter bound (A13 — the reference's per-doc
     * retry loop handles transient faults, which Spark task retries cover;
     * persistent bad documents are counted, dead-lettered, and bounded). */
+  /** `parallelism`: containers migrated concurrently. The reference loops
+    * serially (main.py:71-76); on a cluster with many small containers,
+    * serial per-container job submission leaves executors idle between
+    * stages — concurrent submission lets the scheduler interleave them.
+    * Results are independent per container, so this only changes timing. */
   case class Config(
     scopeDatabase: Option[String] = None,
     scopeContainer: Option[String] = None,
     sanitize: Boolean = false,
-    maxErrors: Long = Long.MaxValue)
+    maxErrors: Long = Long.MaxValue,
+    parallelism: Int = 1)
 
   case class ContainerResult(
     database: String, container: String,
@@ -135,10 +141,26 @@ object Orchestrator {
 
     val t0 = System.nanoTime()
     val dbs = cfg.scopeDatabase.map(Seq(_)).getOrElse(source.listDatabases())
-    val results = for {
+    val pairs = for {
       db <- dbs
       c <- cfg.scopeContainer.map(Seq(_)).getOrElse(source.listContainers(db))
-    } yield migrateContainer(spark, source, target, db, c, cfg)
+    } yield (db, c)
+    val results =
+      if (cfg.parallelism <= 1 || pairs.size <= 1)
+        pairs.map { case (db, c) => migrateContainer(spark, source, target, db, c, cfg) }
+      else {
+        // Spark supports concurrent job submission from multiple driver
+        // threads; each container's plan is independent
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(cfg.parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(pairs.map { case (db, c) =>
+            Future(migrateContainer(spark, source, target, db, c, cfg))
+          }), Duration.Inf)
+        finally pool.shutdown()
+      }
     Summary(results, (System.nanoTime() - t0) / 1e9)
   }
 
@@ -161,6 +183,7 @@ object Orchestrator {
         case "--container" => cfg = cfg.copy(scopeContainer = Some(args(i + 1))); i += 2
         case "--sanitize"  => cfg = cfg.copy(sanitize = true); i += 1
         case "--max-errors" => cfg = cfg.copy(maxErrors = args(i + 1).toLong); i += 2
+        case "--parallelism" => cfg = cfg.copy(parallelism = args(i + 1).toInt); i += 2
         case "--summary"   => summaryPath = Some(args(i + 1)); i += 2
         case p             => pos = pos :+ p; i += 1
       }

@@ -123,6 +123,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(run.ok)
   }
 
+  test("parallel container migration matches the serial result (A26 at scale)") {
+    val src = freshSource()
+    val serial = migrate(spark, src, newAccount("cat-par-s"))
+    val parallel = migrate(spark, src, newAccount("cat-par-p"), Config(parallelism = 3))
+    assert(parallel.ok)
+    def key(r: Orchestrator.ContainerResult) =
+      (r.database, r.container, r.inserted, r.updated, r.skipped, r.errors,
+        r.sourceCount, r.targetCount, r.verified)
+    assert(parallel.results.map(key).sortBy(_.toString) ==
+      serial.results.map(key).sortBy(_.toString))
+  }
+
   test("scoping: --container requires --database (A26)") {
     val err = intercept[IllegalArgumentException] {
       migrate(spark, freshSource(), newAccount("cat-t"),
