@@ -204,8 +204,16 @@ case class FileAccount(root: String) {
       .map(_.join(chg.select(keyCols.map(col): _*), keyCols, "left_anti"))
       .reduceOption(_ unionAll _)
 
+    // Materialize BEFORE the overwrite commits: survivors' lineage reads the
+    // very bucket files the write below replaces, so a lazy plan would
+    // depend on "all read tasks finish before any partition is swapped".
+    // localCheckpoint truncates the lineage — the write job reads stored
+    // blocks, and a lost block fails the job instead of silently recomputing
+    // against half-swapped files. The cost is one extra pass over the
+    // affected buckets' rows only (the data being rewritten anyway).
     val out = (survivors.toSeq :+ chg).map(_.select(col("raw"), col("__b").as("b")))
       .reduce(_ unionAll _)
+      .localCheckpoint()
     out.write
       .partitionBy("b")
       .option("partitionOverwriteMode", "dynamic")

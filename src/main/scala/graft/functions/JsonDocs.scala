@@ -239,7 +239,18 @@ object JsonDocs {
       else null
     val out = new Array[UTF8String](2 + paths.length)
     out(0) = w
-    out(1) = scalarOf(node.get("id"))
+    // the reference's `if not item_id` (migration.py:92-93) rejects
+    // PYTHON-FALSY ids — None, "", 0, 0.0, False — not just missing/empty
+    // strings; canonicalizing 0 to "0" would silently validate them. Falsy
+    // ids come back null so the validity predicate classifies the document
+    // as an error. (The pk check, migration.py:101, is `in ["", None]` — 0
+    // and False are VALID pk values, so scalarOf stays unchanged for pks.)
+    val idNode = node.get("id")
+    out(1) =
+      if (idNode != null &&
+          ((idNode.isNumber && idNode.decimalValue().signum == 0) ||
+            (idNode.isBoolean && !idNode.booleanValue()))) null
+      else scalarOf(idNode)
     var i = 0
     while (i < paths.length) {
       out(2 + i) = scalarOf(traverse(node, paths(i)))
@@ -338,10 +349,23 @@ object JsonDocs {
   /** Recursive mask: replace values whose lowered field name is a PII kind
     * (never recursing into them), recurse containers otherwise — the
     * reference's walk (sanitizer.py:41-63), preserving key order and
-    * non-masked bytes via the canonical writer only on masked docs. */
+    * non-masked bytes via the canonical writer only on masked docs.
+    *
+    * A PII-named CONTAINER value is replaced wholesale, exactly like the
+    * reference (sanitizer.py:51-55 replaces ANY matched value, dict/list
+    * included — an "address" object becomes a faker.address() string). The
+    * template seed is the container's canonical JSON form ([[canon]]
+    * semantics), which is also what the column-based [[Masking]] seeds with
+    * (`canonical_json(to_json(col))`) — so both surfaces mask container PII
+    * to the identical value. Nulls stay null on both surfaces (the
+    * documented determinism deviation). */
   private def maskNode(name: String, n: JsonNode, sb: java.lang.StringBuilder): Unit =
     generators.get(name.toLowerCase) match {
-      case Some(gen) if !n.isNull && !n.isContainerNode =>
+      case Some(gen) if n.isContainerNode =>
+        val cs = new java.lang.StringBuilder()
+        render(n, cs)
+        sb.append(gen(cs.toString))
+      case Some(gen) if !n.isNull =>
         sb.append(gen(valueStr(n)))
       case _ =>
         if (n.isObject) {

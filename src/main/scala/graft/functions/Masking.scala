@@ -108,11 +108,24 @@ object Masking {
     "payrate"       -> (c => round(lit(15.0) + (seed(c) % 13500L).cast(DoubleType) / 100.0, 2))
   )
 
-  /** Rewrite one field: replace if the lowered name matches a PII kind,
-    * recurse into containers otherwise, pass scalars through. */
+  /** A matched CONTAINER value seeds its template from the container's
+    * canonical JSON form (`canonical_json(to_json(·))` — null fields kept so
+    * the rendering is total), which is byte-identical to what the raw-JSON
+    * surface ([[JsonDocs.mask]]) renders for the same document: both
+    * surfaces mask container PII to the same value. */
+  private def piiSeed(c: Column, dt: DataType): Column = dt match {
+    case _: StructType | _: ArrayType | _: MapType =>
+      call_function("canonical_json",
+        to_json(c, Map("ignoreNullFields" -> "false")))
+    case _ => c
+  }
+
+  /** Rewrite one field: replace if the lowered name matches a PII kind
+    * (containers replaced wholesale, sanitizer.py:51-55), recurse into
+    * containers otherwise, pass scalars through. */
   private def maskField(name: String, c: Column, dt: DataType): Column =
     generators.get(name.toLowerCase) match {
-      case Some(gen) => when(c.isNull, lit(null)).otherwise(gen(c))
+      case Some(gen) => when(c.isNull, lit(null)).otherwise(gen(piiSeed(c, dt)))
       case None => dt match {
         case st: StructType =>
           val rewritten = struct(st.fields.toSeq.map(f =>
@@ -149,7 +162,10 @@ object Masking {
   /** Mask a whole DataFrame, schema-driven, at every depth. Array elements
     * inherit their field's name (a list under a non-PII name is recursed,
     * matching sanitizer.py:58-61). */
-  def apply(df: DataFrame): DataFrame =
+  def apply(df: DataFrame): DataFrame = {
+    // container-PII seeds resolve `canonical_json` by name at analysis
+    GraftFunctions.register(df.sparkSession)
     df.select(df.schema.fields.toSeq.map(f =>
       maskField(f.name, col(f.name), f.dataType).as(f.name)): _*)
+  }
 }

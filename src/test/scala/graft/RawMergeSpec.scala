@@ -149,6 +149,28 @@ class RawMergeSpec extends AnyFunSuite {
       """{"x":1,"owner":{"region":"emea"},"owner/region":"emea","id":"d1","_etag":"t"}"""))
   }
 
+  test("falsy ids (0, 0.0, false) classify as errors — migration.py:93 `if not item_id`") {
+    import spark.implicits._
+    val src = Seq(
+      """{"id":0,"pk":"p1","v":1}""",      // number 0: falsy → error
+      """{"id":0.0,"pk":"p1","v":2}""",    // 0.0: falsy → error
+      """{"id":false,"pk":"p1","v":3}""",  // false: falsy → error
+      """{"id":"0","pk":"p1","v":4}""",    // string "0": truthy → valid
+      """{"id":true,"pk":"p1","v":5}""",   // true: truthy → valid
+      """{"id":7,"pk":"p1","v":6}"""       // nonzero number: truthy → valid
+    ).toDF("raw")
+    val hist = RawMerge.classify(spark, src, src.limit(0), Seq("/pk"))
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist == Map("error" -> 3L, "insert" -> 3L), hist.toString)
+    // 0-valued PK stays valid (migration.py:101 is `in ["", None]`, not falsy)
+    val pkHist = RawMerge.classify(spark,
+      Seq("""{"id":"a","pk":0}""").toDF("raw"), src.limit(0), Seq("/pk"))
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pkHist == Map("insert" -> 1L), pkHist.toString)
+  }
+
   test("round-trip: generated docs survive the sink byte-exactly") {
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -238,6 +260,26 @@ class RawMergeSpec extends AnyFunSuite {
     val expectedCity = row.getAs[org.apache.spark.sql.Row]("payload").getAs[String]("City")
     assert(masked.contains(s""""City":"$expectedCity""""))
     assert(expectedCity.startsWith("City"))
+  }
+
+  test("container-valued PII names mask wholesale, identically on both surfaces") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // sanitizer.py:51-55 replaces ANY matched value, dicts/lists included —
+    // a name OBJECT must not leak its nested scalars through the mask
+    val raw = """{"id":"1","name":{"first":"Ada","last":"L"},"tags":["x"],"address":["1 Real St","CA"]}"""
+    val masked = Seq(raw).toDF("raw").selectExpr("mask_json(raw) AS m")
+      .head().getString(0)
+    assert(!masked.contains("Ada") && !masked.contains("Real St"), masked)
+    // column surface masks the same shapes to the same values
+    val row = graft.functions.Masking(spark.read.json(Seq(raw).toDS())).head()
+    val expectedName = row.getAs[String]("name")
+    val expectedAddr = row.getAs[String]("address")
+    assert(expectedName.startsWith("Fn") && expectedName.contains(" Ln"))
+    assert(masked.contains(s""""name":"$expectedName""""), masked)
+    assert(masked.contains(s""""address":"$expectedAddr""""), masked)
+    // non-PII container untouched
+    assert(masked.contains(""""tags":["x"]"""))
   }
 }
 
