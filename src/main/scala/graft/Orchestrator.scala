@@ -82,7 +82,11 @@ object Orchestrator {
 
     val pkPaths = props.pkPaths
     val keyCols = "__id" +: pkPaths.indices.map(i => s"__pk$i")
-    val classified = RawMerge.classify(spark, srcRaw, tgtRaw, pkPaths).cache()
+    // ONE full-outer src⋈tgt join for the whole container run: counters,
+    // dead-letter, the sink input, AND the expected post-merge state all
+    // derive from this cached frame (a second merge join for verification
+    // would be ~2 extra container passes at scale)
+    val classified = RawMerge.classifyAll(spark, srcRaw, tgtRaw, pkPaths).cache()
     val counts = classified.groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
 
@@ -108,12 +112,12 @@ object Orchestrator {
     // the intended merged state (byte-level: the raw lines themselves).
     // Expected-state metrics are materialized BEFORE the sink mutates the
     // target: the upsert may absorb/delete stray files that `tgtRaw`'s
-    // lineage still references.
+    // lineage still references (the cache above bounds that exposure too).
     // bit_xor, not sum: ANSI mode errors on 64-bit hash-sum overflow
     def stateHash(df: org.apache.spark.sql.DataFrame): Long =
       df.select(xxhash64(col("raw")).as("h"))
         .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head().getLong(0)
-    val expected = RawMerge.mergedState(spark, srcRaw, tgtRaw, pkPaths, cfg.sanitize)
+    val expected = RawMerge.mergedStateOf(classified, pkPaths, cfg.sanitize)
     val expectedCount = expected.count()
     val expectedHash = stateHash(expected)
 
@@ -125,9 +129,13 @@ object Orchestrator {
     val verified = writtenCount == expectedCount &&
       stateHash(written) == expectedHash
 
+    // every source row classifies into exactly one action, so the source
+    // count is free — no extra scan
+    val sourceCount =
+      counts("insert") + counts("update") + counts("skip") + counts("error")
     ContainerResult(db, container,
       counts("insert"), counts("update"), counts("skip"), counts("error"),
-      srcRaw.count(), writtenCount, verified)
+      sourceCount, writtenCount, verified)
   }
 
   /** A26 top loop with scoping; `--container` requires `--database`

@@ -107,28 +107,65 @@ object RawMerge {
     classified.unionAll(errors)
   }
 
+  /** Full-outer classification — ONE src⋈tgt shuffle that yields everything
+    * an orchestrated merge needs: every source row classified exactly as
+    * [[classify]] does, PLUS the target-only complement as `action =
+    * 'target'`. Counters, the changed-row sink input, and the expected
+    * post-merge state (verification) all derive from this single frame, so
+    * the orchestrator never runs a second merge join.
+    *
+    * The `raw` column is already state-correct per branch: insert/update
+    * rows carry the source's injected write form, skip and target-only rows
+    * carry the target's ORIGINAL bytes (the reference never rewrites an
+    * unchanged document), error rows carry the source's original bytes
+    * (dead-letter form). */
+  def classifyAll(s: SparkSession, src: DataFrame, tgt: DataFrame,
+                  pkPaths: Seq[String]): DataFrame = {
+    val keys = "__id" +: pkNames(pkPaths)
+    val sk = srcKeyed(s, src, pkPaths)
+    val tk = tgtKeyed(s, tgt, pkPaths)
+    val valid = validCol(pkPaths)
+    val action =
+      when(col("__id").isNull, lit("target"))
+        .when(col("__t_id").isNull, lit("insert"))
+        .when(col("__ch") === col("__t_ch"), lit("skip"))
+        .otherwise(lit("update"))
+    val raw =
+      when(col("action") === "insert" || col("action") === "update", col("__w"))
+        .otherwise(col("__t_raw"))
+    val classified = sk.filter(valid)
+      .join(tk, joinCond(pkPaths), "full_outer")
+      .withColumn("action", action)
+      .select(raw.as("raw") +:
+        keys.zipWithIndex.map { case (k, i) =>
+          coalesce(col(k), col(if (i == 0) "__t_id" else s"__t_pk${i - 1}")).as(k)
+        } :+ col("action"): _*)
+    val errors = sk.filter(!valid)
+      .select(col("raw") +: keys.map(col) :+ lit("error").as("action"): _*)
+    classified.unionAll(errors)
+  }
+
   /** Post-merge container state, byte-faithful: inserts/updates carry the
     * source's (injected, optionally masked) bytes; skips and target-only
-    * rows carry the target's ORIGINAL bytes (the reference never rewrites an
-    * unchanged document); error rows are excluded (reference: counted and
-    * skipped). Masking applies only to written documents
-    * (migration.py:131-136). */
+    * rows carry the target's ORIGINAL bytes; error rows are excluded
+    * (reference: counted and skipped). Masking applies only to written
+    * documents (migration.py:131-136). Derived from [[classifyAll]] — one
+    * full-outer join, shareable with the classification pass. */
   def mergedState(s: SparkSession, src: DataFrame, tgt: DataFrame,
-                  pkPaths: Seq[String], sanitize: Boolean = false): DataFrame = {
+                  pkPaths: Seq[String], sanitize: Boolean = false): DataFrame =
+    mergedStateOf(classifyAll(s, src, tgt, pkPaths), pkPaths, sanitize)
+
+  /** [[mergedState]] from an already-computed (possibly cached)
+    * [[classifyAll]] frame: expected-state derivation costs zero additional
+    * joins. */
+  def mergedStateOf(all: DataFrame, pkPaths: Seq[String],
+                    sanitize: Boolean): DataFrame = {
     val keys = "__id" +: pkNames(pkPaths)
-    val sk = srcKeyed(s, src, pkPaths).filter(validCol(pkPaths))
-    val tk = tgtKeyed(s, tgt, pkPaths)
-    val written = if (sanitize) expr("mask_json(__w)") else col("__w")
-    sk.join(tk, joinCond(pkPaths), "full_outer")
+    val written = if (sanitize) expr("mask_json(raw)") else col("raw")
+    all.filter(col("action") =!= "error")
       .select(
-        when(col("__id").isNull, col("__t_raw"))            // target-only
-          .when(col("__t_id").isNull, written)              // insert
-          .when(col("__ch") === col("__t_ch"), col("__t_raw")) // skip
-          .otherwise(written)                               // update
-          .as("raw") +:
-          keys.zipWithIndex.map { case (k, i) =>
-            coalesce(col(k), col(if (i == 0) "__t_id" else s"__t_pk${i - 1}")).as(k)
-          }: _*)
+        when(col("action").isin("insert", "update"), written)
+          .otherwise(col("raw")).as("raw") +: keys.map(col): _*)
   }
 
   // ---- oracle-checked snapshot queries on the `documents` table ----

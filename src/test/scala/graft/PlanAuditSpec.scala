@@ -160,6 +160,40 @@ class PlanAuditSpec extends AnyFunSuite {
       "distinct must key on the post-filter (a_id, b_id, ham) rows")
   }
 
+  test("classifyAll: one src-tgt join feeds counters, sink, and verification") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val src = (0 until 50).map(i => s"""{"id":"d$i","pk":"p${i % 3}","v":$i}""").toDF("raw")
+    val tgt = (0 until 40).map(i => s"""{"id":"d$i","pk":"p${i % 3}","v":${i % 7}}""").toDF("raw")
+    val all = graft.operators.RawMerge.classifyAll(spark, src, tgt, Seq("/pk"))
+      .cache() // as the orchestrator holds it
+    all.collect()
+    // AQE re-prints the pre-adaptive plan after "== Initial Plan ==" — only
+    // the final plan executes, so count joins there alone
+    val plan = all.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"classifyAll must run exactly one merge join:\n$plan")
+    // the expected-state derivation adds NO join on top of the shared frame
+    val expected = graft.operators.RawMerge.mergedStateOf(
+      all, Seq("/pk"), sanitize = false)
+    // the live portion of the plan reads the cache; the InMemoryRelation
+    // node only re-prints its stored build plan (which holds the one join)
+    val eplan = expected.queryExecution.optimizedPlan.toString
+    assert(!eplan.split("InMemoryRelation").head.contains("Join"),
+      s"verification must not re-join:\n$eplan")
+    // state correctness of the single pass: mirrors the two-join result
+    val viaTwo = graft.operators.RawMerge.mergedState(spark, src, tgt, Seq("/pk"))
+    assert(expected.select("raw").collect().map(_.getString(0)).sorted.toSeq ==
+      viaTwo.select("raw").collect().map(_.getString(0)).sorted.toSeq)
+    assert(all.filter(col("action") === "target").count() == 0 &&
+      all.filter(col("action") === "update").count() > 0)
+    all.unpersist()
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
