@@ -39,12 +39,19 @@ object Orchestrator {
     * serial per-container job submission leaves executors idle between
     * stages — concurrent submission lets the scheduler interleave them.
     * Results are independent per container, so this only changes timing. */
+  /** `incremental`: prune the target read (and verification) to the bucket
+    * directories the source keys hash to — the point-read analogue, right
+    * when the source delta is small against a large target. `None` = auto:
+    * incremental when source bytes × 4 ≤ target bytes (driver-side file
+    * metadata). Full and incremental modes land identical states; they
+    * differ only in how much of the target they read. */
   case class Config(
     scopeDatabase: Option[String] = None,
     scopeContainer: Option[String] = None,
     sanitize: Boolean = false,
     maxErrors: Long = Long.MaxValue,
-    parallelism: Int = 1)
+    parallelism: Int = 1,
+    incremental: Option[Boolean] = None)
 
   case class ContainerResult(
     database: String, container: String,
@@ -76,12 +83,30 @@ object Orchestrator {
       target.containerProperties(db, container).pkPaths, db, container)
 
     val srcRaw = source.readRaw(spark, db, container)
-    val tgtRaw =
-      if (target.hasData(db, container)) target.readRaw(spark, db, container)
-      else srcRaw.limit(0)
-
     val pkPaths = props.pkPaths
     val keyCols = "__id" +: pkPaths.indices.map(i => s"__pk$i")
+
+    // Incremental mode (the point-read analogue): when the source delta is
+    // small against a large target, read — and canonical-hash, and verify —
+    // only the bucket directories the source keys hash to. Classification is
+    // unaffected: a matching target row always lives in its key's bucket.
+    val hasTgt = target.hasData(db, container)
+    val incremental = hasTgt && cfg.incremental.getOrElse(
+      source.dataBytes(db, container) * 4 <= target.dataBytes(db, container))
+    val (tgtRaw, affectedOpt) =
+      if (!hasTgt) (srcRaw.limit(0), None)
+      else if (incremental) {
+        val srcKeys = RawMerge.srcKeyed(spark, srcRaw, pkPaths)
+          .filter(RawMerge.validCol(pkPaths))
+          .select(keyCols.map(col): _*)
+        val (df, buckets) =
+          target.readRawBucketsFor(spark, db, container, srcKeys, keyCols)
+        (df, Some(buckets))
+      } else (target.readRaw(spark, db, container), None)
+    // full plain line count of the pre-merge target (incremental mode only):
+    // the cheap half of the reference's COUNT-parity verify — no parse, no
+    // canonicalization, no join
+    val preTotal = if (incremental) target.readRaw(spark, db, container).count() else 0L
     // ONE full-outer src⋈tgt join for the whole container run: counters,
     // dead-letter, the sink input, AND the expected post-merge state all
     // derive from this cached frame (a second merge join for verification
@@ -126,8 +151,18 @@ object Orchestrator {
 
     val written = target.readRaw(spark, db, container)
     val writtenCount = written.count()
-    val verified = writtenCount == expectedCount &&
-      stateHash(written) == expectedHash
+    val verified = affectedOpt match {
+      case Some(buckets) =>
+        // incremental verify: content-hash parity over the buckets the run
+        // could touch (unaffected buckets keep their files byte-for-byte —
+        // the sink's dynamic partition overwrite never lists them), plus the
+        // global count invariant post = pre + inserts
+        val back = target.readRawBuckets(spark, db, container, buckets)
+        back.count() == expectedCount && stateHash(back) == expectedHash &&
+          writtenCount == preTotal + counts("insert")
+      case None =>
+        writtenCount == expectedCount && stateHash(written) == expectedHash
+    }
 
     // every source row classifies into exactly one action, so the source
     // count is free — no extra scan

@@ -95,6 +95,13 @@ case class FileAccount(root: String) {
   def hasData(db: String, container: String): Boolean =
     Files.isDirectory(p(db, container, "data"))
 
+  /** Total bytes under the container's data tree — driver-side file
+    * metadata, used to pick full vs incremental merge mode. */
+  def dataBytes(db: String, container: String): Long =
+    if (!hasData(db, container)) 0L
+    else Files.walk(p(db, container, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+
   private def dataDir(db: String, container: String): Path = p(db, container, "data")
 
   /** A1: full container scan, RAW — one `raw` string column per document
@@ -113,6 +120,50 @@ case class FileAccount(root: String) {
       spark.read.option("recursiveFileLookup", "true")
         .text(dataDir(db, container).toString).as(
           org.apache.spark.sql.Encoders.STRING))
+
+  // ---- bucket-pruned reads (the point-read analogue) ----
+
+  /** Bucket-pruned raw read: only the `data/b=<k>` directories in `buckets`
+    * (plus any stray files at the data/ root, which can hold any key). This
+    * is the engine's analogue of the reference's per-document point-read
+    * (migration.py:119-122): target work scales with the buckets a batch
+    * touches, not with the container. */
+  def readRawBuckets(spark: SparkSession, db: String, container: String,
+                     buckets: Set[Long]): DataFrame = {
+    val paths = buckets.toSeq.sorted.map(bucketDir(db, container, _))
+      .filter(Files.isDirectory(_)) ++ strayFiles(db, container)
+    if (paths.isEmpty)
+      spark.range(0).select(lit(null).cast("string").as("raw"))
+    else
+      spark.read.option("recursiveFileLookup", "true")
+        .text(paths.map(_.toString): _*)
+        .select(col("value").as("raw"))
+  }
+
+  /** The target side for an INCREMENTAL merge of the given source keys:
+    * reads only the bucket directories those keys hash to — plus the
+    * buckets any stray (out-of-layout) files hash to, so a subsequent
+    * verification over the returned bucket set covers everything the upsert
+    * may rewrite. `keys` carries the `keyCols` columns of the batch's VALID
+    * documents; the distinct-bucket collect is bounded by the container's
+    * bucket count. Returns (pruned raw frame, affected bucket ids). */
+  def readRawBucketsFor(spark: SparkSession, db: String, container: String,
+                        keys: DataFrame, keyCols: Seq[String]): (DataFrame, Set[Long]) = {
+    GraftFunctions.register(spark)
+    val props = containerProperties(db, container)
+    val nb = props.buckets
+    val srcBuckets: Set[Long] = keys
+      .select(bucketCol(keyCols, nb).as("__b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val strays = strayFiles(db, container)
+    val strayBuckets: Set[Long] =
+      if (strays.isEmpty) Set.empty
+      else keyedRows(spark.read.text(strays.map(_.toString): _*)
+          .select(col("value").as("raw")), props.pkPaths, keyCols, nb)
+        .select("__b").distinct().collect().map(_.getLong(0)).toSet
+    val affected = srcBuckets ++ strayBuckets
+    (readRawBuckets(spark, db, container, affected), affected)
+  }
 
   // ---- incremental upsert sink (A11/A12) ----
 
@@ -137,6 +188,19 @@ case class FileAccount(root: String) {
 
   private def bucketDir(db: String, container: String, b: Long): Path =
     dataDir(db, container).resolve(s"b=$b")
+
+  /** Key + bucket extraction for stored rows — mirrors the merge's key
+    * derivation (parse-once struct kernel, no injection: the stored form is
+    * keyed as-is). */
+  private def keyedRows(rawDf: DataFrame, pkPaths: Seq[String],
+                        keyCols: Seq[String], nb: Int): DataFrame = {
+    val csv = pkPaths.map(_.stripPrefix("/")).mkString(",")
+    rawDf.selectExpr("raw", s"json_doc_keys(raw, '$csv', 'false') AS __m")
+      .selectExpr(
+        Seq("raw", "__m.id AS __id") ++
+          pkPaths.indices.map(i => s"__m.pk$i AS __pk$i"): _*)
+      .withColumn("__b", bucketCol(keyCols, nb))
+  }
 
   /** Incremental upsert: land `changed` documents (columns: `raw` + the key
     * columns `keyCols`, already extracted) into the container, rewriting ONLY
@@ -169,15 +233,7 @@ case class FileAccount(root: String) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val strays = strayFiles(db, container)
 
-    // key extraction for existing rows mirrors the merge's key derivation
-    // (parse-once struct kernel, no injection — stored form is keyed as-is)
-    val csv = pkPaths.map(_.stripPrefix("/")).mkString(",")
-    def keyed(rawDf: DataFrame): DataFrame =
-      rawDf.selectExpr("raw", s"json_doc_keys(raw, '$csv', 'false') AS __m")
-        .selectExpr(
-          Seq("raw", "__m.id AS __id") ++
-            pkPaths.indices.map(i => s"__m.pk$i AS __pk$i"): _*)
-        .withColumn("__b", bucketCol(keyCols, nb))
+    def keyed(rawDf: DataFrame): DataFrame = keyedRows(rawDf, pkPaths, keyCols, nb)
 
     val strayRows =
       if (strays.isEmpty) None

@@ -49,8 +49,8 @@ object RawMerge {
     * operator, not once per derived column). The canonical hash rides in a
     * SECOND projection on purpose: it must not be part of the kernel the
     * scan-pushed predicates evaluate (see [[graft.functions.JsonDocs.docKeys]]). */
-  private def srcKeyed(s: SparkSession, src: DataFrame,
-                       pkPaths: Seq[String]): DataFrame = {
+  private[graft] def srcKeyed(s: SparkSession, src: DataFrame,
+                              pkPaths: Seq[String]): DataFrame = {
     GraftFunctions.register(s)
     val paths = pkPaths.map(_.stripPrefix("/"))
     val csv = paths.mkString(",")
@@ -80,7 +80,7 @@ object RawMerge {
 
   /** Valid document predicate (migration.py:92-109): parseable, id present
     * and non-empty, every pk value a non-null non-empty scalar. */
-  private def validCol(pkPaths: Seq[String]): Column =
+  private[graft] def validCol(pkPaths: Seq[String]): Column =
     (Seq(col("__w").isNotNull, col("__id").isNotNull, col("__id") =!= "") ++
       pkNames(pkPaths).map(n => col(n).isNotNull && col(n) =!= ""))
       .reduce(_ && _)

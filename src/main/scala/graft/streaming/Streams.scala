@@ -138,6 +138,13 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Per-micro-batch progress record of [[syncContainers]] (A24): bounded,
+    * metadata-sized accounting — row counters come from the persisted batch
+    * frame, `targetFilesScanned` from the pruned read's file index. */
+  case class SyncBatchProgress(batchId: Long, srcRows: Long, mergedRows: Long,
+                               errorRows: Long, affectedBuckets: Set[Long],
+                               targetFilesScanned: Seq[String])
+
   /** ST-6: CONTINUOUS container sync — the reference's migration loop
     * (migrate → wait → migrate again) as one restartable streaming query.
     * The source container's data tree is a FileStreamSource (the streaming
@@ -148,11 +155,28 @@ object Streams {
     * through the bucketed upsert sink — skip-elision and byte fidelity
     * identical to the batch path.
     *
+    * The target side of each micro-batch is BUCKET-PRUNED
+    * ([[graft.core.FileAccount.readRawBucketsFor]]): only the `data/b=<k>`
+    * directories the batch's keys hash to are read and canonical-hashed —
+    * the distributed analogue of the reference's per-document point-read
+    * (migration.py:119-122). Per-trigger target work is O(|batch| +
+    * |affected buckets|), so a small delta against a 100 TB container costs
+    * a few bucket directories, not a container scan.
+    *
+    * Within a batch, duplicate merge keys collapse to one row before the
+    * merge (the reference's serial loop is last-write-wins per page; a
+    * micro-batch has no defined intra-batch order, so the winner is the
+    * lexicographically LAST source file, content-hash tiebreak — a
+    * deterministic rule, stable under checkpoint replay). Invalid/corrupt
+    * documents append to the container's `_errors` dead-letter (A13,
+    * at-least-once under replay) and never reach the sink.
+    *
     * Run with `Trigger.AvailableNow` for a catch-up-and-stop sync (the
     * reference's one-shot run) or a processing-time trigger for true
     * continuous replication. Reprocessing after a crash is safe: the sink
     * upserts by merge key, so a replayed batch converges to the same state.
-    */
+    * `onBatch` receives per-batch progress (A24) — counters, affected
+    * buckets, and the exact target files scanned. */
   def syncContainers(spark: SparkSession,
                      source: graft.core.FileAccount,
                      target: graft.core.FileAccount,
@@ -160,30 +184,62 @@ object Streams {
                      checkpoint: String,
                      trigger: org.apache.spark.sql.streaming.Trigger =
                        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-                     sanitize: Boolean = false):
+                     sanitize: Boolean = false,
+                     onBatch: SyncBatchProgress => Unit = _ => ()):
       org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.RawMerge
     val props = source.containerProperties(db, container)
     target.createDatabaseIfAbsent(db)
     target.createContainerIfAbsent(db, container, props)
     val pkPaths = props.pkPaths
     val keyCols = "__id" +: pkPaths.indices.map(i => s"__pk$i")
-    val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
       graft.functions.GraftFunctions.register(s)
-      val src = batch.select(col("value").as("raw"))
-      val tgt =
-        if (target.hasData(db, container)) target.readRaw(s, db, container)
-        else src.limit(0)
-      val changedRows = graft.operators.RawMerge.classify(s, src, tgt, pkPaths)
-        .filter(col("action").isin("insert", "update"))
-        .select(("raw" +: keyCols).map(col): _*)
-      val changed =
-        if (sanitize) changedRows.withColumn("raw", expr("mask_json(raw)"))
-        else changedRows
-      target.upsertRaw(s, db, container, changed, keyCols, pkPaths)
+      // key the batch once (parse-once kernel); keep the source file name
+      // for the deterministic last-file-wins duplicate rule
+      val sk = RawMerge.srcKeyed(s, batch.select(col("value").as("raw")), pkPaths)
+        .withColumn("__f", input_file_name())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val valid = RawMerge.validCol(pkPaths)
+        val errors = sk.filter(!valid)
+        val errorRows = errors.count()
+        if (errorRows > 0)
+          errors.select("raw").write.mode("append").text(
+            java.nio.file.Paths.get(target.root, db, container, "_errors").toString)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__f").desc, col("__ch").desc)
+        val srcOne = sk.filter(valid)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+        // point-read analogue: only the buckets this batch touches
+        val hasTgt = target.hasData(db, container)
+        val (tgt, affected) =
+          if (hasTgt)
+            target.readRawBucketsFor(s, db, container,
+              srcOne.select(keyCols.map(col): _*), keyCols)
+          else (batch.limit(0).select(col("value").as("raw")), Set.empty[Long])
+        // capture the pruned file list before the upsert swaps bucket files
+        val tgtFiles = if (hasTgt) tgt.inputFiles.toSeq else Seq.empty
+        val changedRows = RawMerge.classify(s, srcOne.select("raw"), tgt, pkPaths)
+          .filter(col("action").isin("insert", "update"))
+          .select(("raw" +: keyCols).map(col): _*)
+        val changed =
+          if (sanitize) changedRows.withColumn("raw", expr("mask_json(raw)"))
+          else changedRows
+        target.upsertRaw(s, db, container, changed, keyCols, pkPaths)
+        onBatch(SyncBatchProgress(batchId, sk.count(), srcOne.count(),
+          errorRows, affected, tgtFiles))
+      } finally sk.unpersist()
       ()
     }
     spark.readStream
+      // the source container may itself be bucket-laid-out (b=<k> dirs from
+      // a prior upsert) with stray files at the data/ root — recursive
+      // lookup reads both, matching the batch readRaw
+      .option("recursiveFileLookup", "true")
       .text(java.nio.file.Paths.get(source.root, db, container, "data").toString)
       .writeStream
       .option("checkpointLocation", checkpoint)

@@ -123,6 +123,46 @@ class CatalogSpec extends AnyFunSuite {
     assert(run.ok)
   }
 
+  test("incremental merge: pruned target read, identical state and counters") {
+    val src = freshSource()
+    val tgtFull = newAccount("cat-inc-f")
+    val tgtInc = newAccount("cat-inc-i")
+    migrate(spark, src, tgtFull)
+    migrate(spark, src, tgtInc)
+    // delta: one employee's level changes; everything else is unchanged
+    Files.writeString(Paths.get(src.root, "hr", "employees", "data", "part-0.json"), Seq(
+      """{"id":"e1","department":"eng","email":"a@real.com","level":3,"_etag":"x1","_ts":1}""",
+      """{"id":"e2","department":"eng","email":"b@real.com","level":44,"_etag":"x2","_ts":2}""",
+      """{"id":"e3","department":"ops","email":"c@real.com","level":5,"_etag":"x3","_ts":3}""",
+      """{"department":"ops","email":"noid@real.com","level":9}""").mkString("\n"))
+    val full = migrate(spark, src, tgtFull, Config(incremental = Some(false)))
+    val inc = migrate(spark, src, tgtInc, Config(incremental = Some(true)))
+    assert(full.ok && inc.ok, s"full=$full inc=$inc")
+    def key(r: Orchestrator.ContainerResult) =
+      (r.database, r.container, r.inserted, r.updated, r.skipped, r.errors,
+        r.sourceCount, r.targetCount, r.verified)
+    assert(inc.results.map(key).sortBy(_.toString) ==
+      full.results.map(key).sortBy(_.toString),
+      "incremental and full mode must report identical counters")
+    val emp = inc.results.find(_.container == "employees").get
+    assert(emp.updated == 1 && emp.skipped == 2 && emp.inserted == 0 && emp.errors == 1)
+    for (db <- Seq("hr", "fin"); c <- tgtInc.listContainers(db)) {
+      val a = tgtFull.read(spark, db, c).collect().map(_.toString).sorted.toSeq
+      val b = tgtInc.read(spark, db, c).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$db/$c state must not depend on merge mode")
+    }
+    // the pruned read itself: only the delta key's bucket directories (and
+    // no full-container listing) back the incremental target side
+    graft.functions.GraftFunctions.register(spark)
+    val keys = spark.range(1).selectExpr("'e2' AS __id", "'eng' AS __pk0")
+    val (pruned, buckets) = tgtInc.readRawBucketsFor(
+      spark, "hr", "employees", keys, Seq("__id", "__pk0"))
+    assert(buckets.size == 1)
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.forall(f =>
+      buckets.exists(b => f.contains(s"b=$b"))),
+      s"pruned read must stay inside affected bucket dirs: ${pruned.inputFiles.toSeq}")
+  }
+
   test("parallel container migration matches the serial result (A26 at scale)") {
     val src = freshSource()
     val serial = migrate(spark, src, newAccount("cat-par-s"))

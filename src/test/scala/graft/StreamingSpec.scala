@@ -246,6 +246,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet == state2)
   }
 
+  test("ST-6 prunes the target read to the batch's buckets; dupes collapse; errors dead-letter") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.{ContainerProps, FileAccount}
+    graft.functions.GraftFunctions.register(spark)
+    val root = Files.createTempDirectory(Paths.get("target"), "sync-prune")
+    val src = FileAccount(root.resolve("src").toString)
+    val tgt = FileAccount(root.resolve("tgt").toString)
+    Files.createDirectories(Paths.get(src.root))
+    Files.createDirectories(Paths.get(tgt.root))
+    src.createDatabaseIfAbsent("db")
+    src.createContainerIfAbsent("db", "c", ContainerProps(Seq("/pk"), buckets = 8))
+    def keyed(docs: Seq[String]) = docs.toDF("raw")
+      .selectExpr("raw", "json_pk(raw, 'id') AS __id", "json_pk(raw, 'pk') AS __pk0")
+    // SOURCE in the bucketed b=<k> layout (as a prior upsert leaves it) plus
+    // a stray file at the data root — the streaming source must discover
+    // both (recursiveFileLookup, matching batch readRaw)
+    val docs = (0 until 40).map(i => s"""{"id":"d$i","pk":"p${i % 4}","v":$i}""")
+    src.upsertRaw(spark, "db", "c", keyed(docs), Seq("__id", "__pk0"), Seq("/pk"))
+    val sdata = Paths.get(src.root, "db", "c", "data")
+    Files.writeString(sdata.resolve("zz-stray.json"), """{"id":"s1","pk":"p9","v":1}""")
+
+    val progress = scala.collection.mutable.ArrayBuffer.empty[Streams.SyncBatchProgress]
+    val cp = root.resolve("cp").toString
+    val q1 = Streams.syncContainers(spark, src, tgt, "db", "c", cp,
+      onBatch = progress += _)
+    q1.awaitTermination()
+    assert(tgt.readRaw(spark, "db", "c").count() == 41,
+      "bucketed dirs AND the stray must stream through")
+
+    // delta: two versions of d1 in one micro-batch (last file wins) + one
+    // corrupt line; the target read must touch ONLY d1's bucket directory
+    progress.clear()
+    Files.writeString(sdata.resolve("zz-delta1.json"), """{"id":"d1","pk":"p1","v":100}""")
+    Files.writeString(sdata.resolve("zz-delta2.json"), """{"id":"d1","pk":"p1","v":200}""")
+    Files.writeString(sdata.resolve("zz-delta3.json"), "corrupt {{")
+    val q2 = Streams.syncContainers(spark, src, tgt, "db", "c", cp,
+      onBatch = progress += _)
+    q2.awaitTermination()
+
+    val state = tgt.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet
+    assert(state.size == 41)
+    assert(state.contains("""{"id":"d1","pk":"p1","v":200}"""),
+      "lexicographically-last source file must win the intra-batch duplicate")
+    assert(!state.exists(s => s.contains(""""id":"d1"""") && !s.contains("200")))
+    val p = progress.filter(_.srcRows > 0)
+    assert(p.map(_.srcRows).sum == 3, s"batch must carry 3 delta rows: $p")
+    assert(p.map(_.mergedRows).sum == 1, s"d1's two versions must collapse to one: $p")
+    assert(p.map(_.errorRows).sum == 1, s"corrupt line must count as error: $p")
+    assert(Files.isDirectory(Paths.get(tgt.root, "db", "c", "_errors")),
+      "corrupt documents must dead-letter on the target")
+    val touched = p.flatMap(_.affectedBuckets).toSet
+    assert(touched.size == 1, s"one merge key must touch one bucket: $touched")
+    assert(p.flatMap(_.targetFilesScanned).nonEmpty &&
+      p.flatMap(_.targetFilesScanned).forall(f =>
+        touched.exists(b => f.contains(s"b=$b"))),
+      s"target scan must stay inside the affected bucket dirs: " +
+        s"${p.flatMap(_.targetFilesScanned)}")
+  }
+
   test("ST-6: continuous container sync catches up, resumes, and skips unchanged") {
     import java.nio.file.{Files, Paths}
     import graft.core.{ContainerProps, FileAccount}
