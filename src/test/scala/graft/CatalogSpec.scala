@@ -175,6 +175,47 @@ class CatalogSpec extends AnyFunSuite {
       serial.results.map(key).sortBy(_.toString))
   }
 
+  test("hierarchical 2-path partition key end-to-end (migration.py:21-39)") {
+    val src = newAccount("cat-hpk-src")
+    seedContainer(src, "db", "c", Seq("/tenant", "/owner/region"), Seq(
+      """{"id":"h1","tenant":"t1","owner":{"region":"emea"},"v":1}""",
+      """{"id":"h2","tenant":"t1","owner":{"region":"apac"},"v":2}""",
+      """{"id":"h3","tenant":"t2","owner":{"region":"emea"},"v":3}""",
+      """{"id":"h4","tenant":"t1","v":4}"""))  // error: second pk path missing
+    val tgt = newAccount("cat-hpk-tgt")
+    assert(src.containerProperties("db", "c").pkPaths == Seq("/tenant", "/owner/region"))
+    val r1 = migrate(spark, src, tgt).results.head
+    assert(r1.inserted == 3 && r1.errors == 1 && r1.verified, r1.toString)
+    // reference injection (migration.py:112-114): the literal path string of
+    // the HIERARCHICAL component becomes a top-level key; the flat component
+    // is already present and must NOT be duplicated
+    val landed = tgt.readRaw(spark, "db", "c").collect().map(_.getString(0))
+    assert(landed.count(_.contains(""""owner/region":""")) == 3, landed.mkString("\n"))
+    // idempotence across the composite key: the injected write form must
+    // re-key (and re-bucket) identically on the second run
+    val r2 = migrate(spark, src, tgt).results.head
+    assert(r2.skipped == 3 && r2.inserted == 0 && r2.updated == 0, r2.toString)
+    // a delta on one composite key flows as exactly one update — also in
+    // incremental (bucket-pruned) mode
+    Files.writeString(Paths.get(src.root, "db", "c", "data", "part-0.json"), Seq(
+      """{"id":"h1","tenant":"t1","owner":{"region":"emea"},"v":1}""",
+      """{"id":"h2","tenant":"t1","owner":{"region":"apac"},"v":22}""",
+      """{"id":"h3","tenant":"t2","owner":{"region":"emea"},"v":3}""",
+      """{"id":"h4","tenant":"t1","v":4}""").mkString("\n"))
+    val r3 = migrate(spark, src, tgt,
+      Config(incremental = Some(true))).results.head
+    assert(r3.updated == 1 && r3.skipped == 2 && r3.verified, r3.toString)
+    // alignment assert covers every path component (A16)
+    val tgt2 = newAccount("cat-hpk-tgt2")
+    tgt2.createDatabaseIfAbsent("db")
+    tgt2.createContainerIfAbsent("db", "c",
+      graft.core.ContainerProps(Seq("/tenant", "/region")))
+    val err = intercept[IllegalArgumentException] {
+      migrate(spark, src, tgt2)
+    }
+    assert(err.getMessage.contains("partition key mismatch"))
+  }
+
   test("scoping: --container requires --database (A26)") {
     val err = intercept[IllegalArgumentException] {
       migrate(spark, freshSource(), newAccount("cat-t"),

@@ -56,6 +56,48 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a hot merge key in RawMerge.classify (duplicated-document feed)") {
+    // Scale note: the classic Cosmos hot PARTITION (one pk holding half the
+    // container) does NOT skew this join — the merge key is (id ++ pk), and
+    // unique ids hash a hot pk's rows uniformly across reducers. What does
+    // skew it is a hot full key: the same document replayed for a large
+    // fraction of a dirty source feed. That oversized (id, pk) partition is
+    // what AQE's runtime skew split must absorb on the classify exchange.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      graft.functions.GraftFunctions.register(spark)
+      // 100k source docs, 98% replays of d0; md5 pads keep the shuffle bytes
+      // incompressible so partition sizes reflect the row counts
+      val src = spark.range(0, 100000).selectExpr(
+        "concat('{\"id\":\"', CASE WHEN id % 100 < 98 THEN 'd0' ELSE CAST(id AS STRING) END, " +
+          "'\",\"pk\":\"p0\",\"pad\":\"', md5(CAST(id AS STRING)), '\"}') AS raw")
+      val tgt = spark.range(0, 2000).selectExpr(
+        "concat('{\"id\":\"', CASE WHEN id = 0 THEN 'd0' ELSE CAST(id AS STRING) END, " +
+          "'\",\"pk\":\"p0\",\"pad\":\"', md5(CAST(id + 7 AS STRING)), '\"}') AS raw")
+      val q = graft.operators.RawMerge.classify(spark, src, tgt, Seq("/pk"))
+        .agg(count(lit(1)).as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew split must fire on the classify exchange:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("salted aggregation spreads the hot key across phase-1 reducers") {
     val hot = spark.range(0, 100000).selectExpr(
       "CASE WHEN id % 100 < 98 THEN 0L ELSE id % 1000 END AS k", "id AS v")

@@ -246,6 +246,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet == state2)
   }
 
+  test("ST-6 syncs a hierarchical 2-path pk container (composite key + injection)") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.{ContainerProps, FileAccount}
+    val root = Files.createTempDirectory(Paths.get("target"), "sync-hpk")
+    val src = FileAccount(root.resolve("src").toString)
+    val tgt = FileAccount(root.resolve("tgt").toString)
+    Files.createDirectories(Paths.get(src.root))
+    Files.createDirectories(Paths.get(tgt.root))
+    src.createDatabaseIfAbsent("db")
+    src.createContainerIfAbsent("db", "c",
+      ContainerProps(Seq("/tenant", "/owner/region"), buckets = 4))
+    val data = Paths.get(src.root, "db", "c", "data")
+    Files.createDirectories(data)
+    def doc(i: Int, v: Int) =
+      s"""{"id":"h$i","tenant":"t${i % 2}","owner":{"region":"r${i % 3}"},"v":$v}"""
+    Files.writeString(data.resolve("f1.json"),
+      (0 until 6).map(i => doc(i, i)).mkString("\n"))
+    val cp = root.resolve("cp").toString
+    val q1 = Streams.syncContainers(spark, src, tgt, "db", "c", cp)
+    q1.awaitTermination()
+    val landed = tgt.readRaw(spark, "db", "c").collect().map(_.getString(0))
+    assert(landed.length == 6)
+    assert(landed.forall(_.contains(""""owner/region":"r""")),
+      s"hierarchical pk must inject its literal path key:\n${landed.mkString("\n")}")
+    assert(tgt.containerProperties("db", "c").pkPaths == Seq("/tenant", "/owner/region"))
+
+    // delta: one update on an existing composite key + one new key
+    Files.writeString(data.resolve("f2.json"),
+      Seq(doc(3, 333), doc(9, 9)).mkString("\n"))
+    val q2 = Streams.syncContainers(spark, src, tgt, "db", "c", cp)
+    q2.awaitTermination()
+    val state = tgt.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet
+    assert(state.size == 7, state.mkString("\n"))
+    assert(state.exists(s => s.contains(""""id":"h3"""") && s.contains(""""v":333""")))
+    assert(!state.exists(s => s.contains(""""id":"h3"""") && s.endsWith(""""v":3}""")))
+
+    // no new input: a third sync neither reprocesses nor rewrites
+    val q3 = Streams.syncContainers(spark, src, tgt, "db", "c", cp)
+    q3.awaitTermination()
+    assert(tgt.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet == state)
+  }
+
   test("ST-6 prunes the target read to the batch's buckets; dupes collapse; errors dead-letter") {
     import java.nio.file.{Files, Paths}
     import graft.core.{ContainerProps, FileAccount}
