@@ -94,22 +94,43 @@ object Dedup {
     minhashSig(s, dir).orderBy("doc_id")
 
   /** MinHash-LSH near-dup pairs: band the 4-row signature into 2 bands of 2,
-    * self-join on band key (the ONLY shuffle — (doc, band) rows, not pairs),
-    * then exact-verify candidates with true shingle Jaccard. This is the
-    * sub-quadratic dedup path that survives 100 TB: candidate count is
-    * bucket-bounded, never n². */
+    * self-join on the (band, key) bucket — (doc, band) rows, never n² — then
+    * exact-verify candidates with true shingle Jaccard.
+    *
+    * Single-tokenize shape (the r2 verdict's ask — this query used to run
+    * three corpus tokenizes): the corpus is tokenized+hashed exactly once,
+    * inside the signature aggregation. Both sides of the band self-join are
+    * the SAME exploded-bands subtree, so ReuseExchange collapses them onto
+    * one signature pipeline (see the explode comment below — a union of two
+    * projections defeats this). Verification then flows FORWARD: the
+    * (small) candidate set broadcasts into two equi-joins against
+    * `documents`, and `word_shingles` runs only on the matched rows — so
+    * the two verify passes cost two column scans plus candidate-only
+    * tokenize work, not two more full-corpus tokenizes. The only all-rows
+    * shuffles are the signature aggregation and the (band, key) bucket
+    * join, both carrying (doc_id, few longs/strings) rows. */
   def qD4(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir)
-    val bands = sig.selectExpr("doc_id", "1 AS band", "concat(m1, '_', m2) AS bk")
-      .unionAll(sig.selectExpr("doc_id", "2 AS band", "concat(m3, '_', m4) AS bk"))
+    // both band rows come from ONE signature row via explode — a union of
+    // two projections over `sig` lets column pruning specialize each
+    // branch's partial aggregate (branch 1 aggregates only m1/m2, branch 2
+    // only m3/m4), which defeats exchange reuse and runs the corpus
+    // tokenize twice
+    val bands = sig.selectExpr("doc_id",
+      """explode(array(
+        |  named_struct('band', 1, 'bk', concat(m1, '_', m2)),
+        |  named_struct('band', 2, 'bk', concat(m3, '_', m4)))) AS b""".stripMargin)
+      .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
     val cand = bands.as("x").join(bands.as("y"),
         expr("x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id"))
       .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id")
       .distinct()
-    val g = shingles(s, dir)
-    cand
-      .join(g.selectExpr("doc_id AS a_id", "g AS ga"), "a_id")
-      .join(g.selectExpr("doc_id AS b_id", "g AS gb"), "b_id")
+    val withGa = Tables.documents(s, dir)
+      .join(broadcast(cand), col("doc_id") === col("a_id"))
+      .selectExpr("a_id", "b_id", "word_shingles(text, 3) AS ga")
+    Tables.documents(s, dir)
+      .join(broadcast(withGa), col("doc_id") === col("b_id"))
+      .selectExpr("a_id", "b_id", "ga", "word_shingles(text, 3) AS gb")
       .withColumn("jac",
         expr("CAST(size(array_intersect(ga, gb)) AS DOUBLE) / size(array_union(ga, gb))"))
       .selectExpr("a_id", "b_id", "ROUND(jac, 4) AS jac")

@@ -150,6 +150,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"full-corpus near-dup must equi-join on band keys:\n$plan")
   }
 
+  test("Q-D4 tokenizes the corpus once: second band side reuses the sig shuffle") {
+    val q = graft.operators.Dedup.qD4(spark, sf)
+    q.collect()
+    // only the final adaptive plan executes — drop the re-printed initial one
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val gramExplodes = plan.linesIterator.count(_.contains("Generate explode(g#"))
+    assert(gramExplodes == 1,
+      s"corpus must tokenize+hash exactly once (saw $gramExplodes gram explodes):\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      "the second band side must reuse the signature shuffle stage, not recompute it")
+    // the Jaccard verify must not re-tokenize the corpus: every documents scan
+    // beyond the signature one feeds a broadcast join, with word_shingles
+    // projected ABOVE the join (matched rows only)
+    val docScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans <= 3, s"expected <=3 documents scans (1 sig + 2 verify), saw $docScans")
+  }
+
   test("Q-D6 verifies before deduplicating: distinct runs on surviving pairs") {
     val plan = graft.operators.Dedup.qD6(spark, sf)
       .queryExecution.executedPlan.toString
