@@ -53,10 +53,21 @@ object Orchestrator {
     parallelism: Int = 1,
     incremental: Option[Boolean] = None)
 
+  /** `verifyMode` documents what `verified` actually covered:
+    *  - `"full"`: count + order-independent content hash over the ENTIRE
+    *    post-merge target vs the expected merged state.
+    *  - `"incremental"`: count + content hash over the AFFECTED buckets only,
+    *    plus a driver-metadata listing check (file names/sizes/mtimes) that
+    *    every unaffected bucket was left byte-for-byte untouched. Reduced
+    *    coverage by design: content corruption in an unaffected bucket that
+    *    preserves its file listing is NOT detected (it was also outside the
+    *    run's write set); the global count invariant post = pre + inserts is
+    *    implied by the two checks together without any full scan. */
   case class ContainerResult(
     database: String, container: String,
     inserted: Long, updated: Long, skipped: Long, errors: Long,
-    sourceCount: Long, targetCount: Long, verified: Boolean)
+    sourceCount: Long, targetCount: Long, verified: Boolean,
+    verifyMode: String = "full")
 
   case class Summary(results: Seq[ContainerResult], durationSec: Double) {
     def ok: Boolean = results.forall(_.verified)
@@ -103,10 +114,12 @@ object Orchestrator {
           target.readRawBucketsFor(spark, db, container, srcKeys, keyCols)
         (df, Some(buckets))
       } else (target.readRaw(spark, db, container), None)
-    // full plain line count of the pre-merge target (incremental mode only):
-    // the cheap half of the reference's COUNT-parity verify — no parse, no
-    // canonicalization, no join
-    val preTotal = if (incremental) target.readRaw(spark, db, container).count() else 0L
+    // incremental mode: capture the pre-merge listing signatures (driver
+    // metadata, no data read) so verification can prove the unaffected
+    // buckets were untouched — this replaces the full-container line count
+    // the old count-parity invariant needed
+    val preSigs: Map[Long, String] =
+      if (incremental) target.bucketSignatures(db, container) else Map.empty
     // ONE full-outer src⋈tgt join for the whole container run: counters,
     // dead-letter, the sink input, AND the expected post-merge state all
     // derive from this cached frame (a second merge join for verification
@@ -149,19 +162,33 @@ object Orchestrator {
     target.upsertRaw(spark, db, container, changed, keyCols, pkPaths)
     classified.unpersist()
 
-    val written = target.readRaw(spark, db, container)
-    val writtenCount = written.count()
-    val verified = affectedOpt match {
+    val (verified, targetCount, verifyMode) = affectedOpt match {
       case Some(buckets) =>
-        // incremental verify: content-hash parity over the buckets the run
-        // could touch (unaffected buckets keep their files byte-for-byte —
-        // the sink's dynamic partition overwrite never lists them), plus the
-        // global count invariant post = pre + inserts
+        // incremental verify, O(delta + affected buckets) — no full scan:
+        //  (1) count + content-hash parity of the affected buckets vs the
+        //      expected merged state (everything the run could write);
+        //  (2) listing-signature parity of every UNAFFECTED bucket vs the
+        //      pre-merge capture (the sink's dynamic partition overwrite
+        //      never lists them; this proves it) and no bucket dirs appeared
+        //      outside the affected set.
+        // Together these imply the old global invariant post = pre + inserts
+        // without re-reading the container. The reported targetCount is the
+        // sidecar sum (upsertRaw maintains per-bucket counts) — metadata,
+        // not a scan.
         val back = target.readRawBuckets(spark, db, container, buckets)
-        back.count() == expectedCount && stateHash(back) == expectedHash &&
-          writtenCount == preTotal + counts("insert")
+        val postSigs = target.bucketSignatures(db, container)
+        val untouched =
+          (postSigs.keySet -- buckets) == (preSigs.keySet -- buckets) &&
+            (postSigs.keySet -- buckets).forall(b => postSigs(b) == preSigs(b))
+        val ok = back.count() == expectedCount &&
+          stateHash(back) == expectedHash && untouched
+        (ok, target.countRows(spark, db, container), "incremental")
       case None =>
-        writtenCount == expectedCount && stateHash(written) == expectedHash
+        val written = target.readRaw(spark, db, container)
+        val writtenCount = written.count()
+        val ok = writtenCount == expectedCount &&
+          stateHash(written) == expectedHash
+        (ok, writtenCount, "full")
     }
 
     // every source row classifies into exactly one action, so the source
@@ -170,7 +197,7 @@ object Orchestrator {
       counts("insert") + counts("update") + counts("skip") + counts("error")
     ContainerResult(db, container,
       counts("insert"), counts("update"), counts("skip"), counts("error"),
-      sourceCount, writtenCount, verified)
+      sourceCount, targetCount, verified, verifyMode)
   }
 
   /** A26 top loop with scoping; `--container` requires `--database`
@@ -259,7 +286,7 @@ object Orchestrator {
          |     "inserted": ${r.inserted}, "updated": ${r.updated},
          |     "skipped": ${r.skipped}, "errors": ${r.errors},
          |     "source_count": ${r.sourceCount}, "target_count": ${r.targetCount},
-         |     "verified": ${r.verified}}""".stripMargin
+         |     "verified": ${r.verified}, "verify_mode": "${r.verifyMode}"}""".stripMargin
     }.mkString(",\n")
     Files.writeString(Paths.get(path),
       s"""{\n  "duration_sec": ${s.durationSec},\n  "rate_docs_per_sec": ${s.ratePerSec},\n  "ok": ${s.ok},\n  "containers": [\n$rows\n  ]\n}\n""")

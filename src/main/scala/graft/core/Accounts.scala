@@ -104,6 +104,106 @@ case class FileAccount(root: String) {
 
   private def dataDir(db: String, container: String): Path = p(db, container, "data")
 
+  // ---- per-bucket row-count sidecar (_counts.json) ----
+  //
+  // Maintained by `upsertRaw` (which already knows exactly which buckets it
+  // rewrote and their row counts), so container totals become metadata sums
+  // instead of full-container scans — the verification analogue of the
+  // point-read: at 100 TB a 1% delta's verify must not re-read 100%.
+  // Each entry carries a listing signature (file names + sizes + mtimes) so
+  // external modification of a bucket is detected and that bucket — and only
+  // that bucket — is recounted.
+
+  private def countsPath(db: String, container: String): Path =
+    p(db, container, "_counts.json")
+
+  /** Existing `data/b=<k>` bucket directories. */
+  private[graft] def bucketDirList(db: String, container: String): Seq[(Long, Path)] = {
+    val d = dataDir(db, container)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
+      .flatMap { dir =>
+        "b=(\\d+)".r.findFirstMatchIn(dir.getFileName.toString) match {
+          case Some(m) if s"b=${m.group(1)}" == dir.getFileName.toString =>
+            Some(m.group(1).toLong -> dir)
+          case _ => None
+        }
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** Driver-metadata listing signature of one bucket directory: md5 over the
+    * sorted (name, size, mtime) triples of its data files. Detects external
+    * rewrites without reading a byte of data. */
+  private def dirSignature(dir: Path): String = {
+    if (!Files.isDirectory(dir)) return ""
+    val parts = Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("_"))
+      .map(f => s"${dir.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      .toSeq.sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString(";").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Listing signatures of every bucket directory — pure driver metadata.
+    * Used by incremental verification to prove unaffected buckets were left
+    * byte-for-byte untouched, without scanning them. */
+  def bucketSignatures(db: String, container: String): Map[Long, String] =
+    bucketDirList(db, container).map { case (b, dir) => b -> dirSignature(dir) }.toMap
+
+  /** Sidecar entries: bucket → (rowCount, listing signature at write time). */
+  private[graft] def readBucketCounts(db: String, container: String): Map[Long, (Long, String)] = {
+    val f = countsPath(db, container)
+    if (!Files.exists(f)) Map.empty
+    else
+      """\{"b":\s*(\d+),\s*"n":\s*(\d+),\s*"sig":\s*"([a-f0-9]*)"\}""".r
+        .findAllMatchIn(Files.readString(f))
+        .map(m => m.group(1).toLong -> (m.group(2).toLong, m.group(3))).toMap
+  }
+
+  private def writeBucketCounts(db: String, container: String,
+                                counts: Map[Long, (Long, String)]): Unit =
+    Files.writeString(countsPath(db, container),
+      counts.toSeq.sortBy(_._1).map { case (b, (n, sig)) =>
+        s"""{"b": $b, "n": $n, "sig": "$sig"}"""
+      }.mkString("{\"buckets\": [\n  ", ",\n  ", "\n]}\n"))
+
+  /** Container row count in O(metadata + unvouched buckets): buckets whose
+    * current listing signature matches the sidecar contribute their recorded
+    * count for free; buckets the sidecar can't vouch for (external writes,
+    * missing sidecar) are scanned — and only those — plus any stray files.
+    * Self-healing: recounted buckets are written back to the sidecar. */
+  def countRows(spark: SparkSession, db: String, container: String): Long = {
+    val sidecar = readBucketCounts(db, container)
+    val dirs = bucketDirList(db, container)
+    val sigs = dirs.map { case (b, dir) => b -> dirSignature(dir) }.toMap
+    val (vouched, unvouched) = dirs.partition { case (b, _) =>
+      sidecar.get(b).exists(_._2 == sigs(b)) }
+    if (sys.props.contains("graft.debug.counts"))
+      println(s"countRows $db/$container: vouched=${vouched.size} unvouched=${unvouched.size} " +
+        s"unvouchedIds=${unvouched.map(_._1).take(10)}")
+    val vouchedSum = vouched.map { case (b, _) => sidecar(b)._1 }.sum
+    val recounted: Map[Long, Long] =
+      if (unvouched.isEmpty) Map.empty
+      else {
+        val perBucket = unvouched.map { case (b, dir) =>
+          b -> spark.read.option("recursiveFileLookup", "true")
+            .text(dir.toString).count()
+        }.toMap
+        // repair the sidecar so the next call is metadata-only
+        writeBucketCounts(db, container,
+          (sidecar -- perBucket.keys) ++
+            perBucket.map { case (b, n) => b -> (n, sigs(b)) })
+        perBucket
+      }
+    val strays = strayFiles(db, container)
+    val strayCount =
+      if (strays.isEmpty) 0L
+      else spark.read.text(strays.map(_.toString): _*).count()
+    vouchedSum + recounted.values.sum + strayCount
+  }
+
   /** A1: full container scan, RAW — one `raw` string column per document
     * line, no inference, bucket layout transparent (recursive lookup). */
   def readRaw(spark: SparkSession, db: String, container: String): DataFrame =
@@ -270,6 +370,11 @@ case class FileAccount(root: String) {
     val out = (survivors.toSeq :+ chg).map(_.select(col("raw"), col("__b").as("b")))
       .reduce(_ unionAll _)
       .localCheckpoint()
+    // per-bucket row counts of the rewritten buckets, straight off the
+    // checkpointed blocks (affected rows only, ≤ nb result rows) — feeds the
+    // count sidecar so verification never needs a full-container scan
+    val outCounts: Map[Long, Long] = out.groupBy("b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.write
       .partitionBy("b")
       .option("partitionOverwriteMode", "dynamic")
@@ -277,6 +382,13 @@ case class FileAccount(root: String) {
       .text(dir.toString)
     chg.unpersist()
     strays.foreach(Files.deleteIfExists(_))
+    // sidecar update: rewritten buckets get fresh (count, signature); entries
+    // for untouched buckets carry over (their files are byte-identical)
+    val prior = readBucketCounts(db, container)
+    writeBucketCounts(db, container,
+      (prior -- affected) ++ affected.toSeq.sorted.map { b =>
+        b -> (outCounts.getOrElse(b, 0L), dirSignature(bucketDir(db, container, b)))
+      })
     affected
   }
 }

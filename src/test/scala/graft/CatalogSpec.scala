@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -161,6 +163,83 @@ class CatalogSpec extends AnyFunSuite {
     assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.forall(f =>
       buckets.exists(b => f.contains(s"b=$b"))),
       s"pruned read must stay inside affected bucket dirs: ${pruned.inputFiles.toSeq}")
+  }
+
+  /** Total bytes read by Spark tasks while `body` runs (input metrics off the
+    * listener bus; polled until the async bus drains). */
+  private def measuredBytesRead(body: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    def stable(): Long = {
+      var prev = -1L; var cur = bytes.get; var i = 0
+      while (prev != cur && i < 50) { Thread.sleep(200); prev = cur; cur = bytes.get; i += 1 }
+      cur
+    }
+    try {
+      // the async listener bus may still be delivering queued events from
+      // PRIOR jobs — drain them into a baseline before running the body
+      val base = stable()
+      body
+      stable() - base
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("incremental verification is O(delta): no full-container scan, sidecar counts") {
+    // the CLI test (Orchestrator.run -> Sessions.local(32)) retunes the
+    // shared session's shuffle partitions; pin them so the byte measurement
+    // below is deterministic regardless of test order
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // a 4000-doc target over 128 buckets; the delta run touches ≤4 of them
+    val pad = "x" * 100
+    val bigDocs = (0 until 4000).map(i => s"""{"id":"d$i","v":$i,"pad":"$pad"}""")
+    val bigSrc = newAccount("cat-odelta-src")
+    seedContainer(bigSrc, "db", "c", Seq("/id"), bigDocs)
+    Files.writeString(Paths.get(bigSrc.root, "db", "c", "_meta.json"),
+      """{"pk": ["/id"], "buckets": 128}""")
+    val tgt = newAccount("cat-odelta-tgt")
+    val seeded = migrate(spark, bigSrc, tgt).results.head
+    assert(seeded.verified && seeded.verifyMode == "full" && seeded.inserted == 4000)
+    val tgtBytes = tgt.dataBytes("db", "c")
+
+    // delta source: 2 updates, 1 identical doc (skip), 1 new doc (insert)
+    val deltaSrc = newAccount("cat-odelta-delta")
+    seedContainer(deltaSrc, "db", "c", Seq("/id"), Seq(
+      s"""{"id":"d10","v":-10,"pad":"$pad"}""",
+      s"""{"id":"d20","v":-20,"pad":"$pad"}""",
+      s"""{"id":"d30","v":30,"pad":"$pad"}""",
+      s"""{"id":"new1","v":1,"pad":"$pad"}"""))
+    var inc: Orchestrator.ContainerResult = null
+    val bytesRead = measuredBytesRead {
+      inc = migrate(spark, deltaSrc, tgt, Config(incremental = Some(true))).results.head
+    }
+    info(s"incremental run bytesRead=$bytesRead tgtBytes=$tgtBytes ratio=${bytesRead.toDouble / tgtBytes}")
+    assert(inc.verified && inc.verifyMode == "incremental", inc.toString)
+    assert(inc.updated == 2 && inc.inserted == 1 && inc.skipped == 1, inc.toString)
+    assert(inc.targetCount == 4001, "sidecar count must reflect the merged total")
+    // the old code's two full-container line counts alone would read
+    // 2 × tgtBytes; the whole O(delta) run — delta + a handful of affected
+    // buckets, several passes — must stay well under one container scan
+    assert(bytesRead < (tgtBytes * 0.6).toLong,
+      s"incremental run read $bytesRead bytes vs target $tgtBytes — full scan detected")
+
+    // sidecar self-heals: an external write to a bucket invalidates that
+    // bucket's listing signature and only that bucket is recounted
+    val someBucket = Files.list(Paths.get(tgt.root, "db", "c", "data"))
+      .iterator().asScala.filter(Files.isDirectory(_))
+      .filter(_.getFileName.toString.startsWith("b=")).toSeq.head
+    Files.writeString(someBucket.resolve("external.txt"),
+      s"""{"id":"ext1","v":0,"pad":"$pad"}""")
+    val healBytes = measuredBytesRead {
+      assert(tgt.countRows(spark, "db", "c") == 4002)
+    }
+    assert(healBytes < (tgtBytes * 0.2).toLong,
+      s"self-heal recount must scan only the tampered bucket, read $healBytes")
+    // healed: a second count is metadata-only (sidecar repaired)
+    assert(tgt.countRows(spark, "db", "c") == 4002)
   }
 
   test("parallel container migration matches the serial result (A26 at scale)") {
