@@ -125,12 +125,19 @@ object Dedup {
         expr("x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id"))
       .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id")
       .distinct()
+    // verification: each side broadcasts ONLY the bare (a_id, b_id) pairs
+    // into `documents` — never the shingle arrays (a candidate set carrying
+    // whole-document shingles through the driver can blow the broadcast
+    // limit on a dense corpus); the shingle-bearing sides then meet in an
+    // equi-join on the pair key, which shuffles candidate-bounded rows and
+    // AQE broadcasts only if their MEASURED size is small
     val withGa = Tables.documents(s, dir)
       .join(broadcast(cand), col("doc_id") === col("a_id"))
       .selectExpr("a_id", "b_id", "word_shingles(text, 3) AS ga")
-    Tables.documents(s, dir)
-      .join(broadcast(withGa), col("doc_id") === col("b_id"))
-      .selectExpr("a_id", "b_id", "ga", "word_shingles(text, 3) AS gb")
+    val withGb = Tables.documents(s, dir)
+      .join(broadcast(cand), col("doc_id") === col("b_id"))
+      .selectExpr("a_id AS a2", "b_id AS b2", "word_shingles(text, 3) AS gb")
+    withGa.join(withGb, col("a_id") === col("a2") && col("b_id") === col("b2"))
       .withColumn("jac",
         expr("CAST(size(array_intersect(ga, gb)) AS DOUBLE) / size(array_union(ga, gb))"))
       .selectExpr("a_id", "b_id", "ROUND(jac, 4) AS jac")

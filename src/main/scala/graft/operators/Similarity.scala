@@ -33,7 +33,11 @@ object Similarity {
       .limit(50)
   }
 
-  /** Number of random hyperplanes for the sign-LSH signature (2^P buckets). */
+  /** Number of random hyperplanes for the sign-LSH signature (2^P buckets) —
+    * the ORACLE default. Bucket count must track corpus size (2^P buckets
+    * keep expected per-bucket membership bounded: at 100 TB pick P ≈
+    * log2(N / target_bucket_size)); [[lshPairs]] takes the width as a
+    * parameter so deployments tune it without touching the oracle queries. */
   val LshPlanes = 8
   private val Dim = 64
 
@@ -60,10 +64,16 @@ object Similarity {
     * keep per-bucket pair counts bounded — at 100 TB this replaces the
     * O(n^2) pair join with sum over buckets of O(|bucket|^2), and AQE splits
     * any skewed bucket. */
-  def qSim2(s: SparkSession, dir: String): DataFrame = {
+  def qSim2(s: SparkSession, dir: String): DataFrame = lshPairs(s, dir, LshPlanes)
+
+  /** [[qSim2]] with a configurable plane count. The plane family is a fixed
+    * sequence, so `planes = p` buckets by the first `p` bits of the same
+    * signature: coarser widths strictly coarsen the bucketing (every pair
+    * found at width p is found at any width < p — recall only grows). */
+  def lshPairs(s: SparkSession, dir: String, planes: Int): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val bucket = (0 until LshPlanes).map { p =>
+    val bucket = (0 until planes).map { p =>
       val plane = array((1 to Dim).map(i => lit(planeSign(p, i))): _*)
       val dot = aggregate(
         zip_with(col("embedding"), plane, (x, y) => x * y),
@@ -98,9 +108,12 @@ object Similarity {
     * engines and partitions are absorbed. Each round is one map-only
     * assignment pass plus one groupBy(cell, dim) whose shuffle output is
     * bounded by K×dim rows regardless of corpus size. The final
-    * cell-assignment table is persisted (in production: written bucketed by
-    * cell) and memoized per (session, corpus, iters), so '''subsequent
-    * probes run ZERO corpus-wide passes'''.
+    * cell-assignment table is written to disk partitioned by cell (the IVF
+    * analogue of the merge sink's bucket layout) and memoized in-process, so
+    * '''subsequent probes — including from a fresh session — run ZERO
+    * corpus-wide passes''': the durable index is keyed by a corpus
+    * fingerprint (file names/sizes/mtimes), so a changed corpus rebuilds and
+    * a fresh session over the same corpus reloads.
     *
     * '''Probe''' ([[IvfIndex.probe]]): each query ranks the K centroids (a
     * per-row expression over literal centroids), probes its `nprobe` nearest
@@ -118,16 +131,52 @@ object Similarity {
 
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+    /** Root directory for DURABLE indexes (override with the
+      * `graft.ivf.root` system property). An ANN index outlives the session
+      * that built it: the assignment is written cell-partitioned (the IVF
+      * analogue of the merge sink's bucket layout) and a fresh session
+      * reloads it instead of re-running the corpus passes. */
+    private def indexRoot: java.nio.file.Path =
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.ivf.root", "target/ivf-index"))
+
+    /** Corpus fingerprint from driver-side file metadata (names/sizes/mtimes
+      * of the embeddings parquet) — a changed corpus hashes to a different
+      * index directory, so load-on-miss can never serve a stale index. */
+    private def corpusFingerprint(dir: String): String = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      val parts =
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.walk(p).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+            .toSeq.sorted
+        else Seq(s"${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString(";").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+
+    /** Bump when the build algorithm changes — a stale on-disk index from an
+      * older build must not be served for the same corpus. */
+    private val FormatVersion = 1
+
+    private def indexPath(dir: String, lloydIters: Int, cells: Int): java.nio.file.Path =
+      indexRoot.resolve(s"v$FormatVersion-${corpusFingerprint(dir)}-i$lloydIters-k$cells")
+
     private def argmaxCell(cents: Seq[(Long, String)]): String =
       cents.map { case (cid, litSql) =>
         s"named_struct('s', cosine_sim(embedding, $litSql), 'nc', ${-cid}L)"
       }.mkString("array(", ", ", ")")
 
-    private def doBuild(s: SparkSession, dir: String, lloydIters: Int): Index = {
+    private def doBuild(s: SparkSession, dir: String, lloydIters: Int,
+                        k: Int): String = {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
       // bounded metadata-sized collect: K seed rows inlined as literals
-      val seeds: Array[(Long, Seq[Float])] = e.where(col("vec_id") < IvfCells)
+      val seeds: Array[(Long, Seq[Float])] = e.where(col("vec_id") < k)
         .orderBy("vec_id")
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
       // seed centroids cast to float so both engines see identical bits
@@ -151,18 +200,47 @@ object Similarity {
           (cid, s"cast(array(${c.mkString(", ")}) as array<double>)")
         })
       }
-      val asg = e.selectExpr("vec_id", "embedding", s"-array_max($cells).nc AS cell")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      asg.count() // materialize: probes must not re-run the corpus pass
-      Index(cells, asg)
+      cells
     }
 
-    /** Build (or fetch the memoized) index for `dir` with `lloydIters`
-      * k-means refinement rounds. */
-    def build(s: SparkSession, dir: String, lloydIters: Int): Index =
+    /** Build (or fetch) the index for `dir`: in-process memo first, then the
+      * DURABLE on-disk copy (assignment parquet partitioned by cell + the
+      * centroid expression; `centroids.sql` is written last as the commit
+      * marker), and only on a true miss the corpus build — whose result is
+      * written back so every later session starts probe-only. */
+    def build(s: SparkSession, dir: String, lloydIters: Int,
+              cells: Int = IvfCells): Index =
       cache.computeIfAbsent(
-        s"${System.identityHashCode(s)}|$dir|$lloydIters",
-        _ => doBuild(s, dir, lloydIters))
+        s"${System.identityHashCode(s)}|$dir|$lloydIters|$cells",
+        _ => loadOrBuild(s, dir, lloydIters, cells))
+
+    private def loadOrBuild(s: SparkSession, dir: String, lloydIters: Int,
+                            k: Int): Index = {
+      import java.nio.file.Files
+      val path = indexPath(dir, lloydIters, k)
+      val marker = path.resolve("centroids.sql")
+      val asgPath = path.resolve("assignment")
+      val cellsSql =
+        if (Files.exists(marker)) Files.readString(marker)
+        else {
+          val built = doBuild(s, dir, lloydIters, k)
+          // one corpus pass writes the cell-partitioned assignment — the
+          // durable form of the index; probes in ANY session hereafter read
+          // only these files, never the corpus
+          GraftFunctions.register(s)
+          Tables.embeddings(s, dir)
+            .selectExpr("vec_id", "embedding", s"-array_max($built).nc AS cell")
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(asgPath.toString)
+          Files.writeString(marker, built)
+          built
+        }
+      val asg = s.read.parquet(asgPath.toString)
+        .withColumn("cell", col("cell").cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      asg.count() // materialize: probes must not re-read even the index files
+      Index(cellsSql, asg)
+    }
 
     /** Probe: exact top-`topK` neighbors per query over the `nprobe` nearest
       * cells' members. Queries broadcast; the assignment table is read from

@@ -80,6 +80,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the tiny query-side scan may touch parquet:\n${scans.mkString("\n")}")
   }
 
+  test("IVF index is durable: a fresh session probes from the on-disk index") {
+    import graft.operators.Similarity
+    // ensure the index exists on disk (first call in this JVM builds+writes)
+    Similarity.qSim4(spark, sf).collect()
+    // a FRESH session misses the in-process memo and must LOAD, not rebuild:
+    // its assignment reads only index files — zero corpus-wide passes
+    val s2 = spark.newSession()
+    val idx = Similarity.IvfIndex.build(s2, sf, lloydIters = 1)
+    // cache substitution hides the relation from Dataset.inputFiles — read
+    // the backing files off the ANALYZED plan, which keeps it
+    val files = idx.assigned.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation].location.inputFiles.toSeq
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("ivf-index")),
+      s"fresh-session assignment must come from the durable index, got: ${files.take(3)}")
+    val fresh = Similarity.IvfIndex.probe(s2, sf, idx).collect().map(_.toString).toSeq
+    val orig = Similarity.qSim4(spark, sf).collect().map(_.toString).toSeq
+    assert(fresh == orig, "durable-index probe must match the building session")
+  }
+
+  test("LSH plane width is tunable: a coarser width only adds pairs") {
+    import graft.operators.Similarity
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p8 = pairs(Similarity.qSim2(spark, sf))
+    val p4 = pairs(Similarity.lshPairs(spark, sf, planes = 4))
+    // width p buckets on the first p bits of the same signature family, so
+    // every pair co-bucketed at width 8 is co-bucketed at width 4
+    assert(p8.subsetOf(p4),
+      s"width-8 pairs lost at width 4: ${(p8 -- p4).take(5)}")
+  }
+
+  test("IVF cell count is tunable: probing every cell reproduces exact brute force") {
+    import graft.operators.Similarity
+    val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0, cells = 8)
+    val viaIvf = Similarity.IvfIndex.probe(spark, sf, idx, nprobe = 8, topK = 3)
+      .collect().map(_.toString).toSeq
+    val brute = Similarity.qSim1(spark, sf).collect().map(_.toString).toSeq
+    assert(viaIvf == brute,
+      "nprobe = cells must degrade IVF to the exact brute-force result")
+  }
+
   test("Q-M4 raw merge: canonical hashing below the join, no UDF barrier") {
     val q = graft.operators.RawMerge.qM4(spark, sf)
     q.collect()
