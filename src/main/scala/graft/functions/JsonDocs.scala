@@ -82,14 +82,25 @@ object JsonDocs {
     else d.stripTrailingZeros().toPlainString
   }
 
-  private def render(n: JsonNode, sb: java.lang.StringBuilder): Unit =
+  /** `dropNulls` renders object entries whose value is JSON null as ABSENT —
+    * used ONLY for container-PII template seeds, where it makes "field
+    * absent" and "field null" seed identically. The column surface sees the
+    * schema-UNION of a heterogeneous container (absent fields surface as
+    * nulls), so a null-keeping render would seed the two surfaces
+    * differently for documents that lack a field some other document has.
+    * The merge diff ([[canon]]) keeps nulls: `{"a":null}` and `{}` are
+    * different documents (Python dict equality), just not different PII
+    * seeds. */
+  private def render(n: JsonNode, sb: java.lang.StringBuilder,
+                     dropNulls: Boolean = false): Unit =
     if (n.isObject) {
       sb.append('{')
       val names = new java.util.ArrayList[String]()
       val it = n.fieldNames()
       while (it.hasNext) {
         val f = it.next()
-        if (!SystemFields.contains(f)) names.add(f)
+        if (!SystemFields.contains(f) && !(dropNulls && n.get(f).isNull))
+          names.add(f)
       }
       java.util.Collections.sort(names)
       var i = 0
@@ -97,7 +108,7 @@ object JsonDocs {
         if (i > 0) sb.append(',')
         appendString(names.get(i), sb)
         sb.append(':')
-        render(n.get(names.get(i)), sb)
+        render(n.get(names.get(i)), sb, dropNulls)
         i += 1
       }
       sb.append('}')
@@ -106,7 +117,7 @@ object JsonDocs {
       var i = 0
       while (i < n.size()) {
         if (i > 0) sb.append(',')
-        render(n.get(i), sb)
+        render(n.get(i), sb, dropNulls) // array NULL ELEMENTS render on both surfaces
         i += 1
       }
       sb.append(']')
@@ -354,16 +365,18 @@ object JsonDocs {
     * A PII-named CONTAINER value is replaced wholesale, exactly like the
     * reference (sanitizer.py:51-55 replaces ANY matched value, dict/list
     * included — an "address" object becomes a faker.address() string). The
-    * template seed is the container's canonical JSON form ([[canon]]
-    * semantics), which is also what the column-based [[Masking]] seeds with
-    * (`canonical_json(to_json(col))`) — so both surfaces mask container PII
-    * to the identical value. Nulls stay null on both surfaces (the
-    * documented determinism deviation). */
+    * template seed is the container's canonical JSON form with null object
+    * entries DROPPED ([[render]] with `dropNulls` — absent and null fields
+    * seed identically), which is also what the column-based [[Masking]]
+    * seeds with (`canonical_json(to_json(col, ignoreNullFields))`) — so both
+    * surfaces mask container PII to the identical value even when container
+    * shapes differ across the documents of one schema-inferred frame. Nulls
+    * stay null on both surfaces (the documented determinism deviation). */
   private def maskNode(name: String, n: JsonNode, sb: java.lang.StringBuilder): Unit =
     generators.get(name.toLowerCase) match {
       case Some(gen) if n.isContainerNode =>
         val cs = new java.lang.StringBuilder()
-        render(n, cs)
+        render(n, cs, dropNulls = true)
         sb.append(gen(cs.toString))
       case Some(gen) if !n.isNull =>
         sb.append(gen(valueStr(n)))

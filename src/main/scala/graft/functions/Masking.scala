@@ -109,14 +109,18 @@ object Masking {
   )
 
   /** A matched CONTAINER value seeds its template from the container's
-    * canonical JSON form (`canonical_json(to_json(·))` — null fields kept so
-    * the rendering is total), which is byte-identical to what the raw-JSON
-    * surface ([[JsonDocs.mask]]) renders for the same document: both
-    * surfaces mask container PII to the same value. */
+    * canonical JSON form with NULL FIELDS DROPPED
+    * (`canonical_json(to_json(·, ignoreNullFields))`), byte-identical to the
+    * raw-JSON surface's seed ([[JsonDocs.mask]] renders the actual node with
+    * null object entries dropped): both surfaces mask container PII to the
+    * same value. Dropping nulls is what makes the parity hold on
+    * HETEROGENEOUS containers — this column surface sees the schema UNION,
+    * where a field absent from one document surfaces as null, while the raw
+    * surface sees the document's actual keys. */
   private def piiSeed(c: Column, dt: DataType): Column = dt match {
     case _: StructType | _: ArrayType | _: MapType =>
       call_function("canonical_json",
-        to_json(c, Map("ignoreNullFields" -> "false")))
+        to_json(c, Map("ignoreNullFields" -> "true")))
     case _ => c
   }
 

@@ -281,6 +281,37 @@ class RawMergeSpec extends AnyFunSuite {
     // non-PII container untouched
     assert(masked.contains(""""tags":["x"]"""))
   }
+
+  test("container-PII parity holds across heterogeneous document shapes") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // the schemaless case this engine exists for: each document's "address"
+    // object has DIFFERENT keys, so the inferred schema is their union and
+    // the column surface sees explicit nulls where a field is absent; one
+    // doc also carries a GENUINE null. Both surfaces must still mask every
+    // document's container to the identical value.
+    val docs = Seq(
+      """{"id":"1","address":{"street":"1 Real St","city":"Springfield"},"v":1}""",
+      """{"id":"2","address":{"street":"2 Real St","zip":"90210"},"v":2}""",
+      """{"id":"3","address":{"city":"Shelbyville","zip":null},"v":3}""")
+    val viaRaw = docs.toDF("raw")
+      .selectExpr("get_json_object(raw, '$.id') AS id", "mask_json(raw) AS m")
+      .collect().map(r => r.getString(0) ->
+        r.getString(1).split("\"address\":\"")(1).split("\"")(0)).toMap
+    val viaCols = graft.functions.Masking(spark.read.json(docs.toDS()))
+      .selectExpr("id", "address").collect()
+      .map(r => r.getString(r.fieldIndex("id")) -> r.getString(r.fieldIndex("address"))).toMap
+    assert(viaRaw.keySet == Set("1", "2", "3"))
+    for (k <- viaRaw.keySet)
+      assert(viaRaw(k) == viaCols(k),
+        s"doc $k: raw surface masked to ${viaRaw(k)}, column surface to ${viaCols(k)}")
+    // the doc with "zip":null and the same doc WITHOUT the key seed equally
+    val withNull = Seq("""{"address":{"city":"A","zip":null}}""").toDF("raw")
+      .selectExpr("mask_json(raw) AS m").head().getString(0)
+    val absent = Seq("""{"address":{"city":"A"}}""").toDF("raw")
+      .selectExpr("mask_json(raw) AS m").head().getString(0)
+    assert(withNull == absent, s"null-vs-absent must seed equally: $withNull vs $absent")
+  }
 }
 
 object RawMergeSpec {
