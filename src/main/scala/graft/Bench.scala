@@ -30,7 +30,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout capture can truncate on long runs — persist the full per-query
+    // record machine-readably so no round loses data
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULTS.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
