@@ -49,15 +49,18 @@ object RawMerge {
     * operator, not once per derived column). The canonical hash rides in a
     * SECOND projection on purpose: it must not be part of the kernel the
     * scan-pushed predicates evaluate (see [[graft.functions.JsonDocs.docKeys]]). */
+  /** `carry` columns of `src` pass through unchanged (e.g. a source-file
+    * column a streaming caller captured before this keying). */
   private[graft] def srcKeyed(s: SparkSession, src: DataFrame,
-                              pkPaths: Seq[String]): DataFrame = {
+                              pkPaths: Seq[String],
+                              carry: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(s)
     val paths = pkPaths.map(_.stripPrefix("/"))
     val csv = paths.mkString(",")
-    src.selectExpr("raw", s"json_doc_keys(raw, '$csv', 'true') AS __m")
+    src.selectExpr("raw" +: carry :+ s"json_doc_keys(raw, '$csv', 'true') AS __m": _*)
       .selectExpr(
-        Seq("raw", "__m.w AS __w", "__m.id AS __id") ++
-          paths.indices.map(i => s"__m.pk$i AS __pk$i"): _*)
+        (Seq("raw") ++ carry ++ Seq("__m.w AS __w", "__m.id AS __id") ++
+          paths.indices.map(i => s"__m.pk$i AS __pk$i")): _*)
       .withColumn("__ch", expr("md5(canonical_json(__w))"))
   }
 

@@ -145,6 +145,31 @@ object Streams {
                                errorRows: Long, affectedBuckets: Set[Long],
                                targetFilesScanned: Seq[String])
 
+  /** One stream row of the opt-in replay-dedup path: merge-key string,
+    * source file, raw line. */
+  case class SyncRow(k: String, f: String, raw: String)
+
+  /** Cross-batch FIRST-SEEN gate on the merge key for [[syncContainers]]'s
+    * `dedupeReplays` mode: the first micro-batch to carry a key claims it;
+    * every later batch's rows for that key are dropped before the merge, so
+    * a replayed or out-of-order source file cannot resurrect an older
+    * document version. Within the claiming batch ALL of the key's rows pass
+    * (the deterministic last-file-wins rule downstream picks the winner) —
+    * the state records only `seen`, one boolean per key, RocksDB-backed and
+    * checkpoint-durable like [[FirstSeenDedup]]. */
+  class FirstSeenKeys
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, SyncRow, SyncRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SyncRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SyncRow] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows }
+  }
+
   /** ST-6: CONTINUOUS container sync — the reference's migration loop
     * (migrate → wait → migrate again) as one restartable streaming query.
     * The source container's data tree is a FileStreamSource (the streaming
@@ -177,6 +202,17 @@ object Streams {
     * upserts by merge key, so a replayed batch converges to the same state.
     * `onBatch` receives per-batch progress (A24) — counters, affected
     * buckets, and the exact target files scanned. */
+  /** `dedupeReplays` (opt-in) puts a cross-batch FIRST-SEEN gate on the
+    * merge key ahead of the merge ([[FirstSeenKeys]]): once a batch has
+    * carried a key, later batches' rows for it are dropped, so a replayed or
+    * out-of-order source file cannot resurrect an older document version.
+    * This trades the default "every batch re-merges" semantics for
+    * first-batch-wins per key — right for catch-up syncs of snapshot-like
+    * sources, wrong for sources that emit genuine updates. Requires (and
+    * sets) the RocksDB state store provider; the gate's state lives in the
+    * same checkpoint as the file-source cursor, so a restart resumes both
+    * together. Corrupt lines are gated by content hash instead of key:
+    * a replayed corrupt file does not re-dead-letter. */
   def syncContainers(spark: SparkSession,
                      source: graft.core.FileAccount,
                      target: graft.core.FileAccount,
@@ -185,6 +221,7 @@ object Streams {
                      trigger: org.apache.spark.sql.streaming.Trigger =
                        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
                      sanitize: Boolean = false,
+                     dedupeReplays: Boolean = false,
                      onBatch: SyncBatchProgress => Unit = _ => ()):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.RawMerge
@@ -196,17 +233,27 @@ object Streams {
     val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val s = batch.sparkSession
       graft.functions.GraftFunctions.register(s)
-      // key the batch once (parse-once kernel); keep the source file name
-      // for the deterministic last-file-wins duplicate rule
-      val sk = RawMerge.srcKeyed(s, batch.select(col("value").as("raw")), pkPaths)
-        .withColumn("__f", input_file_name())
+      // key the batch once (parse-once kernel); the source-file column was
+      // captured in the stream (before any state gate) for the deterministic
+      // last-file-wins duplicate rule
+      val sk = RawMerge.srcKeyed(s,
+          batch.select(col("value").as("raw"), col("__f")), pkPaths,
+          carry = Seq("__f"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val valid = RawMerge.validCol(pkPaths)
-        val errors = sk.filter(!valid)
-        val errorRows = errors.count()
+        // A23/A24 counters from ONE aggregation over the keyed batch (the
+        // orchestrator's one-frame pattern): total rows, invalid rows, and
+        // distinct valid merge keys (= the deduped row count) in one action
+        val stats = sk.agg(
+          count(lit(1)).as("n"),
+          count(when(!valid, lit(1))).as("e"),
+          count_distinct(when(valid,
+            struct(keyCols.map(col): _*))).as("m")).head()
+        val (srcRows, errorRows, mergedRows) =
+          (stats.getLong(0), stats.getLong(1), stats.getLong(2))
         if (errorRows > 0)
-          errors.select("raw").write.mode("append").text(
+          sk.filter(!valid).select("raw").write.mode("append").text(
             java.nio.file.Paths.get(target.root, db, container, "_errors").toString)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
@@ -230,18 +277,44 @@ object Streams {
           if (sanitize) changedRows.withColumn("raw", expr("mask_json(raw)"))
           else changedRows
         target.upsertRaw(s, db, container, changed, keyCols, pkPaths)
-        onBatch(SyncBatchProgress(batchId, sk.count(), srcOne.count(),
+        onBatch(SyncBatchProgress(batchId, srcRows, mergedRows,
           errorRows, affected, tgtFiles))
       } finally sk.unpersist()
       ()
     }
-    spark.readStream
-      // the source container may itself be bucket-laid-out (b=<k> dirs from
-      // a prior upsert) with stray files at the data/ root — recursive
-      // lookup reads both, matching the batch readRaw
+    // the source container may itself be bucket-laid-out (b=<k> dirs from
+    // a prior upsert) with stray files at the data/ root — recursive
+    // lookup reads both, matching the batch readRaw. input_file_name() is
+    // captured HERE: downstream of a state operator it would be empty.
+    val lines = spark.readStream
       .option("recursiveFileLookup", "true")
       .text(java.nio.file.Paths.get(source.root, db, container, "data").toString)
-      .writeStream
+      .select(col("value"), input_file_name().as("__f"))
+    val streamIn: DataFrame =
+      if (!dedupeReplays) lines
+      else {
+        graft.functions.GraftFunctions.register(spark)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import spark.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val csv = pkPaths.map(_.stripPrefix("/")).mkString(",")
+        val keyParts = col("__m.id") +: pkPaths.indices.map(i => col(s"__m.pk$i"))
+        val validKey = keyParts.map(c => c.isNotNull && c =!= "").reduce(_ && _)
+        lines
+          .selectExpr("value", "__f", s"json_doc_keys(value, '$csv', 'false') AS __m")
+          .withColumn("k",
+            when(validKey, concat_ws("\u0001", lit("k") +: keyParts: _*))
+              .otherwise(concat(lit("e|"), md5(col("value")))))
+          .select(col("k"), col("__f").as("f"), col("value").as("raw"))
+          .as[SyncRow]
+          .groupByKey(_.k)
+          .transformWithState(new FirstSeenKeys,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+          .select(col("raw").as("value"), col("f").as("__f"))
+      }
+    streamIn.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch(mergeBatch)

@@ -347,6 +347,69 @@ class StreamingSpec extends AnyFunSuite {
         s"${p.flatMap(_.targetFilesScanned)}")
   }
 
+  test("ST-6 opt-in replay dedup: a replayed older version cannot resurrect") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.{ContainerProps, FileAccount}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevCk = spark.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    // same RocksDB + checksum setup as ST-4b (transformWithState requirement)
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try {
+      val root = Files.createTempDirectory(Paths.get("target"), "sync-replay")
+      def run(tag: String, dedupe: Boolean): (FileAccount, String) = {
+        val src = FileAccount(root.resolve(s"$tag-src").toString)
+        val tgt = FileAccount(root.resolve(s"$tag-tgt").toString)
+        Files.createDirectories(Paths.get(src.root))
+        Files.createDirectories(Paths.get(tgt.root))
+        src.createDatabaseIfAbsent("db")
+        src.createContainerIfAbsent("db", "c", ContainerProps(Seq("/pk"), buckets = 4))
+        val data = Paths.get(src.root, "db", "c", "data")
+        Files.createDirectories(data)
+        val cp = root.resolve(s"$tag-cp").toString
+        // batch 1: the NEWER version of d1 arrives first, plus a corrupt line
+        Files.writeString(data.resolve("f1.json"),
+          "{\"id\":\"d1\",\"pk\":\"p\",\"v\":2}\ncorrupt {{")
+        Streams.syncContainers(spark, src, tgt, "db", "c", cp,
+          dedupeReplays = dedupe).awaitTermination()
+        // batch 2: an out-of-order/replayed OLDER version of d1, a replay of
+        // the same corrupt line, and a genuinely new key
+        Files.writeString(data.resolve("f2.json"),
+          "{\"id\":\"d1\",\"pk\":\"p\",\"v\":1}\ncorrupt {{\n{\"id\":\"d2\",\"pk\":\"p\",\"v\":9}")
+        Streams.syncContainers(spark, src, tgt, "db", "c", cp,
+          dedupeReplays = dedupe).awaitTermination()
+        (tgt, Paths.get(tgt.root, "db", "c", "_errors").toString)
+      }
+      val (tgtD, errD) = run("dedup", dedupe = true)
+      val stateD = tgtD.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet
+      assert(stateD.exists(s => s.contains("\"id\":\"d1\"") && s.contains("\"v\":2")),
+        s"first-seen version of d1 must survive the replay: $stateD")
+      assert(!stateD.exists(_.contains("\"v\":1")),
+        s"the replayed older version must be dropped: $stateD")
+      assert(stateD.exists(_.contains("\"id\":\"d2\"")),
+        "a genuinely new key must pass the gate")
+      // the replayed corrupt line dead-letters once, not once per replay
+      val deadLines = spark.read.text(errD).count()
+      assert(deadLines == 1, s"corrupt replay must not re-dead-letter: $deadLines")
+
+      // contrast: the DEFAULT mode keeps every-batch-re-merges semantics —
+      // the later (older) version wins, which is exactly the resurrection
+      // the opt-in gate exists to prevent
+      val (tgtN, _) = run("nodedup", dedupe = false)
+      val stateN = tgtN.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet
+      assert(stateN.exists(s => s.contains("\"id\":\"d1\"") && s.contains("\"v\":1")),
+        s"default mode must keep last-write-wins across batches: $stateN")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None    => spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   test("ST-6: continuous container sync catches up, resumes, and skips unchanged") {
     import java.nio.file.{Files, Paths}
     import graft.core.{ContainerProps, FileAccount}
