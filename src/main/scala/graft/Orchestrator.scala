@@ -151,13 +151,17 @@ object Orchestrator {
     // Expected-state metrics are materialized BEFORE the sink mutates the
     // target: the upsert may absorb/delete stray files that `tgtRaw`'s
     // lineage still references (the cache above bounds that exposure too).
-    // bit_xor, not sum: ANSI mode errors on 64-bit hash-sum overflow
-    def stateHash(df: org.apache.spark.sql.DataFrame): Long =
-      df.select(xxhash64(col("raw")).as("h"))
-        .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head().getLong(0)
+    // Count and hash come from ONE aggregation — each stateStats call is a
+    // single pass over its frame, which matters when the frame is a
+    // container re-read. bit_xor, not sum: ANSI mode errors on 64-bit
+    // hash-sum overflow
+    def stateStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("raw")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val expected = RawMerge.mergedStateOf(classified, pkPaths, cfg.sanitize)
-    val expectedCount = expected.count()
-    val expectedHash = stateHash(expected)
+    val (expectedCount, expectedHash) = stateStats(expected)
 
     target.upsertRaw(spark, db, container, changed, keyCols, pkPaths)
     classified.unpersist()
@@ -180,14 +184,14 @@ object Orchestrator {
         val untouched =
           (postSigs.keySet -- buckets) == (preSigs.keySet -- buckets) &&
             (postSigs.keySet -- buckets).forall(b => postSigs(b) == preSigs(b))
-        val ok = back.count() == expectedCount &&
-          stateHash(back) == expectedHash && untouched
+        val (backCount, backHash) = stateStats(back)
+        val ok = backCount == expectedCount && backHash == expectedHash &&
+          untouched
         (ok, target.countRows(spark, db, container), "incremental")
       case None =>
-        val written = target.readRaw(spark, db, container)
-        val writtenCount = written.count()
-        val ok = writtenCount == expectedCount &&
-          stateHash(written) == expectedHash
+        val (writtenCount, writtenHash) = stateStats(
+          target.readRaw(spark, db, container))
+        val ok = writtenCount == expectedCount && writtenHash == expectedHash
         (ok, writtenCount, "full")
     }
 
