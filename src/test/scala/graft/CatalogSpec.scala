@@ -242,6 +242,35 @@ class CatalogSpec extends AnyFunSuite {
     assert(tgt.countRows(spark, "db", "c") == 4002)
   }
 
+  test("duplicate merge keys in the target fail verification safely, never silently") {
+    // the reference's data model cannot hold two documents with one (id, pk)
+    // — Cosmos enforces uniqueness — so a duplicate-key target is container
+    // corruption by an external writer. The merge must COMPLETE (no crash)
+    // and report verified=false rather than silently blessing the state.
+    val src = newAccount("cat-dup-src")
+    seedContainer(src, "db", "c", Seq("/pk"), Seq(
+      """{"id":"k1","pk":"p","v":1}""",
+      """{"id":"k2","pk":"p","v":2}"""))
+    for (mode <- Seq(Some(false), Some(true))) {
+      val tgt = newAccount(s"cat-dup-tgt-$mode")
+      assert(migrate(spark, src, tgt).ok)
+      // corrupt the container: a second row for k1 via an external write
+      Files.writeString(Paths.get(tgt.root, "db", "c", "data", "zz-dup.json"),
+        """{"id":"k1","pk":"p","v":999}""")
+      val r = migrate(spark, src, tgt, Config(incremental = mode)).results.head
+      assert(!r.verified,
+        s"duplicate-key container must not verify (incremental=$mode): $r")
+      // the upsert collapses rows by merge key, so the flagged run also
+      // HEALED the container: a rerun converges to a verified clean state
+      val healed = migrate(spark, src, tgt, Config(incremental = mode)).results.head
+      assert(healed.verified && healed.targetCount == 2,
+        s"rerun after the flagged merge must verify clean (incremental=$mode): $healed")
+      val k1 = tgt.readRaw(spark, "db", "c").collect().map(_.getString(0))
+        .filter(_.contains("\"id\":\"k1\""))
+      assert(k1.length == 1, s"duplicate must have collapsed: ${k1.toSeq}")
+    }
+  }
+
   test("parallel container migration matches the serial result (A26 at scale)") {
     val src = freshSource()
     val serial = migrate(spark, src, newAccount("cat-par-s"))
