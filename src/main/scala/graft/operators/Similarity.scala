@@ -208,11 +208,42 @@ object Similarity {
       * centroid expression; `centroids.sql` is written last as the commit
       * marker), and only on a true miss the corpus build — whose result is
       * written back so every later session starts probe-only. */
+    private def cacheKey(s: SparkSession, dir: String, lloydIters: Int,
+                         cells: Int): String =
+      s"${System.identityHashCode(s)}|${indexPath(dir, lloydIters, cells)}"
+
     def build(s: SparkSession, dir: String, lloydIters: Int,
               cells: Int = IvfCells): Index =
-      cache.computeIfAbsent(
-        s"${System.identityHashCode(s)}|$dir|$lloydIters|$cells",
+      cache.computeIfAbsent(cacheKey(s, dir, lloydIters, cells),
         _ => loadOrBuild(s, dir, lloydIters, cells))
+
+    /** Incremental index maintenance: assign NEW vectors (`vec_id`,
+      * `embedding`; ids must be new — dedupe upstream) with the stored
+      * centroid expression — a map-only, delta-sized job, no corpus pass —
+      * and append them cell-partitioned into the durable assignment. The
+      * index is the growing entity, the analogue of the reference's
+      * container doubling as its own point-read index and absorbing every
+      * merge delta. Appends do NOT retrain the quantizer (standard IVF
+      * practice: retrain on drift, not per insert); a drift-driven rebuild
+      * is a new index directory. Returns the refreshed Index; the previous
+      * in-memory assignment is unpersisted. */
+    def append(s: SparkSession, dir: String, lloydIters: Int,
+               newVecs: DataFrame, cells: Int = IvfCells): Index = {
+      val prior = build(s, dir, lloydIters, cells)
+      GraftFunctions.register(s)
+      val asgPath = indexPath(dir, lloydIters, cells).resolve("assignment")
+      newVecs.selectExpr("vec_id", "embedding",
+          s"-array_max(${prior.cellsSql}).nc AS cell")
+        .write.mode("append").partitionBy("cell").parquet(asgPath.toString)
+      prior.assigned.unpersist()
+      val asg = s.read.parquet(asgPath.toString)
+        .withColumn("cell", col("cell").cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      asg.count()
+      val updated = Index(prior.cellsSql, asg)
+      cache.put(cacheKey(s, dir, lloydIters, cells), updated)
+      updated
+    }
 
     private def loadOrBuild(s: SparkSession, dir: String, lloydIters: Int,
                             k: Int): Index = {

@@ -102,6 +102,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(fresh == orig, "durable-index probe must match the building session")
   }
 
+  test("IVF append: new vectors join the durable index via a delta-sized job") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // isolated index root: appends must not pollute the shared durable
+    // index other tests (and the oracle queries) probe
+    val prevRoot = sys.props.get("graft.ivf.root")
+    sys.props("graft.ivf.root") = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivf-append").toString
+    try {
+      // a new vector with EXACTLY query 5's embedding: after the append it
+      // must surface as query 5's top-1 neighbor at similarity 1.0
+      val delta = graft.core.Tables.embeddings(spark, sf)
+        .where(col("vec_id") === 5)
+        .select(lit(900001L).as("vec_id"), col("embedding"))
+      val idx = Similarity.IvfIndex.append(spark, sf, lloydIters = 0, delta, cells = 8)
+      val top = Similarity.IvfIndex.probe(spark, sf, idx, nprobe = 8, topK = 1)
+        .where(col("q_id") === 5).head()
+      assert(top.getLong(top.fieldIndex("n_id")) == 900001L &&
+        top.getDouble(top.fieldIndex("sim")) == 1.0,
+        s"appended twin must be query 5's exact top-1: $top")
+      // the refreshed assignment still reads only index files
+      val files = idx.assigned.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation].location.inputFiles.toSeq
+      }.flatten
+      assert(files.nonEmpty && files.forall(_.contains("ivf-append")),
+        s"assignment must read the appended durable index: ${files.take(3)}")
+    } finally {
+      prevRoot match {
+        case Some(p) => sys.props("graft.ivf.root") = p
+        case None    => sys.props.remove("graft.ivf.root")
+      }
+    }
+  }
+
   test("LSH plane width is tunable: a coarser width only adds pairs") {
     import graft.operators.Similarity
     def pairs(df: org.apache.spark.sql.DataFrame) =
