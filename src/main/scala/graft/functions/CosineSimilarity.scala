@@ -96,6 +96,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_band_sig", exprs => LshBandSignature(exprs.head,
+        litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "flatten_doc", exprs => DocFlatten(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs.head, shingleN(exprs)), "built-in")
@@ -119,6 +122,11 @@ object GraftFunctions {
   private[functions] def litString(
       e: org.apache.spark.sql.catalyst.expressions.Expression): String =
     e.eval(null).toString
+
+  /** Literal int argument evaluated at registration time. */
+  private[functions] def litInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
 
   /** Optional literal-int second arg of word_shingles; default 3-grams. */
   private[functions] def shingleN(

@@ -259,16 +259,11 @@ object Dedup {
   def qD8(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
+    // each band's bits in one fused codegen'd pass (see
+    // [[graft.functions.LshBandSignature]] — the HOF formulation ran
+    // interpreted lambdas per element per plane)
     val bandCols = (0 until LshBands).map { k =>
-      val bits = (0 until LshBandBits).map { j =>
-        val p = LshBandBits * k + j
-        val plane = array((1 to 64).map(i => lit(Similarity.planeSign(p, i))): _*)
-        val dot = aggregate(
-          zip_with(col("embedding"), plane, (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      bits.as(s"bk$k")
+      expr(s"lsh_band_sig(embedding, ${LshBandBits * k}, $LshBandBits)").as(s"bk$k")
     }
     val sigs = e.select(col("vec_id") +: col("embedding") +: bandCols: _*)
     val bands = sigs.selectExpr("vec_id", "embedding",

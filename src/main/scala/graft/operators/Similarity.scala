@@ -39,16 +39,15 @@ object Similarity {
     * log2(N / target_bucket_size)); [[lshPairs]] takes the width as a
     * parameter so deployments tune it without touching the oracle queries. */
   val LshPlanes = 8
-  private val Dim = 64
 
   /** Deterministic ±1 hyperplane entries, seeded from md5 of "p_i" — the
     * exact value the DuckDB oracle recomputes, so both engines build the
     * same planes without sharing state. Shared with [[Dedup.qD8]]'s banded
-    * variant (same plane family, different banding). */
-  private[operators] def planeSign(p: Int, i: Int): Double = {
-    val fp = Multimodal.fingerprint(s"${p}_$i".getBytes("UTF-8"), 0, s"${p}_$i".length)
-    if (fp % 2 == 0) 1.0 else -1.0
-  }
+    * variant (same plane family, different banding). Canonical definition
+    * lives with the codegen'd signature kernel
+    * ([[graft.functions.LshBandSignature.planeSign]]). */
+  private[operators] def planeSign(p: Int, i: Int): Double =
+    graft.functions.LshBandSignature.planeSign(p, i)
 
   /** Q-SIM2: sub-quadratic near-duplicate search via random-hyperplane LSH.
     *
@@ -73,13 +72,10 @@ object Similarity {
   def lshPairs(s: SparkSession, dir: String, planes: Int): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val bucket = (0 until planes).map { p =>
-      val plane = array((1 to Dim).map(i => lit(planeSign(p, i))): _*)
-      val dot = aggregate(
-        zip_with(col("embedding"), plane, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one fused codegen'd pass computes all plane bits (the HOF formulation
+    // runs interpreted lambdas per element per plane — see
+    // [[graft.functions.LshBandSignature]])
+    val bucket = expr(s"lsh_band_sig(embedding, 0, $planes)")
     val sigs = e.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
     val a = sigs.selectExpr("vec_id AS a_id", "embedding AS ea", "bucket")
     val b = sigs.selectExpr("vec_id AS b_id", "embedding AS eb", "bucket AS b_bucket")

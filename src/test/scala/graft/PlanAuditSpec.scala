@@ -102,6 +102,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(fresh == orig, "durable-index probe must match the building session")
   }
 
+  test("lsh_band_sig matches the HOF formulation bit-for-bit and stays in codegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.core.Tables.embeddings(spark, sf)
+    // the zip_with+aggregate form the codegen'd kernel replaced — same
+    // planes, same fold order, same promotion
+    val hof = (0 until 8).map { p =>
+      val plane = array((1 to 64).map(i =>
+        lit(graft.functions.LshBandSignature.planeSign(p, i))): _*)
+      val dot = aggregate(
+        zip_with(col("embedding"), plane, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val q = e.select(hof.as("a"), expr("lsh_band_sig(embedding, 0, 8)").as("b"))
+    assert(q.filter(col("a") =!= col("b")).count() == 0,
+      "fused kernel must reproduce the HOF signature bit-for-bit")
+    val plan = graft.operators.Similarity.qSim2(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("lshbandsignature") || plan.contains("lsh_band_sig"),
+      s"signature must come from the fused kernel:\n$plan")
+  }
+
   test("IVF append: new vectors join the durable index via a delta-sized job") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
