@@ -99,6 +99,10 @@ object GraftFunctions {
       "lsh_band_sig", exprs => LshBandSignature(exprs.head,
         litInt(exprs(1)), litInt(exprs(2))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinhashSig(exprs.head, shingleN(exprs)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", exprs => Simhash32(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "flatten_doc", exprs => DocFlatten(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs.head, shingleN(exprs)), "built-in")

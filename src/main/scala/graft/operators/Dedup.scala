@@ -72,21 +72,19 @@ object Dedup {
       .where(size(col("g")) > 0)
   }
 
-  /** MinHash signatures (k=4 permutations over 3-gram shingles).
-    *
-    * Shape: explode the shingle set, hash each gram ONCE, then one hash-agg
-    * taking the 4 permutation minima. The agg partials map-side, so the
-    * shuffle carries only (doc_id, 4 longs) per document — while the md5
-    * work stays in whole-stage codegen. (A per-row HOF formulation avoids
-    * the explode but re-hashes every gram per permutation in interpreted
-    * lambdas: measured 5× slower at sf0.1.) */
+  /** MinHash signatures (k=4 permutations over 3-gram shingles), via the
+    * fused [[graft.functions.MinhashSig]] kernel: shingle + hash + the 4
+    * permutation minima in ONE codegen'd pass per document — a map-only
+    * projection with NO explode generator and NO aggregation (the previous
+    * explode → md5 → 33-column partial agg shape shuffled (doc_id, 4 longs)
+    * per document; this shuffles nothing). Zero-shingle docs return null
+    * and are filtered, matching the explode form's dropped groups. */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val grams = shingles(s, dir)
-      .selectExpr("doc_id", s"explode(g) AS gram")
-      .selectExpr("doc_id", s"${md5h32("gram")} AS h")
-    val mins = Hashing.MinhashParams.indices.map(i =>
-      min(expr(Hashing.minhashPerm(i, "h"))).as(s"m${i + 1}"))
-    grams.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "minhash_sig(text, 3) AS ms")
+      .where(col("ms").isNotNull)
+      .selectExpr("doc_id", "ms.m1 AS m1", "ms.m2 AS m2", "ms.m3 AS m3", "ms.m4 AS m4")
   }
 
   /** MinHash signature query (oracle-checked form of the signature math). */
@@ -99,16 +97,17 @@ object Dedup {
     *
     * Single-tokenize shape (the r2 verdict's ask — this query used to run
     * three corpus tokenizes): the corpus is tokenized+hashed exactly once,
-    * inside the signature aggregation. Both sides of the band self-join are
-    * the SAME exploded-bands subtree, so ReuseExchange collapses them onto
-    * one signature pipeline (see the explode comment below — a union of two
-    * projections defeats this). Verification then flows FORWARD: the
-    * (small) candidate set broadcasts into two equi-joins against
-    * `documents`, and `word_shingles` runs only on the matched rows — so
-    * the two verify passes cost two column scans plus candidate-only
-    * tokenize work, not two more full-corpus tokenizes. The only all-rows
-    * shuffles are the signature aggregation and the (band, key) bucket
-    * join, both carrying (doc_id, few longs/strings) rows. */
+    * inside the fused [[graft.functions.MinhashSig]] kernel — a map-only
+    * projection, no explode, no aggregation shuffle. Both sides of the band
+    * self-join are the SAME exploded-bands subtree, so ReuseExchange
+    * collapses them onto one signature pipeline (see the explode comment
+    * below — a union of two projections defeats this). Verification then
+    * flows FORWARD: the (small) candidate set broadcasts into two
+    * equi-joins against `documents`, and `word_shingles` runs only on the
+    * matched rows — so the two verify passes cost two column scans plus
+    * candidate-only tokenize work, not two more full-corpus tokenizes. The
+    * only all-rows shuffle is the (band, key) bucket join, carrying
+    * (doc_id, band key) rows. */
   def qD4(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir)
     // both band rows come from ONE signature row via explode — a union of
@@ -145,26 +144,16 @@ object Dedup {
   }
 
   /** SimHash-32 per document: majority vote per bit over the md5-hashes of
-    * the token stream (duplicates count — frequency weights the vote).
-    *
-    * Shape: explode tokens, hash each ONCE, then one hash-agg with 32
-    * per-bit popcount sums + the token count, and assemble the signature in
-    * a final projection. Partial aggregation shrinks the shuffle to
-    * (doc_id, 33 longs) per document and keeps all arithmetic in codegen —
-    * the nested-HOF alternative re-walks the token array once per bit in
-    * interpreted lambdas (measured ~40× slower at sf0.1). */
+    * the token stream (duplicates count — frequency weights the vote), via
+    * the fused [[graft.functions.Simhash32]] kernel: tokenize + hash + the
+    * 32 bit votes in ONE codegen'd pass per document — a map-only
+    * projection, no explode, no aggregation shuffle (the previous shape
+    * shuffled (doc_id, 33 longs) per document through a partial agg). */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS w")
-      .selectExpr("doc_id", s"${md5h32("w")} AS h")
-    val bitSums = (0 until 32).map(b =>
-      sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
-    val counts = tok.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sig = (0 until 32).map(b =>
-      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    counts.select(col("doc_id"), sig.as("simhash"))
+    GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "simhash32(text) AS simhash")
+      .where(col("simhash").isNotNull)
   }
 
   /** SimHash signature query (oracle-checked form of the signature math). */
