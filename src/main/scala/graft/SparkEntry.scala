@@ -68,6 +68,7 @@ object SparkEntry {
     "q_t2_quality_score"   -> (TextAnalysis.qT2 _),
     "q_t3_token_count"     -> (TextAnalysis.qT3 _),
     "q_t4_fingerprint"     -> (TextAnalysis.qT4 _),
+    "q_t5_curate"          -> (TextAnalysis.qT5 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -226,6 +227,30 @@ object SparkEntry {
     "q_t3_token_count" -> (
       "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, " +
         "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens FROM documents ORDER BY doc_id"),
+    "q_t5_curate" -> (
+      // composed curation gate: quality >= 0.5 (integer-exact q10k) AND
+      // confident lang-ID AND first-doc-per-content-hash; exact integer
+      // quality sum so the aggregate is order-independent bit-for-bit
+      "WITH t AS (SELECT doc_id, md5(lower(text)) AS chash, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS w, " +
+        "CAST(n_chars AS BIGINT) AS nc, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "h AS (SELECT doc_id, chash, w, nc, " +
+        "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS en_hits, " +
+        "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un'))) AS es_hits, " +
+        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS de_hits, " +
+        "len(list_filter(toks, x -> x IN ('le','la','de','et','un','une','est'))) AS fr_hits FROM t), " +
+        "s AS (SELECT doc_id, chash, w, " +
+        "(20000 * (5 * least(w, 100) * w + 300 * en_hits + 20 * least(nc, 10 * w)) + 1000 * w) " +
+        "// (2000 * w) AS q10k, " +
+        "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' " +
+        "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
+        "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
+        "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred, " +
+        "row_number() OVER (PARTITION BY chash ORDER BY doc_id) AS rn FROM h) " +
+        "SELECT lang_pred, count(1) AS kept, CAST(sum(q10k) AS BIGINT) AS q10k_sum, " +
+        "CAST(sum(w) AS BIGINT) AS words FROM s " +
+        "WHERE rn = 1 AND q10k >= 5000 AND lang_pred <> 'und' " +
+        "GROUP BY lang_pred ORDER BY lang_pred"),
     "q_t4_fingerprint" -> (
       "WITH idx AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-7, 1))) AS i FROM documents), " +
         "h AS (SELECT doc_id, ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT AS hv FROM idx) " +

@@ -92,6 +92,53 @@ object TextAnalysis {
           "DIV (2000 * w) AS DOUBLE) / 10000 AS quality")
       .orderBy("doc_id")
 
+  /** Q-T5: the COMPOSED curation gate — the per-document keep/drop decision
+    * a training-data run applies, all three filters in one pipeline:
+    * quality >= 0.5 (the qT2 composite, integer-exact as `q10k`), a
+    * confident language ID (qT1's classifier, not 'und'), and
+    * first-document-wins exact dedup on the content hash (qD1/qX5's key).
+    * Output: per-language kept-count, total words, and the exact integer
+    * quality sum (bit-stable across engines and row order — a double
+    * quality sum would drift with addition order).
+    *
+    * Scale shape: ONE corpus scan of per-row expressions; the only
+    * all-rows shuffle is the per-hash first-wins window (hash-partitioned,
+    * same key as the dedup family), then a languages-sized rollup. At
+    * 100 TB this is the curation pass's minimal plan: scan-bound, one
+    * exchange. */
+  def qT5(s: SparkSession, dir: String): DataFrame = {
+    val hitCols = StopWords.map { case (lang, ws) =>
+      s"CAST(size(filter(toks, x -> x IN (${inList(ws)}))) AS BIGINT) AS ${lang}_hits"
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chash").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id", "md5(lower(text)) AS chash",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS w",
+        "CAST(n_chars AS BIGINT) AS nc",
+        "split(lower(text), ' ') AS toks")
+      .selectExpr(Seq("doc_id", "chash", "w", "nc") ++ hitCols: _*)
+      .selectExpr(
+        "doc_id", "chash", "w",
+        "(20000 * (5 * least(w, 100) * w + 300 * en_hits + 20 * least(nc, 10 * w)) + 1000 * w) " +
+          "DIV (2000 * w) AS q10k",
+        """CASE
+          |  WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+          |  WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+          |  WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+          |  WHEN fr_hits > 0 THEN 'fr'
+          |  ELSE 'und'
+          |END AS lang_pred""".stripMargin)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("q10k") >= 5000 && col("lang_pred") =!= "und")
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("kept"),
+        sum(col("q10k")).as("q10k_sum"),
+        sum(col("w")).as("words"))
+      .orderBy("lang_pred")
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex tokenizer (letter
     * runs | digit runs | single punctuation). Both are per-row expressions —
     * no tokenized corpus is materialized. */
