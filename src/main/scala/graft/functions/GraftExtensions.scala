@@ -29,6 +29,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DocFlatten(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("lsh_band_sig"),
+      new ExpressionInfo(classOf[LshBandSignature].getName, "lsh_band_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBandSignature(exprs.head,
+          GraftFunctions.litInt(exprs(1)), GraftFunctions.litInt(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSig(exprs.head, GraftFunctions.shingleN(exprs))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Simhash32(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

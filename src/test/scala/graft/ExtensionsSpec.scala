@@ -136,6 +136,12 @@ class ExtensionsSpec extends AnyFunSuite {
       val f = s2.sql("SELECT flatten_doc(named_struct('a', 1, 'b', 'x'))")
         .collect().map(r0 => (r0.getString(0), r0.getString(1))).toSeq
       assert(f == Seq(("a", "1"), ("b", "x")))
+      // the fused sketch kernels ride the same extension surface
+      val sk = s2.sql(
+        "SELECT simhash32('a b a') AS sh, minhash_sig('a b c d', 3).m1 AS m1, " +
+          "lsh_band_sig(cast(array(1.0, -1.0) as array<float>), 0, 2) AS bs")
+        .head()
+      assert(!sk.isNullAt(0) && !sk.isNullAt(1) && !sk.isNullAt(2))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
