@@ -120,7 +120,12 @@ object Dedup {
         |  named_struct('band', 1, 'bk', concat(m1, '_', m2)),
         |  named_struct('band', 2, 'bk', concat(m3, '_', m4)))) AS b""".stripMargin)
       .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
-    val cand = bands.as("x").join(bands.as("y"),
+    // merge hint, not AQE's choice: the bands frame is O(corpus), so at
+    // scale it must never be the build side of a broadcast — and at ANY
+    // scale the SMJ shape makes both sides identical shuffle subtrees, so
+    // ReuseExchange computes the signature pass ONCE (a broadcast build
+    // side would re-run it for the broadcast payload)
+    val cand = bands.as("x").hint("merge").join(bands.as("y"),
         expr("x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id"))
       .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id")
       .distinct()
@@ -178,7 +183,7 @@ object Dedup {
     val a = bands.selectExpr("doc_id AS a_id", "simhash AS sa", "band", "bv")
     val b = bands.selectExpr("doc_id AS b_id", "simhash AS sb",
       "band AS band_b", "bv AS bv_b")
-    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+    a.hint("merge").join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
         col("a_id") < col("b_id"))
       // verify BEFORE deduplicating candidates: bit_count is a per-row
       // codegen'd op, so filtering first shrinks the distinct's shuffle to
@@ -260,7 +265,7 @@ object Dedup {
     val a = bands.selectExpr("vec_id AS a_id", "embedding AS ea", "band", "bv")
     val b = bands.selectExpr("vec_id AS b_id", "embedding AS eb",
       "band AS band_b", "bv AS bv_b")
-    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+    a.hint("merge").join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
         col("a_id") < col("b_id"))
       .withColumn("sim_raw", expr("cosine_sim(ea, eb)"))
       .where(col("sim_raw") >= 0.4)

@@ -266,16 +266,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"gram explode must be fused into the kernel:\n$plan")
     assert(plan.contains("minhashsig") || plan.contains("minhash_sig"),
       s"signature must come from the fused kernel:\n$plan")
+    // the band self-join is DECLARED merge (an O(corpus) frame must never
+    // be a broadcast build side), which also makes both sides identical
+    // shuffle subtrees: ReuseExchange computes the signature pass once
+    assert(plan.contains("ReusedExchange"),
+      "the second band side must reuse the signature shuffle, not recompute it")
     // the Jaccard verify must not re-tokenize the corpus: every documents
-    // scan beyond the signature side(s) feeds a broadcast join, with
-    // word_shingles projected ABOVE the join (matched rows only). At this
-    // tiny SF, AQE broadcasts the band self-join, which duplicates the
-    // now-map-only signature scan onto both sides (2 sig + 2 verify) — the
-    // right runtime call when the scan is a cheap projection; at scale the
-    // join SMJs and ReuseExchange collapses the sides to one.
+    // scan beyond the signature one feeds a broadcast join, with
+    // word_shingles projected ABOVE the join (matched rows only)
     val docScans = plan.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("documents"))
-    assert(docScans <= 4, s"expected <=4 documents scans, saw $docScans")
+    assert(docScans <= 3, s"expected <=3 documents scans (1 sig + 2 verify), saw $docScans")
   }
 
   test("Q-D6 verifies before deduplicating: distinct runs on surviving pairs") {
