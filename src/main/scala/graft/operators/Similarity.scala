@@ -79,7 +79,11 @@ object Similarity {
     val sigs = e.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
     val a = sigs.selectExpr("vec_id AS a_id", "embedding AS ea", "bucket")
     val b = sigs.selectExpr("vec_id AS b_id", "embedding AS eb", "bucket AS b_bucket")
-    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+    // declared merge join: the signature frame is O(corpus) and carries the
+    // embeddings for exact rescoring — it must never be a broadcast build
+    // side at scale, and the SMJ sides are identical shuffle subtrees, so
+    // ReuseExchange computes the signature pass once
+    a.hint("merge").join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
       .withColumn("sim_raw", expr("cosine_sim(ea, eb)"))
       .where(col("sim_raw") >= 0.4)
       .selectExpr("a_id", "b_id", "ROUND(sim_raw, 4) AS sim")
