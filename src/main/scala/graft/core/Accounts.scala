@@ -180,9 +180,6 @@ case class FileAccount(root: String) {
     val sigs = dirs.map { case (b, dir) => b -> dirSignature(dir) }.toMap
     val (vouched, unvouched) = dirs.partition { case (b, _) =>
       sidecar.get(b).exists(_._2 == sigs(b)) }
-    if (sys.props.contains("graft.debug.counts"))
-      println(s"countRows $db/$container: vouched=${vouched.size} unvouched=${unvouched.size} " +
-        s"unvouchedIds=${unvouched.map(_._1).take(10)}")
     val vouchedSum = vouched.map { case (b, _) => sidecar(b)._1 }.sum
     val recounted: Map[Long, Long] =
       if (unvouched.isEmpty) Map.empty
