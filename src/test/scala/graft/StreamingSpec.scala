@@ -410,6 +410,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ST-6 replay dedup gates on the full composite key (hierarchical pk)") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.{ContainerProps, FileAccount}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevCk = spark.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try {
+      val root = Files.createTempDirectory(Paths.get("target"), "sync-replay-hpk")
+      val src = FileAccount(root.resolve("src").toString)
+      val tgt = FileAccount(root.resolve("tgt").toString)
+      Files.createDirectories(Paths.get(src.root))
+      Files.createDirectories(Paths.get(tgt.root))
+      src.createDatabaseIfAbsent("db")
+      src.createContainerIfAbsent("db", "c",
+        ContainerProps(Seq("/tenant", "/owner/region"), buckets = 4))
+      val data = Paths.get(src.root, "db", "c", "data")
+      Files.createDirectories(data)
+      val cp = root.resolve("cp").toString
+      // batch 1: (h1, t1, emea) v2 — the newer version first
+      Files.writeString(data.resolve("f1.json"),
+        """{"id":"h1","tenant":"t1","owner":{"region":"emea"},"v":2}""")
+      Streams.syncContainers(spark, src, tgt, "db", "c", cp,
+        dedupeReplays = true).awaitTermination()
+      // batch 2: the same id under a DIFFERENT composite key must pass the
+      // gate (the key is id ++ every pk component, not id alone), while the
+      // replayed older version of the SAME composite key must be dropped
+      Files.writeString(data.resolve("f2.json"), Seq(
+        """{"id":"h1","tenant":"t1","owner":{"region":"emea"},"v":1}""",
+        """{"id":"h1","tenant":"t1","owner":{"region":"apac"},"v":9}""").mkString("\n"))
+      Streams.syncContainers(spark, src, tgt, "db", "c", cp,
+        dedupeReplays = true).awaitTermination()
+      val state = tgt.readRaw(spark, "db", "c").collect().map(_.getString(0)).toSet
+      assert(state.size == 2, state.mkString("\n"))
+      assert(state.exists(s => s.contains("\"region\":\"emea\"") && s.contains("\"v\":2")),
+        s"older emea replay must not resurrect: $state")
+      assert(state.exists(s => s.contains("\"region\":\"apac\"") && s.contains("\"v\":9")),
+        s"same id under a new composite key must pass the gate: $state")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None    => spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   test("ST-6: continuous container sync catches up, resumes, and skips unchanged") {
     import java.nio.file.{Files, Paths}
     import graft.core.{ContainerProps, FileAccount}
