@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.GraftFunctions
 import graft.functions.Hashing.md5h32
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -29,27 +30,26 @@ object TextAnalysis {
       .orderBy(desc("c"), col("w"))
       .limit(20)
 
-  /** Stopword lists for the n-gram/stopword language-ID heuristic. Tiny
-    * high-frequency function-word sets; deterministic and oracle-matchable
-    * (the same lists are inlined in the DuckDB SQL). */
-  val StopWords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
-    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est"))
+  /** Stopword lists for the n-gram/stopword language-ID heuristic —
+    * canonical definition lives with the fused kernel
+    * ([[graft.functions.LangHits.StopWords]]). */
+  val StopWords: Seq[(String, Seq[String])] = graft.functions.LangHits.StopWords
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
-  /** Language-ID: count function-word hits per language over the token array
-    * (duplicates count — frequency matters), classify as the max-hit language
-    * with a fixed priority-order tiebreak, 'und' when nothing hits. */
+  /** Language-ID: count function-word hits per language over the token
+    * stream (duplicates count — frequency matters) via the fused
+    * [[graft.functions.LangHits]] kernel (one pass; the composable form ran
+    * four interpreted filter lambdas per row), then classify as the max-hit
+    * language with a fixed priority-order tiebreak, 'und' when nothing
+    * hits. */
   def qT1(s: SparkSession, dir: String): DataFrame = {
-    val hitCols = StopWords.map { case (lang, ws) =>
-      s"size(filter(toks, w -> w IN (${inList(ws)}))) AS ${lang}_hits"
-    }
+    GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .selectExpr("doc_id", "split(lower(text), ' ') AS toks")
-      .selectExpr(Seq("doc_id") ++ hitCols: _*)
+      .selectExpr("doc_id", "lang_hits(text) AS lh")
+      .selectExpr("doc_id",
+        "CAST(lh.en AS INT) AS en_hits", "CAST(lh.es AS INT) AS es_hits",
+        "CAST(lh.de AS INT) AS de_hits", "CAST(lh.fr AS INT) AS fr_hits")
       .selectExpr(
         "doc_id", "en_hits", "es_hits", "de_hits", "fr_hits",
         """CASE
@@ -76,13 +76,14 @@ object TextAnalysis {
     *
     * quality = least(w,100)/100·0.5 + (h/w)·0.3 + least(nc/w,10)/10·0.2
     *         = (5·least(w,100)·w + 300·h + 20·least(nc,10w)) / (1000·w). */
-  def qT2(s: SparkSession, dir: String): DataFrame =
+  def qT2(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr(
         "doc_id",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS w",
+        "lang_hits(text).n AS w",
         "CAST(n_chars AS BIGINT) AS nc",
-        s"CAST(size(filter(split(lower(text), ' '), x -> x IN (${inList(StopWords.head._2)}))) AS BIGINT) AS h")
+        "lang_hits(text).en AS h")
       .selectExpr(
         "doc_id",
         "w AS n_words",
@@ -91,6 +92,7 @@ object TextAnalysis {
         "CAST((20000 * (5 * least(w, 100) * w + 300 * h + 20 * least(nc, 10 * w)) + 1000 * w) " +
           "DIV (2000 * w) AS DOUBLE) / 10000 AS quality")
       .orderBy("doc_id")
+  }
 
   /** Q-T5: the COMPOSED curation gate — the per-document keep/drop decision
     * a training-data run applies, all three filters in one pipeline:
@@ -107,18 +109,17 @@ object TextAnalysis {
     * 100 TB this is the curation pass's minimal plan: scan-bound, one
     * exchange. */
   def qT5(s: SparkSession, dir: String): DataFrame = {
-    val hitCols = StopWords.map { case (lang, ws) =>
-      s"CAST(size(filter(toks, x -> x IN (${inList(ws)}))) AS BIGINT) AS ${lang}_hits"
-    }
+    GraftFunctions.register(s)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("chash").orderBy("doc_id")
     Tables.documents(s, dir)
       .selectExpr(
         "doc_id", "md5(lower(text)) AS chash",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS w",
         "CAST(n_chars AS BIGINT) AS nc",
-        "split(lower(text), ' ') AS toks")
-      .selectExpr(Seq("doc_id", "chash", "w", "nc") ++ hitCols: _*)
+        "lang_hits(text) AS lh")
+      .selectExpr("doc_id", "chash", "nc", "lh.n AS w",
+        "lh.en AS en_hits", "lh.es AS es_hits",
+        "lh.de AS de_hits", "lh.fr AS fr_hits")
       .selectExpr(
         "doc_id", "chash", "w",
         "(20000 * (5 * least(w, 100) * w + 300 * en_hits + 20 * least(nc, 10 * w)) + 1000 * w) " +
