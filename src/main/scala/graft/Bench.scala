@@ -34,10 +34,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout capture can truncate on long runs — persist the full per-query
-    // record machine-readably so no round loses data
+    // record machine-readably so no round loses data; a failed write must be
+    // VISIBLE (stderr), and fatal errors propagate
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULTS.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: failed to write $out: $e") }
     spark.stop()
   }
 }

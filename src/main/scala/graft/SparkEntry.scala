@@ -35,6 +35,7 @@ object SparkEntry {
     "q_j5_full_outer_diff" -> (Joins.qJ5 _),
     "q_j6_composite_key"   -> (Joins.qJ6 _),
     "q_j7_bucketed_cojoin" -> (Bucketing.qJ7 _),
+    "q_j8_skew_join"       -> (Joins.qJ8 _),
     // aggregates
     "q_a1_count"           -> (Relational.qA1 _),
     "q_a2_hash_agg"        -> (Relational.qA2 _),
@@ -60,7 +61,7 @@ object SparkEntry {
     // verification
     "q_v1_count_parity"    -> (Relational.qV1 _),
     "q_v2_content_hash"    -> (Relational.qV2 _),
-    // rows-only check: HLL estimates are engine-specific (no DuckDB oracle)
+    // HLL estimate checked via a relative-error bound (exact + within_bound)
     "q_v3_approx_distinct" -> (Relational.qV3 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
@@ -104,8 +105,8 @@ object SparkEntry {
     "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
     "q_mm3_resize"          -> (Multimodal.qMm3 _),
-    // document flattener (U-3 Generator)
-    "q_u3_flatten"          -> (Documents.qU3 _),
+    // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
+    "q_u4_flatten"          -> (Documents.qU3 _),
   )
 
   /** DuckDB-dialect equivalent for each key in `queries` (the driver runs
@@ -139,6 +140,11 @@ object SparkEntry {
         "FROM customer FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey ORDER BY k"),
     "q_j6_composite_key" -> (
       "SELECT count(1) AS n FROM lineitem l JOIN lineitem r ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber"),
+    "q_j8_skew_join" -> (
+      "SELECT k, count(1) AS c, CAST(sum(event_id) AS BIGINT) AS se FROM " +
+        "(SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS k, event_id FROM events) e " +
+        "JOIN (SELECT o_orderkey % 1500 AS k FROM orders) o USING (k) " +
+        "GROUP BY k ORDER BY k"),
     "q_a1_count" -> (
       "SELECT count(1) AS n FROM lineitem"),
     "q_a2_hash_agg" -> (
@@ -469,7 +475,11 @@ object SparkEntry {
         "FROM u GROUP BY asset_id) " +
         "SELECT asset_id, CAST(len(small) AS BIGINT) AS r_len, " +
         "('0x' || substr(md5(small), 1, 8))::BIGINT AS r_fp FROM s ORDER BY asset_id"),
-    "q_u3_flatten" -> (
+    // the HLL estimate itself is engine-specific; the checked contract is
+    // "exact count matches AND the estimate is within the documented bound"
+    "q_v3_approx_distinct" -> (
+      "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact, true AS within_bound FROM orders"),
+    "q_u4_flatten" -> (
       "SELECT doc_id, path, value FROM (" +
         "SELECT doc_id, 'lang' AS path, lang AS value FROM documents " +
         "UNION ALL SELECT doc_id, 'n_chars', CAST(n_chars AS VARCHAR) FROM documents " +

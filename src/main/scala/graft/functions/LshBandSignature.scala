@@ -12,9 +12,14 @@ import org.apache.spark.sql.types._
   * with deterministic ±1 hyperplane `firstPlane + j` is >= 0. The planes are
   * the md5-seeded family shared with the DuckDB oracle
   * ([[LshBandSignature.planeSign]] — `graft.operators.Similarity` delegates
-  * here), and dots accumulate in index order with double precision, so the
-  * result is bit-identical to the `zip_with`+`aggregate` HOF formulation it
-  * replaces.
+  * here), and dots accumulate in index order with double precision, so for
+  * vectors of exactly [[LshBandSignature.MaxDim]] elements the result is
+  * bit-identical to the `zip_with`+`aggregate` HOF formulation it replaces.
+  * Other lengths get zero-padding/truncation semantics: the dot covers the
+  * first `min(dim, MaxDim)` elements (a real partial dot), where the HOF
+  * form's `zip_with` null-padding would have nulled the whole dot and forced
+  * every bit to 0 — the kernel's behavior is the meaningful one, but it is
+  * NOT bit-parity with the HOF form off the MaxDim width.
   *
   * Why an expression: Spark's higher-order functions evaluate their lambdas
   * INTERPRETED, once per element per plane — for a b-bit band over a d-dim

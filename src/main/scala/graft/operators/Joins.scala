@@ -95,4 +95,29 @@ object Joins {
     l.join(r, Seq("l_orderkey", "l_linenumber"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Q-J8 — MEASURED skewed-key join (SURVEY §7.3 risk 6): ~90% of the
+    * events side collapses onto one derived hot key (the replayed-document /
+    * hot-tenant shape), then joins a second fact side on that key. The
+    * `merge` hint declares the 100 TB contract — both sides are fact-scale,
+    * so neither may become a broadcast build side; with a shuffle join in
+    * place, the oversized key-0 partition is exactly what AQE's runtime
+    * skew-join split absorbs (PlanAuditSpec asserts the split fires with
+    * cluster-scale thresholds; at bench SF the partition is legitimately
+    * under the default 256 MB threshold and needs no split). One subtlety
+    * this query documents: the per-key aggregate above the join REUSES the
+    * join's hash partitioning, which makes AQE skip the free skew split —
+    * the 100 TB posture for this shape is
+    * `spark.sql.adaptive.forceOptimizeSkewedJoin=true`, trading one extra
+    * key-cardinality-sized post-agg exchange for splitting the multi-GB hot
+    * partition (asserted in PlanAuditSpec). */
+  def qJ8(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).selectExpr(
+      "CASE WHEN user_id % 10 <> 0 THEN 0L ELSE user_id END AS k", "event_id")
+    val o = Tables.orders(s, d).selectExpr("o_orderkey % 1500 AS k")
+    e.hint("merge").join(o, "k")
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"), sum("event_id").as("se"))
+      .orderBy("k")
+  }
 }

@@ -133,12 +133,18 @@ object Relational {
     * count. At 100 TB the exact COUNT(DISTINCT) is a full shuffle of the key
     * column; the sketch is a fixed-size mergeable state per partition — the
     * cheap continuous drift check between migration runs. HLL estimates are
-    * implementation-specific, so this query is rows-only-checked (no DuckDB
-    * oracle); the spec asserts the 2% rsd contract against the exact count. */
+    * implementation-specific, so the raw estimate can't hash-match a DuckDB
+    * oracle; instead the query emits the exact count plus a
+    * `within_bound` relative-error check (|approx−exact|/exact ≤ 5%, i.e.
+    * 2.5σ at the requested 2% rsd) that the oracle asserts is `true` — a
+    * drifted sketch flips the boolean and fails the hash compare. */
   def qV3(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).agg(
-      countDistinct(col("o_custkey")).as("exact"),
-      approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+        countDistinct(col("o_custkey")).as("exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .select(col("exact"),
+        (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
+          .as("within_bound"))
 
   /** Q-A6 — pivot: per-user event-type counts as columns. The pivot value
     * list is DECLARED (the 5 event kinds), not discovered — at scale the

@@ -173,12 +173,11 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("Q-V3 sketch verification: HLL estimate tracks the exact count") {
     val r = graft.operators.Relational.qV3(spark, sf).head
-    val exact = r.getLong(0).toDouble
-    val approx = r.getLong(1).toDouble
+    val exact = r.getLong(0)
     assert(exact > 0)
-    // 0.02 rsd target; allow 5 sigma before calling the sketch broken
-    assert(math.abs(approx - exact) / exact <= 0.10,
-      s"approx=$approx exact=$exact")
+    // the query itself carries the 5% (2.5 sigma at 0.02 rsd) bound check —
+    // the same boolean the DuckDB oracle asserts is `true`
+    assert(r.getBoolean(1), s"HLL estimate drifted >5% from exact=$exact")
   }
 
   test("trained IVF: Lloyd step moves centroids, rescoring stays exact") {

@@ -323,6 +323,56 @@ class PlanAuditSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("Q-J8 skewed join: shuffle join (never broadcast) and AQE splits the hot key") {
+    // Multi-file copy of the inputs: AQE's skew split subdivides a reduce
+    // partition by MAPPER ranges, so a split needs >1 map task feeding the
+    // shuffle. At 100 TB any table is thousands of files; the single-file
+    // test parquet (one row group → one mapper) is the artifact, so the spec
+    // recreates the realistic layout.
+    val dir = "target/skew-sf"
+    graft.core.Tables.events(spark, "/root/testdata/sf0.01").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    graft.core.Tables.orders(spark, "/root/testdata/sf0.01").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // cluster-scale thresholds scaled to the test SF: the ~90%-of-events
+      // hot partition stands in for the multi-GB partition a 1000-executor
+      // run would see (same trick as SkewSpec). minPartitionSize must scale
+      // with the advisory size (its 1 MB default would forbid sub-2k splits),
+      // and the per-key agg above the join reuses the join's partitioning,
+      // which makes AQE skip the free split — forceOptimizeSkewedJoin is the
+      // declared 100 TB posture for this shape: one extra
+      // key-cardinality-sized post-agg exchange buys splitting the multi-GB
+      // hot partition.
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val q = Joins.qJ8(spark, dir)
+      val got = q.collect().map(_.toString).toSeq
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"both sides are fact-scale — the join must shuffle, not broadcast:\n$plan")
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew-join split must fire on the hot key:\n$plan")
+      // the split must not change the result
+      val want = Joins.qJ8(spark, "/root/testdata/sf0.01").collect().map(_.toString).toSeq
+      assert(got == want, "skew-split result must match the single-file run")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
