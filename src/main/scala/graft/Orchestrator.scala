@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -133,7 +133,7 @@ object Orchestrator {
     if (counts("error") > 0)
       classified.filter(col("action") === "error").select("raw")
         .write.mode("overwrite")
-        .text(Paths.get(target.root, db, container, "_errors").toString)
+        .text(target.errorsPath(db, container))
     require(counts("error") <= cfg.maxErrors,
       s"$db/$container: ${counts("error")} error documents exceed maxErrors=${cfg.maxErrors}")
 
@@ -292,7 +292,7 @@ object Orchestrator {
          |     "source_count": ${r.sourceCount}, "target_count": ${r.targetCount},
          |     "verified": ${r.verified}, "verify_mode": "${r.verifyMode}"}""".stripMargin
     }.mkString(",\n")
-    Files.writeString(Paths.get(path),
+    graft.core.Storage.hadoop.writeString(path,
       s"""{\n  "duration_sec": ${s.durationSec},\n  "rate_docs_per_sec": ${s.ratePerSec},\n  "ok": ${s.ok},\n  "containers": [\n$rows\n  ]\n}\n""")
   }
 }

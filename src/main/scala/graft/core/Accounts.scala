@@ -1,8 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,34 +21,41 @@ case class ContainerProps(pkPaths: Seq[String] = Seq("/id"), buckets: Int = 16,
   * (/root/reference/src/clients.py, containers.py) over a directory tree
   * `root/<database>/<container>/{_meta.json, data/b=<k>/<part>.txt}`.
   *
-  * The reference's "account" is a Cosmos endpoint; here it is any storage a
-  * Spark reader can scan. Documents are RAW JSON lines — read and written as
-  * text, never through schema inference, so unknown fields of any shape
-  * round-trip byte-exactly (the reference's schemaless contract:
-  * migration.py:91-150 only ever touches `id`, the pk paths, and the four
-  * system fields; everything else passes through untouched). Metadata is a
-  * tiny `_meta.json` the driver reads once per container — catalog calls are
-  * driver-side and out of the data path, exactly like the reference's
-  * management-plane calls vs its document loop.
+  * `root` is a Hadoop URI (or a scheme-less local path): every metadata
+  * operation goes through [[Storage]] — the Hadoop FileSystem API resolved
+  * from the session's Hadoop configuration — and every data-path read/write
+  * hands the same URIs to `spark.read`/`DataFrame.write`, so an account can
+  * live on `file:///`, `hdfs://`, `s3a://`, or any registered
+  * `fs.<scheme>.impl` without touching this class (the reference's "account"
+  * is a Cosmos endpoint; here it is any storage a Spark reader can scan).
+  *
+  * Documents are RAW JSON lines — read and written as text, never through
+  * schema inference, so unknown fields of any shape round-trip byte-exactly
+  * (the reference's schemaless contract: migration.py:91-150 only ever
+  * touches `id`, the pk paths, and the four system fields; everything else
+  * passes through untouched). Metadata is a tiny `_meta.json` the driver
+  * reads once per container — catalog calls are driver-side and out of the
+  * data path, exactly like the reference's management-plane calls vs its
+  * document loop.
   */
 case class FileAccount(root: String) {
-  private def p(parts: String*): Path = Paths.get(root, parts: _*)
+  @transient private lazy val store: Storage = Storage.hadoop
 
-  private def listDirs(dir: Path): Seq[String] =
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
-      .filterNot(_.startsWith("_")).toSeq.sorted
+  private def p(parts: String*): String =
+    parts.foldLeft(new HPath(root))((a, b) => new HPath(a, b)).toString
+
+  private def listDirs(dir: String): Seq[String] =
+    store.listDirNames(dir).filterNot(_.startsWith("_")).sorted
 
   /** A22: liveness probe — the reference calls list_databases on both
     * accounts before starting (clients.py:13-22). */
-  def testConnection(): Boolean = Files.isDirectory(Paths.get(root))
+  def testConnection(): Boolean = store.isDirectory(root)
 
   /** A17. */
-  def listDatabases(): Seq[String] = listDirs(Paths.get(root))
+  def listDatabases(): Seq[String] = listDirs(root)
 
   /** A18: idempotent create (clients.py:40-49). */
-  def createDatabaseIfAbsent(db: String): Unit = Files.createDirectories(p(db))
+  def createDatabaseIfAbsent(db: String): Unit = store.mkdirs(p(db))
 
   /** A19 (containers.py:78-89). */
   def listContainers(db: String): Seq[String] = listDirs(p(db))
@@ -63,10 +68,10 @@ case class FileAccount(root: String) {
     * the same copy-what-you-don't-interpret posture as the document path. */
   def containerProperties(db: String, container: String): ContainerProps = {
     val meta = p(db, container, "_meta.json")
-    if (!Files.exists(meta)) ContainerProps()
+    if (!store.exists(meta)) ContainerProps()
     else {
       // driver-side JSON: {"pk": ["/a/b", ...], "buckets": 16, ...}
-      val s = Files.readString(meta)
+      val s = store.readString(meta)
       // pk paths come from the "pk" array ONLY — an indexing policy also
       // holds '/'-prefixed path strings and must not leak into the pk list
       val pks = "\"pk\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
@@ -83,26 +88,32 @@ case class FileAccount(root: String) {
     * indexing policy / throughput / unknown fields survive the migration. */
   def createContainerIfAbsent(db: String, container: String,
                               props: ContainerProps): Unit = {
-    val dir = p(db, container)
-    Files.createDirectories(dir)
-    val meta = dir.resolve("_meta.json")
-    if (!Files.exists(meta))
-      Files.writeString(meta, props.raw.getOrElse(
+    store.mkdirs(p(db, container))
+    val meta = p(db, container, "_meta.json")
+    if (!store.exists(meta))
+      store.writeString(meta, props.raw.getOrElse(
         props.pkPaths.map(q => s""""$q"""").mkString(
           """{"pk": [""", ", ", s"""], "buckets": ${props.buckets}}""")))
   }
 
   def hasData(db: String, container: String): Boolean =
-    Files.isDirectory(p(db, container, "data"))
+    store.isDirectory(p(db, container, "data"))
+
+  /** Container data directory as a URI/path string for Spark readers and
+    * writers — the single place layout knowledge lives. */
+  def dataPath(db: String, container: String): String = dataDir(db, container)
+
+  /** A13 dead-letter directory (next to the data, inside the container). */
+  def errorsPath(db: String, container: String): String =
+    p(db, container, "_errors")
 
   /** Total bytes under the container's data tree — driver-side file
     * metadata, used to pick full vs incremental merge mode. */
   def dataBytes(db: String, container: String): Long =
-    if (!hasData(db, container)) 0L
-    else Files.walk(p(db, container, "data")).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    store.walk(p(db, container, "data")).map(_.size).sum
 
-  private def dataDir(db: String, container: String): Path = p(db, container, "data")
+  private def dataDir(db: String, container: String): String =
+    p(db, container, "data")
 
   // ---- per-bucket row-count sidecar (_counts.json) ----
   //
@@ -114,33 +125,37 @@ case class FileAccount(root: String) {
   // external modification of a bucket is detected and that bucket — and only
   // that bucket — is recounted.
 
-  private def countsPath(db: String, container: String): Path =
+  private def countsPath(db: String, container: String): String =
     p(db, container, "_counts.json")
 
-  /** Existing `data/b=<k>` bucket directories. */
-  private[graft] def bucketDirList(db: String, container: String): Seq[(Long, Path)] = {
+  /** Existing `data/b=<k>` bucket directories (id → path). */
+  private[graft] def bucketDirList(db: String, container: String): Seq[(Long, String)] = {
     val d = dataDir(db, container)
-    if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
-      .flatMap { dir =>
-        "b=(\\d+)".r.findFirstMatchIn(dir.getFileName.toString) match {
-          case Some(m) if s"b=${m.group(1)}" == dir.getFileName.toString =>
-            Some(m.group(1).toLong -> dir)
-          case _ => None
-        }
-      }.toSeq.sortBy(_._1)
+    store.listDirNames(d).flatMap { name =>
+      "b=(\\d+)".r.findFirstMatchIn(name) match {
+        case Some(m) if s"b=${m.group(1)}" == name =>
+          Some(m.group(1).toLong -> new HPath(d, name).toString)
+        case _ => None
+      }
+    }.sortBy(_._1)
   }
 
   /** Driver-metadata listing signature of one bucket directory: md5 over the
     * sorted (name, size, mtime) triples of its data files. Detects external
-    * rewrites without reading a byte of data. */
-  private def dirSignature(dir: Path): String = {
-    if (!Files.isDirectory(dir)) return ""
-    val parts = Files.walk(dir).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filterNot(_.getFileName.toString.startsWith("_"))
-      .map(f => s"${dir.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
-      .toSeq.sorted
+    * rewrites without reading a byte of data — with the honesty caveat that
+    * the signal is only as sharp as the filesystem's mtime: an in-place
+    * rewrite that preserves the file's name and byte length within the
+    * store's mtime granularity (1 s on some filesystems) is NOT caught.
+    * That's the standard listing-consistency trade (Spark's own file index
+    * makes it for cache validity); a deployment that needs stronger vouching
+    * should version files instead of rewriting them in place — which is what
+    * the upsert sink does (fresh part files per rewrite). */
+  private def dirSignature(dir: String): String = {
+    val parts = store.walk(dir)
+      .filterNot(_.relPath.split('/').last.startsWith("_"))
+      .map(f => s"${f.relPath}:${f.size}:${f.mtimeMs}")
+      .sorted
+    if (parts.isEmpty && !store.isDirectory(dir)) return ""
     java.security.MessageDigest.getInstance("MD5")
       .digest(parts.mkString(";").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -155,16 +170,16 @@ case class FileAccount(root: String) {
   /** Sidecar entries: bucket → (rowCount, listing signature at write time). */
   private[graft] def readBucketCounts(db: String, container: String): Map[Long, (Long, String)] = {
     val f = countsPath(db, container)
-    if (!Files.exists(f)) Map.empty
+    if (!store.exists(f)) Map.empty
     else
       """\{"b":\s*(\d+),\s*"n":\s*(\d+),\s*"sig":\s*"([a-f0-9]*)"\}""".r
-        .findAllMatchIn(Files.readString(f))
+        .findAllMatchIn(store.readString(f))
         .map(m => m.group(1).toLong -> (m.group(2).toLong, m.group(3))).toMap
   }
 
   private def writeBucketCounts(db: String, container: String,
                                 counts: Map[Long, (Long, String)]): Unit =
-    Files.writeString(countsPath(db, container),
+    store.writeString(countsPath(db, container),
       counts.toSeq.sortBy(_._1).map { case (b, (n, sig)) =>
         s"""{"b": $b, "n": $n, "sig": "$sig"}"""
       }.mkString("{\"buckets\": [\n  ", ",\n  ", "\n]}\n"))
@@ -186,7 +201,7 @@ case class FileAccount(root: String) {
       else {
         val perBucket = unvouched.map { case (b, dir) =>
           b -> spark.read.option("recursiveFileLookup", "true")
-            .text(dir.toString).count()
+            .text(dir).count()
         }.toMap
         // repair the sidecar so the next call is metadata-only
         writeBucketCounts(db, container,
@@ -197,7 +212,7 @@ case class FileAccount(root: String) {
     val strays = strayFiles(db, container)
     val strayCount =
       if (strays.isEmpty) 0L
-      else spark.read.text(strays.map(_.toString): _*).count()
+      else spark.read.text(strays: _*).count()
     vouchedSum + recounted.values.sum + strayCount
   }
 
@@ -205,7 +220,7 @@ case class FileAccount(root: String) {
     * line, no inference, bucket layout transparent (recursive lookup). */
   def readRaw(spark: SparkSession, db: String, container: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true")
-      .text(dataDir(db, container).toString)
+      .text(dataDir(db, container))
       .select(col("value").as("raw"))
 
   /** Typed scan via schema inference — the ANALYTICS view of a container
@@ -215,7 +230,7 @@ case class FileAccount(root: String) {
   def read(spark: SparkSession, db: String, container: String): DataFrame =
     spark.read.json(
       spark.read.option("recursiveFileLookup", "true")
-        .text(dataDir(db, container).toString).as(
+        .text(dataDir(db, container)).as(
           org.apache.spark.sql.Encoders.STRING))
 
   // ---- bucket-pruned reads (the point-read analogue) ----
@@ -228,12 +243,12 @@ case class FileAccount(root: String) {
   def readRawBuckets(spark: SparkSession, db: String, container: String,
                      buckets: Set[Long]): DataFrame = {
     val paths = buckets.toSeq.sorted.map(bucketDir(db, container, _))
-      .filter(Files.isDirectory(_)) ++ strayFiles(db, container)
+      .filter(store.isDirectory(_)) ++ strayFiles(db, container)
     if (paths.isEmpty)
       spark.range(0).select(lit(null).cast("string").as("raw"))
     else
       spark.read.option("recursiveFileLookup", "true")
-        .text(paths.map(_.toString): _*)
+        .text(paths: _*)
         .select(col("value").as("raw"))
   }
 
@@ -255,7 +270,7 @@ case class FileAccount(root: String) {
     val strays = strayFiles(db, container)
     val strayBuckets: Set[Long] =
       if (strays.isEmpty) Set.empty
-      else keyedRows(spark.read.text(strays.map(_.toString): _*)
+      else keyedRows(spark.read.text(strays: _*)
           .select(col("value").as("raw")), props.pkPaths, keyCols, nb)
         .select("__b").distinct().collect().map(_.getLong(0)).toSet
     val affected = srcBuckets ++ strayBuckets
@@ -265,26 +280,22 @@ case class FileAccount(root: String) {
   // ---- incremental upsert sink (A11/A12) ----
 
   /** Merge-key hash bucket — the sink's layout column. Stable across runs
-    * (xxhash64 of the ''-joined key columns), so a replaced document
+    * (xxhash64 of the ''-joined key columns), so a replaced document
     * and its replacement always land in the same bucket. */
   private def bucketCol(keyCols: Seq[String], buckets: Int) =
-    pmod(xxhash64(concat_ws("", keyCols.map(col): _*)), lit(buckets.toLong))
+    pmod(xxhash64(concat_ws("", keyCols.map(col): _*)), lit(buckets.toLong))
 
   /** Data files sitting directly under `data/` (not in a `b=<k>` bucket dir):
     * documents placed by an external writer. They are absorbed into the
     * bucket layout on the next upsert that sees them. */
-  private def strayFiles(db: String, container: String): Seq[Path] = {
-    val d = dataDir(db, container)
-    if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala.filter(Files.isRegularFile(_))
-      .filterNot { f =>
-        val n = f.getFileName.toString
-        n.startsWith("_") || n.startsWith(".") // _SUCCESS, checksums
-      }.toSeq
-  }
+  private def strayFiles(db: String, container: String): Seq[String] =
+    store.listFilePaths(dataDir(db, container)).filterNot { f =>
+      val n = new HPath(f).getName
+      n.startsWith("_") || n.startsWith(".") // _SUCCESS, checksums
+    }
 
-  private def bucketDir(db: String, container: String, b: Long): Path =
-    dataDir(db, container).resolve(s"b=$b")
+  private def bucketDir(db: String, container: String, b: Long): String =
+    new HPath(dataDir(db, container), s"b=$b").toString
 
   /** Key + bucket extraction for stored rows — mirrors the merge's key
     * derivation (parse-once struct kernel, no injection: the stored form is
@@ -322,7 +333,7 @@ case class FileAccount(root: String) {
     val props = containerProperties(db, container)
     val nb = props.buckets
     val dir = dataDir(db, container)
-    Files.createDirectories(dir)
+    store.mkdirs(dir)
 
     // evaluated twice (bucket-id collect, then the bucket rewrite) — cache so
     // callers' upstream joins don't recompute per action
@@ -334,7 +345,7 @@ case class FileAccount(root: String) {
 
     val strayRows =
       if (strays.isEmpty) None
-      else Some(keyed(spark.read.text(strays.map(_.toString): _*)
+      else Some(keyed(spark.read.text(strays: _*)
         .select(col("value").as("raw"))))
 
     // bounded collects: ≤ nb bucket ids (+ stray bucket ids)
@@ -345,12 +356,12 @@ case class FileAccount(root: String) {
 
     val existingDirs = affected.toSeq.sorted
       .map(bucketDir(db, container, _))
-      .filter(Files.isDirectory(_))
+      .filter(store.isDirectory(_))
     val existingRows =
       if (existingDirs.isEmpty) None
       else Some(keyed(spark.read
         .option("recursiveFileLookup", "true")
-        .text(existingDirs.map(_.toString): _*)
+        .text(existingDirs: _*)
         .select(col("value").as("raw"))))
 
     val survivors = (existingRows.toSeq ++ strayRows.toSeq)
@@ -376,9 +387,9 @@ case class FileAccount(root: String) {
       .partitionBy("b")
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
-      .text(dir.toString)
+      .text(dir)
     chg.unpersist()
-    strays.foreach(Files.deleteIfExists(_))
+    strays.foreach(store.delete(_))
     // sidecar update: rewritten buckets get fresh (count, signature); entries
     // for untouched buckets carry over (their files are byte-identical)
     val prior = readBucketCounts(db, container)

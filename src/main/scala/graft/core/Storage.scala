@@ -1,0 +1,175 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import scala.util.Using
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** File metadata the engine acts on: driver-side listing signatures and the
+  * corpus/bucket fingerprints — never data bytes. */
+final case class FileMeta(relPath: String, size: Long, mtimeMs: Long)
+
+/** The engine's storage boundary.
+  *
+  * The reference talks to a real remote store through a client object
+  * (/root/reference/src/clients.py:7-11); everything this engine does to a
+  * container directory tree — catalog metadata, bucket listings, sidecars,
+  * dead-letter appends, the durable ANN index — goes through this trait so
+  * the same code runs against any filesystem Spark itself can reach. The
+  * default implementation is the Hadoop [[FileSystem]] API resolved per-path
+  * from the active session's Hadoop configuration: `file:///` in the
+  * sandbox, `hdfs://`/`s3a://`/object-store connectors on a cluster, or any
+  * custom `fs.<scheme>.impl` the deployment registers (StorageSpec proves
+  * the boundary with a non-default scheme).
+  *
+  * All calls are DRIVER-side metadata operations, O(files-listed); data-path
+  * reads and writes stay on `spark.read`/`DataFrame.write`, which resolve
+  * the same URIs through the same Hadoop configuration.
+  */
+trait Storage {
+  def exists(p: String): Boolean
+  def isDirectory(p: String): Boolean
+  def mkdirs(p: String): Unit
+  /** Delete a file (or empty dir); false if absent. */
+  def delete(p: String): Boolean
+  /** Recursive delete of a tree; false if absent. */
+  def deleteRecursive(p: String): Boolean
+  /** Atomic-on-most-filesystems directory/file rename; false on failure
+    * (e.g. destination exists). */
+  def rename(src: String, dst: String): Boolean
+  /** Create a file atomically, failing if it already exists — the lock
+    * primitive (HDFS: atomic create; local FS: create-new). */
+  def createExclusive(p: String, content: String): Boolean
+  /** Names of child DIRECTORIES (not paths). */
+  def listDirNames(p: String): Seq[String]
+  /** Full paths of child FILES (non-recursive). */
+  def listFilePaths(p: String): Seq[String]
+  /** Recursive file metadata under a tree, paths relative to `p`.
+    * Empty if `p` is a file or absent — callers that accept single-file
+    * roots use [[fileMeta]]. */
+  def walk(p: String): Seq[FileMeta]
+  /** Metadata of one file, if it exists. */
+  def fileMeta(p: String): Option[FileMeta]
+  def readString(p: String): String
+  def writeString(p: String, s: String): Unit
+}
+
+object Storage {
+  /** Hadoop configuration of the active Spark session — the same one its
+    * own readers and writers resolve paths with — or a bare default when no
+    * session is up (catalog calls before the first action). */
+  def sessionHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** The default boundary: Hadoop FileSystem, conf re-resolved per call so a
+    * session (re)configured after the account object was built still wins. */
+  def hadoop: Storage = new HadoopStorage(() => sessionHadoopConf())
+
+  /** Fixed-conf variant for tests that pin a specific configuration. */
+  def hadoop(conf: Configuration): Storage = new HadoopStorage(() => conf)
+}
+
+final class HadoopStorage(conf: () => Configuration) extends Storage {
+  /** Resolve the filesystem for a path — unwrapping client-side checksum
+    * wrappers (LocalFileSystem): the engine's contract allows EXTERNAL
+    * writers to touch container files directly, which would leave `.crc`
+    * sidecars stale and fail every later metadata read with a
+    * ChecksumException. Real cluster stores (HDFS/S3A) checksum server-side
+    * and are unaffected; Spark's own data-path readers keep their own
+    * checksum behavior (separate FS usage). */
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf()) match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
+  override def exists(p: String): Boolean = {
+    val hp = new Path(p); fs(hp).exists(hp)
+  }
+  override def isDirectory(p: String): Boolean = {
+    val hp = new Path(p)
+    val f = fs(hp)
+    f.exists(hp) && f.getFileStatus(hp).isDirectory
+  }
+  override def mkdirs(p: String): Unit = {
+    val hp = new Path(p); fs(hp).mkdirs(hp); ()
+  }
+  override def delete(p: String): Boolean = {
+    val hp = new Path(p); fs(hp).delete(hp, false)
+  }
+  override def deleteRecursive(p: String): Boolean = {
+    val hp = new Path(p); fs(hp).delete(hp, true)
+  }
+  override def rename(src: String, dst: String): Boolean = {
+    val s = new Path(src); fs(s).rename(s, new Path(dst))
+  }
+  override def createExclusive(p: String, content: String): Boolean = {
+    val hp = new Path(p)
+    try {
+      Using.resource(fs(hp).create(hp, /*overwrite=*/ false)) { out =>
+        out.write(content.getBytes(StandardCharsets.UTF_8))
+      }
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+  override def listDirNames(p: String): Seq[String] = {
+    val hp = new Path(p)
+    val f = fs(hp)
+    if (!f.exists(hp) || f.getFileStatus(hp).isFile) Seq.empty
+    else f.listStatus(hp).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+  override def listFilePaths(p: String): Seq[String] = {
+    val hp = new Path(p)
+    val f = fs(hp)
+    if (!f.exists(hp) || f.getFileStatus(hp).isFile) Seq.empty
+    else f.listStatus(hp).toSeq.filter(_.isFile).map(_.getPath.toString)
+  }
+  override def walk(p: String): Seq[FileMeta] = {
+    val hp = new Path(p)
+    val f = fs(hp)
+    if (!f.exists(hp) || f.getFileStatus(hp).isFile) Seq.empty
+    else {
+      // plain listStatus recursion, NOT listFiles(recursive): the latter
+      // materializes LocatedFileStatus, whose eager permission load breaks
+      // on custom local-backed schemes and buys nothing for metadata walks
+      val base = f.getFileStatus(hp).getPath.toUri.getPath // normalized
+      val out = Seq.newBuilder[FileMeta]
+      def rec(dir: Path): Unit = f.listStatus(dir).foreach { st =>
+        if (st.isDirectory) rec(st.getPath)
+        else {
+          val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+          out += FileMeta(rel, st.getLen, st.getModificationTime)
+        }
+      }
+      rec(hp)
+      out.result()
+    }
+  }
+  override def fileMeta(p: String): Option[FileMeta] = {
+    val hp = new Path(p)
+    val f = fs(hp)
+    if (!f.exists(hp)) None
+    else {
+      val st = f.getFileStatus(hp)
+      if (st.isDirectory) None
+      else Some(FileMeta(st.getPath.getName, st.getLen, st.getModificationTime))
+    }
+  }
+  override def readString(p: String): String = {
+    val hp = new Path(p)
+    Using.resource(fs(hp).open(hp)) { in =>
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    }
+  }
+  override def writeString(p: String, s: String): Unit = {
+    val hp = new Path(p)
+    Using.resource(fs(hp).create(hp, /*overwrite=*/ true)) { out =>
+      out.write(s.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+}

@@ -124,90 +124,116 @@ object Similarity {
     * to ~√N and the cell becomes the partition/bucket layout.
     */
   object IvfIndex {
-    /** `cellsSql`: array-of-(sim,-cid) struct expression over literal
-      * centroids — argmax picks the assignment, sorted-desc prefix the probe
-      * order, both tiebreaking toward the lower centroid id. */
-    final case class Index(cellsSql: String, assigned: DataFrame)
+    /** One index: the session-registered ranking function (`fn(embedding,
+      * nprobe)` → ranked cell ids; [[graft.functions.IvfRankCells]] holds
+      * the centroid matrix as a driver object, NOT plan text), the centroid
+      * data itself (for re-registration in other sessions), and the cached
+      * cell-partitioned assignment. */
+    final case class Index(fn: String, cellIds: Array[Long],
+                           cents: Array[Array[Double]], assigned: DataFrame)
 
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+    private def store: graft.core.Storage = graft.core.Storage.hadoop
+
     /** Root directory for DURABLE indexes (override with the
-      * `graft.ivf.root` system property). An ANN index outlives the session
-      * that built it: the assignment is written cell-partitioned (the IVF
-      * analogue of the merge sink's bucket layout) and a fresh session
-      * reloads it instead of re-running the corpus passes. */
-    private def indexRoot: java.nio.file.Path =
-      java.nio.file.Paths.get(sys.props.getOrElse("graft.ivf.root", "target/ivf-index"))
+      * `graft.ivf.root` system property) — any Hadoop URI. An ANN index
+      * outlives the session that built it: the assignment is written
+      * cell-partitioned (the IVF analogue of the merge sink's bucket layout)
+      * and a fresh session reloads it instead of re-running the corpus
+      * passes. */
+    private def indexRoot: String =
+      sys.props.getOrElse("graft.ivf.root", "target/ivf-index")
 
     /** Corpus fingerprint from driver-side file metadata (names/sizes/mtimes
       * of the embeddings parquet) — a changed corpus hashes to a different
       * index directory, so load-on-miss can never serve a stale index. */
     private def corpusFingerprint(dir: String): String = {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      val p = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet").toString
+      val walked = store.walk(p)
       val parts =
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.walk(p).iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_))
-            .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
-              s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
-            .toSeq.sorted
-        else Seq(s"${java.nio.file.Files.size(p)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        if (walked.nonEmpty) walked.map(f => s"${f.relPath}:${f.size}:${f.mtimeMs}").sorted
+        else store.fileMeta(p).map(f => s"${f.size}:${f.mtimeMs}").toSeq
       java.security.MessageDigest.getInstance("MD5")
         .digest(parts.mkString(";").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     }
 
-    /** Bump when the build algorithm changes — a stale on-disk index from an
-      * older build must not be served for the same corpus. */
-    private val FormatVersion = 1
+    /** Bump when the build algorithm or on-disk format changes — a stale
+      * on-disk index from an older build must not be served for the same
+      * corpus. v2: centroids.tsv (cid\tcomma-joined doubles) instead of v1's
+      * centroid SQL text; committed by ATOMIC RENAME of a staging dir. */
+    private val FormatVersion = 2
 
-    private def indexPath(dir: String, lloydIters: Int, cells: Int): java.nio.file.Path =
-      indexRoot.resolve(s"v$FormatVersion-${corpusFingerprint(dir)}-i$lloydIters-k$cells")
+    private def indexPath(dir: String, lloydIters: Int, cells: Int): String =
+      new org.apache.hadoop.fs.Path(indexRoot,
+        s"v$FormatVersion-${corpusFingerprint(dir)}-i$lloydIters-k$cells").toString
 
-    private def argmaxCell(cents: Seq[(Long, String)]): String =
-      cents.map { case (cid, litSql) =>
-        s"named_struct('s', cosine_sim(embedding, $litSql), 'nc', ${-cid}L)"
-      }.mkString("array(", ", ", ")")
+    private def sub(base: String, child: String): String =
+      new org.apache.hadoop.fs.Path(base, child).toString
 
+    /** Deterministic per-index function name (the plan references the index
+      * by identity, never by centroid values). */
+    private def fnName(path: String): String =
+      "ivf_cells_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+    /** Marker serialization: one `cid\tv,v,...` line per centroid.
+      * Double.toString round-trips exactly, so a reloaded quantizer is
+      * bit-identical to the one that built the assignment. */
+    private def fmtCents(ids: Array[Long], cents: Array[Array[Double]]): String =
+      ids.zip(cents).map { case (cid, c) => s"$cid\t${c.mkString(",")}" }
+        .mkString("", "\n", "\n")
+
+    private def parseCents(text: String): (Array[Long], Array[Array[Double]]) = {
+      val rows = text.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(cid, vs) = line.split("\t", 2)
+        (cid.toLong, vs.split(",").map(_.toDouble))
+      }
+      (rows.map(_._1), rows.map(_._2))
+    }
+
+    /** K seed / trained centroids via bounded driver collects; every Lloyd
+      * round is one map-only assignment pass (the ranking expression) plus
+      * one groupBy(cell, dim) whose shuffle output is bounded by K×dim rows
+      * regardless of corpus size, ROUND(·,6)-snapped so float sum-order
+      * differences between engines and partitions are absorbed. */
     private def doBuild(s: SparkSession, dir: String, lloydIters: Int,
-                        k: Int): String = {
+                        k: Int): (Array[Long], Array[Array[Double]]) = {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
-      // bounded metadata-sized collect: K seed rows inlined as literals
-      val seeds: Array[(Long, Seq[Float])] = e.where(col("vec_id") < k)
-        .orderBy("vec_id")
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      // seed centroids cast to float so both engines see identical bits
-      var cells = argmaxCell(seeds.map { case (cid, emb) =>
-        (cid, s"cast(array(${emb.mkString(", ")}) as array<float>)")
-      })
-      for (_ <- 1 to lloydIters) {
-        // Lloyd step: member mean per (cell, dim), snapped to 6 decimals;
-        // shuffle bounded at K×dim rows at any corpus size
-        val trained: Array[(Long, Seq[String])] = e
-          .selectExpr("vec_id", "embedding", s"-array_max($cells).nc AS cell")
+      // bounded metadata-sized collect: K seed rows; float seeds widen to
+      // double EXACTLY (same promotion the cosine kernel applies per element)
+      val seeds = e.where(col("vec_id") < k).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      var ids: Array[Long] = seeds.map(_._1)
+      var cents: Array[Array[Double]] = seeds.map(_._2)
+      for (it <- 1 to lloydIters) {
+        val tmpFn = fnName(s"build|$dir|$lloydIters|$k") + s"_it$it"
+        graft.functions.IvfRankCells.register(s, tmpFn, ids, cents)
+        val trained = e
+          .selectExpr("vec_id", "embedding",
+            s"element_at($tmpFn(embedding, 1), 1) AS cell")
           .selectExpr("cell", "posexplode(embedding) AS (i, v)")
           .groupBy("cell", "i").agg(expr("ROUND(avg(CAST(v AS DOUBLE)), 6)").as("c"))
           .groupBy("cell")
           .agg(expr("array_sort(collect_list(struct(i, c)))").as("ic"))
           .selectExpr("cell", "transform(ic, x -> x.c) AS cent")
           .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toString)))
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1)
-        cells = argmaxCell(trained.map { case (cid, c) =>
-          (cid, s"cast(array(${c.mkString(", ")}) as array<double>)")
-        })
+        ids = trained.map(_._1)
+        cents = trained.map(_._2)
       }
-      cells
+      (ids, cents)
     }
 
     /** Build (or fetch) the index for `dir`: in-process memo first, then the
-      * DURABLE on-disk copy (assignment parquet partitioned by cell + the
-      * centroid expression; `centroids.sql` is written last as the commit
-      * marker), and only on a true miss the corpus build — whose result is
-      * written back so every later session starts probe-only. */
+      * DURABLE on-disk copy, and only on a true miss the corpus build —
+      * whose result is staged into a temp directory and ATOMICALLY RENAMED
+      * into place (centroids marker inside), so two JVMs racing the same
+      * build can never interleave files: exactly one rename wins, the loser
+      * discards its staging dir and loads the winner's index. */
     private def cacheKey(s: SparkSession, dir: String, lloydIters: Int,
                          cells: Int): String =
       s"${System.identityHashCode(s)}|${indexPath(dir, lloydIters, cells)}"
@@ -219,70 +245,97 @@ object Similarity {
 
     /** Incremental index maintenance: assign NEW vectors (`vec_id`,
       * `embedding`; ids must be new — dedupe upstream) with the stored
-      * centroid expression — a map-only, delta-sized job, no corpus pass —
-      * and append them cell-partitioned into the durable assignment. The
-      * index is the growing entity, the analogue of the reference's
-      * container doubling as its own point-read index and absorbing every
-      * merge delta. Appends do NOT retrain the quantizer (standard IVF
-      * practice: retrain on drift, not per insert); a drift-driven rebuild
-      * is a new index directory. Returns the refreshed Index; the previous
-      * in-memory assignment is unpersisted. */
+      * quantizer — a map-only, delta-sized job, no corpus pass — and append
+      * them cell-partitioned into the durable assignment. The index is the
+      * growing entity, the analogue of the reference's container doubling as
+      * its own point-read index and absorbing every merge delta. Appends do
+      * NOT retrain the quantizer (standard IVF practice: retrain on drift,
+      * not per insert); a drift-driven rebuild is a new index directory.
+      * The read-modify-write on the shared assignment directory is guarded
+      * by an exclusive lock file (`_append.lock`, atomic create), so two
+      * processes cannot interleave partition files. Returns the refreshed
+      * Index; the previous in-memory assignment is unpersisted. */
     def append(s: SparkSession, dir: String, lloydIters: Int,
                newVecs: DataFrame, cells: Int = IvfCells): Index = {
       val prior = build(s, dir, lloydIters, cells)
       GraftFunctions.register(s)
-      val asgPath = indexPath(dir, lloydIters, cells).resolve("assignment")
-      newVecs.selectExpr("vec_id", "embedding",
-          s"-array_max(${prior.cellsSql}).nc AS cell")
-        .write.mode("append").partitionBy("cell").parquet(asgPath.toString)
+      graft.functions.IvfRankCells.register(s, prior.fn, prior.cellIds, prior.cents)
+      val path = indexPath(dir, lloydIters, cells)
+      val asgPath = sub(path, "assignment")
+      val lock = sub(path, "_append.lock")
+      var tries = 0
+      while (!store.createExclusive(lock, "append")) {
+        tries += 1
+        require(tries < 600, s"IVF append: lock $lock held for too long")
+        Thread.sleep(50)
+      }
+      try {
+        newVecs.selectExpr("vec_id", "embedding",
+            s"element_at(${prior.fn}(embedding, 1), 1) AS cell")
+          .write.mode("append").partitionBy("cell").parquet(asgPath)
+      } finally store.delete(lock)
       prior.assigned.unpersist()
-      val asg = s.read.parquet(asgPath.toString)
+      val asg = s.read.parquet(asgPath)
         .withColumn("cell", col("cell").cast("long"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       asg.count()
-      val updated = Index(prior.cellsSql, asg)
+      val updated = prior.copy(assigned = asg)
       cache.put(cacheKey(s, dir, lloydIters, cells), updated)
       updated
     }
 
     private def loadOrBuild(s: SparkSession, dir: String, lloydIters: Int,
                             k: Int): Index = {
-      import java.nio.file.Files
       val path = indexPath(dir, lloydIters, k)
-      val marker = path.resolve("centroids.sql")
-      val asgPath = path.resolve("assignment")
-      val cellsSql =
-        if (Files.exists(marker)) Files.readString(marker)
-        else {
-          val built = doBuild(s, dir, lloydIters, k)
-          // one corpus pass writes the cell-partitioned assignment — the
-          // durable form of the index; probes in ANY session hereafter read
-          // only these files, never the corpus
-          GraftFunctions.register(s)
-          Tables.embeddings(s, dir)
-            .selectExpr("vec_id", "embedding", s"-array_max($built).nc AS cell")
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(asgPath.toString)
-          Files.writeString(marker, built)
-          built
+      val marker = sub(path, "centroids.tsv")
+      if (!store.exists(marker)) {
+        // a directory without its marker is a crashed pre-rename leftover of
+        // an older (non-atomic) writer — clear it so the rename can land
+        if (store.exists(path)) store.deleteRecursive(path)
+        val (ids, cents) = doBuild(s, dir, lloydIters, k)
+        // stage the full index — one corpus pass writes the cell-partitioned
+        // assignment (the durable form; probes in ANY session hereafter read
+        // only these files), marker last — then publish by atomic rename
+        val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+        GraftFunctions.register(s)
+        val stageFn = fnName(staging)
+        graft.functions.IvfRankCells.register(s, stageFn, ids, cents)
+        Tables.embeddings(s, dir)
+          .selectExpr("vec_id", "embedding",
+            s"element_at($stageFn(embedding, 1), 1) AS cell")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(sub(staging, "assignment"))
+        store.writeString(sub(staging, "centroids.tsv"), fmtCents(ids, cents))
+        store.mkdirs(indexRoot)
+        if (!store.rename(staging, path)) {
+          // lost the publish race: another process's complete index is in
+          // place — discard ours and serve theirs
+          store.deleteRecursive(staging)
+          require(store.exists(marker),
+            s"IVF build: rename to $path failed but no published index found")
         }
-      val asg = s.read.parquet(asgPath.toString)
+      }
+      val (ids, cents) = parseCents(store.readString(marker))
+      val fn = fnName(path)
+      graft.functions.IvfRankCells.register(s, fn, ids, cents)
+      val asg = s.read.parquet(sub(path, "assignment"))
         .withColumn("cell", col("cell").cast("long"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       asg.count() // materialize: probes must not re-read even the index files
-      Index(cellsSql, asg)
+      Index(fn, ids, cents, asg)
     }
 
     /** Probe: exact top-`topK` neighbors per query over the `nprobe` nearest
       * cells' members. Queries broadcast; the assignment table is read from
-      * cache — zero corpus scans. */
+      * cache — zero corpus scans, and the cell ranking is the registered
+      * expression (no centroid text in the plan). */
     def probe(s: SparkSession, dir: String, idx: Index,
               nprobe: Int = IvfProbe, topK: Int = 3): DataFrame = {
       GraftFunctions.register(s)
+      graft.functions.IvfRankCells.register(s, idx.fn, idx.cellIds, idx.cents)
       val probes = Tables.embeddings(s, dir).where(col("vec_id") < 10)
         .selectExpr("vec_id AS q_id", "embedding AS eq",
-          s"slice(reverse(array_sort(${idx.cellsSql})), 1, $nprobe) AS pr")
-        .selectExpr("q_id", "eq", "explode(transform(pr, x -> -x.nc)) AS cell")
+          s"explode(${idx.fn}(embedding, $nprobe)) AS cell")
       val w = Window.partitionBy("q_id").orderBy(desc("sim_raw"), col("n_id"))
       broadcast(probes).join(idx.assigned, "cell")
         .where(col("vec_id") =!= col("q_id"))

@@ -254,7 +254,7 @@ object Streams {
           (stats.getLong(0), stats.getLong(1), stats.getLong(2))
         if (errorRows > 0)
           sk.filter(!valid).select("raw").write.mode("append").text(
-            java.nio.file.Paths.get(target.root, db, container, "_errors").toString)
+            target.errorsPath(db, container))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
           .orderBy(col("__f").desc, col("__ch").desc)
@@ -288,7 +288,7 @@ object Streams {
     // captured HERE: downstream of a state operator it would be empty.
     val lines = spark.readStream
       .option("recursiveFileLookup", "true")
-      .text(java.nio.file.Paths.get(source.root, db, container, "data").toString)
+      .text(source.dataPath(db, container))
       .select(col("value"), input_file_name().as("__f"))
     val streamIn: DataFrame =
       if (!dedupeReplays) lines

@@ -173,6 +173,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"width-8 pairs lost at width 4: ${(p8 -- p4).take(5)}")
   }
 
+  test("IVF probe plan carries no centroid text, and K=256 builds without blowup") {
+    import graft.operators.Similarity
+    val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0)
+    val q = Similarity.IvfIndex.probe(spark, sf, idx)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // pre-fix the plan embedded K separate cosine_sim(embedding, <K×dim
+    // literal array>) calls; now the quantizer is ONE registered expression
+    // over a driver-held matrix
+    assert(!plan.contains("named_struct"),
+      s"probe plan must not inline centroid structs:\n$plan")
+    assert(!plan.contains("cosine_sim(embedding, ["),
+      "probe plan must not inline centroid arrays")
+    assert(plan.contains("ivfrankcells") || plan.contains("ivf_cells_"),
+      s"cell ranking must come from the bound expression:\n$plan")
+    // K=256: with literal SQL this was megabytes of plan text and K codegen'd
+    // loops; with the bound expression plan size is O(1) in K
+    val big = Similarity.IvfIndex.build(spark, "/root/testdata/sf0.01",
+      lloydIters = 0, cells = 256)
+    assert(big.cents.length > 200, "build must produce the requested quantizer")
+    val bigProbe = Similarity.IvfIndex.probe(spark, "/root/testdata/sf0.01", big)
+    assert(bigProbe.collect().nonEmpty)
+    val bigPlan = bigProbe.queryExecution.executedPlan.toString
+    assert(bigPlan.length < 100000,
+      s"K=256 probe plan blew up: ${bigPlan.length} chars")
+  }
+
   test("IVF cell count is tunable: probing every cell reproduces exact brute force") {
     import graft.operators.Similarity
     val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0, cells = 8)
