@@ -105,6 +105,7 @@ object SparkEntry {
     "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
     "q_mm3_resize"          -> (Multimodal.qMm3 _),
+    "q_mm4_decode_real"     -> (Multimodal.qMm4 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU3 _),
   )
@@ -479,6 +480,17 @@ object SparkEntry {
     // "exact count matches AND the estimate is within the documented bound"
     "q_v3_approx_distinct" -> (
       "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact, true AS within_bound FROM orders"),
+    "q_mm4_decode_real" -> (
+      // real PNG decode on the Spark side; the oracle replays the pixel
+      // function (Multimodal.pngGray) arithmetically — PNG is lossless, so
+      // only a correct decode reproduces these sums (r=g=b → 3× gray sum)
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, x.i AS x, y.i AS y FROM d, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y) " +
+        "SELECT doc_id AS asset_id, CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
+        "CAST(3 * sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS px_sum " +
+        "FROM g GROUP BY doc_id ORDER BY asset_id"),
     "q_u4_flatten" -> (
       "SELECT doc_id, path, value FROM (" +
         "SELECT doc_id, 'lang' AS path, lang AS value FROM documents " +

@@ -250,20 +250,29 @@ object Dedup {
     * nested-loop pair join — and the verified-survivor distinct (the qD6
     * lesson: rescore + threshold BEFORE distinct so the exchange carries
     * surviving pairs only). */
-  def qD8(s: SparkSession, dir: String): DataFrame = {
+  def qD8(s: SparkSession, dir: String): DataFrame =
+    bandedPairs(s, dir, LshBands, LshBandBits)
+
+  /** [[qD8]] with a configurable (bands, bits) setting — the tuning surface
+    * the recall model describes. Band `k` covers planes
+    * `[bits·k, bits·(k+1))` of the fixed md5-seeded family, so for a given
+    * `bits` a larger `bands` strictly ADDS bands: every pair found at
+    * `bands = b` is found at any `bands > b` (recall is monotone in band
+    * count; RecallSpec measures it against the exact baseline). */
+  def bandedPairs(s: SparkSession, dir: String, bands: Int, bits: Int): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     // each band's bits in one fused codegen'd pass (see
     // [[graft.functions.LshBandSignature]] — the HOF formulation ran
     // interpreted lambdas per element per plane)
-    val bandCols = (0 until LshBands).map { k =>
-      expr(s"lsh_band_sig(embedding, ${LshBandBits * k}, $LshBandBits)").as(s"bk$k")
+    val bandCols = (0 until bands).map { k =>
+      expr(s"lsh_band_sig(embedding, ${bits * k}, $bits)").as(s"bk$k")
     }
     val sigs = e.select(col("vec_id") +: col("embedding") +: bandCols: _*)
-    val bands = sigs.selectExpr("vec_id", "embedding",
-      s"stack($LshBands, ${(0 until LshBands).map(k => s"$k, bk$k").mkString(", ")}) AS (band, bv)")
-    val a = bands.selectExpr("vec_id AS a_id", "embedding AS ea", "band", "bv")
-    val b = bands.selectExpr("vec_id AS b_id", "embedding AS eb",
+    val banded = sigs.selectExpr("vec_id", "embedding",
+      s"stack($bands, ${(0 until bands).map(k => s"$k, bk$k").mkString(", ")}) AS (band, bv)")
+    val a = banded.selectExpr("vec_id AS a_id", "embedding AS ea", "band", "bv")
+    val b = banded.selectExpr("vec_id AS b_id", "embedding AS eb",
       "band AS band_b", "bv AS bv_b")
     a.hint("merge").join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
         col("a_id") < col("b_id"))

@@ -10,10 +10,13 @@ import graft.core.Tables
 /** Multimodal asset plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition batch operators — the
   * shape a 100 TB training-data pipeline needs (decode → feature-extract →
-  * frame-sample), with the DECODE STEP STUBBED as a deterministic fake
-  * (this container has no image/audio codecs; a real deployment swaps
-  * [[Multimodal.fingerprint]] for a JNI/codec call without touching the
-  * Spark plumbing, which is what these operators actually test).
+  * frame-sample). The decode step is PLUGGABLE ([[Multimodal.AssetDecoder]]):
+  * qMm1-3 run on the declared deterministic stub (feature = byte
+  * fingerprint; audio/video codecs aren't in this container), while qMm4
+  * exercises a REAL image decode via the pure-JVM
+  * [[Multimodal.ImageIoDecoder]] — a deployment swaps in a JNI/codec
+  * implementation without touching the Spark plumbing, which is what these
+  * operators actually test.
   *
   * Scale posture: bytes never leave the executor (mapPartitions over the
   * binary column, batched `BatchSize` at a time to bound peak memory per
@@ -134,4 +137,126 @@ object Multimodal {
   /** Q-MM3: stride-downsampled image assets. */
   def qMm3(spark: SparkSession, dir: String): DataFrame =
     resize(assets(spark, dir)).orderBy("asset_id")
+
+  // ---- pluggable REAL decode (the interface the stub stands in for) ----
+
+  /** Decoded samples of one asset: row-major per-pixel per-channel values.
+    * For an image: y-major pixels, channels (r, g, b) per pixel. */
+  final case class Decoded(width: Int, height: Int, channels: Int,
+                           samples: Array[Int])
+
+  /** The decode boundary: executors call this per blob, inside the batched
+    * mapPartitions — a deployment registers a codec-backed implementation
+    * (JNI/ffmpeg/...) without touching any Spark plumbing. Must be
+    * Serializable: the decoder object ships in the task closure. */
+  trait AssetDecoder extends Serializable {
+    /** None when the codec cannot parse the blob (corrupt/unknown format). */
+    def decode(bytes: Array[Byte]): Option[Decoded]
+  }
+
+  /** No-codec fallback (the declared stub): treats the blob as a 1×n
+    * single-channel "image" whose samples are the raw bytes — deterministic,
+    * dependency-free, and honest about being a fake. */
+  object StubDecoder extends AssetDecoder {
+    override def decode(bytes: Array[Byte]): Option[Decoded] =
+      Some(Decoded(bytes.length, 1, 1, bytes.map(_ & 0xff)))
+  }
+
+  /** REAL image decode via javax.imageio — pure JVM, no native codecs, PNG
+    * and JPEG readers ship with the JDK. Retires the "decode is stubbed"
+    * caveat for images; audio/video stay on [[StubDecoder]] until a codec
+    * dependency is available. */
+  object ImageIoDecoder extends AssetDecoder {
+    override def decode(bytes: Array[Byte]): Option[Decoded] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Int](w * h * 3)
+        var k = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(k) = (rgb >> 16) & 0xff; out(k + 1) = (rgb >> 8) & 0xff
+            out(k + 2) = rgb & 0xff
+            k += 3
+            x += 1
+          }
+          y += 1
+        }
+        Some(Decoded(w, h, 3, out))
+      }
+    }
+  }
+
+  case class PixelFeatures(asset_id: Long, w: Int, h: Int, px_sum: Long)
+
+  /** Decode via `decoder` and emit pixel statistics — same batched
+    * per-partition shape as [[decodeFeatures]]; undecodable blobs are
+    * dropped (a production pipeline would route them to a dead-letter
+    * column, the merge engine's A13 pattern). */
+  def pixelFeatures(assets: DataFrame, decoder: AssetDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decode(a.bytes).map(d =>
+              PixelFeatures(a.asset_id, d.width, d.height,
+                d.samples.foldLeft(0L)(_ + _)))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Side of the synthetic PNG canvas for [[qMm4]]. */
+  val PngSide = 8
+
+  /** Deterministic gray value of pixel (x, y) of asset `id` — the pixel
+    * math the DuckDB oracle replays arithmetically (no decoder on its
+    * side): g = (id*31 + x*7 + y*13) mod 256. */
+  def pngGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Real PNG assets, generated executor-side: an 8×8 gray canvas per
+    * document (doc_id < 200), ENCODED through the actual PNG writer. The
+    * blobs are genuine images — a broken decoder cannot reproduce the
+    * oracle's pixel sums from them. */
+  def pngAssets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).where(col("doc_id") < 200)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            PngSide, PngSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < PngSide) {
+            var x = 0
+            while (x < PngSide) {
+              val g = pngGray(id, x, y)
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Q-MM4: REAL decode — PNG-encode deterministic canvases, decode them
+    * with [[ImageIoDecoder]], and emit pixel sums the oracle recomputes
+    * from the closed-form pixel function. PNG is lossless, so
+    * decoded == generated pixel-for-pixel; any decoder defect (channel
+    * order, row order, color model) breaks the hash match. Encode and
+    * decode both run inside one batched mapPartitions pass — bytes never
+    * leave the executor, the multimodal scale contract. */
+  def qMm4(spark: SparkSession, dir: String): DataFrame =
+    pixelFeatures(pngAssets(spark, dir), ImageIoDecoder).orderBy("asset_id")
 }

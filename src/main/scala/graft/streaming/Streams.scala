@@ -157,13 +157,21 @@ object Streams {
     * (the deterministic last-file-wins rule downstream picks the winner) —
     * the state records only `seen`, one boolean per key, RocksDB-backed and
     * checkpoint-durable like [[FirstSeenDedup]]. */
-  class FirstSeenKeys
+  /** `ttl`: optional processing-time bound on the gate's state — on a
+    * long-running CONTINUOUS sync, first-seen keys otherwise accumulate for
+    * the life of the query (one boolean per key is small, but unbounded is
+    * unbounded). With a TTL a key can be re-merged after `ttl` of silence —
+    * for replay protection that is exactly the window replays arrive in.
+    * TTL requires `TimeMode.ProcessingTime` (see [[dedupFirstSeen]]'s
+    * caveat: use a processing-time trigger, not available-now drains). */
+  class FirstSeenKeys(ttl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, SyncRow, SyncRow] {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
     @transient private var seen: ValueState[Boolean] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getValueState[Boolean]("seen",
-        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
     override def handleInputRows(key: String, rows: Iterator[SyncRow],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SyncRow] =
       if (seen.exists()) Iterator.empty
@@ -208,11 +216,24 @@ object Streams {
     * out-of-order source file cannot resurrect an older document version.
     * This trades the default "every batch re-merges" semantics for
     * first-batch-wins per key — right for catch-up syncs of snapshot-like
-    * sources, wrong for sources that emit genuine updates. Requires (and
-    * sets) the RocksDB state store provider; the gate's state lives in the
+    * sources, wrong for sources that emit genuine updates. REQUIRES the
+    * RocksDB state store provider: if the session has no provider set this
+    * call sets it (a SESSION-WIDE setting — every other streaming query in
+    * the session inherits it; set it yourself at session build time if that
+    * matters), and if the session pins a DIFFERENT provider the call fails
+    * fast instead of silently overriding it. The gate's state lives in the
     * same checkpoint as the file-source cursor, so a restart resumes both
-    * together. Corrupt lines are gated by content hash instead of key:
-    * a replayed corrupt file does not re-dead-letter. */
+    * together. `dedupeTtl` bounds the gate's state by processing time for
+    * continuous-mode callers (see [[FirstSeenKeys]]). Corrupt lines are
+    * gated by content hash instead of key: a replayed corrupt file does not
+    * re-dead-letter. */
+  /** `sourceOptions`: passthrough to the file stream source — RATE SHAPING
+    * lives here. A catch-up sync over a huge backlog should be N bounded
+    * micro-batches, not one giant batch: pass
+    * `Map("maxFilesPerTrigger" -> "k")` (with `Trigger.AvailableNow` the
+    * source drains the whole backlog k files at a time, checkpointing after
+    * each batch — bounded memory AND bounded lost work on a crash;
+    * `maxBytesPerTrigger` shapes by volume instead). */
   def syncContainers(spark: SparkSession,
                      source: graft.core.FileAccount,
                      target: graft.core.FileAccount,
@@ -222,6 +243,8 @@ object Streams {
                        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
                      sanitize: Boolean = false,
                      dedupeReplays: Boolean = false,
+                     dedupeTtl: Option[java.time.Duration] = None,
+                     sourceOptions: Map[String, String] = Map.empty,
                      onBatch: SyncBatchProgress => Unit = _ => ()):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.RawMerge
@@ -286,16 +309,29 @@ object Streams {
     // a prior upsert) with stray files at the data/ root — recursive
     // lookup reads both, matching the batch readRaw. input_file_name() is
     // captured HERE: downstream of a state operator it would be empty.
-    val lines = spark.readStream
-      .option("recursiveFileLookup", "true")
+    val lines = sourceOptions.foldLeft(
+        spark.readStream.option("recursiveFileLookup", "true")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .text(source.dataPath(db, container))
       .select(col("value"), input_file_name().as("__f"))
     val streamIn: DataFrame =
       if (!dedupeReplays) lines
       else {
         graft.functions.GraftFunctions.register(spark)
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val rocksDb =
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.getOption(providerKey) match {
+          case None => spark.conf.set(providerKey, rocksDb)
+          case Some(p) if p == rocksDb || p.endsWith("HDFSBackedStateStoreProvider") =>
+            // the HDFS default can't serve transformWithState; replacing the
+            // engine DEFAULT is the documented session-wide side effect
+            spark.conf.set(providerKey, rocksDb)
+          case Some(other) => throw new IllegalStateException(
+            s"dedupeReplays requires the RocksDB state store; session pins $other — " +
+              "unset it or set RocksDBStateStoreProvider yourself")
+        }
         import spark.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val csv = pkPaths.map(_.stripPrefix("/")).mkString(",")
@@ -309,8 +345,9 @@ object Streams {
           .select(col("k"), col("__f").as("f"), col("value").as("raw"))
           .as[SyncRow]
           .groupByKey(_.k)
-          .transformWithState(new FirstSeenKeys,
-            TimeMode.None(), OutputMode.Append())
+          .transformWithState(new FirstSeenKeys(dedupeTtl),
+            if (dedupeTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+            OutputMode.Append())
           .toDF()
           .select(col("raw").as("value"), col("f").as("__f"))
       }

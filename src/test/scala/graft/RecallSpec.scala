@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** MEASURED recall of the sub-quadratic ANN paths against the exact
+  * all-pairs baseline (VERDICT r4 ask 7): the scaladocs state a recall
+  * model (P(collision) = 1-(1-p^r)^b) and monotonicity claims — this spec
+  * turns them into numbers on the real corpus at sf0.01 and pins the
+  * structural guarantees:
+  *
+  *  - precision is 1.0 by construction (candidates are exactly rescored),
+  *  - banded recall is monotone in BAND COUNT (band k covers planes
+  *    [bits·k, bits·(k+1)) of one fixed family — more bands only add),
+  *  - full-signature recall is monotone in (fewer) PLANES (width p buckets
+  *    on the first p bits of the same signature).
+  *
+  * Measured values are recorded in SURVEY.md §8 (addendum).
+  */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "recall-spec")
+  val sf = "/root/testdata/sf0.01"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Exact full-corpus pairs at the 0.4 threshold — the recall denominator
+    * (qD7's bounded form can't serve: recall must count ALL qualifying
+    * pairs). Quadratic by definition; run at test SF only. */
+  private lazy val exact: Set[(Long, Long)] = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val a = e.selectExpr("vec_id AS a_id", "embedding AS ea")
+    val b = e.selectExpr("vec_id AS b_id", "embedding AS eb")
+    pairs(a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", expr("cosine_sim(ea, eb)"))
+      .where(col("sim") >= 0.4))
+  }
+
+  test("banded LSH: precision 1.0, recall measured, monotone in band count") {
+    val r46 = pairs(Dedup.bandedPairs(spark, sf, bands = 4, bits = 6)) // qD8 setting
+    val r86 = pairs(Dedup.bandedPairs(spark, sf, bands = 8, bits = 6))
+    assert(exact.nonEmpty)
+    // precision 1.0: every reported pair is a true >=0.4 pair
+    assert(r46.subsetOf(exact), s"false positives: ${(r46 -- exact).take(5)}")
+    assert(r86.subsetOf(exact), s"false positives: ${(r86 -- exact).take(5)}")
+    // monotone in bands: bands 0..3 are the same planes — 8 bands only add
+    assert(r46.subsetOf(r86), s"pairs lost adding bands: ${(r46 -- r86).take(5)}")
+    val (rec46, rec86) =
+      (r46.size.toDouble / exact.size, r86.size.toDouble / exact.size)
+    info(f"exact pairs: ${exact.size}; recall(4 bands x 6 bits) = $rec46%.3f; " +
+      f"recall(8 bands x 6 bits) = $rec86%.3f")
+    // the model says ~0.25 at this corpus's threshold-tail sims for (4,6)
+    // and strictly more with more bands — pin loose floors, not exact values
+    assert(rec46 > 0.05, f"(4,6) recall collapsed: $rec46%.3f")
+    assert(rec86 >= rec46)
+  }
+
+  test("full-signature LSH (qSim2 family): recall measured, monotone in width") {
+    val p8 = pairs(Similarity.qSim2(spark, sf))
+    val p4 = pairs(Similarity.lshPairs(spark, sf, planes = 4))
+    assert(p8.subsetOf(exact) && p4.subsetOf(exact), "precision must be 1.0")
+    assert(p8.subsetOf(p4), "coarser width (fewer planes) must only add pairs")
+    val (rec8, rec4) =
+      (p8.size.toDouble / exact.size, p4.size.toDouble / exact.size)
+    info(f"exact pairs: ${exact.size}; recall(8 planes) = $rec8%.3f; " +
+      f"recall(4 planes) = $rec4%.3f")
+    // full-signature bucketing at a tail threshold is DOCUMENTED as
+    // low-recall (qD7 scaladoc: ~1/59 at P=8) — the assertion is the
+    // structure, the info line is the measurement
+    assert(rec4 >= rec8)
+  }
+}

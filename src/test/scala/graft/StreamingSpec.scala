@@ -347,6 +347,36 @@ class StreamingSpec extends AnyFunSuite {
         s"${p.flatMap(_.targetFilesScanned)}")
   }
 
+  test("ST-6 rate shaping: maxFilesPerTrigger makes catch-up a bounded multi-batch drain") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.{ContainerProps, FileAccount}
+    val root = Files.createTempDirectory(Paths.get("target"), "sync-rate")
+    val src = FileAccount(root.resolve("src").toString)
+    val tgt = FileAccount(root.resolve("tgt").toString)
+    Files.createDirectories(Paths.get(src.root))
+    Files.createDirectories(Paths.get(tgt.root))
+    src.createDatabaseIfAbsent("db")
+    src.createContainerIfAbsent("db", "c", ContainerProps(Seq("/pk"), buckets = 4))
+    val data = Paths.get(src.root, "db", "c", "data")
+    Files.createDirectories(data)
+    // a 6-file backlog, one doc per file: the catch-up sync must drain it in
+    // ceil(6/2) = 3 bounded micro-batches, not one giant batch
+    (0 until 6).foreach(i => Files.writeString(data.resolve(f"f$i%02d.json"),
+      s"""{"id":"d$i","pk":"p${i % 2}","v":$i}"""))
+    val progress = scala.collection.mutable.ArrayBuffer.empty[Streams.SyncBatchProgress]
+    val q = Streams.syncContainers(spark, src, tgt, "db", "c",
+      root.resolve("cp").toString,
+      sourceOptions = Map("maxFilesPerTrigger" -> "2"),
+      onBatch = progress += _)
+    q.awaitTermination()
+    val p = progress.filter(_.srcRows > 0)
+    assert(p.size == 3, s"6 files at 2/trigger must drain in 3 batches: $p")
+    assert(p.forall(_.srcRows <= 2), s"per-batch rows must stay bounded: $p")
+    assert(p.map(_.srcRows).sum == 6)
+    assert(tgt.readRaw(spark, "db", "c").count() == 6,
+      "the shaped drain must land the complete state")
+  }
+
   test("ST-6 opt-in replay dedup: a replayed older version cannot resurrect") {
     import java.nio.file.{Files, Paths}
     import graft.core.{ContainerProps, FileAccount}
