@@ -36,6 +36,7 @@ object SparkEntry {
     "q_j6_composite_key"   -> (Joins.qJ6 _),
     "q_j7_bucketed_cojoin" -> (Bucketing.qJ7 _),
     "q_j8_skew_join"       -> (Joins.qJ8 _),
+    "q_j9_asof_join"       -> (Joins.qJ9 _),
     // aggregates
     "q_a1_count"           -> (Relational.qA1 _),
     "q_a2_hash_agg"        -> (Relational.qA2 _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "q_v2_content_hash"    -> (Relational.qV2 _),
     // HLL estimate checked via a relative-error bound (exact + within_bound)
     "q_v3_approx_distinct" -> (Relational.qV3 _),
+    "q_v4_profile"         -> (Relational.qV4 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
     "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
@@ -70,6 +72,7 @@ object SparkEntry {
     "q_t3_token_count"     -> (TextAnalysis.qT3 _),
     "q_t4_fingerprint"     -> (TextAnalysis.qT4 _),
     "q_t5_curate"          -> (TextAnalysis.qT5 _),
+    "q_t6_stratified_sample" -> (TextAnalysis.qT6 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -146,6 +149,15 @@ object SparkEntry {
         "(SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS k, event_id FROM events) e " +
         "JOIN (SELECT o_orderkey % 1500 AS k FROM orders) o USING (k) " +
         "GROUP BY k ORDER BY k"),
+    "q_j9_asof_join" -> (
+      // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window
+      // formulation; orders pre-aggregated to one row per (custkey, date)
+      // so the same-time pick is deterministic in both engines
+      "WITH od AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS ok " +
+        "FROM orders GROUP BY 1, 2) " +
+        "SELECT e.event_id, od.ok AS asof_orderkey " +
+        "FROM events e ASOF LEFT JOIN od ON e.user_id = od.k AND e.ts >= od.t " +
+        "ORDER BY e.event_id"),
     "q_a1_count" -> (
       "SELECT count(1) AS n FROM lineitem"),
     "q_a2_hash_agg" -> (
@@ -204,6 +216,20 @@ object SparkEntry {
       "SELECT ((SELECT count(1) FROM lineitem) = (SELECT count(1) FROM lineitem)) AS ok"),
     "q_v2_content_hash" -> (
       "SELECT count(1) AS n, CAST(sum(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS h FROM orders"),
+    "q_v4_profile" -> (
+      // exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
+      // share the linear-interpolation definition
+      "SELECT count(1) AS n, " +
+        "CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT) AS q_nulls, " +
+        "ROUND(min(l_quantity), 2) AS q_min, ROUND(max(l_quantity), 2) AS q_max, " +
+        "ROUND(quantile_cont(l_quantity, 0.25), 2) AS q_p25, " +
+        "ROUND(quantile_cont(l_quantity, 0.5), 2) AS q_p50, " +
+        "ROUND(quantile_cont(l_quantity, 0.9), 2) AS q_p90, " +
+        "count(DISTINCT l_returnflag) AS rf_distinct FROM lineitem"),
+    "q_t6_stratified_sample" -> (
+      "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        "FROM documents) t WHERE rn <= 20 ORDER BY lang, doc_id"),
     "q_x4_term_freq" -> (
       "SELECT w, count(1) AS c FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t " +
         "WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20"),

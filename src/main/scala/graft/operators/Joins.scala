@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -119,5 +120,45 @@ object Joins {
       .groupBy("k")
       .agg(count(lit(1)).as("c"), sum("event_id").as("se"))
       .orderBy("k")
+  }
+
+  /** AS-OF JOIN: for each left row, the single right row with the greatest
+    * time ≤ the left time on the same key — the temporal-enrichment
+    * operator (event → latest prior dimension version / price / order)
+    * that relational engines special-case (DuckDB `ASOF JOIN`, which is the
+    * oracle here) and Spark has no native operator for.
+    *
+    * Spark-first formulation — NOT a range join: tag both sides, union,
+    * and take `last(right_value, ignoreNulls) OVER (PARTITION BY key
+    * ORDER BY (time, side) ROWS UNBOUNDED PRECEDING..CURRENT)`. Right rows
+    * sort before left rows at equal time, so the match is inclusive
+    * (`ts >= t`). One shuffle on the key and one sort — the same cost as a
+    * plain equi-join of the two sides; a per-left-row range join would be
+    * O(left × right-per-key) and a lateral LIMIT 1 per row is a
+    * driver-killer. The pattern holds at 100 TB: the union partitions by
+    * key like any fact-fact join (AQE skew split applies), and no
+    * intermediate exceeds input + output size.
+    *
+    * Right side pre-aggregates to ONE row per (key, time) — max orderkey —
+    * which both fixes the tie semantics (an as-of pick among same-time
+    * rows is otherwise engine-arbitrary) and keeps the window's ignoreNulls
+    * scan trivially correct. */
+  def qJ9(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .agg(max("o_orderkey").as("ok"))
+    val tagged = o
+      .select(col("k"), col("t"), col("ok"),
+        lit(null).cast("long").as("event_id"), lit(0).as("side"))
+      .unionAll(e.select(col("k"), col("t"),
+        lit(null).cast("long").as("ok"), col("event_id"), lit(1).as("side")))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("asof_orderkey", last("ok", ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("asof_orderkey"))
+      .orderBy("event_id")
   }
 }

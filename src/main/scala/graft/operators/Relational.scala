@@ -247,4 +247,29 @@ object Relational {
         count(lit(1)).as("n"),
         sum(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
           .cast("long")).as("h"))
+
+  /** Q-V4 — dataset PROFILE: per-column nulls, range, exact percentiles,
+    * and key-cardinality in ONE aggregation pass — the drift/quality report
+    * a training-data pipeline runs per snapshot (and the verification
+    * family's "did the distribution move?" check next to Q-V1/V2's "did the
+    * bytes move?").
+    *
+    * Scale note: `percentile` here is the EXACT aggregate so the DuckDB
+    * oracle (`quantile_cont`, same linear interpolation) can pin it.
+    * Spark's exact percentile keeps a value→count map per partial, so its
+    * state is O(distinct values) — cheap for bounded-domain measures like
+    * `l_quantity` (50 distinct) at ANY row count; for unbounded-domain
+    * columns at 100 TB swap in `approx_percentile` (fixed-size sketch,
+    * mergeable), trading the hash-exact oracle for an error bound, as
+    * Q-V3 does for distinct counts. */
+  def qV4(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_quantity").isNull, lit(1))).as("q_nulls"),
+      round(min("l_quantity"), 2).as("q_min"),
+      round(max("l_quantity"), 2).as("q_max"),
+      expr("ROUND(percentile(l_quantity, 0.25), 2)").as("q_p25"),
+      expr("ROUND(percentile(l_quantity, 0.5), 2)").as("q_p50"),
+      expr("ROUND(percentile(l_quantity, 0.9), 2)").as("q_p90"),
+      countDistinct(col("l_returnflag")).as("rf_distinct"))
 }

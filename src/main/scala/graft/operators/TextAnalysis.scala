@@ -165,4 +165,31 @@ object TextAnalysis {
         "array_min(hs) AS fp_min",
         "CAST(size(array_distinct(hs)) AS BIGINT) AS n_grams")
       .orderBy("doc_id")
+
+  /** Q-T6 — DETERMINISTIC stratified subsample: the first
+    * [[StratumSampleK]] documents per language in md5-hash order of the id.
+    * Hash-order selection is the training-data way to subsample: uniform
+    * within each stratum (md5 is an order-scrambling hash), yet a pure
+    * function of the data — reruns, retries, and the DuckDB oracle all pick
+    * the SAME rows, where `rand()`-based sampling is untestable and
+    * non-idempotent (the masking lesson, SURVEY §7.3 item 2).
+    *
+    * Plan: one shuffle on the stratum key + per-partition sort — the same
+    * cost as any per-stratum window. At 100 TB with huge strata, cap the
+    * sort with a two-phase pick (per-partition top-k on the hash, then
+    * top-k of tops — the TakeOrderedAndProject shape per stratum); the
+    * declared k here keeps the oracle form simple. */
+  def qT6(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= StratumSampleK)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Documents kept per stratum by [[qT6]]. */
+  val StratumSampleK = 20
 }

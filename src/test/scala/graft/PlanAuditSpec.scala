@@ -400,6 +400,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("Q-J9 as-of join plans as union+window: one key shuffle, never a range/nested-loop join") {
+    val q = Joins.qJ9(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"as-of must be the union+window shape, not a join:\n$plan")
+    assert(plan.contains("Window"), "the as-of pick must be a window function")
+    // exchanges: the right-side (custkey, date) dedup agg (partial-combined,
+    // one row per key-date after the map side), the key partitioning for
+    // the window, and the final ORDER BY — nothing else
+    val shuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.forall(l =>
+      l.contains("hashpartitioning(k") || l.contains("rangepartitioning") ||
+        l.contains("hashpartitioning(o_custkey")),
+      s"unexpected exchange in the as-of plan:\n${shuffles.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
