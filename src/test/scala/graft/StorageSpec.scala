@@ -90,6 +90,42 @@ class StorageSpec extends AnyFunSuite {
     assert(pruned.filter(col("raw").contains("\"v\":99")).count() == 1)
   }
 
+  test("full migration between two custom-scheme accounts (the reference's actual job)") {
+    import java.nio.file.{Files => JF}
+    val (src, srcLocal) = newAccount()
+    val (tgt, _) = newAccount()
+    src.createDatabaseIfAbsent("db")
+    src.createContainerIfAbsent("db", "c",
+      ContainerProps(Seq("/pk"), buckets = 4))
+    val data = srcLocal.resolve("db/c/data")
+    JF.createDirectories(data)
+    JF.writeString(data.resolve("f1.json"), (0 until 30)
+      .map(i => s"""{"id":"d$i","pk":"p${i % 3}","v":$i}""").mkString("\n"))
+
+    // initial full migration src -> tgt, both behind graftfs://
+    val r1 = Orchestrator.migrateContainer(spark, src, tgt, "db", "c",
+      Orchestrator.Config())
+    assert(r1.verified && r1.verifyMode == "full" &&
+      r1.inserted == 30 && r1.targetCount == 30, r1.toString)
+
+    // delta run: 2 updates + 1 insert — auto-incremental (source bytes much
+    // smaller than target), bucket-pruned verify, all through the scheme
+    JF.writeString(data.resolve("f1.json"),
+      Seq("""{"id":"d1","pk":"p1","v":100}""",
+        """{"id":"d2","pk":"p2","v":200}""",
+        """{"id":"d99","pk":"p0","v":99}""").mkString("\n"))
+    val r2 = Orchestrator.migrateContainer(spark, src, tgt, "db", "c",
+      Orchestrator.Config())
+    assert(r2.verified && r2.verifyMode == "incremental" &&
+      r2.inserted == 1 && r2.updated == 2 && r2.targetCount == 31, r2.toString)
+
+    // the summary sink also writes through the scheme
+    val sumPath = "graftfs:" + srcLocal.toAbsolutePath.resolve("summary.json")
+    Orchestrator.writeSummary(
+      Orchestrator.Summary(Seq(r1, r2), durationSec = 1.0), sumPath)
+    assert(JF.readString(srcLocal.resolve("summary.json")).contains("\"verified\": true"))
+  }
+
   test("stray files on the custom scheme are absorbed into the layout") {
     import spark.implicits._
     val (acct, local) = newAccount()
