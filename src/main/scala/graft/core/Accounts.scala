@@ -151,8 +151,14 @@ case class FileAccount(root: String) {
     * should version files instead of rewriting them in place — which is what
     * the upsert sink does (fresh part files per rewrite). */
   private def dirSignature(dir: String): String = {
+    // filter matches what Spark's readers scan: hidden ("."-prefixed, e.g.
+    // local-FS .crc sidecars) and "_"-prefixed files are invisible to the
+    // data path, so they must not enter the vouching signature either
     val parts = store.walk(dir)
-      .filterNot(_.relPath.split('/').last.startsWith("_"))
+      .filterNot { f =>
+        val n = f.relPath.split('/').last
+        n.startsWith("_") || n.startsWith(".")
+      }
       .map(f => s"${f.relPath}:${f.size}:${f.mtimeMs}")
       .sorted
     if (parts.isEmpty && !store.isDirectory(dir)) return ""
@@ -215,6 +221,28 @@ case class FileAccount(root: String) {
       else spark.read.text(strays: _*).count()
     vouchedSum + recounted.values.sum + strayCount
   }
+
+  /** Opt-in DEEP verification — the content-checksum vouching mode the
+    * listing-signature caveat (see [[dirSignature]]) points to: ONE
+    * distributed pass over the container computing, per bucket, the row
+    * count and an order-independent content checksum (XOR of per-row
+    * xxhash64 — mergeable, so it distributes as a partial+final aggregate).
+    * Stray files at the data root land in bucket -1. Costs a full container
+    * scan by design (that is what "content-verified" means); use it as the
+    * periodic audit next to the free listing-signature vouching, and
+    * compare two audits (or an audit against an expected state) to locate
+    * corruption bucket-by-bucket. The collect is bounded by the bucket
+    * count. */
+  def auditBuckets(spark: SparkSession, db: String,
+                   container: String): Map[Long, (Long, Long)] =
+    readRaw(spark, db, container)
+      .withColumn("__b",
+        coalesce(regexp_extract(input_file_name(), "/b=(\\d+)/", 1)
+          .cast("long"), lit(-1L)))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(raw))"), lit(0L)).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
   /** A1: full container scan, RAW — one `raw` string column per document
     * line, no inference, bucket layout transparent (recursive lookup). */

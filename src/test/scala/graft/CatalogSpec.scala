@@ -411,4 +411,49 @@ class CatalogSpec extends AnyFunSuite {
     assert(txt.contains("\"inserted\": 3"))
     assert(txt.contains("\"ok\": true"))
   }
+
+  test("content audit catches the in-place rewrite the listing signature cannot") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val acc = newAccount("cat-audit")
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/pk"), buckets = 4))
+    val docs = (0 until 20).map(i => s"""{"id":"d$i","pk":"p${i % 3}","v":$i}""")
+    val keyed = docs.toDF("raw").selectExpr("raw",
+      "json_pk(raw, 'id') AS __id", "json_pk(raw, 'pk') AS __pk0")
+    acc.upsertRaw(spark, "db", "c", keyed, Seq("__id", "__pk0"), Seq("/pk"))
+    assert(acc.countRows(spark, "db", "c") == 20)
+    val before = acc.auditBuckets(spark, "db", "c")
+    assert(before.values.map(_._1).sum == 20)
+
+    // the documented blind spot: rewrite one data file IN PLACE, same name,
+    // same byte length, mtime restored — the listing signature still vouches
+    val dataFile = Files.walk(Paths.get(acc.root, "db", "c", "data"))
+      .iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.toString.contains("b="))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .toSeq.head
+    val mtime = Files.getLastModifiedTime(dataFile)
+    val sigBefore = acc.bucketSignatures("db", "c")
+    val bytes = Files.readAllBytes(dataFile)
+    val i = bytes.lastIndexOf('}'.toByte) - 1
+    bytes(i) = (if (bytes(i) == '0'.toByte) '1' else '0').toByte // same length
+    Files.write(dataFile, bytes)
+    Files.setLastModifiedTime(dataFile, mtime)
+    // drop the local-FS client checksum sidecar the original write left —
+    // an external writer on a real store (HDFS/S3: server-side checksums)
+    // leaves no such file, and a stale one fails the read before the audit
+    // gets to SEE the corruption
+    Files.deleteIfExists(
+      dataFile.resolveSibling("." + dataFile.getFileName.toString + ".crc"))
+    assert(acc.bucketSignatures("db", "c") == sigBefore,
+      "listing signature must (by design) still vouch — that is the trade")
+    assert(acc.countRows(spark, "db", "c") == 20,
+      "the stale-but-vouched count is the documented limitation")
+    // the opt-in deep audit sees the content change, localized to a bucket
+    val after = acc.auditBuckets(spark, "db", "c")
+    val diff = after.keySet.filter(b => before.get(b) != after.get(b))
+    assert(diff.size == 1,
+      s"audit must localize the corrupt bucket: before=$before after=$after")
+  }
 }
