@@ -37,6 +37,7 @@ object SparkEntry {
     "q_j7_bucketed_cojoin" -> (Bucketing.qJ7 _),
     "q_j8_skew_join"       -> (Joins.qJ8 _),
     "q_j9_asof_join"       -> (Joins.qJ9 _),
+    "q_j10_range_band"     -> (Joins.qJ10 _),
     // aggregates
     "q_a1_count"           -> (Relational.qA1 _),
     "q_a2_hash_agg"        -> (Relational.qA2 _),
@@ -149,6 +150,15 @@ object SparkEntry {
         "(SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS k, event_id FROM events) e " +
         "JOIN (SELECT o_orderkey % 1500 AS k FROM orders) o USING (k) " +
         "GROUP BY k ORDER BY k"),
+    "q_j10_range_band" -> (
+      // point-in-interval with no equi key: the oracle is DuckDB's native
+      // IEJoin over the SAME range predicate — an independent algorithm
+      // validating the banded equi-join decomposition; interval bounds are
+      // integer-derived through single IEEE double ops (engine-identical)
+      "WITH iv AS (SELECT o_orderkey, CAST(o_orderkey % 2800 AS DOUBLE) / 20.0 AS lo FROM orders), " +
+        "iv2 AS (SELECT o_orderkey, lo, lo + 0.05 AS hi FROM iv) " +
+        "SELECT count(1) AS n, CAST(coalesce(bit_xor(e.event_id * 100003 + iv2.o_orderkey), 0) AS BIGINT) AS h " +
+        "FROM events e JOIN iv2 ON e.value >= iv2.lo AND e.value < iv2.hi"),
     "q_j9_asof_join" -> (
       // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window
       // formulation; orders pre-aggregated to one row per (custkey, date)

@@ -161,4 +161,42 @@ object Joins {
       .select(col("event_id"), col("asof_orderkey"))
       .orderBy("event_id")
   }
+
+  /** BANDED RANGE JOIN: points (`events.value`) against intervals
+    * ([lo, hi) derived per order) with NO equi key — the shape Spark would
+    * otherwise plan as a broadcast-nested-loop / cartesian product, which
+    * is quadratic and a non-starter at fact×fact scale.
+    *
+    * The scale pattern: quantize the range dimension into fixed-width
+    * bands wider than any interval, so an interval covers ≤ 2 bands —
+    * explode intervals to their covered bands (≤ 2× row inflation), map
+    * each point to its single band, EQUI-join on the band, and apply the
+    * exact range predicate as a post-filter. The O(n·m) pair space
+    * collapses to pairs sharing a band: one shuffle per side on a
+    * uniformly-distributed integer key (AQE skew split applies if the
+    * value distribution clusters), candidates ≈ points × intervals-per-
+    * band-width. Band width tunes shuffle fan-out vs candidate count —
+    * at 100 TB pick width ≈ max interval span, exactly as here.
+    *
+    * Determinism across engines: interval bounds derive from INTEGER
+    * arithmetic pushed through one IEEE double division/addition
+    * (`(o_orderkey % 2800) / 20.0`, `lo + 0.05`) — bit-identical in Spark
+    * and DuckDB, no float rounding functions involved. The oracle runs the
+    * same join as a native DuckDB IEJoin — an independent algorithm
+    * validating the banded decomposition. The `merge` hint declares the
+    * fact×fact contract (neither side broadcastable at scale). */
+  def qJ10(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("value"))
+      .withColumn("band", floor(col("value")).cast("long"))
+    val iv = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        ((col("o_orderkey") % 2800).cast("double") / 20.0).as("lo"))
+      .withColumn("hi", col("lo") + 0.05)
+      .withColumn("band", explode(sequence(
+        floor(col("lo")).cast("long"), floor(col("hi")).cast("long"))))
+    e.hint("merge").join(iv, "band")
+      .where(col("value") >= col("lo") && col("value") < col("hi"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(event_id * 100003 + o_orderkey)"), lit(0L)).as("h"))
+  }
 }

@@ -419,6 +419,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected exchange in the as-of plan:\n${shuffles.mkString("\n")}")
   }
 
+  test("Q-J10 banded range join: equi-join on the band, never a nested loop") {
+    val q = Joins.qJ10(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"a pure range predicate must band into an equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"band key must drive a shuffle equi-join:\n$plan")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
