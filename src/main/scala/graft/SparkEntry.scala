@@ -74,6 +74,7 @@ object SparkEntry {
     "q_t4_fingerprint"     -> (TextAnalysis.qT4 _),
     "q_t5_curate"          -> (TextAnalysis.qT5 _),
     "q_t6_stratified_sample" -> (TextAnalysis.qT6 _),
+    "q_t7_normalize"       -> (TextAnalysis.qT7 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -240,6 +241,13 @@ object SparkEntry {
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
         "FROM documents) t WHERE rn <= 20 ORDER BY lang, doc_id"),
+    "q_t7_normalize" -> (
+      // DuckDB regexp_replace replaces the FIRST match by default — 'g'
+      // makes it global like Spark's
+      "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm FROM documents) " +
+        "SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm, " +
+        "('0x' || substr(md5(norm), 1, 8))::BIGINT AS h32 FROM n ORDER BY doc_id"),
     "q_x4_term_freq" -> (
       "SELECT w, count(1) AS c FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t " +
         "WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20"),

@@ -37,11 +37,18 @@ trait Storage {
   def delete(p: String): Boolean
   /** Recursive delete of a tree; false if absent. */
   def deleteRecursive(p: String): Boolean
-  /** Atomic-on-most-filesystems directory/file rename; false on failure
-    * (e.g. destination exists). */
+  /** Directory/file rename; false on failure (e.g. destination exists).
+    * Atomic on HDFS and POSIX filesystems — the publish primitive the
+    * durable-index build relies on. On S3A, "rename" is a non-atomic
+    * copy+delete: deployments there should point publish roots at a
+    * rename-capable store (HDFS, or S3 behind a metadata layer) or accept
+    * the documented single-writer assumption. */
   def rename(src: String, dst: String): Boolean
   /** Create a file atomically, failing if it already exists — the lock
-    * primitive (HDFS: atomic create; local FS: create-new). */
+    * primitive (HDFS: atomic create; local FS: create-new). S3A cannot
+    * provide create-exclusive through this API (last-writer-wins PUT) —
+    * same deployment note as [[rename]]: use a rename/lock-capable store
+    * for coordination paths, or external coordination. */
   def createExclusive(p: String, content: String): Boolean
   /** Names of child DIRECTORIES (not paths). */
   def listDirNames(p: String): Seq[String]

@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles(exprs.head, GraftFunctions.shingleN(exprs))))
     ext.injectFunction((
+      FunctionIdentifier("lang_hits"),
+      new ExpressionInfo(classOf[LangHits].getName, "lang_hits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LangHits(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("canonical_json"),
       new ExpressionInfo(classOf[CanonicalJson].getName, "canonical_json"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -192,4 +192,21 @@ object TextAnalysis {
 
   /** Documents kept per stratum by [[qT6]]. */
   val StratumSampleK = 20
+
+  /** Q-T7 — text NORMALIZATION, the first step of every LLM curation
+    * pipeline: lowercase → strip non-alphanumerics → collapse whitespace →
+    * trim, emitted as (length, checksum) so the oracle pins the exact
+    * normalized bytes without shipping them. Pure per-row expression work
+    * (codegen'd regexp_replace chain) — scan-bound at any corpus size, the
+    * same posture as the rest of the battery. Patterns stay in the
+    * RE2-compatible subset so Spark (java.util.regex) and DuckDB (RE2)
+    * agree character-for-character. */
+  def qT7(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' ')) AS norm")
+      .selectExpr("doc_id",
+        "CAST(length(norm) AS BIGINT) AS n_norm",
+        s"${md5h32("norm")} AS h32")
+      .orderBy("doc_id")
 }

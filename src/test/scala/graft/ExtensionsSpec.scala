@@ -139,9 +139,10 @@ class ExtensionsSpec extends AnyFunSuite {
       // the fused sketch kernels ride the same extension surface
       val sk = s2.sql(
         "SELECT simhash32('a b a') AS sh, minhash_sig('a b c d', 3).m1 AS m1, " +
-          "lsh_band_sig(cast(array(1.0, -1.0) as array<float>), 0, 2) AS bs")
+          "lsh_band_sig(cast(array(1.0, -1.0) as array<float>), 0, 2) AS bs, " +
+          "lang_hits('the cat') AS lh")
         .head()
-      assert(!sk.isNullAt(0) && !sk.isNullAt(1) && !sk.isNullAt(2))
+      assert(!sk.isNullAt(0) && !sk.isNullAt(1) && !sk.isNullAt(2) && !sk.isNullAt(3))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
