@@ -176,7 +176,12 @@ object Joins {
     * uniformly-distributed integer key (AQE skew split applies if the
     * value distribution clusters), candidates ≈ points × intervals-per-
     * band-width. Band width tunes shuffle fan-out vs candidate count —
-    * at 100 TB pick width ≈ max interval span, exactly as here.
+    * pick it just ABOVE the max interval span: candidates per band scale
+    * with (points/band) × (intervals/band), so a band 20× wider than the
+    * intervals pays ~20× the candidate volume for the same matches
+    * (measured at sf0.1: width 1.0 → ~60M candidates, 1.08 s; width 0.1 →
+    * ~6M, ~4× faster). The exact predicate post-filters either way — band
+    * width is pure physics, invisible in the result.
     *
     * Determinism across engines: interval bounds derive from INTEGER
     * arithmetic pushed through one IEEE double division/addition
@@ -186,14 +191,17 @@ object Joins {
     * validating the banded decomposition. The `merge` hint declares the
     * fact×fact contract (neither side broadcastable at scale). */
   def qJ10(s: SparkSession, d: String): DataFrame = {
+    // band = floor(x * 10): width 0.1, just above the 0.05 interval span.
+    // Multiplication is IEEE-monotone, so a point inside [lo, hi) can never
+    // band outside [band(lo), band(hi)] — the decomposition is lossless.
     val e = Tables.events(s, d).select(col("event_id"), col("value"))
-      .withColumn("band", floor(col("value")).cast("long"))
+      .withColumn("band", floor(col("value") * 10.0).cast("long"))
     val iv = Tables.orders(s, d)
       .select(col("o_orderkey"),
         ((col("o_orderkey") % 2800).cast("double") / 20.0).as("lo"))
       .withColumn("hi", col("lo") + 0.05)
       .withColumn("band", explode(sequence(
-        floor(col("lo")).cast("long"), floor(col("hi")).cast("long"))))
+        floor(col("lo") * 10.0).cast("long"), floor(col("hi") * 10.0).cast("long"))))
     e.hint("merge").join(iv, "band")
       .where(col("value") >= col("lo") && col("value") < col("hi"))
       .agg(count(lit(1)).as("n"),
