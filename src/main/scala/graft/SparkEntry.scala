@@ -91,6 +91,7 @@ object SparkEntry {
     "q_sim2_lsh_ann"       -> (Similarity.qSim2 _),
     "q_sim3_ivf_ann"       -> (Similarity.qSim3 _),
     "q_sim4_ivf_kmeans"    -> (Similarity.qSim4 _),
+    "q_sim5_lang_centroids" -> (Similarity.qSim5 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -424,6 +425,13 @@ object SparkEntry {
         "r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s2) " +
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim5_lang_centroids" -> (
+      // per-(class, dim) mean, ROUND(·,6)-snapped like the IVF Lloyd step
+      // (absorbs float sum-order differences between engines/partitions)
+      "SELECT d.lang, CAST(g.i AS INT) AS i, ROUND(avg(e.embedding[g.i + 1]::DOUBLE), 6) AS c " +
+        "FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, " +
+        "(SELECT unnest(generate_series(0, 63)) AS i) g " +
+        "GROUP BY d.lang, g.i ORDER BY lang, i"),
     "q_m1_merge_classify" -> (mergeSnapshotsSql +
       " SELECT action, count(1) AS c FROM (" + mergeClassifySql("tgt", "t") +
       ") x GROUP BY action ORDER BY action"),

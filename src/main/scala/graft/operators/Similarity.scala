@@ -357,6 +357,29 @@ object Similarity {
   def qSim4(s: SparkSession, dir: String): DataFrame =
     IvfIndex.probe(s, dir, IvfIndex.build(s, dir, lloydIters = 1))
 
+  /** Q-SIM5 — per-class embedding CENTROIDS (the prototype / class-mean
+    * vector aggregate every training pipeline computes: cluster summaries,
+    * nearest-class-mean classification, drift tracking between snapshot
+    * embeddings). Join embeddings to their documents' language, then mean
+    * per (class, dimension).
+    *
+    * Scale shape: the join broadcasts nothing it shouldn't (doc metadata is
+    * a projection of the corpus — at real scale both sides shuffle on the
+    * id, or the lang column lives WITH the embedding and the join
+    * disappears); the aggregate's shuffle output is bounded by
+    * classes × dims rows regardless of corpus size — the same contract as
+    * the IVF Lloyd step, with the same ROUND(·,6) snap absorbing
+    * float-sum-order differences between partitions and engines. */
+  def qSim5(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    e.join(d, e("vec_id") === d("doc_id"))
+      .select(col("lang"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("lang", "i")
+      .agg(expr("ROUND(avg(CAST(v AS DOUBLE)), 6)").as("c"))
+      .orderBy("lang", "i")
+  }
+
   /** Brute-force k-NN: for each query vector (vec_id < 10), the top-3
     * neighbors over the whole corpus by cosine. The query side is tiny and
     * broadcast; the corpus side streams — scan-bound at any corpus size.

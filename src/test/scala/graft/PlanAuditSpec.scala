@@ -200,6 +200,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"K=256 probe plan blew up: ${bigPlan.length} chars")
   }
 
+  test("concurrent IVF builds race safely: one atomic publish wins, both serve it") {
+    import graft.operators.Similarity
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val prevRoot = sys.props.get("graft.ivf.root")
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivf-race")
+    sys.props("graft.ivf.root") = tmpRoot.toString
+    try {
+      // two sessions → two cache keys → both threads run loadOrBuild and
+      // race the rename; the loser must discard its staging dir and load
+      // the winner's index
+      val (s1, s2) = (spark.newSession(), spark.newSession())
+      val fs = Seq(s1, s2).map(s => Future {
+        Similarity.IvfIndex.probe(s, sf,
+          Similarity.IvfIndex.build(s, sf, lloydIters = 0, cells = 8),
+          nprobe = 2, topK = 2).collect().map(_.toString).toSeq
+      })
+      val results = fs.map(Await.result(_, 5.minutes))
+      assert(results(0) == results(1), "racing builders must serve one index")
+      // exactly one published index, zero staging leftovers
+      import scala.jdk.CollectionConverters._
+      val dirs = java.nio.file.Files.list(tmpRoot).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(dirs.count(_.startsWith("v")) == 1 &&
+        !dirs.exists(_.contains(".tmp-")),
+        s"publish must be atomic, staging cleaned: $dirs")
+    } finally {
+      prevRoot match {
+        case Some(p) => sys.props("graft.ivf.root") = p
+        case None    => sys.props.remove("graft.ivf.root")
+      }
+    }
+  }
+
   test("IVF cell count is tunable: probing every cell reproduces exact brute force") {
     import graft.operators.Similarity
     val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0, cells = 8)
