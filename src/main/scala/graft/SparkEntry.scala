@@ -107,6 +107,7 @@ object SparkEntry {
     "q_st3_session"        -> (graft.streaming.Streams.qSt3 _),
     "q_st4_dedup_count"    -> (graft.streaming.Streams.qSt4 _),
     "q_st5_incremental_merge" -> (graft.streaming.Streams.qSt5 _),
+    "q_st7_funnel_join"    -> (graft.streaming.Streams.qSt7 _),
     // multimodal binary-column pipeline
     "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
@@ -503,6 +504,12 @@ object SparkEntry {
         "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"),
     "q_st4_dedup_count" -> (
       "SELECT count(DISTINCT event_id) AS n FROM events"),
+    "q_st7_funnel_join" -> (
+      "WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase') " +
+        "SELECT c.c_id, p.p_id FROM c JOIN p ON c.user_id = p.user_id " +
+        "AND p.p_ts >= c.c_ts AND p.p_ts < c.c_ts + INTERVAL 30 MINUTE " +
+        "ORDER BY c_id, p_id"),
     "q_st5_incremental_merge" -> (
       // final state of the two-batch incremental merge == all events upserted
       // by (event_id, event_type) — batch split is irrelevant to the result

@@ -48,6 +48,27 @@ object Streams {
   def dedupCount(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id").agg(count(lit(1)).as("n"))
 
+  /** ST-7 core: stream-stream INTERVAL JOIN — the funnel pattern (a
+    * purchase within 30 minutes after a click by the same user). Written
+    * against plain DataFrames like the rest of the battery: in batch it
+    * plans as an equi-join on the user with the time window as a
+    * post-filter; on TWO STREAMS (StreamingSpec) the same expression is
+    * Spark's watermarked stream-stream join — the time bounds
+    * (`p_ts ∈ [c_ts, c_ts + 30m)`) bound BOTH sides' buffered state, so
+    * with watermarks each side's join state expires as event time passes
+    * (clicks after +30m, purchases after the click watermark catches up) —
+    * the state-boundedness contract that makes a stream-stream join viable
+    * over unbounded input. */
+  def funnelPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("event_id").as("p_id"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") < col("c_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
                         s_end: java.sql.Timestamp, n: Long)
@@ -371,6 +392,15 @@ object Streams {
 
   def qSt4(spark: SparkSession, dir: String): DataFrame =
     dedupCount(Tables.events(spark, dir))
+
+  /** ST-7 (batch form): click→purchase pairs within the funnel window. */
+  def qSt7(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    funnelPairs(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .select("c_id", "p_id")
+      .orderBy("c_id", "p_id")
+  }
 
   /** ST-5 (batch form): incremental MERGE equivalence — applying the merge
     * in two half-batches (foreachBatch style) must land on the same final

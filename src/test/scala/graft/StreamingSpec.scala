@@ -347,6 +347,41 @@ class StreamingSpec extends AnyFunSuite {
         s"${p.flatMap(_.targetFilesScanned)}")
   }
 
+  test("ST-7 stream-stream interval join: two live streams == batch funnel") {
+    // clicks and purchases as SEPARATE streams (the two-source shape a real
+    // funnel pipeline has), both watermarked so the interval condition
+    // bounds each side's buffered join state
+    val funnel = Seq(
+      Ev(11, ts(5), 1, "click", 0, "{}"),
+      Ev(12, ts(20), 1, "purchase", 0, "{}"),   // 15m after click 11 → match
+      Ev(13, ts(40), 1, "purchase", 0, "{}"),   // 35m after click 11 → no
+      Ev(14, ts(70), 2, "click", 0, "{}"),
+      Ev(15, ts(75), 2, "purchase", 0, "{}"),   // 5m after click 14 → match
+      Ev(16, ts(75), 1, "purchase", 0, "{}"),   // other user → no
+      Ev(17, ts(90), 2, "click", 0, "{}"),
+      Ev(18, ts(95), 2, "purchase", 0, "{}"))   // matches click 17 AND 14? 14 is 25m before → yes both
+    val clicks = funnel.filter(_.event_type == "click")
+    val purchases = funnel.filter(_.event_type == "purchase")
+    val cs = MemoryStream[Ev](spark)
+    val ps = MemoryStream[Ev](spark)
+    val joined = Streams.funnelPairs(
+      cs.toDF().withWatermark("ts", "1 hour"),
+      ps.toDF().withWatermark("ts", "1 hour"))
+      .select("c_id", "p_id")
+    val q = joined.writeStream.format("memory").queryName("st7")
+      .outputMode(OutputMode.Append()).start()
+    // interleaved arrival across micro-batches: join state must hold
+    // clicks until their +30m window closes
+    cs.addData(clicks.take(1)); ps.addData(purchases.take(2)); q.processAllAvailable()
+    cs.addData(clicks.drop(1)); ps.addData(purchases.drop(2)); q.processAllAvailable()
+    q.stop()
+    val got = canon(spark.table("st7"))
+    val want = canon(Streams.funnelPairs(
+      clicks.toDF(), purchases.toDF()).select("c_id", "p_id"))
+    assert(got == want, s"stream got $got, batch wants $want")
+    assert(want.size == 4, s"fixture must exercise multi-match + window edge: $want")
+  }
+
   test("ST-6 rate shaping: maxFilesPerTrigger makes catch-up a bounded multi-batch drain") {
     import java.nio.file.{Files, Paths}
     import graft.core.{ContainerProps, FileAccount}
