@@ -45,6 +45,7 @@ object SparkEntry {
     "q_a4_rollup"          -> (Relational.qA4 _),
     "q_a5_cube"            -> (Relational.qA5 _),
     "q_a6_pivot"           -> (Relational.qA6 _),
+    "q_a7_top_revenue"     -> (Relational.qA7 _),
     // windows
     "q_w1_dedup_latest"    -> (Windows.qW1 _),
     "q_w2_running_sum"     -> (Windows.qW2 _),
@@ -193,6 +194,13 @@ object SparkEntry {
         "count(1) FILTER (WHERE event_type = 'signup') AS signup, " +
         "count(1) FILTER (WHERE event_type = 'view') AS view " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_a7_top_revenue" -> (
+      "SELECT o_orderkey, " +
+        "CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue, " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01' AND l_shipdate > TIMESTAMP '1996-01-01' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
     "q_w1_dedup_latest" -> (
       "SELECT event_id FROM (SELECT event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id) AS rn FROM events) t " +
         "WHERE rn = 1 ORDER BY event_id"),

@@ -146,6 +146,41 @@ object Relational {
         (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
           .as("within_bound"))
 
+  /** Q-A7 — TPC-H Q3 shape: the canonical 3-table analytics query
+    * (selective dim filter → fact join → fact join → grouped measure →
+    * top-k), the "real BI query" the rest of the inventory composes into.
+    *
+    * Plan shape (the 100 TB story): the segment filter prunes customer to
+    * ~1/5 BEFORE its join — with a small filtered dim Spark broadcasts it
+    * into orders (no orders shuffle for that join); the date predicates
+    * push into the parquet scans (`PushedFilters`); the revenue measure
+    * aggregates per orderkey ABOVE the lineitem join but the join key IS
+    * the grouping key, so the aggregation reuses the join's partitioning
+    * (no extra exchange); the final top-10 is TakeOrderedAndProject, not a
+    * global sort. Revenue multiplies through DECIMAL (exact 4-decimal
+    * rationals) so ROUND-half cases hash-match the oracle, as in qX1. */
+  def qA7(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .as("rev"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum("rev"), 2).cast("double").as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").cast("string").as("od"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
   /** Q-A6 — pivot: per-user event-type counts as columns. The pivot value
     * list is DECLARED (the 5 event kinds), not discovered — at scale the
     * discovery pass is a second full scan plus a collect of the distinct

@@ -455,6 +455,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected exchange in the as-of plan:\n${shuffles.mkString("\n")}")
   }
 
+  test("Q-A7 TPC-H Q3 shape: filtered dim broadcasts, dates push down, top-k not global sort") {
+    val q = Relational.qA7(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the segment-filtered customer side must broadcast:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters") &&
+      (l.contains("LessThan(o_orderdate") || l.contains("GreaterThan(l_shipdate"))),
+      "date predicates must reach the parquet scans")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "final top-10 must be top-k, not a global sort")
+  }
+
   test("Q-J10 banded range join: equi-join on the band, never a nested loop") {
     val q = Joins.qJ10(spark, sf)
     q.collect()
