@@ -151,31 +151,44 @@ object Relational {
     * top-k), the "real BI query" the rest of the inventory composes into.
     *
     * Plan shape (the 100 TB story): the segment filter prunes customer to
-    * ~1/5 BEFORE its join — with a small filtered dim Spark broadcasts it
-    * into orders (no orders shuffle for that join); the date predicates
-    * push into the parquet scans (`PushedFilters`); the revenue measure
-    * aggregates per orderkey ABOVE the lineitem join but the join key IS
-    * the grouping key, so the aggregation reuses the join's partitioning
-    * (no extra exchange); the final top-10 is TakeOrderedAndProject, not a
-    * global sort. Revenue multiplies through DECIMAL (exact 4-decimal
-    * rationals) so ROUND-half cases hash-match the oracle, as in qX1. */
+    * ~1/5 BEFORE its join — a small filtered dim broadcast into orders (no
+    * orders shuffle for that join); the date predicates push into the
+    * parquet scans (`PushedFilters`); the revenue measure aggregates per
+    * orderkey BELOW the orders join (valid: o_orderkey is unique in
+    * orders, the qJ2 pushdown Catalyst doesn't do itself) — so lineitem
+    * pays its one shuffle as a map-combined partial aggregate, ~4×
+    * smaller, and the orders side joins one pre-summed row per key; and
+    * before ANY of that, lineitem is SEMI-JOINED against the qualifying
+    * order-key set (the star-schema filter-through-join: segment × date
+    * select ~3% of orders, so ~97% of lineitem rows — and their decimal
+    * multiplies, partial sums, and shuffle bytes — never leave the scan
+    * stage). The semi side is left unhinted: AQE runtime-broadcasts the
+    * key set when its real size allows and falls back to a shuffled
+    * semi-join when it doesn't — decided on actual sizes, not estimates.
+    * Final top-10 is TakeOrderedAndProject, not a global sort. Revenue
+    * multiplies through DECIMAL (exact 4-decimal rationals) so ROUND-half
+    * cases hash-match the oracle, as in qX1. */
   def qA7(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val o = Tables.orders(s, d)
       .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
+    val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
     val l = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    val lagg = l
+      .join(oc.select(col("o_orderkey").as("__ok")),
+        l("l_orderkey") === col("__ok"), "left_semi")
       .select(col("l_orderkey"),
         (col("l_extendedprice").cast("decimal(18,2)")
           * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
           .as("rev"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(l, o("o_orderkey") === l("l_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(round(sum("rev"), 2).cast("double").as("revenue"))
-      .select(col("o_orderkey"), col("revenue"),
+      .groupBy("l_orderkey")
+      .agg(sum("rev").as("rev_sum"))
+    lagg.join(oc, lagg("l_orderkey") === oc("o_orderkey"))
+      .select(col("o_orderkey"),
+        round(col("rev_sum"), 2).cast("double").as("revenue"),
         col("o_orderdate").cast("date").cast("string").as("od"))
       .orderBy(desc("revenue"), col("o_orderkey"))
       .limit(10)
