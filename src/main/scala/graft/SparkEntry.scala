@@ -67,6 +67,7 @@ object SparkEntry {
     // HLL estimate checked via a relative-error bound (exact + within_bound)
     "q_v3_approx_distinct" -> (Relational.qV3 _),
     "q_v4_profile"         -> (Relational.qV4 _),
+    "q_v5_sketch_quantile" -> (Relational.qV5 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
     "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
     "q_mm3_resize"          -> (Multimodal.qMm3 _),
     "q_mm4_decode_real"     -> (Multimodal.qMm4 _),
+    "q_mm5_audio_real"      -> (Multimodal.qMm5 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU3 _),
   )
@@ -247,6 +249,11 @@ object SparkEntry {
         "ROUND(quantile_cont(l_quantity, 0.5), 2) AS q_p50, " +
         "ROUND(quantile_cont(l_quantity, 0.9), 2) AS q_p90, " +
         "count(DISTINCT l_returnflag) AS rf_distinct FROM lineitem"),
+    "q_v5_sketch_quantile" -> (
+      // the sketch estimate is engine-specific; the checked contract is
+      // exact median + "sketch lands within the exact p49..p51 window"
+      "SELECT ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_exact, " +
+        "true AS within_bound FROM lineitem"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
@@ -557,6 +564,15 @@ object SparkEntry {
         "(SELECT unnest(generate_series(0, 7)) AS i) y) " +
         "SELECT doc_id AS asset_id, CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
         "CAST(3 * sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS px_sum " +
+        "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm5_audio_real" -> (
+      // real WAV decode Spark-side; the oracle replays the PCM sample
+      // function (Multimodal.wavSample) arithmetically — PCM is lossless
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, k.i AS k FROM d, " +
+        "(SELECT unnest(generate_series(0, 63)) AS i) k) " +
+        "SELECT doc_id AS asset_id, CAST(64 AS INT) AS w, CAST(1 AS INT) AS h, " +
+        "CAST(sum((doc_id * 37 + k * 11) % 2048 - 1024) AS BIGINT) AS px_sum " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
     "q_u4_flatten" -> (
       "SELECT doc_id, path, value FROM (" +

@@ -250,6 +250,77 @@ object Multimodal {
       }.toDF("asset_id", "kind", "bytes")
   }
 
+  /** REAL audio decode via javax.sound.sampled — pure JVM, the WAV/PCM
+    * reader ships with the JDK (no audio hardware involved: parsing only).
+    * Emits 16-bit signed samples as one channel. Retires the "audio stays
+    * stubbed" caveat the way [[ImageIoDecoder]] did for images; video
+    * remains on [[StubDecoder]] (no pure-JVM container parser in the JDK). */
+  object WavDecoder extends AssetDecoder {
+    override def decode(bytes: Array[Byte]): Option[Decoded] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val raw = in.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          val le = !fmt.isBigEndian
+          var k = 0
+          while (k < n) {
+            val (b0, b1) = (raw(2 * k) & 0xff, raw(2 * k + 1) & 0xff)
+            out(k) = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1).toShort.toInt
+            k += 1
+          }
+          Some(Decoded(n, 1, 1, out))
+        }
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+  }
+
+  /** Samples per synthetic WAV asset for [[qMm5]]. */
+  val WavSamples = 64
+
+  /** Deterministic 16-bit sample k of asset `id` — the closed form the
+    * oracle replays: s = (id*37 + k*11) mod 2048 − 1024. */
+  def wavSample(id: Long, k: Int): Int =
+    ((id * 37 + k * 11) % 2048 - 1024).toInt
+
+  /** Real WAV assets, generated executor-side: [[WavSamples]] PCM-16 mono
+    * samples per document (doc_id < 200), encoded through the actual JDK
+    * WAV writer — genuine audio containers, same posture as [[pngAssets]]. */
+  def wavAssets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).where(col("doc_id") < 200)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        it.map { id =>
+          val pcm = new Array[Byte](WavSamples * 2)
+          var k = 0
+          while (k < WavSamples) {
+            val s = wavSample(id, k)
+            pcm(2 * k) = (s & 0xff).toByte
+            pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+            k += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, "audio", bos.toByteArray)
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Q-MM5: REAL audio decode — WAV-encode deterministic PCM, decode with
+    * [[WavDecoder]], emit sample sums the oracle recomputes from the
+    * closed-form sample function (PCM-in-WAV is lossless). Same batched
+    * executor-side encode+decode pass as [[qMm4]]. */
+  def qMm5(spark: SparkSession, dir: String): DataFrame =
+    pixelFeatures(wavAssets(spark, dir), WavDecoder).orderBy("asset_id")
+
   /** Q-MM4: REAL decode — PNG-encode deterministic canvases, decode them
     * with [[ImageIoDecoder]], and emit pixel sums the oracle recomputes
     * from the closed-form pixel function. PNG is lossless, so

@@ -146,6 +146,24 @@ object Relational {
         (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
           .as("within_bound"))
 
+  /** Q-V5 — SKETCH percentiles next to [[qV4]]'s exact ones: at 100 TB an
+    * unbounded-domain column can't afford exact percentile's
+    * O(distinct-values) state, so the profile runs on `approx_percentile`
+    * (Greenwald-Khanna, fixed-size mergeable sketch). Like Q-V3's HLL row,
+    * the sketch value itself is engine-specific — the oracle-checked
+    * contract is the exact median plus a boolean: the sketch estimate's
+    * RANK ERROR stays within the configured bound (accuracy 1000 →
+    * ±n/1000 ranks, checked as a value-window via the exact p49/p51). */
+  def qV5(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+        expr("ROUND(percentile(l_quantity, 0.5), 2)").as("p50_exact"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_sketch"),
+        expr("percentile(l_quantity, 0.49)").as("lo"),
+        expr("percentile(l_quantity, 0.51)").as("hi"))
+      .select(col("p50_exact"),
+        (col("p50_sketch") >= col("lo") && col("p50_sketch") <= col("hi"))
+          .as("within_bound"))
+
   /** Q-A7 — TPC-H Q3 shape: the canonical 3-table analytics query
     * (selective dim filter → fact join → fact join → grouped measure →
     * top-k), the "real BI query" the rest of the inventory composes into.
