@@ -57,6 +57,9 @@ object SparkEntry {
     "q_u1_union_all"       -> (Relational.qU1 _),
     "q_u2_except"          -> (Relational.qU2 _),
     "q_u3_intersect"       -> (Relational.qU3 _),
+    "q_u5_union_distinct"  -> (Relational.qU5 _),
+    "q_u6_except_all"      -> (Relational.qU6 _),
+    "q_a8_grouping_sets"   -> (Relational.qA8 _),
     // scalar battery / json
     "q_x1_scalar_battery"  -> (Relational.qX1 _),
     "q_x6_date_battery"    -> (Relational.qX6 _),
@@ -228,6 +231,15 @@ object SparkEntry {
       "SELECT c_custkey FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t ORDER BY c_custkey"),
     "q_u3_intersect" -> (
       "SELECT c_nationkey FROM (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t ORDER BY c_nationkey"),
+    "q_u5_union_distinct" -> (
+      "SELECT k FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) t ORDER BY k"),
+    "q_u6_except_all" -> (
+      "SELECT k, count(1) AS c FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey FROM customer) t " +
+        "GROUP BY k ORDER BY k"),
+    "q_a8_grouping_sets" -> (
+      "SELECT o_orderstatus, o_orderpriority, count(1) AS c FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority)) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c"),
     "q_x1_scalar_battery" -> (
       "SELECT l_orderkey, l_linenumber, lower(l_returnflag) AS lf, substr(l_linestatus, 1, 1) AS s1, " +
         "year(l_shipdate) AS y, month(l_shipdate) AS m, " +

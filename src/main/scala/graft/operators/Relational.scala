@@ -268,6 +268,38 @@ object Relational {
       .intersect(Tables.supplier(s, d).select("s_nationkey"))
       .orderBy("c_nationkey")
 
+  /** Q-U5 — UNION DISTINCT (the dedup variant of Q-U1: one hash-agg above
+    * the concatenation; at scale the distinct is the shuffle, the union is
+    * free). */
+  def qU5(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  /** Q-U6 — EXCEPT ALL: multiset difference (bag semantics — each target
+    * occurrence cancels one source occurrence), the content-diff form that
+    * preserves duplicate counts where Q-U2's set form collapses them. */
+  def qU6(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("k"))
+      .exceptAll(Tables.customer(s, d).select(col("c_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .orderBy("k")
+
+  /** Q-A8 — GROUPING SETS: the explicit form completing the ROLLUP (Q-A4) /
+    * CUBE (Q-A5) family — only the declared combinations expand, so the
+    * Expand factor is |sets|, not 2^dims. */
+  def qA8(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.createOrReplaceTempView("graft_a8_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS c
+        |FROM graft_a8_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c""".stripMargin)
+  }
+
   /** Q-X1 — scalar function battery: string/date/math over lineitem
     * (the reference's only scalar ops are lower() and strip();
     * sanitizer.py:49, migration.py:22). */
