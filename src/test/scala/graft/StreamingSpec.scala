@@ -347,6 +347,55 @@ class StreamingSpec extends AnyFunSuite {
         s"${p.flatMap(_.targetFilesScanned)}")
   }
 
+  test("ST-8 streaming embedding ingestion: each micro-batch appends to the durable ANN index") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val prevRoot = sys.props.get("graft.ivf.root")
+    sys.props("graft.ivf.root") = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivf-stream").toString
+    try {
+      // the continuous-training-data story: new embeddings arrive as a
+      // stream; foreachBatch routes each micro-batch through the locked,
+      // delta-sized IvfIndex.append — the index stays probe-ready
+      // throughout, no corpus pass ever re-runs
+      val base = Similarity.IvfIndex.build(spark, sf, lloydIters = 0, cells = 8)
+      val baseCount = base.assigned.count()
+      val src = MemoryStream[(Long, Seq[Float])](spark)
+      val q = src.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            Similarity.IvfIndex.append(batch.sparkSession, sf,
+              lloydIters = 0, batch, cells = 8)
+          ()
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get("target"), "ivf-cp").toString)
+        .start()
+      // two batches of twin vectors of queries 3 and 7: after ingestion each
+      // must surface as its twin's exact top-1 at sim 1.0
+      val e = graft.core.Tables.embeddings(spark, sf)
+      def twin(of: Long, id: Long) = e.where(col("vec_id") === of)
+        .select(lit(id).as("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      src.addData(twin(3, 910003L)); q.processAllAvailable()
+      src.addData(twin(7, 910007L)); q.processAllAvailable()
+      q.stop()
+      val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0, cells = 8)
+      assert(idx.assigned.count() == baseCount + 2,
+        "both streamed vectors must be in the durable assignment")
+      val top = Similarity.IvfIndex.probe(spark, sf, idx, nprobe = 8, topK = 1)
+        .where(col("q_id").isin(3L, 7L)).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(top(3L) == (910003L, 1.0) && top(7L) == (910007L, 1.0),
+        s"streamed twins must be exact top-1 neighbors: $top")
+    } finally {
+      prevRoot match {
+        case Some(p) => sys.props("graft.ivf.root") = p
+        case None    => sys.props.remove("graft.ivf.root")
+      }
+    }
+  }
+
   test("ST-7 stream-stream interval join: two live streams == batch funnel") {
     // clicks and purchases as SEPARATE streams (the two-source shape a real
     // funnel pipeline has), both watermarked so the interval condition
