@@ -83,6 +83,13 @@ object Storage {
 }
 
 final class HadoopStorage(conf: () => Configuration) extends Storage {
+  /** Configuration captured at this instance's FIRST metadata call — a
+    * fresh `newHadoopConf()` clones the whole session conf, so paying it
+    * per call would tax every bucket listing; holders that need a
+    * reconfigured session to win (tests switching schemes) simply build a
+    * new account/storage instance. */
+  private lazy val cachedConf: Configuration = conf()
+
   /** Resolve the filesystem for a path — unwrapping client-side checksum
     * wrappers (LocalFileSystem): the engine's contract allows EXTERNAL
     * writers to touch container files directly, which would leave `.crc`
@@ -90,7 +97,7 @@ final class HadoopStorage(conf: () => Configuration) extends Storage {
     * ChecksumException. Real cluster stores (HDFS/S3A) checksum server-side
     * and are unaffected; Spark's own data-path readers keep their own
     * checksum behavior (separate FS usage). */
-  private def fs(p: Path): FileSystem = p.getFileSystem(conf()) match {
+  private def fs(p: Path): FileSystem = p.getFileSystem(cachedConf) match {
     case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
     case f => f
   }
@@ -117,12 +124,27 @@ final class HadoopStorage(conf: () => Configuration) extends Storage {
   }
   override def createExclusive(p: String, content: String): Boolean = {
     val hp = new Path(p)
-    try {
-      Using.resource(fs(hp).create(hp, /*overwrite=*/ false)) { out =>
-        out.write(content.getBytes(StandardCharsets.UTF_8))
-      }
-      true
-    } catch { case _: java.io.IOException => false }
+    fs(hp) match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // the Hadoop local create(overwrite=false) is exists-check-then-
+        // create, NOT O_EXCL — two local processes could both "win"; go
+        // through NIO's atomic createFile for a real exclusive create
+        try {
+          val nio = java.nio.file.Paths.get(hp.toUri.getPath)
+          if (nio.getParent != null) java.nio.file.Files.createDirectories(nio.getParent)
+          java.nio.file.Files.write(nio, content.getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.io.IOException => false }
+      case f =>
+        try {
+          Using.resource(f.create(hp, /*overwrite=*/ false)) { out =>
+            out.write(content.getBytes(StandardCharsets.UTF_8))
+          }
+          true
+        } catch { case _: java.io.IOException => false }
+    }
   }
   override def listDirNames(p: String): Seq[String] = {
     val hp = new Path(p)

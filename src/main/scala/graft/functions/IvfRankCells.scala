@@ -65,15 +65,24 @@ case class IvfRankCells(child: Expression, nprobe: Int,
 
   /** The whole ranking for one vector — called from both interpreted eval
     * and the generated code (one virtual call per row; the K×dim loop runs
-    * as plain JVM-compiled code either way). */
+    * as plain JVM-compiled code either way). Returns null for a vector
+    * with null ELEMENTS (the schema allows them): silently reading one as
+    * 0.0 would produce a wrong-but-plausible assignment, and the HOF
+    * formulation this replaces also nulled out. */
   def rank(v: ArrayData): ArrayData = {
     val isF = elemFloat
     val k = cents.length
+    val nv = v.numElements()
+    var j = 0
+    while (j < nv) {
+      if (v.isNullAt(j)) return null
+      j += 1
+    }
     val sims = new Array[Double](k)
     var c = 0
     while (c < k) {
       val cent = cents(c)
-      val n = math.min(v.numElements(), cent.length)
+      val n = math.min(nv, cent.length)
       var dot = 0.0; var na = 0.0
       var i = 0
       while (i < n) {
@@ -112,7 +121,10 @@ case class IvfRankCells(child: Expression, nprobe: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val selfRef = ctx.addReferenceObj("ivfRank", this, classOf[IvfRankCells].getName)
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = $selfRef.rank($v);")
+      s"""
+         |${ev.value} = $selfRef.rank($v);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

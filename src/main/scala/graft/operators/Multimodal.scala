@@ -167,7 +167,7 @@ object Multimodal {
     * caveat for images; audio/video stay on [[StubDecoder]] until a codec
     * dependency is available. */
   object ImageIoDecoder extends AssetDecoder {
-    override def decode(bytes: Array[Byte]): Option[Decoded] = {
+    override def decode(bytes: Array[Byte]): Option[Decoded] = try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
       else {
@@ -188,6 +188,11 @@ object Multimodal {
         }
         Some(Decoded(w, h, 3, out))
       }
+    } catch {
+      // the decode CONTRACT is None-on-corrupt: a truncated blob whose
+      // magic bytes still claim a reader throws from inside ImageIO — that
+      // must drop the row, not fail the task (and with retries, the job)
+      case scala.util.control.NonFatal(_) => None
     }
   }
 
@@ -275,7 +280,12 @@ object Multimodal {
           }
           Some(Decoded(n, 1, 1, out))
         }
-      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      } catch {
+        // None-on-corrupt, like ImageIoDecoder: a truncated RIFF body
+        // throws EOF/IO from inside the parser, not only
+        // UnsupportedAudioFileException
+        case scala.util.control.NonFatal(_) => None
+      }
   }
 
   /** Samples per synthetic WAV asset for [[qMm5]]. */

@@ -134,7 +134,33 @@ object Similarity {
 
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
-    private def store: graft.core.Storage = graft.core.Storage.hadoop
+    private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
+
+    /** One mutation lock per index (`<indexPath>.lock`, exclusive create):
+      * builds and appends both take it, so a build can never rename onto a
+      * half-appended directory and two appends can never interleave
+      * partition files. A holder that died without releasing is TAKEN OVER
+      * once the lock is older than [[LockStaleMs]] — a crash must not
+      * permanently brick the index (the lock body is idempotent: a re-run
+      * build re-checks the marker, a re-run append re-appends its own
+      * delta). */
+    private val LockStaleMs: Long = 10 * 60 * 1000L
+
+    private def withIndexLock[T](lock: String)(body: => T): T = {
+      var tries = 0
+      while (!store.createExclusive(lock, System.currentTimeMillis().toString)) {
+        val stale =
+          try System.currentTimeMillis() - store.readString(lock).trim.toLong > LockStaleMs
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (stale) store.delete(lock)
+        else {
+          tries += 1
+          require(tries < 1200, s"IVF lock $lock held for too long")
+          Thread.sleep(50)
+        }
+      }
+      try body finally store.delete(lock)
+    }
 
     /** Root directory for DURABLE indexes (override with the
       * `graft.ivf.root` system property) — any Hadoop URI. An ANN index
@@ -208,8 +234,11 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       var ids: Array[Long] = seeds.map(_._1)
       var cents: Array[Array[Double]] = seeds.map(_._2)
-      for (it <- 1 to lloydIters) {
-        val tmpFn = fnName(s"build|$dir|$lloydIters|$k") + s"_it$it"
+      // ONE registry name per build, re-bound each round (iterations are
+      // serial: the collect below executes before the next re-registration)
+      // — no per-iteration registry/centroid-matrix leak in long sessions
+      val tmpFn = fnName(s"build|$dir|$lloydIters|$k")
+      for (_ <- 1 to lloydIters) {
         graft.functions.IvfRankCells.register(s, tmpFn, ids, cents)
         val trained = e
           .selectExpr("vec_id", "embedding",
@@ -262,18 +291,11 @@ object Similarity {
       graft.functions.IvfRankCells.register(s, prior.fn, prior.cellIds, prior.cents)
       val path = indexPath(dir, lloydIters, cells)
       val asgPath = sub(path, "assignment")
-      val lock = sub(path, "_append.lock")
-      var tries = 0
-      while (!store.createExclusive(lock, "append")) {
-        tries += 1
-        require(tries < 600, s"IVF append: lock $lock held for too long")
-        Thread.sleep(50)
-      }
-      try {
+      withIndexLock(path + ".lock") {
         newVecs.selectExpr("vec_id", "embedding",
             s"element_at(${prior.fn}(embedding, 1), 1) AS cell")
           .write.mode("append").partitionBy("cell").parquet(asgPath)
-      } finally store.delete(lock)
+      }
       prior.assigned.unpersist()
       val asg = s.read.parquet(asgPath)
         .withColumn("cell", col("cell").cast("long"))
@@ -289,30 +311,36 @@ object Similarity {
       val path = indexPath(dir, lloydIters, k)
       val marker = sub(path, "centroids.tsv")
       if (!store.exists(marker)) {
-        // a directory without its marker is a crashed pre-rename leftover of
-        // an older (non-atomic) writer — clear it so the rename can land
-        if (store.exists(path)) store.deleteRecursive(path)
-        val (ids, cents) = doBuild(s, dir, lloydIters, k)
-        // stage the full index — one corpus pass writes the cell-partitioned
-        // assignment (the durable form; probes in ANY session hereafter read
-        // only these files), marker last — then publish by atomic rename
-        val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-        GraftFunctions.register(s)
-        val stageFn = fnName(staging)
-        graft.functions.IvfRankCells.register(s, stageFn, ids, cents)
-        Tables.embeddings(s, dir)
-          .selectExpr("vec_id", "embedding",
-            s"element_at($stageFn(embedding, 1), 1) AS cell")
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(sub(staging, "assignment"))
-        store.writeString(sub(staging, "centroids.tsv"), fmtCents(ids, cents))
         store.mkdirs(indexRoot)
-        if (!store.rename(staging, path)) {
-          // lost the publish race: another process's complete index is in
-          // place — discard ours and serve theirs
-          store.deleteRecursive(staging)
-          require(store.exists(marker),
-            s"IVF build: rename to $path failed but no published index found")
+        // the whole miss-path runs under the index mutation lock: without
+        // it, Hadoop rename-onto-existing-dir NESTS the staging dir inside
+        // the winner's index instead of failing, and the "clear crashed
+        // leftover" delete below could destroy an index another process
+        // published between our marker check and the delete (TOCTOU). With
+        // the lock, the re-check makes the loser a pure loader.
+        withIndexLock(path + ".lock") {
+          if (!store.exists(marker)) {
+            // a directory without its marker is a crashed pre-publish
+            // leftover — safe to clear under the lock (nobody else mutates)
+            if (store.exists(path)) store.deleteRecursive(path)
+            val (ids, cents) = doBuild(s, dir, lloydIters, k)
+            // stage the full index — one corpus pass writes the
+            // cell-partitioned assignment (the durable form; probes in ANY
+            // session hereafter read only these files), marker last — then
+            // publish by atomic rename
+            val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+            GraftFunctions.register(s)
+            val stageFn = fnName(path) // the final name: the load below re-registers the same matrix
+            graft.functions.IvfRankCells.register(s, stageFn, ids, cents)
+            Tables.embeddings(s, dir)
+              .selectExpr("vec_id", "embedding",
+                s"element_at($stageFn(embedding, 1), 1) AS cell")
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(sub(staging, "assignment"))
+            store.writeString(sub(staging, "centroids.tsv"), fmtCents(ids, cents))
+            require(store.rename(staging, path) && store.exists(marker),
+              s"IVF build: publishing $staging -> $path failed")
+          }
         }
       }
       val (ids, cents) = parseCents(store.readString(marker))
