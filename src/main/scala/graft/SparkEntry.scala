@@ -51,6 +51,7 @@ object SparkEntry {
     "q_w2_running_sum"     -> (Windows.qW2 _),
     "q_w3_lag_gap"         -> (Windows.qW3 _),
     "q_w4_ntile_rank"      -> (Windows.qW4 _),
+    "q_w5_distribution"    -> (Windows.qW5 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
     // set ops
@@ -217,6 +218,9 @@ object SparkEntry {
         "FROM events ORDER BY event_id"),
     "q_w4_ntile_rank" -> (
       "SELECT o_orderkey, ntile(4) OVER w AS quartile, rank() OVER w AS rk FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+    "q_w5_distribution" -> (
+      "SELECT o_orderkey, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
     "q_x6_date_battery" -> (
       "SELECT o_orderkey, year(o_orderdate) AS y, quarter(o_orderdate) AS q, month(o_orderdate) AS m, " +

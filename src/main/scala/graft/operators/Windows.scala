@@ -72,4 +72,19 @@ object Windows {
         rank().over(byCust).as("rk"))
       .orderBy("o_orderkey")
   }
+
+  /** Q-W5 — distribution window functions completing the family:
+    * percent_rank ((rank-1)/(n-1)) and cume_dist (rank-with-ties/n) per
+    * customer. Both are one IEEE division of two exact small integers, so
+    * the doubles are bit-identical across engines (no ROUND needed). Same
+    * partitioned-window-only posture as Q-W4. */
+  def qW5(s: SparkSession, d: String): DataFrame = {
+    val byCust = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        percent_rank().over(byCust).as("pr"),
+        cume_dist().over(byCust).as("cd"))
+      .orderBy("o_orderkey")
+  }
 }
