@@ -200,6 +200,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"K=256 probe plan blew up: ${bigPlan.length} chars")
   }
 
+  test("a crashed holder's stale index lock is taken over, not fatal") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val prevRoot = sys.props.get("graft.ivf.root")
+    val tmpRoot = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivf-stale")
+    sys.props("graft.ivf.root") = tmpRoot.toString
+    try {
+      Similarity.IvfIndex.build(spark, sf, lloydIters = 0, cells = 8)
+      // simulate a holder that died mid-mutation: a lock file with an
+      // ancient timestamp next to the published index dir
+      import scala.jdk.CollectionConverters._
+      val idxDir = java.nio.file.Files.list(tmpRoot).iterator().asScala
+        .find(_.getFileName.toString.startsWith("v")).get
+      val lock = tmpRoot.resolve(idxDir.getFileName.toString + ".lock")
+      java.nio.file.Files.writeString(lock, "0")
+      // append must take the stale lock over (no 60 s spin-then-throw)
+      val delta = graft.core.Tables.embeddings(spark, sf)
+        .where(col("vec_id") === 1)
+        .select(lit(920001L).as("vec_id"), col("embedding"))
+      val idx = Similarity.IvfIndex.append(spark, sf, lloydIters = 0, delta, cells = 8)
+      assert(idx.assigned.where(col("vec_id") === 920001L).count() == 1,
+        "append must succeed after taking over the stale lock")
+      assert(!java.nio.file.Files.exists(lock), "lock must be released")
+    } finally {
+      prevRoot match {
+        case Some(p) => sys.props("graft.ivf.root") = p
+        case None    => sys.props.remove("graft.ivf.root")
+      }
+    }
+  }
+
   test("concurrent IVF builds race safely: one atomic publish wins, both serve it") {
     import graft.operators.Similarity
     import scala.concurrent.{Await, Future}
