@@ -91,6 +91,7 @@ object SparkEntry {
     "q_d6_simhash_pairs"   -> (Dedup.qD6 _),
     "q_d7_emb_neardup"     -> (Dedup.qD7 _),
     "q_d8_lsh_neardup"     -> (Dedup.qD8 _),
+    "q_d9_dup_components"  -> (Dedup.qD9 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -368,22 +369,17 @@ object SparkEntry {
     "q_d7_emb_neardup" -> (cosinePairsSql("a.vec_id < b.vec_id AND a.vec_id < 200") +
       " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
       "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY a_id, b_id"),
-    "q_d8_lsh_neardup" -> (
-      // banded sign-LSH candidates (4 bands × 6 planes, md5-seeded signs
-      // mirroring Similarity.planeSign) + exact rescore at 0.4 — the oracle
-      // replicates the banding, so the declared LSH contract is hash-exact
-      "WITH planes AS (SELECT p, i, CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sg " +
-        "FROM (SELECT unnest(generate_series(0, 23)) AS p) pp, (SELECT unnest(generate_series(1, 64)) AS i) ii), " +
-        "dots AS (SELECT e.vec_id, pl.p, sum(e.embedding[pl.i]::DOUBLE * pl.sg) AS dot FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p), " +
-        "sigs AS (SELECT vec_id, p // 6 AS band, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (p % 6)) ELSE 0 END) AS BIGINT) AS bv " +
-        "FROM dots GROUP BY vec_id, p // 6), " +
-        "cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id FROM sigs x " +
-        "JOIN sigs y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id), " +
-        "p AS (SELECT c.a_id, c.b_id, a.embedding AS ea, b.embedding AS eb FROM cand c " +
-        "JOIN embeddings a ON a.vec_id = c.a_id JOIN embeddings b ON b.vec_id = c.b_id), " +
-        cosineSumSql +
-        " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
-        "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY a_id, b_id"),
+    "q_d8_lsh_neardup" -> oracleSqlD8,
+    "q_d9_dup_components" -> (
+      // connected components as a recursive CTE over the qD8 pair graph:
+      // min reachable id per node — an independent algorithm validating
+      // the distributed label propagation
+      "WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (" + oracleSqlD8 + ") t), " +
+        "edges AS (SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+        "reach(id, lbl) AS (" +
+        "SELECT a_id AS id, a_id AS lbl FROM edges " +
+        "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id) " +
+        "SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id"),
     "q_x2_cosine_topk" -> (cosinePairsSql("a.vec_id < b.vec_id AND a.vec_id <= 20") +
       " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
       "ORDER BY sim DESC, a_id, b_id LIMIT 50"),
@@ -598,6 +594,26 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, 'text', text FROM documents) t " +
         "ORDER BY doc_id, path"),
   )
+
+  /** q_d8's oracle — banded sign-LSH candidates (4 bands × 6 planes,
+    * md5-seeded signs mirroring Similarity.planeSign) + exact rescore at
+    * 0.4; the oracle replicates the banding, so the declared LSH contract
+    * is hash-exact. Shared: q_d9's recursive-CTE components run over this
+    * pair set. */
+  // lazy: references cosineSumSql, declared further down the object body
+  private lazy val oracleSqlD8: String =
+    "WITH planes AS (SELECT p, i, CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sg " +
+      "FROM (SELECT unnest(generate_series(0, 23)) AS p) pp, (SELECT unnest(generate_series(1, 64)) AS i) ii), " +
+      "dots AS (SELECT e.vec_id, pl.p, sum(e.embedding[pl.i]::DOUBLE * pl.sg) AS dot FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p), " +
+      "sigs AS (SELECT vec_id, p // 6 AS band, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (p % 6)) ELSE 0 END) AS BIGINT) AS bv " +
+      "FROM dots GROUP BY vec_id, p // 6), " +
+      "cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id FROM sigs x " +
+      "JOIN sigs y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id), " +
+      "p AS (SELECT c.a_id, c.b_id, a.embedding AS ea, b.embedding AS eb FROM cand c " +
+      "JOIN embeddings a ON a.vec_id = c.a_id JOIN embeddings b ON b.vec_id = c.b_id), " +
+      cosineSumSql +
+      " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
+      "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY a_id, b_id"
 
   // ---- shared DuckDB oracle fragments (merge engine) ----
   // Deterministic source/target snapshots derived from `documents`; must

@@ -286,4 +286,50 @@ object Dedup {
   /** qD8 banding: 4 bands × 6 planes (24 hyperplanes total). */
   val LshBands = 4
   val LshBandBits = 6
+
+  /** Q-D9 — near-duplicate CLUSTERS: connected components over the qD8
+    * pair graph, labeling every vector with the minimum id reachable from
+    * it. Pairs are what LSH finds; components are what a curation pipeline
+    * consumes (keep one representative per cluster, drop the rest) —
+    * without this step, transitive duplicates (A≈B, B≈C, A̸≈C) survive
+    * pairwise dedup.
+    *
+    * Algorithm: distributed min-label propagation — each round, every
+    * node takes min(own label, neighbors' labels); a round is one
+    * edge⋈label join + one min-aggregate, all distributed, with the label
+    * frame localCheckpointed per round (truncates the iterative lineage).
+    * Rounds needed = graph diameter, which for near-dup clusters is small
+    * (they are near-cliques: every member is within the threshold of the
+    * others — measured 3 rounds to fixpoint here). At 100 TB-scale graphs
+    * with long chains, swap the loop body for the large-star/small-star
+    * pair of steps (O(log n) rounds, same join+agg primitives); the
+    * convergence CHECK (count of changed labels, a driver-side Long per
+    * round) is the stopping rule either way. Oracle: DuckDB recursive CTE
+    * computing min reachable id — an independent algorithm. */
+  def qD9(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qD8(s, dir).select("a_id", "b_id")
+    val edges = pairs.unionAll(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b_id"), "b_id")
+        .groupBy(col("a_id").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("component")).orderBy("id")
+  }
 }
