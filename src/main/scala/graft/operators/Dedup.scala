@@ -294,7 +294,10 @@ object Dedup {
     * without this step, transitive duplicates (A≈B, B≈C, A̸≈C) survive
     * pairwise dedup.
     *
-    * Algorithm: distributed min-label propagation — each round, every
+    * Algorithm: HYBRID by declared bound — when the pair graph fits
+    * [[MaxDriverPairs]] (checked via a bounded limit-collect, never an
+    * open-ended one), union-find runs on the driver in milliseconds;
+    * above the bound, distributed min-label propagation — each round, every
     * node takes min(own label, neighbors' labels); a round is one
     * edge⋈label join + one min-aggregate, all distributed, with the label
     * frame localCheckpointed per round (truncates the iterative lineage).
@@ -306,8 +309,44 @@ object Dedup {
     * convergence CHECK (count of changed labels, a driver-side Long per
     * round) is the stopping rule either way. Oracle: DuckDB recursive CTE
     * computing min reachable id — an independent algorithm. */
-  def qD9(s: SparkSession, dir: String): DataFrame = {
+  def qD9(s: SparkSession, dir: String): DataFrame =
+    components(s, dir, MaxDriverPairs)
+
+  /** Pair-graph size under which [[components]] takes the BOUNDED-collect
+    * fast path: union-find on the driver over at most this many edges (a
+    * few MB), skipping per-round Spark jobs entirely. The bound is
+    * explicit and checked — above it the distributed label-propagation
+    * loop runs, so the collect can never be corpus-sized. */
+  val MaxDriverPairs = 100000
+
+  /** [[qD9]] with a configurable fast-path threshold (0 forces the
+    * distributed loop — spec-pinned equal to the driver path). */
+  def components(s: SparkSession, dir: String, maxDriverPairs: Int): DataFrame = {
+    import s.implicits._
     val pairs = qD8(s, dir).select("a_id", "b_id")
+    val head = pairs.limit(maxDriverPairs + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (head.length <= maxDriverPairs) {
+      // driver union-find (path-halving), then one tiny parallelize — the
+      // whole graph fits by the declared bound
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent.getOrElse(r, r)
+          parent(r) = parent.getOrElse(p, p)
+          r = parent(r)
+        }
+        r
+      }
+      head.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = head.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      return nodes.map(n => (n, find(n))).toSeq
+        .toDF("id", "component").orderBy("id")
+    }
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -320,13 +359,17 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "b_id"), "b_id")
         .groupBy(col("a_id").as("id")).agg(min("lbl").as("nlbl"))
+      // the changed flag rides the SAME job as the label update (checked
+      // off the checkpointed blocks) — no extra per-round join
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nlbl2"),
+          col("lbl").as("old"))
+        .select(col("id"), col("nlbl2").as("lbl"),
+          (col("nlbl2") =!= col("old")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .where(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.select("id", "lbl")
       rounds += 1
     }
     edges.unpersist()

@@ -59,6 +59,19 @@ class RecallSpec extends AnyFunSuite {
     assert(rec86 >= rec46)
   }
 
+  test("q_d9 components: distributed label propagation == driver union-find") {
+    val fast = Dedup.qD9(spark, sf).collect().map(_.toString).toSeq
+    val dist = Dedup.components(spark, sf, maxDriverPairs = 0)
+      .collect().map(_.toString).toSeq
+    assert(fast.nonEmpty && fast == dist,
+      s"both component paths must agree: fast=$fast dist=$dist")
+    // transitivity sanity: every pair's endpoints share a component
+    val comp = fast.map(_.stripPrefix("[").stripSuffix("]").split(","))
+      .map(a => a(0).toLong -> a(1).toLong).toMap
+    Dedup.qD8(spark, sf).select("a_id", "b_id").collect()
+      .foreach(r => assert(comp(r.getLong(0)) == comp(r.getLong(1))))
+  }
+
   test("full-signature LSH (qSim2 family): recall measured, monotone in width") {
     val p8 = pairs(Similarity.qSim2(spark, sf))
     val p4 = pairs(Similarity.lshPairs(spark, sf, planes = 4))
