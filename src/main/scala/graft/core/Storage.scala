@@ -74,8 +74,11 @@ object Storage {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  /** The default boundary: Hadoop FileSystem, conf re-resolved per call so a
-    * session (re)configured after the account object was built still wins. */
+  /** The default boundary: Hadoop FileSystem. The configuration is cached
+    * per instance once a live session exists (see
+    * [[HadoopStorage.resolvedConf]]): pre-session calls never pin a bare
+    * conf, and a session reconfigured AFTER an instance cached requires a
+    * new instance to be seen. */
   def hadoop: Storage = new HadoopStorage(() => sessionHadoopConf())
 
   /** Fixed-conf variant for tests that pin a specific configuration. */
@@ -83,12 +86,27 @@ object Storage {
 }
 
 final class HadoopStorage(conf: () => Configuration) extends Storage {
-  /** Configuration captured at this instance's FIRST metadata call — a
-    * fresh `newHadoopConf()` clones the whole session conf, so paying it
-    * per call would tax every bucket listing; holders that need a
-    * reconfigured session to win (tests switching schemes) simply build a
-    * new account/storage instance. */
-  private lazy val cachedConf: Configuration = conf()
+  /** Configuration cached from the first call made WITH a live Spark
+    * session — a fresh `newHadoopConf()` clones the whole session conf, so
+    * paying it per call would tax every bucket listing. Calls made before
+    * any session exists get a throwaway bare Configuration WITHOUT caching
+    * it: a long-lived holder (account/index singleton) whose first call
+    * predates the session must still pick up `spark.hadoop.*` settings
+    * (s3a credentials, fs.<scheme>.impl) once the session is up. Holders
+    * that reconfigure an ALREADY-RUNNING session build a new
+    * account/storage instance to see the change. */
+  @volatile private var cachedConf: Configuration = _
+  private def resolvedConf(): Configuration = {
+    val c = cachedConf
+    if (c != null) c
+    else {
+      val sessionUp = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession).nonEmpty
+      val fresh = conf()
+      if (sessionUp) cachedConf = fresh
+      fresh
+    }
+  }
 
   /** Resolve the filesystem for a path — unwrapping client-side checksum
     * wrappers (LocalFileSystem): the engine's contract allows EXTERNAL
@@ -97,7 +115,7 @@ final class HadoopStorage(conf: () => Configuration) extends Storage {
     * ChecksumException. Real cluster stores (HDFS/S3A) checksum server-side
     * and are unaffected; Spark's own data-path readers keep their own
     * checksum behavior (separate FS usage). */
-  private def fs(p: Path): FileSystem = p.getFileSystem(cachedConf) match {
+  private def fs(p: Path): FileSystem = p.getFileSystem(resolvedConf()) match {
     case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
     case f => f
   }

@@ -323,7 +323,10 @@ object Dedup {
     * distributed loop — spec-pinned equal to the driver path). */
   def components(s: SparkSession, dir: String, maxDriverPairs: Int): DataFrame = {
     import s.implicits._
+    // persist BEFORE the bound check: the distributed path must not pay the
+    // full LSH candidate pipeline twice (once for the check, once for edges)
     val pairs = qD8(s, dir).select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = pairs.limit(maxDriverPairs + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (head.length <= maxDriverPairs) {
@@ -344,12 +347,12 @@ object Dedup {
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       val nodes = head.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      pairs.unpersist()
       return nodes.map(n => (n, find(n))).toSeq
         .toDF("id", "component").orderBy("id")
     }
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a_id").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
@@ -372,7 +375,12 @@ object Dedup {
       labels = next.select("id", "lbl")
       rounds += 1
     }
-    edges.unpersist()
+    // the cap is a runaway backstop, not a result: a graph whose diameter
+    // exceeds it must fail loudly, never return partial components
+    require(changed == 0,
+      s"component propagation did not converge in $rounds rounds — " +
+        "diameter exceeds the cap; use the large-star/small-star variant")
+    pairs.unpersist()
     labels.select(col("id"), col("lbl").as("component")).orderBy("id")
   }
 }

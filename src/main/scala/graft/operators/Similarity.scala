@@ -139,27 +139,63 @@ object Similarity {
     /** One mutation lock per index (`<indexPath>.lock`, exclusive create):
       * builds and appends both take it, so a build can never rename onto a
       * half-appended directory and two appends can never interleave
-      * partition files. A holder that died without releasing is TAKEN OVER
-      * once the lock is older than [[LockStaleMs]] — a crash must not
-      * permanently brick the index (the lock body is idempotent: a re-run
-      * build re-checks the marker, a re-run append re-appends its own
-      * delta). */
-    private val LockStaleMs: Long = 10 * 60 * 1000L
+      * partition files.
+      *
+      * Crash recovery: a holder that died without releasing is TAKEN OVER
+      * once the lock is older than the staleness bound (default 30 min,
+      * `graft.ivf.lockStaleMs` overrides it — set it ABOVE the longest
+      * expected build/append, there is no heartbeat renewal). Takeover is
+      * single-winner: the taker RENAMES the stale lock to a unique reap
+      * name (only one rename of a given file succeeds), then verifies the
+      * reaped content is the stale token it observed — if a fresh lock
+      * slipped in between, it is restored untouched. Release deletes the
+      * lock only when it still carries this holder's own token, so a
+      * usurped holder can never delete its successor's lock. These are
+      * crash-recovery semantics, not a distributed lock service: with the
+      * staleness bound set honestly, two LIVE holders are excluded. */
+    private def lockStaleMs: Long =
+      sys.props.get("graft.ivf.lockStaleMs").map(_.toLong).getOrElse(30 * 60 * 1000L)
 
     private def withIndexLock[T](lock: String)(body: => T): T = {
+      val token = s"${java.util.UUID.randomUUID()}@${System.currentTimeMillis()}"
+      def tsOf(content: String): Long =
+        content.trim.split("@").last.toLong
       var tries = 0
-      while (!store.createExclusive(lock, System.currentTimeMillis().toString)) {
-        val stale =
-          try System.currentTimeMillis() - store.readString(lock).trim.toLong > LockStaleMs
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (stale) store.delete(lock)
-        else {
+      while (!store.createExclusive(lock, token)) {
+        val observed =
+          try Some(store.readString(lock))
+          catch { case scala.util.control.NonFatal(_) => None }
+        val stale = observed.exists(c =>
+          try System.currentTimeMillis() - tsOf(c) > lockStaleMs
+          catch { case scala.util.control.NonFatal(_) => true })
+        if (stale) {
+          val reap = lock + ".reap-" + java.util.UUID.randomUUID().toString.take(8)
+          if (store.rename(lock, reap)) {
+            val reaped = try Some(store.readString(reap))
+                         catch { case scala.util.control.NonFatal(_) => None }
+            if (reaped == observed) store.delete(reap) // confirmed stale: reaped
+            else if (!store.rename(reap, lock)) {
+              // a fresh lock appeared mid-reap and restore lost a further
+              // race — put the token back as a deletable file so the live
+              // holder's verified release still works
+              store.createExclusive(lock, reaped.getOrElse(""))
+              store.delete(reap)
+            }
+          }
+        } else {
           tries += 1
           require(tries < 1200, s"IVF lock $lock held for too long")
           Thread.sleep(50)
         }
       }
-      try body finally store.delete(lock)
+      try body finally {
+        // verified release: only the token we wrote may be deleted — a
+        // holder that was (wrongly or rightly) usurped must not delete its
+        // successor's lock
+        val mine = try store.readString(lock) == token
+                   catch { case scala.util.control.NonFatal(_) => false }
+        if (mine) store.delete(lock)
+      }
     }
 
     /** Root directory for DURABLE indexes (override with the
@@ -338,8 +374,13 @@ object Similarity {
               .write.mode("overwrite").partitionBy("cell")
               .parquet(sub(staging, "assignment"))
             store.writeString(sub(staging, "centroids.tsv"), fmtCents(ids, cents))
-            require(store.rename(staging, path) && store.exists(marker),
-              s"IVF build: publishing $staging -> $path failed")
+            val published = store.rename(staging, path) && store.exists(marker)
+            if (!published) {
+              // don't leak a corpus-sized staging tree on a failed publish
+              store.deleteRecursive(staging)
+              throw new IllegalStateException(
+                s"IVF build: publishing $staging -> $path failed")
+            }
           }
         }
       }

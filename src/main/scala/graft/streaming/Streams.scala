@@ -269,11 +269,13 @@ object Streams {
                      onBatch: SyncBatchProgress => Unit = _ => ()):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.RawMerge
-    require(dedupeTtl.isEmpty ||
-      !trigger.getClass.getName.contains("AvailableNow"),
-      "dedupeTtl forces TimeMode.ProcessingTime, whose timer batches never " +
-        "drain under Trigger.AvailableNow — use a processing-time trigger " +
-        "for TTL'd continuous syncs (see FirstSeenKeys/dedupFirstSeen)")
+    require(dedupeTtl.isEmpty || {
+      val t = trigger.getClass.getName
+      !t.contains("AvailableNow") && !t.contains("OneTime")
+    }, "dedupeTtl forces TimeMode.ProcessingTime, whose timer batches never " +
+      "drain under run-once triggers (AvailableNow/Once) — use a " +
+      "processing-time trigger for TTL'd continuous syncs (see " +
+      "FirstSeenKeys/dedupFirstSeen)")
     val props = source.containerProperties(db, container)
     target.createDatabaseIfAbsent(db)
     target.createContainerIfAbsent(db, container, props)
