@@ -81,6 +81,7 @@ object SparkEntry {
     "q_t5_curate"          -> (TextAnalysis.qT5 _),
     "q_t6_stratified_sample" -> (TextAnalysis.qT6 _),
     "q_t7_normalize"       -> (TextAnalysis.qT7 _),
+    "q_t8_chunk"           -> (TextAnalysis.qT8 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -285,6 +286,12 @@ object SparkEntry {
     "q_x4_term_freq" -> (
       "SELECT w, count(1) AS c FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t " +
         "WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20"),
+    "q_t8_chunk" -> (
+      "WITH st AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text), 1), 80)) AS s FROM documents), " +
+        "c AS (SELECT doc_id, CAST((s - 1) / 80 AS INT) AS chunk_idx, substr(text, CAST(s AS INT), 100) AS chunk FROM st) " +
+        "SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS c_len, " +
+        "('0x' || substr(md5(chunk), 1, 8))::BIGINT AS c_hash " +
+        "FROM c ORDER BY doc_id, chunk_idx"),
     "q_t1_lang_id" -> (
       "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
         "h AS (SELECT doc_id, " +

@@ -193,6 +193,30 @@ object TextAnalysis {
   /** Documents kept per stratum by [[qT6]]. */
   val StratumSampleK = 20
 
+  /** Chunk geometry for [[qT8]]: window of [[ChunkSize]] chars advancing by
+    * [[ChunkStride]] (so consecutive chunks overlap by size − stride). */
+  val ChunkSize = 100
+  val ChunkStride = 80
+
+  /** Q-T8 — document CHUNKING: fixed-size overlapping windows per document,
+    * the embedding/RAG preparation step (every long document becomes
+    * retrievable units with overlap so no boundary sentence is lost).
+    * Emitted as (idx, length, checksum) per chunk so the oracle pins exact
+    * chunk bytes. One generator per row (sequence → posexplode), no
+    * shuffle until the final presentation ORDER BY — the chunker is
+    * scan-bound and output-proportional at any corpus size. */
+  def qT8(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text",
+        s"sequence(1, greatest(length(text), 1), $ChunkStride) AS starts")
+      .selectExpr("doc_id", "text", "posexplode(starts) AS (chunk_idx, st)")
+      .selectExpr("doc_id", "chunk_idx",
+        s"substring(text, st, $ChunkSize) AS chunk")
+      .selectExpr("doc_id", "chunk_idx",
+        "CAST(length(chunk) AS BIGINT) AS c_len",
+        s"${md5h32("chunk")} AS c_hash")
+      .orderBy("doc_id", "chunk_idx")
+
   /** Q-T7 — text NORMALIZATION, the first step of every LLM curation
     * pipeline: lowercase → strip non-alphanumerics → collapse whitespace →
     * trim, emitted as (length, checksum) so the oracle pins the exact
