@@ -123,7 +123,7 @@ object SparkEntry {
     "q_mm4_decode_real"     -> (Multimodal.qMm4 _),
     "q_mm5_audio_real"      -> (Multimodal.qMm5 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
-    "q_u4_flatten"          -> (Documents.qU3 _),
+    "q_u4_flatten"          -> (Documents.qU4 _),
   )
 
   /** DuckDB-dialect equivalent for each key in `queries` (the driver runs
@@ -158,7 +158,7 @@ object SparkEntry {
     "q_j6_composite_key" -> (
       "SELECT count(1) AS n FROM lineitem l JOIN lineitem r ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber"),
     "q_j8_skew_join" -> (
-      "SELECT k, count(1) AS c, CAST(sum(event_id) AS BIGINT) AS se FROM " +
+      "SELECT k, count(1) AS c, CAST(sum(event_id % 100003) AS BIGINT) AS se FROM " +
         "(SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS k, event_id FROM events) e " +
         "JOIN (SELECT o_orderkey % 1500 AS k FROM orders) o USING (k) " +
         "GROUP BY k ORDER BY k"),
@@ -169,7 +169,7 @@ object SparkEntry {
       // integer-derived through single IEEE double ops (engine-identical)
       "WITH iv AS (SELECT o_orderkey, CAST(o_orderkey % 2800 AS DOUBLE) / 20.0 AS lo FROM orders), " +
         "iv2 AS (SELECT o_orderkey, lo, lo + 0.05 AS hi FROM iv) " +
-        "SELECT count(1) AS n, CAST(coalesce(bit_xor(e.event_id * 100003 + iv2.o_orderkey), 0) AS BIGINT) AS h " +
+        "SELECT count(1) AS n, CAST(coalesce(bit_xor((e.event_id % 1000003) * 100003 + (iv2.o_orderkey % 100003)), 0) AS BIGINT) AS h " +
         "FROM events e JOIN iv2 ON e.value >= iv2.lo AND e.value < iv2.hi"),
     "q_j9_asof_join" -> (
       // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window

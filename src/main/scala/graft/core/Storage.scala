@@ -62,6 +62,19 @@ trait Storage {
   def fileMeta(p: String): Option[FileMeta]
   def readString(p: String): String
   def writeString(p: String, s: String): Unit
+  /** Whether [[rename]] on this path's filesystem is ATOMIC (one metadata
+    * op, fails-not-overwrites on existing destination) — the publish
+    * primitive coordination paths rely on. False on object stores whose
+    * "rename" is copy+delete (S3A and friends). Callers that coordinate
+    * through rename MUST consult this and refuse (or demand an explicit
+    * single-writer opt-in) when it is false — documentation alone does not
+    * stop a concurrent second writer from corrupting a published tree. */
+  def supportsAtomicRename(p: String): Boolean
+  /** Whether [[createExclusive]] is a real atomic create-if-absent on this
+    * path's filesystem — the lock primitive. False where PUT semantics are
+    * last-writer-wins (S3 without a metadata layer). Same contract as
+    * [[supportsAtomicRename]]: coordination callers must check, not hope. */
+  def supportsExclusiveCreate(p: String): Boolean
 }
 
 object Storage {
@@ -219,4 +232,36 @@ final class HadoopStorage(conf: () => Configuration) extends Storage {
       out.write(s.getBytes(StandardCharsets.UTF_8))
     }
   }
+
+  override def supportsAtomicRename(p: String): Boolean =
+    !HadoopStorage.isObjectStoreScheme(schemeOf(p))
+  override def supportsExclusiveCreate(p: String): Boolean =
+    !HadoopStorage.isObjectStoreScheme(schemeOf(p))
+
+  /** Scheme from the URI (default-FS scheme when absent), WITHOUT
+    * instantiating the FileSystem: the probe must answer even when the
+    * connector jar for a denied scheme isn't on the classpath. */
+  private def schemeOf(p: String): String = {
+    val uri = new Path(p).toUri
+    Option(uri.getScheme)
+      .orElse(Option(FileSystem.getDefaultUri(resolvedConf()).getScheme))
+      .getOrElse("file").toLowerCase
+  }
+}
+
+object HadoopStorage {
+  /** Schemes whose Hadoop connector gives NEITHER atomic rename NOR
+    * create-exclusive: rename is a client-side copy+delete and create is a
+    * last-writer-wins PUT. HDFS, local/POSIX, viewfs, and ABFS (ADLS Gen2
+    * has real directory renames) are NOT listed; custom schemes default to
+    * capable — a deployment wiring its own `fs.<scheme>.impl` that lacks
+    * these primitives can extend the list via
+    * `-Dgraft.storage.nonAtomicSchemes=scheme1,scheme2`. */
+  private val BuiltinNonAtomic =
+    Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "obs", "wasb", "wasbs")
+
+  def isObjectStoreScheme(scheme: String): Boolean =
+    BuiltinNonAtomic.contains(scheme) ||
+      sys.props.get("graft.storage.nonAtomicSchemes").toSeq
+        .flatMap(_.split(",")).map(_.trim.toLowerCase).contains(scheme)
 }

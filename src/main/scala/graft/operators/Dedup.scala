@@ -297,17 +297,14 @@ object Dedup {
     * Algorithm: HYBRID by declared bound — when the pair graph fits
     * [[MaxDriverPairs]] (checked via a bounded limit-collect, never an
     * open-ended one), union-find runs on the driver in milliseconds;
-    * above the bound, distributed min-label propagation — each round, every
-    * node takes min(own label, neighbors' labels); a round is one
-    * edge⋈label join + one min-aggregate, all distributed, with the label
-    * frame localCheckpointed per round (truncates the iterative lineage).
-    * Rounds needed = graph diameter, which for near-dup clusters is small
-    * (they are near-cliques: every member is within the threshold of the
-    * others — measured 3 rounds to fixpoint here). At 100 TB-scale graphs
-    * with long chains, swap the loop body for the large-star/small-star
-    * pair of steps (O(log n) rounds, same join+agg primitives); the
-    * convergence CHECK (count of changed labels, a driver-side Long per
-    * round) is the stopping rule either way. Oracle: DuckDB recursive CTE
+    * above the bound, [[starComponents]] — alternating large-star /
+    * small-star rounds (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"), O(log n) rounds on ANY graph shape, each round two
+    * join+min-agg steps with the edge frame localCheckpointed (truncates
+    * the iterative lineage). [[labelComponents]] (plain min-label
+    * propagation, diameter rounds — fine for near-clique dup clusters,
+    * wrong for chain-shaped graphs) is kept as an independent
+    * implementation and spec-pinned equal. Oracle: DuckDB recursive CTE
     * computing min reachable id — an independent algorithm. */
   def qD9(s: SparkSession, dir: String): DataFrame =
     components(s, dir, MaxDriverPairs)
@@ -327,30 +324,109 @@ object Dedup {
     // full LSH candidate pipeline twice (once for the check, once for edges)
     val pairs = qD8(s, dir).select("a_id", "b_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val head = pairs.limit(maxDriverPairs + 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (head.length <= maxDriverPairs) {
-      // driver union-find (path-halving), then one tiny parallelize — the
-      // whole graph fits by the declared bound
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) {
-          val p = parent.getOrElse(r, r)
-          parent(r) = parent.getOrElse(p, p)
-          r = parent(r)
+    // unpersist on EVERY exit (including a non-converged failure) — both
+    // result paths are driver-local or localCheckpointed, so nothing
+    // returned below still reads the persisted blocks
+    try {
+      val head = pairs.limit(maxDriverPairs + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (head.length <= maxDriverPairs) {
+        // driver union-find (path-halving), then one tiny parallelize — the
+        // whole graph fits by the declared bound
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) {
+            val p = parent.getOrElse(r, r)
+            parent(r) = parent.getOrElse(p, p)
+            r = parent(r)
+          }
+          r
         }
-        r
-      }
-      head.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val nodes = head.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-      pairs.unpersist()
-      return nodes.map(n => (n, find(n))).toSeq
-        .toDF("id", "component").orderBy("id")
+        head.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val nodes = head.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        nodes.map(n => (n, find(n))).toSeq
+          .toDF("id", "component").orderBy("id")
+      } else starComponents(s, pairs)
+    } finally pairs.unpersist()
+  }
+
+  /** Distributed connected components via alternating LARGE-STAR /
+    * SMALL-STAR (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): the edge set is rewritten each round so every node links
+    * toward the smallest id in its neighborhood — large-star hangs each
+    * node's LARGER neighbors off its local min, small-star folds the
+    * smaller ones — until the graph is a union of stars whose centers are
+    * the component minima. Converges in O(log n) rounds on ANY graph shape
+    * (a chain of length n needs ~log n rounds here vs n rounds of plain
+    * label propagation), each round two join + min-agg steps — the same
+    * shuffle primitives as the rest of the engine, nothing driver-sized.
+    * The edge frame is localCheckpointed per round (truncates iterative
+    * lineage); convergence is checked with a count+checksum fingerprint
+    * that rides the same materialized blocks. */
+  def starComponents(s: SparkSession, pairGraph: DataFrame): DataFrame = {
+    val u = col("u"); val v = col("v")
+    var edges = pairGraph
+      .select(col(pairGraph.columns(0)).as("u"), col(pairGraph.columns(1)).as("v"))
+      .where(u =!= v).distinct().localCheckpoint()
+    var fp = (-1L, -1L)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 50) {
+      // LARGE-STAR: per node, attach every strictly-larger neighbor to
+      // min(neighborhood ∪ self). Edges where the neighbor is smaller are
+      // preserved from the other endpoint's reduce (the graph is
+      // symmetrized first), so no connectivity is lost.
+      val nbrs = edges.unionAll(edges.select(v.as("u"), u.as("v")))
+      val mins = nbrs.groupBy("u").agg(least(min(v), u).as("m"))
+      val large = nbrs.join(mins, "u").where(v > u)
+        .select(v.as("u"), col("m").as("v")).distinct()
+      // SMALL-STAR: orient every edge large→small, then per node fold self
+      // and all (smaller) neighbors onto the neighborhood min.
+      val oriented = large
+        .select(greatest(u, v).as("u"), least(u, v).as("v"))
+        .where(u =!= v)
+      val smins = oriented.groupBy("u").agg(min(v).as("m"))
+      val next = oriented.join(smins, "u").where(v =!= col("m"))
+        .select(v.as("u"), col("m").as("v"))
+        .unionAll(smins.select(u, col("m").as("v")))
+        .distinct().localCheckpoint()
+      // fixpoint check off the checkpointed blocks: star rounds are
+      // deterministic edge-set rewrites, so (count, order-free checksum)
+      // equality means the edge set stopped moving
+      val row = next.agg(count(lit(1)), sum(hash(u, v).cast("long"))).head()
+      val nfp = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      rounds += 1
     }
+    // the cap is a runaway backstop, not a result: a non-converged graph
+    // must fail loudly, never return partial components
+    require(converged,
+      s"star components did not converge in $rounds rounds")
+    // final form: (member → component-min) stars; centers map to themselves
+    val centers = edges.select(v.as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    edges.select(u.as("id"), v.as("component"))
+      .unionAll(centers)
+      .distinct()
+      .orderBy("id")
+  }
+
+  /** Plain distributed min-label propagation — each round every node takes
+    * min(own label, neighbors' labels): one edge⋈label join + one
+    * min-aggregate, labels localCheckpointed per round. Rounds needed =
+    * graph DIAMETER: fine for near-clique dup clusters (measured 3 rounds
+    * here), quadratic-work on 100 TB chain-shaped graphs — which is why
+    * [[starComponents]] is the scale path and this one is kept as an
+    * independent algorithm for spec cross-checks. */
+  def labelComponents(s: SparkSession, pairGraph: DataFrame): DataFrame = {
+    val pairs = pairGraph
+      .select(col(pairGraph.columns(0)).as("a_id"), col(pairGraph.columns(1)).as("b_id"))
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     var labels = edges.select(col("a_id").as("id")).distinct()
@@ -379,8 +455,7 @@ object Dedup {
     // exceeds it must fail loudly, never return partial components
     require(changed == 0,
       s"component propagation did not converge in $rounds rounds — " +
-        "diameter exceeds the cap; use the large-star/small-star variant")
-    pairs.unpersist()
+        "diameter exceeds the cap; use starComponents")
     labels.select(col("id"), col("lbl").as("component")).orderBy("id")
   }
 }

@@ -12,7 +12,7 @@ object Documents {
   /** Q-U3: flatten each document's non-key fields to (path, value) rows via
     * the custom [[graft.functions.DocFlatten]] Generator — executor-side
     * fan-out, same plan shape as `explode`. */
-  def qU3(spark: SparkSession, dir: String): DataFrame = {
+  def qU4(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"),

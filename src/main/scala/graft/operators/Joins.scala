@@ -116,9 +116,13 @@ object Joins {
     val e = Tables.events(s, d).selectExpr(
       "CASE WHEN user_id % 10 <> 0 THEN 0L ELSE user_id END AS k", "event_id")
     val o = Tables.orders(s, d).selectExpr("o_orderkey % 1500 AS k")
+    // sum over a MOD-REDUCED term, not raw ids: a hot key aggregates ~all
+    // rows, and sum(event_id) exceeds int64 at large SF — where Spark and
+    // DuckDB diverge (wrap/error vs HUGEINT promotion). ≤1e5 per row keeps
+    // the sum exact at any realistic scale in both engines.
     e.hint("merge").join(o, "k")
       .groupBy("k")
-      .agg(count(lit(1)).as("c"), sum("event_id").as("se"))
+      .agg(count(lit(1)).as("c"), sum(col("event_id") % 100003L).as("se"))
       .orderBy("k")
   }
 
@@ -202,9 +206,14 @@ object Joins {
       .withColumn("hi", col("lo") + 0.05)
       .withColumn("band", explode(sequence(
         floor(col("lo") * 10.0).cast("long"), floor(col("hi") * 10.0).cast("long"))))
+    // both hash terms are MOD-REDUCED before the multiply so the combined
+    // value stays ≤ ~1e11 at any SF: raw event_id * 100003 overflows int64
+    // at scale, where Spark and DuckDB diverge (wrap/error vs HUGEINT)
     e.hint("merge").join(iv, "band")
       .where(col("value") >= col("lo") && col("value") < col("hi"))
       .agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(event_id * 100003 + o_orderkey)"), lit(0L)).as("h"))
+        coalesce(expr(
+          "bit_xor((event_id % 1000003) * 100003 + (o_orderkey % 100003))"),
+          lit(0L)).as("h"))
   }
 }

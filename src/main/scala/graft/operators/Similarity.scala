@@ -156,12 +156,40 @@ object Similarity {
     private def lockStaleMs: Long =
       sys.props.get("graft.ivf.lockStaleMs").map(_.toLong).getOrElse(30 * 60 * 1000L)
 
+    /** ENFORCED coordination contract (not just documented): every index
+      * mutation path acquires the lock through here, and the lock + the
+      * atomic-rename publish are only sound on a store that actually has
+      * create-exclusive and atomic rename. On one that doesn't (s3a & co),
+      * refuse with a clear error unless the caller explicitly accepts
+      * single-writer-by-convention via `-Dgraft.ivf.singleWriter=true`. */
+    private[graft] def requireCoordinationCapable(path: String): Unit =
+      if (!sys.props.get("graft.ivf.singleWriter").contains("true"))
+        require(store.supportsAtomicRename(path) && store.supportsExclusiveCreate(path),
+          s"IVF index root '$path' is on a filesystem without atomic rename / " +
+            "exclusive create (object stores like s3a give neither), so " +
+            "concurrent index builds/appends cannot be coordinated there. " +
+            "Point graft.ivf.root at a rename-capable store (HDFS, local, " +
+            "abfs) or accept single-writer mode with " +
+            "-Dgraft.ivf.singleWriter=true (YOU then guarantee at most one " +
+            "writing process).")
+
     private def withIndexLock[T](lock: String)(body: => T): T = {
+      requireCoordinationCapable(lock)
       val token = s"${java.util.UUID.randomUUID()}@${System.currentTimeMillis()}"
       def tsOf(content: String): Long =
         content.trim.split("@").last.toLong
-      var tries = 0
+      // A waiter must outwait any LEGITIMATE holder: a corpus-sized build can
+      // hold the lock for minutes, and a holder older than lockStaleMs is
+      // reaped rather than waited on — so the give-up bound is the staleness
+      // bound plus a margin, never a fixed short spin. It also bounds the
+      // reap path itself (a store whose rename always fails must not loop
+      // forever).
+      val waitStart = System.currentTimeMillis()
+      val giveUpMs = lockStaleMs + 60 * 1000L
       while (!store.createExclusive(lock, token)) {
+        require(System.currentTimeMillis() - waitStart < giveUpMs,
+          s"IVF lock $lock not acquired within ${giveUpMs}ms " +
+            s"(staleness bound ${lockStaleMs}ms + 60s margin)")
         val observed =
           try Some(store.readString(lock))
           catch { case scala.util.control.NonFatal(_) => None }
@@ -177,14 +205,19 @@ object Similarity {
             else if (!store.rename(reap, lock)) {
               // a fresh lock appeared mid-reap and restore lost a further
               // race — put the token back as a deletable file so the live
-              // holder's verified release still works
-              store.createExclusive(lock, reaped.getOrElse(""))
-              store.delete(reap)
+              // holder's verified release still works. If even that fails
+              // (a third process created the lock), the reap file is the
+              // ONLY copy of the live holder's token: leave it in place —
+              // deleting it would hand two live holders the lock at once.
+              if (store.createExclusive(lock, reaped.getOrElse("")))
+                store.delete(reap)
+              else
+                System.err.println(
+                  s"[graft] IVF lock $lock: restore after reap race failed; " +
+                    s"usurped holder's token preserved at $reap")
             }
           }
         } else {
-          tries += 1
-          require(tries < 1200, s"IVF lock $lock held for too long")
           Thread.sleep(50)
         }
       }

@@ -59,17 +59,40 @@ class RecallSpec extends AnyFunSuite {
     assert(rec86 >= rec46)
   }
 
-  test("q_d9 components: distributed label propagation == driver union-find") {
+  test("q_d9 components: star rounds == label propagation == driver union-find") {
     val fast = Dedup.qD9(spark, sf).collect().map(_.toString).toSeq
     val dist = Dedup.components(spark, sf, maxDriverPairs = 0)
       .collect().map(_.toString).toSeq
     assert(fast.nonEmpty && fast == dist,
       s"both component paths must agree: fast=$fast dist=$dist")
+    // three INDEPENDENT algorithms must agree: large-star/small-star (the
+    // distributed default above), plain min-label propagation, and the
+    // driver union-find
+    val lbl = Dedup.labelComponents(spark,
+        Dedup.qD8(spark, sf).select("a_id", "b_id"))
+      .collect().map(_.toString).toSeq
+    assert(lbl == fast, "label propagation must agree with union-find")
     // transitivity sanity: every pair's endpoints share a component
     val comp = fast.map(_.stripPrefix("[").stripSuffix("]").split(","))
       .map(a => a(0).toLong -> a(1).toLong).toMap
     Dedup.qD8(spark, sf).select("a_id", "b_id").collect()
       .foreach(r => assert(comp(r.getLong(0)) == comp(r.getLong(1))))
+  }
+
+  test("star components converge in O(log n) rounds on a chain graph") {
+    // a 64-node CHAIN is the adversarial shape for label propagation
+    // (diameter 63 → 63 rounds); star rounds must fold it logarithmically
+    // and still label every node with the component min (0), plus an
+    // unrelated 3-clique keeps its own min
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val clique = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val edges = (chain ++ clique).toDF("a_id", "b_id")
+    val got = Dedup.starComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 63L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L, s"clique node $i"))
+    assert(got.size == 67)
   }
 
   test("full-signature LSH (qSim2 family): recall measured, monotone in width") {

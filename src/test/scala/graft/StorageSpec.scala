@@ -153,4 +153,45 @@ class StorageSpec extends AnyFunSuite {
     assert(acct.readRaw(spark, "db", "c")
       .filter(col("raw").contains("\"id\":\"x\"")).count() == 1)
   }
+
+  test("object-store roots REFUSE IVF coordination without the single-writer opt-in") {
+    spark // force init
+    val store = graft.core.Storage.hadoop
+    // the probe answers from the scheme, without loading a connector jar
+    assert(!store.supportsAtomicRename("s3a://bucket/ivf"))
+    assert(!store.supportsExclusiveCreate("s3a://bucket/ivf"))
+    assert(!store.supportsAtomicRename("gs://bucket/ivf"))
+    // local, default-scheme, and custom registered schemes stay capable
+    assert(store.supportsAtomicRename("target/ivf-index"))
+    assert(store.supportsExclusiveCreate("graftfs:/tmp/x"))
+    // the deployment can extend the denylist for its own connector
+    sys.props("graft.storage.nonAtomicSchemes") = "mystore"
+    try assert(!store.supportsAtomicRename("mystore://x/y"))
+    finally sys.props.remove("graft.storage.nonAtomicSchemes")
+
+    // the refusal gate itself — the first statement of withIndexLock, which
+    // EVERY index mutation (build miss-path, append) acquires: pointed at an
+    // object-store root it fails fast with deployment guidance, before any
+    // lock/publish IO
+    val oldRoot = sys.props.get("graft.ivf.root")
+    sys.props("graft.ivf.root") = "s3a://bucket/ivf"
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.operators.Similarity.IvfIndex
+          .requireCoordinationCapable("s3a://bucket/ivf/idx.lock")
+      }
+      assert(ex.getMessage.contains("atomic rename"))
+      assert(ex.getMessage.contains("graft.ivf.singleWriter"))
+      // the explicit opt-in accepts the same root (caller owns exclusivity)
+      sys.props("graft.ivf.singleWriter") = "true"
+      graft.operators.Similarity.IvfIndex
+        .requireCoordinationCapable("s3a://bucket/ivf/idx.lock")
+    } finally {
+      sys.props.remove("graft.ivf.singleWriter")
+      oldRoot match {
+        case Some(v) => sys.props("graft.ivf.root") = v
+        case None    => sys.props.remove("graft.ivf.root")
+      }
+    }
+  }
 }
