@@ -456,4 +456,58 @@ class CatalogSpec extends AnyFunSuite {
     assert(diff.size == 1,
       s"audit must localize the corrupt bucket: before=$before after=$after")
   }
+
+  test("SQL catalog facade: CREATE NAMESPACE / CREATE TABLE / SHOW / SELECT drive FileAccount metadata") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlcat")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.root", root.toString)
+
+    // namespace DDL lands as a database directory the Scala API sees
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.hr")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.hr") // idempotent
+    val acc = FileAccount(root.toString)
+    assert(acc.listDatabases() == Seq("hr"))
+    val namespaces = spark.sql("SHOW NAMESPACES IN graftcat")
+      .collect().map(_.getString(0)).toSeq
+    assert(namespaces == Seq("hr"))
+
+    // table DDL writes the same _meta.json containerProperties reads
+    spark.sql("CREATE TABLE graftcat.hr.employees (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/department', 'buckets'='4')")
+    assert(acc.listContainers("hr") == Seq("employees"))
+    val props = acc.containerProperties("hr", "employees")
+    assert(props.pkPaths == Seq("/department") && props.buckets == 4)
+    val shown = spark.sql("SHOW TABLES IN graftcat.hr")
+      .collect().map(_.getString(1)).toSeq
+    assert(shown == Seq("employees"))
+    assert(spark.catalog.listTables("graftcat.hr")
+      .collect().map(_.name).toSeq == Seq("employees"))
+
+    // documents upserted through the MERGE ENGINE are readable through SQL
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val pk = Seq("/department")
+    val keyCols = Seq("__id", "__pk0")
+    val docs = Seq(
+      """{"id":"e1","department":"eng","level":3}""",
+      """{"id":"e2","department":"eng","level":4}""",
+      """{"id":"e3","department":"ops","level":5}""").toDF("raw")
+    val keyed = graft.operators.RawMerge.srcKeyed(spark, docs, pk)
+      .select(("raw" +: keyCols).map(col): _*)
+    acc.upsertRaw(spark, "hr", "employees", keyed, keyCols, pk)
+    assert(spark.sql("SELECT count(1) FROM graftcat.hr.employees").head().getLong(0) == 3)
+    assert(spark.table("graftcat.hr.employees")
+      .filter(col("raw").contains("\"id\":\"e2\"")).count() == 1)
+
+    // rename + drop round-trip through the same directories
+    // the RENAME TO target is an identifier WITHIN the same catalog
+    spark.sql("ALTER TABLE graftcat.hr.employees RENAME TO hr.staff")
+    assert(acc.listContainers("hr") == Seq("staff"))
+    assert(spark.table("graftcat.hr.staff").count() == 3)
+    spark.sql("DROP TABLE graftcat.hr.staff")
+    assert(acc.listContainers("hr").isEmpty)
+    spark.sql("DROP NAMESPACE graftcat.hr")
+    assert(acc.listDatabases().isEmpty)
+  }
 }
