@@ -122,6 +122,7 @@ object SparkEntry {
     "q_mm3_resize"          -> (Multimodal.qMm3 _),
     "q_mm4_decode_real"     -> (Multimodal.qMm4 _),
     "q_mm5_audio_real"      -> (Multimodal.qMm5 _),
+    "q_mm6_video_frames"    -> (Multimodal.qMm6 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU4 _),
   )
@@ -593,6 +594,19 @@ object SparkEntry {
         "SELECT doc_id AS asset_id, CAST(64 AS INT) AS w, CAST(1 AS INT) AS h, " +
         "CAST(sum((doc_id * 37 + k * 11) % 2048 - 1024) AS BIGINT) AS px_sum " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm6_video_frames" -> (
+      // real multi-frame (animated GIF) decode Spark-side; the oracle
+      // replays the frame-pixel function (Multimodal.gifGray)
+      // arithmetically — palette GIF is lossless
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, f.i AS f, x.i AS x, y.i AS y FROM d, " +
+        "(SELECT unnest(generate_series(0, 3)) AS i) f, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y) " +
+        "SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx, " +
+        "CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
+        "CAST(sum((doc_id * 31 + f * 17 + x * 7 + y * 13) % 256) AS BIGINT) AS px_sum " +
+        "FROM g GROUP BY doc_id, f ORDER BY asset_id, frame_idx"),
     "q_u4_flatten" -> (
       "SELECT doc_id, path, value FROM (" +
         "SELECT doc_id, 'lang' AS path, lang AS value FROM documents " +

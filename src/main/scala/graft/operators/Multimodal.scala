@@ -340,4 +340,150 @@ object Multimodal {
     * leave the executor, the multimodal scale contract. */
   def qMm4(spark: SparkSession, dir: String): DataFrame =
     pixelFeatures(pngAssets(spark, dir), ImageIoDecoder).orderBy("asset_id")
+
+  // ---- REAL multi-frame (video-path) decode ----
+
+  /** The multi-frame decode boundary — the video analogue of
+    * [[AssetDecoder]]: a frame-capable codec parses the whole container
+    * into per-frame sample planes. None on a container the codec cannot
+    * parse ([[sampleFrames]]' byte-range slicing stays the declared
+    * no-codec fallback). */
+  trait FrameDecoder extends Serializable {
+    def decodeFrames(bytes: Array[Byte]): Option[Seq[Decoded]]
+  }
+
+  /** REAL multi-frame decode via the JDK's GIF reader (pure JVM, ships
+    * with javax.imageio): animated GIF is the one multi-frame container a
+    * dependency-free JVM can both write and read, which retires the
+    * "video decode is stubbed" caveat the way [[ImageIoDecoder]] /
+    * [[WavDecoder]] did for image and audio. Frames come back gray
+    * (single channel) because [[gifAssets]] writes an explicit 256-gray
+    * palette — palette-indexed GIF is lossless, so any frame-order or
+    * compositing defect breaks the oracle hash. A deployment swaps in an
+    * ffmpeg/JNI [[FrameDecoder]] for real codecs; the Spark plumbing
+    * ([[frameFeatures]]) is identical. */
+  object GifFrameDecoder extends FrameDecoder {
+    override def decodeFrames(bytes: Array[Byte]): Option[Seq[Decoded]] = {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+        val n = reader.getNumImages(/*allowSearch=*/ true)
+        if (n <= 0) None
+        else Some((0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          val out = new Array[Int](w * h)
+          var k = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out(k) = img.getRGB(x, y) & 0xff // gray palette: b == g == r
+              k += 1
+              x += 1
+            }
+            y += 1
+          }
+          Decoded(w, h, 1, out)
+        })
+      } catch {
+        // None-on-corrupt, same contract as the scalar decoders: a
+        // truncated GIF body throws from inside the reader mid-sequence
+        case scala.util.control.NonFatal(_) => None
+      } finally reader.dispose()
+    }
+  }
+
+  /** Side of the synthetic GIF canvas for [[qMm6]]. */
+  val GifSide = 8
+
+  /** Deterministic gray value of pixel (x, y) of frame `f` of asset `id` —
+    * the closed form the DuckDB oracle replays arithmetically:
+    * g = (id*31 + f*17 + x*7 + y*13) mod 256. */
+  def gifGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+
+  /** Real animated-GIF assets, generated executor-side: [[FrameCount]]
+    * 8×8 frames per document (doc_id < 200), each a palette-indexed gray
+    * canvas, written through the actual JDK GIF sequence writer — genuine
+    * multi-frame containers, same posture as [[pngAssets]]/[[wavAssets]].
+    * The explicit 256-gray IndexColorModel makes the encode LOSSLESS (the
+    * writer keeps the palette instead of quantizing an RGB canvas). */
+  def gifAssets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).where(col("doc_id") < 200)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        val grays = Array.tabulate[Byte](256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        it.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < FrameCount) {
+              val img = new java.awt.image.BufferedImage(GifSide, GifSide,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              var y = 0
+              while (y < GifSide) {
+                var x = 0
+                while (x < GifSide) {
+                  img.getRaster.setSample(x, y, 0, gifGray(id, f, x, y))
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally {
+            writer.dispose()
+            ios.close()
+          }
+          (id, "video", bos.toByteArray)
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  case class FramePixels(asset_id: Long, frame_idx: Int, w: Int, h: Int,
+                         px_sum: Long)
+
+  /** Decode every frame via `decoder` and emit per-frame pixel statistics —
+    * the multi-frame analogue of [[pixelFeatures]], same batched
+    * per-partition shape (one input row fans out to n_frames rows
+    * executor-side, no shuffle); unparseable containers are dropped. */
+  def frameFeatures(assets: DataFrame, decoder: FrameDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decodeFrames(a.bytes).toSeq.flatMap(_.zipWithIndex.map {
+              case (d, i) => FramePixels(a.asset_id, i, d.width, d.height,
+                d.samples.foldLeft(0L)(_ + _))
+            })
+          }
+        }
+      }.toDF()
+  }
+
+  /** Q-MM6: REAL video-path decode — animated-GIF-encode deterministic
+    * frame canvases, decode them with [[GifFrameDecoder]], emit per-frame
+    * pixel sums the oracle recomputes from the closed-form frame math
+    * (palette GIF is lossless). Any frame-count, frame-order, or palette
+    * defect breaks the hash match. */
+  def qMm6(spark: SparkSession, dir: String): DataFrame =
+    frameFeatures(gifAssets(spark, dir), GifFrameDecoder)
+      .orderBy("asset_id", "frame_idx")
 }
