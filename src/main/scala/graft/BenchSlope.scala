@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-slope evidence for the expensive queries: times each one at TWO
+  * scale factors (default sf0.01 → sf0.1, a 10× data step — the largest
+  * step the sandbox's generated data supports) and records the wall-time
+  * ratio. The 100 TB arguments elsewhere are plan-shape arguments; this is
+  * the measured counterpart: a query whose time grows SUPER-LINEARLY in SF
+  * (ratio > data ratio × margin) gets flagged — at bench sizes fixed
+  * per-query overhead dominates, so an honest distributed plan lands well
+  * UNDER the data ratio.
+  *
+  * Usage: `runMain graft.BenchSlope` (env `SPARK_GRAFT_SF_SMALL` /
+  * `SPARK_GRAFT_SF_LARGE` / `SPARK_GRAFT_SLOPE_OUT` override defaults).
+  * Emits one JSON line and writes it to SCALING_SLOPE.json. */
+object BenchSlope {
+
+  /** The plan-audited expensive queries (the ones whose 100× behavior the
+    * engine's scale story leans on), plus the scan-heavy json battery that
+    * was the r5 noise victim. */
+  val SlopeQueries: Seq[String] = Seq(
+    "q_d4_lsh_pairs", "q_j6_composite_key", "q_d9_dup_components",
+    "q_a7_top_revenue", "q_j10_range_band", "q_j9_asof_join",
+    "q_x3_json_agg")
+
+  /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
+    * means super-linear growth even granting 30% measurement noise. */
+  val Margin = 1.3
+
+  private def fmt(d: Double): String = f"$d%.4f"
+
+  def main(args: Array[String]): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
+    val dataRatio = sys.env.getOrElse("SPARK_GRAFT_SF_RATIO", "10.0").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Sessions.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq(small, large).foreach { dir =>
+      graft.core.Tables.names.foreach { t =>
+        try graft.core.Tables.load(spark, dir, t)
+          .selectExpr("count(md5(CAST(1 AS STRING)))").collect()
+        catch { case _: Throwable => () }
+      }
+    }
+
+    def best3(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val rows = SlopeQueries.filter(SparkEntry.queries.contains).map { name =>
+      val ts = best3(name, small)
+      val tl = best3(name, large)
+      val slope = if (ts > 0) tl / ts else Double.NaN
+      val flagged = slope > dataRatio * Margin
+      (name, ts, tl, slope, flagged)
+    }
+    val qs = rows.map { case (n, ts, tl, sl, fl) =>
+      s""""$n":{"t_small":${fmt(ts)},"t_large":${fmt(tl)},""" +
+        s""""slope":${fmt(sl)},"super_linear":$fl}"""
+    }.mkString("{", ",", "}")
+    val flaggedNames = rows.filter(_._5).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"scaling_slope","data_ratio":$dataRatio,""" +
+      s""""margin":$Margin,"queries":$qs,"flagged":$flaggedNames,""" +
+      s""""sf_small":"$small","sf_large":"$large"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SLOPE_OUT", "SCALING_SLOPE.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench-slope: failed to write $out: $e") }
+    spark.stop()
+  }
+}
