@@ -22,7 +22,10 @@ object BenchSlope {
   val SlopeQueries: Seq[String] = Seq(
     "q_d4_lsh_pairs", "q_j6_composite_key", "q_d9_dup_components",
     "q_a7_top_revenue", "q_j10_range_band", "q_j9_asof_join",
-    "q_x3_json_agg")
+    "q_x3_json_agg",
+    // multimodal family: the typed decode path is otherwise invisible to
+    // the audits (the round-6 q_mm1 drift hid here)
+    "q_mm1_asset_features", "q_mm4_decode_real", "q_mm6_video_frames")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */
@@ -44,7 +47,8 @@ object BenchSlope {
       graft.core.Tables.names.foreach { t =>
         try graft.core.Tables.load(spark, dir, t)
           .selectExpr("count(md5(CAST(1 AS STRING)))").collect()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"bench-slope: warmup failed for table '$t': $e") }
       }
     }
 
