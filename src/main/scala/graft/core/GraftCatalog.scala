@@ -6,14 +6,20 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.JsonDocs
 
 /** Spark-SQL (DataSource V2) facade over [[FileAccount]] — the reference's
   * management plane (A17–A21: /root/reference/src/clients.py:28-49,
@@ -37,10 +43,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * `raw_meta` property — same copy-what-you-don't-interpret posture as the
   * document path). Reads scan the container's raw JSON lines distributed,
   * one input partition per data file (the bucket layout keeps file counts
-  * proportional to buckets, not corpus size). WRITES stay on the merge
-  * engine (`FileAccount.upsertRaw` / `Orchestrator`): a plain SQL INSERT
-  * cannot maintain the bucket layout, count sidecars, and pk invariants,
-  * so the table intentionally does not advertise write capability.
+  * proportional to buckets, not corpus size).
+  *
+  * POINT-READ PUSHDOWN: two hidden METADATA columns (absent from
+  * `SELECT *`, resolvable by name) surface the document identity —
+  * `_id` (the document id) and `_key` (the merge key: id ++ pk values, the
+  * exact string [[FileAccount.upsertRaw]] buckets by). Equality/IN
+  * predicates on them are pushed into the scan and mapped to the bucket
+  * directories those keys hash to, so
+  * `SELECT raw FROM graft.db.c WHERE _id = 'x'` reads ONE bucket dir (plus
+  * any stray files, which can hold any key) instead of the whole container
+  * — the SQL analogue of the reference's per-document point read
+  * (migration.py:119-122) and of [[FileAccount.readRawBuckets]]. The
+  * predicate itself is still re-evaluated by Spark above the scan (a bucket
+  * holds many keys), so pruning can only skip files, never change results.
+  *
+  * WRITES stay on the merge engine: a plain SQL INSERT cannot maintain the
+  * bucket layout, count sidecars, and pk invariants, so `INSERT INTO` fails
+  * with guidance pointing at [[FileAccount.upsertRaw]] / the Orchestrator.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -127,8 +147,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "graft containers partition by pk-hash buckets ('buckets' property), not PARTITIONED BY")
+    // the declared column must also be NAMED raw — accepting `(foo STRING)`
+    // would succeed at DDL time and then fail every `SELECT foo` confusingly
+    // (scans always return the engine's document contract column `raw`)
     require(schema.isEmpty ||
-        (schema.length == 1 && schema.head.dataType == StringType),
+        (schema.length == 1 && schema.head.dataType == StringType &&
+          schema.head.name.equalsIgnoreCase("raw")),
       s"graft containers hold raw JSON lines: declare (raw STRING), got $schema")
     val (d, c) = split(ident)
     val props = ContainerProps(
@@ -153,20 +177,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    // TableCatalog contract — and a data-loss guard: Hadoop rename into an
+    // EXISTING directory moves src INSIDE dst and reports success, which
+    // would silently nest the source container unreachably inside the
+    // destination instead of failing the ALTER TABLE ... RENAME TO
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val (od, oc) = split(oldIdent); val (nd, nc) = split(newIdent)
     val src = new HPath(new HPath(account.root, od), oc).toString
     val dst = new HPath(new HPath(account.root, nd), nc).toString
-    if (!store.rename(src, dst))
+    // re-check through the rename result: a destination that appeared
+    // concurrently turns the rename into the nesting move above — detect it
+    // by verifying the source is GONE and the destination holds our tree
+    if (!store.rename(src, dst) || store.isDirectory(src))
       throw new IllegalStateException(s"rename $src -> $dst failed")
+    if (store.isDirectory(new HPath(dst, oc).toString))
+      throw new TableAlreadyExistsException(newIdent)
   }
 }
 
 /** One container as a readable V2 table: schema is the engine's document
   * contract (one `raw` JSON-line string per document), reads are
-  * distributed one-partition-per-data-file. */
+  * distributed one-partition-per-data-file, key-equality predicates on the
+  * hidden `_id`/`_key` metadata columns prune to bucket directories. */
 final class ContainerTable(account: FileAccount, db: String, container: String,
                            props: ContainerProps)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
 
   override def name(): String = s"$db.$container"
 
@@ -174,7 +209,22 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
     StructType(Seq(StructField("raw", StringType, nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = "_id"
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = true
+      override def comment: String = "document id (null for malformed documents)"
+    },
+    new MetadataColumn {
+      override def name: String = "_key"
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = true
+      override def comment: String =
+        "merge key (id ++ pk values) — equality predicates prune to bucket dirs"
+    })
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -185,22 +235,100 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
     m
   }
 
+  // BATCH_WRITE is advertised ONLY so analysis reaches this builder and the
+  // user gets guidance instead of a generic capability error: a plain
+  // INSERT cannot maintain the bucket layout, count sidecars, and pk
+  // invariants, so SQL writes are refused by contract.
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    throw new AnalysisException(
+      errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+      messageParameters = Map(
+        "tableName" -> name(),
+        "operation" -> ("SQL writes: graft containers maintain a pk-hash " +
+          "bucket layout with count sidecars that a plain INSERT cannot " +
+          "preserve. Write through graft.core.FileAccount.upsertRaw or the " +
+          "graft.Orchestrator merge engine")))
+
+  /** Merge-key hash bucket of a key string — MUST match
+    * [[FileAccount.upsertRaw]]'s bucket column
+    * (`pmod(xxhash64(concat_ws("", keyCols)), buckets)`), evaluated
+    * driver-side on the literal the predicate carries. */
+  private def bucketOf(key: String): Long = {
+    val h = XxHash64(Seq(Literal(UTF8String.fromString(key), StringType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    ((h % props.buckets) + props.buckets) % props.buckets
+  }
+
+  /** Bucket ids a pushed filter constrains the scan to; None = no
+    * constraint from this filter. `_key` carries the full merge key; `_id`
+    * is usable alone only when the pk path IS /id (then key = id ++ id). */
+  private def filterBuckets(f: Filter): Option[Set[Long]] = f match {
+    case EqualTo("_key", k: String) => Some(Set(bucketOf(k)))
+    case In("_key", vs) =>
+      Some(vs.collect { case s: String => bucketOf(s) }.toSet)
+    case EqualTo("_id", id: String) if props.pkPaths == Seq("/id") =>
+      Some(Set(bucketOf(id + id)))
+    case In("_id", vs) if props.pkPaths == Seq("/id") =>
+      Some(vs.collect { case s: String => bucketOf(s + s) }.toSet)
+    case _ => None
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters
+      with SupportsPushDownRequiredColumns {
+
+      private var buckets: Option[Set[Long]] = None
+      private var pushed: Array[Filter] = Array.empty
+      private var required: StructType =
+        StructType(Seq(StructField("raw", StringType, nullable = false)))
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val usable = filters.flatMap(f => filterBuckets(f).map(f -> _))
+        // conjunctive semantics: every pushed filter must hold, so the scan
+        // only needs buckets in the INTERSECTION of their constraints
+        buckets = usable.map(_._2)
+          .reduceOption(_ intersect _).orElse(buckets)
+        pushed = usable.map(_._1)
+        // bucket pruning skips files, it does not evaluate the predicate
+        // (a bucket holds many keys) — every filter stays residual
+        filters
+      }
+
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = {
         // driver-side listing through the Storage boundary; the executor
         // side gets (file path, serialized Hadoop conf) and nothing else
         val files =
           if (!account.hasData(db, container)) Seq.empty[String]
-          else Storage.hadoop.walk(account.dataPath(db, container))
-            // same hidden-file convention as Spark's own readers: local-FS
-            // `.crc` sidecars and `_`-prefixed markers are not data
-            .filter { f =>
-              val base = f.relPath.substring(f.relPath.lastIndexOf('/') + 1)
-              !base.startsWith(".") && !base.startsWith("_")
-            }
-            .map(f => new HPath(account.dataPath(db, container), f.relPath).toString)
-        new ContainerScan(name(), files,
+          else {
+            val dataDir = account.dataPath(db, container)
+            Storage.hadoop.walk(dataDir)
+              // same hidden-file convention as Spark's own readers: local-FS
+              // `.crc` sidecars and `_`-prefixed markers are not data
+              .filter { f =>
+                val base = f.relPath.substring(f.relPath.lastIndexOf('/') + 1)
+                !base.startsWith(".") && !base.startsWith("_")
+              }
+              // bucket pruning: keep a `b=<k>` file only if k is selected;
+              // files OUTSIDE the bucket layout (strays) can hold any key
+              // and are always read
+              .filter { f =>
+                buckets match {
+                  case None => true
+                  case Some(bs) =>
+                    "(?:^|/)b=(\\d+)/".r.findFirstMatchIn(f.relPath) match {
+                      case Some(m) => bs.contains(m.group(1).toLong)
+                      case None => true
+                    }
+                }
+              }
+              .map(f => new HPath(dataDir, f.relPath).toString)
+          }
+        new ContainerScan(name(), files, required, props.pkPaths,
           new SerializableHadoopConf(Storage.sessionHadoopConf()))
       }
     }
@@ -209,11 +337,11 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
 final case class ContainerFileSlice(path: String) extends InputPartition
 
 final class ContainerScan(table: String, files: Seq[String],
+                          schema: StructType, pkPaths: Seq[String],
                           conf: SerializableHadoopConf)
     extends Scan with Batch with Serializable {
 
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("raw", StringType, nullable = false)))
+  override def readSchema(): StructType = schema
 
   override def description(): String = s"graft container $table (${files.size} files)"
 
@@ -223,21 +351,47 @@ final class ContainerScan(table: String, files: Seq[String],
     files.map(ContainerFileSlice(_): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ContainerReaderFactory(conf)
+    new ContainerReaderFactory(schema.fieldNames, pkPaths, conf)
 }
 
-final class ContainerReaderFactory(conf: SerializableHadoopConf)
+final class ContainerReaderFactory(fields: Array[String], pkPaths: Seq[String],
+                                   conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = new HPath(partition.asInstanceOf[ContainerFileSlice].path)
     val in = path.getFileSystem(conf.value).open(path)
     val lines = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    val paths = pkPaths.map(_.stripPrefix("/")).toArray
+    val needsKeys = fields.exists(f => f == "_id" || f == "_key")
     new PartitionReader[InternalRow] {
       private var line: String = _
       override def next(): Boolean = { line = lines.readLine(); line != null }
-      override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(line))
+      override def get(): InternalRow = {
+        val raw = UTF8String.fromString(line)
+        // (id, pk0..pkN) via the merge path's parse-once kernel — the same
+        // key derivation upsertRaw buckets by; null keys for malformed docs
+        lazy val keys: Array[UTF8String] =
+          if (!needsKeys) null else JsonDocs.docKeys(raw, paths, inject = false)
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "raw" => raw
+          case "_id" => if (keys == null) null else keys(1)
+          case "_key" =>
+            if (keys == null) null
+            else {
+              // concat_ws("", id, pks...) semantics: nulls skipped
+              val sb = new java.lang.StringBuilder()
+              var i = 1
+              while (i < keys.length) {
+                if (keys(i) != null) sb.append(keys(i).toString)
+                i += 1
+              }
+              UTF8String.fromString(sb.toString)
+            }
+          case other =>
+            throw new IllegalStateException(s"unknown column $other")
+        })
+      }
       override def close(): Unit = lines.close()
     }
   }

@@ -510,4 +510,95 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP NAMESPACE graftcat.hr")
     assert(acc.listDatabases().isEmpty)
   }
+
+  test("SQL catalog guards: rename-onto-existing, bad column name, INSERT guidance") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlguard")
+    spark.conf.set("spark.sql.catalog.graftg",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftg.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftg.db")
+    spark.sql("CREATE TABLE graftg.db.a (raw STRING)")
+    spark.sql("CREATE TABLE graftg.db.b (raw STRING)")
+
+    // a rename onto an existing table must FAIL (TableCatalog contract):
+    // Hadoop rename would otherwise nest a/ inside b/ and report success,
+    // silently losing the source container
+    val acc = FileAccount(root.toString)
+    val renameErr = intercept[Exception] {
+      spark.sql("ALTER TABLE graftg.db.a RENAME TO db.b")
+    }
+    assert(renameErr.getMessage.toLowerCase.contains("already exists"),
+      s"want already-exists, got: ${renameErr.getMessage}")
+    assert(acc.listContainers("db") == Seq("a", "b"),
+      "both containers must survive the refused rename")
+
+    // a mis-NAMED single string column must be refused at DDL time —
+    // accepting (foo STRING) would make every later SELECT foo fail
+    val ddlErr = intercept[Exception] {
+      spark.sql("CREATE TABLE graftg.db.c (foo STRING)")
+    }
+    assert(ddlErr.getMessage.contains("raw STRING"))
+
+    // INSERT fails with guidance at the merge engine, not a generic
+    // capability error (writes cannot maintain the bucket layout)
+    val insErr = intercept[Exception] {
+      spark.sql("INSERT INTO graftg.db.a VALUES ('{\"id\":\"x\"}')")
+    }
+    assert(insErr.getMessage.contains("upsertRaw"),
+      s"INSERT must point at FileAccount.upsertRaw, got: ${insErr.getMessage}")
+  }
+
+  test("SQL catalog point read: _id/_key equality prunes the scan to one bucket dir") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlprune")
+    spark.conf.set("spark.sql.catalog.graftp",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftp.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftp.db")
+    spark.sql("CREATE TABLE graftp.db.docs (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='8')")
+
+    // land 64 documents through the merge engine so the bucket layout is real
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val acc = FileAccount(root.toString)
+    val docs = (0 until 64).map(i => s"""{"id":"d$i","v":$i}""").toDF("raw")
+    val keyed = graft.operators.RawMerge.srcKeyed(spark, docs, Seq("/id"))
+      .select(col("raw"), col("__id"), col("__pk0"))
+    acc.upsertRaw(spark, "db", "docs", keyed, Seq("__id", "__pk0"), Seq("/id"))
+    assert(acc.bucketDirList("db", "docs").size > 1,
+      "layout must actually spread over multiple buckets")
+
+    // correctness: the metadata-column predicate returns exactly the doc
+    val hit = spark.sql(
+      "SELECT raw FROM graftp.db.docs WHERE _id = 'd7'").collect()
+    assert(hit.length == 1 && hit(0).getString(0).contains("\"id\":\"d7\""))
+    // the full merge key works identically (pk = /id, so key = id ++ id)
+    val hitKey = spark.sql(
+      "SELECT raw FROM graftp.db.docs WHERE _key = 'd7d7'").collect()
+    assert(hitKey.length == 1 && hitKey(0).getString(0).contains("\"id\":\"d7\""))
+
+    // pruning: the physical scan's input partitions touch ONLY the bucket
+    // dir d7 hashes to (the SQL analogue of readRawBuckets' point read)
+    val df = spark.sql("SELECT raw FROM graftp.db.docs WHERE _id = 'd7'")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a DSv2 batch scan")
+    val parts = scans.flatMap(_.partitions.flatten).collect {
+      case s: graft.core.ContainerFileSlice => s.path
+    }
+    assert(parts.nonEmpty, "scan must carry ContainerFileSlice partitions")
+    val bucketDirs = parts.flatMap("/b=(\\d+)/".r.findFirstMatchIn(_))
+      .map(_.group(1)).distinct
+    assert(bucketDirs.length == 1,
+      s"point read must touch exactly one bucket dir, got $bucketDirs from $parts")
+    // and an unfiltered scan touches them all (the pruning is the filter's)
+    val all = spark.table("graftp.db.docs").queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.partitions.flatten).collect {
+      case s: graft.core.ContainerFileSlice => s.path
+    }
+    assert(all.length > parts.length,
+      "unfiltered scan must read more files than the point read")
+  }
 }
