@@ -92,7 +92,16 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   * are usable from `expr(...)` / `selectExpr` / `spark.sql` alongside
   * built-ins. Idempotent — query builders call it defensively. */
 object GraftFunctions {
+  // once per session: query builders call register() defensively on every
+  // invocation, and re-registering 12 functions per query both wastes work
+  // and spams a "function X replaced" warning per function per call
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -369,6 +369,14 @@ object Dedup {
     * that rides the same materialized blocks. */
   def starComponents(s: SparkSession, pairGraph: DataFrame): DataFrame = {
     val u = col("u"); val v = col("v")
+    // every node mentioned by the pair graph — including one that appears
+    // ONLY in a (a,a) self-pair — must come back as a component member, or
+    // this path would disagree with the driver union-find (which keeps such
+    // nodes as singletons) and maxDriverPairs would change RESULTS
+    val allNodes = pairGraph
+      .select(col(pairGraph.columns(0)).as("id"))
+      .unionAll(pairGraph.select(col(pairGraph.columns(1)).as("id")))
+      .distinct()
     var edges = pairGraph
       .select(col(pairGraph.columns(0)).as("u"), col(pairGraph.columns(1)).as("v"))
       .where(u =!= v).distinct().localCheckpoint()
@@ -408,12 +416,16 @@ object Dedup {
     // must fail loudly, never return partial components
     require(converged,
       s"star components did not converge in $rounds rounds")
-    // final form: (member → component-min) stars; centers map to themselves
+    // final form: (member → component-min) stars; centers map to themselves;
+    // nodes the star rounds never saw (self-pair-only) are singletons
     val centers = edges.select(v.as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-    edges.select(u.as("id"), v.as("component"))
+    val mapped = edges.select(u.as("id"), v.as("component"))
       .unionAll(centers)
       .distinct()
+    allNodes.join(mapped, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
       .orderBy("id")
   }
 

@@ -367,8 +367,9 @@ object Multimodal {
       val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
       if (!readers.hasNext) return None
       val reader = readers.next()
+      var iis: javax.imageio.stream.ImageInputStream = null
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         reader.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
         val n = reader.getNumImages(/*allowSearch=*/ true)
@@ -394,7 +395,12 @@ object Multimodal {
         // None-on-corrupt, same contract as the scalar decoders: a
         // truncated GIF body throws from inside the reader mid-sequence
         case scala.util.control.NonFatal(_) => None
-      } finally reader.dispose()
+      } finally {
+        reader.dispose()
+        // the reader does not own its input stream: an unclosed
+        // MemoryCacheImageInputStream leaks its cache per decoded asset
+        if (iis != null) iis.close()
+      }
     }
   }
 
