@@ -511,6 +511,48 @@ class PlanAuditSpec extends AnyFunSuite {
       s"band key must drive a shuffle equi-join:\n$plan")
   }
 
+  test("Q-MM metadata-only query never reads the blob column") {
+    import graft.operators.Multimodal
+    // kind/count over the asset table must prune the blob ('text' backs
+    // the bytes column) out of the parquet scan — at 100 TB a metadata
+    // query that drags the pixels through the scan is the multimodal
+    // anti-pattern (Multimodal.scala's column-pruning contract)
+    val q = Multimodal.assets(spark, sf).groupBy("kind").count()
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("text"),
+      s"metadata-only query must not scan the blob column: $readSchema")
+  }
+
+  test("Q-MM decode is mapPartitions-batched with no encoder-induced exchange") {
+    import graft.operators.Multimodal
+    // the decode pass itself (no orderBy) must be a NARROW plan: typed
+    // mapPartitions over the scan, zero Exchange of blob bytes — one input
+    // row fans out executor-side and bytes never cross the network
+    for ((name, df) <- Seq(
+      "decodeFeatures" -> Multimodal.decodeFeatures(Multimodal.assets(spark, sf)),
+      "sampleFrames" -> Multimodal.sampleFrames(Multimodal.assets(spark, sf)),
+      "frameFeatures" -> Multimodal.frameFeatures(
+        Multimodal.gifAssets(spark, sf), Multimodal.GifFrameDecoder))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("MapPartitions"),
+        s"$name must run as batched mapPartitions:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"$name must not shuffle blob bytes:\n$plan")
+    }
+    // the full query adds EXACTLY the deterministic-output sort — a range
+    // exchange over the small feature rows, never the blobs
+    val q = Multimodal.qMm1(spark, sf)
+    q.collect()
+    val full = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = full.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("InMemory")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"q_mm1 may only range-partition its feature rows:\n${exchanges.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
