@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
@@ -209,7 +210,8 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
     StructType(Seq(StructField("raw", StringType, nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
@@ -300,43 +302,46 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
         required = requiredSchema
 
       override def build(): Scan = {
-        // driver-side listing through the Storage boundary; the executor
-        // side gets (file path, serialized Hadoop conf) and nothing else
-        val files =
-          if (!account.hasData(db, container)) Seq.empty[String]
-          else {
-            val dataDir = account.dataPath(db, container)
-            Storage.hadoop.walk(dataDir)
-              // same hidden-file convention as Spark's own readers: local-FS
-              // `.crc` sidecars and `_`-prefixed markers are not data
-              .filter { f =>
-                val base = f.relPath.substring(f.relPath.lastIndexOf('/') + 1)
-                !base.startsWith(".") && !base.startsWith("_")
+        // bucket pruning: keep a `b=<k>` file only if k is selected; files
+        // OUTSIDE the bucket layout (strays) can hold any key and are
+        // always read
+        val files = listDataFiles().filter { path =>
+          buckets match {
+            case None => true
+            case Some(bs) =>
+              "/b=(\\d+)/".r.findFirstMatchIn(path) match {
+                case Some(m) => bs.contains(m.group(1).toLong)
+                case None => true
               }
-              // bucket pruning: keep a `b=<k>` file only if k is selected;
-              // files OUTSIDE the bucket layout (strays) can hold any key
-              // and are always read
-              .filter { f =>
-                buckets match {
-                  case None => true
-                  case Some(bs) =>
-                    "(?:^|/)b=(\\d+)/".r.findFirstMatchIn(f.relPath) match {
-                      case Some(m) => bs.contains(m.group(1).toLong)
-                      case None => true
-                    }
-                }
-              }
-              .map(f => new HPath(dataDir, f.relPath).toString)
           }
-        new ContainerScan(name(), files, required, props.pkPaths,
+        }
+        new ContainerScan(name(), files, () => listDataFiles(),
+          required, props.pkPaths,
           new SerializableHadoopConf(Storage.sessionHadoopConf()))
       }
+    }
+
+  /** Driver-side listing of the container's data files through the Storage
+    * boundary; the executor side gets (file path, serialized Hadoop conf)
+    * and nothing else. Same hidden-file convention as Spark's own readers:
+    * local-FS `.crc` sidecars and `_`-prefixed markers are not data. */
+  private def listDataFiles(): Seq[String] =
+    if (!account.hasData(db, container)) Seq.empty[String]
+    else {
+      val dataDir = account.dataPath(db, container)
+      Storage.hadoop.walk(dataDir)
+        .filter { f =>
+          val base = f.relPath.substring(f.relPath.lastIndexOf('/') + 1)
+          !base.startsWith(".") && !base.startsWith("_")
+        }
+        .map(f => new HPath(dataDir, f.relPath).toString)
     }
 }
 
 final case class ContainerFileSlice(path: String) extends InputPartition
 
 final class ContainerScan(table: String, files: Seq[String],
+                          @transient lister: () => Seq[String],
                           schema: StructType, pkPaths: Seq[String],
                           conf: SerializableHadoopConf)
     extends Scan with Batch with Serializable {
@@ -352,6 +357,78 @@ final class ContainerScan(table: String, files: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ContainerReaderFactory(schema.fieldNames, pkPaths, conf)
+
+  /** `spark.readStream.table("graft.db.c")` — ST-6's source side surfaced
+    * through the SQL catalog: each micro-batch reads the data files that
+    * appeared since the last committed offset, with the checkpoint as the
+    * resume cursor (the A2 pagination analogue, same contract as the
+    * FileStreamSource path `Streams.syncContainers` drives). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ContainerMicroBatchStream(lister, schema.fieldNames, pkPaths, conf)
+}
+
+/** Offset of the container stream: the set of data files already consumed.
+  * The bucket layout keeps the container's file count proportional to its
+  * bucket count (upserts REWRITE whole bucket dirs with fresh part files),
+  * so the offset stays metadata-sized — and a bucket rewrite makes the
+  * surviving rows reappear in new files, which the stream re-emits: the
+  * delivery contract is at-least-once per document VERSION, exactly the
+  * contract `Streams.syncContainers` consumes (its merge collapses
+  * replays; ST-8's first-seen gate is the opt-in exactly-once analogue). */
+final case class ContainerStreamOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object ContainerStreamOffset {
+  def fromJson(json: String): ContainerStreamOffset =
+    ContainerStreamOffset(
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+}
+
+final class ContainerMicroBatchStream(lister: () => Seq[String],
+                                      fields: Array[String],
+                                      pkPaths: Seq[String],
+                                      conf: SerializableHadoopConf)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // AvailableNow drains to a FIXED snapshot taken at query start, so the
+  // run terminates even while writers keep landing files
+  @volatile private var snapshot: Option[Seq[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    snapshot = Some(lister())
+
+  override def initialOffset(): Offset = ContainerStreamOffset(Seq.empty)
+
+  // SupportsAdmissionControl surface (required by SupportsTriggerAvailableNow):
+  // no rate limit — each batch takes everything new since `start`
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    ContainerStreamOffset(snapshot.getOrElse(lister()))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the entry point")
+
+  override def deserializeOffset(json: String): Offset =
+    ContainerStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ContainerStreamOffset].files.toSet
+    end.asInstanceOf[ContainerStreamOffset].files
+      .filterNot(seen).sorted
+      .map(ContainerFileSlice(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ContainerReaderFactory(fields, pkPaths, conf)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 final class ContainerReaderFactory(fields: Array[String], pkPaths: Seq[String],
