@@ -52,6 +52,7 @@ object SparkEntry {
     "q_w3_lag_gap"         -> (Windows.qW3 _),
     "q_w4_ntile_rank"      -> (Windows.qW4 _),
     "q_w5_distribution"    -> (Windows.qW5 _),
+    "q_w6_interval_merge"  -> (Windows.qW6 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
     // set ops
@@ -72,6 +73,9 @@ object SparkEntry {
     "q_v3_approx_distinct" -> (Relational.qV3 _),
     "q_v4_profile"         -> (Relational.qV4 _),
     "q_v5_sketch_quantile" -> (Relational.qV5 _),
+    // bloom membership + count-min frequency, bound-checked like q_v3/q_v5
+    "q_v6_bloom_member"    -> (Relational.qV6 _),
+    "q_v7_cms_freq"        -> (Relational.qV7 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
     "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
@@ -82,6 +86,7 @@ object SparkEntry {
     "q_t6_stratified_sample" -> (TextAnalysis.qT6 _),
     "q_t7_normalize"       -> (TextAnalysis.qT7 _),
     "q_t8_chunk"           -> (TextAnalysis.qT8 _),
+    "q_t9_tfidf"           -> (TextAnalysis.qT9 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -93,6 +98,11 @@ object SparkEntry {
     "q_d7_emb_neardup"     -> (Dedup.qD7 _),
     "q_d8_lsh_neardup"     -> (Dedup.qD8 _),
     "q_d9_dup_components"  -> (Dedup.qD9 _),
+    "q_d10_block_pairs"    -> (Dedup.qD10 _),
+    "q_d11_edit_verified"  -> (Dedup.qD11 _),
+    // dup-graph structure diagnostics
+    "q_g1_degree_hist"     -> (Dedup.qG1 _),
+    "q_g2_triangles"       -> (Dedup.qG2 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -273,6 +283,67 @@ object SparkEntry {
       // exact median + "sketch lands within the exact p49..p51 window"
       "SELECT ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_exact, " +
         "true AS within_bound FROM lineitem"),
+    "q_v6_bloom_member" -> (
+      // bloom's hard guarantee (no false negatives) + tuned fp bound; the
+      // probe set is keys 1..200 (members iff they ordered) + 200 keys
+      // outside the key space
+      "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS members, " +
+        "CAST(0 AS BIGINT) AS false_negatives, true AS fp_ok " +
+        "FROM orders WHERE o_custkey <= 200"),
+    "q_v7_cms_freq" -> (
+      // CMS guarantee is one-sided: estimate >= exact, over-count <= eps*N
+      "SELECT l_returnflag, count(1) AS exact, true AS within_bound " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_w6_interval_merge" -> (
+      "WITH iv AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS st, " +
+        "CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS en FROM orders), " +
+        "x AS (SELECT o_custkey, o_orderkey, st, en, " +
+        "max(en) OVER (PARTITION BY o_custkey ORDER BY st, en, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+        "o AS (SELECT o_custkey, o_orderkey, st, en, " +
+        "CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS opens FROM x), " +
+        "isl AS (SELECT o_custkey, st, en, " +
+        "sum(opens) OVER (PARTITION BY o_custkey ORDER BY st, en, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM o), " +
+        "sp AS (SELECT o_custkey, island, min(st) AS s0, max(en) AS e0 " +
+        "FROM isl GROUP BY o_custkey, island) " +
+        "SELECT o_custkey, count(1) AS n_spans, " +
+        "CAST(sum(date_diff('day', s0, e0) + 1) AS BIGINT) AS covered_days " +
+        "FROM sp GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_t9_tfidf" -> (
+      // integer-surrogate idf ((n*1000) // df): monotone in ln(n/df), so
+      // identical ranking, and hash-exact where ln() is libm-dependent
+      "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(1) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term), " +
+        "dfq AS (SELECT term, count(1) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(1) AS n_docs FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, CAST(tf.tf * ((n.n_docs * 1000) // dfq.df) AS BIGINT) AS score " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, term, score, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk FROM sc) " +
+        "SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
+    "q_d10_block_pairs" -> (
+      "WITH d AS (SELECT doc_id, " +
+        "substr(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 12) AS blk, " +
+        "list_distinct(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "dd AS (SELECT * FROM d WHERE length(blk) > 0) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))), 4) AS jac " +
+        "FROM dd a JOIN dd b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))) >= 0.9 " +
+        "ORDER BY a_id, b_id"),
+    "q_d11_edit_verified" -> (simhashPairsSql +
+      ", dt AS (SELECT sp.a_id, sp.b_id, levenshtein(x.text, y.text) AS dist " +
+      "FROM sp JOIN documents x ON sp.a_id = x.doc_id JOIN documents y ON sp.b_id = y.doc_id) " +
+      "SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist FROM dt WHERE dist <= 30 ORDER BY a_id, b_id"),
+    "q_g1_degree_hist" -> (simhashPairsSql +
+      ", deg AS (SELECT id, count(1) AS degree FROM " +
+      "(SELECT a_id AS id FROM sp UNION ALL SELECT b_id FROM sp) t GROUP BY id) " +
+      "SELECT degree, count(1) AS n_nodes FROM deg GROUP BY degree ORDER BY degree"),
+    "q_g2_triangles" -> (simhashPairsSql +
+      " SELECT CAST(count(1) AS BIGINT) AS triangles FROM sp e1 " +
+      "JOIN sp e2 ON e1.b_id = e2.a_id " +
+      "JOIN sp e3 ON e1.a_id = e3.a_id AND e2.b_id = e3.b_id"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
@@ -680,6 +751,13 @@ object SparkEntry {
       "bits AS (SELECT doc_id, hv, unnest(generate_series(0, 31)) AS b FROM h), " +
       "votes AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v FROM bits GROUP BY doc_id, b), " +
       "sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id)"
+
+  /** [[simhashSql]] extended with CTE `sp`: the canonical (a_id < b_id)
+    * Hamming<=2 pair set — the qD6 candidate graph the edit-verify and
+    * graph-diagnostic oracles build on. */
+  private val simhashPairsSql: String = simhashSql +
+    ", sp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b " +
+    "ON a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)"
 
   /** CTEs `u`,`s`: explicit index-order double-precision cosine terms for the
     * pair set defined by `p` — must match CosineSimilarity's accumulation

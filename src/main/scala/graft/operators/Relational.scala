@@ -164,6 +164,56 @@ object Relational {
         (col("p50_sketch") >= col("lo") && col("p50_sketch") <= col("hi"))
           .as("within_bound"))
 
+  /** Q-V6 — BLOOM-FILTER membership next to [[qV3]]'s HLL: the third
+    * fixed-size mergeable sketch a verification plane needs (HLL answers
+    * "how many", CMS "how often", bloom "is this one present"). The filter
+    * is built DISTRIBUTED over the orders fact (`DataFrameStatFunctions
+    * .bloomFilter` — a partial+merge aggregate, one pass, fixed bits per
+    * partition) and probed driver-side over a bounded deterministic key
+    * set: 200 low customer keys (members iff they ordered) and 200 keys
+    * far outside the key space (never members). The checked contract is
+    * the sketch's ONE hard guarantee plus its tuned soft one: zero false
+    * negatives, and a false-positive rate within 5x the configured 3%
+    * (the estimate is engine-specific; the booleans are not). The two
+    * collects are bounded by the 400-key probe set. */
+  def qV6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val bf = orders.stat.bloomFilter(col("o_custkey"), 100000L, 0.03)
+    val memberKeys = orders.select(col("o_custkey"))
+      .where(col("o_custkey") <= 200).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val probes = (1L to 200L) ++ (10000001L to 10000200L)
+    val says = probes.map(k => (memberKeys.contains(k), bf.mightContain(k)))
+    val falseNeg = says.count { case (m, hit) => m && !hit }
+    val nonMembers = says.count(!_._1)
+    val fps = says.count { case (m, hit) => !m && hit }
+    Seq((memberKeys.size.toLong, falseNeg.toLong,
+        fps <= math.ceil(0.15 * nonMembers)))
+      .toDF("members", "false_negatives", "fp_ok")
+  }
+
+  /** Q-V7 — COUNT-MIN SKETCH frequency estimates: built distributed over
+    * the lineitem return-flag column (partial+merge aggregate, fixed
+    * sketch per partition) and probed driver-side for each flag value.
+    * The CMS guarantee is one-sided — estimate >= exact, and over-count
+    * bounded by eps*N with the configured confidence — which is exactly
+    * the boolean the oracle pins next to the exact counts (the estimates
+    * themselves are hash-seed-specific). Bounded collects: 3 flag rows. */
+  def qV7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val eps = 0.001
+    val flags = Tables.lineitem(s, d).select(col("l_returnflag"))
+    val cms = flags.stat.countMinSketch(col("l_returnflag"), eps, 0.99, 42)
+    val exact = flags.groupBy("l_returnflag").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = exact.map(_._2).sum
+    exact.toSeq.sortBy(_._1).map { case (f, c) =>
+      val est = cms.estimateCount(f)
+      (f, c, est >= c && est <= c + (3 * eps * n).toLong)
+    }.toDF("l_returnflag", "exact", "within_bound")
+  }
+
   /** Q-A7 — TPC-H Q3 shape: the canonical 3-table analytics query
     * (selective dim filter → fact join → fact join → grouped measure →
     * top-k), the "real BI query" the rest of the inventory composes into.

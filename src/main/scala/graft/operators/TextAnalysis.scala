@@ -30,6 +30,37 @@ object TextAnalysis {
       .orderBy(desc("c"), col("w"))
       .limit(20)
 
+  /** Q-T9 — TF-IDF top terms per document: term frequency within the doc ×
+    * inverse document frequency across the corpus, top-3 terms per doc by
+    * score with a lexical tiebreak. The idf is the INTEGER surrogate
+    * `(n_docs * 1000) DIV df` — transcendental ln() differs across libm
+    * implementations, so a hash-exact cross-engine contract needs the
+    * rational form (rank order for fixed n_docs is identical: x ↦
+    * n*1000 div x is monotone where ln(n/x) is).
+    *
+    * Scale: tf is the one explode-shuffle (map-side partial agg first, like
+    * qX4); df reduces the tf frame (term-sized, not token-sized); n_docs is
+    * a 1-row broadcast; the top-3 window partitions by doc_id — no global
+    * sort, no unpartitioned window. */
+  def qT9(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * ((n_docs * 1000) DIV df)"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Stopword lists for the n-gram/stopword language-ID heuristic —
     * canonical definition lives with the fused kernel
     * ([[graft.functions.LangHits.StopWords]]). */

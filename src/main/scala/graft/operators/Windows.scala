@@ -87,4 +87,46 @@ object Windows {
         cume_dist().over(byCust).as("cd"))
       .orderBy("o_orderkey")
   }
+
+  /** Q-W6 — INTERVAL MERGE (gaps-and-islands): per customer, union the
+    * order activity intervals [orderdate, orderdate + orderkey%30 days]
+    * (the deterministic synthetic interval end — this dataset carries no
+    * second date column) into maximal non-overlapping spans and report
+    * span count + total covered days — the classic "merge overlapping
+    * intervals" operator (utilization / coverage analysis), which has no
+    * direct relational primitive.
+    *
+    * Formulation: rows sorted by start within each customer; a row OPENS a
+    * new span iff its start exceeds the running max of all earlier ends
+    * (islands are well-defined under start-order regardless of tie order:
+    * an equal start can never exceed a running max that already includes
+    * an end >= that same date); the island id is the running count of
+    * opens, and per-island coverage is max(end) − min(start) + 1 — all
+    * integer DATE arithmetic, hash-exact across engines.
+    *
+    * Scale: both window passes partition by `o_custkey` and reuse ONE
+    * exchange; the island aggregation re-uses the same partitioning, and
+    * the final per-customer rollup reduces islands, not rows. No global
+    * sort anywhere. */
+  def qW6(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("st"), col("en"), col("o_orderkey"))
+    val prevMaxEnd = max(col("en"))
+      .over(byCust.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("st"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 30).cast("int")).as("en"))
+      .withColumn("opens",
+        when(prevMaxEnd.isNull || col("st") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("opens")).over(byCust.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("o_custkey"), col("island"))
+      .agg(min(col("st")).as("s0"), max(col("en")).as("e0"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(datediff(col("e0"), col("s0")) + lit(1)).as("covered_days"))
+      .orderBy("o_custkey")
+  }
 }
