@@ -25,7 +25,9 @@ object BenchSlope {
     "q_x3_json_agg",
     // multimodal family: the typed decode path is otherwise invisible to
     // the audits (the round-6 q_mm1 drift hid here)
-    "q_mm1_asset_features", "q_mm4_decode_real", "q_mm6_video_frames")
+    "q_mm1_asset_features", "q_mm4_decode_real", "q_mm6_video_frames",
+    // round-7 expensive additions
+    "q_d10_block_pairs", "q_d11_edit_verified", "q_t9_tfidf")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

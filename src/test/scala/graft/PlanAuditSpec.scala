@@ -553,6 +553,56 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_mm1 may only range-partition its feature rows:\n${exchanges.mkString("\n")}")
   }
 
+  test("Q-D10 blocking join shuffles on the block key, never cartesian") {
+    val q = graft.operators.Dedup.qD10(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"block-key candidate join must be an equi-join:\n$plan")
+  }
+
+  test("Q-D11 edit verify is candidate-bounded: bare pairs broadcast, banded DP") {
+    val q = graft.operators.Dedup.qD11(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the candidate pairs broadcast into documents (qD4's forward-flow
+    // verify shape) — the corpus text is never the build side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate pairs must broadcast into documents:\n$plan")
+    // the threshold form of levenshtein (banded O(len*k) DP) is in the
+    // plan, not the O(len^2) full form
+    assert(plan.contains("levenshtein") && plan.contains("Some(30)"),
+      s"edit distance must run the threshold-banded form:\n$plan")
+  }
+
+  test("Q-T9 tf-idf: partial agg before the tf shuffle, window stays partitioned") {
+    val q = graft.operators.TextAnalysis.qT9(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial_")),
+      s"tf aggregation must map-side combine:\n${aggs.mkString("\n")}")
+    // the top-3 window partitions by doc_id — no single-partition window
+    // (an empty PARTITION BY would serialize the corpus through one task)
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(!_.contains("SinglePartition")),
+      s"per-doc ranking must not use a global window:\n${windows.mkString("\n")}")
+  }
+
+  test("Q-W6 interval merge reuses ONE exchange for both window passes") {
+    val q = graft.operators.Windows.qW6(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // both windows + the island aggregation hash-partition on o_custkey;
+    // allowed exchanges: one hashpartitioning(o_custkey) (+ the final
+    // deterministic-output range sort)
+    val hashEx = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 1,
+      s"window passes must share one customer exchange:\n${hashEx.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
