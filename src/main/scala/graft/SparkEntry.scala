@@ -53,6 +53,7 @@ object SparkEntry {
     "q_w4_ntile_rank"      -> (Windows.qW4 _),
     "q_w5_distribution"    -> (Windows.qW5 _),
     "q_w6_interval_merge"  -> (Windows.qW6 _),
+    "q_x7_event_paths"     -> (Windows.qX7 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
     // set ops
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_sim3_ivf_ann"       -> (Similarity.qSim3 _),
     "q_sim4_ivf_kmeans"    -> (Similarity.qSim4 _),
     "q_sim5_lang_centroids" -> (Similarity.qSim5 _),
+    "q_sim6_filtered_knn"  -> (Similarity.qSim6 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -133,6 +135,7 @@ object SparkEntry {
     "q_mm4_decode_real"     -> (Multimodal.qMm4 _),
     "q_mm5_audio_real"      -> (Multimodal.qMm5 _),
     "q_mm6_video_frames"    -> (Multimodal.qMm6 _),
+    "q_mm7_motion_energy"   -> (Multimodal.qMm7 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU4 _),
   )
@@ -310,6 +313,14 @@ object SparkEntry {
         "SELECT o_custkey, count(1) AS n_spans, " +
         "CAST(sum(date_diff('day', s0, e0) + 1) AS BIGINT) AS covered_days " +
         "FROM sp GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_x7_event_paths" -> (
+      "WITH s AS (SELECT user_id, event_type, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3 " +
+        "FROM events) " +
+        "SELECT event_type || '>' || e2 || '>' || e3 AS path, count(1) AS c " +
+        "FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL " +
+        "GROUP BY 1 ORDER BY c DESC, path LIMIT 20"),
     "q_t9_tfidf" -> (
       // integer-surrogate idf ((n*1000) // df): monotone in ln(n/df), so
       // identical ranking, and hash-exact where ln() is libm-dependent
@@ -465,6 +476,15 @@ object SparkEntry {
     "q_sim1_knn_brute" -> (
       "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        cosineSumSql +
+        ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
+        "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim6_filtered_knn" -> (
+      // same shape as q_sim1 with the metadata PRE-filter in the pair
+      // predicate: neighbors must share the query's label
+      "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND a.label = b.label), " +
         cosineSumSql +
         ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
@@ -678,6 +698,19 @@ object SparkEntry {
         "CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
         "CAST(sum((doc_id * 31 + f * 17 + x * 7 + y * 13) % 256) AS BIGINT) AS px_sum " +
         "FROM g GROUP BY doc_id, f ORDER BY asset_id, frame_idx"),
+    "q_mm7_motion_energy" -> (
+      // temporal motion energy through the real GIF decode Spark-side;
+      // the oracle replays |gifGray(f) - gifGray(f-1)| per pixel over
+      // consecutive frame pairs f = 1..3
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, f.i AS f, x.i AS x, y.i AS y FROM d, " +
+        "(SELECT unnest(generate_series(1, 3)) AS i) f, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y) " +
+        "SELECT doc_id AS asset_id, CAST(4 AS INT) AS n_frames, " +
+        "CAST(sum(abs((doc_id * 31 + f * 17 + x * 7 + y * 13) % 256 - " +
+        "(doc_id * 31 + (f - 1) * 17 + x * 7 + y * 13) % 256)) AS BIGINT) AS motion " +
+        "FROM g GROUP BY doc_id ORDER BY asset_id"),
     "q_u4_flatten" -> (
       "SELECT doc_id, path, value FROM (" +
         "SELECT doc_id, 'lang' AS path, lang AS value FROM documents " +

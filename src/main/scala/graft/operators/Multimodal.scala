@@ -492,4 +492,44 @@ object Multimodal {
   def qMm6(spark: SparkSession, dir: String): DataFrame =
     frameFeatures(gifAssets(spark, dir), GifFrameDecoder)
       .orderBy("asset_id", "frame_idx")
+
+  case class Motion(asset_id: Long, n_frames: Int, motion: Long)
+
+  /** Per-asset TEMPORAL feature over decoded frames: motion energy = the
+    * sum over consecutive frame pairs of per-pixel absolute differences —
+    * the canonical shot-change / static-clip signal a video curation
+    * pipeline computes right after decode. Per-PIXEL work across frames
+    * (not a per-frame scalar), so a frame-order or compositing defect in
+    * the decoder changes the value. Same batched mapPartitions shape as
+    * [[frameFeatures]]; whole clips reduce to one row executor-side. */
+  def frameMotion(assets: DataFrame, decoder: FrameDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decodeFrames(a.bytes).map { frames =>
+              var m = 0L
+              var f = 1
+              while (f < frames.length) {
+                val prev = frames(f - 1).samples
+                val cur = frames(f).samples
+                val n = math.min(prev.length, cur.length)
+                var k = 0
+                while (k < n) { m += math.abs(cur(k) - prev(k)); k += 1 }
+                f += 1
+              }
+              Motion(a.asset_id, frames.length, m)
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Q-MM7: REAL temporal decode feature — motion energy of the animated
+    * GIFs through [[GifFrameDecoder]]; the oracle replays the closed-form
+    * pixel math ([[gifGray]]) and sums |g(f) − g(f−1)| arithmetically. */
+  def qMm7(spark: SparkSession, dir: String): DataFrame =
+    frameMotion(gifAssets(spark, dir), GifFrameDecoder).orderBy("asset_id")
 }

@@ -499,4 +499,32 @@ object Similarity {
       .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
       .orderBy("q_id", "rank")
   }
+
+  /** Q-SIM6 — FILTERED vector search ("find similar items in MY
+    * category"), the metadata-predicate ANN pattern every production
+    * vector store needs: each query's neighbor set is restricted to
+    * corpus vectors sharing its `label` — a PRE-FILTER strategy, applied
+    * as a join predicate BEFORE the similarity kernel, so the filter
+    * prunes candidates instead of post-filtering a top-k that may then
+    * come back short (the classic filtered-ANN recall bug).
+    *
+    * Scale: same shape as [[qSim1]] — tiny query side broadcast, corpus
+    * streams once, the label equality rides the broadcast hash join's
+    * residual condition, per-query ranking in a partitioned window. At
+    * selective labels the IVF route composes the same way (filter the
+    * cell candidate set); this is the exact-baseline form. */
+  def qSim6(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.selectExpr("vec_id AS q_id", "embedding AS eq", "label AS ql")
+      .where(col("q_id") < 10)
+    val c = e.selectExpr("vec_id AS n_id", "embedding AS en", "label AS nl")
+    val w = Window.partitionBy("q_id").orderBy(desc("sim_raw"), col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id") && col("ql") === col("nl"))
+      .withColumn("sim_raw", expr("cosine_sim(eq, en)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
+      .orderBy("q_id", "rank")
+  }
 }

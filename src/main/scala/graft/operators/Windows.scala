@@ -129,4 +129,29 @@ object Windows {
         sum(datediff(col("e0"), col("s0")) + lit(1)).as("covered_days"))
       .orderBy("o_custkey")
   }
+
+  /** Q-X7 — SEQUENTIAL PATTERN MINING over the event stream: the top-20
+    * 3-step behavior paths (consecutive event-type trigrams per user in
+    * time order) by global frequency — the funnel-discovery companion to
+    * the fixed-funnel join (q_st7): that one counts a KNOWN sequence,
+    * this one finds which sequences dominate.
+    *
+    * Scale: the trigram construction is two `lead`s over the per-user
+    * window — ONE shuffle on user_id, both leads share the exchange and
+    * the frame; the path count is a map-combined hash agg on a
+    * low-cardinality key (|event_types|^3 ceiling); top-20 is
+    * TakeOrderedAndProject. Ordering ties break on event_id so the
+    * trigram stream — and therefore the counts — are total. */
+  def qX7(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("path"))
+      .limit(20)
+  }
 }
