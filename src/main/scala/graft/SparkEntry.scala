@@ -54,6 +54,7 @@ object SparkEntry {
     "q_w5_distribution"    -> (Windows.qW5 _),
     "q_w6_interval_merge"  -> (Windows.qW6 _),
     "q_x7_event_paths"     -> (Windows.qX7 _),
+    "q_w7_cumulative_users" -> (Windows.qW7 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
     // set ops
@@ -77,6 +78,7 @@ object SparkEntry {
     // bloom membership + count-min frequency, bound-checked like q_v3/q_v5
     "q_v6_bloom_member"    -> (Relational.qV6 _),
     "q_v7_cms_freq"        -> (Relational.qV7 _),
+    "q_v8_skew_profile"    -> (Relational.qV8 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
     "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
@@ -297,6 +299,13 @@ object SparkEntry {
       // CMS guarantee is one-sided: estimate >= exact, over-count <= eps*N
       "SELECT l_returnflag, count(1) AS exact, true AS within_bound " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_v8_skew_profile" -> (
+      // integer-exact skew factor (max/avg x1000 via DIV); p90 of the
+      // per-key counts uses the shared linear-interpolation quantile
+      "WITH k AS (SELECT l_suppkey, count(1) AS c FROM lineitem GROUP BY l_suppkey) " +
+        "SELECT count(1) AS n_keys, max(c) AS max_c, " +
+        "ROUND(quantile_cont(c, 0.9), 2) AS p90_c, " +
+        "CAST((max(c) * 1000 * count(1)) // sum(c) AS BIGINT) AS skew_x1000 FROM k"),
     "q_w6_interval_merge" -> (
       "WITH iv AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS st, " +
         "CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS en FROM orders), " +
@@ -313,6 +322,12 @@ object SparkEntry {
         "SELECT o_custkey, count(1) AS n_spans, " +
         "CAST(sum(date_diff('day', s0, e0) + 1) AS BIGINT) AS covered_days " +
         "FROM sp GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_w7_cumulative_users" -> (
+      "WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id), " +
+        "nd AS (SELECT day, count(1) AS n_new FROM fd GROUP BY day) " +
+        "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
+        "FROM nd ORDER BY day"),
     "q_x7_event_paths" -> (
       "WITH s AS (SELECT user_id, event_type, " +
         "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +

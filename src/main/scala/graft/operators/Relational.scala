@@ -214,6 +214,26 @@ object Relational {
     }.toDF("l_returnflag", "exact", "within_bound")
   }
 
+  /** Q-V8 — JOIN-KEY SKEW PROFILE: the pre-flight diagnostic for every
+    * shuffle join/agg in this inventory (q_j8 handles skew at execution
+    * time; this measures it beforehand): per-key row counts of the
+    * supplier key reduced to key cardinality, hottest-key mass, p90 key
+    * count, and an integer-exact skew factor (max/avg × 1000). At 100 TB
+    * this is ONE map-combined count per key plus a key-cardinality-sized
+    * reduce — the cheap question "will AQE need to split this key?"
+    * answered without running the join. Skew factor through integer DIV
+    * (HALF-free) so the row hash-matches the oracle. */
+  def qV8(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_c"),
+        sum(col("c")).as("total"),
+        expr("ROUND(percentile(c, 0.9), 2)").as("p90_c"))
+      .select(col("n_keys"), col("max_c"), col("p90_c"),
+        expr("(max_c * 1000 * n_keys) DIV total").as("skew_x1000"))
+
   /** Q-A7 — TPC-H Q3 shape: the canonical 3-table analytics query
     * (selective dim filter → fact join → fact join → grouped measure →
     * top-k), the "real BI query" the rest of the inventory composes into.

@@ -142,6 +142,24 @@ object Windows {
     * low-cardinality key (|event_types|^3 ceiling); top-20 is
     * TakeOrderedAndProject. Ordering ties break on event_id so the
     * trigram stream — and therefore the counts — are total. */
+  /** Q-W7 — CUMULATIVE DISTINCT USERS by day (the growth-curve /
+    * "new vs returning" metric): naive running COUNT(DISTINCT) over an
+    * expanding frame is O(days × users) state — the scale-correct
+    * formulation reduces each user to their FIRST day (one hash agg over
+    * the stream), buckets first-days into per-day new-user counts, and
+    * prefix-sums the day-level series. The only window runs over
+    * day-cardinality rows (thousands at any corpus size) — the unbounded
+    * frame is over the calendar, never the users. */
+  def qW7(s: SparkSession, d: String): DataFrame = {
+    val firstDay = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    firstDay.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(byDay))
+      .orderBy("day")
+  }
+
   def qX7(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
