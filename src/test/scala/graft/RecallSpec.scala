@@ -79,6 +79,20 @@ class RecallSpec extends AnyFunSuite {
       .foreach(r => assert(comp(r.getLong(0)) == comp(r.getLong(1))))
   }
 
+  test("star components keep self-pair-only nodes as singletons (path parity)") {
+    // a node appearing ONLY in an (a,a) pair must come back as a singleton
+    // from BOTH paths, or the maxDriverPairs threshold would change
+    // results (the round-6 advice finding): driver union-find keeps it
+    // naturally; the star rounds drop the self-edge and must union the
+    // node set back in
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (7L, 7L), (9L, 9L)).toDF("a_id", "b_id")
+    val star = Dedup.starComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 9L -> 9L),
+      s"self-pair-only nodes must be singletons: $star")
+  }
+
   test("star components converge in O(log n) rounds on a chain graph") {
     // a 64-node CHAIN is the adversarial shape for label propagation
     // (diameter 63 → 63 rounds); star rounds must fold it logarithmically
