@@ -90,6 +90,7 @@ object SparkEntry {
     "q_t7_normalize"       -> (TextAnalysis.qT7 _),
     "q_t8_chunk"           -> (TextAnalysis.qT8 _),
     "q_t9_tfidf"           -> (TextAnalysis.qT9 _),
+    "q_t10_quota_sample"   -> (TextAnalysis.qT10 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -106,6 +107,7 @@ object SparkEntry {
     // dup-graph structure diagnostics
     "q_g1_degree_hist"     -> (Dedup.qG1 _),
     "q_g2_triangles"       -> (Dedup.qG2 _),
+    "q_g3_component_sizes" -> (Dedup.qG3 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -138,6 +140,7 @@ object SparkEntry {
     "q_mm5_audio_real"      -> (Multimodal.qMm5 _),
     "q_mm6_video_frames"    -> (Multimodal.qMm6 _),
     "q_mm7_motion_energy"   -> (Multimodal.qMm7 _),
+    "q_mm8_audio_bands"     -> (Multimodal.qMm8 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU4 _),
   )
@@ -328,6 +331,24 @@ object SparkEntry {
         "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
         "FROM nd ORDER BY day"),
+    "q_t10_quota_sample" -> (
+      "WITH n AS (SELECT count(1) AS n_docs FROM documents), " +
+        "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "SELECT lang, doc_id FROM r CROSS JOIN n WHERE rn <= n_docs // 10 " +
+        "ORDER BY lang, doc_id"),
+    "q_mm8_audio_bands" -> (
+      // real WAV decode Spark-side; the oracle replays the closed-form
+      // sample function (Multimodal.wavSample) and squares exactly
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "k AS (SELECT doc_id, unnest(generate_series(0, 63)) AS k FROM d), " +
+        "sm AS (SELECT doc_id, k, ((doc_id * 37 + k * 11) % 2048 - 1024) AS s FROM k) " +
+        "SELECT doc_id AS asset_id, " +
+        "CAST(sum(CASE WHEN k < 16 THEN s * s ELSE 0 END) AS BIGINT) AS b0, " +
+        "CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN s * s ELSE 0 END) AS BIGINT) AS b1, " +
+        "CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN s * s ELSE 0 END) AS BIGINT) AS b2, " +
+        "CAST(sum(CASE WHEN k >= 48 THEN s * s ELSE 0 END) AS BIGINT) AS b3 " +
+        "FROM sm GROUP BY doc_id ORDER BY asset_id"),
     "q_x7_event_paths" -> (
       "WITH s AS (SELECT user_id, event_type, " +
         "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
@@ -475,16 +496,11 @@ object SparkEntry {
       " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
       "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY a_id, b_id"),
     "q_d8_lsh_neardup" -> oracleSqlD8,
-    "q_d9_dup_components" -> (
-      // connected components as a recursive CTE over the qD8 pair graph:
-      // min reachable id per node — an independent algorithm validating
-      // the distributed label propagation
-      "WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (" + oracleSqlD8 + ") t), " +
-        "edges AS (SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
-        "reach(id, lbl) AS (" +
-        "SELECT a_id AS id, a_id AS lbl FROM edges " +
-        "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id) " +
-        "SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id"),
+    "q_d9_dup_components" -> oracleSqlD9,
+    "q_g3_component_sizes" -> (
+      "SELECT csize, count(1) AS n_components FROM (" +
+        "SELECT component, count(1) AS csize FROM (" + oracleSqlD9 + ") c " +
+        "GROUP BY component) s GROUP BY csize ORDER BY csize"),
     "q_x2_cosine_topk" -> (cosinePairsSql("a.vec_id < b.vec_id AND a.vec_id <= 20") +
       " SELECT a_id, b_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim FROM s " +
       "ORDER BY sim DESC, a_id, b_id LIMIT 50"),
@@ -741,6 +757,17 @@ object SparkEntry {
     * is hash-exact. Shared: q_d9's recursive-CTE components run over this
     * pair set. */
   // lazy: references cosineSumSql, declared further down the object body
+  /** Connected components over the qD8 pair graph as a recursive CTE (min
+    * reachable id per node) — an independent algorithm validating the
+    * distributed star rounds; shared by q_d9 and the q_g3 histogram. */
+  private lazy val oracleSqlD9: String =
+    "WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (" + oracleSqlD8 + ") t), " +
+      "edges AS (SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+      "reach(id, lbl) AS (" +
+      "SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id) " +
+      "SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id"
+
   private lazy val oracleSqlD8: String =
     "WITH planes AS (SELECT p, i, CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sg " +
       "FROM (SELECT unnest(generate_series(0, 23)) AS p) pp, (SELECT unnest(generate_series(1, 64)) AS i) ii), " +

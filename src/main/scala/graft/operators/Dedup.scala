@@ -282,6 +282,17 @@ object Dedup {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Q-G3 — component SIZE histogram over the dup clusters ([[qD9]]):
+    * (cluster size, cluster count) rows — the distribution a dedup run
+    * reports ("mostly pairs, a few 30-doc boilerplate families"), and the
+    * number that decides keep-one-per-cluster savings. Two metadata-sized
+    * aggregations over the component map. */
+  def qG3(s: SparkSession, dir: String): DataFrame =
+    qD9(s, dir)
+      .groupBy("component").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .orderBy("csize")
+
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the
     * codegen'd [[graft.functions.CosineSimilarity]] expression, with a
     * DECLARED key bound (`a_id < 200`) like its siblings qD2/qX2.

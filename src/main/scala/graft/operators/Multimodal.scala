@@ -532,4 +532,40 @@ object Multimodal {
     * pixel math ([[gifGray]]) and sums |g(f) − g(f−1)| arithmetically. */
   def qMm7(spark: SparkSession, dir: String): DataFrame =
     frameMotion(gifAssets(spark, dir), GifFrameDecoder).orderBy("asset_id")
+
+  case class AudioBands(asset_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Q-MM8: audio FEATURE EXTRACTION through the real WAV decode — energy
+    * (sum of squared 16-bit samples, exact integer math) in 4 consecutive
+    * time bands of 16 samples each: the time-domain band-energy profile a
+    * speech/music curation gate thresholds on. Same batched mapPartitions
+    * shape as [[pixelFeatures]]; a clip reduces to one row executor-side.
+    * The oracle replays the closed-form sample function ([[wavSample]]) —
+    * PCM-in-WAV is lossless, so any decode defect (endianness, width,
+    * offset) breaks the integer hash match. */
+  def audioBands(assets: DataFrame, decoder: AssetDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decode(a.bytes).map { d =>
+              val e = new Array[Long](4)
+              var k = 0
+              val n = d.samples.length
+              while (k < n) {
+                val s = d.samples(k).toLong
+                e(math.min(k * 4 / math.max(n, 1), 3)) += s * s
+                k += 1
+              }
+              AudioBands(a.asset_id, e(0), e(1), e(2), e(3))
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  def qMm8(spark: SparkSession, dir: String): DataFrame =
+    audioBands(wavAssets(spark, dir), WavDecoder).orderBy("asset_id")
 }

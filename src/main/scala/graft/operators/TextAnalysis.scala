@@ -61,6 +61,25 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Q-T10 — TRAINING-MIX QUOTA SAMPLING: rebalance the corpus by capping
+    * every language at 10% of the corpus size (a data-derived quota, vs
+    * [[qT6]]'s fixed per-stratum count) with the deterministic md5-order
+    * pick within each language. The operation a mixture-tuning pipeline
+    * runs to stop a dominant language from swamping the training mix.
+    * Scale: one count (broadcast 1 row), one partitioned window in
+    * md5 order — no global sort; the quota comparison is integer DIV. */
+  def qT10(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(n))
+      .where(col("rn") <= expr("n_docs DIV 10"))
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Stopword lists for the n-gram/stopword language-ID heuristic —
     * canonical definition lives with the fused kernel
     * ([[graft.functions.LangHits.StopWords]]). */
