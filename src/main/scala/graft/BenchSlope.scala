@@ -27,7 +27,8 @@ object BenchSlope {
     // the audits (the round-6 q_mm1 drift hid here)
     "q_mm1_asset_features", "q_mm4_decode_real", "q_mm6_video_frames",
     // round-7 expensive additions
-    "q_d10_block_pairs", "q_d11_edit_verified", "q_t9_tfidf")
+    "q_d10_block_pairs", "q_d11_edit_verified", "q_t9_tfidf",
+    "q_g3_component_sizes")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */
