@@ -601,4 +601,47 @@ class CatalogSpec extends AnyFunSuite {
     assert(all.length > parts.length,
       "unfiltered scan must read more files than the point read")
   }
+
+  test("SQL catalog point read prunes on _key for a HIERARCHICAL pk container") {
+    // pk != /id: _id alone cannot determine the bucket (the merge key is
+    // id ++ pk values), but the full _key still must — same contract as
+    // readRawBucketsFor on a composite key
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlprune2")
+    spark.conf.set("spark.sql.catalog.graftq",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftq.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftq.db")
+    spark.sql("CREATE TABLE graftq.db.docs (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/owner/region', 'buckets'='16')")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val acc = FileAccount(root.toString)
+    val regions = Seq("emea", "apac", "amer", "anz")
+    val docs = (0 until 48)
+      .map(i => s"""{"id":"d$i","owner":{"region":"${regions(i % 4)}"},"v":$i}""")
+      .toDF("raw")
+    val keyed = graft.operators.RawMerge.srcKeyed(spark, docs, Seq("/owner/region"))
+      .select(col("raw"), col("__id"), col("__pk0"))
+    acc.upsertRaw(spark, "db", "docs", keyed, Seq("__id", "__pk0"), Seq("/owner/region"))
+
+    // merge key = id ++ pk value: d5 is in region "emea"? 5 % 4 = 1 → apac
+    val hit = spark.sql(
+      "SELECT raw FROM graftq.db.docs WHERE _key = 'd5apac'").collect()
+    assert(hit.length == 1 && hit(0).getString(0).contains("\"id\":\"d5\""))
+    val parts = spark.sql("SELECT raw FROM graftq.db.docs WHERE _key = 'd5apac'")
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.partitions.flatten).collect {
+        case s: graft.core.ContainerFileSlice => s.path
+      }
+    val bucketDirs = parts.flatMap("/b=(\\d+)/".r.findFirstMatchIn(_))
+      .map(_.group(1)).distinct
+    assert(bucketDirs.length == 1,
+      s"composite-key point read must touch one bucket dir, got $bucketDirs")
+    // _id alone must NOT prune here (bucket needs the pk value too) — but
+    // it must still FILTER correctly as a residual predicate
+    val byId = spark.sql(
+      "SELECT raw FROM graftq.db.docs WHERE _id = 'd5'").collect()
+    assert(byId.length == 1 && byId(0).getString(0).contains("\"id\":\"d5\""))
+  }
 }
