@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *    been contended even if the runs agree — re-run once more;
   *  - the per-query spread ([min, median, max] over all runs) is recorded
   *    in the artifact, so residual noise is VISIBLE instead of silently
-  *    laundered into a single number.
+  *    laundered into a single number;
+  *  - per-query failures are explicit: an erroring run never contributes a
+  *    measurement, a query with zero successful runs records -1, and the
+  *    artifact's "errors" map carries the first exception per query.
   * KNOWN BIAS: retries are one-sided (only slow/wide-spread measurements
   * re-run, and the min over ALL runs is kept), so a retried query's
   * recorded number can only move DOWN relative to strict best-of-3. The
@@ -75,38 +78,57 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: aggregate warmup failed: $e") }
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query must be VISIBLE in the artifact: swallowing the
+    // throwable would time the exception path and record a plausible-looking
+    // number. Each run returns (elapsed, error); a query none of whose runs
+    // succeeded records -1 (clearly not a measurement) and lands in the
+    // artifact's "errors" map.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(e.toString.replaceAll("\\s+", " ").take(200)) }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
 
     // Probe mode: `SPARK_GRAFT_BENCH_ONLY=q_a1,q_d4` times just those
     // queries — for bisecting a single query's drift without a full sweep.
+    // Exact names, or a prefix up to a '_' boundary (`q_d1` selects
+    // q_d1_exact_dedup, NOT q_d10/q_d11) — plain startsWith made
+    // single-query bisection silently time its longer-named siblings.
     // The committed artifact is always a full (unfiltered) run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.filter { case (k, _) => names.exists(k.startsWith) })
+      SparkEntry.queries.filter { case (k, _) =>
+        names.contains(k) || names.exists(n => k.startsWith(n + "_")) })
 
     val mins = scala.collection.mutable.ArrayBuffer.empty[Double]
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // stable name order so run-to-run comparisons line up
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var times = Vector.fill(3)(time(fn))
+      var runs = Vector.fill(3)(time(fn))
+      def ok = runs.collect { case (t, None) => t }
+      def best = if (ok.nonEmpty) ok.min else Double.MaxValue
       var extra = 0
-      // spread retry: the 3 runs disagree — contended window
-      while (extra < 2 && times.max > 3 * times.min) {
-        times :+= time(fn); extra += 1
+      // spread retry: the 3 runs disagree — contended window (error runs
+      // don't count as measurements, so they neither trigger nor veto it)
+      while (extra < 2 && ok.nonEmpty && ok.max > 3 * ok.min) {
+        runs :+= time(fn); extra += 1
       }
       // suite-median retry: runs agree but the whole query sat in one long
       // contended window (the r5 failure mode: min-of-2 recorded 15x)
-      if (mins.length >= 10 && times.min > 3 * median(mins.toSeq)) {
-        times :+= time(fn); extra += 1
+      if (mins.length >= 10 && ok.nonEmpty && best > 3 * median(mins.toSeq)) {
+        runs :+= time(fn); extra += 1
       }
       if (extra > 0) retried += name
-      mins += times.min
-      (name, times.min, times)
+      runs.flatMap(_._2).headOption.foreach(errors.getOrElseUpdate(name, _))
+      // every run failed → record -1, never the exception path's elapsed
+      val recorded = if (ok.nonEmpty) ok.min else -1.0
+      if (ok.nonEmpty) mins += recorded
+      (name, recorded, runs.map(_._1))
     }
     val qs = results.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
@@ -114,9 +136,12 @@ object Bench {
       s"\"$k\":[${fmt(ts.min)},${fmt(median(ts))},${fmt(ts.max)}]"
     }.mkString("{", ",", "}")
     val retr = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val errs = errors.map { case (k, e) =>
+      s"\"$k\":\"${e.replace("\\", "\\\\").replace("\"", "\\\"")}\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":$qs,"spread":$spread,"retried":$retr,"sf":"$sfDir"}"""
+      s""""queries":$qs,"spread":$spread,"retried":$retr,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // stdout capture can truncate on long runs — persist the full per-query
     // record machine-readably so no round loses data; a failed write must be

@@ -191,7 +191,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // by verifying the source is GONE and the destination holds our tree
     if (!store.rename(src, dst) || store.isDirectory(src))
       throw new IllegalStateException(s"rename $src -> $dst failed")
-    if (store.isDirectory(new HPath(dst, oc).toString))
+    // the nesting case moved the WHOLE container tree to dst/<oc> — detect
+    // it by the container's own internal markers there (`_meta.json`,
+    // `data/`), not bare directory existence: every container tree contains
+    // a `data` subdirectory, so a container literally NAMED "data" (or any
+    // name colliding with layout dirs) would otherwise always trip this
+    // check on its own successfully-renamed contents
+    val nested = new HPath(dst, oc)
+    if (store.exists(new HPath(nested, "_meta.json").toString) ||
+        store.isDirectory(new HPath(nested, "data").toString))
       throw new TableAlreadyExistsException(newIdent)
   }
 }
@@ -436,7 +444,24 @@ final class ContainerReaderFactory(fields: Array[String], pkPaths: Seq[String],
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = new HPath(partition.asInstanceOf[ContainerFileSlice].path)
-    val in = path.getFileSystem(conf.value).open(path)
+    // MISSING-FILE TOLERANCE: a concurrent upsert rewrites whole bucket
+    // dirs (deleting old part files), so a file can vanish between the
+    // driver's listing and this executor open — in the streaming case the
+    // end offset is already WAL-committed, so failing here would replay the
+    // same batch against the same deleted files forever. An empty reader is
+    // correct under the delivery contract: the rewritten bucket's surviving
+    // rows reappear in its NEW part files, which the next listing picks up
+    // (at-least-once per document version; batch reads inherit the same
+    // listing-consistency semantics as Spark's own file sources).
+    val in = try path.getFileSystem(conf.value).open(path)
+      catch { case _: java.io.FileNotFoundException =>
+        return new PartitionReader[InternalRow] {
+          override def next(): Boolean = false
+          override def get(): InternalRow =
+            throw new IllegalStateException("empty reader")
+          override def close(): Unit = ()
+        }
+      }
     val lines = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
     val paths = pkPaths.map(_.stripPrefix("/")).toArray

@@ -234,11 +234,17 @@ object Dedup {
   def qD11(s: SparkSession, dir: String): DataFrame = {
     val cand = qD6(s, dir).select("a_id", "b_id")
     val docs = Tables.documents(s, dir)
-    val ta = docs.join(broadcast(cand), col("doc_id") === col("a_id"))
+    // CHAINED text fetch, not two independent doc⋈cand joins: the candidate
+    // frame broadcasts into documents for side-a text, and that (still
+    // candidate-bounded) result broadcasts into documents again for side-b —
+    // so the qD6 candidate pipeline (simhash + band join) appears ONCE in
+    // the plan instead of once per reference, and documents is only ever
+    // the streamed side of a map-only broadcast join. Candidate generation
+    // is the dominant stage at scale; this halves it.
+    val withA = docs.join(broadcast(cand), col("doc_id") === col("a_id"))
       .selectExpr("a_id", "b_id", "text AS ta")
-    val tb = docs.join(broadcast(cand), col("doc_id") === col("b_id"))
-      .selectExpr("a_id AS a2", "b_id AS b2", "text AS tb")
-    ta.join(tb, col("a_id") === col("a2") && col("b_id") === col("b2"))
+    docs.join(broadcast(withA), col("doc_id") === col("b_id"))
+      .selectExpr("a_id", "b_id", "ta", "text AS tb")
       // two-stage verify, both exact: |len(a)−len(b)| lower-bounds the edit
       // distance (each length unit needs >= 1 edit), so the O(1) length
       // gate discards most candidates before the DP; the survivors run the

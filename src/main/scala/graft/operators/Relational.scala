@@ -171,11 +171,15 @@ object Relational {
     * .bloomFilter` — a partial+merge aggregate, one pass, fixed bits per
     * partition) and probed driver-side over a bounded deterministic key
     * set: 200 low customer keys (members iff they ordered) and 200 keys
-    * far outside the key space (never members). The checked contract is
-    * the sketch's ONE hard guarantee plus its tuned soft one: zero false
-    * negatives, and a false-positive rate within 5x the configured 3%
-    * (the estimate is engine-specific; the booleans are not). The two
-    * collects are bounded by the 400-key probe set. */
+    * PROVABLY outside the key space — derived as max(o_custkey)+1..+200
+    * rather than a fixed range, so the non-member guarantee holds at EVERY
+    * scale factor (a fixed 10M range becomes real customers at SF >= ~67,
+    * where "false positives" would be member hits and flip fp_ok against
+    * the oracle's pinned true). The checked contract is the sketch's ONE
+    * hard guarantee plus its tuned soft one: zero false negatives, and a
+    * false-positive rate within 5x the configured 3% (the estimate is
+    * engine-specific; the booleans are not). The three collects are
+    * bounded: one max row + the 400-key probe set. */
   def qV6(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val orders = Tables.orders(s, d)
@@ -183,7 +187,8 @@ object Relational {
     val memberKeys = orders.select(col("o_custkey"))
       .where(col("o_custkey") <= 200).distinct()
       .collect().map(_.getLong(0)).toSet
-    val probes = (1L to 200L) ++ (10000001L to 10000200L)
+    val maxKey = orders.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    val probes = (1L to 200L) ++ ((maxKey + 1L) to (maxKey + 200L))
     val says = probes.map(k => (memberKeys.contains(k), bf.mightContain(k)))
     val falseNeg = says.count { case (m, hit) => m && !hit }
     val nonMembers = says.count(!_._1)

@@ -574,6 +574,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // plan, not the O(len^2) full form
     assert(plan.contains("levenshtein") && plan.contains("Some(30)"),
       s"edit distance must run the threshold-banded form:\n$plan")
+    // the qD6 candidate pipeline must appear ONCE: the chained-broadcast
+    // shape computes candidates a single time, where the old two-sided
+    // join recomputed the whole simhash + band join per text fetch. One
+    // qD6 instance carries exactly 2 band generators (`stack(3, ...)` on
+    // its a/b sides); a duplicated pipeline shows 4.
+    val bandGenerators = "Generate stack\\(3".r.findAllIn(plan).length
+    assert(bandGenerators <= 2,
+      s"candidate generation duplicated ($bandGenerators band generators):\n$plan")
   }
 
   test("Q-T9 tf-idf: partial agg before the tf shuffle, window stays partitioned") {
