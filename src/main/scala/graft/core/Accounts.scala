@@ -107,6 +107,16 @@ case class FileAccount(root: String) {
   def errorsPath(db: String, container: String): String =
     p(db, container, "_errors")
 
+  /** Staging directory for one SQL/streaming write (inside the container,
+    * `_`-prefixed so scans and signature walks never see it). */
+  def stagingPath(db: String, container: String, writeId: String): String =
+    p(db, container, "_staging", writeId)
+
+  /** Drop the count sidecar (with the data it vouched for — truncate). */
+  def dropBucketCounts(db: String, container: String): Unit = {
+    store.delete(countsPath(db, container)); ()
+  }
+
   /** Total bytes under the container's data tree — driver-side file
     * metadata, used to pick full vs incremental merge mode. */
   def dataBytes(db: String, container: String): Long =

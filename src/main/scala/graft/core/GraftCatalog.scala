@@ -6,12 +6,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -59,9 +58,11 @@ import graft.functions.JsonDocs
   * predicate itself is still re-evaluated by Spark above the scan (a bucket
   * holds many keys), so pruning can only skip files, never change results.
   *
-  * WRITES stay on the merge engine: a plain SQL INSERT cannot maintain the
-  * bucket layout, count sidecars, and pk invariants, so `INSERT INTO` fails
-  * with guidance pointing at [[FileAccount.upsertRaw]] / the Orchestrator.
+  * WRITES route through the merge engine ([[ContainerWrite]]): `INSERT
+  * INTO` / `INSERT OVERWRITE` / `writeStream.toTable` are upserts by merge
+  * key — executors stage raw lines, the driver-side commit runs the A9–A12
+  * classify → bucket-upsert pipeline, so layout, sidecars, canonical-diff
+  * skip semantics, and the `_errors` channel hold for SQL writers too.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -219,7 +220,8 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
@@ -245,43 +247,17 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
     m
   }
 
-  // BATCH_WRITE is advertised ONLY so analysis reaches this builder and the
-  // user gets guidance instead of a generic capability error: a plain
-  // INSERT cannot maintain the bucket layout, count sidecars, and pk
-  // invariants, so SQL writes are refused by contract.
+  // SQL writes route through the merge engine ([[ContainerWrite]]): an
+  // INSERT is an upsert by merge key — staged by executors, committed
+  // driver-side through classify → FileAccount.upsertRaw, so the bucket
+  // layout, count sidecars, canonical-diff skip semantics, and the error
+  // channel are all maintained. INSERT OVERWRITE truncates first;
+  // `writeStream.toTable` commits per-epoch through the same path.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    throw new AnalysisException(
-      errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
-      messageParameters = Map(
-        "tableName" -> name(),
-        "operation" -> ("SQL writes: graft containers maintain a pk-hash " +
-          "bucket layout with count sidecars that a plain INSERT cannot " +
-          "preserve. Write through graft.core.FileAccount.upsertRaw or the " +
-          "graft.Orchestrator merge engine")))
+    new ContainerWriteBuilder(account, db, container, info)
 
-  /** Merge-key hash bucket of a key string — MUST match
-    * [[FileAccount.upsertRaw]]'s bucket column
-    * (`pmod(xxhash64(concat_ws("", keyCols)), buckets)`), evaluated
-    * driver-side on the literal the predicate carries. */
-  private def bucketOf(key: String): Long = {
-    val h = XxHash64(Seq(Literal(UTF8String.fromString(key), StringType)), 42L)
-      .eval(InternalRow.empty).asInstanceOf[Long]
-    ((h % props.buckets) + props.buckets) % props.buckets
-  }
-
-  /** Bucket ids a pushed filter constrains the scan to; None = no
-    * constraint from this filter. `_key` carries the full merge key; `_id`
-    * is usable alone only when the pk path IS /id (then key = id ++ id). */
-  private def filterBuckets(f: Filter): Option[Set[Long]] = f match {
-    case EqualTo("_key", k: String) => Some(Set(bucketOf(k)))
-    case In("_key", vs) =>
-      Some(vs.collect { case s: String => bucketOf(s) }.toSet)
-    case EqualTo("_id", id: String) if props.pkPaths == Seq("/id") =>
-      Some(Set(bucketOf(id + id)))
-    case In("_id", vs) if props.pkPaths == Seq("/id") =>
-      Some(vs.collect { case s: String => bucketOf(s + s) }.toSet)
-    case _ => None
-  }
+  private def filterBuckets(f: Filter): Option[Set[Long]] =
+    ContainerBuckets.filterBuckets(f, props.pkPaths, props.buckets)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
@@ -310,21 +286,9 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
         required = requiredSchema
 
       override def build(): Scan = {
-        // bucket pruning: keep a `b=<k>` file only if k is selected; files
-        // OUTSIDE the bucket layout (strays) can hold any key and are
-        // always read
-        val files = listDataFiles().filter { path =>
-          buckets match {
-            case None => true
-            case Some(bs) =>
-              "/b=(\\d+)/".r.findFirstMatchIn(path) match {
-                case Some(m) => bs.contains(m.group(1).toLong)
-                case None => true
-              }
-          }
-        }
+        val files = ContainerBuckets.prune(listDataFiles(), buckets)
         new ContainerScan(name(), files, () => listDataFiles(),
-          required, props.pkPaths,
+          required, props.pkPaths, props.buckets,
           new SerializableHadoopConf(Storage.sessionHadoopConf()))
       }
     }
@@ -348,11 +312,91 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
 
 final case class ContainerFileSlice(path: String) extends InputPartition
 
+/** Merge-key → bucket-directory mapping, shared by the ScanBuilder's STATIC
+  * pushdown (`WHERE _key = 'x'` literals, known at planning) and the scan's
+  * RUNTIME filter (join-driven key sets, known only after the build side
+  * executes). The hash MUST match [[FileAccount.upsertRaw]]'s bucket column
+  * (`pmod(xxhash64(concat_ws("", keyCols)), buckets)`) — both paths
+  * evaluate the same Catalyst `XxHash64` driver-side on the key strings. */
+private[core] object ContainerBuckets {
+
+  def bucketOf(key: String, buckets: Int): Long = {
+    val h = XxHash64(Seq(Literal(UTF8String.fromString(key), StringType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    ((h % buckets) + buckets) % buckets
+  }
+
+  /** Bucket ids a filter constrains the scan to; None = no constraint from
+    * this filter. `_key` carries the full merge key; `_id` is usable alone
+    * only when the pk path IS /id (then key = id ++ id). Values arrive as
+    * planner literals (String) or runtime-collected join keys — stringify
+    * either way. */
+  def filterBuckets(f: Filter, pkPaths: Seq[String],
+                    buckets: Int): Option[Set[Long]] = f match {
+    case EqualTo("_key", k) if k != null =>
+      Some(Set(bucketOf(k.toString, buckets)))
+    case In("_key", vs) =>
+      Some(vs.iterator.filter(_ != null)
+        .map(v => bucketOf(v.toString, buckets)).toSet)
+    case EqualTo("_id", id) if pkPaths == Seq("/id") && id != null =>
+      Some(Set(bucketOf(id.toString + id.toString, buckets)))
+    case In("_id", vs) if pkPaths == Seq("/id") =>
+      Some(vs.iterator.filter(_ != null)
+        .map(v => bucketOf(v.toString + v.toString, buckets)).toSet)
+    case _ => None
+  }
+
+  /** Keep a `b=<k>` file only if k is selected; files OUTSIDE the bucket
+    * layout (strays) can hold any key and are always read. */
+  def prune(files: Seq[String], buckets: Option[Set[Long]]): Seq[String] =
+    buckets match {
+      case None => files
+      case Some(bs) => files.filter { path =>
+        "/b=(\\d+)/".r.findFirstMatchIn(path) match {
+          case Some(m) => bs.contains(m.group(1).toLong)
+          case None => true
+        }
+      }
+    }
+}
+
 final class ContainerScan(table: String, files: Seq[String],
                           @transient lister: () => Seq[String],
                           schema: StructType, pkPaths: Seq[String],
-                          conf: SerializableHadoopConf)
-    extends Scan with Batch with Serializable {
+                          buckets: Int, conf: SerializableHadoopConf)
+    extends Scan with Batch with SupportsRuntimeFiltering with Serializable {
+
+  // RUNTIME (join-driven) bucket pruning — the point-read pushdown extended
+  // to the merge join itself: when this scan joins a small key set on
+  // `_key` (or `_id` for /id-pk containers), Spark's dynamic pruning hands
+  // the ACTUAL build-side keys here after the build side executes, and the
+  // scan narrows to the bucket dirs those keys hash to before any input
+  // partition is planned. A 100-key merge against a 100 TB container then
+  // touches ~100 buckets' files, not every file — without the caller ever
+  // leaving SQL. Driver-side state: Spark invokes filter() and re-plans on
+  // the driver; executors only ever see the final file slices.
+  private var activeFiles: Seq[String] = files
+
+  private[graft] def currentFiles: Seq[String] = activeFiles
+
+  // only attributes present in THIS scan's pruned output — Spark resolves
+  // the refs against the scan schema and fails hard on absent columns
+  override def filterAttributes(): Array[NamedReference] = {
+    val usable =
+      if (pkPaths == Seq("/id")) Seq("_key", "_id") else Seq("_key")
+    usable.filter(schema.fieldNames.contains)
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.flatMap(
+      ContainerBuckets.filterBuckets(_, pkPaths, buckets))
+    // conjunctive, like the static path; pruning only skips files (a
+    // bucket holds many keys), Spark re-evaluates the join above the scan
+    sets.reduceOption(_ intersect _).foreach { bs =>
+      activeFiles = ContainerBuckets.prune(activeFiles, Some(bs))
+    }
+  }
 
   override def readSchema(): StructType = schema
 
@@ -361,7 +405,7 @@ final class ContainerScan(table: String, files: Seq[String],
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(ContainerFileSlice(_): InputPartition).toArray
+    activeFiles.map(ContainerFileSlice(_): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ContainerReaderFactory(schema.fieldNames, pkPaths, conf)

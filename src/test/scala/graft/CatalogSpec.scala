@@ -511,7 +511,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(acc.listDatabases().isEmpty)
   }
 
-  test("SQL catalog guards: rename-onto-existing, bad column name, INSERT guidance") {
+  test("SQL catalog guards: rename-onto-existing, bad column name, filtered overwrite") {
     val root = Files.createTempDirectory(Paths.get("target"), "sqlguard")
     spark.conf.set("spark.sql.catalog.graftg",
       classOf[graft.core.GraftCatalog].getName)
@@ -539,13 +539,90 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(ddlErr.getMessage.contains("raw STRING"))
 
-    // INSERT fails with guidance at the merge engine, not a generic
-    // capability error (writes cannot maintain the bucket layout)
-    val insErr = intercept[Exception] {
-      spark.sql("INSERT INTO graftg.db.a VALUES ('{\"id\":\"x\"}')")
+    // only UNCONDITIONAL overwrite maps onto the engine (truncate+merge);
+    // a filtered overwrite would need per-row deletes the bucket layout
+    // does not express — refused at write-build time, not silently ignored
+    val ovErr = intercept[Exception] {
+      spark.table("graftg.db.b").writeTo("graftg.db.a")
+        .overwrite(col("raw") === "x")
     }
-    assert(insErr.getMessage.contains("upsertRaw"),
-      s"INSERT must point at FileAccount.upsertRaw, got: ${insErr.getMessage}")
+    assert(ovErr.getMessage.contains("unconditional"),
+      s"filtered overwrite must be refused, got: ${ovErr.getMessage}")
+  }
+
+  test("SQL INSERT routes through the bucket-upsert engine: sidecars, idempotence, overwrite") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlwrite")
+    spark.conf.set("spark.sql.catalog.graftw",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftw.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftw.db")
+    spark.sql("CREATE TABLE graftw.db.docs (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='8')")
+    val acc = FileAccount(root.toString)
+
+    // plain INSERT lands documents through the merge engine: real bucket
+    // layout (not a flat append) with the count sidecar maintained
+    val values = (0 until 32)
+      .map(i => s"""('{"id":"d$i","v":$i}')""").mkString(", ")
+    spark.sql(s"INSERT INTO graftw.db.docs VALUES $values")
+    assert(acc.bucketDirList("db", "docs").size > 1,
+      "INSERT must maintain the pk-hash bucket layout")
+    assert(acc.readBucketCounts("db", "docs").values.map(_._1).sum == 32,
+      "INSERT must maintain the _counts.json sidecar")
+    assert(spark.table("graftw.db.docs").count() == 32)
+    // the landed form is the merge engine's write form (pk-injected key
+    // readable through the point-read metadata column)
+    assert(spark.sql("SELECT raw FROM graftw.db.docs WHERE _id = 'd7'")
+      .count() == 1)
+
+    // IDEMPOTENT rerun: identical INSERT classifies every document as a
+    // skip — zero buckets rewritten, every data file byte-identical
+    val sigsBefore = acc.bucketSignatures("db", "docs")
+    spark.sql(s"INSERT INTO graftw.db.docs VALUES $values")
+    assert(spark.table("graftw.db.docs").count() == 32,
+      "re-INSERT of identical documents must not duplicate")
+    assert(acc.bucketSignatures("db", "docs") == sigsBefore,
+      "re-INSERT of unchanged documents must not rewrite any bucket")
+
+    // UPDATE branch: a changed document upserts in place, rewriting only
+    // the bucket its key hashes to
+    spark.sql("""INSERT INTO graftw.db.docs VALUES ('{"id":"d7","v":777}')""")
+    assert(spark.table("graftw.db.docs").count() == 32)
+    val d7 = spark.sql("SELECT raw FROM graftw.db.docs WHERE _id = 'd7'")
+      .collect()
+    assert(d7.length == 1 && d7(0).getString(0).contains("777"),
+      s"update must land, got: ${d7.toSeq}")
+    val sigsAfter = acc.bucketSignatures("db", "docs")
+    val changedBuckets = sigsAfter.keySet.filter(b =>
+      sigsBefore.get(b) != sigsAfter.get(b))
+    assert(changedBuckets.size == 1,
+      s"a single-document update must rewrite exactly one bucket, got $changedBuckets")
+
+    // error channel (A4/A13): an id-less document dead-letters to _errors
+    // instead of failing the INSERT or polluting the container
+    spark.sql("""INSERT INTO graftw.db.docs VALUES ('{"v":"no id"}')""")
+    assert(spark.table("graftw.db.docs").count() == 32,
+      "an invalid document must not land in the container")
+    val errDir = Paths.get(acc.errorsPath("db", "docs"))
+    assert(Files.exists(errDir) &&
+      Files.list(errDir).iterator().asScala.exists(p =>
+        !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".")),
+      "invalid documents must dead-letter to _errors")
+
+    // intra-batch duplicate keys collapse deterministically; INSERT
+    // OVERWRITE truncates first, so the final state is exactly the new set
+    spark.sql("""INSERT OVERWRITE graftw.db.docs VALUES
+      ('{"id":"z1","v":1}'), ('{"id":"z2","v":2}'), ('{"id":"z2","v":2}')""")
+    assert(spark.table("graftw.db.docs").count() == 2,
+      "INSERT OVERWRITE must replace the container contents")
+    assert(acc.readBucketCounts("db", "docs").values.map(_._1).sum == 2,
+      "the sidecar must follow the overwrite")
+    // no staging residue inside the container tree
+    assert(!Files.exists(Paths.get(acc.root, "db", "docs", "_staging")) ||
+      Files.list(Paths.get(acc.root, "db", "docs", "_staging"))
+        .iterator().asScala.isEmpty,
+      "staging directories must be cleaned up after commit")
   }
 
   test("SQL catalog point read: _id/_key equality prunes the scan to one bucket dir") {
@@ -600,6 +677,68 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(all.length > parts.length,
       "unfiltered scan must read more files than the point read")
+  }
+
+  test("runtime filtering: a join against a small key set prunes bucket dirs at execution") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlrf")
+    spark.conf.set("spark.sql.catalog.graftrf",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrf.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftrf.db")
+    spark.sql("CREATE TABLE graftrf.db.docs (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='8')")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val acc = FileAccount(root.toString)
+    val docs = (0 until 64).map(i => s"""{"id":"d$i","v":$i}""").toDF("raw")
+    val keyed = graft.operators.RawMerge.srcKeyed(spark, docs, Seq("/id"))
+      .select(col("raw"), col("__id"), col("__pk0"))
+    acc.upsertRaw(spark, "db", "docs", keyed, Seq("__id", "__pk0"), Seq("/id"))
+    val allFiles = acc.bucketDirList("db", "docs").size
+    assert(allFiles > 2, "layout must spread over multiple buckets")
+
+    // a key-set join on _key: the build side is only known at runtime —
+    // static pushdown can't prune this, SupportsRuntimeFiltering must.
+    // The dim carries a selective filter (DPP's has-benefit heuristic) and
+    // is parquet-backed: a LocalRelation would be constant-folded before
+    // the PartitionPruning rule ever looks for that filter.
+    val dimPath = Files.createTempDirectory(Paths.get("target"), "rfdim")
+      .resolve("dim").toString
+    Seq(("d7d7", "want"), ("d13d13", "want"), ("d0d0", "skip"))
+      .toDF("k", "grp").write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("rf_dim")
+    val q = spark.sql(
+      "SELECT c.raw FROM graftrf.db.docs c " +
+        "JOIN (SELECT k FROM rf_dim WHERE grp = 'want') d ON c._key = d.k")
+    val rows = q.collect()
+    assert(rows.length == 2 &&
+      rows.map(_.getString(0)).forall(r =>
+        r.contains("\"id\":\"d7\"") || r.contains("\"id\":\"d13\"")),
+      s"join must return exactly the matched docs, got ${rows.toSeq}")
+
+    // audit the scan object the executed plan holds: filter() ran on the
+    // driver and narrowed the planned files to the keys' bucket dirs.
+    // AQE query stages hide their subtrees from collect() — walk through
+    // AdaptiveSparkPlanExec.executedPlan and QueryStageExec.plan explicitly
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case other => other.children.flatMap(allScans)
+      }
+    val containerScans = allScans(q.queryExecution.executedPlan)
+      .map(_.scan).collect { case s: graft.core.ContainerScan => s }
+    assert(containerScans.nonEmpty, "expected the container's DSv2 scan")
+    val planned = containerScans.head.currentFiles
+    val bucketDirs = planned.flatMap("/b=(\\d+)/".r.findFirstMatchIn(_))
+      .map(_.group(1)).distinct
+    assert(bucketDirs.nonEmpty && bucketDirs.length <= 2,
+      s"runtime filter must prune to <= 2 key buckets of $allFiles, got $bucketDirs")
   }
 
   test("SQL catalog point read prunes on _key for a HIERARCHICAL pk container") {
