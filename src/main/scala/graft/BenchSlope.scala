@@ -28,7 +28,11 @@ object BenchSlope {
     "q_mm1_asset_features", "q_mm4_decode_real", "q_mm6_video_frames",
     // round-7 expensive additions
     "q_d10_block_pairs", "q_d11_edit_verified", "q_t9_tfidf",
-    "q_g3_component_sizes")
+    "q_g3_component_sizes",
+    // round-8: the remaining heavy round-7 queries (graph diagnostics,
+    // the simhash band join itself, interval merge, event paths)
+    "q_g1_degree_hist", "q_g2_triangles", "q_d6_simhash_pairs",
+    "q_w6_interval_merge", "q_x7_event_paths")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

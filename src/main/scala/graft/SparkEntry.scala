@@ -91,6 +91,8 @@ object SparkEntry {
     "q_t8_chunk"           -> (TextAnalysis.qT8 _),
     "q_t9_tfidf"           -> (TextAnalysis.qT9 _),
     "q_t10_quota_sample"   -> (TextAnalysis.qT10 _),
+    "q_t11_decontaminate"  -> (TextAnalysis.qT11 _),
+    "q_t12_repetition"     -> (TextAnalysis.qT12 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -337,6 +339,28 @@ object SparkEntry {
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
         "SELECT lang, doc_id FROM r CROSS JOIN n WHERE rn <= n_docs // 10 " +
         "ORDER BY lang, doc_id"),
+    "q_t11_decontaminate" -> (
+      // 8-token grams; eval set = doc_id < 20 (declared bound standing in
+      // for the benchmark corpus). DuckDB range(a,b) is end-exclusive and
+      // list slices are 1-based inclusive — i..i+7 is an 8-gram
+      "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+        "FROM tok WHERE len(w) >= 8), " +
+        "g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM ix), " +
+        "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20), " +
+        "co AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20) " +
+        "SELECT co.doc_id, count(DISTINCT co.gram) AS n_shared " +
+        "FROM co JOIN ev USING (gram) GROUP BY co.doc_id ORDER BY co.doc_id"),
+    "q_t12_repetition" -> (
+      // top-token mass x10000 via integer DIV (HALF-free); tiebreak:
+      // count desc, token asc — the same order min(struct(-c, t)) picks
+      "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
+        "c AS (SELECT doc_id, t, count(1) AS c FROM tok WHERE t <> '' GROUP BY doc_id, t), " +
+        "r AS (SELECT doc_id, t, c, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY c DESC, t) AS rn, sum(c) OVER (PARTITION BY doc_id) AS tot FROM c) " +
+        "SELECT doc_id, t AS top_term, c AS top_c, " +
+        "CAST((c * 10000) // tot AS BIGINT) AS rep_x10000 " +
+        "FROM r WHERE rn = 1 ORDER BY doc_id"),
     "q_mm8_audio_bands" -> (
       // real WAV decode Spark-side; the oracle replays the closed-form
       // sample function (Multimodal.wavSample) and squares exactly

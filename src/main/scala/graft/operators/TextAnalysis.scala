@@ -80,6 +80,66 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** Token 8-grams of each document, one row per gram — the shared kernel
+    * of the decontamination check. HOF form (`transform` over `sequence`):
+    * the gram strings are built inside the row, the only explode is the
+    * final one-column gram stream. Documents under 8 tokens contribute
+    * nothing (`sequence(1, n)` with n < 1 would generate DESCENDING —
+    * guard, don't rely on it). */
+  private def tokenGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 8,
+          expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+
+  /** Q-T11 — BENCHMARK DECONTAMINATION: find corpus documents that share a
+    * verbatim 8-token gram with a held-out evaluation set (here: docs with
+    * `doc_id < 20`, a declared bound standing in for the benchmark corpus).
+    * The canonical pre-training hygiene pass — an eval answer leaked into
+    * the training set inflates downstream scores, so contaminated docs are
+    * flagged (and then dropped or split-corrected) BEFORE training. Exact
+    * n-gram overlap is the industry-standard first pass (GPT-3 used 13-gram
+    * dedup against its evals; 8 here keeps the sf0.01 fixture non-trivial).
+    *
+    * Scale: the eval side is benchmarks — thousands of docs, not the
+    * corpus — so its distinct gram set BROADCASTS; the corpus side streams
+    * map-only through the hash join (one explode, no corpus shuffle except
+    * the per-doc count). Work is corpus-linear, never corpus × eval. */
+  def qT11(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalGrams = tokenGrams(docs.where(col("doc_id") < 20))
+      .select("gram").distinct()
+    tokenGrams(docs.where(col("doc_id") >= 20))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count_distinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Q-T12 — REPETITION SCORE: per-document top-token mass (most frequent
+    * token's count over total tokens, integer ×10000) — the Gopher-style
+    * repetition signal that catches keyword-stuffed / boilerplate / broken
+    * documents that pass [[qT2]]'s shape checks (length and punctuation
+    * look fine; the text is "buy buy buy ..."). Deterministic tiebreak:
+    * highest count, then lexicographically first token.
+    *
+    * Scale: qX4's explode-shuffle shape (map-side partial agg on
+    * (doc_id, token)), then ONE doc-keyed aggregation computing total and
+    * top term together — `min(struct(-c, t))` picks the winner without a
+    * second window pass over the token counts. Integer DIV for the ratio
+    * (HALF-free, hash-exact cross-engine). */
+  def qT12(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("tot"),
+        min(struct((-col("c")).as("nc"), col("t"))).as("m"))
+      .select(col("doc_id"), col("m.t").as("top_term"),
+        (-col("m.nc")).as("top_c"),
+        expr("((-m.nc) * 10000) DIV tot").as("rep_x10000"))
+      .orderBy("doc_id")
+
   /** Stopword lists for the n-gram/stopword language-ID heuristic —
     * canonical definition lives with the fused kernel
     * ([[graft.functions.LangHits.StopWords]]). */

@@ -584,6 +584,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"candidate generation duplicated ($bandGenerators band generators):\n$plan")
   }
 
+  test("Q-T11 decontamination: eval grams broadcast, corpus streams map-only") {
+    val q = graft.operators.TextAnalysis.qT11(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the eval-set gram join must be a broadcast hash join (corpus streams
+    // through it map-only) — never a shuffle of the corpus gram stream on
+    // the gram string, and never any nested-loop/cartesian shape
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination join must be an equi-join:\n$plan")
+    // gram-keyed exchanges: exactly ONE (the EVAL side's distinct —
+    // eval-set-sized, feeding the broadcast). The corpus gram stream must
+    // reach the join exchange-free; its only shuffles are post-join
+    // match-sized doc_id aggregations. A second bare-gram exchange would
+    // mean the corpus-sized gram stream went through the wire.
+    val gramOnly = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("gram") && !l.contains("doc_id")).toSeq
+    assert(gramOnly.size <= 1,
+      s"corpus grams must not shuffle on the gram string:\n${gramOnly.mkString("\n")}")
+  }
+
+  test("Q-T12 repetition: token counts map-side combine, one doc-keyed agg") {
+    val q = graft.operators.TextAnalysis.qT12(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial_")),
+      s"token counting must map-side combine:\n${aggs.mkString("\n")}")
+    // no window operator: total and top term come from the same doc-keyed
+    // aggregation (min(struct(-c, t))), not a second pass
+    assert(!plan.contains("Window"),
+      s"top-term pick must not need a window pass:\n$plan")
+  }
+
   test("Q-T9 tf-idf: partial agg before the tf shuffle, window stays partitioned") {
     val q = graft.operators.TextAnalysis.qT9(spark, sf)
     q.collect()
