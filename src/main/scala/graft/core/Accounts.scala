@@ -117,6 +117,93 @@ case class FileAccount(root: String) {
     store.delete(countsPath(db, container)); ()
   }
 
+  /** Truncate: drop the container's data tree and its count sidecar (the
+    * metadata `_meta.json` survives — the container still exists, empty). */
+  def truncateData(db: String, container: String): Unit = {
+    store.deleteRecursive(dataPath(db, container))
+    dropBucketCounts(db, container)
+  }
+
+  /** Bucket-pruned DELETE by full merge key (id ++ pk values — the exact
+    * string [[upsertRaw]] buckets by): rewrites ONLY the buckets that
+    * actually contain a matching key, the delete analogue of the
+    * incremental upsert. Buckets a key hashes to but does not match in are
+    * left byte-for-byte untouched (deleting an absent key is a no-op, not
+    * a rewrite). Stray files are scanned (they can hold any key) and, when
+    * a rewrite happens, absorbed into the layout like the upsert does.
+    * `keys` is driver-bounded (it arrives from SQL IN-lists / equality
+    * literals). Returns the number of deleted documents. */
+  def deleteByMergeKeys(spark: SparkSession, db: String, container: String,
+                        keys: Seq[String]): Long = {
+    GraftFunctions.register(spark)
+    if (keys.isEmpty || !hasData(db, container)) return 0L
+    val props = containerProperties(db, container)
+    val pkPaths = props.pkPaths
+    val keyCols = "__id" +: pkPaths.indices.map(i => s"__pk$i")
+    val nb = props.buckets
+    val keySet = keys.toSet
+    val keyBuckets: Set[Long] =
+      keySet.map(k => ContainerBuckets.bucketOf(k, nb))
+    val strays = strayFiles(db, container)
+
+    def keyed(paths: Seq[String]): DataFrame =
+      keyedRows(spark.read.option("recursiveFileLookup", "true")
+          .text(paths: _*).select(col("value").as("raw")),
+        pkPaths, keyCols, nb)
+        .withColumn("__k", concat_ws("", keyCols.map(col): _*))
+
+    val candidateDirs = keyBuckets.toSeq.sorted
+      .map(bucketDir(db, container, _)).filter(store.isDirectory(_))
+    if (candidateDirs.isEmpty && strays.isEmpty) return 0L
+    val cand = keyed(candidateDirs ++ strays)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val isMatch = col("__k").isInCollection(keySet)
+      // buckets that actually lose a row (bounded collect, <= nb)
+      val matchedBuckets: Set[Long] = cand.filter(isMatch)
+        .select("__b").distinct().collect().map(_.getLong(0)).toSet
+      if (matchedBuckets.isEmpty) return 0L
+      // rewrite set: matched buckets + (when rewriting anyway) the buckets
+      // stray rows hash to, so strays are absorbed exactly like upsertRaw
+      val strayBuckets: Set[Long] =
+        if (strays.isEmpty) Set.empty
+        else keyed(strays).select("__b").distinct()
+          .collect().map(_.getLong(0)).toSet
+      val rewrite = matchedBuckets ++ strayBuckets
+      val extraDirs = (rewrite -- keyBuckets).toSeq.sorted
+        .map(bucketDir(db, container, _)).filter(store.isDirectory(_))
+      val all =
+        if (extraDirs.isEmpty) cand
+        else cand.unionAll(keyed(extraDirs))
+      val scoped = all.filter(col("__b").isInCollection(rewrite))
+      val survivors = scoped.filter(!isMatch)
+      val deleted = scoped.filter(isMatch).count()
+      // same commit mechanics as upsertRaw: truncate lineage before the
+      // dynamic overwrite swaps the very files the plan reads
+      val out = survivors.select(col("raw"), col("__b").as("b")).localCheckpoint()
+      val outCounts: Map[Long, Long] = out.groupBy("b").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (outCounts.nonEmpty)
+        out.write.partitionBy("b")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .text(dataDir(db, container))
+      // dynamic overwrite only touches partitions PRESENT in the output —
+      // a bucket whose every row was deleted must be removed explicitly
+      rewrite.filter(outCounts.getOrElse(_, 0L) == 0L)
+        .foreach(b => store.deleteRecursive(bucketDir(db, container, b)))
+      strays.foreach(store.delete(_))
+      val prior = readBucketCounts(db, container)
+      writeBucketCounts(db, container,
+        (prior -- rewrite) ++ rewrite.toSeq.sorted.flatMap { b =>
+          val n = outCounts.getOrElse(b, 0L)
+          if (n == 0L) None
+          else Some(b -> (n, dirSignature(bucketDir(db, container, b))))
+        })
+      deleted
+    } finally { cand.unpersist(); () }
+  }
+
   /** Total bytes under the container's data tree — driver-side file
     * metadata, used to pick full vs incremental merge mode. */
   def dataBytes(db: String, container: String): Long =

@@ -159,7 +159,7 @@ final class ContainerWrite(account: FileAccount, db: String, container: String,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val spark = SparkSession.active
       try {
-        if (truncateFirst) truncateData(account, db, container)
+        if (truncateFirst) account.truncateData(db, container)
         val files = messages.collect {
           case StagedFileMessage(p) if p != null => p }
         if (files.nonEmpty)
@@ -211,11 +211,6 @@ final class ContainerWrite(account: FileAccount, db: String, container: String,
     }
   }
 
-  private def truncateData(account: FileAccount, db: String,
-                           container: String): Unit = {
-    Storage.hadoop.deleteRecursive(account.dataPath(db, container))
-    account.dropBucketCounts(db, container)
-  }
 }
 
 /** Executor-side staging writer: raw lines to one text file, created on the

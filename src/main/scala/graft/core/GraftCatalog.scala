@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -211,7 +211,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * hidden `_id`/`_key` metadata columns prune to bucket directories. */
 final class ContainerTable(account: FileAccount, db: String, container: String,
                            props: ContainerProps)
-    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns with SupportsDelete {
 
   override def name(): String = s"$db.$container"
 
@@ -259,6 +260,45 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
   private def filterBuckets(f: Filter): Option[Set[Long]] =
     ContainerBuckets.filterBuckets(f, props.pkPaths, props.buckets)
 
+  // ---- SQL DELETE (the third verb on the merge engine) ----
+
+  /** Merge keys a filter pins; None = not key-expressible. Mirrors
+    * [[ContainerBuckets.filterBuckets]]'s `_key`/`_id` contract. */
+  private def filterKeys(f: Filter): Option[Set[String]] = f match {
+    case EqualTo("_key", k) if k != null => Some(Set(k.toString))
+    case In("_key", vs) =>
+      Some(vs.iterator.filter(_ != null).map(_.toString).toSet)
+    case EqualTo("_id", id) if props.pkPaths == Seq("/id") && id != null =>
+      Some(Set(id.toString + id.toString))
+    case In("_id", vs) if props.pkPaths == Seq("/id") =>
+      Some(vs.iterator.filter(_ != null)
+        .map(v => v.toString + v.toString).toSet)
+    case _ => None
+  }
+
+  // DELETE maps onto the engine when every conjunct either pins merge keys
+  // (equality/IN on _key, or _id for /id-pk containers — a bucket-pruned
+  // key delete) or is the unconditional TRUE (truncate). Anything else —
+  // predicates on raw, ranges — would need a row-level scan-and-rewrite
+  // the layout does not express as a metadata-only delete; Spark reports
+  // those as unsupported instead of silently scanning.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => f.isInstanceOf[AlwaysTrue] || filterKeys(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val keySets = filters.filterNot(_.isInstanceOf[AlwaysTrue]).map(filterKeys)
+    require(keySets.forall(_.isDefined),
+      s"unsupported DELETE predicate: ${filters.mkString(", ")}")
+    if (keySets.isEmpty) account.truncateData(db, container) // DELETE FROM t
+    else {
+      // conjunctive: a row is deleted iff it matches EVERY filter
+      val keys = keySets.flatten.reduce(_ intersect _)
+      account.deleteByMergeKeys(
+        org.apache.spark.sql.SparkSession.active, db, container, keys.toSeq)
+      ()
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns {
@@ -286,19 +326,27 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
         required = requiredSchema
 
       override def build(): Scan = {
-        val files = ContainerBuckets.prune(listDataFiles(), buckets)
+        val meta = listDataFilesMeta()
+        val files = ContainerBuckets.prune(meta.map(_._1), buckets)
+        // sidecar counts feed the scan's statistics report — metadata-only
+        // reads, so Catalyst prices a container join on REAL numbers
+        // (without a report, a DSv2 relation defaults to "infinite" and a
+        // small container dim is never broadcast)
+        val rowsByBucket = account.readBucketCounts(db, container)
+          .map { case (b, (n, _)) => b -> n }
         new ContainerScan(name(), files, () => listDataFiles(),
-          required, props.pkPaths, props.buckets,
+          required, props.pkPaths, props.buckets, meta.toMap, rowsByBucket,
           new SerializableHadoopConf(Storage.sessionHadoopConf()))
       }
     }
 
-  /** Driver-side listing of the container's data files through the Storage
-    * boundary; the executor side gets (file path, serialized Hadoop conf)
-    * and nothing else. Same hidden-file convention as Spark's own readers:
-    * local-FS `.crc` sidecars and `_`-prefixed markers are not data. */
-  private def listDataFiles(): Seq[String] =
-    if (!account.hasData(db, container)) Seq.empty[String]
+  /** Driver-side listing of the container's data files (path, byte size)
+    * through the Storage boundary; the executor side gets (file path,
+    * serialized Hadoop conf) and nothing else. Same hidden-file convention
+    * as Spark's own readers: local-FS `.crc` sidecars and `_`-prefixed
+    * markers are not data. */
+  private def listDataFilesMeta(): Seq[(String, Long)] =
+    if (!account.hasData(db, container)) Seq.empty
     else {
       val dataDir = account.dataPath(db, container)
       Storage.hadoop.walk(dataDir)
@@ -306,8 +354,10 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
           val base = f.relPath.substring(f.relPath.lastIndexOf('/') + 1)
           !base.startsWith(".") && !base.startsWith("_")
         }
-        .map(f => new HPath(dataDir, f.relPath).toString)
+        .map(f => (new HPath(dataDir, f.relPath).toString, f.size))
     }
+
+  private def listDataFiles(): Seq[String] = listDataFilesMeta().map(_._1)
 }
 
 final case class ContainerFileSlice(path: String) extends InputPartition
@@ -363,8 +413,11 @@ private[core] object ContainerBuckets {
 final class ContainerScan(table: String, files: Seq[String],
                           @transient lister: () => Seq[String],
                           schema: StructType, pkPaths: Seq[String],
-                          buckets: Int, conf: SerializableHadoopConf)
-    extends Scan with Batch with SupportsRuntimeFiltering with Serializable {
+                          buckets: Int, sizes: Map[String, Long],
+                          rowsByBucket: Map[Long, Long],
+                          conf: SerializableHadoopConf)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics with Serializable {
 
   // RUNTIME (join-driven) bucket pruning — the point-read pushdown extended
   // to the merge join itself: when this scan joins a small key set on
@@ -403,6 +456,33 @@ final class ContainerScan(table: String, files: Seq[String],
   override def description(): String = s"graft container $table (${files.size} files)"
 
   override def toBatch: Batch = this
+
+  /** Statistics from DRIVER METADATA only: byte size from the file listing
+    * (post static AND runtime pruning — a point read reports one bucket's
+    * bytes, not the container's), row count from the `_counts.json`
+    * sidecar when the selected files are exactly whole vouched buckets.
+    * Without this report a DSv2 relation defaults to an effectively
+    * infinite size and a megabyte-sized container dim would never be
+    * broadcast — at 100 TB the difference between a map-only dim join and
+    * a full fact shuffle. Estimates only: Spark re-verifies nothing here,
+    * and AQE corrects at runtime off actual sizes. */
+  override def estimateStatistics(): Statistics = {
+    val fs = activeFiles
+    val bytes = fs.flatMap(sizes.get).sum
+    val bucketRe = "/b=(\\d+)/".r
+    val selBuckets = fs.flatMap(bucketRe.findFirstMatchIn(_))
+      .map(_.group(1).toLong).toSet
+    val straySelected = fs.exists(bucketRe.findFirstMatchIn(_).isEmpty)
+    val rowsKnown = !straySelected && selBuckets.forall(rowsByBucket.contains)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        if (rowsKnown)
+          java.util.OptionalLong.of(selBuckets.toSeq.map(rowsByBucket).sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     activeFiles.map(ContainerFileSlice(_): InputPartition).toArray

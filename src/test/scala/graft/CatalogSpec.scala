@@ -679,6 +679,105 @@ class CatalogSpec extends AnyFunSuite {
       "unfiltered scan must read more files than the point read")
   }
 
+  test("SQL DELETE: bucket-pruned key delete, no-op on absent keys, TRUNCATE, unsupported predicates refused") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqldel")
+    spark.conf.set("spark.sql.catalog.graftd",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftd.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftd.db")
+    spark.sql("CREATE TABLE graftd.db.docs (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='8')")
+    val acc = FileAccount(root.toString)
+    val values = (0 until 48)
+      .map(i => s"""('{"id":"d$i","v":$i}')""").mkString(", ")
+    spark.sql(s"INSERT INTO graftd.db.docs VALUES $values")
+    assert(spark.table("graftd.db.docs").count() == 48)
+
+    // keyed DELETE rewrites ONLY the bucket holding the key
+    val sigs0 = acc.bucketSignatures("db", "docs")
+    spark.sql("DELETE FROM graftd.db.docs WHERE _key = 'd7d7'")
+    assert(spark.table("graftd.db.docs").count() == 47)
+    assert(spark.sql("SELECT * FROM graftd.db.docs WHERE _id = 'd7'").count() == 0)
+    val sigs1 = acc.bucketSignatures("db", "docs")
+    assert(sigs1.keySet.count(b => sigs0.get(b) != sigs1.get(b)) == 1,
+      "a one-key DELETE must rewrite exactly one bucket")
+    // sidecar follows the delete
+    assert(acc.readBucketCounts("db", "docs").values.map(_._1).sum == 47)
+
+    // _id IN (...) works for /id-pk containers
+    spark.sql("DELETE FROM graftd.db.docs WHERE _id IN ('d1', 'd2')")
+    assert(spark.table("graftd.db.docs").count() == 45)
+
+    // deleting an ABSENT key is a byte-for-byte no-op, not a bucket rewrite
+    val sigs2 = acc.bucketSignatures("db", "docs")
+    spark.sql("DELETE FROM graftd.db.docs WHERE _key = 'nope-nope'")
+    assert(acc.bucketSignatures("db", "docs") == sigs2,
+      "deleting an absent key must not rewrite anything")
+
+    // a predicate the layout can't express as a metadata delete is refused
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM graftd.db.docs WHERE raw LIKE '%d3%'")
+    }
+    assert(err.getMessage.toLowerCase.matches("(?s).*(cannot delete|unsupported).*"),
+      s"non-key DELETE must be refused, got: ${err.getMessage}")
+    assert(spark.table("graftd.db.docs").count() == 45)
+
+    // unconditional DELETE == truncate; container survives empty
+    spark.sql("DELETE FROM graftd.db.docs")
+    assert(spark.table("graftd.db.docs").count() == 0)
+    assert(acc.listContainers("db") == Seq("docs"))
+
+    // TRUNCATE TABLE drives the same path
+    spark.sql(s"INSERT INTO graftd.db.docs VALUES ('{\"id\":\"x\",\"v\":1}')")
+    assert(spark.table("graftd.db.docs").count() == 1)
+    spark.sql("TRUNCATE TABLE graftd.db.docs")
+    assert(spark.table("graftd.db.docs").count() == 0)
+  }
+
+  test("scan statistics: sidecar-driven size/rows, point read shrinks them, small containers broadcast") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlstats")
+    spark.conf.set("spark.sql.catalog.grafts",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grafts.root", root.toString)
+    spark.sql("CREATE NAMESPACE grafts.db")
+    spark.sql("CREATE TABLE grafts.db.dim (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='4')")
+    val values = (0 until 32)
+      .map(i => s"""('{"id":"k$i","v":$i}')""").mkString(", ")
+    spark.sql(s"INSERT INTO grafts.db.dim VALUES $values")
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): graft.core.ContainerScan = {
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }.collect { case s: graft.core.ContainerScan => s }
+      assert(scans.nonEmpty, "expected a container scan in the optimized plan")
+      scans.head
+    }
+    // full scan: bytes = sum of data files, rows = sidecar sum (vouched)
+    val full = scanOf(spark.table("grafts.db.dim"))
+    val st = full.estimateStatistics()
+    assert(st.numRows().getAsLong == 32,
+      s"sidecar row count must feed numRows, got ${st.numRows()}")
+    assert(st.sizeInBytes().getAsLong > 0)
+    // a point read reports ONE bucket's bytes, not the container's
+    val point = scanOf(spark.sql(
+      "SELECT raw FROM grafts.db.dim WHERE _key = 'k3k3'"))
+    assert(point.estimateStatistics().sizeInBytes().getAsLong <
+      st.sizeInBytes().getAsLong,
+      "static pruning must shrink the stats report")
+
+    // the payoff: a kb-sized container joined against a fact is BROADCAST
+    // (without the report, DSv2 relations default to never-broadcast)
+    import spark.implicits._
+    val fact = (0 until 2000).map(i => s"k${i % 32}").toDF("fk")
+    val joined = fact.join(spark.table("grafts.db.dim"),
+      expr("fk = _id"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a small container dim must broadcast:\n$plan")
+  }
+
   test("runtime filtering: a join against a small key set prunes bucket dirs at execution") {
     val root = Files.createTempDirectory(Paths.get("target"), "sqlrf")
     spark.conf.set("spark.sql.catalog.graftrf",
