@@ -407,8 +407,50 @@ case class FileAccount(root: String) {
   /** Merge-key hash bucket — the sink's layout column. Stable across runs
     * (xxhash64 of the ''-joined key columns), so a replaced document
     * and its replacement always land in the same bucket. */
-  private def bucketCol(keyCols: Seq[String], buckets: Int) =
+  private[core] def bucketCol(keyCols: Seq[String], buckets: Int) =
     pmod(xxhash64(concat_ws("", keyCols.map(col): _*)), lit(buckets.toLong))
+
+  /** Data file listing (path, byte size) — driver metadata through the
+    * Storage boundary, hidden/`_`-prefixed files excluded (the same
+    * convention Spark's own readers use). */
+  private[core] def dataFilesMeta(db: String, container: String): Seq[(String, Long)] =
+    if (!hasData(db, container)) Seq.empty
+    else {
+      val dir = dataDir(db, container)
+      store.walk(dir)
+        .filter { f =>
+          val base = f.relPath.substring(f.relPath.lastIndexOf('/') + 1)
+          !base.startsWith(".") && !base.startsWith("_")
+        }
+        .map(f => (new HPath(dir, f.relPath).toString, f.size))
+    }
+
+  /** Remove the groups a row-level read planned: whole `b=<k>` bucket dirs
+    * for bucketed files, individual deletes for strays. Returns the bucket
+    * ids whose dirs were removed. */
+  private[core] def deleteGroups(db: String, container: String,
+                                 files: Seq[String]): Set[Long] = {
+    val re = "/b=(\\d+)/".r
+    val (bucketed, strays) = files.partition(re.findFirstMatchIn(_).isDefined)
+    val buckets = bucketed.flatMap(re.findFirstMatchIn(_)).map(_.group(1).toLong).toSet
+    buckets.foreach(b => store.deleteRecursive(bucketDir(db, container, b)))
+    strays.foreach(store.delete(_))
+    buckets
+  }
+
+  /** Recount + re-sign `touched` buckets into the sidecar after a
+    * row-level group replacement; buckets that ended empty drop out. */
+  private[core] def resignBuckets(db: String, container: String,
+                                  touched: Set[Long],
+                                  counts: Map[Long, Long]): Unit = {
+    val prior = readBucketCounts(db, container)
+    writeBucketCounts(db, container,
+      (prior -- touched) ++ touched.toSeq.sorted.flatMap { b =>
+        val n = counts.getOrElse(b, 0L)
+        if (n == 0L) None
+        else Some(b -> (n, dirSignature(bucketDir(db, container, b))))
+      })
+  }
 
   /** Data files sitting directly under `data/` (not in a `b=<k>` bucket dir):
     * documents placed by an external writer. They are absorbed into the

@@ -5,11 +5,13 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
 import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.operators.RawMerge
 
@@ -103,12 +105,151 @@ object ContainerMerge {
       Stats(srcRows, mergedKeys, errorRows, rewritten)
     } finally { sk.unpersist(); () }
   }
+
+  /** Commit of a group-based row-level rewrite (MERGE INTO / UPDATE /
+    * non-key DELETE): `src` carries the REPLACEMENT rows of every read
+    * group — Spark's rewrite already applied the matched/not-matched
+    * logic, so unlike [[mergeRaw]] there is no classify step. The read
+    * groups (`readFiles`: whole bucket dirs + any strays, as the scan
+    * planned them) are deleted and the replacement rows land bucketed by
+    * merge key; strays read are thereby absorbed into the layout.
+    * Replacement rows violating the document contract (an UPDATE SET that
+    * strips the id) dead-letter to `_errors` like every other write path.
+    * Sidecar: replaced buckets get fresh (count, signature); a bucket that
+    * was appended to without being read (not expected from Spark's
+    * rewrite, but handled) only keeps a vouched entry when its prior count
+    * was vouched too. */
+  def replaceGroups(s: SparkSession, account: FileAccount, db: String,
+                    container: String, readFiles: Seq[String],
+                    src: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val props = account.containerProperties(db, container)
+    val pkPaths = props.pkPaths
+    val keyCols = "__id" +: pkPaths.indices.map(i => s"__pk$i")
+    val sk = RawMerge.srcKeyed(s, src, pkPaths)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val valid = RawMerge.validCol(pkPaths)
+      val nErr = sk.filter(!valid).count()
+      if (nErr > 0)
+        sk.filter(!valid).select("raw").write.mode("append")
+          .text(account.errorsPath(db, container))
+      // write form + layout bucket; materialized BEFORE the group delete
+      // (the lineage reads staged files, not container files, but the
+      // checkpoint keeps the commit window's reads bounded regardless)
+      val out = sk.filter(valid)
+        .withColumn("b", account.bucketCol(keyCols, props.buckets))
+        .select(col("__w").as("raw"), col("b"))
+        .localCheckpoint()
+      val outCounts: Map[Long, Long] = out.groupBy("b").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prior = account.readBucketCounts(db, container)
+        .map { case (b, (n, _)) => b -> n }
+      val deleted = account.deleteGroups(db, container, readFiles)
+      if (outCounts.nonEmpty)
+        out.write.partitionBy("b")
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .text(account.dataPath(db, container))
+      val touched = deleted ++ outCounts.keySet
+      val counts: Map[Long, Long] = touched.iterator.flatMap { b =>
+        if (deleted(b)) Some(b -> outCounts.getOrElse(b, 0L))
+        else prior.get(b).map(p => b -> (p + outCounts.getOrElse(b, 0L)))
+      }.toMap
+      account.resignBuckets(db, container, touched, counts)
+    } finally { sk.unpersist(); () }
+  }
 }
 
 /** One staged task output; the ONLY files commit reads are the ones these
   * messages name (task-retry/speculation safety). `path == null` marks a
   * task that saw no rows and created no file. */
 final case class StagedFileMessage(path: String) extends WriterCommitMessage
+
+/** Group-based (copy-on-write) row-level operation: the engine behind SQL
+  * `MERGE INTO`, `UPDATE`, and non-key-predicate `DELETE` on container
+  * tables. Spark's rewrite reads the affected groups through [[newScanBuilder]]
+  * (bucket dirs, runtime-filtered via the scan's `SupportsRuntimeFiltering`
+  * to the buckets the merge/update keys hash to), computes each group's
+  * replacement rows, and commits them through [[newWriteBuilder]] —
+  * [[ContainerMerge.replaceGroups]] swaps exactly the read groups.
+  *
+  * Coordination: the scan reports its FINAL planned file list (after
+  * runtime group filtering) into [[readFiles]] on this driver-side object;
+  * scan tasks run before the write commit, so the commit always sees the
+  * exact group set the replacement rows were computed from. */
+final class ContainerRowLevelOperation(account: FileAccount, db: String,
+                                       container: String,
+                                       props: ContainerProps,
+                                       tableName: String,
+                                       cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  @volatile private[core] var readFiles: Seq[String] = Seq.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft container row-level $cmd $db.$container"
+
+  // keep the identity metadata columns alive through the rewrite: the
+  // merge/update condition is typically ON t._key/_id = ..., and without
+  // this declaration the rewrite's target relation carries only data
+  // columns, leaving the condition unresolvable
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_key"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_id"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ContainerScanBuilder(account, db, container, props, tableName,
+      options, files => readFiles = files)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String =
+          s"graft container group replacement ($cmd) $db.$container"
+
+        override def toBatch: BatchWrite = new BatchWrite {
+          private val staging =
+            account.stagingPath(db, container, info.queryId())
+
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory = {
+            val conf = new SerializableHadoopConf(Storage.sessionHadoopConf())
+            val dir = staging
+            // the replacement rows' raw column position in the write schema
+            // (group-based rewrites may carry metadata columns alongside)
+            val rawIdx = info.schema().fieldIndex("raw")
+            new DataWriterFactory {
+              override def createWriter(partitionId: Int,
+                  taskId: Long): DataWriter[InternalRow] =
+                new RawLineStagingWriter(dir,
+                  s"part-$partitionId-$taskId.txt", conf, rawIdx)
+            }
+          }
+
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val spark = SparkSession.active
+            try {
+              val files = messages.collect {
+                case StagedFileMessage(p) if p != null => p }
+              val staged =
+                if (files.isEmpty)
+                  spark.range(0).select(lit(null).cast("string").as("raw"))
+                else spark.read.text(files: _*).select(col("value").as("raw"))
+              ContainerMerge.replaceGroups(spark, account, db, container,
+                readFiles, staged)
+            } finally { Storage.hadoop.deleteRecursive(staging); () }
+          }
+
+          override def abort(messages: Array[WriterCommitMessage]): Unit = {
+            Storage.hadoop.deleteRecursive(staging); ()
+          }
+        }
+      }
+    }
+}
 
 final class ContainerWriteBuilder(account: FileAccount, db: String,
                                   container: String, info: LogicalWriteInfo)
@@ -214,9 +355,13 @@ final class ContainerWrite(account: FileAccount, db: String, container: String,
 }
 
 /** Executor-side staging writer: raw lines to one text file, created on the
-  * first row (an empty task stages nothing and commits a null path). */
+  * first row (an empty task stages nothing and commits a null path).
+  * `rawIdx` locates the raw column in the incoming row — 0 for plain
+  * INSERTs (schema is exactly `raw`), positional for row-level rewrites
+  * whose write schema may carry extra attributes. */
 final class RawLineStagingWriter(dir: String, name: String,
-                                 conf: SerializableHadoopConf)
+                                 conf: SerializableHadoopConf,
+                                 rawIdx: Int = 0)
     extends DataWriter[InternalRow] {
 
   private var out: java.io.Writer = _
@@ -233,7 +378,7 @@ final class RawLineStagingWriter(dir: String, name: String,
     // a NULL raw (schema declares it non-null, but defend anyway) stages as
     // an empty line → parse failure → the merge's error channel, exactly
     // like any other invalid document
-    val s = record.getUTF8String(0)
+    val s = record.getUTF8String(rawIdx)
     if (s != null) out.write(s.toString)
     out.write('\n')
   }

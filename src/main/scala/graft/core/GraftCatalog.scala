@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -212,7 +212,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 final class ContainerTable(account: FileAccount, db: String, container: String,
                            props: ContainerProps)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns with SupportsDelete {
+    with SupportsMetadataColumns with SupportsDelete
+    with SupportsRowLevelOperations {
 
   override def name(): String = s"$db.$container"
 
@@ -300,64 +301,82 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters
-      with SupportsPushDownRequiredColumns {
+    new ContainerScanBuilder(account, db, container, props, name(), options, null)
 
-      private var buckets: Option[Set[Long]] = None
-      private var pushed: Array[Filter] = Array.empty
-      private var required: StructType =
-        StructType(Seq(StructField("raw", StringType, nullable = false)))
-
-      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        val usable = filters.flatMap(f => filterBuckets(f).map(f -> _))
-        // conjunctive semantics: every pushed filter must hold, so the scan
-        // only needs buckets in the INTERSECTION of their constraints
-        buckets = usable.map(_._2)
-          .reduceOption(_ intersect _).orElse(buckets)
-        pushed = usable.map(_._1)
-        // bucket pruning skips files, it does not evaluate the predicate
-        // (a bucket holds many keys) — every filter stays residual
-        filters
-      }
-
-      override def pushedFilters(): Array[Filter] = pushed
-
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
-
-      override def build(): Scan = {
-        val meta = listDataFilesMeta()
-        val files = ContainerBuckets.prune(meta.map(_._1), buckets)
-        // sidecar counts feed the scan's statistics report — metadata-only
-        // reads, so Catalyst prices a container join on REAL numbers
-        // (without a report, a DSv2 relation defaults to "infinite" and a
-        // small container dim is never broadcast)
-        val rowsByBucket = account.readBucketCounts(db, container)
-          .map { case (b, (n, _)) => b -> n }
-        new ContainerScan(name(), files, () => listDataFiles(),
-          required, props.pkPaths, props.buckets, meta.toMap, rowsByBucket,
-          new SerializableHadoopConf(Storage.sessionHadoopConf()))
-      }
+  /** MERGE INTO / UPDATE / arbitrary-predicate DELETE via the group-based
+    * (copy-on-write) row-level API: Spark reads the affected GROUPS
+    * (bucket dirs — runtime-filtered to the buckets the merge keys hash
+    * to, through the scan's [[SupportsRuntimeFiltering]]), computes the
+    * replacement rows, and the write's commit swaps exactly the read
+    * groups ([[ContainerMerge.replaceGroups]]). Key-equality DELETEs never
+    * get here — [[SupportsDelete.canDeleteWhere]] claims them first as
+    * metadata-only bucket deletes. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new ContainerRowLevelOperation(account, db, container, props,
+          name(), info.command())
     }
+}
 
-  /** Driver-side listing of the container's data files (path, byte size)
-    * through the Storage boundary; the executor side gets (file path,
-    * serialized Hadoop conf) and nothing else. Same hidden-file convention
-    * as Spark's own readers: local-FS `.crc` sidecars and `_`-prefixed
-    * markers are not data. */
-  private def listDataFilesMeta(): Seq[(String, Long)] =
-    if (!account.hasData(db, container)) Seq.empty
-    else {
-      val dataDir = account.dataPath(db, container)
-      Storage.hadoop.walk(dataDir)
-        .filter { f =>
-          val base = f.relPath.substring(f.relPath.lastIndexOf('/') + 1)
-          !base.startsWith(".") && !base.startsWith("_")
-        }
-        .map(f => (new HPath(dataDir, f.relPath).toString, f.size))
-    }
+/** The table's scan builder, shared by plain reads and the row-level
+  * (MERGE/UPDATE/DELETE rewrite) read path — `onPlan` (nullable) is the
+  * row-level coordination hook: the scan reports the exact files the
+  * (runtime-filtered) read finally planned, which is the group set the
+  * rewrite's commit replaces. */
+private[core] final class ContainerScanBuilder(
+    account: FileAccount, db: String, container: String,
+    props: ContainerProps, tableName: String,
+    options: CaseInsensitiveStringMap,
+    onPlan: Seq[String] => Unit)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
 
-  private def listDataFiles(): Seq[String] = listDataFilesMeta().map(_._1)
+  private var buckets: Option[Set[Long]] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType =
+    StructType(Seq(StructField("raw", StringType, nullable = false)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.flatMap(f =>
+      ContainerBuckets.filterBuckets(f, props.pkPaths, props.buckets)
+        .map(f -> _))
+    // conjunctive semantics: every pushed filter must hold, so the scan
+    // only needs buckets in the INTERSECTION of their constraints
+    buckets = usable.map(_._2)
+      .reduceOption(_ intersect _).orElse(buckets)
+    pushed = usable.map(_._1)
+    // bucket pruning skips files, it does not evaluate the predicate
+    // (a bucket holds many keys) — every filter stays residual
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val meta = account.dataFilesMeta(db, container)
+    val files = ContainerBuckets.prune(meta.map(_._1), buckets)
+    // sidecar counts feed the scan's statistics report — metadata-only
+    // reads, so Catalyst prices a container join on REAL numbers
+    // (without a report, a DSv2 relation defaults to "infinite" and a
+    // small container dim is never broadcast)
+    val rowsByBucket = account.readBucketCounts(db, container)
+      .map { case (b, (n, _)) => b -> n }
+    // streaming rate shaping (A2's bounded pagination through SQL):
+    // maxFilesPerTrigger / maxBytesPerTrigger cap each micro-batch
+    val limits = StreamLimits(
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+    new ContainerScan(tableName, files,
+      () => account.dataFilesMeta(db, container),
+      required, props.pkPaths, props.buckets, meta.toMap, rowsByBucket,
+      limits, new SerializableHadoopConf(Storage.sessionHadoopConf()),
+      onPlan)
+  }
 }
 
 final case class ContainerFileSlice(path: String) extends InputPartition
@@ -410,12 +429,20 @@ private[core] object ContainerBuckets {
     }
 }
 
+/** Per-trigger admission caps for the catalog streaming source (None =
+  * unbounded). File-granular like the rest of the stream: a batch takes
+  * whole files up to the cap, always at least one so the stream makes
+  * progress even when a single file exceeds `maxBytes`. */
+final case class StreamLimits(maxFiles: Option[Int], maxBytes: Option[Long])
+
 final class ContainerScan(table: String, files: Seq[String],
-                          @transient lister: () => Seq[String],
+                          @transient lister: () => Seq[(String, Long)],
                           schema: StructType, pkPaths: Seq[String],
                           buckets: Int, sizes: Map[String, Long],
                           rowsByBucket: Map[Long, Long],
-                          conf: SerializableHadoopConf)
+                          limits: StreamLimits,
+                          conf: SerializableHadoopConf,
+                          @transient onPlan: Seq[String] => Unit = null)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with Serializable {
 
@@ -484,8 +511,12 @@ final class ContainerScan(table: String, files: Seq[String],
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // row-level coordination: report the FINAL (runtime-filtered) file set
+    // — the group list the MERGE/UPDATE/DELETE rewrite commit replaces
+    if (onPlan != null) onPlan(activeFiles)
     activeFiles.map(ContainerFileSlice(_): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ContainerReaderFactory(schema.fieldNames, pkPaths, conf)
@@ -496,7 +527,8 @@ final class ContainerScan(table: String, files: Seq[String],
     * resume cursor (the A2 pagination analogue, same contract as the
     * FileStreamSource path `Streams.syncContainers` drives). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ContainerMicroBatchStream(lister, schema.fieldNames, pkPaths, conf)
+    new ContainerMicroBatchStream(lister, schema.fieldNames, pkPaths,
+      limits, conf)
 }
 
 /** Offset of the container stream: the set of data files already consumed.
@@ -520,26 +552,60 @@ object ContainerStreamOffset {
         .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
 }
 
-final class ContainerMicroBatchStream(lister: () => Seq[String],
+final class ContainerMicroBatchStream(lister: () => Seq[(String, Long)],
                                       fields: Array[String],
                                       pkPaths: Seq[String],
+                                      limits: StreamLimits,
                                       conf: SerializableHadoopConf)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   // AvailableNow drains to a FIXED snapshot taken at query start, so the
   // run terminates even while writers keep landing files
-  @volatile private var snapshot: Option[Seq[String]] = None
+  @volatile private var snapshot: Option[Seq[(String, Long)]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     snapshot = Some(lister())
 
   override def initialOffset(): Offset = ContainerStreamOffset(Seq.empty)
 
+  override def getDefaultReadLimit: ReadLimit = (limits.maxFiles, limits.maxBytes) match {
+    case (Some(f), Some(b)) =>
+      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    case (Some(f), None) => ReadLimit.maxFiles(f)
+    case (None, Some(b)) => ReadLimit.maxBytes(b)
+    case _ => ReadLimit.allAvailable()
+  }
+
+  /** Apply the per-trigger cap to the not-yet-consumed files (sorted, so
+    * batch composition is deterministic and matches the replay order).
+    * Whole-file granularity, minimum one file per batch — a bounded
+    * catch-up over a huge backlog becomes N checkpointed batches instead
+    * of one giant batch, exactly the reference's paged migration loop
+    * (A2 / migration.py:81-87) surfaced as Spark admission control. */
+  private def admit(newFiles: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val byName = newFiles.sortBy(_._1)
+    val afterFiles = limits.maxFiles.fold(byName)(n => byName.take(math.max(1, n)))
+    limits.maxBytes.fold(afterFiles) { cap =>
+      var cum = 0L
+      val taken = afterFiles.takeWhile { case (_, sz) =>
+        val ok = cum == 0L || cum + sz <= cap; cum += sz; ok }
+      if (taken.isEmpty) afterFiles.take(1) else taken
+    }
+  }
+
   // SupportsAdmissionControl surface (required by SupportsTriggerAvailableNow):
-  // no rate limit — each batch takes everything new since `start`
+  // each batch takes up to the configured cap of what's new since `start`
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    ContainerStreamOffset(snapshot.getOrElse(lister()))
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val startFiles = start.asInstanceOf[ContainerStreamOffset].files
+    val available = snapshot.getOrElse(lister())
+    val seen = startFiles.toSet
+    val fresh = available.filterNot { case (p, _) => seen(p) }
+    if (fresh.isEmpty) start
+    else ContainerStreamOffset(startFiles ++ admit(fresh).map(_._1))
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -714,13 +714,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(acc.bucketSignatures("db", "docs") == sigs2,
       "deleting an absent key must not rewrite anything")
 
-    // a predicate the layout can't express as a metadata delete is refused
-    val err = intercept[Exception] {
-      spark.sql("DELETE FROM graftd.db.docs WHERE raw LIKE '%d3%'")
-    }
-    assert(err.getMessage.toLowerCase.matches("(?s).*(cannot delete|unsupported).*"),
-      s"non-key DELETE must be refused, got: ${err.getMessage}")
-    assert(spark.table("graftd.db.docs").count() == 45)
+    // a predicate the layout can't express as a metadata delete falls
+    // through to the GROUP-BASED rewrite (SupportsRowLevelOperations):
+    // matching rows vanish, survivors of the rewritten groups stay.
+    // Matches v=3 and v=30..39 → 11 of the 45 remaining docs.
+    spark.sql("DELETE FROM graftd.db.docs WHERE raw LIKE '%\"v\":3%'")
+    assert(spark.table("graftd.db.docs").count() == 34,
+      "predicate DELETE must drop exactly the matching documents")
+    assert(spark.sql("SELECT * FROM graftd.db.docs WHERE _id = 'd33'").count() == 0)
+    assert(acc.readBucketCounts("db", "docs").values.map(_._1).sum == 34,
+      "the sidecar must follow the rewrite")
 
     // unconditional DELETE == truncate; container survives empty
     spark.sql("DELETE FROM graftd.db.docs")
@@ -732,6 +735,67 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("graftd.db.docs").count() == 1)
     spark.sql("TRUNCATE TABLE graftd.db.docs")
     assert(spark.table("graftd.db.docs").count() == 0)
+  }
+
+  test("MERGE INTO / UPDATE: group-based rewrite with bucket-level group pruning") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlmerge")
+    spark.conf.set("spark.sql.catalog.graftm",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftm.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftm.db")
+    spark.sql("CREATE TABLE graftm.db.docs (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='8')")
+    val acc = FileAccount(root.toString)
+    val values = (0 until 32)
+      .map(i => s"""('{"id":"d$i","v":$i}')""").mkString(", ")
+    spark.sql(s"INSERT INTO graftm.db.docs VALUES $values")
+
+    // MERGE: one matched update, one not-matched insert — the canonical
+    // upsert statement, now first-class SQL on the container. The id
+    // equality goes through the data column (get_json_object): a merge
+    // condition on the _id/_key METADATA columns trips Spark 4.1's
+    // group-filter attribute remap (the analyzer validates the condition
+    // against the original relation, where metadata columns carry other
+    // expression ids) — the data-column form is semantically identical.
+    import spark.implicits._
+    Seq(("d3", """{"id":"d3","v":300}"""), ("n1", """{"id":"n1","v":100}"""))
+      .toDF("k", "doc").createOrReplaceTempView("m_src")
+    val mergeSql =
+      """MERGE INTO graftm.db.docs t USING m_src s
+        |ON get_json_object(t.raw, '$.id') = s.k
+        |WHEN MATCHED THEN UPDATE SET raw = s.doc
+        |WHEN NOT MATCHED THEN INSERT (raw) VALUES (s.doc)""".stripMargin
+    spark.sql(mergeSql)
+    assert(spark.table("graftm.db.docs").count() == 33,
+      "merge must upsert: 32 docs + 1 insert")
+    val d3 = spark.sql("SELECT raw FROM graftm.db.docs WHERE _id = 'd3'").collect()
+    assert(d3.length == 1 && d3(0).getString(0).contains("300"),
+      s"matched row must update, got ${d3.toSeq}")
+    assert(spark.sql("SELECT raw FROM graftm.db.docs WHERE _id = 'n1'")
+      .count() == 1, "not-matched row must insert")
+    assert(acc.readBucketCounts("db", "docs").values.map(_._1).sum == 33,
+      "the sidecar must follow the merge")
+
+    // UPDATE with a key predicate rides the STATIC pushdown: the rewrite
+    // reads (and therefore replaces) only the key's bucket
+    val sigs0 = acc.bucketSignatures("db", "docs")
+    spark.sql("""UPDATE graftm.db.docs SET raw = '{"id":"d5","v":555}'
+      |WHERE _id = 'd5'""".stripMargin)
+    assert(spark.table("graftm.db.docs").count() == 33)
+    val d5 = spark.sql("SELECT raw FROM graftm.db.docs WHERE _id = 'd5'").collect()
+    assert(d5.length == 1 && d5(0).getString(0).contains("555"),
+      s"UPDATE must land, got ${d5.toSeq}")
+    val sigs1 = acc.bucketSignatures("db", "docs")
+    val changed = (sigs0.keySet ++ sigs1.keySet)
+      .filter(b => sigs0.get(b) != sigs1.get(b))
+    assert(changed.size == 1,
+      s"a keyed UPDATE must replace exactly the key's bucket, got $changed")
+
+    // merge is idempotent at the CONTENT level: re-running the same MERGE
+    // replaces the same groups with identical rows
+    spark.sql(mergeSql)
+    assert(spark.table("graftm.db.docs").count() == 33,
+      "re-running the merge must not duplicate")
   }
 
   test("scan statistics: sidecar-driven size/rows, point read shrinks them, small containers broadcast") {

@@ -666,6 +666,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.size == 12, s"every document must have streamed, got $ids")
   }
 
+  test("catalog stream rate shaping: maxFilesPerTrigger bounds each micro-batch") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.FileAccount
+    val root = Files.createTempDirectory(Paths.get("target"), "streamrate")
+    spark.conf.set("spark.sql.catalog.graftrl",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrl.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftrl.db")
+    spark.sql("CREATE TABLE graftrl.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='8')")
+    val acc = FileAccount(root.toString)
+    val values = (0 until 48)
+      .map(i => s"""('{"id":"r$i","v":$i}')""").mkString(", ")
+    spark.sql(s"INSERT INTO graftrl.db.c VALUES $values")
+    val nFiles = acc.bucketDirList("db", "c").size
+    assert(nFiles > 2, "need a multi-file container for the rate test")
+
+    // one file per trigger: an AvailableNow drain becomes >= nFiles
+    // checkpointed batches, none carrying more than one file's rows —
+    // bounded memory AND bounded lost work, the A2 paged-catchup contract
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "streamrate-ck")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table("graftrl.db.c")
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => batches += b.count(); () }
+      .start()
+    q.awaitTermination()
+    assert(batches.map(identity).sum == 48,
+      s"the drain must deliver every document, got $batches")
+    assert(batches.count(_ > 0) >= nFiles,
+      s"1-file batches: expected >= $nFiles non-empty batches, got ${batches.size}")
+    val perFileMax = 48 / nFiles * 3 // files are uneven; bound loosely
+    assert(batches.forall(_ <= perFileMax),
+      s"no batch may exceed one file's rows (~<=$perFileMax), got $batches")
+  }
+
   test("container-to-container SQL streaming: readStream.table -> writeStream.toTable, checkpoint resume") {
     import java.nio.file.{Files, Paths}
     import graft.core.FileAccount
