@@ -30,9 +30,10 @@ object BenchSlope {
     "q_d10_block_pairs", "q_d11_edit_verified", "q_t9_tfidf",
     "q_g3_component_sizes",
     // round-8: the remaining heavy round-7 queries (graph diagnostics,
-    // the simhash band join itself, interval merge, event paths)
+    // the simhash band join itself, interval merge, event paths) and the
+    // decontamination sweep (the corpus-side gram stream is the volume)
     "q_g1_degree_hist", "q_g2_triangles", "q_d6_simhash_pairs",
-    "q_w6_interval_merge", "q_x7_event_paths")
+    "q_w6_interval_merge", "q_x7_event_paths", "q_t11_decontaminate")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */
