@@ -17,6 +17,11 @@ import graft.functions.GraftFunctions
 case class ContainerProps(pkPaths: Seq[String] = Seq("/id"), buckets: Int = 16,
                           raw: Option[String] = None)
 
+/** Outcome of one [[FileAccount.compactContainer]] pass. */
+final case class CompactionStats(buckets: Set[Long], filesBefore: Long,
+                                 filesAfter: Long, bytesRewritten: Long,
+                                 straysAbsorbed: Long)
+
 /** File-backed account: the catalog surface of the reference
   * (/root/reference/src/clients.py, containers.py) over a directory tree
   * `root/<database>/<container>/{_meta.json, data/b=<k>/<part>.txt}`.
@@ -208,6 +213,141 @@ case class FileAccount(root: String) {
     * metadata, used to pick full vs incremental merge mode. */
   def dataBytes(db: String, container: String): Long =
     store.walk(p(db, container, "data")).map(_.size).sum
+
+  /** Bucket compaction (the engine's OPTIMIZE): every incremental upsert
+    * rewrites its affected buckets with FRESH part files sized by the
+    * batch, so a container fed by many small merges accumulates many small
+    * files per bucket — and at 100 TB the small-file tax (per-file open
+    * cost, listing weight, tiny input splits) dominates long before data
+    * volume does. Compaction rewrites each oversubscribed bucket down to
+    * `ceil(bucketBytes / targetBytes)` files (min 1), absorbing any stray
+    * out-of-layout files along the way; buckets already at or under their
+    * target file count are left byte-for-byte untouched, so the operation
+    * is incremental and idempotent like the upsert it cleans up after.
+    *
+    * Selection is pure driver metadata (the bucket listing). The rewrite
+    * reads ONLY the selected buckets (+ strays), splits each bucket's rows
+    * into its target file count (hash of the raw line — size-balanced,
+    * content-independent of arrival order), and commits through the same
+    * dynamic-partition-overwrite + lineage-checkpoint + sidecar-resign
+    * mechanics as [[upsertRaw]]. Rows are never parsed (a stored row's
+    * bucket is its directory), except strays, which are keyed to find the
+    * bucket they belong in. Returns (compacted bucket ids, files before,
+    * files after, bytes rewritten, strays absorbed). */
+  def compactContainer(spark: SparkSession, db: String, container: String,
+                       targetBytes: Long = 128L << 20): CompactionStats = {
+    GraftFunctions.register(spark)
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    if (!hasData(db, container))
+      return CompactionStats(Set.empty, 0L, 0L, 0L, 0L)
+    val props = containerProperties(db, container)
+    val keyCols = "__id" +: props.pkPaths.indices.map(i => s"__pk$i")
+    val nb = props.buckets
+    val strays = strayFiles(db, container)
+
+    def dataFiles(dir: String): Seq[FileMeta] =
+      store.walk(dir).filterNot { f =>
+        val n = f.relPath.split('/').last
+        n.startsWith("_") || n.startsWith(".")
+      }
+    def targetFileCount(bytes: Long): Long =
+      math.max(1L, (bytes + targetBytes - 1L) / targetBytes)
+
+    val listing: Map[Long, (String, Seq[FileMeta])] =
+      bucketDirList(db, container)
+        .map { case (b, dir) => b -> (dir, dataFiles(dir)) }.toMap
+    val oversubscribed: Set[Long] = listing.collect {
+      case (b, (_, fs))
+          if fs.nonEmpty && fs.size > targetFileCount(fs.map(_.size).sum) => b
+    }.toSet
+    if (oversubscribed.isEmpty && strays.isEmpty)
+      return CompactionStats(Set.empty, 0L, 0L, 0L, 0L)
+
+    // strays can hold any key: key them to find the buckets they belong in
+    // (those buckets join the rewrite set so absorption is a real merge,
+    // not a blind append next to existing files)
+    val strayRows =
+      if (strays.isEmpty) None
+      else Some(keyedRows(spark.read.text(strays: _*)
+          .select(col("value").as("raw")), props.pkPaths, keyCols, nb)
+        .select(col("raw"), col("__b")))
+    val strayBuckets: Set[Long] = strayRows.fold(Set.empty[Long])(
+      _.select("__b").distinct().collect().map(_.getLong(0)).toSet)
+    val rewrite: Set[Long] = oversubscribed ++ strayBuckets
+
+    // bucketed rows need no parsing: the directory IS the bucket
+    val readDirs = rewrite.toSeq.sorted
+      .flatMap(b => listing.get(b).filter(_._2.nonEmpty).map(_._1))
+    val bucketRows =
+      if (readDirs.isEmpty) None
+      else Some(spark.read.option("recursiveFileLookup", "true")
+        .text(readDirs: _*)
+        .select(col("value").as("raw"),
+          regexp_extract(input_file_name(), "/b=(\\d+)/", 1)
+            .cast("long").as("__b")))
+
+    // per-bucket slice counts off the metadata listing (stray bytes fold
+    // into whichever bucket they key to — approximation is fine, the next
+    // compaction pass sees the true sizes)
+    val sliceOf: Map[Long, Long] = rewrite.iterator.map { b =>
+      b -> targetFileCount(
+        listing.get(b).fold(0L)(_._2.map(_.size).sum) +
+          (if (strayBuckets(b)) strays.flatMap(store.fileMeta).map(_.size).sum else 0L))
+    }.toMap
+    val totalSlices = math.max(1L, sliceOf.values.sum).toInt
+    val sliceExpr = element_at(
+      typedLit(sliceOf.map { case (b, n) => b -> n }), col("__b"))
+
+    val union = (bucketRows.toSeq ++ strayRows.toSeq).reduce(_ unionAll _)
+    // same commit hazard as upsertRaw: the plan reads the very files the
+    // overwrite below replaces — truncate lineage before swapping
+    val out = union
+      .withColumn("__s", pmod(xxhash64(col("raw")), sliceExpr))
+      .repartition(totalSlices, col("__b"), col("__s"))
+      .select(col("raw"), col("__b").as("b"))
+      .localCheckpoint()
+    val outCounts: Map[Long, Long] = out.groupBy("b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val filesBefore =
+      rewrite.toSeq.map(b => listing.get(b).fold(0)(_._2.size)).sum + strays.size
+    val bytes = rewrite.toSeq.map(b =>
+      listing.get(b).fold(0L)(_._2.map(_.size).sum)).sum +
+      strays.flatMap(store.fileMeta).map(_.size).sum
+    if (outCounts.nonEmpty)
+      out.write.partitionBy("b")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .text(dataDir(db, container))
+    // dynamic overwrite only touches partitions PRESENT in the output — a
+    // rewrite bucket holding only empty files must be removed explicitly
+    rewrite.filter(outCounts.getOrElse(_, 0L) == 0L)
+      .foreach(b => store.deleteRecursive(bucketDir(db, container, b)))
+    strays.foreach(store.delete(_))
+    resignBuckets(db, container, rewrite, outCounts)
+    val filesAfter = rewrite.toSeq.sorted
+      .map(b => dataFiles(bucketDir(db, container, b)).size).sum
+    CompactionStats(rewrite, filesBefore, filesAfter, bytes, strays.size.toLong)
+  }
+
+  /** Remove ABANDONED staging trees (`_staging/<writeId>`): a SQL/streaming
+    * write that dies between staging and commit leaves its tree behind (the
+    * `_` prefix keeps it invisible to scans, but the bytes linger). A tree
+    * is abandoned when nothing under it was modified within `ttlMs` — the
+    * TTL is the guard against sweeping a LIVE write's staging (pick it
+    * above the longest plausible stage-to-commit window; in-flight writers
+    * keep their newest mtime current). Driver metadata only. Returns the
+    * deleted tree paths. */
+  def vacuumStaging(db: String, container: String, ttlMs: Long,
+                    nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val base = p(db, container, "_staging")
+    if (!store.isDirectory(base)) return Seq.empty
+    store.listDirNames(base).sorted.flatMap { w =>
+      val dir = new HPath(base, w).toString
+      val newest = store.walk(dir).map(_.mtimeMs).maxOption.getOrElse(0L)
+      if (newest <= nowMs - ttlMs) { store.deleteRecursive(dir); Some(dir) }
+      else None
+    }
+  }
 
   private def dataDir(db: String, container: String): String =
     p(db, container, "data")

@@ -64,7 +64,8 @@ import graft.functions.JsonDocs
   * classify → bucket-upsert pipeline, so layout, sidecars, canonical-diff
   * skip semantics, and the `_errors` channel hold for SQL writers too.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var account: FileAccount = _
   private def store: Storage = Storage.hadoop
@@ -202,6 +203,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (store.exists(new HPath(nested, "_meta.json").toString) ||
         store.isDirectory(new HPath(nested, "data").toString))
       throw new TableAlreadyExistsException(newIdent)
+  }
+
+  // ---- maintenance procedures (CALL graft.system.compact / vacuum) ----
+  //
+  // The storage-maintenance verbs every long-lived 100 TB container needs,
+  // surfaced through SQL so an operator never has to leave it: `compact`
+  // coalesces the small files incremental upserts accumulate
+  // ([[FileAccount.compactContainer]]); `vacuum` sweeps staging trees
+  // abandoned by writes that died before commit
+  // ([[FileAccount.vacuumStaging]]).
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")) ||
+        !GraftProcedures.names.contains(ident.name()))
+      throw new RuntimeException(
+        s"procedure $ident not found; available: " +
+          GraftProcedures.names.map(n => s"$catalogName.system.$n").mkString(", "))
+    GraftProcedures(ident.name(), account)
   }
 }
 

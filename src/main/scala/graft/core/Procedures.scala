@@ -1,0 +1,120 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance procedures of [[GraftCatalog]] — the SQL surface of the
+  * engine's storage upkeep, callable without leaving SQL:
+  *
+  * {{{
+  * CALL graft.system.compact(db => 'db', container => 'c', target_mb => 128)
+  * CALL graft.system.vacuum(db => 'db', container => 'c', ttl_hours => 24)
+  * }}}
+  *
+  * Both are driver-coordinated container maintenance (the reference has no
+  * analogue — its store compacts server-side; a file-backed layout must own
+  * the job): `compact` bounds the per-bucket file count that incremental
+  * upserts grow ([[FileAccount.compactContainer]]), `vacuum` sweeps staging
+  * trees abandoned by writes that died before commit
+  * ([[FileAccount.vacuumStaging]]). Results come back as ordinary result
+  * rows (a one-row [[LocalScan]]), so `spark.sql("CALL ...")` composes with
+  * the caller's own reporting. */
+private[core] object GraftProcedures {
+
+  val names: Array[String] = Array("compact", "vacuum")
+
+  def apply(name: String, account: FileAccount): UnboundProcedure = name match {
+    case "compact" => new CompactProcedure(account)
+    case "vacuum"  => new VacuumProcedure(account)
+  }
+
+  private[core] def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** One-row driver-computed result relation. */
+  private[core] final class OneRowScan(schema: StructType, row: InternalRow)
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+}
+
+/** `CALL graft.system.compact(db, container[, target_mb])` — see
+  * [[FileAccount.compactContainer]]. */
+private[core] final class CompactProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "coalesce a container's per-bucket small files down to target_mb-sized files"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build(),
+    ProcedureParameter.in("target_mb", IntegerType).defaultValue("128")
+      .comment("target output file size per bucket, MiB").build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val db = input.getUTF8String(0).toString
+    val container = input.getUTF8String(1).toString
+    val targetMb = input.getInt(2)
+    val stats = account.compactContainer(SparkSession.active, db, container,
+      targetMb.toLong << 20)
+    val schema = StructType(Seq(
+      StructField("buckets_compacted", IntegerType, nullable = false),
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false),
+      StructField("bytes_rewritten", LongType, nullable = false),
+      StructField("strays_absorbed", LongType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      stats.buckets.size, stats.filesBefore, stats.filesAfter,
+      stats.bytesRewritten, stats.straysAbsorbed))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.vacuum(db, container[, ttl_hours])` — see
+  * [[FileAccount.vacuumStaging]]. */
+private[core] final class VacuumProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "delete staging trees abandoned by writes that died before commit"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build(),
+    ProcedureParameter.in("ttl_hours", IntegerType).defaultValue("24")
+      .comment("only staging trees idle longer than this are swept").build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val db = input.getUTF8String(0).toString
+    val container = input.getUTF8String(1).toString
+    val ttlMs = input.getInt(2).toLong * 3600L * 1000L
+    val removed = account.vacuumStaging(db, container, ttlMs)
+    val schema = StructType(Seq(
+      StructField("staging_trees_removed", IntegerType, nullable = false),
+      StructField("paths", ArrayType(StringType, containsNull = false),
+        nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      removed.size,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        removed.map(GraftProcedures.utf8).toArray)))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}

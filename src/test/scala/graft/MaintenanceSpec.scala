@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ContainerProps, FileAccount}
+
+/** Storage maintenance: bucket compaction (the engine's OPTIMIZE — bounds
+  * the small-file growth incremental upserts leave behind) and staging
+  * vacuum (sweeps trees abandoned by writes that died before commit), via
+  * both the Scala API and the SQL `CALL graft.system.*` procedures. */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "maintenance-spec")
+
+  private def newAccount(prefix: String): FileAccount = {
+    val root = Files.createTempDirectory(Paths.get("target"), prefix)
+    FileAccount(root.toString)
+  }
+
+  /** Upsert `docs` through the merge engine with enough write parallelism
+    * that every bucket lands multiple small part files. */
+  private def upsert(acc: FileAccount, db: String, c: String,
+                     docs: Seq[String], parts: Int): Unit = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = graft.operators.RawMerge
+      .srcKeyed(spark, docs.toDF("raw").repartition(parts), Seq("/id"))
+      .select(col("raw"), col("__id"), col("__pk0"))
+    acc.upsertRaw(spark, db, c, keyed, Seq("__id", "__pk0"), Seq("/id"))
+    ()
+  }
+
+  private def dataFileCount(acc: FileAccount, db: String, c: String): Int = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(acc.root, db, c, "data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith(".")).size
+  }
+
+  private def contents(acc: FileAccount, db: String, c: String): Seq[String] =
+    acc.readRaw(spark, db, c).collect().map(_.getString(0)).toSeq.sorted
+
+  test("compactContainer: coalesces per-bucket small files, keeps rows and sidecar, idempotent") {
+    val acc = newAccount("compact")
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/id"), buckets = 2))
+    val docs = (1 to 64).map(i => s"""{"id":"d$i","v":$i}""")
+    upsert(acc, "db", "c", docs, parts = 8)
+
+    val before = contents(acc, "db", "c")
+    val filesBefore = dataFileCount(acc, "db", "c")
+    assert(filesBefore > 2, s"fixture must start oversubscribed, got $filesBefore files")
+    assert(acc.countRows(spark, "db", "c") == 64)
+
+    val stats = acc.compactContainer(spark, "db", "c")
+    assert(stats.buckets.nonEmpty && stats.filesBefore == filesBefore)
+    // tiny buckets → one file each
+    assert(stats.filesAfter == stats.buckets.size)
+    assert(dataFileCount(acc, "db", "c") <= 2)
+    assert(contents(acc, "db", "c") == before, "compaction must not change rows")
+    // sidecar re-signed: the count stays metadata-only (and correct)
+    assert(acc.countRows(spark, "db", "c") == 64)
+    val sigs = acc.bucketSignatures("db", "c")
+    val sidecar = acc.readBucketCounts("db", "c")
+    assert(sidecar.forall { case (b, (_, sig)) => sigs.get(b).contains(sig) },
+      "sidecar signatures must vouch for the compacted buckets")
+
+    // second pass: nothing oversubscribed → untouched no-op
+    val again = acc.compactContainer(spark, "db", "c")
+    assert(again.buckets.isEmpty && again.filesBefore == 0L)
+    assert(acc.bucketSignatures("db", "c") == sigs,
+      "a no-op compaction must not touch any bucket")
+  }
+
+  test("compactContainer: absorbs strays into their buckets, leaves compact buckets untouched") {
+    val acc = newAccount("compact-stray")
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/id"), buckets = 2))
+    upsert(acc, "db", "c", (1 to 16).map(i => s"""{"id":"d$i","v":$i}"""), parts = 4)
+    acc.compactContainer(spark, "db", "c") // reach the compact steady state
+    val sigsBefore = acc.bucketSignatures("db", "c")
+
+    // an external writer drops a file at the data root (out of layout)
+    Files.writeString(Paths.get(acc.root, "db", "c", "data", "external.json"),
+      """{"id":"stray1","v":-1}""" + "\n")
+    val stats = acc.compactContainer(spark, "db", "c")
+    assert(stats.straysAbsorbed == 1L && stats.buckets.size == 1,
+      s"only the stray's bucket rewrites, got $stats")
+    assert(!Files.exists(Paths.get(acc.root, "db", "c", "data", "external.json")))
+    assert(acc.countRows(spark, "db", "c") == 17)
+    assert(contents(acc, "db", "c").contains("""{"id":"stray1","v":-1}"""))
+    val sigsAfter = acc.bucketSignatures("db", "c")
+    val untouched = sigsBefore.keySet -- stats.buckets
+    assert(untouched.forall(b => sigsAfter.get(b) == sigsBefore.get(b)),
+      "buckets outside the rewrite set must stay byte-for-byte identical")
+  }
+
+  test("vacuumStaging: sweeps idle staging trees, keeps live ones") {
+    val acc = newAccount("vacuum")
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/id")))
+    val stale = Paths.get(acc.root, "db", "c", "_staging", "dead-write")
+    val live = Paths.get(acc.root, "db", "c", "_staging", "live-write")
+    Files.createDirectories(stale); Files.createDirectories(live)
+    Files.writeString(stale.resolve("part-0.txt"), "{}\n")
+    Files.writeString(live.resolve("part-0.txt"), "{}\n")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    Files.setLastModifiedTime(stale.resolve("part-0.txt"), old)
+
+    val removed = acc.vacuumStaging("db", "c", ttlMs = 24L * 3600 * 1000)
+    assert(removed.size == 1 && removed.head.endsWith("dead-write"))
+    assert(!Files.exists(stale) && Files.exists(live.resolve("part-0.txt")))
+    // second sweep: nothing left to remove
+    assert(acc.vacuumStaging("db", "c", ttlMs = 24L * 3600 * 1000).isEmpty)
+  }
+
+  test("SQL surface: CALL graft.system.compact / vacuum return result rows") {
+    val acc = newAccount("callproc")
+    spark.conf.set("spark.sql.catalog.graftm",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftm.root", acc.root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftm.db")
+    spark.sql("CREATE TABLE graftm.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 32).map(i => s"""{"id":"d$i","v":$i}"""), parts = 8)
+    val filesBefore = dataFileCount(acc, "db", "c")
+    assert(filesBefore > 2)
+
+    val r = spark.sql(
+      "CALL graftm.system.compact(db => 'db', container => 'c')").head()
+    assert(r.getAs[Long]("files_before") == filesBefore.toLong)
+    assert(r.getAs[Long]("files_after") <= 2L)
+    assert(r.getAs[Int]("buckets_compacted") > 0)
+    assert(spark.sql("SELECT count(1) FROM graftm.db.c").head().getLong(0) == 32)
+
+    // positional args + default ttl; a fresh staging tree survives
+    val staging = Paths.get(acc.root, "db", "c", "_staging", "w1")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("part-0.txt"), "{}\n")
+    val v = spark.sql("CALL graftm.system.vacuum('db', 'c')").head()
+    assert(v.getAs[Int]("staging_trees_removed") == 0)
+    // ttl 0: everything idle is swept
+    val v0 = spark.sql("CALL graftm.system.vacuum('db', 'c', 0)").head()
+    assert(v0.getAs[Int]("staging_trees_removed") == 1)
+    assert(!Files.exists(staging))
+
+    // unknown procedure fails loudly (Spark wraps the catalog's guidance
+    // in FAILED_TO_LOAD_ROUTINE), not silently
+    val err = intercept[Exception](
+      spark.sql("CALL graftm.system.nope('a')")).getMessage
+    assert(err.contains("FAILED_TO_LOAD_ROUTINE") && err.contains("nope"))
+  }
+}
