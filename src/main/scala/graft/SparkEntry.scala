@@ -54,6 +54,7 @@ object SparkEntry {
     "q_w5_distribution"    -> (Windows.qW5 _),
     "q_w6_interval_merge"  -> (Windows.qW6 _),
     "q_x7_event_paths"     -> (Windows.qX7 _),
+    "q_x8_sessionize"      -> (Windows.qX8 _),
     "q_w7_cumulative_users" -> (Windows.qW7 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
@@ -381,6 +382,23 @@ object SparkEntry {
         "SELECT event_type || '>' || e2 || '>' || e3 AS path, count(1) AS c " +
         "FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL " +
         "GROUP BY 1 ORDER BY c DESC, path LIMIT 20"),
+    "q_x8_sessionize" -> (
+      // gap arithmetic on FLOOR-seconds (both engines truncate the same
+      // way for positive epochs) so every output column is integer-exact;
+      // ordering keeps the full-precision timestamp
+      "WITH e AS (SELECT user_id, ts, event_id, " +
+        "CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec FROM events), " +
+        "b AS (SELECT user_id, ts, event_id, sec, " +
+        "CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 " +
+        "THEN 1 ELSE 0 END AS brk FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, sec, sum(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM b), " +
+        "g AS (SELECT user_id, sess, count(1) AS events_n, " +
+        "max(sec) - min(sec) AS dur FROM s GROUP BY 1, 2) " +
+        "SELECT events_n, count(1) AS sessions, " +
+        "CAST(sum(dur) AS BIGINT) AS total_dur_s " +
+        "FROM g GROUP BY 1 ORDER BY events_n"),
     "q_t9_tfidf" -> (
       // integer-surrogate idf ((n*1000) // df): monotone in ln(n/df), so
       // identical ranking, and hash-exact where ln() is libm-dependent

@@ -172,4 +172,35 @@ object Windows {
       .orderBy(desc("c"), col("path"))
       .limit(20)
   }
+
+  /** q_x8 — BATCH sessionization (the historical-reprocessing twin of the
+    * ST-3 streaming session windows): per-user 30-minute-idle-gap sessions
+    * via the classic lag → break-flag → running-sum-of-breaks assignment,
+    * then a session-size histogram with total within-session duration.
+    *
+    * Scale: ONE exchange on `user_id` serves both window passes (lag and
+    * the running sum share partitioning and ordering), the per-session
+    * aggregate reuses it map-side, and the final histogram is
+    * metadata-sized (distinct session lengths). Session count per user is
+    * data-bounded, never collected. Gap arithmetic on floor-seconds
+    * (timestamp→long truncation) so the result is integer-exact across
+    * engines; ordering uses the full-precision timestamp. */
+  def qX8(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("events_n"),
+        (max(col("sec")) - min(col("sec"))).as("dur"))
+      .groupBy(col("events_n"))
+      .agg(count(lit(1)).as("sessions"), sum(col("dur")).as("total_dur_s"))
+      .orderBy(col("events_n"))
+  }
 }

@@ -648,6 +648,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window passes must share one customer exchange:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_x8 sessionization: both window passes and the session agg share one user exchange") {
+    val q = graft.operators.Windows.qX8(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // lag, the running break-sum, and the (user_id, sess) aggregation all
+    // partition by user_id: allowed hash exchanges are that ONE, plus the
+    // metadata-sized histogram regroup on events_n
+    val hashEx = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 2 &&
+        hashEx.count(_.contains("user_id")) <= 1,
+      s"sessionization must reuse one user exchange:\n${hashEx.mkString("\n")}")
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(!_.contains("SinglePartition")),
+      s"session windows must not serialize through one task:\n${windows.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
