@@ -107,6 +107,7 @@ object SparkEntry {
     "q_d9_dup_components"  -> (Dedup.qD9 _),
     "q_d10_block_pairs"    -> (Dedup.qD10 _),
     "q_d11_edit_verified"  -> (Dedup.qD11 _),
+    "q_d12_chunk_dups"     -> (Dedup.qD12 _),
     // dup-graph structure diagnostics
     "q_g1_degree_hist"     -> (Dedup.qG1 _),
     "q_g2_triangles"       -> (Dedup.qG2 _),
@@ -425,6 +426,13 @@ object SparkEntry {
       ", dt AS (SELECT sp.a_id, sp.b_id, levenshtein(x.text, y.text) AS dist " +
       "FROM sp JOIN documents x ON sp.a_id = x.doc_id JOIN documents y ON sp.b_id = y.doc_id) " +
       "SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist FROM dt WHERE dist <= 30 ORDER BY a_id, b_id"),
+    "q_d12_chunk_dups" -> (
+      "WITH ch AS (SELECT doc_id, md5(substring(text, st, 200)) AS h " +
+        "FROM documents, unnest(generate_series(1, greatest(length(text), 1), 200)) AS t(st)), " +
+        "c AS (SELECT doc_id, count(1) OVER (PARTITION BY h) AS c FROM ch) " +
+        "SELECT doc_id, count(1) AS n_chunks, " +
+        "CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"),
     "q_g1_degree_hist" -> (simhashPairsSql +
       ", deg AS (SELECT id, count(1) AS degree FROM " +
       "(SELECT a_id AS id FROM sp UNION ALL SELECT b_id FROM sp) t GROUP BY id) " +

@@ -258,6 +258,32 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** q_d12 — chunk-level EXACT dedup profile (the Dolma/FineWeb
+    * "paragraph dedup" pass, over fixed windows since the corpus carries no
+    * paragraph breaks): per document, how many of its 200-char chunks occur
+    * verbatim anywhere else in the corpus. Doc-level exact dedup (qD1)
+    * misses boilerplate REUSE inside otherwise-distinct documents; this is
+    * the standard sub-document complement, and its dup fraction is a
+    * curation signal (drop or rewrite high-dup docs before training).
+    *
+    * Scale: chunks project to (doc_id, md5) BEFORE any exchange, so the
+    * hash-partitioned occurrence count shuffles ~48-byte rows, never text;
+    * the per-doc rollup is the second and last exchange. Full-width md5
+    * (not a 32-bit fold) keeps collisions negligible at 100 TB chunk
+    * counts. Both stages partial-aggregate map-side. */
+  def qD12(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text",
+        "explode(sequence(1, greatest(length(text), 1), 200)) AS st")
+      .selectExpr("doc_id", "md5(substring(text, st, 200)) AS h")
+      .withColumn("c", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1L, 1L).otherwise(0L)).as("dup_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** Q-G1 — degree histogram of the SimHash near-dup graph ([[qD6]]):
     * (degree, node count) rows — the first diagnostic a dedup-graph run
     * reads (a heavy-tailed degree histogram means a hub document, usually

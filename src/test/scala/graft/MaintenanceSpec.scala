@@ -118,6 +118,48 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(acc.vacuumStaging("db", "c", ttlMs = 24L * 3600 * 1000).isEmpty)
   }
 
+  test("compaction interleaves with a catalog stream: re-emit from new files, no wedge") {
+    val acc = newAccount("compact-stream")
+    spark.conf.set("spark.sql.catalog.graftmc",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmc.root", acc.root)
+    spark.sql("CREATE NAMESPACE graftmc.db")
+    spark.sql("CREATE TABLE graftmc.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 32).map(i => s"""{"id":"d$i","v":$i}"""), parts = 8)
+
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "compact-ckpt")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Int = {
+      val before = out.size
+      val q = spark.readStream.table("graftmc.db.c")
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out ++= b.collect().map(_.getString(0)); ()
+        }
+        .start()
+      q.awaitTermination()
+      out.size - before
+    }
+    assert(drain() == 32)
+    // compaction replaces every oversubscribed bucket's files with fresh
+    // part files: under the at-least-once-per-version contract the resumed
+    // stream RE-EMITS the rewritten buckets' rows from the new files —
+    // and, critically, does not wedge on the deleted old paths
+    val stats = acc.compactContainer(spark, "db", "c")
+    assert(stats.buckets.nonEmpty)
+    assert(drain() == 32, "compacted buckets must re-emit exactly once from their new files")
+    assert(drain() == 0, "steady state after the re-emit")
+    // the pipeline keeps flowing after compaction
+    spark.sql("""INSERT INTO graftmc.db.c VALUES ('{"id":"d33","v":33}')""")
+    assert(drain() >= 1)
+    val ids = out.flatMap("\"id\":\"(d\\d+)\"".r.findFirstMatchIn(_))
+      .map(_.group(1)).toSet
+    assert(ids.size == 33, s"every document version must have streamed, got ${ids.size}")
+  }
+
   test("SQL surface: CALL graft.system.compact / vacuum return result rows") {
     val acc = newAccount("callproc")
     spark.conf.set("spark.sql.catalog.graftm",

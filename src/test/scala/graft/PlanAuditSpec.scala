@@ -665,6 +665,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"session windows must not serialize through one task:\n${windows.mkString("\n")}")
   }
 
+  test("q_d12 chunk dedup shuffles hashes, never text") {
+    val q = graft.operators.Dedup.qD12(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the (doc_id, md5) projection must happen BELOW both exchanges: a
+    // text-carrying shuffle would move the whole corpus twice
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(l => !l.contains("text")),
+      s"chunk text must not cross an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
