@@ -33,7 +33,10 @@ object BenchSlope {
     // the simhash band join itself, interval merge, event paths) and the
     // decontamination sweep (the corpus-side gram stream is the volume)
     "q_g1_degree_hist", "q_g2_triangles", "q_d6_simhash_pairs",
-    "q_w6_interval_merge", "q_x7_event_paths", "q_t11_decontaminate")
+    "q_w6_interval_merge", "q_x7_event_paths", "q_t11_decontaminate",
+    // round-8 additions: the corpus-sized chunk-hash stream and the
+    // double-window sessionization
+    "q_d12_chunk_dups", "q_x8_sessionize")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */
