@@ -15,7 +15,8 @@ import graft.functions.GraftFunctions
   * sink's incremental upsert prune — only buckets containing changed
   * documents are rewritten. */
 case class ContainerProps(pkPaths: Seq[String] = Seq("/id"), buckets: Int = 16,
-                          raw: Option[String] = None)
+                          raw: Option[String] = None,
+                          autocompactFiles: Option[Int] = None)
 
 /** Outcome of one [[FileAccount.compactContainer]] pass. */
 final case class CompactionStats(buckets: Set[Long], filesBefore: Long,
@@ -84,7 +85,9 @@ case class FileAccount(root: String) {
         .getOrElse(Seq.empty)
       val buckets = "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
         .map(_.group(1).toInt).getOrElse(16)
-      ContainerProps(if (pks.isEmpty) Seq("/id") else pks, buckets, Some(s))
+      val autoc = "\"autocompact\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).filter(_ > 0)
+      ContainerProps(if (pks.isEmpty) Seq("/id") else pks, buckets, Some(s), autoc)
     }
   }
 
@@ -98,7 +101,10 @@ case class FileAccount(root: String) {
     if (!store.exists(meta))
       store.writeString(meta, props.raw.getOrElse(
         props.pkPaths.map(q => s""""$q"""").mkString(
-          """{"pk": [""", ", ", s"""], "buckets": ${props.buckets}}""")))
+          """{"pk": [""", ", ",
+          s"""], "buckets": ${props.buckets}""" +
+            props.autocompactFiles.fold("")(n => s""", "autocompact": $n""") +
+            "}")))
   }
 
   def hasData(db: String, container: String): Boolean =
@@ -235,7 +241,9 @@ case class FileAccount(root: String) {
     * bucket they belong in. Returns (compacted bucket ids, files before,
     * files after, bytes rewritten, strays absorbed). */
   def compactContainer(spark: SparkSession, db: String, container: String,
-                       targetBytes: Long = 128L << 20): CompactionStats = {
+                       targetBytes: Long = 128L << 20,
+                       only: Option[Set[Long]] = None,
+                       fileThreshold: Int = 1): CompactionStats = {
     GraftFunctions.register(spark)
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     if (!hasData(db, container))
@@ -253,16 +261,6 @@ case class FileAccount(root: String) {
     def targetFileCount(bytes: Long): Long =
       math.max(1L, (bytes + targetBytes - 1L) / targetBytes)
 
-    val listing: Map[Long, (String, Seq[FileMeta])] =
-      bucketDirList(db, container)
-        .map { case (b, dir) => b -> (dir, dataFiles(dir)) }.toMap
-    val oversubscribed: Set[Long] = listing.collect {
-      case (b, (_, fs))
-          if fs.nonEmpty && fs.size > targetFileCount(fs.map(_.size).sum) => b
-    }.toSet
-    if (oversubscribed.isEmpty && strays.isEmpty)
-      return CompactionStats(Set.empty, 0L, 0L, 0L, 0L)
-
     // strays can hold any key: key them to find the buckets they belong in
     // (those buckets join the rewrite set so absorption is a real merge,
     // not a blind append next to existing files)
@@ -273,6 +271,23 @@ case class FileAccount(root: String) {
         .select(col("raw"), col("__b")))
     val strayBuckets: Set[Long] = strayRows.fold(Set.empty[Long])(
       _.select("__b").distinct().collect().map(_.getLong(0)).toSet)
+
+    // `only` bounds the METADATA walk too (the auto-compaction hook passes
+    // the upsert's affected buckets, keeping per-write upkeep O(affected)
+    // rather than O(container)) — but a stray's bucket ALWAYS enters the
+    // listing: it joins the rewrite set below, and rewriting a bucket
+    // whose existing files were never read would drop its rows
+    val listing: Map[Long, (String, Seq[FileMeta])] =
+      bucketDirList(db, container)
+        .filter { case (b, _) =>
+          only.forall(_.contains(b)) || strayBuckets.contains(b) }
+        .map { case (b, dir) => b -> (dir, dataFiles(dir)) }.toMap
+    val oversubscribed: Set[Long] = listing.collect {
+      case (b, (_, fs)) if fs.nonEmpty && fs.size >
+          math.max(targetFileCount(fs.map(_.size).sum), fileThreshold.toLong) => b
+    }.toSet
+    if (oversubscribed.isEmpty && strays.isEmpty)
+      return CompactionStats(Set.empty, 0L, 0L, 0L, 0L)
     val rewrite: Set[Long] = oversubscribed ++ strayBuckets
 
     // bucketed rows need no parsing: the directory IS the bucket
@@ -704,6 +719,20 @@ case class FileAccount(root: String) {
       (prior -- affected) ++ affected.toSeq.sorted.map { b =>
         b -> (outCounts.getOrElse(b, 0L), dirSignature(bucketDir(db, container, b)))
       })
+    // AUTO-COMPACTION (opt-in via the container's "autocompact" metadata /
+    // TBLPROPERTIES): every upsert writes fresh batch-sized part files into
+    // its affected buckets, so a container fed by many small merges grows
+    // its per-bucket file count without bound. With a threshold N set, any
+    // JUST-REWRITTEN bucket that ended with more than max(N, size-target)
+    // files is compacted inline — upkeep stays O(affected buckets) per
+    // write (the restriction bounds the metadata walk too), untouched
+    // buckets are never examined, and the post-compaction sidecar re-sign
+    // keeps verification metadata-only. Write amplification is bounded:
+    // each upsert rewrites at most its own buckets one extra time.
+    props.autocompactFiles.foreach { thr =>
+      compactContainer(spark, db, container,
+        only = Some(affected), fileThreshold = thr)
+    }
     affected
   }
 }

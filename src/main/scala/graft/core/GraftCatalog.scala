@@ -162,7 +162,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pkPaths = Option(properties.get("pk"))
         .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("/id")),
       buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(16),
-      raw = Option(properties.get("raw_meta")))
+      raw = Option(properties.get("raw_meta")),
+      autocompactFiles =
+        Option(properties.get("autocompact")).map(_.toInt).filter(_ > 0))
     account.createDatabaseIfAbsent(d)
     account.createContainerIfAbsent(d, c, props)
     loadTable(ident)
@@ -269,6 +271,7 @@ final class ContainerTable(account: FileAccount, db: String, container: String,
     m.put("pk", props.pkPaths.mkString(","))
     m.put("buckets", props.buckets.toString)
     m.put("location", account.dataPath(db, container))
+    props.autocompactFiles.foreach(n => m.put("autocompact", n.toString))
     props.raw.foreach(m.put("raw_meta", _))
     m
   }

@@ -98,6 +98,49 @@ class MaintenanceSpec extends AnyFunSuite {
       "buckets outside the rewrite set must stay byte-for-byte identical")
   }
 
+  test("autocompact: repeated small upserts keep per-bucket file counts bounded") {
+    val acc = newAccount("autocompact")
+    spark.conf.set("spark.sql.catalog.grafta",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grafta.root", acc.root)
+    spark.sql("CREATE NAMESPACE grafta.db")
+    // bounded container: any just-rewritten bucket ending over 3 files
+    // compacts inline; control: no threshold, files accumulate
+    spark.sql("CREATE TABLE grafta.db.bounded (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2', 'autocompact'='3')")
+    spark.sql("CREATE TABLE grafta.db.control (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    assert(acc.containerProperties("db", "bounded").autocompactFiles == Some(3))
+    assert(spark.sql("SHOW TBLPROPERTIES grafta.db.bounded")
+      .collect().exists(r => r.getString(0) == "autocompact" && r.getString(1) == "3"))
+
+    def maxFilesPerBucket(c: String): Int =
+      acc.bucketDirList("db", c).map { case (_, dir) =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+          .count(p => java.nio.file.Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+      }.maxOption.getOrElse(0)
+
+    for (batch <- 0 until 8) {
+      val values = (0 until 8).map(i =>
+        s"""('{"id":"b$batch-$i","v":$i}')""").mkString(", ")
+      spark.sql(s"INSERT INTO grafta.db.bounded VALUES $values")
+      spark.sql(s"INSERT INTO grafta.db.control VALUES $values")
+    }
+    val bounded = maxFilesPerBucket("bounded")
+    val control = maxFilesPerBucket("control")
+    assert(bounded <= 3, s"autocompact must bound files per bucket, got $bounded")
+    assert(control > 3, s"the control fixture must actually accumulate, got $control")
+    // compaction upkeep must not cost correctness: rows + metadata intact
+    assert(spark.sql("SELECT count(1) FROM grafta.db.bounded").head().getLong(0) == 64)
+    assert(acc.countRows(spark, "db", "bounded") == 64)
+    val sigs = acc.bucketSignatures("db", "bounded")
+    assert(acc.readBucketCounts("db", "bounded")
+      .forall { case (b, (_, sig)) => sigs.get(b).contains(sig) })
+  }
+
   test("vacuumStaging: sweeps idle staging trees, keeps live ones") {
     val acc = newAccount("vacuum")
     acc.createDatabaseIfAbsent("db")
@@ -162,38 +205,38 @@ class MaintenanceSpec extends AnyFunSuite {
 
   test("SQL surface: CALL graft.system.compact / vacuum return result rows") {
     val acc = newAccount("callproc")
-    spark.conf.set("spark.sql.catalog.graftm",
+    spark.conf.set("spark.sql.catalog.graftmx",
       classOf[graft.core.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graftm.root", acc.root)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftm.db")
-    spark.sql("CREATE TABLE graftm.db.c (raw STRING) " +
+    spark.conf.set("spark.sql.catalog.graftmx.root", acc.root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftmx.db")
+    spark.sql("CREATE TABLE graftmx.db.c (raw STRING) " +
       "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
     upsert(acc, "db", "c", (1 to 32).map(i => s"""{"id":"d$i","v":$i}"""), parts = 8)
     val filesBefore = dataFileCount(acc, "db", "c")
     assert(filesBefore > 2)
 
     val r = spark.sql(
-      "CALL graftm.system.compact(db => 'db', container => 'c')").head()
+      "CALL graftmx.system.compact(db => 'db', container => 'c')").head()
     assert(r.getAs[Long]("files_before") == filesBefore.toLong)
     assert(r.getAs[Long]("files_after") <= 2L)
     assert(r.getAs[Int]("buckets_compacted") > 0)
-    assert(spark.sql("SELECT count(1) FROM graftm.db.c").head().getLong(0) == 32)
+    assert(spark.sql("SELECT count(1) FROM graftmx.db.c").head().getLong(0) == 32)
 
     // positional args + default ttl; a fresh staging tree survives
     val staging = Paths.get(acc.root, "db", "c", "_staging", "w1")
     Files.createDirectories(staging)
     Files.writeString(staging.resolve("part-0.txt"), "{}\n")
-    val v = spark.sql("CALL graftm.system.vacuum('db', 'c')").head()
+    val v = spark.sql("CALL graftmx.system.vacuum('db', 'c')").head()
     assert(v.getAs[Int]("staging_trees_removed") == 0)
     // ttl 0: everything idle is swept
-    val v0 = spark.sql("CALL graftm.system.vacuum('db', 'c', 0)").head()
+    val v0 = spark.sql("CALL graftmx.system.vacuum('db', 'c', 0)").head()
     assert(v0.getAs[Int]("staging_trees_removed") == 1)
     assert(!Files.exists(staging))
 
     // unknown procedure fails loudly (Spark wraps the catalog's guidance
     // in FAILED_TO_LOAD_ROUTINE), not silently
     val err = intercept[Exception](
-      spark.sql("CALL graftm.system.nope('a')")).getMessage
+      spark.sql("CALL graftmx.system.nope('a')")).getMessage
     assert(err.contains("FAILED_TO_LOAD_ROUTINE") && err.contains("nope"))
   }
 }
