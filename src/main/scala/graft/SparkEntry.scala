@@ -120,6 +120,7 @@ object SparkEntry {
     "q_sim4_ivf_kmeans"    -> (Similarity.qSim4 _),
     "q_sim5_lang_centroids" -> (Similarity.qSim5 _),
     "q_sim6_filtered_knn"  -> (Similarity.qSim6 _),
+    "q_sim7_centroid_assign" -> (Similarity.qSim7 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -570,6 +571,26 @@ object SparkEntry {
         ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim7_centroid_assign" -> (
+      // centroids round to 6 decimals BEFORE the cosine (the q_sim5
+      // contract); dot products run sequentially in DOUBLE on both sides
+      // (list_dot_product / aggregate over the array); similarity sums are
+      // integer permyriad, never averaged doubles; argmax ties break on
+      // the smaller label in both engines
+      "WITH ex AS (SELECT label, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings), " +
+        "cd AS (SELECT label AS cl, i, ROUND(avg(CAST(x AS DOUBLE)), 6) AS a FROM ex GROUP BY 1, 2), " +
+        "cent AS (SELECT cl, list(a ORDER BY i) AS cvec FROM cd GROUP BY cl), " +
+        "sim AS (SELECT e.vec_id, e.label, c.cl, " +
+        "list_dot_product(e.embedding::DOUBLE[], c.cvec) / " +
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(c.cvec, c.cvec))) AS cos " +
+        "FROM embeddings e CROSS JOIN cent c), " +
+        "best AS (SELECT vec_id, label, cl, cos, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cl) AS rn FROM sim) " +
+        "SELECT label, count(1) AS n, " +
+        "CAST(sum(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        "CAST(sum(CAST(round(cos * 10000) AS BIGINT)) AS BIGINT) AS sim_e4 " +
+        "FROM best WHERE rn = 1 GROUP BY label ORDER BY label"),
     "q_sim2_lsh_ann" -> (
       // random-hyperplane signs recomputed from md5("p_i") — must mirror
       // Similarity.planeSign; dot summation in index order like cosineSumSql

@@ -527,4 +527,53 @@ object Similarity {
       .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
       .orderBy("q_id", "rank")
   }
+
+  /** q_sim7 — nearest-centroid ASSIGNMENT audit: per true label, how many
+    * vectors land on their own class centroid (embedding-space
+    * separability — the standard cheap eval of whether an embedding model
+    * still separates the classes a pipeline routes by, run before trusting
+    * any label-filtered retrieval like qSim6).
+    *
+    * Scale: per-label centroids are ONE bounded label×dim aggregation
+    * (classes×dims result, like qSim5), collected driver-side (10×64
+    * doubles — metadata) into a LITERAL centroid array; assignment is then
+    * a map-only projection (`transform` over the literal + `array_max` on
+    * (cos, -label) structs — no join, no shuffle, corpus streams once);
+    * the rollup on true label is metadata-sized. Cross-engine exactness:
+    * centroids round to 6 decimals BEFORE the cosine (the qSim5 contract),
+    * dot products run sequentially in DOUBLE on both engines, and the
+    * output sums integer-quantized similarities (permyriad) instead of
+    * averaging doubles. */
+  def qSim7(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    // bounded: classes × dims rows
+    val cent: Seq[(Int, Seq[Double])] = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(expr("ROUND(avg(CAST(v AS DOUBLE)), 6)").as("c"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("cv"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq)
+      .sortBy(_._1).toSeq
+    val centCol = array(cent.map { case (l, v) =>
+      struct(lit(l).as("cl"), typedLit(v).as("cv")) }: _*)
+    e.withColumn("cents", centCol)
+      .selectExpr("vec_id", "label", "embedding",
+        // per-vector norm once; each centroid's norm constant-folds
+        "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, b) -> a + b)) AS nv",
+        "cents")
+      .selectExpr("vec_id", "label",
+        "array_max(transform(cents, c -> struct(" +
+          "aggregate(zip_with(embedding, c.cv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, b) -> a + b) " +
+          "/ (nv * sqrt(aggregate(zip_with(c.cv, c.cv, (x, y) -> x * y), 0D, (a, b) -> a + b))) AS cos, " +
+          "-c.cl AS nl))) AS best")
+      .selectExpr("label", "-best.nl AS assigned", "best.cos AS cos")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("assigned") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+        sum(expr("CAST(round(cos * 10000) AS BIGINT)")).as("sim_e4"))
+      .orderBy("label")
+  }
 }

@@ -677,6 +677,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"chunk text must not cross an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_sim7 centroid assignment is map-only: no join, label-sized exchanges only") {
+    val q = graft.operators.Similarity.qSim7(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the centroid matrix is a driver-side literal, so the returned plan
+    // must assign via pure projection: corpus scan -> transform/array_max
+    // -> label rollup; no join operator, and the only exchanges are the
+    // classes-sized label agg + the final ORDER BY
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size <= 2,
+      s"only the label rollup + sort may exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
