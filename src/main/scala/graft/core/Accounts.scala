@@ -107,6 +107,37 @@ case class FileAccount(root: String) {
             "}")))
   }
 
+  /** Set/clear the container's auto-compaction file threshold — the one
+    * MUTABLE container property (layout properties pk/buckets are fixed:
+    * stored buckets hash by them). Edits `_meta.json` surgically so every
+    * uninterpreted field (indexing policy, throughput, unknown keys)
+    * survives byte-for-byte, same posture as container creation. */
+  def setAutocompact(db: String, container: String, n: Option[Int]): Unit = {
+    val meta = p(db, container, "_meta.json")
+    val s =
+      if (store.exists(meta)) store.readString(meta)
+      else """{"pk": ["/id"], "buckets": 16}"""
+    // remove an existing entry wherever it sits: the trailing-comma form
+    // FIRST (a front-position field owns the comma after it), then the
+    // leading-comma form (any later position)
+    val stripped =
+      ",?\\s*\"autocompact\"\\s*:\\s*\\d+".r.replaceAllIn(
+        "\"autocompact\"\\s*:\\s*\\d+\\s*,\\s*".r.replaceAllIn(s, ""), "")
+    val out = n match {
+      case None => stripped
+      case Some(v) =>
+        require(v > 0, s"autocompact must be a positive file count, got $v")
+        val idx = stripped.lastIndexOf('}')
+        require(idx >= 0, s"malformed _meta.json for $db.$container")
+        val bodyBlank = stripped.substring(
+          stripped.indexOf('{') + 1, idx).trim.isEmpty
+        stripped.substring(0, idx) +
+          (if (bodyBlank) "" else ", ") + s""""autocompact": $v""" +
+          stripped.substring(idx)
+    }
+    store.writeString(meta, out)
+  }
+
   def hasData(db: String, container: String): Boolean =
     store.isDirectory(p(db, container, "data"))
 

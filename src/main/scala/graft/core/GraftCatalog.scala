@@ -170,9 +170,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "container properties are fixed at creation (reference parity: containers.py:46-76)")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (d, c) = split(ident)
+    // LAYOUT properties (pk, buckets) are fixed at creation — every stored
+    // bucket hashes by them, so changing either silently orphans data
+    // (reference parity: containers.py:46-76). `autocompact` is engine-owned
+    // upkeep tuning with no bearing on stored bytes: mutable.
+    changes.foreach {
+      case sp: TableChange.SetProperty if sp.property == "autocompact" =>
+        val n = sp.value.toInt
+        require(n > 0, s"autocompact must be a positive file count, got $n")
+        account.setAutocompact(d, c, Some(n))
+      case rp: TableChange.RemoveProperty if rp.property == "autocompact" =>
+        account.setAutocompact(d, c, None)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"only the 'autocompact' property is mutable " +
+            s"(layout properties are fixed at creation), got $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val (d, c) = split(ident)

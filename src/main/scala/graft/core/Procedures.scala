@@ -26,11 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the caller's own reporting. */
 private[core] object GraftProcedures {
 
-  val names: Array[String] = Array("compact", "vacuum")
+  val names: Array[String] = Array("compact", "vacuum", "stats", "verify")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact" => new CompactProcedure(account)
     case "vacuum"  => new VacuumProcedure(account)
+    case "stats"   => new StatsProcedure(account)
+    case "verify"  => new VerifyProcedure(account)
   }
 
   private[core] def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -39,6 +41,14 @@ private[core] object GraftProcedures {
   private[core] final class OneRowScan(schema: StructType, row: InternalRow)
       extends LocalScan {
     override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+
+  /** Multi-row driver-computed result relation (bucket-bounded). */
+  private[core] final class RowsScan(schema: StructType,
+                                     rs: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = rs
     override def readSchema(): StructType = schema
   }
 }
@@ -77,6 +87,97 @@ private[core] final class CompactProcedure(account: FileAccount)
     val row = new GenericInternalRow(Array[Any](
       stats.buckets.size, stats.filesBefore, stats.filesAfter,
       stats.bytesRewritten, stats.straysAbsorbed))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.stats(db, container)` — one row per bucket from
+  * DRIVER METADATA only (listing + the `_counts.json` sidecar, no data
+  * read): file count, bytes, the sidecar row count, and whether the
+  * current listing signature vouches for it. The capacity-planning /
+  * skew-triage view an operator reads before deciding to compact,
+  * re-bucket, or deep-audit. */
+private[core] final class StatsProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "stats"
+  override def description(): String =
+    "per-bucket file/byte/row stats from driver metadata (no data scan)"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val db = input.getUTF8String(0).toString
+    val container = input.getUTF8String(1).toString
+    val sidecar = account.readBucketCounts(db, container)
+    val sigs = account.bucketSignatures(db, container)
+    val files = account.dataFilesMeta(db, container)
+    val re = "/b=(\\d+)/".r
+    val byBucket = files.groupBy(f => re.findFirstMatchIn(f._1).map(_.group(1).toLong))
+    val schema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("vouched", BooleanType, nullable = false)))
+    val rows = byBucket.toSeq.sortBy(_._1.getOrElse(-1L)).map { case (b, fs) =>
+      val bucket = b.getOrElse(-1L) // -1 = strays at the data root
+      val vouched = b.exists(id =>
+        sidecar.get(id).exists(e => sigs.get(id).contains(e._2)))
+      new GenericInternalRow(Array[Any](
+        bucket, fs.size, fs.map(_._2).sum,
+        b.flatMap(sidecar.get).map(_._1).filter(_ => vouched)
+          .map(Long.box).orNull,
+        vouched))
+    }
+    java.util.List.of[Scan](
+      new GraftProcedures.RowsScan(schema, rows.toArray)).iterator()
+  }
+}
+
+/** `CALL graft.system.verify(db, container)` — the A15 verification
+  * surfaced through SQL: container row count in O(metadata + unvouched
+  * buckets) via [[FileAccount.countRows]] (sidecar-vouched buckets are
+  * free; externally-modified ones — and only those — rescan and self-heal
+  * the sidecar). */
+private[core] final class VerifyProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "verify"
+  override def description(): String =
+    "container row count: sidecar-vouched buckets free, unvouched rescanned"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val db = input.getUTF8String(0).toString
+    val container = input.getUTF8String(1).toString
+    val sidecar = account.readBucketCounts(db, container)
+    val sigs = account.bucketSignatures(db, container)
+    val vouched = sigs.count { case (b, sig) =>
+      sidecar.get(b).exists(_._2 == sig) }
+    val rows = account.countRows(
+      SparkSession.active, db, container)
+    val schema = StructType(Seq(
+      StructField("rows", LongType, nullable = false),
+      StructField("buckets", IntegerType, nullable = false),
+      StructField("vouched_buckets", IntegerType, nullable = false),
+      StructField("rescanned_buckets", IntegerType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      rows, sigs.size, vouched, sigs.size - vouched))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

@@ -238,5 +238,49 @@ class MaintenanceSpec extends AnyFunSuite {
     val err = intercept[Exception](
       spark.sql("CALL graftmx.system.nope('a')")).getMessage
     assert(err.contains("FAILED_TO_LOAD_ROUTINE") && err.contains("nope"))
+
+    // stats: one metadata-only row per bucket, vouched after the compact
+    val st = spark.sql("CALL graftmx.system.stats('db', 'c')").collect()
+    assert(st.nonEmpty && st.length <= 2)
+    assert(st.forall(_.getAs[Boolean]("vouched")))
+    assert(st.map(_.getAs[Long]("rows")).sum == 32L)
+    assert(st.forall(_.getAs[Int]("files") >= 1))
+
+    // verify: sidecar-vouched count with zero rescans in the steady state
+    val vr = spark.sql("CALL graftmx.system.verify('db', 'c')").head()
+    assert(vr.getAs[Long]("rows") == 32L)
+    assert(vr.getAs[Int]("rescanned_buckets") == 0)
+    assert(vr.getAs[Int]("vouched_buckets") == vr.getAs[Int]("buckets"))
+  }
+
+  test("ALTER TABLE SET/UNSET autocompact: the one mutable property, meta surgery preserves unknown fields") {
+    val acc = newAccount("alterac")
+    spark.conf.set("spark.sql.catalog.graftal",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftal.root", acc.root)
+    spark.sql("CREATE NAMESPACE graftal.db")
+    // a container created with verbatim foreign metadata (the reference's
+    // indexing-policy posture): surgery must not disturb it
+    Files.createDirectories(Paths.get(acc.root, "db", "c"))
+    Files.writeString(Paths.get(acc.root, "db", "c", "_meta.json"),
+      """{"pk": ["/id"], "buckets": 2, "indexingPolicy": {"mode": "consistent"}}""")
+
+    spark.sql("ALTER TABLE graftal.db.c SET TBLPROPERTIES ('autocompact'='4')")
+    val props = acc.containerProperties("db", "c")
+    assert(props.autocompactFiles == Some(4))
+    assert(props.raw.get.contains(""""indexingPolicy": {"mode": "consistent"}"""),
+      s"foreign metadata must survive verbatim, got ${props.raw.get}")
+    // idempotent re-set replaces, never duplicates
+    spark.sql("ALTER TABLE graftal.db.c SET TBLPROPERTIES ('autocompact'='8')")
+    val meta = Files.readString(Paths.get(acc.root, "db", "c", "_meta.json"))
+    assert("autocompact".r.findAllIn(meta).size == 1 && meta.contains("\"autocompact\": 8"))
+    spark.sql("ALTER TABLE graftal.db.c UNSET TBLPROPERTIES ('autocompact')")
+    assert(acc.containerProperties("db", "c").autocompactFiles.isEmpty)
+
+    // layout properties stay immutable
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graftal.db.c SET TBLPROPERTIES ('buckets'='32')"))
+    assert(e.getMessage.contains("autocompact") ||
+      e.getMessage.contains("fixed at creation"))
   }
 }
