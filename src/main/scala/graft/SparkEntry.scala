@@ -146,6 +146,7 @@ object SparkEntry {
     "q_mm6_video_frames"    -> (Multimodal.qMm6 _),
     "q_mm7_motion_energy"   -> (Multimodal.qMm7 _),
     "q_mm8_audio_bands"     -> (Multimodal.qMm8 _),
+    "q_mm9_image_hash_dups" -> (Multimodal.qMm9 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU4 _),
   )
@@ -787,6 +788,31 @@ object SparkEntry {
         "SELECT doc_id AS asset_id, CAST(64 AS INT) AS w, CAST(1 AS INT) AS h, " +
         "CAST(sum((doc_id * 37 + k * 11) % 2048 - 1024) AS BIGINT) AS px_sum " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm9_image_hash_dups" -> (
+      // the oracle replays the pixel function arithmetically, builds the
+      // same integer average-hash (bit k set iff g*64 >= sum), and runs
+      // the same band-pigeonhole + Hamming verify; only a correct Spark
+      // decode reproduces these pairs from real PNG bytes
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "px AS (SELECT doc_id, y.i * 8 + x.i AS k, (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS g " +
+        "FROM d, (SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y), " +
+        "tot AS (SELECT doc_id, sum(g) AS t FROM px GROUP BY doc_id), " +
+        "bts AS (SELECT px.doc_id, px.k, CASE WHEN px.g * 64 >= tot.t THEN 1::BIGINT ELSE 0::BIGINT END AS b " +
+        "FROM px JOIN tot USING (doc_id)), " +
+        "h AS (SELECT doc_id, " +
+        "CAST(sum(CASE WHEN k < 16 THEN b << k ELSE 0 END) AS BIGINT) AS b0, " +
+        "CAST(sum(CASE WHEN k BETWEEN 16 AND 31 THEN b << (k - 16) ELSE 0 END) AS BIGINT) AS b1, " +
+        "CAST(sum(CASE WHEN k BETWEEN 32 AND 47 THEN b << (k - 32) ELSE 0 END) AS BIGINT) AS b2, " +
+        "CAST(sum(CASE WHEN k >= 48 THEN b << (k - 48) ELSE 0 END) AS BIGINT) AS b3 " +
+        "FROM bts GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS a_id, c.doc_id AS b_id, " +
+        "bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1)) + " +
+        "bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) AS dist " +
+        "FROM h a JOIN h c ON a.doc_id < c.doc_id AND " +
+        "(a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)) " +
+        "SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist FROM p " +
+        "WHERE dist <= 3 ORDER BY a_id, b_id"),
     "q_mm6_video_frames" -> (
       // real multi-frame (animated GIF) decode Spark-side; the oracle
       // replays the frame-pixel function (Multimodal.gifGray)

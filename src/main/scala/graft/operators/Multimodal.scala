@@ -341,6 +341,69 @@ object Multimodal {
   def qMm4(spark: SparkSession, dir: String): DataFrame =
     pixelFeatures(pngAssets(spark, dir), ImageIoDecoder).orderBy("asset_id")
 
+  /** 64-bit average-hash of a decoded image as four 16-bit bands: bit k
+    * (row-major pixel index) is set iff pixel_k × n ≥ Σ pixels (the
+    * integer form of "above the mean" — no float division, so the oracle
+    * replays it exactly). First channel only (the gray plane for r=g=b
+    * canvases). Split into bands so the near-dup join below can pigeonhole. */
+  final case class ImageHash(asset_id: Long, b0: Long, b1: Long, b2: Long,
+                             b3: Long)
+
+  /** Decode + average-hash in one batched executor pass — bytes never
+    * leave the executor, same contract as [[pixelFeatures]]. */
+  def imageHashes(assets: DataFrame, decoder: AssetDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decode(a.bytes).map { d =>
+              val n = d.width * d.height
+              var total = 0L
+              var k = 0
+              while (k < n) { total += d.samples(k * d.channels); k += 1 }
+              val bands = new Array[Long](4)
+              k = 0
+              while (k < n && k < 64) {
+                if (d.samples(k * d.channels).toLong * n >= total)
+                  bands(k / 16) |= 1L << (k % 16)
+                k += 1
+              }
+              ImageHash(a.asset_id, bands(0), bands(1), bands(2), bands(3))
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Q-MM9: perceptual-hash image NEAR-DUP pairs — the dedup-family
+    * pigeonhole ([[Dedup.qD6]]'s shape) applied to REAL decoded images:
+    * PNG-decode → 64-bit average-hash → 4×16-bit bands → candidates =
+    * band-equality join (complete for Hamming ≤ 3: 4 bands, ≤3 differing
+    * bits, one band must match exactly) → exact Hamming verify on the
+    * bit_count of the band XORs. Never all-pairs: candidate volume is the
+    * band-bucket join's, and the verify is O(candidates). The hash frame
+    * is referenced twice (both join sides) — at 100 TB persist it or
+    * chain broadcasts as [[Dedup.qD11]] does; at asset-catalog sizes
+    * (hashes are 5 longs/row, ~1e-6 of the corpus bytes) recompute is the
+    * cheaper plan. */
+  def qMm9(spark: SparkSession, dir: String): DataFrame = {
+    val h = imageHashes(pngAssets(spark, dir), ImageIoDecoder)
+    def banded(p: String) = h.toDF(
+      s"${p}_id", s"${p}0", s"${p}1", s"${p}2", s"${p}3")
+      .selectExpr(s"${p}_id", s"${p}0", s"${p}1", s"${p}2", s"${p}3",
+        s"posexplode(array(${p}0, ${p}1, ${p}2, ${p}3)) AS (bi, bv)")
+    banded("a").join(banded("b"), Seq("bi", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .selectExpr("a_id", "b_id",
+        "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT) AS dist")
+      .where(col("dist") <= 3)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- REAL multi-frame (video-path) decode ----
 
   /** The multi-frame decode boundary — the video analogue of

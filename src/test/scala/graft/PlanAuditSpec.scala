@@ -691,6 +691,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the label rollup + sort may exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_mm9 image-hash dedup shuffles 5-long hash rows, never image bytes") {
+    val q = graft.operators.Multimodal.qMm9(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(l => !l.contains("bytes")),
+      s"decoded blobs must stay on their executor:\n${exchanges.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
