@@ -94,6 +94,7 @@ object SparkEntry {
     "q_t10_quota_sample"   -> (TextAnalysis.qT10 _),
     "q_t11_decontaminate"  -> (TextAnalysis.qT11 _),
     "q_t12_repetition"     -> (TextAnalysis.qT12 _),
+    "q_t13_lang_confusion" -> (TextAnalysis.qT13 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -475,6 +476,22 @@ object SparkEntry {
         "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
         "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
         "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM h ORDER BY doc_id"),
+    "q_t13_lang_confusion" -> (
+      // q_t1's classifier joined back to the labeled lang column, rolled
+      // up into the confusion matrix
+      "WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "h AS (SELECT lang, " +
+        "len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it'))) AS en_hits, " +
+        "len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un'))) AS es_hits, " +
+        "len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein'))) AS de_hits, " +
+        "len(list_filter(toks, w -> w IN ('le','la','de','et','un','une','est'))) AS fr_hits FROM t), " +
+        "p AS (SELECT lang, " +
+        "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' " +
+        "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
+        "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
+        "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM h) " +
+        "SELECT lang, lang_pred, count(1) AS n FROM p " +
+        "GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),
     "q_t2_quality_score" -> (
       // integer-exact HALF_UP rounding of each ratio — see TextAnalysis.qT2
       "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS w, " +

@@ -172,6 +172,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_t13 — language-ID CONFUSION MATRIX: [[qT1]]'s n-gram classifier
+    * rolled up against the corpus's labeled `lang` column — the accuracy
+    * audit run before trusting lang-routed curation (quota sampling,
+    * per-language quality thresholds) to the heuristic. Same pattern as
+    * the embedding-space separability audit (q_sim7): cheap eval of the
+    * signal a pipeline routes by. Map-only scoring (the fused `lang_hits`
+    * kernel), then a languages²-sized rollup — scan-bound at any corpus
+    * size. */
+  def qT13(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("lang", "lang_hits(text) AS lh")
+      .selectExpr("lang",
+        "CAST(lh.en AS INT) AS en_hits", "CAST(lh.es AS INT) AS es_hits",
+        "CAST(lh.de AS INT) AS de_hits", "CAST(lh.fr AS INT) AS fr_hits")
+      .selectExpr("lang",
+        """CASE
+          |  WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+          |  WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+          |  WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+          |  WHEN fr_hits > 0 THEN 'fr'
+          |  ELSE 'und'
+          |END AS lang_pred""".stripMargin)
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** Quality scoring: length, average word length, stopword ratio, and a
     * weighted composite score — the "keep or drop this document" signal of a
     * training-data pipeline.
