@@ -375,6 +375,84 @@ case class FileAccount(root: String) {
     CompactionStats(rewrite, filesBefore, filesAfter, bytes, strays.size.toLong)
   }
 
+  /** Re-bucket a container: rewrite the WHOLE data tree into a new
+    * pk-hash layout of `newBuckets` buckets and update `_meta.json`. The
+    * escape hatch for a bucket count mis-sized at creation — too few
+    * buckets and incremental upserts rewrite too much per batch; too many
+    * and the layout fragments. A full-container rewrite is the honest
+    * cost (every row's bucket changes); it runs as ONE distributed pass
+    * into a `_rebucket` staging tree (invisible to scans), then a
+    * delete+rename swap. The swap window is the same non-atomic
+    * filesystem trade as INSERT OVERWRITE; on a crash between delete and
+    * rename, the complete staging tree still holds every row — recovery
+    * is renaming it into place. Strays are absorbed (the full read sees
+    * them); the sidecar is rebuilt with fresh counts and signatures; a
+    * catalog stream over the container re-emits everything from the new
+    * files (at-least-once per document version, the standard contract).
+    * Returns the row count. */
+  def rebucketContainer(spark: SparkSession, db: String, container: String,
+                        newBuckets: Int): Long = {
+    require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
+    GraftFunctions.register(spark)
+    val props = containerProperties(db, container)
+    val pkPaths = props.pkPaths
+    val keyCols = "__id" +: pkPaths.indices.map(i => s"__pk$i")
+    val staging = p(db, container, "_rebucket")
+    store.deleteRecursive(staging)
+    if (!hasData(db, container)) {
+      setBuckets(db, container, newBuckets)
+      return 0L
+    }
+    // one distributed pass: key every stored row (malformed rows key to
+    // null → pmod(xxhash64(""), n)-style stable bucket, they stay stored
+    // like the upsert path stores them), write the NEW layout to staging
+    keyedRows(readRaw(spark, db, container), pkPaths, keyCols, newBuckets)
+      .select(col("raw"), col("__b").as("b"))
+      .write.partitionBy("b").mode(SaveMode.Overwrite).text(staging)
+    // per-bucket counts off the STAGED files (a second pass over the new
+    // tree, not the old one — no lineage on the files the swap deletes)
+    val counts: Map[Long, Long] = spark.read
+      .option("recursiveFileLookup", "true").text(staging)
+      .withColumn("__b",
+        regexp_extract(input_file_name(), "/b=(\\d+)/", 1).cast("long"))
+      .groupBy("__b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = dataDir(db, container)
+    store.deleteRecursive(dir)
+    if (!store.rename(staging, dir))
+      throw new IllegalStateException(
+        s"re-bucket swap failed: $staging holds the complete new layout; " +
+          s"rename it to $dir to recover")
+    setBuckets(db, container, newBuckets)
+    writeBucketCounts(db, container,
+      counts.toSeq.sortBy(_._1).map { case (b, n) =>
+        b -> (n, dirSignature(bucketDir(db, container, b)))
+      }.toMap)
+    counts.values.sum
+  }
+
+  /** `_meta.json` surgery for the bucket count — same
+    * preserve-uninterpreted-fields posture as [[setAutocompact]]. Private:
+    * callers go through [[rebucketContainer]] (metadata alone must never
+    * disagree with the stored layout). */
+  private def setBuckets(db: String, container: String, n: Int): Unit = {
+    val meta = p(db, container, "_meta.json")
+    val s =
+      if (store.exists(meta)) store.readString(meta)
+      else """{"pk": ["/id"]}"""
+    val re = "\"buckets\"\\s*:\\s*\\d+".r
+    val out =
+      if (re.findFirstIn(s).isDefined) re.replaceAllIn(s, s""""buckets": $n""")
+      else {
+        val idx = s.lastIndexOf('}')
+        require(idx >= 0, s"malformed _meta.json for $db.$container")
+        val bodyBlank = s.substring(s.indexOf('{') + 1, idx).trim.isEmpty
+        s.substring(0, idx) +
+          (if (bodyBlank) "" else ", ") + s""""buckets": $n""" + s.substring(idx)
+      }
+    store.writeString(meta, out)
+  }
+
   /** Remove ABANDONED staging trees (`_staging/<writeId>`): a SQL/streaming
     * write that dies between staging and commit leaves its tree behind (the
     * `_` prefix keeps it invisible to scans, but the bytes linger). A tree

@@ -26,13 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the caller's own reporting. */
 private[core] object GraftProcedures {
 
-  val names: Array[String] = Array("compact", "vacuum", "stats", "verify")
+  val names: Array[String] =
+    Array("compact", "vacuum", "stats", "verify", "rebucket")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
-    case "compact" => new CompactProcedure(account)
-    case "vacuum"  => new VacuumProcedure(account)
-    case "stats"   => new StatsProcedure(account)
-    case "verify"  => new VerifyProcedure(account)
+    case "compact"  => new CompactProcedure(account)
+    case "vacuum"   => new VacuumProcedure(account)
+    case "stats"    => new StatsProcedure(account)
+    case "verify"   => new VerifyProcedure(account)
+    case "rebucket" => new RebucketProcedure(account)
   }
 
   private[core] def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -87,6 +89,40 @@ private[core] final class CompactProcedure(account: FileAccount)
     val row = new GenericInternalRow(Array[Any](
       stats.buckets.size, stats.filesBefore, stats.filesAfter,
       stats.bytesRewritten, stats.straysAbsorbed))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.rebucket(db, container, buckets)` — see
+  * [[FileAccount.rebucketContainer]]: the full-rewrite escape hatch for a
+  * bucket count mis-sized at creation. */
+private[core] final class RebucketProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "rebucket"
+  override def description(): String =
+    "rewrite the container into a new pk-hash bucket layout (full pass)"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build(),
+    ProcedureParameter.in("buckets", IntegerType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val db = input.getUTF8String(0).toString
+    val container = input.getUTF8String(1).toString
+    val buckets = input.getInt(2)
+    val rows = account.rebucketContainer(
+      SparkSession.active, db, container, buckets)
+    val schema = StructType(Seq(
+      StructField("rows", LongType, nullable = false),
+      StructField("buckets", IntegerType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](rows, buckets))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

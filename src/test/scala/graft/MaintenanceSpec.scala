@@ -253,6 +253,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(vr.getAs[Int]("vouched_buckets") == vr.getAs[Int]("buckets"))
   }
 
+  test("rebucket: full rewrite into a new layout, contents/sidecar/point-reads intact") {
+    val acc = newAccount("rebucket")
+    spark.conf.set("spark.sql.catalog.graftrb",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrb.root", acc.root)
+    spark.sql("CREATE NAMESPACE graftrb.db")
+    spark.sql("CREATE TABLE graftrb.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 48).map(i => s"""{"id":"d$i","v":$i}"""), parts = 4)
+    val before = contents(acc, "db", "c")
+    assert(acc.bucketDirList("db", "c").size <= 2)
+
+    val r = spark.sql(
+      "CALL graftrb.system.rebucket('db', 'c', 8)").head()
+    assert(r.getAs[Long]("rows") == 48L && r.getAs[Int]("buckets") == 8)
+    assert(acc.containerProperties("db", "c").buckets == 8)
+    assert(acc.bucketDirList("db", "c").size > 2,
+      "the new layout must actually spread")
+    assert(Files.notExists(Paths.get(acc.root, "db", "c", "_rebucket")),
+      "staging must be swapped away")
+    assert(contents(acc, "db", "c") == before, "re-bucketing must not change rows")
+    // sidecar rebuilt and vouching: count is metadata-only
+    assert(acc.countRows(spark, "db", "c") == 48)
+    val sigs = acc.bucketSignatures("db", "c")
+    assert(acc.readBucketCounts("db", "c")
+      .forall { case (b, (_, sig)) => sigs.get(b).contains(sig) })
+    // point reads prune against the NEW hash layout
+    assert(spark.sql(
+      "SELECT raw FROM graftrb.db.c WHERE _id = 'd7'").count() == 1)
+    // the merge engine keeps working against the new layout
+    spark.sql("""INSERT INTO graftrb.db.c VALUES ('{"id":"d49","v":49}')""")
+    assert(spark.sql("SELECT count(1) FROM graftrb.db.c").head().getLong(0) == 49)
+  }
+
   test("ALTER TABLE SET/UNSET autocompact: the one mutable property, meta surgery preserves unknown fields") {
     val acc = newAccount("alterac")
     spark.conf.set("spark.sql.catalog.graftal",
