@@ -141,6 +141,30 @@ class MaintenanceSpec extends AnyFunSuite {
       .forall { case (b, (_, sig)) => sigs.get(b).contains(sig) })
   }
 
+  test("layout churn chain: upsert -> compact -> rebucket -> upsert -> compact preserves contents across geometries") {
+    for ((n, b0, b1, parts) <- Seq((23, 1, 5, 3), (64, 4, 2, 8), (17, 3, 16, 2))) {
+      val acc = newAccount(s"churn-$b0-$b1")
+      acc.createDatabaseIfAbsent("db")
+      acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/id"), buckets = b0))
+      val docs = (1 to n).map(i => s"""{"id":"x$i","v":$i}""")
+      upsert(acc, "db", "c", docs, parts)
+      val want = docs.sorted
+      assert(contents(acc, "db", "c") == want)
+      acc.compactContainer(spark, "db", "c")
+      assert(contents(acc, "db", "c") == want, s"compact broke ($n,$b0)")
+      assert(acc.rebucketContainer(spark, "db", "c", b1) == n.toLong)
+      assert(contents(acc, "db", "c") == want, s"rebucket broke ($b0->$b1)")
+      // the sidecar vouches after every step: counts stay metadata-only
+      assert(acc.countRows(spark, "db", "c") == n.toLong)
+      // updates still land on the new geometry (replace, not duplicate)
+      upsert(acc, "db", "c", Seq(s"""{"id":"x1","v":-1}"""), 1)
+      acc.compactContainer(spark, "db", "c")
+      val after = contents(acc, "db", "c")
+      assert(after.length == n && after.contains("""{"id":"x1","v":-1}"""),
+        s"post-rebucket upsert must replace by key ($b0->$b1)")
+    }
+  }
+
   test("vacuumStaging: sweeps idle staging trees, keeps live ones") {
     val acc = newAccount("vacuum")
     acc.createDatabaseIfAbsent("db")
