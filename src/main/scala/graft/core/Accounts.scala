@@ -463,14 +463,27 @@ case class FileAccount(root: String) {
     * deleted tree paths. */
   def vacuumStaging(db: String, container: String, ttlMs: Long,
                     nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    def stale(dir: String): Boolean =
+      store.walk(dir).map(_.mtimeMs).maxOption.getOrElse(0L) <= nowMs - ttlMs
     val base = p(db, container, "_staging")
-    if (!store.isDirectory(base)) return Seq.empty
-    store.listDirNames(base).sorted.flatMap { w =>
-      val dir = new HPath(base, w).toString
-      val newest = store.walk(dir).map(_.mtimeMs).maxOption.getOrElse(0L)
-      if (newest <= nowMs - ttlMs) { store.deleteRecursive(dir); Some(dir) }
-      else None
-    }
+    val swept =
+      if (!store.isDirectory(base)) Seq.empty[String]
+      else store.listDirNames(base).sorted.flatMap { w =>
+        val dir = new HPath(base, w).toString
+        if (stale(dir)) { store.deleteRecursive(dir); Some(dir) } else None
+      }
+    // a re-bucket that died BEFORE its swap leaves `_rebucket` behind;
+    // sweep it ONLY while the live data tree exists — after a mid-swap
+    // crash (data/ deleted, rename pending) the staging tree is the ONLY
+    // copy of the container and recovery renames it into place, so an
+    // absent/empty data tree makes the tree untouchable regardless of age
+    val rb = p(db, container, "_rebucket")
+    val rbSwept =
+      if (store.isDirectory(rb) && stale(rb) && hasData(db, container) &&
+          dataFilesMeta(db, container).nonEmpty) {
+        store.deleteRecursive(rb); Seq(rb)
+      } else Seq.empty[String]
+    swept ++ rbSwept
   }
 
   private def dataDir(db: String, container: String): String =

@@ -183,6 +183,21 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!Files.exists(stale) && Files.exists(live.resolve("part-0.txt")))
     // second sweep: nothing left to remove
     assert(acc.vacuumStaging("db", "c", ttlMs = 24L * 3600 * 1000).isEmpty)
+
+    // a stale _rebucket tree is UNTOUCHABLE while the data tree is absent
+    // (mid-swap crash: staging is the only copy; recovery renames it) ...
+    val rb = Paths.get(acc.root, "db", "c", "_rebucket", "b=0")
+    Files.createDirectories(rb)
+    Files.writeString(rb.resolve("part-0.txt"), """{"id":"only-copy"}""" + "\n")
+    Files.setLastModifiedTime(rb.resolve("part-0.txt"), old)
+    assert(!acc.vacuumStaging("db", "c", ttlMs = 0)
+        .exists(_.contains("_rebucket")) && Files.exists(rb),
+      "a mid-swap _rebucket tree must never be swept")
+    // ... and sweepable once a live data tree exists again (died pre-swap)
+    upsert(acc, "db", "c", Seq("""{"id":"alive","v":1}"""), 1)
+    val swept = acc.vacuumStaging("db", "c", ttlMs = 0)
+    assert(swept.exists(_.endsWith("_rebucket")) &&
+      !Files.exists(Paths.get(acc.root, "db", "c", "_rebucket")))
   }
 
   test("compaction interleaves with a catalog stream: re-emit from new files, no wedge") {
