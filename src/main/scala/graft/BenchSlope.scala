@@ -34,9 +34,11 @@ object BenchSlope {
     // decontamination sweep (the corpus-side gram stream is the volume)
     "q_g1_degree_hist", "q_g2_triangles", "q_d6_simhash_pairs",
     "q_w6_interval_merge", "q_x7_event_paths", "q_t11_decontaminate",
-    // round-8 additions: the corpus-sized chunk-hash stream and the
-    // double-window sessionization
-    "q_d12_chunk_dups", "q_x8_sessionize")
+    // round-8 additions: the corpus-sized chunk-hash stream, the
+    // double-window sessionization, the centroid-assignment projection,
+    // and the map-only lang-confusion rollup
+    "q_d12_chunk_dups", "q_x8_sessionize",
+    "q_sim7_centroid_assign", "q_t13_lang_confusion")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */
