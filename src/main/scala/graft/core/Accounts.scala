@@ -334,21 +334,25 @@ case class FileAccount(root: String) {
 
     // per-bucket slice counts off the metadata listing (stray bytes fold
     // into whichever bucket they key to — approximation is fine, the next
-    // compaction pass sees the true sizes)
+    // compaction pass sees the true sizes). Shipped as a BROADCAST frame,
+    // not a plan literal: a full-container compaction of a many-bucket
+    // layout would otherwise embed an O(buckets) map in every task's
+    // expression tree
     val sliceOf: Map[Long, Long] = rewrite.iterator.map { b =>
       b -> targetFileCount(
         listing.get(b).fold(0L)(_._2.map(_.size).sum) +
           (if (strayBuckets(b)) strays.flatMap(store.fileMeta).map(_.size).sum else 0L))
     }.toMap
     val totalSlices = math.max(1L, sliceOf.values.sum).toInt
-    val sliceExpr = element_at(
-      typedLit(sliceOf.map { case (b, n) => b -> n }), col("__b"))
+    import spark.implicits._
+    val sliceDf = sliceOf.toSeq.sorted.toDF("__b", "__nf")
 
     val union = (bucketRows.toSeq ++ strayRows.toSeq).reduce(_ unionAll _)
     // same commit hazard as upsertRaw: the plan reads the very files the
     // overwrite below replaces — truncate lineage before swapping
     val out = union
-      .withColumn("__s", pmod(xxhash64(col("raw")), sliceExpr))
+      .join(broadcast(sliceDf), Seq("__b"))
+      .withColumn("__s", pmod(xxhash64(col("raw")), col("__nf")))
       .repartition(totalSlices, col("__b"), col("__s"))
       .select(col("raw"), col("__b").as("b"))
       .localCheckpoint()
