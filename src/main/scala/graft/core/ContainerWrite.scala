@@ -156,6 +156,14 @@ object ContainerMerge {
         else prior.get(b).map(p => b -> (p + outCounts.getOrElse(b, 0L)))
       }.toMap
       account.resignBuckets(db, container, touched, counts)
+      // a row-level rewrite lands one part file per write task per bucket,
+      // so a wide MERGE/UPDATE leaves batch-shaped small files exactly
+      // like the upsert path — the same opt-in inline compaction bounds
+      // them (O(touched buckets) upkeep, untouched buckets never examined)
+      props.autocompactFiles.foreach { thr =>
+        account.compactContainer(s, db, container,
+          only = Some(touched), fileThreshold = thr)
+      }
     } finally { sk.unpersist(); () }
   }
 }
