@@ -240,6 +240,18 @@ class MaintenanceSpec extends AnyFunSuite {
     val ids = out.flatMap("\"id\":\"(d\\d+)\"".r.findFirstMatchIn(_))
       .map(_.group(1)).toSet
     assert(ids.size == 33, s"every document version must have streamed, got ${ids.size}")
+
+    // a REBUCKET swaps the entire file set: the resumed stream re-emits
+    // everything from the new layout (at-least-once per version) and the
+    // deleted old paths never wedge it
+    assert(acc.rebucketContainer(spark, "db", "c", 8) == 33L)
+    assert(drain() == 33, "the new layout must re-emit exactly its rows")
+    assert(drain() == 0)
+    spark.sql("""INSERT INTO graftmc.db.c VALUES ('{"id":"d34","v":34}')""")
+    assert(drain() >= 1)
+    val ids2 = out.flatMap("\"id\":\"(d\\d+)\"".r.findFirstMatchIn(_))
+      .map(_.group(1)).toSet
+    assert(ids2.size == 34, "the stream keeps flowing across the re-bucket")
   }
 
   test("SQL surface: CALL graft.system.compact / vacuum return result rows") {
