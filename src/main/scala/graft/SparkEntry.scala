@@ -55,6 +55,7 @@ object SparkEntry {
     "q_w6_interval_merge"  -> (Windows.qW6 _),
     "q_x7_event_paths"     -> (Windows.qX7 _),
     "q_x8_sessionize"      -> (Windows.qX8 _),
+    "q_x9_retention"       -> (Windows.qX9 _),
     "q_w7_cumulative_users" -> (Windows.qW7 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q_t11_decontaminate"  -> (TextAnalysis.qT11 _),
     "q_t12_repetition"     -> (TextAnalysis.qT12 _),
     "q_t13_lang_confusion" -> (TextAnalysis.qT13 _),
+    "q_t14_pii_density"    -> (TextAnalysis.qT14 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -109,10 +111,12 @@ object SparkEntry {
     "q_d10_block_pairs"    -> (Dedup.qD10 _),
     "q_d11_edit_verified"  -> (Dedup.qD11 _),
     "q_d12_chunk_dups"     -> (Dedup.qD12 _),
+    "q_d13_minhash_est"    -> (Dedup.qD13 _),
     // dup-graph structure diagnostics
     "q_g1_degree_hist"     -> (Dedup.qG1 _),
     "q_g2_triangles"       -> (Dedup.qG2 _),
     "q_g3_component_sizes" -> (Dedup.qG3 _),
+    "q_g4_pagerank"        -> (Dedup.qG4 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -122,6 +126,7 @@ object SparkEntry {
     "q_sim5_lang_centroids" -> (Similarity.qSim5 _),
     "q_sim6_filtered_knn"  -> (Similarity.qSim6 _),
     "q_sim7_centroid_assign" -> (Similarity.qSim7 _),
+    "q_sim8_norm_profile"  -> (Similarity.qSim8 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -148,6 +153,7 @@ object SparkEntry {
     "q_mm7_motion_energy"   -> (Multimodal.qMm7 _),
     "q_mm8_audio_bands"     -> (Multimodal.qMm8 _),
     "q_mm9_image_hash_dups" -> (Multimodal.qMm9 _),
+    "q_mm10_png_meta"       -> (Multimodal.qMm10 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU4 _),
   )
@@ -338,6 +344,17 @@ object SparkEntry {
         "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
         "FROM nd ORDER BY day"),
+    "q_x9_retention" -> (
+      // cohort = first-seen day; activity reduced to distinct (user, day);
+      // integer DATE arithmetic keeps the offset hash-exact
+      "WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "act AS (SELECT DISTINCT user_id, day FROM ev), " +
+        "fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id) " +
+        "SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS offset_d, " +
+        "count(1) AS n_active " +
+        "FROM act a JOIN fd f ON a.user_id = f.user_id " +
+        "WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_t10_quota_sample" -> (
       "WITH n AS (SELECT count(1) AS n_docs FROM documents), " +
         "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
@@ -444,6 +461,19 @@ object SparkEntry {
       " SELECT CAST(count(1) AS BIGINT) AS triangles FROM sp e1 " +
       "JOIN sp e2 ON e1.b_id = e2.a_id " +
       "JOIN sp e3 ON e1.a_id = e3.a_id AND e2.b_id = e3.b_id"),
+    "q_g4_pagerank" -> (simhashPairsSql +
+      // fixed-iteration integer power method (micro-units, floor-div
+      // contributions) — chained CTEs, one per iteration, replaying
+      // Dedup.qG4's recurrence exactly
+      ", ed AS (SELECT a_id AS s, b_id AS t FROM sp UNION ALL SELECT b_id, a_id FROM sp), " +
+      "dg AS (SELECT s, count(1) AS deg FROM ed GROUP BY s), " +
+      "r0 AS (SELECT s AS id, CAST(1000000 AS BIGINT) AS r FROM dg)" +
+      (1 to graft.operators.Dedup.PageRankIters).map { i =>
+        s", r$i AS (SELECT e.t AS id, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r " +
+          s"FROM ed e JOIN r${i - 1} r ON e.s = r.id JOIN dg d ON d.s = e.s GROUP BY e.t)"
+      }.mkString +
+      s" SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e6 " +
+      s"FROM r${graft.operators.Dedup.PageRankIters} ORDER BY doc_id"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
@@ -492,6 +522,25 @@ object SparkEntry {
         "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM h) " +
         "SELECT lang, lang_pred, count(1) AS n FROM p " +
         "GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),
+    "q_t14_pii_density" -> (
+      // deterministic PII injection (doc_id mod 7), mirroring
+      // TextAnalysis.qT14; patterns stay in the RE2-compatible subset so
+      // java.util.regex and RE2 agree match-for-match
+      "WITH t AS (SELECT source, concat(text, CASE " +
+        "WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com or admin@data-site.org') " +
+        "WHEN doc_id % 7 = 1 THEN ' call 555-867-5309 or 555-123-4567' " +
+        "WHEN doc_id % 7 = 2 THEN ' ssn 123-45-6789 on file' " +
+        "ELSE '' END) AS t FROM documents), " +
+        "c AS (SELECT source, " +
+        "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS n_email, " +
+        "len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone, " +
+        "len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn FROM t) " +
+        "SELECT source, count(1) AS n_docs, " +
+        "CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii_email, " +
+        "CAST(sum(n_email) AS BIGINT) AS emails, " +
+        "CAST(sum(n_phone) AS BIGINT) AS phones, " +
+        "CAST(sum(n_ssn) AS BIGINT) AS ssns " +
+        "FROM c GROUP BY source ORDER BY source"),
     "q_t2_quality_score" -> (
       // integer-exact HALF_UP rounding of each ratio — see TextAnalysis.qT2
       "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS w, " +
@@ -557,6 +606,22 @@ object SparkEntry {
       "gs AS (SELECT doc_id, list_distinct(list(g)) AS gl FROM grams GROUP BY doc_id) " +
       "SELECT c.a_id, c.b_id, ROUND(CAST(len(list_intersect(x.gl, y.gl)) AS DOUBLE) / len(list_distinct(list_concat(x.gl, y.gl))), 4) AS jac " +
       "FROM cand c JOIN gs x ON c.a_id = x.doc_id JOIN gs y ON c.b_id = y.doc_id ORDER BY a_id, b_id"),
+    "q_d13_minhash_est" -> (minhashSigSql +
+      // qD4's candidate CTEs + per-pair estimator-vs-truth in integer
+      // permyriad: est = 2500 × matched minima, exact = (∩ × 10000) // ∪
+      ", sig AS (SELECT doc_id, " + minhashMinsSql + " FROM h GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, 1 AS band, m1 || '_' || m2 AS bk FROM sig " +
+      "UNION ALL SELECT doc_id, 2, m3 || '_' || m4 FROM sig), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), " +
+      "gs AS (SELECT doc_id, list_distinct(list(g)) AS gl FROM grams GROUP BY doc_id), " +
+      "p AS (SELECT c.a_id, c.b_id, " +
+      "CAST((CASE WHEN sx.m1 = sy.m1 THEN 2500 ELSE 0 END) + (CASE WHEN sx.m2 = sy.m2 THEN 2500 ELSE 0 END) " +
+      "+ (CASE WHEN sx.m3 = sy.m3 THEN 2500 ELSE 0 END) + (CASE WHEN sx.m4 = sy.m4 THEN 2500 ELSE 0 END) AS BIGINT) AS est_e4, " +
+      "CAST((len(list_intersect(x.gl, y.gl)) * 10000) // len(list_distinct(list_concat(x.gl, y.gl))) AS BIGINT) AS jac_e4 " +
+      "FROM cand c JOIN sig sx ON c.a_id = sx.doc_id JOIN sig sy ON c.b_id = sy.doc_id " +
+      "JOIN gs x ON c.a_id = x.doc_id JOIN gs y ON c.b_id = y.doc_id) " +
+      "SELECT a_id, b_id, est_e4, jac_e4, abs(est_e4 - jac_e4) AS err_e4 FROM p ORDER BY a_id, b_id"),
     "q_d5_simhash" -> (simhashSql + " SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
     "q_d6_simhash_pairs" -> (simhashSql +
       " SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham " +
@@ -609,6 +674,16 @@ object SparkEntry {
         "CAST(sum(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
         "CAST(sum(CAST(round(cos * 10000) AS BIGINT)) AS BIGINT) AS sim_e4 " +
         "FROM best WHERE rn = 1 GROUP BY label ORDER BY label"),
+    "q_sim8_norm_profile" -> (
+      // index-order double norms (the cosineSumSql contract), quantized to
+      // integer permyriad BEFORE aggregation like q_sim7
+      "WITH u AS (SELECT vec_id, label, unnest(generate_series(1, 64)) AS i, embedding AS e FROM embeddings), " +
+        "s AS (SELECT vec_id, label, sum(e[i]::DOUBLE * e[i]::DOUBLE) AS nn FROM u GROUP BY vec_id, label), " +
+        "q AS (SELECT label, CAST(round(sqrt(nn) * 10000) AS BIGINT) AS ne4 FROM s) " +
+        "SELECT label, count(1) AS n_vecs, CAST(sum(ne4) AS BIGINT) AS sum_ne4, " +
+        "min(ne4) AS min_ne4, max(ne4) AS max_ne4, " +
+        "CAST(sum(CASE WHEN ne4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero " +
+        "FROM q GROUP BY label ORDER BY label"),
     "q_sim2_lsh_ann" -> (
       // random-hyperplane signs recomputed from md5("p_i") — must mirror
       // Similarity.planeSign; dot summation in index order like cosineSumSql
@@ -830,6 +905,15 @@ object SparkEntry {
         "(a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)) " +
         "SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist FROM p " +
         "WHERE dist <= 3 ORDER BY a_id, b_id"),
+    "q_mm10_png_meta" -> (
+      // the Spark side parses REAL encoder output header bytes; the oracle
+      // replays the closed-form geometry of Multimodal.pngMetaAssets —
+      // every field varies per asset, so any offset/endianness defect in
+      // the byte parse breaks the match
+      "SELECT doc_id AS asset_id, CAST(4 + doc_id % 13 AS BIGINT) AS w, " +
+        "CAST(4 + doc_id % 7 AS BIGINT) AS h, CAST(8 AS BIGINT) AS bit_depth, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS color_type " +
+        "FROM documents WHERE doc_id < 300 ORDER BY asset_id"),
     "q_mm6_video_frames" -> (
       // real multi-frame (animated GIF) decode Spark-side; the oracle
       // replays the frame-pixel function (Multimodal.gifGray)

@@ -148,6 +148,50 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Q-D13 — MinHash ESTIMATOR ERROR audit: for every LSH candidate pair
+    * ([[qD4]]'s band-bucket set), the signature-estimated Jaccard (matched
+    * permutation minima / k, the unbiased MinHash estimator) side-by-side
+    * with the exact shingle Jaccard, and their absolute error — all in
+    * integer permyriad. The estimator-quality audit run before trusting
+    * signature-only pipelines (the [[TextAnalysis.qT13]] confusion-matrix
+    * pattern applied to the dedup family: measure the proxy against truth
+    * on THIS corpus, then decide whether k=4 permutations suffice or the
+    * signature needs widening).
+    *
+    * Scale: identical shape to qD4's verify — bare candidate pairs
+    * broadcast into `documents`, signature + shingles computed ONLY on
+    * matched rows, the two sides meet in a candidate-bounded equi-join.
+    * Integer permyriad arithmetic end-to-end (matches are counted, never
+    * averaged as floats), so the oracle replays it exactly. */
+  def qD13(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val bands = sig.selectExpr("doc_id",
+      """explode(array(
+        |  named_struct('band', 1, 'bk', concat(m1, '_', m2)),
+        |  named_struct('band', 2, 'bk', concat(m3, '_', m4)))) AS b""".stripMargin)
+      .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
+    val cand = bands.as("x").hint("merge").join(bands.as("y"),
+        expr("x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id"))
+      .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id")
+      .distinct()
+    val docs = Tables.documents(s, dir)
+    val withA = docs.join(broadcast(cand), col("doc_id") === col("a_id"))
+      .selectExpr("a_id", "b_id", "minhash_sig(text, 3) AS sa",
+        "word_shingles(text, 3) AS ga")
+    val withB = docs.join(broadcast(cand), col("doc_id") === col("b_id"))
+      .selectExpr("a_id AS a2", "b_id AS b2", "minhash_sig(text, 3) AS sb",
+        "word_shingles(text, 3) AS gb")
+    withA.join(withB, col("a_id") === col("a2") && col("b_id") === col("b2"))
+      .selectExpr("a_id", "b_id",
+        """CAST((CASE WHEN sa.m1 = sb.m1 THEN 2500 ELSE 0 END)
+          |   + (CASE WHEN sa.m2 = sb.m2 THEN 2500 ELSE 0 END)
+          |   + (CASE WHEN sa.m3 = sb.m3 THEN 2500 ELSE 0 END)
+          |   + (CASE WHEN sa.m4 = sb.m4 THEN 2500 ELSE 0 END) AS BIGINT) AS est_e4""".stripMargin,
+        "CAST((size(array_intersect(ga, gb)) * 10000) DIV size(array_union(ga, gb)) AS BIGINT) AS jac_e4")
+      .withColumn("err_e4", abs(col("est_e4") - col("jac_e4")))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Q-D10 — BLOCKING-KEY dedup, the third candidate-generation technique
     * next to MinHash-LSH (qD4) and SimHash bands (qD6): the block key is
     * the first 12 characters of the normalized text, candidates are pairs
@@ -324,6 +368,53 @@ object Dedup {
       .groupBy("component").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_components"))
       .orderBy("csize")
+
+  /** PageRank damping split and per-node starting mass for [[qG4]], in
+    * integer micro-units: rank(0) = 1e6; rank(i+1) = (1−d)·1e6 + d·Σ
+    * contributions, with d = 85/100 applied as integer `DIV` — every
+    * operation is exact integer arithmetic, so the oracle replays it
+    * bit-for-bit (transcendental-free, the qT9 idf lesson). */
+  val PageRankIters = 3
+
+  /** Q-G4 — PAGERANK CENTRALITY over the SimHash near-dup graph ([[qD6]]):
+    * which documents does duplication structurally concentrate on? Degree
+    * (qG1) counts direct copies; PageRank also weights WHO the copiers
+    * are, surfacing the template/boilerplate ancestors that glue clusters
+    * — the ranking a curation run uses to pick the canonical survivor per
+    * family. Fixed [[PageRankIters]] synchronous iterations of the
+    * power method in integer micro-units (floor-div contributions), the
+    * deterministic form of the float recurrence.
+    *
+    * Scale: the edge frame persists once (MEMORY_AND_DISK — at 100 TB the
+    * iteration input must not recompute the signature+band join per
+    * round); each iteration is one edge-sized equi-join on the source key
+    * plus one node-sized hash agg on the destination — the canonical BSP
+    * step, O(iters × |E|) total with no driver-side data movement. The
+    * symmetric dup graph has no dangling nodes (every node has in- and
+    * out-edges by construction), so no dangling-mass redistribution term
+    * is needed. */
+  def qG4(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qD6(s, dir).select("a_id", "b_id")
+    val edges = pairs.selectExpr("a_id AS src", "b_id AS dst")
+      .unionAll(pairs.selectExpr("b_id AS src", "a_id AS dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var ranks = deg.selectExpr("src AS id", "CAST(1000000 AS BIGINT) AS r")
+      for (_ <- 1 to PageRankIters) {
+        val contrib = ranks.join(deg, ranks("id") === deg("src"))
+          .selectExpr("id", "r DIV deg AS c")
+        ranks = edges.join(contrib, edges("src") === contrib("id"))
+          .groupBy(col("dst"))
+          .agg(expr("150000 + (85 * sum(c)) DIV 100").as("r"))
+          .selectExpr("dst AS id", "r")
+      }
+      // materialize before unpersist: the caller's .collect would otherwise
+      // recompute the whole iteration chain off dropped blocks
+      ranks.selectExpr("id AS doc_id", "r AS rank_e6").orderBy("doc_id")
+        .localCheckpoint(eager = true)
+    } finally edges.unpersist()
+  }
 
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the
     * codegen'd [[graft.functions.CosineSimilarity]] expression, with a

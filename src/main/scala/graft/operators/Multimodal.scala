@@ -631,4 +631,61 @@ object Multimodal {
 
   def qMm8(spark: SparkSession, dir: String): DataFrame =
     audioBands(wavAssets(spark, dir), WavDecoder).orderBy("asset_id")
+
+  /** Real PNG assets with VARYING geometry for the metadata fast path
+    * ([[qMm10]]): width 4 + id mod 13, height 4 + id mod 7, alternating
+    * truecolor (even ids → PNG color type 2) and 8-bit grayscale (odd ids
+    * → color type 0) canvases, encoded through the actual PNG writer —
+    * so every header field the parser extracts varies per asset and a
+    * wrong byte offset cannot accidentally match the oracle. */
+  def pngMetaAssets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).where(col("doc_id") < 300)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 4 + (id % 7).toInt
+          val t = if (id % 2 == 0) java.awt.image.BufferedImage.TYPE_INT_RGB
+            else java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          val img = new java.awt.image.BufferedImage(w, h, t)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = pngGray(id, x, y)
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Q-MM10 — METADATA-ONLY fast path: image dimensions / bit depth /
+    * color type parsed straight out of the PNG IHDR header bytes with
+    * ordinary codegen'd expressions (substring + hex + conv big-endian
+    * reads) — NO decoder, no mapPartitions, no codec on the executor
+    * path. At 100 TB this is the difference between a metadata query that
+    * reads 26 bytes per asset and one that inflates every pixel: asset
+    * catalogs answer "which images are under 512px / not truecolor"
+    * shapes constantly, and the decode-free plan keeps them scan-bound
+    * (with blob offsets in a columnar store, near-free). The blobs are
+    * REAL encoder output ([[pngMetaAssets]]) and every extracted field
+    * varies per asset, so the oracle (closed-form geometry) catches any
+    * offset/endianness mistake. Layout (PNG spec, RFC 2083 §4.1.1): 8
+    * signature bytes, 4 chunk-length, 4 "IHDR", then width(4BE),
+    * height(4BE), bit depth(1), color type(1) — bytes 17-26, 1-indexed. */
+  def qMm10(spark: SparkSession, dir: String): DataFrame =
+    pngMetaAssets(spark, dir)
+      .selectExpr("asset_id",
+        "CAST(conv(hex(substring(bytes, 17, 4)), 16, 10) AS BIGINT) AS w",
+        "CAST(conv(hex(substring(bytes, 21, 4)), 16, 10) AS BIGINT) AS h",
+        "CAST(conv(hex(substring(bytes, 25, 1)), 16, 10) AS BIGINT) AS bit_depth",
+        "CAST(conv(hex(substring(bytes, 26, 1)), 16, 10) AS BIGINT) AS color_type")
+      .orderBy("asset_id")
 }

@@ -576,4 +576,30 @@ object Similarity {
         sum(expr("CAST(round(cos * 10000) AS BIGINT)")).as("sim_e4"))
       .orderBy("label")
   }
+
+  /** q_sim8 — embedding NORM PROFILE: per-label L2-norm statistics (count,
+    * sum/min/max of the permyriad-quantized norm, and degenerate
+    * zero-vector count) — the vector-column entry in the verification
+    * family (qV4 profiles scalars; this profiles the embedding column).
+    * Run before any cosine-based pipeline: a norm collapse or a stray
+    * zero vector silently corrupts cosine math (0/0), and a norm
+    * distribution shifted between snapshots is the cheapest signal of an
+    * embedding-model change.
+    *
+    * Scale: map-only per-row norm (index-order double accumulation, the
+    * cosine kernel's summation contract) + one label-sized hash agg —
+    * scan-bound. Cross-engine exactness: each norm quantizes to integer
+    * permyriad BEFORE aggregation (the qSim7 contract), so sums never
+    * compare accumulated doubles. */
+  def qSim8(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .selectExpr("label",
+        "CAST(round(sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, b) -> a + b)) * 10000) AS BIGINT) AS ne4")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("ne4")).as("sum_ne4"),
+        min(col("ne4")).as("min_ne4"),
+        max(col("ne4")).as("max_ne4"),
+        sum(when(col("ne4") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy("label")
 }

@@ -371,4 +371,38 @@ object TextAnalysis {
         "CAST(length(norm) AS BIGINT) AS n_norm",
         s"${md5h32("norm")} AS h32")
       .orderBy("doc_id")
+
+  /** Q-T14 — PII DENSITY SCAN: per-source incidence of email / phone / SSN
+    * shaped substrings — the detection-side complement of the A14 masking
+    * transform (sanitizer.py:6-38 replaces PII it is TOLD about by field
+    * name; a curation pipeline first needs to MEASURE how much free-text
+    * PII a source leaks before deciding to mask, filter, or drop it).
+    * The corpus is derived deterministically from `documents` (doc_id mod 7
+    * injects known PII shapes) so the oracle replays the same text — same
+    * pattern as the merge-snapshot fixtures.
+    *
+    * Scale: pure per-row regexp work (codegen'd) + one source-sized hash
+    * agg — scan-bound, the cheapest possible shape. Patterns stay in the
+    * RE2-compatible subset (character classes only, no backreferences or
+    * lookaround) so Spark's java.util.regex and DuckDB's RE2 agree match
+    * -for-match — the qT7 contract. */
+  def qT14(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("source",
+        """concat(text, CASE
+          |  WHEN doc_id % 7 = 0 THEN concat(' contact user', doc_id, '@example.com or admin@data-site.org')
+          |  WHEN doc_id % 7 = 1 THEN ' call 555-867-5309 or 555-123-4567'
+          |  WHEN doc_id % 7 = 2 THEN ' ssn 123-45-6789 on file'
+          |  ELSE '' END) AS t""".stripMargin)
+      .selectExpr("source",
+        "size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z][A-Za-z]+', 0)) AS n_email",
+        "size(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)) AS n_phone",
+        "size(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}', 0)) AS n_ssn")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_with_pii_email"),
+        sum(col("n_email").cast("long")).as("emails"),
+        sum(col("n_phone").cast("long")).as("phones"),
+        sum(col("n_ssn").cast("long")).as("ssns"))
+      .orderBy("source")
 }

@@ -185,6 +185,34 @@ object Windows {
     * data-bounded, never collected. Gap arithmetic on floor-seconds
     * (timestamp→long truncation) so the result is integer-exact across
     * engines; ordering uses the full-precision timestamp. */
+  /** q_x9 — COHORT RETENTION (the D0..D7 retention triangle): users are
+    * cohorted by their first-seen day, activity is reduced to distinct
+    * (user, day) pairs, and each cohort reports how many of its users were
+    * active again N days after joining — the standard growth/engagement
+    * analysis every event pipeline ships, and the one naive formulations
+    * get quadratic (a per-day self-join of the user base).
+    *
+    * Scale: BOTH inputs reduce on `user_id` first — the cohort frame is one
+    * hash agg (min day per user) and the activity frame is a distinct over
+    * (user, day), each a fraction of the event stream; their equi-join
+    * shares the user_id partitioning, so the second shuffle moves only
+    * day-sized rows per user. The final rollup is (days × 8)-sized —
+    * metadata, not data. The 0..7-day window bounds the output regardless
+    * of history length; no window function, no global sort.
+    * Integer day arithmetic (DATE subtraction) keeps the oracle hash-exact. */
+  def qX9(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val act = ev.distinct()
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .withColumn("offset_d", datediff(col("day"), col("cohort_day")).cast("long"))
+      .where(col("offset_d").between(0, 7))
+      .groupBy("cohort_day", "offset_d")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "offset_d")
+  }
+
   def qX8(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
