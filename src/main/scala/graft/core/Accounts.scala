@@ -573,6 +573,24 @@ case class FileAccount(root: String) {
     * count for free; buckets the sidecar can't vouch for (external writes,
     * missing sidecar) are scanned — and only those — plus any stray files.
     * Self-healing: recounted buckets are written back to the sidecar. */
+  /** Exact container row count from DRIVER METADATA ALONE — Some(n) iff
+    * every bucket directory's current listing signature matches its count
+    * sidecar entry and no stray out-of-layout files exist; None the moment
+    * anything is unvouched (an external write, a missing sidecar, a stray)
+    * so the caller falls back to a counting scan ([[countRows]] — which
+    * also self-heals the sidecar, making the NEXT call metadata-only).
+    * This is the `SELECT count(*)` fast path: at 100 TB the difference
+    * between a listing walk and reading every byte of the container. */
+  def metadataRowCount(db: String, container: String): Option[Long] = {
+    if (strayFiles(db, container).nonEmpty) return None
+    val sidecar = readBucketCounts(db, container)
+    val dirs = bucketDirList(db, container)
+    val allVouched = dirs.forall { case (b, dir) =>
+      sidecar.get(b).exists(_._2 == dirSignature(dir)) }
+    if (allVouched) Some(dirs.map { case (b, _) => sidecar(b)._1 }.sum)
+    else None
+  }
+
   def countRows(spark: SparkSession, db: String, container: String): Long = {
     val sidecar = readBucketCounts(db, container)
     val dirs = bucketDirList(db, container)

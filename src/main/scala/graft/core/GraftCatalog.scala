@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
@@ -376,12 +377,38 @@ private[core] final class ContainerScanBuilder(
     options: CaseInsensitiveStringMap,
     onPlan: Seq[String] => Unit)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var buckets: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType =
     StructType(Seq(StructField("raw", StringType, nullable = false)))
+  private var countPushed: Option[Long] = None
+
+  /** COUNT(*) answered from the count sidecars — `SELECT count(*) FROM
+    * graft.db.c` becomes a listing walk instead of a container read (A3/A15
+    * count verification in O(metadata); at 100 TB, milliseconds vs reading
+    * every byte). Accepted ONLY when provably exact: no grouping, nothing
+    * but COUNT(*) requested, a plain read (not the row-level rewrite path),
+    * no bucket pruning in play (Spark additionally never offers the
+    * aggregate while residual filters exist — and this scan keeps every
+    * filter residual), and [[FileAccount.metadataRowCount]] vouches every
+    * bucket's listing signature with no strays. Anything unvouched
+    * declines, and the ordinary counting scan runs (which self-heals the
+    * sidecar via the maintenance path, making the NEXT count metadata-
+    * only). Partial-pushdown semantics: the scan emits one row per count
+    * column and Spark's final aggregate sums them. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val countsOnly = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (onPlan != null || buckets.isDefined || pushed.nonEmpty ||
+        agg.groupByExpressions.nonEmpty || !countsOnly) return false
+    countPushed = account.metadataRowCount(db, container)
+    countPushed.foreach(_ => pushedAggCols = agg.aggregateExpressions.length)
+    countPushed.isDefined
+  }
+
+  private var pushedAggCols: Int = 1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.flatMap(f =>
@@ -403,6 +430,10 @@ private[core] final class ContainerScanBuilder(
     required = requiredSchema
 
   override def build(): Scan = {
+    countPushed match {
+      case Some(n) => return new ContainerCountScan(tableName, n, pushedAggCols)
+      case None =>
+    }
     val meta = account.dataFilesMeta(db, container)
     val files = ContainerBuckets.prune(meta.map(_._1), buckets)
     // sidecar counts feed the scan's statistics report — metadata-only
@@ -425,6 +456,42 @@ private[core] final class ContainerScanBuilder(
 }
 
 final case class ContainerFileSlice(path: String) extends InputPartition
+
+/** The pushed-COUNT(*) scan: one input partition, one row carrying the
+  * sidecar-derived exact count (replicated per requested count column);
+  * Spark's final aggregate sums the partials. No container file is opened. */
+final class ContainerCountScan(table: String, n: Long, cols: Int)
+    extends Scan with Batch with Serializable {
+
+  override def readSchema(): StructType =
+    StructType((1 to cols).map(i =>
+      StructField(s"count_$i", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+
+  override def description(): String =
+    s"graft container $table (COUNT(*) from count sidecars: $n rows, no files read)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ContainerCountSlice(n, cols))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val s = p.asInstanceOf[ContainerCountSlice]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(Seq.fill(s.cols)(s.n))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+final case class ContainerCountSlice(n: Long, cols: Int) extends InputPartition
 
 /** Merge-key → bucket-directory mapping, shared by the ScanBuilder's STATIC
   * pushdown (`WHERE _key = 'x'` literals, known at planning) and the scan's

@@ -842,6 +842,57 @@ class CatalogSpec extends AnyFunSuite {
       s"a small container dim must broadcast:\n$plan")
   }
 
+  test("COUNT(*) pushdown: sidecar-vouched counts skip the container read; anything unvouched falls back") {
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlcnt")
+    spark.conf.set("spark.sql.catalog.graftcnt",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcnt.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftcnt.db")
+    spark.sql("CREATE TABLE graftcnt.db.docs (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='4')")
+    val values = (0 until 32)
+      .map(i => s"""('{"id":"c$i","v":$i}')""").mkString(", ")
+    spark.sql(s"INSERT INTO graftcnt.db.docs VALUES $values")
+
+    def scansOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }
+    // vouched container: the count comes from the sidecar scan — no
+    // container file is opened (the scan has no file slices at all)
+    val q1 = spark.sql("SELECT count(*) FROM graftcnt.db.docs")
+    assert(scansOf(q1).exists(_.isInstanceOf[graft.core.ContainerCountScan]),
+      s"vouched count must plan the sidecar count scan:\n${q1.queryExecution}")
+    assert(q1.collect().head.getLong(0) == 32)
+
+    // a filtered count keeps every filter residual, so Spark never offers
+    // the aggregate — the ordinary scan answers it
+    val q2 = spark.sql(
+      "SELECT count(*) FROM graftcnt.db.docs WHERE _id = 'c3'")
+    assert(!scansOf(q2).exists(_.isInstanceOf[graft.core.ContainerCountScan]))
+    assert(q2.collect().head.getLong(0) == 1)
+
+    // an EXTERNAL write lands a file the sidecar can't vouch for: the
+    // pushdown must decline (fall back to the counting scan) and still be
+    // correct
+    val bucketDirs = Files.list(root.resolve("db/docs/data")).toArray
+      .map(_.toString).filter(_.contains("b="))
+    Files.write(Paths.get(bucketDirs.head, "external-9.txt"),
+      "{\"id\":\"ext9\",\"v\":9}\n".getBytes("UTF-8"))
+    val q3 = spark.sql("SELECT count(*) FROM graftcnt.db.docs")
+    assert(!scansOf(q3).exists(_.isInstanceOf[graft.core.ContainerCountScan]),
+      "an unvouched bucket must decline the metadata count")
+    assert(q3.collect().head.getLong(0) == 33)
+
+    // the maintenance verify re-vouches (self-healing sidecar) and the
+    // NEXT count is metadata-only again, now including the external row
+    spark.sql("CALL graftcnt.system.verify('db', 'docs')").collect()
+    val q4 = spark.sql("SELECT count(*) FROM graftcnt.db.docs")
+    assert(scansOf(q4).exists(_.isInstanceOf[graft.core.ContainerCountScan]),
+      s"a re-vouched container must push the count again:\n${q4.queryExecution}")
+    assert(q4.collect().head.getLong(0) == 33)
+  }
+
   test("runtime filtering: a join against a small key set prunes bucket dirs at execution") {
     val root = Files.createTempDirectory(Paths.get("target"), "sqlrf")
     spark.conf.set("spark.sql.catalog.graftrf",
