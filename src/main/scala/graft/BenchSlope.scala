@@ -38,7 +38,13 @@ object BenchSlope {
     // double-window sessionization, the centroid-assignment projection,
     // and the map-only lang-confusion rollup
     "q_d12_chunk_dups", "q_x8_sessionize",
-    "q_sim7_centroid_assign", "q_t13_lang_confusion")
+    "q_sim7_centroid_assign", "q_t13_lang_confusion",
+    // round-9 additions: the iterative PageRank (3 edge-sized BSP rounds),
+    // the estimator audit (signature + band join + double verify fetch),
+    // the distinct-then-window retention rollup, and the regex PII battery
+    // (per-row scan work dominating at scale)
+    "q_g4_pagerank", "q_d13_minhash_est", "q_x9_retention",
+    "q_t14_pii_density")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

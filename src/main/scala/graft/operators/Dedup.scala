@@ -393,15 +393,22 @@ object Dedup {
     * symmetric dup graph has no dangling nodes (every node has in- and
     * out-edges by construction), so no dangling-mass redistribution term
     * is needed. */
-  def qG4(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qD6(s, dir).select("a_id", "b_id")
-    val edges = pairs.selectExpr("a_id AS src", "b_id AS dst")
-      .unionAll(pairs.selectExpr("b_id AS src", "a_id AS dst"))
+  def qG4(s: SparkSession, dir: String): DataFrame =
+    pageRank(qD6(s, dir).select("a_id", "b_id"), PageRankIters)
+      .selectExpr("id AS doc_id", "r AS rank_e6").orderBy("doc_id")
+
+  /** The iteration core of [[qG4]] over any canonical (a, b) pair frame —
+    * symmetrizes the edges, persists them once, and runs `iters` rounds of
+    * the integer recurrence. Spec-testable on synthetic graphs. */
+  def pageRank(pairGraph: DataFrame, iters: Int): DataFrame = {
+    val a = pairGraph.columns(0); val b = pairGraph.columns(1)
+    val edges = pairGraph.selectExpr(s"$a AS src", s"$b AS dst")
+      .unionAll(pairGraph.selectExpr(s"$b AS src", s"$a AS dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       var ranks = deg.selectExpr("src AS id", "CAST(1000000 AS BIGINT) AS r")
-      for (_ <- 1 to PageRankIters) {
+      for (_ <- 1 to iters) {
         val contrib = ranks.join(deg, ranks("id") === deg("src"))
           .selectExpr("id", "r DIV deg AS c")
         ranks = edges.join(contrib, edges("src") === contrib("id"))
@@ -409,10 +416,9 @@ object Dedup {
           .agg(expr("150000 + (85 * sum(c)) DIV 100").as("r"))
           .selectExpr("dst AS id", "r")
       }
-      // materialize before unpersist: the caller's .collect would otherwise
-      // recompute the whole iteration chain off dropped blocks
-      ranks.selectExpr("id AS doc_id", "r AS rank_e6").orderBy("doc_id")
-        .localCheckpoint(eager = true)
+      // materialize before unpersist: an action on the returned frame would
+      // otherwise recompute the whole iteration chain off dropped blocks
+      ranks.localCheckpoint(eager = true)
     } finally edges.unpersist()
   }
 

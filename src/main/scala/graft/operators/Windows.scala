@@ -192,20 +192,18 @@ object Windows {
     * analysis every event pipeline ships, and the one naive formulations
     * get quadratic (a per-day self-join of the user base).
     *
-    * Scale: BOTH inputs reduce on `user_id` first — the cohort frame is one
-    * hash agg (min day per user) and the activity frame is a distinct over
-    * (user, day), each a fraction of the event stream; their equi-join
-    * shares the user_id partitioning, so the second shuffle moves only
-    * day-sized rows per user. The final rollup is (days × 8)-sized —
-    * metadata, not data. The 0..7-day window bounds the output regardless
-    * of history length; no window function, no global sort.
-    * Integer day arithmetic (DATE subtraction) keeps the oracle hash-exact. */
+    * Scale: the event stream reduces to distinct (user, day) first (one
+    * exchange, map-side combine); the cohort day is then a per-user window
+    * MIN over that already-reduced frame — no self-join, no second pass
+    * over raw events. The final rollup is (days × 8)-sized — metadata, not
+    * data. The 0..7-day window bounds the output regardless of history
+    * length; no global sort. Integer day arithmetic (DATE subtraction)
+    * keeps the oracle hash-exact. */
   def qX9(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    val act = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val act = ev.distinct()
-    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    act.join(cohort, "user_id")
+      .distinct()
+    act.withColumn("cohort_day", min(col("day")).over(byUser))
       .withColumn("offset_d", datediff(col("day"), col("cohort_day")).cast("long"))
       .where(col("offset_d").between(0, 7))
       .groupBy("cohort_day", "offset_d")

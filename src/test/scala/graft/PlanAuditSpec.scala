@@ -701,6 +701,59 @@ class PlanAuditSpec extends AnyFunSuite {
       s"decoded blobs must stay on their executor:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_x9 retention: distinct-then-window, no self-join, metadata rollup") {
+    val q = graft.operators.Windows.qX9(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // cohort day is a window MIN over the already-reduced (user, day)
+    // frame — a join formulation would pass over events twice
+    assert(!plan.contains("Join"), s"retention must not self-join:\n$plan")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 3 && hashEx.count(_.contains("user_id")) <= 2,
+      s"distinct + user window + rollup only:\n${hashEx.mkString("\n")}")
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(!_.contains("SinglePartition")),
+      s"cohort window must stay partitioned:\n${windows.mkString("\n")}")
+  }
+
+  test("q_d13 estimator audit: bare pairs broadcast, shingles never on the build side") {
+    val q = graft.operators.Dedup.qD13(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate pairs must broadcast into documents:\n$plan")
+    // qD4's verify contract: broadcast sides carry only (a_id, b_id) —
+    // text/shingle-bearing frames meet in an equi-join, never a broadcast
+    val bc = plan.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
+    assert(bc.nonEmpty && bc.forall(l => !l.contains("text")),
+      s"broadcast must be bare pairs:\n${bc.mkString("\n")}")
+  }
+
+  test("q_t14 pii scan and q_sim8 norm profile are scan-bound: one agg exchange plus the sort") {
+    for (q <- Seq(graft.operators.TextAnalysis.qT14(spark, sf),
+        graft.operators.Similarity.qSim8(spark, sf))) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+      val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(hashEx.size <= 1,
+        s"per-row kernel + one rollup only:\n${hashEx.mkString("\n")}")
+    }
+  }
+
+  test("q_mm10 metadata fast path: header parse is map-only — no shuffle before the sort") {
+    val q = graft.operators.Multimodal.qMm10(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // geometry comes from 26 header bytes via codegen'd expressions: the
+    // plan must show NO aggregation/join and no hash exchange — only the
+    // asset generator and the final presentation sort
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"metadata parse must not aggregate or join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"metadata parse must be map-only before the sort:\n$plan")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),

@@ -109,6 +109,35 @@ class RecallSpec extends AnyFunSuite {
     assert(got.size == 67)
   }
 
+  test("pageRank matches a driver reference of the integer recurrence; hub outranks leaves") {
+    import spark.implicits._
+    // star (1 hub, 4 leaves) + unrelated chain 10-11-12
+    val pairGraph = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (10L, 11L), (11L, 12L)).toDF("a_id", "b_id")
+    val got = Dedup.pageRank(pairGraph, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent driver replay of the same recurrence (symmetric edges,
+    // integer micro-units, floor division)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L), (11L, 12L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = r.map { case (id, v) => id -> v / deg(id) }
+      r = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => contrib(s) }.sum).toMap
+        .map { case (id, s) => id -> (150000L + 85L * s / 100L) }
+    }
+    assert(got == r, s"distributed PageRank must replay the reference: $got vs $r")
+    // structure: the hub concentrates rank; leaves are symmetric
+    assert(got(1L) > got(2L), "hub must outrank a leaf")
+    assert(Set(got(2L), got(3L), got(4L), got(5L)).size == 1,
+      "symmetric leaves must tie exactly")
+    // damping floor: every node keeps at least the (1-d) base mass
+    assert(got.values.forall(_ >= 150000L))
+  }
+
   test("full-signature LSH (qSim2 family): recall measured, monotone in width") {
     val p8 = pairs(Similarity.qSim2(spark, sf))
     val p4 = pairs(Similarity.lshPairs(spark, sf, planes = 4))

@@ -666,6 +666,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.size == 12, s"every document must have streamed, got $ids")
   }
 
+  test("stream-static enrichment: readStream.table joins a broadcast dim per micro-batch") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.FileAccount
+    val root = Files.createTempDirectory(Paths.get("target"), "streamenr")
+    spark.conf.set("spark.sql.catalog.graftse",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftse.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftse.db")
+    spark.sql("CREATE TABLE graftse.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='4')")
+    val acc = FileAccount(root.toString)
+    def land(docs: Seq[String]): Unit = {
+      val keyed = graft.operators.RawMerge
+        .srcKeyed(spark, docs.toDF("raw"), Seq("/id"))
+        .select(col("raw"), col("__id"), col("__pk0"))
+      acc.upsertRaw(spark, "db", "c", keyed, Seq("__id", "__pk0"), Seq("/id"))
+      ()
+    }
+    land((0 until 8).map(i => s"""{"id":"e$i","cat":"c${i % 4}"}"""))
+    // the static dim side of the classic streaming ENRICHMENT join —
+    // category metadata living outside the container
+    val dim = Seq(("c0", "alpha"), ("c1", "beta"), ("c2", "gamma"),
+      ("c3", "delta")).toDF("cat", "label")
+
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "streamenr-ckpt")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def drain(): Int = {
+      val before = out.size
+      val q = spark.readStream.table("graftse.db.c")
+        .selectExpr("get_json_object(raw, '$.id') AS id",
+          "get_json_object(raw, '$.cat') AS cat")
+        .join(broadcast(dim), "cat")
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          out ++= batch.select("id", "label").collect()
+            .map(r => r.getString(0) -> r.getString(1)); ()
+        }
+        .start()
+      q.awaitTermination()
+      out.size - before
+    }
+    assert(drain() == 8)
+    assert(out.forall { case (id, label) =>
+      val cat = id.stripPrefix("e").toInt % 4
+      label == Seq("alpha", "beta", "gamma", "delta")(cat)
+    }, s"every streamed row must be enriched: $out")
+    // the dim re-binds on the NEXT batch too (stream-static joins re-plan
+    // the static side per micro-batch)
+    land(Seq("""{"id":"e8","cat":"c2"}"""))
+    assert(drain() >= 1)
+    assert(out.exists { case (id, label) => id == "e8" && label == "gamma" })
+  }
+
   test("catalog stream rate shaping: maxFilesPerTrigger bounds each micro-batch") {
     import java.nio.file.{Files, Paths}
     import graft.core.FileAccount
