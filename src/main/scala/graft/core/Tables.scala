@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (repo:TESTDATA.md /
   * repo:FIXTURES.md §1). One parquet file per table under the sf directory.
@@ -27,10 +27,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` (see [[Sessions.configure]]) it
-    * reads as a nanos-since-epoch long, truncated here to a microsecond
-    * timestamp — the same truncation DuckDB applies when it reads the file. */
+  /** `events.ts` normalized to session-TZ TIMESTAMP (µs) whatever the
+    * parquet physical form — the generator has shipped this column as
+    * TIMESTAMP(NANOS) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * across testdata drops, and every downstream query (unix_micros,
+    * window(), casts) assumes TIMESTAMP:
+    *  - TIMESTAMP(NANOS) with `spark.sql.legacy.parquet.nanosAsLong`
+    *    ([[Sessions.configure]]) reads as a nanos-since-epoch long,
+    *    truncated here to µs — the truncation DuckDB applies too;
+    *  - TIMESTAMP(MICROS) naive reads as TIMESTAMP_NTZ, cast to TIMESTAMP —
+    *    the identity on the wall clock under the UTC session timezone, so
+    *    epoch arithmetic matches DuckDB's naive-timestamp reading;
+    *  - TIMESTAMP passes through. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
@@ -38,6 +46,8 @@ object Tables {
         // integral `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds double's
         // exact integer range, so float division is off by ±1 µs
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
