@@ -44,7 +44,10 @@ object BenchSlope {
     // the distinct-then-window retention rollup, and the regex PII battery
     // (per-row scan work dominating at scale)
     "q_g4_pagerank", "q_d13_minhash_est", "q_x9_retention",
-    "q_t14_pii_density")
+    "q_t14_pii_density",
+    // this round: the block-key containment verify (per-block-squares work,
+    // same risk profile as q_d10) and the two-pass MG heavy-hitter sketch
+    "q_d14_containment", "q_v9_heavy_hitters")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

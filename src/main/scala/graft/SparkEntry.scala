@@ -81,6 +81,8 @@ object SparkEntry {
     "q_v6_bloom_member"    -> (Relational.qV6 _),
     "q_v7_cms_freq"        -> (Relational.qV7 _),
     "q_v8_skew_profile"    -> (Relational.qV8 _),
+    // Misra-Gries frequent items: zero-false-negative heavy hitters
+    "q_v9_heavy_hitters"   -> (Relational.qV9 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
     "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_t12_repetition"     -> (TextAnalysis.qT12 _),
     "q_t13_lang_confusion" -> (TextAnalysis.qT13 _),
     "q_t14_pii_density"    -> (TextAnalysis.qT14 _),
+    "q_t15_train_split"    -> (TextAnalysis.qT15 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -112,6 +115,7 @@ object SparkEntry {
     "q_d11_edit_verified"  -> (Dedup.qD11 _),
     "q_d12_chunk_dups"     -> (Dedup.qD12 _),
     "q_d13_minhash_est"    -> (Dedup.qD13 _),
+    "q_d14_containment"    -> (Dedup.qD14 _),
     // dup-graph structure diagnostics
     "q_g1_degree_hist"     -> (Dedup.qG1 _),
     "q_g2_triangles"       -> (Dedup.qG2 _),
@@ -322,6 +326,16 @@ object SparkEntry {
         "SELECT count(1) AS n_keys, max(c) AS max_c, " +
         "ROUND(quantile_cont(c, 0.9), 2) AS p90_c, " +
         "CAST((max(c) * 1000 * count(1)) // sum(c) AS BIGINT) AS skew_x1000 FROM k"),
+    "q_v9_heavy_hitters" -> (
+      // MG guarantees collapse to pinned booleans: every token with
+      // c*k > n is found (est > 0 after merge) and the merged estimate
+      // error is <= n/k — the exact side replays in SQL, the booleans
+      // are the sketch's contract (same posture as q_v6/q_v7)
+      "WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents), " +
+        "tt AS (SELECT t, count(1) AS c FROM tok WHERE t <> '' GROUP BY t), " +
+        "n AS (SELECT sum(c) AS n FROM tt) " +
+        "SELECT t, c, true AS found, true AS within_bound " +
+        "FROM tt, n WHERE c * 32 > n ORDER BY c DESC, t"),
     "q_w6_interval_merge" -> (
       "WITH iv AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS st, " +
         "CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS en FROM orders), " +
@@ -541,6 +555,17 @@ object SparkEntry {
         "CAST(sum(n_phone) AS BIGINT) AS phones, " +
         "CAST(sum(n_ssn) AS BIGINT) AS ssns " +
         "FROM c GROUP BY source ORDER BY source"),
+    "q_t15_train_split" -> (
+      // md5-prefix thresholds ('e6'/'f3' ≈ 90/5/5) — pure string compare,
+      // engine-exact; share in integer per-mille via DIV
+      "WITH a AS (SELECT lang, CASE " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents), " +
+        "g AS (SELECT lang, split, count(1) AS n_docs FROM a GROUP BY 1, 2) " +
+        "SELECT lang, split, n_docs, " +
+        "CAST((n_docs * 1000) // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_pm " +
+        "FROM g ORDER BY lang, split"),
     "q_t2_quality_score" -> (
       // integer-exact HALF_UP rounding of each ratio — see TextAnalysis.qT2
       "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS w, " +
@@ -622,6 +647,21 @@ object SparkEntry {
       "FROM cand c JOIN sig sx ON c.a_id = sx.doc_id JOIN sig sy ON c.b_id = sy.doc_id " +
       "JOIN gs x ON c.a_id = x.doc_id JOIN gs y ON c.b_id = y.doc_id) " +
       "SELECT a_id, b_id, est_e4, jac_e4, abs(est_e4 - jac_e4) AS err_e4 FROM p ORDER BY a_id, b_id"),
+    "q_d14_containment" -> (
+      // q_d10's block-key candidates, verified with ASYMMETRIC containment
+      // |A∩B| / min(|A|,|B|) — integer-DIV e4 fixed point, engine-exact
+      "WITH d AS (SELECT doc_id, " +
+        "substr(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 12) AS blk, " +
+        "list_distinct(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "dd AS (SELECT * FROM d WHERE length(blk) > 0), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.w, b.w)) AS inter, " +
+        "least(len(a.w), len(b.w)) AS mn, " +
+        "len(list_distinct(list_concat(a.w, b.w))) AS un " +
+        "FROM dd a JOIN dd b ON a.blk = b.blk AND a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, CAST((inter * 10000) // mn AS BIGINT) AS cont_e4, " +
+        "CAST((inter * 10000) // un AS BIGINT) AS jac_e4 " +
+        "FROM p WHERE (inter * 10000) // mn >= 9000 ORDER BY a_id, b_id"),
     "q_d5_simhash" -> (simhashSql + " SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
     "q_d6_simhash_pairs" -> (simhashSql +
       " SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham " +

@@ -328,6 +328,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q-D14 — CONTAINMENT-verified near-dups: [[qD10]]'s blocking-key
+    * candidates re-verified with the ASYMMETRIC overlap
+    * |A∩B| / min(|A|,|B|) instead of Jaccard. Jaccard is blind to
+    * length-mismatched duplication — a document wholly quoted inside one
+    * 3× its size scores jac ≈ 1/3 and survives every symmetric threshold —
+    * while containment scores it ~1.0; this is the Broder containment
+    * variant a curation pipeline runs to catch quote-expansion and
+    * boilerplate-wrapping dups. Emits candidate pairs with containment
+    * ≥ 0.9 alongside their Jaccard, both as integer-DIV e4 fixed-point
+    * (engine-exact, no float); the rows where cont_e4 is high and jac_e4
+    * low are exactly the dups qD10's own threshold misses.
+    *
+    * Scale: identical shape to qD10 — one narrow block-key equi-join,
+    * per-block-squares work, never corpus²; the containment arithmetic is
+    * per-matched-row codegen. */
+  def qD14(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "substring(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '')), 1, 12) AS blk",
+        "array_distinct(split(lower(text), ' ')) AS w")
+      .where(length(col("blk")) > 0)
+    val a = docs.selectExpr("doc_id AS a_id", "blk", "w AS wa")
+    val b = docs.selectExpr("doc_id AS b_id", "blk AS blkb", "w AS wb")
+    a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
+      .withColumn("inter", expr("size(array_intersect(wa, wb))"))
+      .withColumn("cont_e4",
+        expr("(inter * 10000) DIV least(size(wa), size(wb))"))
+      .where(col("cont_e4") >= 9000)
+      .selectExpr("a_id", "b_id", "CAST(cont_e4 AS BIGINT) AS cont_e4",
+        "CAST((inter * 10000) DIV size(array_union(wa, wb)) AS BIGINT) AS jac_e4")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Q-G1 — degree histogram of the SimHash near-dup graph ([[qD6]]):
     * (degree, node count) rows — the first diagnostic a dedup-graph run
     * reads (a heavy-tailed degree histogram means a hub document, usually

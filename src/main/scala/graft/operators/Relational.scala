@@ -239,6 +239,65 @@ object Relational {
       .select(col("n_keys"), col("max_c"), col("p90_c"),
         expr("(max_c * 1000 * n_keys) DIV total").as("skew_x1000"))
 
+  /** Q-V9 — MISRA-GRIES HEAVY HITTERS over the corpus token stream: the
+    * deterministic frequent-items sketch next to [[qV3]]'s HLL ("how
+    * many distinct"), [[qV5]]'s GK ("what quantile"), [[qV6]]'s bloom
+    * ("is it present") and [[qV7]]'s CMS ("how often is THIS one") —
+    * MG answers "WHICH items are frequent" without holding the full
+    * vocabulary: each partition keeps at most k-1 counters
+    * (`mapPartitions`), summaries merge by a (k-1)×partitions-row
+    * shuffle-sum, and the merged estimate obeys the classic bound
+    * est ≤ c and c − est ≤ n/k (each decrement round retires k
+    * occurrences, so rounds ≤ n_p/k per partition, summing to ≤ n/k;
+    * Agarwal et al., "Mergeable Summaries", PODS'12). Any token with
+    * true count > n/k therefore survives with est > 0 — zero false
+    * negatives on true heavy hitters, the guarantee this query pins.
+    *
+    * The oracle-checked contract (same posture as qV6/qV7: exact values
+    * from a SQL-replayable aggregation, booleans for the sketch's
+    * guarantees): one row per TRUE heavy hitter (exact count × k > n,
+    * integer-exact) with `found` (it is in the sketch's candidate set)
+    * and `within_bound` (the merged-estimate error bound) — both pinned
+    * true. At 100 TB the exact side is the one token-shuffle with
+    * map-side partial agg; the sketch side adds a map-only pass whose
+    * output is metadata-sized (≤ 31 rows per partition), joined in as a
+    * broadcast — nothing driver-side at all. */
+  def qV9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 32
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") =!= "")
+    val partials = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m(t) = c + 1
+          case None if m.size < k - 1 => m(t) = 1L
+          case None =>
+            // decrement-all round: retires one occurrence of every held
+            // token plus the incoming one — k occurrences per round
+            val dead = List.newBuilder[String]
+            m.foreachEntry((kk, v) =>
+              if (v == 1L) dead += kk else m(kk) = v - 1)
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.iterator
+    }.toDF("t", "est").groupBy("t").agg(sum("est").as("est"))
+    val counts = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum("c").as("n"))
+    counts.crossJoin(broadcast(n))
+      .where(col("c") * k > col("n"))
+      .join(broadcast(partials), Seq("t"), "left")
+      .select(col("t"), col("c"),
+        col("est").isNotNull.as("found"),
+        (col("est") <= col("c") &&
+          (col("c") - coalesce(col("est"), lit(0L))) * k <= col("n"))
+          .as("within_bound"))
+      .orderBy(desc("c"), col("t"))
+  }
+
   /** Q-A7 — TPC-H Q3 shape: the canonical 3-table analytics query
     * (selective dim filter → fact join → fact join → grouped measure →
     * top-k), the "real BI query" the rest of the inventory composes into.

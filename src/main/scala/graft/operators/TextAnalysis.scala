@@ -405,4 +405,39 @@ object TextAnalysis {
         sum(col("n_phone").cast("long")).as("phones"),
         sum(col("n_ssn").cast("long")).as("ssns"))
       .orderBy("source")
+
+  /** Q-T15 — DETERMINISTIC TRAIN/VAL/TEST SPLIT assignment: route every
+    * document to a split by a hash of its id, never by position or
+    * random() — the property a training pipeline actually needs is that
+    * the assignment is REPRODUCIBLE across engines, re-runs, and data
+    * relayouts (a repartition must not move documents between splits),
+    * and that a later incremental batch lands in the same splits without
+    * seeing the old data. md5-prefix thresholds give ~90/5/5: the first
+    * two hex chars partition the hash space at 'e6' (230/256) and 'f3'
+    * (243/256); pure string comparison, so Spark and the oracle agree
+    * byte-for-byte with no float anywhere. The rollup reports per-(lang,
+    * split) counts plus each split's per-mille share of the language —
+    * the skew check run before trusting the split to be stratified
+    * (hash-splitting is only ~proportional per stratum; a tiny stratum
+    * can land lopsided, and this is the query that shows it).
+    *
+    * Scale: one map-side projection (md5 + two comparisons), one
+    * (lang × split)-sized rollup, a languages-sized window for the
+    * share — no join, no global pass; the assignment column itself
+    * costs nothing at 100 TB because it is derived, not stored. */
+  def qT15(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    Tables.documents(s, dir)
+      .selectExpr("lang",
+        "substring(md5(CAST(doc_id AS STRING)), 1, 2) AS h")
+      .withColumn("split",
+        when(col("h") < "e6", "train")
+          .when(col("h") < "f3", "val").otherwise("test"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total", sum("n_docs").over(w))
+      // integer DIV, not ROUND-of-double: engine-exact per-mille share
+      .select(col("lang"), col("split"), col("n_docs"),
+        expr("(n_docs * 1000) DIV lang_total").as("share_pm"))
+      .orderBy("lang", "split")
+  }
 }

@@ -754,6 +754,56 @@ class PlanAuditSpec extends AnyFunSuite {
       s"metadata parse must be map-only before the sort:\n$plan")
   }
 
+  test("q_v9 heavy hitters: sketch summaries broadcast, exact side one token exchange") {
+    val q = Relational.qV9(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the MG summaries (≤ 31 rows/partition) and the 1-row total are the
+    // broadcast sides; the corpus-sized token stream must never sort-merge
+    assert(!plan.contains("SortMergeJoin"),
+      s"metadata-sized frames must broadcast, not SMJ:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"sketch candidate set must broadcast into the exact side:\n$plan")
+    // the guarantee the oracle pins, re-checked here at sf0.001 where the
+    // vocabulary (~1000 tokens) far exceeds k-1=31 counters per partition,
+    // so decrement rounds demonstrably happened and the bound is exercised
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "MG guarantee violated: a true heavy hitter was lost or out of bound")
+  }
+
+  test("q_t15 split assignment: no join, rollup + language-sized window only") {
+    val q = graft.operators.TextAnalysis.qT15(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"derived split column must not join:\n$plan")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 2,
+      s"one rollup + one language-keyed window exchange only:\n${hashEx.mkString("\n")}")
+    // every document lands in exactly one split
+    val total = rows.map(_.getLong(2)).sum
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    assert(total == docs, s"split counts $total != corpus $docs")
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("q_d14 containment verify: block-key equi-join, containment >= jaccard, supersets q_d10") {
+    val q = graft.operators.Dedup.qD14(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment candidate join must be an equi-join:\n$plan")
+    // containment >= jaccard pointwise (min(|A|,|B|) <= |A∪B|), and the
+    // symmetric-threshold pairs are a subset of the containment pairs
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(3)))
+    val cont = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d10 = graft.operators.Dedup.qD10(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d10.subsetOf(cont),
+      s"q_d10 pairs missing from containment set: ${d10 -- cont}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
