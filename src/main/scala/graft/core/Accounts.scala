@@ -23,6 +23,10 @@ final case class CompactionStats(buckets: Set[Long], filesBefore: Long,
                                  filesAfter: Long, bytesRewritten: Long,
                                  straysAbsorbed: Long)
 
+/** One published container snapshot ([[FileAccount.snapshotContainer]]). */
+final case class SnapshotInfo(tag: String, createdMs: Long,
+                              files: Long, bytes: Long)
+
 /** File-backed account: the catalog surface of the reference
   * (/root/reference/src/clients.py, containers.py) over a directory tree
   * `root/<database>/<container>/{_meta.json, data/b=<k>/<part>.txt}`.
@@ -487,7 +491,174 @@ case class FileAccount(root: String) {
           dataFilesMeta(db, container).nonEmpty) {
         store.deleteRecursive(rb); Seq(rb)
       } else Seq.empty[String]
-    swept ++ rbSwept
+    // a restore that died before its swap leaves `_restore` behind — same
+    // rule as `_rebucket`: sweepable only while a live data tree exists
+    // (mid-swap, the staging tree is the container's current state; and
+    // unlike re-bucket the source SNAPSHOT also still holds every row)
+    val rs = p(db, container, "_restore")
+    val rsSwept =
+      if (store.isDirectory(rs) && stale(rs) && hasData(db, container) &&
+          dataFilesMeta(db, container).nonEmpty) {
+        store.deleteRecursive(rs); Seq(rs)
+      } else Seq.empty[String]
+    swept ++ rbSwept ++ rsSwept
+  }
+
+  // ---- snapshots (time travel / restore) ----
+  //
+  // A snapshot is a full physical copy of the container's state — `data/`
+  // tree, `_meta.json` (the LAYOUT at snapshot time: pk + bucket count),
+  // and the `_counts.json` sidecar — under `_snapshots/<tag>/`, staged
+  // into a `_`-prefixed temp name and PUBLISHED by one rename, so a
+  // half-copied snapshot is never visible under its tag. The `_` prefix
+  // keeps the whole subtree invisible to scans, signature walks, and
+  // maintenance (compaction/re-bucket touch `data/` only; vacuum never
+  // descends `_snapshots`). Because stored files are immutable-once-
+  // published (every write path rewrites whole bucket dirs), a completed
+  // snapshot never changes afterward.
+  //
+  // The 100 TB cost model is stated honestly: this is a COPY (IO-bound on
+  // container bytes, driver-streamed here; an object-store deployment
+  // remaps Storage.copyFile onto server-side copy and parallelizes per
+  // file). The zero-copy alternative — manifest-pinning live files — would
+  // require every rewrite path to defer deletes behind a reference count,
+  // turning the engine's whole-directory swap model into manifest-tracked
+  // immutable files (the Iceberg design); the copy keeps snapshots
+  // ORTHOGONAL: no write path changes, no GC coupling, and a snapshot
+  // survives even a corrupted live tree. SURVEY §9 addendum records the
+  // trade.
+
+  private def snapshotsBase(db: String, c: String): String =
+    p(db, c, "_snapshots")
+
+  private[core] def snapshotPath(db: String, c: String, tag: String): String =
+    p(db, c, "_snapshots", tag)
+
+  private def requireTag(tag: String): Unit =
+    require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"snapshot tag must be [A-Za-z0-9][A-Za-z0-9._-]*, got '$tag'")
+
+  /** Copy one container tree (data + meta + counts sidecar) under `dst`.
+    * Returns (files, bytes) copied. */
+  private def copyContainerState(db: String, c: String, dst: String)
+      : (Long, Long) = {
+    var files = 0L; var bytes = 0L
+    val dataSrc = dataPath(db, c)
+    // skip checksum/hidden sidecars (.crc on raw local): the copy re-derives
+    // whatever integrity metadata the destination filesystem wants
+    store.walk(dataSrc)
+      .filterNot(_.relPath.split('/').last.startsWith("."))
+      .foreach { fm =>
+        bytes += store.copyFile(s"$dataSrc/${fm.relPath}", s"$dst/data/${fm.relPath}")
+        files += 1
+      }
+    Seq("_meta.json", "_counts.json").foreach { f =>
+      val src = p(db, c, f)
+      if (store.exists(src)) { store.copyFile(src, s"$dst/$f"); () }
+    }
+    (files, bytes)
+  }
+
+  /** Create snapshot `tag` of the container's current state. Refuses an
+    * existing tag (snapshots are immutable; drop first to re-tag). */
+  def snapshotContainer(db: String, c: String, tag: String,
+                        nowMs: Long = System.currentTimeMillis())
+      : SnapshotInfo = {
+    requireTag(tag)
+    require(store.isDirectory(p(db, c)), s"no such container $db.$c")
+    val dst = snapshotPath(db, c, tag)
+    if (store.exists(dst))
+      throw new IllegalStateException(s"snapshot '$tag' already exists for $db.$c")
+    val tmp = p(db, c, "_snapshots", s"_tmp-$tag")
+    store.deleteRecursive(tmp)
+    val (files, bytes) = copyContainerState(db, c, tmp)
+    // re-sign the copied sidecar over the SNAPSHOT tree: counts carry over
+    // byte-for-byte, but vouching signatures include file mtimes, which a
+    // copy changes — recompute per-bucket signatures under the staged tree
+    // so metadata-only COUNT(*) stays free on snapshot reads. Only buckets
+    // the SOURCE sidecar vouched at copy time carry over (an unvouched
+    // source count could be stale, and the copy inherits that doubt).
+    val srcSigs = bucketSignatures(db, c)
+    val vouchedCounts = readBucketCounts(db, c).filter {
+      case (b, (_, sig)) => srcSigs.get(b).contains(sig)
+    }
+    if (vouchedCounts.nonEmpty)
+      writeBucketCounts(db, s"$c/_snapshots/_tmp-$tag",
+        vouchedCounts.map { case (b, (n, _)) =>
+          b -> (n, dirSignature(new HPath(tmp, s"data/b=$b").toString))
+        })
+    store.writeString(s"$tmp/_snapshot.json",
+      s"""{"tag": "$tag", "created_ms": $nowMs, "files": $files, "bytes": $bytes}""")
+    if (!store.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"snapshot publish failed: could not rename $tmp to $dst")
+    SnapshotInfo(tag, nowMs, files, bytes)
+  }
+
+  /** All published snapshots of a container, oldest first. Staging leftovers
+    * (`_tmp-*`) and anything without a manifest are invisible. */
+  def listSnapshots(db: String, c: String): Seq[SnapshotInfo] = {
+    val base = snapshotsBase(db, c)
+    store.listDirNames(base).filterNot(_.startsWith("_")).sorted.flatMap { tag =>
+      val mf = s"${new HPath(base, tag)}/_snapshot.json"
+      if (!store.exists(mf)) None
+      else {
+        val s = store.readString(mf)
+        def num(k: String): Long =
+          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s)
+            .map(_.group(1).toLong).getOrElse(0L)
+        Some(SnapshotInfo(tag, num("created_ms"), num("files"), num("bytes")))
+      }
+    }.sortBy(_.createdMs)
+  }
+
+  def dropSnapshot(db: String, c: String, tag: String): Boolean = {
+    requireTag(tag)
+    store.deleteRecursive(snapshotPath(db, c, tag))
+  }
+
+  /** Restore the container to snapshot `tag`: data tree, layout metadata
+    * (`_meta.json` — the snapshot's bucket count governs its data), and
+    * count sidecar all return to snapshot state. Copy-then-swap like
+    * [[rebucketContainer]]: the full new tree lands in `_restore` first,
+    * then delete+rename; a crash mid-swap leaves the complete staging tree
+    * (rename it into place to recover) — and the snapshot itself still
+    * holds every row regardless. Returns files restored. */
+  def restoreSnapshot(db: String, c: String, tag: String): Long = {
+    requireTag(tag)
+    val snap = snapshotPath(db, c, tag)
+    require(store.isDirectory(snap), s"no snapshot '$tag' for $db.$c")
+    val staging = p(db, c, "_restore")
+    store.deleteRecursive(staging)
+    var files = 0L
+    store.walk(s"$snap/data")
+      .filterNot(_.relPath.split('/').last.startsWith("."))
+      .foreach { fm =>
+        store.copyFile(s"$snap/data/${fm.relPath}", s"$staging/${fm.relPath}")
+        files += 1
+      }
+    val dir = dataPath(db, c)
+    store.deleteRecursive(dir)
+    if (files > 0 && !store.rename(staging, dir))
+      throw new IllegalStateException(
+        s"restore swap failed: $staging holds the complete restored tree; " +
+          s"rename it to $dir to recover")
+    val metaSrc = s"$snap/_meta.json"
+    if (store.exists(metaSrc)) { store.copyFile(metaSrc, p(db, c, "_meta.json")); () }
+    // sidecar: counts carry over, signatures re-derive over the restored
+    // tree (copies change mtimes — same discipline as snapshot creation);
+    // only buckets the snapshot's own sidecar vouches carry over
+    val snapC = s"$c/_snapshots/$tag"
+    val snapSigs = bucketSignatures(db, snapC)
+    val vouched = readBucketCounts(db, snapC).filter {
+      case (b, (_, sig)) => snapSigs.get(b).contains(sig)
+    }
+    if (vouched.nonEmpty)
+      writeBucketCounts(db, c, vouched.map { case (b, (n, _)) =>
+        b -> (n, dirSignature(bucketDir(db, c, b)))
+      })
+    else { store.delete(countsPath(db, c)); () }
+    files
   }
 
   private def dataDir(db: String, container: String): String =

@@ -146,6 +146,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new ContainerTable(account, d, c, account.containerProperties(d, c))
   }
 
+  // ---- time travel (SELECT ... VERSION AS OF / TIMESTAMP AS OF) ----
+  //
+  // A snapshot tree mirrors the container layout (data/ + _meta.json +
+  // _counts.json), so the WHOLE batch read stack — bucket-pruned point
+  // reads, runtime filtering, sidecar statistics, COUNT(*) pushdown —
+  // works against it unchanged: the scan builder just gets the snapshot
+  // subtree as its container path. Layout properties come from the
+  // snapshot's OWN _meta.json (a re-bucket after the snapshot must not
+  // re-hash snapshot reads).
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (d, c) = split(ident)
+    val snapC = s"$c/_snapshots/$version"
+    if (!store.isDirectory(account.snapshotPath(d, c, version)))
+      throw new NoSuchTableException(ident)
+    new SnapshotTable(account, d, c, version, snapC,
+      account.containerProperties(d, snapC))
+  }
+
+  /** TIMESTAMP AS OF → the latest snapshot created at or before it
+    * (micros since epoch, per the DSv2 contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (d, c) = split(ident)
+    val eligible = account.listSnapshots(d, c)
+      .filter(_.createdMs * 1000L <= timestampMicros)
+    if (eligible.isEmpty)
+      throw new NoSuchTableException(ident)
+    loadTable(ident, eligible.last.tag)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -254,6 +286,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * contract (one `raw` JSON-line string per document), reads are
   * distributed one-partition-per-data-file, key-equality predicates on the
   * hidden `_id`/`_key` metadata columns prune to bucket directories. */
+/** Read-only view of one published snapshot: the full batch scan stack
+  * (bucket-pruned point reads, runtime filtering, sidecar stats, COUNT(*)
+  * pushdown) over the snapshot subtree. No write/stream capabilities — a
+  * snapshot is immutable by construction, and the type makes SQL agree
+  * (INSERT/DELETE against `VERSION AS OF` fail in analysis, not at
+  * commit). `containerPath` is the snapshot subtree relative to the db
+  * (`c/_snapshots/tag`), resolved by the same [[FileAccount]] path logic
+  * as a live container. */
+final class SnapshotTable(account: FileAccount, db: String, container: String,
+                          tag: String, containerPath: String,
+                          props: ContainerProps)
+    extends Table with SupportsRead with SupportsMetadataColumns {
+
+  override def name(): String = s"$db.$container@$tag"
+
+  override def schema(): StructType =
+    StructType(Seq(StructField("raw", StringType, nullable = false)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = "_id"
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = true
+      override def comment: String = "document id (null for malformed documents)"
+    },
+    new MetadataColumn {
+      override def name: String = "_key"
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = true
+      override def comment: String =
+        "merge key (id ++ pk values) — equality predicates prune to bucket dirs"
+    })
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("pk", props.pkPaths.mkString(","))
+    m.put("buckets", props.buckets.toString)
+    m.put("snapshot", tag)
+    m.put("location", account.dataPath(db, containerPath))
+    m
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ContainerScanBuilder(account, db, containerPath, props, name(),
+      options, null)
+}
+
 final class ContainerTable(account: FileAccount, db: String, container: String,
                            props: ContainerProps)
     extends Table with SupportsRead with SupportsWrite

@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[core] object GraftProcedures {
 
   val names: Array[String] =
-    Array("compact", "vacuum", "stats", "verify", "rebucket")
+    Array("compact", "vacuum", "stats", "verify", "rebucket",
+      "snapshot", "snapshots", "restore", "drop_snapshot")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -35,6 +36,10 @@ private[core] object GraftProcedures {
     case "stats"    => new StatsProcedure(account)
     case "verify"   => new VerifyProcedure(account)
     case "rebucket" => new RebucketProcedure(account)
+    case "snapshot"      => new SnapshotProcedure(account)
+    case "snapshots"     => new ListSnapshotsProcedure(account)
+    case "restore"       => new RestoreProcedure(account)
+    case "drop_snapshot" => new DropSnapshotProcedure(account)
   }
 
   private[core] def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -214,6 +219,133 @@ private[core] final class VerifyProcedure(account: FileAccount)
       StructField("rescanned_buckets", IntegerType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       rows, sigs.size, vouched, sigs.size - vouched))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.snapshot(db, container, tag)` — publish a named
+  * snapshot of the container's current state
+  * ([[FileAccount.snapshotContainer]]); readable afterwards via
+  * `SELECT ... FROM graft.db.c VERSION AS OF 'tag'`. */
+private[core] final class SnapshotProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "snapshot"
+  override def description(): String =
+    "publish a named snapshot of the container (read back via VERSION AS OF)"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build(),
+    ProcedureParameter.in("tag", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val info = account.snapshotContainer(
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+      input.getUTF8String(2).toString)
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("created_ms", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      GraftProcedures.utf8(info.tag), info.createdMs, info.files, info.bytes))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.snapshots(db, container)` — list published snapshots
+  * (oldest first), from the per-snapshot manifests alone. */
+private[core] final class ListSnapshotsProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "snapshots"
+  override def description(): String =
+    "list the container's published snapshots (metadata only)"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val infos = account.listSnapshots(
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("created_ms", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    val rows = infos.map(i => new GenericInternalRow(Array[Any](
+      GraftProcedures.utf8(i.tag), i.createdMs, i.files, i.bytes)))
+    java.util.List.of[Scan](
+      new GraftProcedures.RowsScan(schema, rows.toArray)).iterator()
+  }
+}
+
+/** `CALL graft.system.restore(db, container, tag)` — return the container
+  * (data, layout metadata, count sidecar) to snapshot state
+  * ([[FileAccount.restoreSnapshot]]). */
+private[core] final class RestoreProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "restore"
+  override def description(): String =
+    "restore the container to a published snapshot's state"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build(),
+    ProcedureParameter.in("tag", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val files = account.restoreSnapshot(
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+      input.getUTF8String(2).toString)
+    val schema = StructType(Seq(
+      StructField("files_restored", LongType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](files))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.drop_snapshot(db, container, tag)`. */
+private[core] final class DropSnapshotProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "drop_snapshot"
+  override def description(): String = "delete a published snapshot"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build(),
+    ProcedureParameter.in("tag", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dropped = account.dropSnapshot(
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+      input.getUTF8String(2).toString)
+    val schema = StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](dropped))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

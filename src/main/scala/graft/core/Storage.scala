@@ -62,6 +62,12 @@ trait Storage {
   def fileMeta(p: String): Option[FileMeta]
   def readString(p: String): String
   def writeString(p: String, s: String): Unit
+  /** Byte-for-byte copy of one file (parent dirs created, destination
+    * overwritten); returns bytes copied. Driver-side, stream-to-stream —
+    * the snapshot path's primitive. An object-store deployment would remap
+    * this onto a server-side copy; the contract (full copy, no partial
+    * visibility at the final name until close) is the same. */
+  def copyFile(src: String, dst: String): Long
   /** Whether [[rename]] on this path's filesystem is ATOMIC (one metadata
     * op, fails-not-overwrites on existing destination) — the publish
     * primitive coordination paths rely on. False on object stores whose
@@ -224,6 +230,22 @@ final class HadoopStorage(conf: () => Configuration) extends Storage {
     val hp = new Path(p)
     Using.resource(fs(hp).open(hp)) { in =>
       new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    }
+  }
+  override def copyFile(src: String, dst: String): Long = {
+    val s = new Path(src); val d = new Path(dst)
+    val sf = fs(s); val df = fs(d)
+    Using.resource(sf.open(s)) { in =>
+      Using.resource(df.create(d, /*overwrite=*/ true)) { out =>
+        val buf = new Array[Byte](1 << 16)
+        var total = 0L
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) { out.write(buf, 0, n); total += n }
+          n = in.read(buf)
+        }
+        total
+      }
     }
   }
   override def writeString(p: String, s: String): Unit = {

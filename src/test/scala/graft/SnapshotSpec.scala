@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ContainerProps, FileAccount}
+
+/** Container snapshots + time travel: `CALL graft.system.snapshot` publishes
+  * an immutable copy of the container state (data tree, layout metadata,
+  * count sidecar), `SELECT ... VERSION AS OF 'tag'` / `TIMESTAMP AS OF`
+  * read it through the full batch scan stack, and `CALL
+  * graft.system.restore` returns the live container to snapshot state via
+  * the same copy-then-swap discipline as re-bucketing. SURVEY §9 addendum
+  * records the copy-vs-manifest trade. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "snapshot-spec")
+
+  private def newAccount(prefix: String): FileAccount = {
+    val root = Files.createTempDirectory(Paths.get("target"), prefix)
+    FileAccount(root.toString)
+  }
+
+  private def upsert(acc: FileAccount, db: String, c: String,
+                     docs: Seq[String], parts: Int = 4): Unit = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = graft.operators.RawMerge
+      .srcKeyed(spark, docs.toDF("raw").repartition(parts), Seq("/id"))
+      .select(col("raw"), col("__id"), col("__pk0"))
+    acc.upsertRaw(spark, db, c, keyed, Seq("__id", "__pk0"), Seq("/id"))
+    ()
+  }
+
+  private def register(name: String, acc: FileAccount): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", acc.root)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.selectExpr("get_json_object(raw, '$.id')").collect()
+      .map(_.getString(0)).toSet
+
+  test("snapshot publishes, VERSION AS OF reads it while the live table moves on") {
+    val acc = newAccount("snap")
+    register("graftsn", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftsn.db")
+    spark.sql("CREATE TABLE graftsn.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 20).map(i => s"""{"id":"d$i","v":$i}"""))
+
+    val r = spark.sql(
+      "CALL graftsn.system.snapshot(db => 'db', container => 'c', tag => 'v1')").head()
+    assert(r.getAs[String]("tag") == "v1")
+    assert(r.getAs[Long]("files") > 0L && r.getAs[Long]("bytes") > 0L)
+
+    // live moves on: update d1, insert d21, delete d2
+    upsert(acc, "db", "c", Seq("""{"id":"d1","v":100}""", """{"id":"d21","v":21}"""))
+    spark.sql("DELETE FROM graftsn.db.c WHERE _id = 'd2'")
+
+    val live = spark.sql("SELECT raw FROM graftsn.db.c")
+    val snap = spark.sql("SELECT raw FROM graftsn.db.c VERSION AS OF 'v1'")
+    assert(ids(live) == ((1 to 21).map("d" + _).toSet - "d2"))
+    assert(ids(snap) == (1 to 20).map("d" + _).toSet, "snapshot must hold v1 state")
+    // the updated doc reads old value through the snapshot, new live
+    assert(snap.where("get_json_object(raw, '$.id') = 'd1'")
+      .selectExpr("get_json_object(raw, '$.v')").head().getString(0) == "1")
+    assert(live.where("get_json_object(raw, '$.id') = 'd1'")
+      .selectExpr("get_json_object(raw, '$.v')").head().getString(0) == "100")
+
+    // the full scan stack works against the snapshot subtree: point reads
+    // prune (metadata _key), and COUNT(*) answers from the snapshot's own
+    // copied sidecar without opening a data file
+    assert(spark.sql(
+      "SELECT raw FROM graftsn.db.c VERSION AS OF 'v1' WHERE _key = 'd3d3'")
+      .count() == 1)
+    val cnt = spark.sql("SELECT count(*) FROM graftsn.db.c VERSION AS OF 'v1'")
+    assert(cnt.head().getLong(0) == 20L)
+    val desc = cnt.queryExecution.executedPlan.toString
+    assert(desc.contains("COUNT(*) from count sidecars"),
+      s"snapshot count must answer from the copied sidecar:\n$desc")
+
+    // snapshots are immutable: same tag refused until dropped
+    val dup = intercept[Exception](spark.sql(
+      "CALL graftsn.system.snapshot('db', 'c', 'v1')")).getMessage
+    assert(dup.contains("already exists"))
+
+    // unknown tag is a missing table, not a silent empty read
+    val missing = intercept[Exception](spark.sql(
+      "SELECT raw FROM graftsn.db.c VERSION AS OF 'nope'").collect()).getMessage
+    assert(missing.toLowerCase.contains("table"))
+  }
+
+  test("restore returns the container to snapshot state, including layout after a rebucket") {
+    val acc = newAccount("snaprestore")
+    register("graftsr", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftsr.db")
+    spark.sql("CREATE TABLE graftsr.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 16).map(i => s"""{"id":"d$i","v":$i}"""))
+    spark.sql("CALL graftsr.system.snapshot('db', 'c', 's1')")
+
+    // mutate AND change the physical layout underneath
+    upsert(acc, "db", "c", Seq("""{"id":"zz","v":0}"""))
+    spark.sql("CALL graftsr.system.rebucket('db', 'c', 4)")
+    assert(acc.containerProperties("db", "c").buckets == 4)
+    assert(ids(spark.sql("SELECT raw FROM graftsr.db.c")).contains("zz"))
+
+    val res = spark.sql("CALL graftsr.system.restore('db', 'c', 's1')").head()
+    assert(res.getAs[Long]("files_restored") > 0L)
+    // contents, layout, and sidecar all back to snapshot state
+    assert(ids(spark.sql("SELECT raw FROM graftsr.db.c")) ==
+      (1 to 16).map("d" + _).toSet)
+    assert(acc.containerProperties("db", "c").buckets == 2,
+      "restore must bring back the snapshot's bucket count with its data")
+    assert(acc.countRows(spark, "db", "c") == 16)
+    // point read through the restored 2-bucket layout
+    assert(spark.sql("SELECT raw FROM graftsr.db.c WHERE _id = 'd7'").count() == 1)
+    // restore is repeatable (the snapshot outlives it)
+    spark.sql("CALL graftsr.system.restore('db', 'c', 's1')")
+    assert(ids(spark.sql("SELECT raw FROM graftsr.db.c")) ==
+      (1 to 16).map("d" + _).toSet)
+  }
+
+  test("snapshots list/drop, TIMESTAMP AS OF picks the latest at-or-before") {
+    val acc = newAccount("snaplist")
+    register("graftsl", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftsl.db")
+    spark.sql("CREATE TABLE graftsl.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", Seq("""{"id":"a","v":1}"""))
+    // pinned creation times (driver API): t1 < t2
+    acc.snapshotContainer("db", "c", "t1", nowMs = 1700000000000L)
+    upsert(acc, "db", "c", Seq("""{"id":"b","v":2}"""))
+    acc.snapshotContainer("db", "c", "t2", nowMs = 1800000000000L)
+
+    val listed = spark.sql("CALL graftsl.system.snapshots('db', 'c')").collect()
+    assert(listed.map(_.getAs[String]("tag")).toSeq == Seq("t1", "t2"))
+    assert(listed.map(_.getAs[Long]("created_ms")).toSeq ==
+      Seq(1700000000000L, 1800000000000L))
+
+    // 2023-11-20 ~ 1700438400000 ms: after t1, before t2 → reads t1
+    val asOf = spark.sql(
+      "SELECT raw FROM graftsl.db.c TIMESTAMP AS OF '2023-11-20 00:00:00'")
+    assert(ids(asOf) == Set("a"))
+    // after t2 (1800000000000 ms = 2027-01-15) → reads t2
+    assert(ids(spark.sql(
+      "SELECT raw FROM graftsl.db.c TIMESTAMP AS OF '2027-06-01 00:00:00'")) ==
+      Set("a", "b"))
+    // before every snapshot → no snapshot to serve
+    intercept[Exception](spark.sql(
+      "SELECT raw FROM graftsl.db.c TIMESTAMP AS OF '2001-01-01 00:00:00'").collect())
+
+    val d = spark.sql("CALL graftsl.system.drop_snapshot('db', 'c', 't1')").head()
+    assert(d.getAs[Boolean]("dropped"))
+    assert(spark.sql("CALL graftsl.system.snapshots('db', 'c')").count() == 1)
+    intercept[Exception](spark.sql(
+      "SELECT raw FROM graftsl.db.c VERSION AS OF 't1'").collect())
+
+    // malformed tags refused before touching storage
+    intercept[Exception](acc.snapshotContainer("db", "c", "../evil"))
+    intercept[Exception](acc.snapshotContainer("db", "c", "_tmp-x"))
+  }
+
+  test("maintenance isolation: compaction and vacuum never touch snapshots") {
+    val acc = newAccount("snapiso")
+    register("graftsi", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftsi.db")
+    spark.sql("CREATE TABLE graftsi.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 32).map(i => s"""{"id":"d$i","v":$i}"""), parts = 8)
+    spark.sql("CALL graftsi.system.snapshot('db', 'c', 'keep')")
+    val snapTree = Paths.get(acc.root, "db", "c", "_snapshots", "keep")
+    def snapState(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(snapTree).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => snapTree.relativize(p).toString -> Files.size(p)).toMap
+    }
+    val before = snapState()
+
+    // compaction rewrites live buckets; vacuum at ttl 0 sweeps staging —
+    // the snapshot tree must be byte-count-identical through both
+    spark.sql("CALL graftsi.system.compact('db', 'c')")
+    spark.sql("CALL graftsi.system.vacuum('db', 'c', 0)")
+    assert(snapState() == before, "maintenance must not touch _snapshots")
+    assert(ids(spark.sql("SELECT raw FROM graftsi.db.c VERSION AS OF 'keep'")) ==
+      (1 to 32).map("d" + _).toSet)
+
+    // an abandoned _restore tree is swept only while live data exists
+    val restoreTree = Paths.get(acc.root, "db", "c", "_restore")
+    Files.createDirectories(restoreTree)
+    Files.writeString(restoreTree.resolve("junk.txt"), "x\n")
+    val v = spark.sql("CALL graftsi.system.vacuum('db', 'c', 0)").head()
+    assert(v.getAs[Int]("staging_trees_removed") == 1)
+    assert(!Files.exists(restoreTree))
+  }
+}
