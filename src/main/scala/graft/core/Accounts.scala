@@ -661,6 +661,42 @@ case class FileAccount(root: String) {
     files
   }
 
+  /** Content-level change profile from snapshot `from` to snapshot `to`
+    * (either may be None = the LIVE state): per-document action counts
+    * inserted / updated / unchanged / deleted, by merge key with
+    * canonical-JSON comparison — the A10 change-detection kernel
+    * ([[graft.operators.RawMerge.classifyAll]]) pointed at two versions
+    * of the SAME container. This is the audit CDC surface: "what did the
+    * last batch actually change", answerable after the fact from
+    * snapshots alone. Layout-independent (raw reads, key join) — the two
+    * states may even have different bucket counts; ONE full-outer merge
+    * join, the same scale shape as a verification pass. */
+  def diffSnapshots(spark: SparkSession, db: String, c: String,
+                    from: Option[String], to: Option[String]): DataFrame = {
+    def statePath(tag: Option[String]): String = tag match {
+      case Some(t) =>
+        requireTag(t)
+        require(store.isDirectory(snapshotPath(db, c, t)),
+          s"no snapshot '$t' for $db.$c")
+        s"$c/_snapshots/$t"
+      case None => c
+    }
+    val fromC = statePath(from); val toC = statePath(to)
+    // pk paths from the TO state's metadata (pk is fixed at creation, so
+    // both states agree; the to-side copy is simply the fresher read)
+    val pkPaths = containerProperties(db, toC).pkPaths
+    GraftFunctions.register(spark)
+    graft.operators.RawMerge.classifyAll(spark,
+        readRaw(spark, db, toC), readRaw(spark, db, fromC), pkPaths)
+      .groupBy("action").agg(count(lit(1)).as("n"))
+      .withColumn("change", expr(
+        """CASE action WHEN 'insert' THEN 'inserted'
+          |  WHEN 'update' THEN 'updated' WHEN 'skip' THEN 'unchanged'
+          |  WHEN 'target' THEN 'deleted' ELSE action END""".stripMargin))
+      .select(col("change"), col("n"))
+      .orderBy("change")
+  }
+
   private def dataDir(db: String, container: String): String =
     p(db, container, "data")
 

@@ -28,7 +28,7 @@ private[core] object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "vacuum", "stats", "verify", "rebucket",
-      "snapshot", "snapshots", "restore", "drop_snapshot")
+      "snapshot", "snapshots", "restore", "drop_snapshot", "diff")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -40,6 +40,7 @@ private[core] object GraftProcedures {
     case "snapshots"     => new ListSnapshotsProcedure(account)
     case "restore"       => new RestoreProcedure(account)
     case "drop_snapshot" => new DropSnapshotProcedure(account)
+    case "diff"          => new DiffProcedure(account)
   }
 
   private[core] def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -320,6 +321,46 @@ private[core] final class RestoreProcedure(account: FileAccount)
     val row = new GenericInternalRow(Array[Any](files))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
+  }
+}
+
+/** `CALL graft.system.diff(db, container, from_tag[, to_tag])` — content-
+  * level change profile between two snapshots (empty `to_tag` = the live
+  * state): inserted / updated / unchanged / deleted document counts via
+  * the A10 canonical-diff kernel ([[FileAccount.diffSnapshots]]). The
+  * audit CDC question — "what did the batch actually change" — answered
+  * after the fact from snapshots alone, layout-independent. */
+private[core] final class DiffProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "diff"
+  override def description(): String =
+    "inserted/updated/unchanged/deleted counts between two snapshots (or vs live)"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build(),
+    ProcedureParameter.in("from_tag", StringType).build(),
+    ProcedureParameter.in("to_tag", StringType).defaultValue("''")
+      .comment("empty = the live container state").build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val toTag = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
+    val rows = account.diffSnapshots(SparkSession.active,
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+        Some(input.getUTF8String(2).toString), toTag)
+      .collect() // ≤ 5 action rows
+    val schema = StructType(Seq(
+      StructField("change", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val out: Array[InternalRow] = rows.map(r => new GenericInternalRow(
+      Array[Any](GraftProcedures.utf8(r.getString(0)), r.getLong(1))))
+    java.util.List.of[Scan](
+      new GraftProcedures.RowsScan(schema, out)).iterator()
   }
 }
 

@@ -164,6 +164,40 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[Exception](acc.snapshotContainer("db", "c", "_tmp-x"))
   }
 
+  test("diff between snapshots (and vs live): canonical-diff change counts") {
+    val acc = newAccount("snapdiff")
+    register("graftdf", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftdf.db")
+    spark.sql("CREATE TABLE graftdf.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", Seq(
+      """{"id":"a","v":1}""", """{"id":"b","v":2}""", """{"id":"c","v":3}"""))
+    spark.sql("CALL graftdf.system.snapshot('db', 'c', 's1')")
+
+    upsert(acc, "db", "c", Seq(
+      """{"id":"b","v":20}""", """{"id":"d","v":4}"""))
+    spark.sql("DELETE FROM graftdf.db.c WHERE _id = 'c'")
+    spark.sql("CALL graftdf.system.snapshot('db', 'c', 's2')")
+
+    def diffMap(sql: String): Map[String, Long] =
+      spark.sql(sql).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d12 = diffMap("CALL graftdf.system.diff('db', 'c', 's1', 's2')")
+    assert(d12 == Map("inserted" -> 1L, "updated" -> 1L,
+      "unchanged" -> 1L, "deleted" -> 1L), s"got $d12")
+    // omitted to_tag = live state (identical to s2 here)
+    assert(diffMap("CALL graftdf.system.diff('db', 'c', 's1')") == d12)
+    // self-diff: everything unchanged
+    assert(diffMap("CALL graftdf.system.diff('db', 'c', 's2', 's2')") ==
+      Map("unchanged" -> 3L))
+    // a snapshot-vs-live diff straddling a REBUCKET still compares content
+    // (raw reads + key join are layout-independent)
+    spark.sql("CALL graftdf.system.rebucket('db', 'c', 4)")
+    assert(diffMap("CALL graftdf.system.diff('db', 'c', 's1')") == d12)
+    intercept[Exception](
+      spark.sql("CALL graftdf.system.diff('db', 'c', 'missing')").collect())
+  }
+
   test("maintenance isolation: compaction and vacuum never touch snapshots") {
     val acc = newAccount("snapiso")
     register("graftsi", acc)
