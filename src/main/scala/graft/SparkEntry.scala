@@ -131,6 +131,7 @@ object SparkEntry {
     "q_sim6_filtered_knn"  -> (Similarity.qSim6 _),
     "q_sim7_centroid_assign" -> (Similarity.qSim7 _),
     "q_sim8_norm_profile"  -> (Similarity.qSim8 _),
+    "q_sim9_int8_recall"   -> (Similarity.qSim9 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -694,6 +695,27 @@ object SparkEntry {
         ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim9_int8_recall" -> (
+      // int8 lane integer end-to-end: floor(x*127/max + 0.5) is
+      // deterministic IEEE double arithmetic (no HALF_UP ambiguity),
+      // the quantized dot/rank is pure BIGINT; float lane = q_sim1's
+      // established cosine contract
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        cosineSumSql +
+        ", f AS (SELECT a_id AS q_id, b_id AS n_id, row_number() OVER " +
+        "(PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS r FROM s), " +
+        "iu AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, unnest(generate_series(1, 64)) AS i, a.qv AS qa, b.qv AS qb " +
+        "FROM qz a JOIN qz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        "idot AS (SELECT q_id, n_id, sum(qa[i] * qb[i]) AS dot FROM iu GROUP BY q_id, n_id), " +
+        "itop AS (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dot DESC, n_id) AS r FROM idot) " +
+        "SELECT f.q_id, CAST(sum(CASE WHEN itop.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10 " +
+        "FROM (SELECT q_id, n_id FROM f WHERE r <= 10) f " +
+        "LEFT JOIN (SELECT q_id, n_id FROM itop WHERE r <= 10) itop USING (q_id, n_id) " +
+        "GROUP BY f.q_id ORDER BY f.q_id"),
     "q_sim7_centroid_assign" -> (
       // centroids round to 6 decimals BEFORE the cosine (the q_sim5
       // contract); dot products run sequentially in DOUBLE on both sides

@@ -602,4 +602,52 @@ object Similarity {
         max(col("ne4")).as("max_ne4"),
         sum(when(col("ne4") === 0L, 1L).otherwise(0L)).as("n_zero"))
       .orderBy("label")
+
+  /** Q-SIM9 — INT8 QUANTIZATION recall audit: quantize every embedding to
+    * int8 (symmetric, one global scale = max |component|, the simplest
+    * production scheme: 4× less memory and bandwidth, integer SIMD dots),
+    * rank neighbors by the EXACT integer dot product of quantized
+    * vectors, and measure per-probe top-10 overlap against the float
+    * cosine baseline ([[qSim1]]'s shape) — the eval a pipeline runs
+    * BEFORE switching its retrieval fleet to a compressed index. Run at
+    * 100 TB this is the cheap proxy for "can we serve from int8": the
+    * quantized ranking is map-side arithmetic on 64 bytes/vector instead
+    * of 256.
+    *
+    * Engine-exactness: the quantized lane is integer end-to-end —
+    * `floor(x·127/max + 0.5)` is deterministic IEEE double arithmetic
+    * (mult/div/floor are exact-rounded, identical in any engine; no
+    * HALF_UP ambiguity, unlike ROUND), and the dot/rank comparison is
+    * then pure BIGINT. The float baseline lane is qSim1's established
+    * contract. Overlap counts are integers; nothing in the output
+    * depends on float summation order. */
+  def qSim9(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val mx = e.selectExpr(
+      "max(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))) AS mx")
+    val qz = e.crossJoin(broadcast(mx)).selectExpr("vec_id",
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) AS qv")
+    val probes = col("q_id") < 10 // declared probe set, qSim1's convention
+    val w = Window.partitionBy("q_id")
+    // float lane (the baseline): qSim1's exact cosine top-10
+    val f = broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq")
+        .where(probes))
+      .join(e.selectExpr("vec_id AS n_id", "embedding AS en"),
+        col("q_id") =!= col("n_id"))
+      .withColumn("sim", expr("cosine_sim(eq, en)"))
+      .withColumn("r", row_number().over(w.orderBy(col("sim").desc, col("n_id"))))
+      .where(col("r") <= 10).select("q_id", "n_id")
+    // int8 lane: exact BIGINT dot of quantized vectors
+    val i = broadcast(qz.selectExpr("vec_id AS q_id", "qv AS qq").where(probes))
+      .join(qz.selectExpr("vec_id AS n_id", "qv AS qn"), col("q_id") =!= col("n_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qq, qn, (x, y) -> x * y), 0L, (a, b) -> a + b)"))
+      .withColumn("r", row_number().over(w.orderBy(desc("dot"), col("n_id"))))
+      .where(col("r") <= 10).selectExpr("q_id", "n_id", "1 AS hit")
+    f.join(i, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("overlap_at_10"))
+      .orderBy("q_id")
+  }
 }

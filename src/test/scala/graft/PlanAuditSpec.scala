@@ -804,6 +804,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_d10 pairs missing from containment set: ${d10 -- cont}")
   }
 
+  test("q_sim9 int8 recall: both lanes broadcast bounded probes, corpus streams once each") {
+    val q = graft.operators.Similarity.qSim9(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"probe x corpus must be broadcast-nested-loop on bounded probes, not cartesian:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the 10-probe sides and the 1-row scale must broadcast:\n$plan")
+    // the audit's semantic floor: 10 probes, overlap within [0, 10]
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 10L))
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
