@@ -141,6 +141,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `db.`c@tag`` resolves to the snapshot view — the identifier spelling
+    // of VERSION AS OF. It exists because streaming has no time-travel
+    // clause: `spark.readStream.table("graft.db.\`c@tag\`")` replays a
+    // FROZEN snapshot (reproducible training epochs), where the plain name
+    // tails the live container. `@` is refused in created table names, so
+    // the spelling can never collide with a real container.
+    val at = ident.name().indexOf('@')
+    if (at > 0)
+      return loadTable(Identifier.of(ident.namespace(),
+        ident.name().substring(0, at)), ident.name().substring(at + 1))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (d, c) = split(ident)
     new ContainerTable(account, d, c, account.containerProperties(d, c))
@@ -190,6 +200,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (schema.length == 1 && schema.head.dataType == StringType &&
           schema.head.name.equalsIgnoreCase("raw")),
       s"graft containers hold raw JSON lines: declare (raw STRING), got $schema")
+    // `@` is the snapshot-reference spelling (`c@tag`) — a container named
+    // with it would shadow every snapshot read of its prefix
+    require(!ident.name().contains('@'),
+      s"'@' is reserved for snapshot references (c@tag): ${ident.name()}")
     val (d, c) = split(ident)
     val props = ContainerProps(
       pkPaths = Option(properties.get("pk"))
@@ -304,8 +318,14 @@ final class SnapshotTable(account: FileAccount, db: String, container: String,
   override def schema(): StructType =
     StructType(Seq(StructField("raw", StringType, nullable = false)))
 
+  // MICRO_BATCH_READ over a snapshot is the FROZEN replay: the stream
+  // drains the snapshot's fixed file set (AvailableNow terminates after
+  // it), then never sees another offset — live writes land outside the
+  // snapshot tree. Reproducible epoch reads for training pipelines:
+  // `spark.readStream.table("graft.db.\`c@tag\`")`.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {

@@ -198,6 +198,48 @@ class SnapshotSpec extends AnyFunSuite {
       spark.sql("CALL graftdf.system.diff('db', 'c', 'missing')").collect())
   }
 
+  test("c@tag identifier: batch + FROZEN streaming replay of a snapshot") {
+    val acc = newAccount("snapstream")
+    register("graftss", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftss.db")
+    spark.sql("CREATE TABLE graftss.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 12).map(i => s"""{"id":"d$i","v":$i}"""))
+    spark.sql("CALL graftss.system.snapshot('db', 'c', 'epoch1')")
+    upsert(acc, "db", "c", Seq("""{"id":"d99","v":99}"""))
+
+    // identifier spelling = VERSION AS OF: same frozen rows
+    assert(ids(spark.sql("SELECT raw FROM graftss.db.`c@epoch1`")) ==
+      (1 to 12).map("d" + _).toSet)
+    assert(spark.sql("SELECT raw FROM graftss.db.`c@epoch1`").collect().toSet ==
+      spark.sql("SELECT raw FROM graftss.db.c VERSION AS OF 'epoch1'")
+        .collect().toSet)
+    // '@' refused in real table names (it would shadow snapshot reads)
+    intercept[Exception](spark.sql("CREATE TABLE graftss.db.`x@y` (raw STRING)"))
+
+    // streaming replay: the snapshot drains once, and live writes after it
+    // NEVER reach the stream — the reproducible-epoch contract
+    val cp = Files.createTempDirectory(Paths.get("target"), "snapcp").toString
+    val got = scala.collection.mutable.Set.empty[String]
+    def drain(): Unit = {
+      val q = spark.readStream.table("graftss.db.`c@epoch1`")
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.synchronized { got += r.getString(0) }); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); ()
+    }
+    drain()
+    assert(got.map(r => "\"id\":\"d(\\d+)\"".r.findFirstMatchIn(r).get.group(1).toInt)
+      .toSet == (1 to 12).toSet)
+    // live container moves again; a checkpoint-resumed drain sees NOTHING new
+    upsert(acc, "db", "c", Seq("""{"id":"d100","v":100}"""))
+    got.clear()
+    drain()
+    assert(got.isEmpty, s"frozen replay must not emit live writes: $got")
+  }
+
   test("maintenance isolation: compaction and vacuum never touch snapshots") {
     val acc = newAccount("snapiso")
     register("graftsi", acc)
