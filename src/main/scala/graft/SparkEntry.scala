@@ -57,6 +57,7 @@ object SparkEntry {
     "q_x8_sessionize"      -> (Windows.qX8 _),
     "q_x9_retention"       -> (Windows.qX9 _),
     "q_w7_cumulative_users" -> (Windows.qW7 _),
+    "q_w8_spike_detect"    -> (Windows.qW8 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
     // set ops
@@ -83,6 +84,8 @@ object SparkEntry {
     "q_v8_skew_profile"    -> (Relational.qV8 _),
     // Misra-Gries frequent items: zero-false-negative heavy hitters
     "q_v9_heavy_hitters"   -> (Relational.qV9 _),
+    // data-quality constraint battery (null/range/sign/RI/pk-unique)
+    "q_v10_quality_checks" -> (Relational.qV10 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
     "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
@@ -353,6 +356,32 @@ object SparkEntry {
         "SELECT o_custkey, count(1) AS n_spans, " +
         "CAST(sum(date_diff('day', s0, e0) + 1) AS BIGINT) AS covered_days " +
         "FROM sp GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_w8_spike_detect" -> (
+      // all-integer day-over-day doubling flag; day from the UTC-naive
+      // timestamp both engines read identically
+      "WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT event_type, day, c, lag(c) OVER " +
+        "(PARTITION BY event_type ORDER BY day) AS prev_c FROM dc) " +
+        "SELECT event_type, day, c, prev_c, " +
+        "(prev_c IS NOT NULL AND c > prev_c * 2) AS spike " +
+        "FROM l ORDER BY event_type, day"),
+    "q_v10_quality_checks" -> (
+      "WITH li AS (SELECT " +
+        "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ok, " +
+        "sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_oor, " +
+        "sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_nonpos FROM lineitem), " +
+        "orph AS (SELECT count(1) AS orphans FROM orders o " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), " +
+        "dup AS (SELECT count(1) AS dup_pk FROM " +
+        "(SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(1) > 1)) " +
+        "SELECT chk, n_bad FROM (" +
+        "SELECT 'lineitem_null_orderkey' AS chk, CAST(null_ok AS BIGINT) AS n_bad FROM li " +
+        "UNION ALL SELECT 'lineitem_qty_range', CAST(qty_oor AS BIGINT) FROM li " +
+        "UNION ALL SELECT 'lineitem_price_nonpositive', CAST(price_nonpos AS BIGINT) FROM li " +
+        "UNION ALL SELECT 'orders_orphan_custkey', CAST(orphans AS BIGINT) FROM orph " +
+        "UNION ALL SELECT 'orders_dup_pk', CAST(dup_pk AS BIGINT) FROM dup) " +
+        "ORDER BY chk"),
     "q_w7_cumulative_users" -> (
       "WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id), " +
         "nd AS (SELECT day, count(1) AS n_new FROM fd GROUP BY day) " +

@@ -298,6 +298,44 @@ object Relational {
       .orderBy(desc("c"), col("t"))
   }
 
+  /** Q-V10 — DATA-QUALITY CONSTRAINT BATTERY (the "expectations" audit a
+    * pipeline runs before trusting a new drop): null-key, range, and
+    * sign checks on the fact table, referential integrity fact→dim, and
+    * primary-key uniqueness — one row per check with its violation
+    * count, all integer. The operational complement of [[qV1]]/[[qV2]]:
+    * those verify SYNC fidelity (same rows on both sides), this
+    * verifies the DATA itself against declared invariants.
+    *
+    * Scale shape: the three lineitem checks FUSE into one scan-agg (a
+    * single pass emits all three sums); referential integrity is a
+    * LEFT ANTI join whose dim side broadcasts; pk uniqueness is one
+    * map-combined count per key reduced to a violation count. The
+    * check results are 1-row frames cross-joined (driver-free,
+    * broadcast literals) and stacked — nothing here exceeds
+    * O(one pass per table) at any scale. */
+  def qV10(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_ok"),
+      sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("qty_oor"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("price_nonpos"))
+    val orphans = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val dupPk = Tables.orders(s, d)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1L, 1L).otherwise(0L)).as("dup_pk"))
+    li.crossJoin(broadcast(orphans)).crossJoin(broadcast(dupPk))
+      .selectExpr(
+        """stack(5,
+          |  'lineitem_null_orderkey', null_ok,
+          |  'lineitem_qty_range', qty_oor,
+          |  'lineitem_price_nonpositive', price_nonpos,
+          |  'orders_orphan_custkey', orphans,
+          |  'orders_dup_pk', dup_pk) AS (chk, n_bad)""".stripMargin)
+      .orderBy("chk")
+  }
+
   /** Q-A7 — TPC-H Q3 shape: the canonical 3-table analytics query
     * (selective dim filter → fact join → fact join → grouped measure →
     * top-k), the "real BI query" the rest of the inventory composes into.

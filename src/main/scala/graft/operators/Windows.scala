@@ -229,4 +229,26 @@ object Windows {
       .agg(count(lit(1)).as("sessions"), sum(col("dur")).as("total_dur_s"))
       .orderBy(col("events_n"))
   }
+
+  /** Q-W8 — DAY-OVER-DAY SPIKE DETECTION: per event type, flag days whose
+    * event count more than doubles the previous day's — the cheapest
+    * ingestion-monitoring query a pipeline runs per drop (a spike is a
+    * duplicated feed or a bot; a silent halving is an outage; both show
+    * here before they poison training mixes downstream). All-integer
+    * comparison (c > 2·prev), no thresholds to tune cross-engine.
+    *
+    * Scale: one (type, day)-keyed agg with map-side partials reduces the
+    * stream to calendar size; the lag window partitions by type over
+    * days — metadata-sized, like [[qW7]]'s cumulative frame. The raw
+    * event volume is touched exactly once. */
+  def qW8(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("prev_c", lag(col("c"), 1).over(w))
+      .withColumn("spike",
+        col("prev_c").isNotNull && col("c") > col("prev_c") * 2)
+      .orderBy("event_type", "day")
+  }
 }

@@ -997,4 +997,28 @@ class CatalogSpec extends AnyFunSuite {
       "SELECT raw FROM graftq.db.docs WHERE _id = 'd5'").collect()
     assert(byId.length == 1 && byId(0).getString(0).contains("\"id\":\"d5\""))
   }
+
+  test("CTAS: CREATE TABLE ... AS SELECT routes through create + merge-engine append") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ctas").toString
+    spark.conf.set("spark.sql.catalog.graftct",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftct.root", root)
+    spark.sql("CREATE NAMESPACE graftct.db")
+    spark.sql("CREATE TABLE graftct.db.src (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    spark.sql("""INSERT INTO graftct.db.src VALUES ('{"id":"a","v":1}'), ('{"id":"b","v":2}')""")
+    // CTAS: the new container gets ITS OWN layout properties, rows land
+    // through the same upsert commit as INSERT (sidecars, idempotence)
+    spark.sql("CREATE TABLE graftct.db.dst TBLPROPERTIES ('pk'='/id', 'buckets'='4') " +
+      "AS SELECT raw FROM graftct.db.src")
+    val acc = graft.core.FileAccount(root)
+    assert(acc.containerProperties("db", "dst").buckets == 4)
+    assert(spark.sql("SELECT count(*) FROM graftct.db.dst").head().getLong(0) == 2L)
+    assert(acc.countRows(spark, "db", "dst") == 2)
+    // the copy is a merge-key upsert: re-running the SELECT as INSERT is a
+    // no-op on identical docs (canonical-diff skip)
+    spark.sql("INSERT INTO graftct.db.dst SELECT raw FROM graftct.db.src")
+    assert(spark.sql("SELECT count(*) FROM graftct.db.dst").head().getLong(0) == 2L)
+  }
 }

@@ -817,6 +817,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 10L))
   }
 
+  test("q_v10 quality battery: fused lineitem pass, broadcast anti-join RI check") {
+    val q = Relational.qV10(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the three lineitem checks fuse into ONE scan
+    assert(plan.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("lineitem")) <= 1,
+      s"lineitem checks must share one pass:\n$plan")
+    // referential integrity: the dim broadcasts under a LEFT ANTI join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"RI check must broadcast the dim into an anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "1-row stacks must broadcast")
+  }
+
+  test("q_w8 spike detection: calendar-sized agg + type-partitioned lag, no join") {
+    val q = graft.operators.Windows.qW8(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"spike detection must not join:\n$plan")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 2,
+      s"one (type, day) agg exchange + one type window exchange:\n${hashEx.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
