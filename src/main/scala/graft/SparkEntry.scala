@@ -124,6 +124,7 @@ object SparkEntry {
     "q_g2_triangles"       -> (Dedup.qG2 _),
     "q_g3_component_sizes" -> (Dedup.qG3 _),
     "q_g4_pagerank"        -> (Dedup.qG4 _),
+    "q_g5_clustering_coeff" -> (Dedup.qG5 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -505,6 +506,18 @@ object SparkEntry {
       " SELECT CAST(count(1) AS BIGINT) AS triangles FROM sp e1 " +
       "JOIN sp e2 ON e1.b_id = e2.a_id " +
       "JOIN sp e3 ON e1.a_id = e3.a_id AND e2.b_id = e3.b_id"),
+    "q_g5_clustering_coeff" -> (simhashPairsSql +
+      // 3·triangles / Σ deg·(deg−1)/2 in integer e4: (6T·10000) DIV t2
+      ", dg AS (SELECT id, count(1) AS deg FROM " +
+      "(SELECT a_id AS id FROM sp UNION ALL SELECT b_id FROM sp) t GROUP BY id), " +
+      "t2 AS (SELECT sum(deg * (deg - 1)) AS t2 FROM dg), " +
+      "tri AS (SELECT count(1) AS triangles FROM sp e1 " +
+      "JOIN sp e2 ON e1.b_id = e2.a_id " +
+      "JOIN sp e3 ON e1.a_id = e3.a_id AND e2.b_id = e3.b_id) " +
+      "SELECT CAST(triangles AS BIGINT) AS triangles, " +
+      "CAST(t2 // 2 AS BIGINT) AS triads, " +
+      "CAST(CASE WHEN t2 = 0 THEN 0 ELSE (triangles * 6 * 10000) // t2 END AS BIGINT) AS coeff_e4 " +
+      "FROM tri, t2"),
     "q_g4_pagerank" -> (simhashPairsSql +
       // fixed-iteration integer power method (micro-units, floor-div
       // contributions) — chained CTEs, one per iteration, replaying

@@ -391,6 +391,36 @@ object Dedup {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Q-G5 — GLOBAL CLUSTERING COEFFICIENT of the dup graph:
+    * 3·triangles / open-triads, in integer e4 fixed point. The one-number
+    * answer to [[qG2]]'s question — near 1.0 the candidate graph is
+    * clique-shaped (true duplicate families, safe to keep-one-per-
+    * cluster), near 0 it is chain/star-shaped (transitive false positives
+    * stitching unrelated docs, where collapsing a component would destroy
+    * data). Triads reduce from the degree frame (Σ deg·(deg−1)/2, node-
+    * sized); triangles reuse the canonical edge-join; both are metadata-
+    * sized aggs over edge-sized shuffles — nothing new materializes at
+    * 100 TB beyond what qG1/qG2 already pay. */
+  def qG5(s: SparkSession, dir: String): DataFrame = {
+    val e = qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))
+    val deg = e.selectExpr("u AS id").unionAll(e.selectExpr("v AS id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triads = deg.agg(
+      sum(expr("deg * (deg - 1)")).as("t2")) // 2×triads, avoids the /2
+    val ab = e.selectExpr("u AS a", "v AS b")
+    val bc = e.selectExpr("u AS b2", "v AS c")
+    val ac = e.selectExpr("u AS a3", "v AS c3")
+    val tri = ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("triangles"))
+    tri.crossJoin(broadcast(triads))
+      .selectExpr("triangles",
+        "CAST(t2 DIV 2 AS BIGINT) AS triads",
+        // 3T/triads in e4: (6T·10000) DIV (2·triads) keeps it integral
+        "CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (triangles * 6 * 10000) DIV t2 END AS coeff_e4")
+  }
+
   /** Q-G3 — component SIZE histogram over the dup clusters ([[qD9]]):
     * (cluster size, cluster count) rows — the distribution a dedup run
     * reports ("mostly pairs, a few 30-doc boilerplate families"), and the
