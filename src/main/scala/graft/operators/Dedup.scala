@@ -465,11 +465,19 @@ object Dedup {
     * the integer recurrence. Spec-testable on synthetic graphs. */
   def pageRank(pairGraph: DataFrame, iters: Int): DataFrame = {
     val a = pairGraph.columns(0); val b = pairGraph.columns(1)
-    val edges = pairGraph.selectExpr(s"$a AS src", s"$b AS dst")
-      .unionAll(pairGraph.selectExpr(s"$b AS src", s"$a AS dst"))
+    // the pair frame feeds BOTH symmetrization branches — persist it first
+    // or the candidate generation upstream (the simhash band join, for
+    // qG4) is computed once per branch
+    val pairs = pairGraph
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.selectExpr(s"$a AS src", s"$b AS dst")
+      .unionAll(pairs.selectExpr(s"$b AS src", s"$a AS dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg joins into EVERY iteration — persisted, or each round re-runs
+    // the degree aggregation over the edge blocks (10× at iters=10)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       var ranks = deg.selectExpr("src AS id", "CAST(1000000 AS BIGINT) AS r")
       for (_ <- 1 to iters) {
         val contrib = ranks.join(deg, ranks("id") === deg("src"))
@@ -482,7 +490,7 @@ object Dedup {
       // materialize before unpersist: an action on the returned frame would
       // otherwise recompute the whole iteration chain off dropped blocks
       ranks.localCheckpoint(eager = true)
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); deg.unpersist(); pairs.unpersist(); () }
   }
 
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the
