@@ -501,7 +501,16 @@ case class FileAccount(root: String) {
           dataFilesMeta(db, container).nonEmpty) {
         store.deleteRecursive(rs); Seq(rs)
       } else Seq.empty[String]
-    swept ++ rbSwept ++ rsSwept
+    // an RTAS/REPLACE whose SELECT died before commit leaves its staged
+    // container at the DB level (`_rtas-<container>-<id>`): TTL-swept like
+    // write staging — a live staged write keeps its mtimes current, and a
+    // COMMITTED one was renamed away and no longer matches the prefix
+    val rtasSwept = store.listDirNames(p(db))
+      .filter(_.startsWith(s"_rtas-$container-")).sorted.flatMap { n =>
+        val dir = p(db, n)
+        if (stale(dir)) { store.deleteRecursive(dir); Some(dir) } else None
+      }
+    swept ++ rbSwept ++ rsSwept ++ rtasSwept
   }
 
   // ---- snapshots (time travel / restore) ----

@@ -66,7 +66,7 @@ import graft.functions.JsonDocs
   * skip semantics, and the `_errors` channel hold for SQL writers too.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var account: FileAccount = _
   private def store: Storage = Storage.hadoop
@@ -205,17 +205,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!ident.name().contains('@'),
       s"'@' is reserved for snapshot references (c@tag): ${ident.name()}")
     val (d, c) = split(ident)
-    val props = ContainerProps(
+    val props = parseProps(properties)
+    account.createDatabaseIfAbsent(d)
+    account.createContainerIfAbsent(d, c, props)
+    loadTable(ident)
+  }
+
+  private def parseProps(properties: util.Map[String, String]): ContainerProps =
+    ContainerProps(
       pkPaths = Option(properties.get("pk"))
         .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("/id")),
       buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(16),
       raw = Option(properties.get("raw_meta")),
       autocompactFiles =
         Option(properties.get("autocompact")).map(_.toInt).filter(_ > 0))
+
+  // ---- staged DDL (REPLACE TABLE / RTAS / atomic CTAS) ----
+  //
+  // The AS SELECT rows land in a HIDDEN staged container (`_rtas-<c>-<id>`
+  // at the db level — `_`-prefixed, invisible to listings and scans)
+  // through the ordinary merge-engine write path, so the staged tree has
+  // real layout, sidecars, and an error channel. Commit is ONE
+  // delete+rename swap — readers see the old table until the instant the
+  // new one is complete, and a failed SELECT aborts into a staged-tree
+  // delete, never a half-replaced table. Same crash window and recovery
+  // posture as re-bucketing (the staged tree holds the complete new
+  // state); vacuum sweeps abandoned `_rtas-*` trees by TTL.
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    mode: StagedContainerTable.Mode): StagedTable = {
+    // same validations as createTable
+    require(partitions.isEmpty,
+      "graft containers partition by pk-hash buckets ('buckets' property), not PARTITIONED BY")
+    require(schema.isEmpty ||
+        (schema.length == 1 && schema.head.dataType == StringType &&
+          schema.head.name.equalsIgnoreCase("raw")),
+      s"graft containers hold raw JSON lines: declare (raw STRING), got $schema")
+    require(!ident.name().contains('@'),
+      s"'@' is reserved for snapshot references (c@tag): ${ident.name()}")
+    mode match {
+      case StagedContainerTable.Create =>
+        if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+      case StagedContainerTable.Replace =>
+        if (!tableExists(ident)) throw new NoSuchTableException(ident)
+      case StagedContainerTable.CreateOrReplace => ()
+    }
+    val (d, c) = split(ident)
+    val props = parseProps(properties)
     account.createDatabaseIfAbsent(d)
-    account.createContainerIfAbsent(d, c, props)
-    loadTable(ident)
+    val stagedC = s"_rtas-$c-${java.util.UUID.randomUUID().toString.take(8)}"
+    account.createContainerIfAbsent(d, stagedC, props)
+    new StagedContainerTable(account, ident, d, c, stagedC, props, mode)
   }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, StagedContainerTable.Create)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, StagedContainerTable.Replace)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      StagedContainerTable.CreateOrReplace)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -300,6 +359,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * contract (one `raw` JSON-line string per document), reads are
   * distributed one-partition-per-data-file, key-equality predicates on the
   * hidden `_id`/`_key` metadata columns prune to bucket directories. */
+object StagedContainerTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
+}
+
+/** One staged DDL operation ([[GraftCatalog.stageCreate]] family): a full
+  * [[ContainerTable]] over the hidden staged container for the AS SELECT
+  * write, plus the commit/abort pair — commit swaps the staged tree into
+  * the real container name in one delete+rename, abort deletes it. */
+final class StagedContainerTable(account: FileAccount, ident: Identifier,
+                                 db: String, realC: String, stagedC: String,
+                                 props: ContainerProps,
+                                 mode: StagedContainerTable.Mode)
+    extends StagedTable with SupportsRead with SupportsWrite {
+
+  private val inner = new ContainerTable(account, db, stagedC, props)
+  private def store: Storage = Storage.hadoop
+  private def dir(c: String): String =
+    new HPath(new HPath(account.root, db), c).toString
+
+  override def name(): String = s"$db.$realC (staged $stagedC)"
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    val real = dir(realC)
+    // re-check the mode's precondition AT COMMIT (the table set may have
+    // moved during the SELECT); violations abort the staged tree rather
+    // than clobber a table the caller did not agree to replace
+    if (mode == StagedContainerTable.Create && store.isDirectory(real)) {
+      abortStagedChanges()
+      throw new TableAlreadyExistsException(ident)
+    }
+    store.deleteRecursive(real)
+    if (!store.rename(dir(stagedC), real))
+      throw new IllegalStateException(
+        s"staged commit failed: ${dir(stagedC)} holds the complete new " +
+          s"table; rename it to $real to recover")
+  }
+
+  override def abortStagedChanges(): Unit = {
+    store.deleteRecursive(dir(stagedC)); ()
+  }
+}
+
 /** Read-only view of one published snapshot: the full batch scan stack
   * (bucket-pruned point reads, runtime filtering, sidecar stats, COUNT(*)
   * pushdown) over the snapshot subtree. No write/stream capabilities — a

@@ -1021,4 +1021,51 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graftct.db.dst SELECT raw FROM graftct.db.src")
     assert(spark.sql("SELECT count(*) FROM graftct.db.dst").head().getLong(0) == 2L)
   }
+
+  test("REPLACE TABLE AS SELECT: staged write, one-rename swap, abort leaves the old table") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "rtas").toString
+    spark.conf.set("spark.sql.catalog.graftrt",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrt.root", root)
+    spark.sql("CREATE NAMESPACE graftrt.db")
+    spark.sql("CREATE TABLE graftrt.db.t (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    spark.sql("""INSERT INTO graftrt.db.t VALUES ('{"id":"old","v":1}')""")
+
+    // RTAS: new contents AND new layout land atomically
+    spark.sql("REPLACE TABLE graftrt.db.t TBLPROPERTIES ('pk'='/id', 'buckets'='4') " +
+      """AS SELECT '{"id":"new","v":2}' AS raw""")
+    val acc = graft.core.FileAccount(root)
+    assert(acc.containerProperties("db", "t").buckets == 4)
+    val rows = spark.sql("SELECT raw FROM graftrt.db.t").collect().map(_.getString(0))
+    assert(rows.length == 1 && rows(0).contains("\"id\":\"new\""),
+      s"replace must swap contents: ${rows.mkString}")
+    assert(acc.countRows(spark, "db", "t") == 1)
+
+    // a FAILING SELECT aborts: the old table survives untouched, and the
+    // staged tree is deleted (no hidden leftovers)
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE graftrt.db.t TBLPROPERTIES ('pk'='/id') " +
+        "AS SELECT CAST(raise_error('boom') AS STRING) AS raw FROM graftrt.db.t"))
+    assert(spark.sql("SELECT raw FROM graftrt.db.t").collect()
+      .map(_.getString(0)).exists(_.contains("\"id\":\"new\"")),
+      "failed replace must leave the old table")
+    // REPLACE of a missing table refuses; CREATE OR REPLACE accepts
+    intercept[Exception](spark.sql(
+      """REPLACE TABLE graftrt.db.nope AS SELECT '{"id":"x"}' AS raw"""))
+    spark.sql("CREATE OR REPLACE TABLE graftrt.db.t2 " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2') " +
+      """AS SELECT '{"id":"a","v":1}' AS raw""")
+    assert(spark.sql("SELECT count(*) FROM graftrt.db.t2").head().getLong(0) == 1L)
+
+    // abandoned RTAS staging (simulating a driver crash mid-SELECT) is
+    // TTL-swept by the container's vacuum
+    val staged = java.nio.file.Paths.get(root, "db", "_rtas-t-deadbeef")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.writeString(staged.resolve("junk.txt"), "x\n")
+    val v = spark.sql("CALL graftrt.system.vacuum('db', 't', 0)").head()
+    assert(v.getAs[Int]("staging_trees_removed") >= 1)
+    assert(!java.nio.file.Files.exists(staged))
+  }
 }
