@@ -103,6 +103,7 @@ object SparkEntry {
     "q_t13_lang_confusion" -> (TextAnalysis.qT13 _),
     "q_t14_pii_density"    -> (TextAnalysis.qT14 _),
     "q_t15_train_split"    -> (TextAnalysis.qT15 _),
+    "q_t16_split_leakage"  -> (TextAnalysis.qT16 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -609,6 +610,24 @@ object SparkEntry {
         "SELECT lang, split, n_docs, " +
         "CAST((n_docs * 1000) // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_pm " +
         "FROM g ORDER BY lang, split"),
+    "q_t16_split_leakage" -> (
+      // q_t15's split thresholds + q_t11's 8-gram machinery: train docs
+      // sharing a verbatim gram with ANY test doc, per language
+      "WITH sp AS (SELECT doc_id, lang, text, CASE " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents), " +
+        "tok AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM sp), " +
+        "ix AS (SELECT doc_id, split, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+        "FROM tok WHERE len(w) >= 8), " +
+        "g AS (SELECT doc_id, split, array_to_string(w[i:i+7], ' ') AS gram FROM ix), " +
+        "tg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'), " +
+        "lk AS (SELECT DISTINCT g.doc_id FROM g JOIN tg USING (gram) WHERE g.split = 'train') " +
+        "SELECT sp.lang, count(1) AS n_train, " +
+        "CAST(sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky, " +
+        "CAST((sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000) // count(1) AS BIGINT) AS leak_pm " +
+        "FROM sp LEFT JOIN lk ON sp.doc_id = lk.doc_id WHERE sp.split = 'train' " +
+        "GROUP BY sp.lang ORDER BY sp.lang"),
     "q_t2_quality_score" -> (
       // integer-exact HALF_UP rounding of each ratio — see TextAnalysis.qT2
       "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS w, " +

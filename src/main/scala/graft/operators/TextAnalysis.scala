@@ -406,6 +406,40 @@ object TextAnalysis {
         sum(col("n_ssn").cast("long")).as("ssns"))
       .orderBy("source")
 
+  /** Q-T16 — SPLIT-LEAKAGE AUDIT: after [[qT15]]'s hash-split assignment,
+    * count the TRAIN documents that share a verbatim 8-token gram with any
+    * TEST document, per language. Hash-splitting guarantees each DOCUMENT
+    * lands in one split, but near-duplicate documents land independently —
+    * a train/test pair of dups leaks test answers into training exactly
+    * like benchmark contamination ([[qT11]]), and this is the audit that
+    * prices it BEFORE anyone trusts a held-out score. (The remedy — route
+    * by dup-cluster instead of doc — needs [[graft.operators.Dedup.qD9]]'s
+    * components; this query is the detector.)
+    *
+    * Scale: same gram machinery as qT11 — test-side distinct grams are the
+    * ~5% split (broadcast), the train side streams map-only into the gram
+    * join; per-lang rollup is languages-sized. Leak rate in integer
+    * per-mille (DIV, hash-exact). */
+  def qT16(s: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(s, dir)
+      .withColumn("h", expr("substring(md5(CAST(doc_id AS STRING)), 1, 2)"))
+      .withColumn("split",
+        when(col("h") < "e6", "train")
+          .when(col("h") < "f3", "val").otherwise("test"))
+    val testGrams = tokenGrams(split.where(col("split") === "test"))
+      .select("gram").distinct()
+    val leaky = tokenGrams(split.where(col("split") === "train"))
+      .join(broadcast(testGrams), "gram")
+      .select("doc_id").distinct()
+    split.where(col("split") === "train")
+      .join(leaky.withColumn("leak", lit(1)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("leak"), lit(0))).cast("long").as("n_leaky"))
+      .withColumn("leak_pm", expr("(n_leaky * 1000) DIV n_train"))
+      .orderBy("lang")
+  }
+
   /** Q-T15 — DETERMINISTIC TRAIN/VAL/TEST SPLIT assignment: route every
     * document to a split by a hash of its id, never by position or
     * random() — the property a training pipeline actually needs is that
