@@ -104,6 +104,7 @@ object SparkEntry {
     "q_t14_pii_density"    -> (TextAnalysis.qT14 _),
     "q_t15_train_split"    -> (TextAnalysis.qT15 _),
     "q_t16_split_leakage"  -> (TextAnalysis.qT16 _),
+    "q_t17_pack_stats"     -> (TextAnalysis.qT17 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -628,6 +629,21 @@ object SparkEntry {
         "CAST((sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000) // count(1) AS BIGINT) AS leak_pm " +
         "FROM sp LEFT JOIN lk ON sp.doc_id = lk.doc_id WHERE sp.split = 'train' " +
         "GROUP BY sp.lang ORDER BY sp.lang"),
+    "q_t17_pack_stats" -> (
+      // concat-then-chunk packing at 2048 tokens, md5 order per language;
+      // a doc fragments when its start and end land in different bins
+      "WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT lang, tok, sum(tok) OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t), " +
+        "f AS (SELECT lang, tok, cum, CASE WHEN (cum - tok) // 2048 <> (cum - 1) // 2048 " +
+        "THEN 1 ELSE 0 END AS frag FROM c) " +
+        "SELECT lang, count(1) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens, " +
+        "CAST((sum(tok) + 2047) // 2048 AS BIGINT) AS n_seqs, " +
+        "CAST((sum(tok) * 1000) // (((sum(tok) + 2047) // 2048) * 2048) AS BIGINT) AS fill_pm, " +
+        "CAST(sum(frag) AS BIGINT) AS n_fragmented " +
+        "FROM f GROUP BY lang ORDER BY lang"),
     "q_t2_quality_score" -> (
       // integer-exact HALF_UP rounding of each ratio — see TextAnalysis.qT2
       "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS w, " +

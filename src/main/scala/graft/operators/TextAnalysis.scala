@@ -440,6 +440,42 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Q-T17 — SEQUENCE-PACKING STATS: the concat-then-chunk packing pass a
+    * pre-training pipeline runs to turn documents into fixed 2048-token
+    * training sequences — documents concatenate in deterministic md5
+    * order WITHIN each language shard, the stream chunks at sequence
+    * boundaries, and the audit reports per shard: documents, tokens,
+    * sequences, integer-per-mille fill (waste is only the final ragged
+    * sequence), and the FRAGMENTED documents a boundary splits (the rows
+    * an attention-masking/best-fit packer would fight for). Per-shard
+    * packing is the scale form: the prefix sum runs in a
+    * language-PARTITIONED window, never a global one, and shards pack
+    * independently on a cluster exactly as they do here.
+    *
+    * All integer: token counts are whitespace splits ([[qT3]]'s
+    * ws_tokens), offsets are window sums, bins are DIV — hash-exact. */
+  def qT17(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 2048
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("size(split(text, ' '))").cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("frag",
+        when(expr(s"(cum - tok) DIV $seqLen") =!= expr(s"(cum - 1) DIV $seqLen"),
+          1L).otherwise(0L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(col("frag")).as("n_fragmented"))
+      .withColumn("n_seqs", expr(s"(total_tokens + ${seqLen - 1}) DIV $seqLen"))
+      .withColumn("fill_pm",
+        expr(s"(total_tokens * 1000) DIV (n_seqs * $seqLen)"))
+      .select("lang", "n_docs", "total_tokens", "n_seqs", "fill_pm", "n_fragmented")
+      .orderBy("lang")
+  }
+
   /** Q-T15 — DETERMINISTIC TRAIN/VAL/TEST SPLIT assignment: route every
     * document to a split by a hash of its id, never by position or
     * random() — the property a training pipeline actually needs is that
