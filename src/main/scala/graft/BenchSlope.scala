@@ -47,7 +47,11 @@ object BenchSlope {
     "q_t14_pii_density",
     // this round: the block-key containment verify (per-block-squares work,
     // same risk profile as q_d10) and the two-pass MG heavy-hitter sketch
-    "q_d14_containment", "q_v9_heavy_hitters")
+    "q_d14_containment", "q_v9_heavy_hitters",
+    // round 8b late additions: the triangle+triads coefficient (edge-join
+    // shapes), the gram-join leakage audit (corpus-sided gram stream), and
+    // the fused quality battery (scan-bound + anti-join)
+    "q_g5_clustering_coeff", "q_t16_split_leakage", "q_v10_quality_checks")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */
