@@ -841,6 +841,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"one (type, day) agg exchange + one type window exchange:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_t16 leakage audit: test grams broadcast, train gram stream never builds a hash side") {
+    val q = graft.operators.TextAnalysis.qT16(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the ~5% test-split gram set is the build side; the train-side gram
+    // stream (the corpus-sized frame) must never be exchanged for the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"test grams must broadcast into the train stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized gram frames must not sort-merge:\n$plan")
+  }
+
+  test("q_t17 packing: the prefix sum runs in a language-PARTITIONED window") {
+    val q = graft.operators.TextAnalysis.qT17(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"packing stats must not join:\n$plan")
+    // a global (unpartitioned) window would single-task the corpus — the
+    // shard-local design means every window spec carries the lang key
+    assert(!plan.contains("WindowExec: No Partition") &&
+      plan.linesIterator.filter(_.contains("Window"))
+        .forall(l => !l.contains("windowspecdefinition()") ),
+      s"window must stay partitioned:\n$plan")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("lang")),
+      s"only language-keyed exchanges expected:\n${hashEx.mkString("\n")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
