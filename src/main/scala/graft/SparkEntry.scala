@@ -138,6 +138,7 @@ object SparkEntry {
     "q_sim7_centroid_assign" -> (Similarity.qSim7 _),
     "q_sim8_norm_profile"  -> (Similarity.qSim8 _),
     "q_sim9_int8_recall"   -> (Similarity.qSim9 _),
+    "q_sim10_mrl_recall"   -> (Similarity.qSim10 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -792,6 +793,24 @@ object SparkEntry {
         "SELECT f.q_id, CAST(sum(CASE WHEN itop.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10 " +
         "FROM (SELECT q_id, n_id FROM f WHERE r <= 10) f " +
         "LEFT JOIN (SELECT q_id, n_id FROM itop WHERE r <= 10) itop USING (q_id, n_id) " +
+        "GROUP BY f.q_id ORDER BY f.q_id"),
+    "q_sim10_mrl_recall" -> (
+      // both lanes are q_sim1's float-cosine contract; the truncated lane
+      // runs over the 16-dim prefix (list slice, deterministic both sides)
+      "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        cosineSumSql +
+        ", f AS (SELECT a_id AS q_id, b_id AS n_id, row_number() OVER " +
+        "(PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS r FROM s), " +
+        "u16 AS (SELECT a_id, b_id, unnest(generate_series(1, 16)) AS i, ea, eb FROM p), " +
+        "s16 AS (SELECT a_id, b_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+        "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb " +
+        "FROM u16 GROUP BY a_id, b_id), " +
+        "t AS (SELECT a_id AS q_id, b_id AS n_id, row_number() OVER " +
+        "(PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS r FROM s16) " +
+        "SELECT f.q_id, CAST(sum(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10 " +
+        "FROM (SELECT q_id, n_id FROM f WHERE r <= 10) f " +
+        "LEFT JOIN (SELECT q_id, n_id FROM t WHERE r <= 10) t USING (q_id, n_id) " +
         "GROUP BY f.q_id ORDER BY f.q_id"),
     "q_sim7_centroid_assign" -> (
       // centroids round to 6 decimals BEFORE the cosine (the q_sim5

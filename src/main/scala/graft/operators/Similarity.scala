@@ -603,6 +603,46 @@ object Similarity {
         sum(when(col("ne4") === 0L, 1L).otherwise(0L)).as("n_zero"))
       .orderBy("label")
 
+  /** Q-SIM10 — MATRYOSHKA (prefix-truncation) recall audit: rank neighbors
+    * by cosine over only the FIRST 16 of 64 embedding dimensions and
+    * measure per-probe top-10 overlap against the full-dimension baseline
+    * — the eval behind MRL-style dimension reduction (Kusupati et al.,
+    * NeurIPS'22: nested prefixes of a matryoshka-trained embedding carry
+    * most of the signal at a fraction of the cost). Run before serving
+    * retrieval from a truncated index: 4× less memory/bandwidth, recall
+    * priced per probe. For THIS corpus's embeddings (not MRL-trained) the
+    * audit's verdict is exactly the point — overlap quantifies how much
+    * signal the prefix actually carries.
+    *
+    * Engine-exactness: both lanes are the [[qSim1]] float-cosine contract
+    * (ranking on the raw double, the established cross-engine-stable
+    * comparison); truncation is `slice`, deterministic on both sides. */
+  def qSim10(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val probes = col("q_id") < 10
+    val w = Window.partitionBy("q_id")
+    def topk(frame: DataFrame, simCol: String): DataFrame =
+      frame.withColumn("r", row_number().over(
+          w.orderBy(col(simCol).desc, col("n_id"))))
+        .where(col("r") <= 10).select("q_id", "n_id")
+    val full = topk(
+      broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq").where(probes))
+        .join(e.selectExpr("vec_id AS n_id", "embedding AS en"),
+          col("q_id") =!= col("n_id"))
+        .withColumn("sim", expr("cosine_sim(eq, en)")), "sim")
+    val tr = e.selectExpr("vec_id", "slice(embedding, 1, 16) AS emb16")
+    val pre = topk(
+      broadcast(tr.selectExpr("vec_id AS q_id", "emb16 AS eq").where(probes))
+        .join(tr.selectExpr("vec_id AS n_id", "emb16 AS en"),
+          col("q_id") =!= col("n_id"))
+        .withColumn("sim", expr("cosine_sim(eq, en)")), "sim")
+    full.join(pre.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("overlap_at_10"))
+      .orderBy("q_id")
+  }
+
   /** Q-SIM9 — INT8 QUANTIZATION recall audit: quantize every embedding to
     * int8 (symmetric, one global scale = max |component|, the simplest
     * production scheme: 4× less memory and bandwidth, integer SIMD dots),
