@@ -166,6 +166,7 @@ object SparkEntry {
     "q_mm8_audio_bands"     -> (Multimodal.qMm8 _),
     "q_mm9_image_hash_dups" -> (Multimodal.qMm9 _),
     "q_mm10_png_meta"       -> (Multimodal.qMm10 _),
+    "q_mm11_tile_stats"     -> (Multimodal.qMm11 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU4 _),
   )
@@ -1028,6 +1029,19 @@ object SparkEntry {
         "(SELECT unnest(generate_series(0, 7)) AS i) y) " +
         "SELECT doc_id AS asset_id, CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
         "CAST(3 * sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS px_sum " +
+        "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm11_tile_stats" -> (
+      // 2x2 grid of 4x4 tiles over the 8x8 canvas; per-tile sums replay the
+      // closed-form pixel function (3x gray per pixel, like q_mm4)
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, x.i AS x, y.i AS y FROM d, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y) " +
+        "SELECT doc_id AS asset_id, CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
+        "CAST(3 * sum(CASE WHEN x < 4 AND y < 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t00, " +
+        "CAST(3 * sum(CASE WHEN x >= 4 AND y < 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t01, " +
+        "CAST(3 * sum(CASE WHEN x < 4 AND y >= 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t10, " +
+        "CAST(3 * sum(CASE WHEN x >= 4 AND y >= 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t11 " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
     "q_mm5_audio_real" -> (
       // real WAV decode Spark-side; the oracle replays the PCM sample

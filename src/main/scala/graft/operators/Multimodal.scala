@@ -341,6 +341,50 @@ object Multimodal {
   def qMm4(spark: SparkSession, dir: String): DataFrame =
     pixelFeatures(pngAssets(spark, dir), ImageIoDecoder).orderBy("asset_id")
 
+  case class TileStats(asset_id: Long, w: Int, h: Int,
+                       t00: Long, t01: Long, t10: Long, t11: Long)
+
+  /** Q-MM11: PATCH TILING through the real decode — the image splits into a
+    * 2×2 grid (4×4-pixel tiles on the 8×8 canvas) and each tile reduces to
+    * its integer sample sum: the ViT-patch plumbing (decode → grid →
+    * per-patch reduction) with the patch embedding stubbed to the exact
+    * integer statistic the oracle can replay arithmetically. The grid
+    * arithmetic is channel-aware (samples are interleaved RGB; a pixel's
+    * tile comes from its x, y — channel order, row order, and tile
+    * boundaries are ALL pinned by the hash match, the defects patch
+    * pipelines actually ship). Same batched mapPartitions shape as
+    * [[pixelFeatures]]: an image enters an executor as bytes and leaves as
+    * 4 longs; blobs never cross an exchange. */
+  def tileStats(assets: DataFrame, decoder: AssetDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decode(a.bytes).map { d =>
+              val t = new Array[Long](4)
+              val w = d.width
+              var i = 0
+              val n = d.samples.length
+              while (i < n) {
+                val p = i / d.channels
+                val x = p % w; val y = p / w
+                val tx = if (x * 2 >= w) 1 else 0
+                val ty = if (y * 2 >= d.height) 1 else 0
+                t(ty * 2 + tx) += d.samples(i)
+                i += 1
+              }
+              TileStats(a.asset_id, w, d.height, t(0), t(1), t(2), t(3))
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  def qMm11(spark: SparkSession, dir: String): DataFrame =
+    tileStats(pngAssets(spark, dir), ImageIoDecoder).orderBy("asset_id")
+
   /** 64-bit average-hash of a decoded image as four 16-bit bands: bit k
     * (row-major pixel index) is set iff pixel_k × n ≥ Σ pixels (the
     * integer form of "above the mean" — no float division, so the oracle
