@@ -543,8 +543,15 @@ case class FileAccount(root: String) {
   private[core] def snapshotPath(db: String, c: String, tag: String): String =
     p(db, c, "_snapshots", tag)
 
+  /** The one tag grammar every snapshot surface shares. Critically it
+    * admits no `/` and no leading `.`, so a tag can never traverse out of
+    * `_snapshots/` when spliced into a path (`VERSION AS OF '../../x'` and
+    * the `c@tag` identifier spelling both funnel through this check). */
+  private[core] def isValidTag(tag: String): Boolean =
+    tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*")
+
   private def requireTag(tag: String): Unit =
-    require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+    require(isValidTag(tag),
       s"snapshot tag must be [A-Za-z0-9][A-Za-z0-9._-]*, got '$tag'")
 
   /** Copy one container tree (data + meta + counts sidecar) under `dst`.
@@ -580,16 +587,25 @@ case class FileAccount(root: String) {
       throw new IllegalStateException(s"snapshot '$tag' already exists for $db.$c")
     val tmp = p(db, c, "_snapshots", s"_tmp-$tag")
     store.deleteRecursive(tmp)
+    // Capture the live signatures BEFORE the copy starts: a write landing
+    // mid-copy changes a bucket under the copier's feet, and vouching its
+    // NEW count against the OLD copied bytes would let the snapshot's
+    // COUNT(*) pushdown confidently disagree with the snapshot's data.
+    val preSigs = bucketSignatures(db, c)
+    val preCounts = readBucketCounts(db, c)
     val (files, bytes) = copyContainerState(db, c, tmp)
     // re-sign the copied sidecar over the SNAPSHOT tree: counts carry over
     // byte-for-byte, but vouching signatures include file mtimes, which a
     // copy changes — recompute per-bucket signatures under the staged tree
     // so metadata-only COUNT(*) stays free on snapshot reads. Only buckets
-    // the SOURCE sidecar vouched at copy time carry over (an unvouched
-    // source count could be stale, and the copy inherits that doubt).
-    val srcSigs = bucketSignatures(db, c)
-    val vouchedCounts = readBucketCounts(db, c).filter {
-      case (b, (_, sig)) => srcSigs.get(b).contains(sig)
+    // that were (a) vouched by the source sidecar BEFORE the copy and
+    // (b) byte-identical AFTER it (signature stable across the copy
+    // window) carry over; a bucket mutated mid-copy simply loses its free
+    // count — snapshot reads of it fall back to scanning, never lie.
+    val postSigs = bucketSignatures(db, c)
+    val vouchedCounts = preCounts.filter {
+      case (b, (_, sig)) =>
+        preSigs.get(b).contains(sig) && postSigs.get(b).contains(sig)
     }
     if (vouchedCounts.nonEmpty)
       writeBucketCounts(db, s"$c/_snapshots/_tmp-$tag",

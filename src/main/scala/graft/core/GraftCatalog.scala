@@ -168,6 +168,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // validate BEFORE splicing into any path: the tag grammar admits no
+    // '/' and no leading '.', so a malicious `VERSION AS OF '../../x'`
+    // (or `c@../..` — the @-spelling delegates here) can never escape
+    // `_snapshots/` and alias the live tree or a sibling container. An
+    // invalid tag is indistinguishable from a missing snapshot.
+    if (!account.isValidTag(version)) throw new NoSuchTableException(ident)
     val (d, c) = split(ident)
     val snapC = s"$c/_snapshots/$version"
     if (!store.isDirectory(account.snapshotPath(d, c, version)))
@@ -398,6 +404,19 @@ final class StagedContainerTable(account: FileAccount, ident: Identifier,
     if (mode == StagedContainerTable.Create && store.isDirectory(real)) {
       abortStagedChanges()
       throw new TableAlreadyExistsException(ident)
+    }
+    // REPLACE swaps the DATA, not the table's history: published snapshots
+    // (`_snapshots/`) and the dead-letter channel (`_errors/`) are
+    // container-lifetime state, so carry them into the staged tree before
+    // the swap — one rename each, no copy. Without this, RTAS would
+    // silently erase every `VERSION AS OF` tag the container ever
+    // published (the replace-preserves-history semantics time-travel
+    // tables are expected to have).
+    Seq("_snapshots", "_errors").foreach { keep =>
+      val src = new HPath(real, keep).toString
+      if (store.isDirectory(src)) {
+        store.rename(src, new HPath(dir(stagedC), keep).toString); ()
+      }
     }
     store.deleteRecursive(real)
     if (!store.rename(dir(stagedC), real))

@@ -12,6 +12,20 @@ import org.apache.spark.sql.SparkSession
   * corpus/bucket fingerprints — never data bytes. */
 final case class FileMeta(relPath: String, size: Long, mtimeMs: Long)
 
+/** Capability hook for stores that can copy a file WITHOUT streaming its
+  * bytes through this JVM (S3 CopyObject, GCS rewrite, Azure server-side
+  * copy). A deployment's custom `fs.<scheme>.impl` implements this
+  * alongside [[org.apache.hadoop.fs.FileSystem]]; [[HadoopStorage.copyFile]]
+  * routes every same-filesystem copy — so the whole snapshot/restore path —
+  * through it, turning an O(container-bytes-through-driver) snapshot into
+  * O(files) metadata calls. The implementation owns the copy's atomicity:
+  * it must not expose a partial file at `dst` (object-store copies are
+  * atomic puts, so this is the natural behavior). Returns bytes copied. */
+trait ServerSideCopy {
+  def copyInStore(src: org.apache.hadoop.fs.Path,
+                  dst: org.apache.hadoop.fs.Path): Long
+}
+
 /** The engine's storage boundary.
   *
   * The reference talks to a real remote store through a client object
@@ -63,10 +77,13 @@ trait Storage {
   def readString(p: String): String
   def writeString(p: String, s: String): Unit
   /** Byte-for-byte copy of one file (parent dirs created, destination
-    * overwritten); returns bytes copied. Driver-side, stream-to-stream —
-    * the snapshot path's primitive. An object-store deployment would remap
-    * this onto a server-side copy; the contract (full copy, no partial
-    * visibility at the final name until close) is the same. */
+    * overwritten); returns bytes copied. The contract — full copy, NO
+    * partial visibility at the final name — is enforced by the default
+    * implementation (stream to a dot-prefixed sibling, publish by rename),
+    * so callers may rely on it. An object-store deployment remaps the byte
+    * movement onto a server-side copy by implementing [[ServerSideCopy]]
+    * on its `fs.<scheme>.impl` (S3 CopyObject and friends are atomic puts,
+    * so the same no-partial-visibility contract holds there for free). */
   def copyFile(src: String, dst: String): Long
   /** Whether [[rename]] on this path's filesystem is ATOMIC (one metadata
     * op, fails-not-overwrites on existing destination) — the publish
@@ -235,18 +252,47 @@ final class HadoopStorage(conf: () => Configuration) extends Storage {
   override def copyFile(src: String, dst: String): Long = {
     val s = new Path(src); val d = new Path(dst)
     val sf = fs(s); val df = fs(d)
-    Using.resource(sf.open(s)) { in =>
-      Using.resource(df.create(d, /*overwrite=*/ true)) { out =>
-        val buf = new Array[Byte](1 << 16)
-        var total = 0L
-        var n = in.read(buf)
-        while (n >= 0) {
-          if (n > 0) { out.write(buf, 0, n); total += n }
-          n = in.read(buf)
-        }
-        total
-      }
+    // Fast path: both endpoints resolve to the SAME FileSystem instance
+    // (Hadoop caches per scheme+authority, so same store) and it can copy
+    // server-side — no bytes through this JVM, the remap the snapshot
+    // cost model promises for object stores.
+    (sf, df) match {
+      case (a, ssc: ServerSideCopy) if a eq df =>
+        df.delete(d, false)
+        return ssc.copyInStore(s, d)
+      case _ => ()
     }
+    // Stream path: write to a dot-prefixed sibling and publish by ONE
+    // rename, so the final name never exposes a growing half-written file
+    // (the contract [[Storage.copyFile]] documents; fs.create(dst) alone
+    // would violate it on local/HDFS). Dot-prefixed leftovers from a
+    // crashed copy are invisible to every walk/signature/scan path, which
+    // all skip '.'-prefixed names.
+    val tmp = new Path(d.getParent,
+      s"._copy-${d.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val total =
+      try {
+        Using.resource(sf.open(s)) { in =>
+          Using.resource(df.create(tmp, /*overwrite=*/ true)) { out =>
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            var t = 0L
+            while (n >= 0) {
+              if (n > 0) { out.write(buf, 0, n); t += n }
+              n = in.read(buf)
+            }
+            t
+          }
+        }
+      } catch {
+        case e: Throwable => df.delete(tmp, false); throw e
+      }
+    df.delete(d, false)
+    if (!df.rename(tmp, d)) {
+      df.delete(tmp, false)
+      throw new java.io.IOException(s"copy publish failed: $tmp -> $d")
+    }
+    total
   }
   override def writeString(p: String, s: String): Unit = {
     val hp = new Path(p)

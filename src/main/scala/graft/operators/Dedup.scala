@@ -366,12 +366,28 @@ object Dedup {
     * reads (a heavy-tailed degree histogram means a hub document, usually
     * boilerplate, about to glue unrelated clusters together). One shuffle
     * to count degrees, one metadata-sized shuffle to histogram them. */
-  def qG1(s: SparkSession, dir: String): DataFrame = {
-    val e = qD6(s, dir).select("a_id", "b_id")
-    e.select(col("a_id").as("id")).unionAll(e.select(col("b_id").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-      .orderBy("degree")
+  def qG1(s: SparkSession, dir: String): DataFrame =
+    withPersistedEdges(qD6(s, dir).select("a_id", "b_id")) { e =>
+      e.select(col("a_id").as("id")).unionAll(e.select(col("b_id").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }
+
+  /** Persist an edge frame across the multi-branch graph diagnostics, then
+    * materialize the (metadata-sized) result and release the blocks — the
+    * [[pageRank]] discipline applied to qG1/qG2/qG5. These queries fan the
+    * ONE expensive subtree (the qD6 simhash band join) into 2–5 branches;
+    * Spark's ReusedExchange happens to dedupe that today, but an explicit
+    * persist pins the guarantee instead of trusting a planner heuristic —
+    * at 100 TB a silently-lost reuse would recompute candidate generation
+    * per branch. Results here are histogram/scalar-sized, so the eager
+    * localCheckpoint is O(rows-returned), not O(edges). */
+  private def withPersistedEdges(edges: DataFrame)(
+      body: DataFrame => DataFrame): DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(e).localCheckpoint(eager = true)
+    finally { e.unpersist(); () }
   }
 
   /** Q-G2 — TRIANGLE COUNT of the SimHash near-dup graph: each triangle
@@ -381,15 +397,16 @@ object Dedup {
     * keys. Triangle density distinguishes genuine dup CLUSTERS (cliques →
     * many triangles) from chain-shaped false-positive paths (none), the
     * cheap structural check before trusting components (qD9). */
-  def qG2(s: SparkSession, dir: String): DataFrame = {
-    val e = qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))
-    val ab = e.selectExpr("u AS a", "v AS b")
-    val bc = e.selectExpr("u AS b2", "v AS c")
-    val ac = e.selectExpr("u AS a3", "v AS c3")
-    ab.join(bc, col("b") === col("b2"))
-      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
-      .agg(count(lit(1)).as("triangles"))
-  }
+  def qG2(s: SparkSession, dir: String): DataFrame =
+    withPersistedEdges(
+        qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))) { e =>
+      val ab = e.selectExpr("u AS a", "v AS b")
+      val bc = e.selectExpr("u AS b2", "v AS c")
+      val ac = e.selectExpr("u AS a3", "v AS c3")
+      ab.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("triangles"))
+    }
 
   /** Q-G5 — GLOBAL CLUSTERING COEFFICIENT of the dup graph:
     * 3·triangles / open-triads, in integer e4 fixed point. The one-number
@@ -401,25 +418,26 @@ object Dedup {
     * sized); triangles reuse the canonical edge-join; both are metadata-
     * sized aggs over edge-sized shuffles — nothing new materializes at
     * 100 TB beyond what qG1/qG2 already pay. */
-  def qG5(s: SparkSession, dir: String): DataFrame = {
-    val e = qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))
-    val deg = e.selectExpr("u AS id").unionAll(e.selectExpr("v AS id"))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val triads = deg.agg(
-      sum(expr("deg * (deg - 1)")).as("t2")) // 2×triads, avoids the /2
-    val ab = e.selectExpr("u AS a", "v AS b")
-    val bc = e.selectExpr("u AS b2", "v AS c")
-    val ac = e.selectExpr("u AS a3", "v AS c3")
-    val tri = ab.join(bc, col("b") === col("b2"))
-      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
-      .agg(count(lit(1)).as("triangles"))
-    tri.crossJoin(broadcast(triads))
-      .selectExpr("triangles",
-        "CAST(t2 DIV 2 AS BIGINT) AS triads",
-        // 3T/triads in e4: (6T·10000) DIV (2·triads) keeps it integral
-        "CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE (triangles * 6 * 10000) DIV t2 END AS coeff_e4")
-  }
+  def qG5(s: SparkSession, dir: String): DataFrame =
+    withPersistedEdges(
+        qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))) { e =>
+      val deg = e.selectExpr("u AS id").unionAll(e.selectExpr("v AS id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val triads = deg.agg(
+        sum(expr("deg * (deg - 1)")).as("t2")) // 2×triads, avoids the /2
+      val ab = e.selectExpr("u AS a", "v AS b")
+      val bc = e.selectExpr("u AS b2", "v AS c")
+      val ac = e.selectExpr("u AS a3", "v AS c3")
+      val tri = ab.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("triangles"))
+      tri.crossJoin(broadcast(triads))
+        .selectExpr("triangles",
+          "CAST(t2 DIV 2 AS BIGINT) AS triads",
+          // 3T/triads in e4: (6T·10000) DIV (2·triads) keeps it integral
+          "CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (triangles * 6 * 10000) DIV t2 END AS coeff_e4")
+    }
 
   /** Q-G3 — component SIZE histogram over the dup clusters ([[qD9]]):
     * (cluster size, cluster count) rows — the distribution a dedup run

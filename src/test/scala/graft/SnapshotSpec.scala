@@ -272,4 +272,68 @@ class SnapshotSpec extends AnyFunSuite {
     assert(v.getAs[Int]("staging_trees_removed") == 1)
     assert(!Files.exists(restoreTree))
   }
+
+  test("version tags cannot traverse out of _snapshots (VERSION AS OF, c@tag)") {
+    val acc = newAccount("snaptrav")
+    register("grafttv", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grafttv.db")
+    spark.sql("CREATE TABLE grafttv.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", Seq("""{"id":"live","v":1}"""))
+    spark.sql("CREATE TABLE grafttv.db.other (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "other", Seq("""{"id":"secret","v":2}"""))
+
+    // '..' resolves to an EXISTING directory (c/ itself, or db/, or the
+    // sibling container) — before validation these read as "snapshots".
+    // Every spelling must fail as table-not-found, not alias the live
+    // tree or a sibling container.
+    for (tag <- Seq("..", "../..", "../../other", "../_snapshots")) {
+      val e1 = intercept[Exception](
+        spark.sql(s"SELECT raw FROM grafttv.db.c VERSION AS OF '$tag'").collect())
+      assert(e1.getMessage.toLowerCase.contains("cannot be found") ||
+        e1.getMessage.toLowerCase.contains("table or view"),
+        s"VERSION AS OF '$tag' must be table-not-found, got: ${e1.getMessage}")
+      val e2 = intercept[Exception](
+        spark.sql(s"SELECT raw FROM grafttv.db.`c@$tag`").collect())
+      assert(e2.getMessage.toLowerCase.contains("cannot be found") ||
+        e2.getMessage.toLowerCase.contains("table or view"),
+        s"`c@$tag` must be table-not-found, got: ${e2.getMessage}")
+    }
+    // a real snapshot still resolves after the rejections
+    spark.sql("CALL grafttv.system.snapshot('db', 'c', 'ok')")
+    assert(ids(spark.sql("SELECT raw FROM grafttv.db.c VERSION AS OF 'ok'")) ==
+      Set("live"))
+  }
+
+  test("REPLACE TABLE AS SELECT preserves snapshots and the error channel") {
+    val acc = newAccount("snaprtas")
+    register("graftrs", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftrs.db")
+    spark.sql("CREATE TABLE graftrs.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 8).map(i => s"""{"id":"old$i","v":$i}"""))
+    spark.sql("CALL graftrs.system.snapshot('db', 'c', 'pre')")
+    // a dead-letter channel with one rejected doc — container-lifetime
+    // state, like snapshots
+    val errDir = Paths.get(acc.root, "db", "c", "_errors")
+    Files.createDirectories(errDir)
+    Files.writeString(errDir.resolve("part-0.jsonl"), """{"bad":1}""" + "\n")
+
+    spark.sql("REPLACE TABLE graftrs.db.c TBLPROPERTIES ('pk'='/id', 'buckets'='4') " +
+      """AS SELECT '{"id":"new1","v":100}' AS raw""")
+
+    // live data replaced...
+    assert(ids(spark.sql("SELECT raw FROM graftrs.db.c")) == Set("new1"))
+    // ...but history and the error channel survive the swap
+    assert(ids(spark.sql("SELECT raw FROM graftrs.db.c VERSION AS OF 'pre'")) ==
+      (1 to 8).map("old" + _).toSet,
+      "RTAS must not erase published snapshots")
+    assert(Files.exists(errDir.resolve("part-0.jsonl")),
+      "RTAS must not erase the dead-letter channel")
+    // and restore can still cross the replace boundary
+    spark.sql("CALL graftrs.system.restore('db', 'c', 'pre')")
+    assert(ids(spark.sql("SELECT raw FROM graftrs.db.c")) ==
+      (1 to 8).map("old" + _).toSet)
+  }
 }

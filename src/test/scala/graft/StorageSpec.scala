@@ -15,6 +15,28 @@ class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "graftfs"
 }
 
+/** A scheme whose connector advertises SERVER-SIDE COPY — the object-store
+  * deployment shape ([[graft.core.ServerSideCopy]]): `copyFile` must route
+  * byte movement through the connector (S3 CopyObject analog), not stream
+  * through the JVM. Copies are counted so the spec can prove the snapshot/
+  * restore path actually took the fast path. */
+class GraftCopyFs extends org.apache.hadoop.fs.RawLocalFileSystem
+    with graft.core.ServerSideCopy {
+  override def getUri: java.net.URI = java.net.URI.create("graftcp:///")
+  override def getScheme: String = "graftcp"
+  override def copyInStore(src: org.apache.hadoop.fs.Path,
+                           dst: org.apache.hadoop.fs.Path): Long = {
+    GraftCopyFs.copies.incrementAndGet()
+    mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
+      /*deleteSource=*/ false, /*overwrite=*/ true, getConf)
+    getFileStatus(dst).getLen
+  }
+}
+object GraftCopyFs {
+  val copies = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 /** Proof of the [[graft.core.Storage]] boundary (SURVEY §2 A-storage /
   * round-5 port): the whole account surface — catalog, bucketed upsert,
   * sidecar counts, signatures, stray absorption — runs against a filesystem
@@ -152,6 +174,51 @@ class StorageSpec extends AnyFunSuite {
     assert(acct.countRows(spark, "db", "c") == 3)
     assert(acct.readRaw(spark, "db", "c")
       .filter(col("raw").contains("\"id\":\"x\"")).count() == 1)
+  }
+
+  test("snapshot/restore route file copies through the connector's server-side copy") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcp.impl", classOf[GraftCopyFs].getName)
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graftcp-acct")
+    val acct = FileAccount("graftcp:" + tmp.toAbsolutePath)
+    graft.functions.GraftFunctions.register(spark)
+    acct.createDatabaseIfAbsent("db")
+    acct.createContainerIfAbsent("db", "c", ContainerProps(Seq("/id"), buckets = 2))
+    val keyCols = Seq("__id", "__pk0")
+    val docs = (1 to 12).map(i => s"""{"id":"d$i","v":$i}""").toDF("raw")
+    val keyed = graft.operators.RawMerge.srcKeyed(spark, docs, Seq("/id"))
+      .select(("raw" +: keyCols).map(col): _*)
+    acct.upsertRaw(spark, "db", "c", keyed, keyCols, Seq("/id"))
+
+    GraftCopyFs.copies.set(0)
+    val info = acct.snapshotContainer("db", "c", "fast")
+    assert(info.files > 0)
+    assert(GraftCopyFs.copies.get() >= info.files,
+      "every snapshot data-file copy must take the server-side fast path")
+    // the fast-path copy produced a faithful, readable snapshot
+    assert(acct.readRaw(spark, "db", s"c/_snapshots/fast").count() == 12)
+
+    val before = GraftCopyFs.copies.get()
+    assert(acct.restoreSnapshot("db", "c", "fast") > 0)
+    assert(GraftCopyFs.copies.get() > before,
+      "restore must route through the same server-side copy hook")
+    assert(acct.countRows(spark, "db", "c") == 12)
+
+    // stream-path contract on the DEFAULT store: copyFile overwrites and
+    // leaves no dot-prefixed staging leftovers at the destination
+    val store = graft.core.Storage.hadoop
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "copyfile")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "hello")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "stale-longer-content")
+    assert(store.copyFile(s"$dir/a.txt", s"$dir/b.txt") == 5L)
+    assert(java.nio.file.Files.readString(dir.resolve("b.txt")) == "hello")
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("._copy-")).toSeq
+    assert(leftovers.isEmpty, s"staging names must be renamed away: $leftovers")
   }
 
   test("object-store roots REFUSE IVF coordination without the single-writer opt-in") {
