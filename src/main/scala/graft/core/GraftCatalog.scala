@@ -487,7 +487,7 @@ final class SnapshotTable(account: FileAccount, db: String, container: String,
 }
 
 final class ContainerTable(account: FileAccount, db: String, container: String,
-                           props: ContainerProps)
+                           private[core] val props: ContainerProps)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns with SupportsDelete
     with SupportsRowLevelOperations {

@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // the extension registers graft's Catalyst functions AND the
+    // MergeMetaRepair analysis rule (MERGE on _id/_key metadata columns)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")

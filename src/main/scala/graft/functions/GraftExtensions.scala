@@ -13,11 +13,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `flatten_doc` available in SQL — the idiomatic deployment path on a real
   * cluster, where per-session `functionRegistry` calls
   * ([[GraftFunctions.register]], kept for tests/tools) don't reach every
-  * context. No analyzer/optimizer rules are injected: the whole declared
-  * inventory stays Catalyst-plannable (SURVEY.md §4.2).
+  * context. The query inventory stays Catalyst-plannable with no custom
+  * rules (SURVEY.md §4.2); the ONE injected rule is
+  * [[graft.core.MergeMetaRepair]], a post-hoc analysis repair that makes
+  * `MERGE INTO ... ON t._id = s.id` legal on containers (Spark 4.1's
+  * group-filter construction drops metadata-column references — see that
+  * object's scaladoc).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(_ => graft.core.MergeMetaRepair)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -751,12 +751,10 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO graftm.db.docs VALUES $values")
 
     // MERGE: one matched update, one not-matched insert — the canonical
-    // upsert statement, now first-class SQL on the container. The id
-    // equality goes through the data column (get_json_object): a merge
-    // condition on the _id/_key METADATA columns trips Spark 4.1's
-    // group-filter attribute remap (the analyzer validates the condition
-    // against the original relation, where metadata columns carry other
-    // expression ids) — the data-column form is semantically identical.
+    // upsert statement, now first-class SQL on the container. This case
+    // keeps the data-column spelling (get_json_object) working; the
+    // metadata-column spelling (ON t._id = s.k — the ergonomic form) is
+    // pinned by the dedicated test below, via MergeMetaRepair.
     import spark.implicits._
     Seq(("d3", """{"id":"d3","v":300}"""), ("n1", """{"id":"n1","v":100}"""))
       .toDF("k", "doc").createOrReplaceTempView("m_src")
@@ -796,6 +794,68 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(mergeSql)
     assert(spark.table("graftm.db.docs").count() == 33,
       "re-running the merge must not duplicate")
+  }
+
+  test("MERGE INTO on the _id/_key metadata columns (MergeMetaRepair)") {
+    // the ergonomics the metadata columns exist for: a keyed SQL upsert
+    // spelled directly against the engine's merge key, no get_json_object.
+    // Spark 4.1's group-based rewrite leaves metadata-column references
+    // bare inside the runtime group filter (MISSING_ATTRIBUTES);
+    // graft.core.MergeMetaRepair rewrites them to the raw-derived
+    // expressions the scan computes, post-hoc.
+    val root = Files.createTempDirectory(Paths.get("target"), "sqlmergeid")
+    spark.conf.set("spark.sql.catalog.graftmi",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmi.root", root.toString)
+    spark.sql("CREATE NAMESPACE graftmi.db")
+    spark.sql("CREATE TABLE graftmi.db.docs (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='8')")
+    val values = (0 until 32)
+      .map(i => s"""('{"id":"d$i","v":$i}')""").mkString(", ")
+    spark.sql(s"INSERT INTO graftmi.db.docs VALUES $values")
+    val acc = FileAccount(root.toString)
+
+    import spark.implicits._
+    Seq(("d3", """{"id":"d3","v":300}"""), ("n1", """{"id":"n1","v":100}"""))
+      .toDF("k", "doc").createOrReplaceTempView("mi_src")
+    val mergeSql =
+      """MERGE INTO graftmi.db.docs t USING mi_src s
+        |ON t._id = s.k
+        |WHEN MATCHED THEN UPDATE SET raw = s.doc
+        |WHEN NOT MATCHED THEN INSERT (raw) VALUES (s.doc)""".stripMargin
+    spark.sql(mergeSql)
+    assert(spark.table("graftmi.db.docs").count() == 33)
+    val d3 = spark.sql("SELECT raw FROM graftmi.db.docs WHERE _id = 'd3'").collect()
+    assert(d3.length == 1 && d3(0).getString(0).contains("300"),
+      s"matched row must update via the _id condition, got ${d3.toSeq}")
+    assert(spark.sql("SELECT raw FROM graftmi.db.docs WHERE _id = 'n1'")
+      .count() == 1, "not-matched row must insert via the _id condition")
+    assert(acc.readBucketCounts("db", "docs").values.map(_._1).sum == 33,
+      "the sidecar must follow the metadata-column merge")
+    // idempotent at the content level, same as the data-column spelling
+    spark.sql(mergeSql)
+    assert(spark.table("graftmi.db.docs").count() == 33)
+
+    // the _key spelling works too (for /id-pk containers _key = id ++ id)
+    Seq(("d5d5", """{"id":"d5","v":555}"""))
+      .toDF("kk", "doc").createOrReplaceTempView("mi_src2")
+    spark.sql(
+      """MERGE INTO graftmi.db.docs t USING mi_src2 s
+        |ON t._key = s.kk
+        |WHEN MATCHED THEN UPDATE SET raw = s.doc""".stripMargin)
+    val d5 = spark.sql("SELECT raw FROM graftmi.db.docs WHERE _id = 'd5'").collect()
+    assert(d5.length == 1 && d5(0).getString(0).contains("555"),
+      s"_key-conditioned merge must land, got ${d5.toSeq}")
+    assert(spark.table("graftmi.db.docs").count() == 33)
+
+    // a DELETE-only merge through _id (group replace drops the row)
+    Seq("n1").toDF("k").createOrReplaceTempView("mi_del")
+    spark.sql(
+      """MERGE INTO graftmi.db.docs t USING mi_del s
+        |ON t._id = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table("graftmi.db.docs").count() == 32)
+    assert(spark.sql("SELECT raw FROM graftmi.db.docs WHERE _id = 'n1'").count() == 0)
   }
 
   test("scan statistics: sidecar-driven size/rows, point read shrinks them, small containers broadcast") {
