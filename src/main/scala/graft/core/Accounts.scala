@@ -642,6 +642,42 @@ case class FileAccount(root: String) {
     store.deleteRecursive(snapshotPath(db, c, tag))
   }
 
+  /** Retention sweep over published snapshots: drop every snapshot that is
+    * BOTH outside the newest `keepLastN` (when set) AND created before
+    * `olderThanMs` (when set) — each bound alone never widens the sweep,
+    * so `keep_last_n => 7` with `older_than_ms` unset keeps exactly the
+    * newest 7, and adding an age floor can only RETAIN more. At least one
+    * bound is required: an unbounded call would silently erase the
+    * container's whole history, which is a decision the caller must spell
+    * out (`keep_last_n => 0` drops everything eligible by age, explicit).
+    *
+    * Readers are NOT coordinated with (same contract as Spark's own file
+    * sources under retention): a batch `VERSION AS OF` or a streaming
+    * `c@tag` replay of an expired tag sees the snapshot vanish between
+    * listings — in-flight streams drain missing files as empty (the
+    * engine's listing-consistency tolerance) and a fresh query fails with
+    * table-not-found. Pin retention to be strictly longer than the
+    * longest replay a pipeline runs; the snapshot a stream is replaying
+    * THIS epoch is typically also the newest, which `keep_last_n >= 1`
+    * always retains. Returns the dropped snapshots' metadata. */
+  def expireSnapshots(db: String, c: String, keepLastN: Option[Int],
+                      olderThanMs: Option[Long]): Seq[SnapshotInfo] = {
+    require(keepLastN.isDefined || olderThanMs.isDefined,
+      "expire_snapshots needs keep_last_n and/or older_than_ms: an " +
+        "unbounded expiration would drop the container's entire history")
+    keepLastN.foreach(n => require(n >= 0, s"keep_last_n must be >= 0, got $n"))
+    val all = listSnapshots(db, c) // oldest first
+    val protectedTags: Set[String] = keepLastN match {
+      case Some(n) => all.takeRight(n).map(_.tag).toSet
+      case None => Set.empty
+    }
+    val dropped = all.filter { s =>
+      !protectedTags.contains(s.tag) && olderThanMs.forall(s.createdMs < _)
+    }
+    dropped.foreach(s => dropSnapshot(db, c, s.tag))
+    dropped
+  }
+
   /** Restore the container to snapshot `tag`: data tree, layout metadata
     * (`_meta.json` — the snapshot's bucket count governs its data), and
     * count sidecar all return to snapshot state. Copy-then-swap like

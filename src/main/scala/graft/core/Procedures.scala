@@ -28,7 +28,8 @@ private[core] object GraftProcedures {
 
   val names: Array[String] =
     Array("compact", "vacuum", "stats", "verify", "rebucket",
-      "snapshot", "snapshots", "restore", "drop_snapshot", "diff")
+      "snapshot", "snapshots", "restore", "drop_snapshot",
+      "expire_snapshots", "diff")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -40,6 +41,7 @@ private[core] object GraftProcedures {
     case "snapshots"     => new ListSnapshotsProcedure(account)
     case "restore"       => new RestoreProcedure(account)
     case "drop_snapshot" => new DropSnapshotProcedure(account)
+    case "expire_snapshots" => new ExpireSnapshotsProcedure(account)
     case "diff"          => new DiffProcedure(account)
   }
 
@@ -389,6 +391,51 @@ private[core] final class DropSnapshotProcedure(account: FileAccount)
     val row = new GenericInternalRow(Array[Any](dropped))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
+  }
+}
+
+/** `CALL graft.system.expire_snapshots(db, container[, keep_last_n]
+  * [, older_than_ms])` — retention sweep over published snapshots
+  * ([[FileAccount.expireSnapshots]]): drops snapshots outside the newest
+  * `keep_last_n` AND older than `older_than_ms` (each bound alone only
+  * retains more; -1 = bound unset; at least one must be set). Returns one
+  * row per dropped snapshot. Reader coordination contract (streams
+  * replaying `c@tag`) is documented on the account method: pick retention
+  * longer than the longest replay. */
+private[core] final class ExpireSnapshotsProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "drop snapshots outside keep_last_n and/or older than older_than_ms"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build(),
+    ProcedureParameter.in("keep_last_n", IntegerType).defaultValue("-1")
+      .comment("always retain the newest N snapshots (-1 = unset)").build(),
+    ProcedureParameter.in("older_than_ms", LongType).defaultValue("-1")
+      .comment("only drop snapshots created before this epoch-ms (-1 = unset)")
+      .build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dropped = account.expireSnapshots(
+      input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+      Some(input.getInt(2)).filter(_ >= 0),
+      Some(input.getLong(3)).filter(_ >= 0))
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("created_ms", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    val rows = dropped.map(i => new GenericInternalRow(Array[Any](
+      GraftProcedures.utf8(i.tag), i.createdMs, i.files, i.bytes)))
+    java.util.List.of[Scan](
+      new GraftProcedures.RowsScan(schema, rows.toArray)).iterator()
   }
 }
 

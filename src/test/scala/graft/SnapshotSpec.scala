@@ -273,6 +273,53 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!Files.exists(restoreTree))
   }
 
+  test("expire_snapshots: keep_last_n / older_than_ms retention sweep") {
+    val acc = newAccount("snapexp")
+    register("graftex", acc)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftex.db")
+    spark.sql("CREATE TABLE graftex.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", Seq("""{"id":"a","v":1}"""))
+    // five epochs with pinned, increasing creation times
+    (1 to 5).foreach(i =>
+      acc.snapshotContainer("db", "c", s"e$i", nowMs = 1700000000000L + i * 1000L))
+
+    // at least one bound is REQUIRED — an unbounded sweep is refused
+    intercept[Exception](
+      spark.sql("CALL graftex.system.expire_snapshots('db', 'c')").collect())
+    assert(acc.listSnapshots("db", "c").size == 5)
+
+    // keep_last_n alone keeps exactly the newest N
+    val d1 = spark.sql(
+      "CALL graftex.system.expire_snapshots(db => 'db', container => 'c', " +
+        "keep_last_n => 3)").collect()
+    assert(d1.map(_.getAs[String]("tag")).toSeq == Seq("e1", "e2"))
+    assert(acc.listSnapshots("db", "c").map(_.tag) == Seq("e3", "e4", "e5"))
+
+    // older_than_ms alone drops strictly-older; both bounds = intersection
+    // (e3 is old enough but protected by keep_last_n => 2)
+    val d2 = spark.sql(
+      "CALL graftex.system.expire_snapshots(db => 'db', container => 'c', " +
+        s"keep_last_n => 2, older_than_ms => ${1700000000000L + 4500L})").collect()
+    assert(d2.map(_.getAs[String]("tag")).toSeq == Seq("e3"))
+    assert(acc.listSnapshots("db", "c").map(_.tag) == Seq("e4", "e5"))
+
+    // age bound alone: nothing is younger than the floor → full drop of
+    // eligible tags requires the explicit keep_last_n => 0 spelling
+    val d3 = acc.expireSnapshots("db", "c", keepLastN = Some(0),
+      olderThanMs = None)
+    assert(d3.map(_.tag) == Seq("e4", "e5"))
+    assert(acc.listSnapshots("db", "c").isEmpty)
+
+    // expiration never touches the live tree
+    assert(ids(spark.sql("SELECT raw FROM graftex.db.c")) == Set("a"))
+
+    // documented reader contract: an expired tag fails fresh reads as
+    // table-not-found (no half-dead snapshot states)
+    intercept[Exception](spark.sql(
+      "SELECT raw FROM graftex.db.c VERSION AS OF 'e4'").collect())
+  }
+
   test("version tags cannot traverse out of _snapshots (VERSION AS OF, c@tag)") {
     val acc = newAccount("snaptrav")
     register("grafttv", acc)
