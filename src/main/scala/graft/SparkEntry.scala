@@ -105,6 +105,8 @@ object SparkEntry {
     "q_t15_train_split"    -> (TextAnalysis.qT15 _),
     "q_t16_split_leakage"  -> (TextAnalysis.qT16 _),
     "q_t17_pack_stats"     -> (TextAnalysis.qT17 _),
+    "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
+    "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -535,6 +537,61 @@ object SparkEntry {
       }.mkString +
       s" SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e6 " +
       s"FROM r${graft.operators.Dedup.PageRankIters} ORDER BY doc_id"),
+    // DuckDB needs RECURSIVE on the WITH clause for the reach() CTE
+    "q_t18_cluster_split" -> (simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // components over the simhash pair graph (recursive min-reachable,
+      // the oracleSqlD9 pattern), singletons = themselves; both routings'
+      // split thresholds are qT15's md5-prefix bands; edge-leak counters
+      // attribute each edge to its a-endpoint's CLUSTER-routed split
+      ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      "asg AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component " +
+      "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id), " +
+      "rt AS (SELECT doc_id, component, CASE " +
+      "WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < 'e6' THEN 'train' " +
+      "WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < 'f3' THEN 'val' " +
+      "ELSE 'test' END AS split FROM asg), " +
+      "hsp AS (SELECT doc_id, CASE " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents), " +
+      "ec AS (SELECT ra.split, " +
+      "CAST(sum(CASE WHEN ra.split <> rb.split THEN 1 ELSE 0 END) AS BIGINT) AS ce, " +
+      "CAST(sum(CASE WHEN ha.split <> hb.split THEN 1 ELSE 0 END) AS BIGINT) AS he " +
+      "FROM sp JOIN rt ra ON sp.a_id = ra.doc_id JOIN rt rb ON sp.b_id = rb.doc_id " +
+      "JOIN hsp ha ON sp.a_id = ha.doc_id JOIN hsp hb ON sp.b_id = hb.doc_id " +
+      "GROUP BY ra.split), " +
+      "tot AS (SELECT count(1) AS n FROM asg), " +
+      "base AS (SELECT split, count(1) AS n_docs, " +
+      "count(DISTINCT component) AS n_clusters FROM rt GROUP BY split) " +
+      "SELECT b.split, b.n_docs, CAST(b.n_clusters AS BIGINT) AS n_clusters, " +
+      "CAST((b.n_docs * 1000) // tot.n AS BIGINT) AS share_pm, " +
+      "coalesce(ec.ce, 0) AS cross_edges, coalesce(ec.he, 0) AS hash_cross_edges " +
+      "FROM base b CROSS JOIN tot LEFT JOIN ec ON b.split = ec.split ORDER BY b.split"),
+    "q_t19_keep_canonical" -> (simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // the q_g4 integer pagerank chain + the component CTE over the SAME
+      // graph; survivor = max rank, tiebreak min id — both total orders
+      ", ed AS (SELECT a_id AS s, b_id AS t FROM sp UNION ALL SELECT b_id, a_id FROM sp), " +
+      "dg AS (SELECT s, count(1) AS deg FROM ed GROUP BY s), " +
+      "r0 AS (SELECT s AS id, CAST(1000000 AS BIGINT) AS r FROM dg)" +
+      (1 to graft.operators.Dedup.PageRankIters).map { i =>
+        s", r$i AS (SELECT e.t AS id, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r " +
+          s"FROM ed e JOIN r${i - 1} r ON e.s = r.id JOIN dg d ON d.s = e.s GROUP BY e.t)"
+      }.mkString +
+      ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      "cs AS (SELECT component, count(1) AS csize FROM comp GROUP BY component), " +
+      "mem AS (SELECT c.id, c.component, cs.csize, rr.r AS rank_e6 " +
+      "FROM comp c JOIN cs ON c.component = cs.component " +
+      s"JOIN r${graft.operators.Dedup.PageRankIters} rr ON rr.id = c.id), " +
+      "pick AS (SELECT component, id, csize, rank_e6, row_number() OVER " +
+      "(PARTITION BY component ORDER BY rank_e6 DESC, id) AS rn FROM mem) " +
+      "SELECT component, id AS survivor_id, CAST(csize AS BIGINT) AS csize, " +
+      "CAST(rank_e6 AS BIGINT) AS rank_e6 FROM pick WHERE rn = 1 ORDER BY component"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +

@@ -632,11 +632,20 @@ object Dedup {
 
   /** [[qD9]] with a configurable fast-path threshold (0 forces the
     * distributed loop — spec-pinned equal to the driver path). */
-  def components(s: SparkSession, dir: String, maxDriverPairs: Int): DataFrame = {
+  def components(s: SparkSession, dir: String, maxDriverPairs: Int): DataFrame =
+    componentsOfPairs(s, qD8(s, dir).select("a_id", "b_id"), maxDriverPairs)
+
+  /** The [[components]] hybrid (driver union-find under the declared edge
+    * bound, [[starComponents]] above it) over ANY canonical (a, b) pair
+    * frame — the reusable clustering core ([[qD9]] feeds it the embedding
+    * near-dup graph; [[graft.operators.TextAnalysis.qT18]] the simhash
+    * text graph). */
+  def componentsOfPairs(s: SparkSession, pairGraph: DataFrame,
+                        maxDriverPairs: Int): DataFrame = {
     import s.implicits._
     // persist BEFORE the bound check: the distributed path must not pay the
     // full LSH candidate pipeline twice (once for the check, once for edges)
-    val pairs = qD8(s, dir).select("a_id", "b_id")
+    val pairs = pairGraph
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unpersist on EVERY exit (including a non-converged failure) — both
     // result paths are driver-local or localCheckpointed, so nothing

@@ -510,4 +510,108 @@ object TextAnalysis {
         expr("(n_docs * 1000) DIV lang_total").as("share_pm"))
       .orderBy("lang", "split")
   }
+
+  /** The qT15/qT16 md5-prefix routing (~90/5/5) over any id column. */
+  private def splitOf(idCol: String) =
+    when(expr(s"substring(md5(CAST($idCol AS STRING)), 1, 2)") < "e6", "train")
+      .when(expr(s"substring(md5(CAST($idCol AS STRING)), 1, 2)") < "f3", "val")
+      .otherwise("test")
+
+  /** Q-T18 — CLUSTER-ROUTED train/val/test split: the remedy [[qT16]]'s
+    * own verdict calls for. Per-document hash routing sends the two halves
+    * of a near-duplicate pair to DIFFERENT splits ~10% of the time, so
+    * test answers leak into train verbatim. Here the routing key is the
+    * document's DUP-CLUSTER representative (the min-id label of its
+    * [[Dedup.qD6]] simhash component, singletons = themselves), so a whole
+    * near-dup family lands in one split by construction.
+    *
+    * The result is the audit a pipeline pins before trusting the split:
+    * per split — docs, distinct clusters, integer per-mille share, and two
+    * edge-leak counters over the SAME candidate graph: `cross_edges`
+    * (near-dup edges whose endpoints landed in different splits under
+    * cluster routing — structurally 0, computed from the data, not
+    * assumed) vs `hash_cross_edges` (the same count under qT15's
+    * per-document routing — the leak being fixed, nonzero whenever the
+    * corpus has dup pairs). Both counters attribute an edge to its
+    * a-endpoint's cluster-routed split (one grouping, one contract).
+    *
+    * Scale: the component map and edge set are candidate-graph-sized
+    * (orders of magnitude below the corpus), so the doc→component join
+    * broadcasts; routing itself is one md5 per row, derived not stored —
+    * same posture as qT15. */
+  def qT18(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pairs = Dedup.qD6(s, dir).select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val comp = Dedup.componentsOfPairs(s, pairs, Dedup.MaxDriverPairs)
+      val asg = Tables.documents(s, dir).select(col("doc_id"))
+        .join(broadcast(comp), col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("split", splitOf("component"))
+      // edge-leak counters over the pair frame alone (graph-sized, never
+      // the corpus): hash routing derives from the endpoint ids directly;
+      // cluster routing needs each endpoint's component, one broadcast
+      // join per side against the (graph-sized) component map
+      val routedEdges = pairs
+        .join(broadcast(comp.selectExpr("id AS a_m", "component AS a_c")),
+          col("a_id") === col("a_m"))
+        .join(broadcast(comp.selectExpr("id AS b_m", "component AS b_c")),
+          col("b_id") === col("b_m"))
+        .select(splitOf("a_c").as("split"),
+          (splitOf("a_c") =!= splitOf("b_c")).cast("long").as("cx"),
+          (splitOf("a_id") =!= splitOf("b_id")).cast("long").as("hx"))
+      val edgeCounts = routedEdges.groupBy("split")
+        .agg(sum("cx").as("ce"), sum("hx").as("he"))
+      val base = asg.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("component").as("n_clusters"))
+        .withColumn("total",
+          sum("n_docs").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+      base
+        .join(edgeCounts, Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          expr("(n_docs * 1000) DIV total").as("share_pm"),
+          coalesce(col("ce"), lit(0L)).as("cross_edges"),
+          coalesce(col("he"), lit(0L)).as("hash_cross_edges"))
+        .orderBy("split")
+        .localCheckpoint(eager = true)
+    } finally { pairs.unpersist(); () }
+  }
+
+  /** Q-T19 — KEEP-CANONICAL curation: materialize ONE survivor per dup
+    * family — the dedup decision [[qT5]] only diagnoses, wired to the
+    * graph machinery: families are the [[Dedup.qD6]] simhash components
+    * (size >= 2; singletons keep themselves trivially and are omitted),
+    * the survivor is the member duplication structurally concentrates on —
+    * max [[Dedup.pageRank]] centrality ([[Dedup.qG4]]'s exact integer
+    * recurrence over the SAME graph), tiebreak min doc_id, both total
+    * orders, so the pick is deterministic across engines and re-runs.
+    *
+    * Scale: every frame here (edges, components, ranks, survivors) is
+    * candidate-graph-sized; the corpus is never re-scanned beyond the one
+    * signature pass qD6 already makes, and the per-family pick is a
+    * row_number over component partitions — no global ordering. */
+  def qT19(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pairs = Dedup.qD6(s, dir).select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val comp = Dedup.componentsOfPairs(s, pairs, Dedup.MaxDriverPairs)
+      val ranks = Dedup.pageRank(pairs, Dedup.PageRankIters)
+        .selectExpr("id AS r_id", "r AS rank_e6")
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      val pick = comp.join(ranks, col("id") === col("r_id"))
+        .withColumn("csize", count(lit(1)).over(cw))
+        .withColumn("rn", row_number().over(
+          cw.orderBy(desc("rank_e6"), col("id"))))
+        .where(col("rn") === 1)
+      pick.select(col("component"), col("id").as("survivor_id"),
+          col("csize"), col("rank_e6"))
+        .orderBy("component")
+        .localCheckpoint(eager = true)
+    } finally { pairs.unpersist(); () }
+  }
 }

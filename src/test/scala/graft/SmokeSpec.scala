@@ -30,4 +30,27 @@ class SmokeSpec extends AnyFunSuite {
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("q_t18: cluster routing leaks ZERO near-dup edges across splits") {
+    val rows = graft.operators.TextAnalysis.qT18(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the construction's whole point, computed from the data, not assumed
+    assert(rows.forall(_.getAs[Long]("cross_edges") == 0L),
+      s"cluster-routed split must never separate a near-dup pair: ${rows.toSeq}")
+    // shares are per-mille of the corpus and must account for every doc
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.core.Tables.documents(spark, sf).count())
+  }
+
+  test("q_t19: one survivor per dup family, member of its own component") {
+    val rows = graft.operators.TextAnalysis.qT19(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val comps = rows.map(_.getAs[Long]("component"))
+    assert(comps.distinct.length == comps.length, "one row per component")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("csize") >= 2L, "families only, no singletons")
+      // the component label is its min member id, so any member >= label
+      assert(r.getAs[Long]("survivor_id") >= r.getAs[Long]("component"))
+    }
+  }
 }
