@@ -141,6 +141,7 @@ object SparkEntry {
     "q_sim8_norm_profile"  -> (Similarity.qSim8 _),
     "q_sim9_int8_recall"   -> (Similarity.qSim9 _),
     "q_sim10_mrl_recall"   -> (Similarity.qSim10 _),
+    "q_sim11_ivf_int8"     -> (Similarity.qSim11 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -852,6 +853,27 @@ object SparkEntry {
         "FROM (SELECT q_id, n_id FROM f WHERE r <= 10) f " +
         "LEFT JOIN (SELECT q_id, n_id FROM itop WHERE r <= 10) itop USING (q_id, n_id) " +
         "GROUP BY f.q_id ORDER BY f.q_id"),
+    "q_sim11_ivf_int8" -> (
+      // q_sim3's seeded cell/probe machinery + q_sim9's int8 lane: members
+      // of the 4 probed cells rescored by the EXACT BIGINT dot of globally
+      // scaled int8 vectors — ranking and output integer end-to-end
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+        "p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 10 AND rn <= 4), " +
+        "cand AS (SELECT pr.q_id, t.vec_id AS n_id FROM probe pr " +
+        "JOIN cell t ON t.cid = pr.cid AND t.vec_id <> pr.q_id), " +
+        "iu AS (SELECT c.q_id, c.n_id, unnest(generate_series(1, 64)) AS i, a.qv AS qa, b.qv AS qb " +
+        "FROM cand c JOIN qz a ON a.vec_id = c.q_id JOIN qz b ON b.vec_id = c.n_id), " +
+        "idot AS (SELECT q_id, n_id, CAST(sum(qa[i] * qb[i]) AS BIGINT) AS qdot FROM iu GROUP BY q_id, n_id), " +
+        "r AS (SELECT q_id, n_id, qdot, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rank FROM idot) " +
+        "SELECT q_id, n_id, qdot, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
     "q_sim10_mrl_recall" -> (
       // both lanes are q_sim1's float-cosine contract; the truncated lane
       // runs over the 16-dim prefix (list slice, deterministic both sides)

@@ -130,7 +130,8 @@ object Similarity {
       * data itself (for re-registration in other sessions), and the cached
       * cell-partitioned assignment. */
     final case class Index(fn: String, cellIds: Array[Long],
-                           cents: Array[Array[Double]], assigned: DataFrame)
+                           cents: Array[Array[Double]], assigned: DataFrame,
+                           scale: Double, qassigned: DataFrame)
 
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
@@ -257,8 +258,12 @@ object Similarity {
     /** Bump when the build algorithm or on-disk format changes — a stale
       * on-disk index from an older build must not be served for the same
       * corpus. v2: centroids.tsv (cid\tcomma-joined doubles) instead of v1's
-      * centroid SQL text; committed by ATOMIC RENAME of a staging dir. */
-    private val FormatVersion = 2
+      * centroid SQL text; committed by ATOMIC RENAME of a staging dir.
+      * v3: + the SERVED int8 lane — `assignment_int8/` (cell-partitioned
+      * TINYINT vectors, 1 byte/component vs the float lane's 4) and
+      * `scale.txt` (the global symmetric quantization scale = corpus
+      * max |component|, Double.toString round-trip-exact). */
+    private val FormatVersion = 3
 
     private def indexPath(dir: String, lloydIters: Int, cells: Int): String =
       new org.apache.hadoop.fs.Path(indexRoot,
@@ -360,17 +365,29 @@ object Similarity {
       graft.functions.IvfRankCells.register(s, prior.fn, prior.cellIds, prior.cents)
       val path = indexPath(dir, lloydIters, cells)
       val asgPath = sub(path, "assignment")
+      val qasgPath = sub(path, "assignment_int8")
       withIndexLock(path + ".lock") {
         newVecs.selectExpr("vec_id", "embedding",
             s"element_at(${prior.fn}(embedding, 1), 1) AS cell")
           .write.mode("append").partitionBy("cell").parquet(asgPath)
+        // int8 lane follows: quantized with the FROZEN build-time scale
+        // (saturating — see quantizeExpr), so both lanes stay row-aligned
+        newVecs.selectExpr("vec_id",
+            quantizeExpr("embedding", prior.scale) + " AS qv",
+            s"element_at(${prior.fn}(embedding, 1), 1) AS cell")
+          .write.mode("append").partitionBy("cell").parquet(qasgPath)
       }
       prior.assigned.unpersist()
+      prior.qassigned.unpersist()
       val asg = s.read.parquet(asgPath)
         .withColumn("cell", col("cell").cast("long"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       asg.count()
-      val updated = prior.copy(assigned = asg)
+      val qasg = s.read.parquet(qasgPath)
+        .withColumn("cell", col("cell").cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qasg.count()
+      val updated = prior.copy(assigned = asg, qassigned = qasg)
       cache.put(cacheKey(s, dir, lloydIters, cells), updated)
       updated
     }
@@ -406,6 +423,22 @@ object Similarity {
                 s"element_at($stageFn(embedding, 1), 1) AS cell")
               .write.mode("overwrite").partitionBy("cell")
               .parquet(sub(staging, "assignment"))
+            // the int8 SERVING lane: one global symmetric scale (corpus
+            // max |component| — qSim9's scheme, priced there in recall
+            // points), vectors stored as TINYINT so a probe moves 1/4 of
+            // the float lane's bytes; scale written Double.toString-exact
+            val mx = Tables.embeddings(s, dir).selectExpr(
+              "max(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+                "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))) AS mx")
+              .head().getDouble(0)
+            Tables.embeddings(s, dir)
+              .selectExpr("vec_id",
+                quantizeExpr("embedding", mx) + " AS qv",
+                s"element_at($stageFn(embedding, 1), 1) AS cell")
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(sub(staging, "assignment_int8"))
+            store.writeString(sub(staging, "scale.txt"),
+              java.lang.Double.toString(mx) + "\n")
             store.writeString(sub(staging, "centroids.tsv"), fmtCents(ids, cents))
             val published = store.rename(staging, path) && store.exists(marker)
             if (!published) {
@@ -424,7 +457,24 @@ object Similarity {
         .withColumn("cell", col("cell").cast("long"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       asg.count() // materialize: probes must not re-read even the index files
-      Index(fn, ids, cents, asg)
+      val scale = store.readString(sub(path, "scale.txt")).trim.toDouble
+      val qasg = s.read.parquet(sub(path, "assignment_int8"))
+        .withColumn("cell", col("cell").cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qasg.count()
+      Index(fn, ids, cents, asg, scale, qasg)
+    }
+
+    /** The symmetric int8 quantization expression over a float-array
+      * column: `floor(x·127/scale + 0.5)` is deterministic IEEE double
+      * arithmetic (no HALF_UP ambiguity — qSim9's contract), clamped to
+      * [-127, 127] so an APPENDED vector exceeding the frozen build-time
+      * scale saturates instead of wrapping in the TINYINT cast. */
+    private def quantizeExpr(c: String, scale: Double): String = {
+      val sc = java.lang.Double.toString(scale)
+      s"transform($c, x -> CAST(greatest(CAST(-127 AS DOUBLE), " +
+        s"least(CAST(127 AS DOUBLE), " +
+        s"FLOOR(CAST(x AS DOUBLE) * 127.0 / CAST($sc AS DOUBLE) + 0.5))) AS TINYINT))"
     }
 
     /** Probe: exact top-`topK` neighbors per query over the `nprobe` nearest
@@ -447,6 +497,34 @@ object Similarity {
         .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "rank")
         .orderBy("q_id", "rank")
     }
+
+    /** Probe the int8 SERVING lane: cell ranking is unchanged (float
+      * centroids, full-precision query — the cheap part), but candidate
+      * rescoring reads `assignment_int8` — 1/4 the bytes of the float
+      * lane, the memory/bandwidth win [[Similarity.qSim9]] priced — and
+      * ranks by the EXACT BIGINT dot of the symmetrically-quantized query
+      * and member vectors (integer end-to-end after quantization, so the
+      * ranking is engine-exact; no float summation anywhere downstream of
+      * the one deterministic floor). */
+    def probeInt8(s: SparkSession, dir: String, idx: Index,
+                  nprobe: Int = IvfProbe, topK: Int = 3): DataFrame = {
+      GraftFunctions.register(s)
+      graft.functions.IvfRankCells.register(s, idx.fn, idx.cellIds, idx.cents)
+      val probes = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        .selectExpr("vec_id AS q_id",
+          quantizeExpr("embedding", idx.scale) + " AS qq",
+          s"explode(${idx.fn}(embedding, $nprobe)) AS cell")
+      val w = Window.partitionBy("q_id").orderBy(desc("qdot"), col("n_id"))
+      broadcast(probes).join(idx.qassigned, "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS n_id",
+          "aggregate(zip_with(qq, qv, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
+            "0L, (a, b) -> a + b) AS qdot")
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(col("q_id"), col("n_id"), col("qdot"), col("rank"))
+        .orderBy("q_id", "rank")
+    }
   }
 
   /** Q-SIM3: IVF ANN with the seeded quantizer — build(0 Lloyd rounds) +
@@ -458,6 +536,16 @@ object Similarity {
     * probe; more rounds are the same bounded stages repeated. */
   def qSim4(s: SparkSession, dir: String): DataFrame =
     IvfIndex.probe(s, dir, IvfIndex.build(s, dir, lloydIters = 1))
+
+  /** Q-SIM11: SERVE the int8-quantized IVF index — [[qSim3]]'s seeded
+    * index probed through the `assignment_int8` lane
+    * ([[IvfIndex.probeInt8]]): same cell ranking, candidate rescoring by
+    * exact BIGINT dot over TINYINT vectors (4× less candidate IO than the
+    * float lane). The recall cost of serving compressed was priced by
+    * [[qSim9]]; RecallSpec measures this query's own overlap against the
+    * float probe on the identical index. */
+  def qSim11(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.probeInt8(s, dir, IvfIndex.build(s, dir, lloydIters = 0))
 
   /** Q-SIM5 — per-class embedding CENTROIDS (the prototype / class-mean
     * vector aggregate every training pipeline computes: cluster summaries,

@@ -152,4 +152,29 @@ class RecallSpec extends AnyFunSuite {
     // structure, the info line is the measurement
     assert(rec4 >= rec8)
   }
+
+  test("int8-served IVF (q_sim11): candidate set identical to the float lane, rank overlap measured") {
+    // same index, two serving lanes: the quantized probe may only reorder
+    // WITHIN the probed cells' candidates (quantization changes scores,
+    // never membership) — so candidates agree exactly and top-3 overlap
+    // is the measured cost of serving compressed
+    val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val fl = topSets(Similarity.IvfIndex.probe(spark, sf, idx, topK = 3))
+    val i8 = topSets(Similarity.IvfIndex.probeInt8(spark, sf, idx, topK = 3))
+    assert(fl.keySet == i8.keySet, "both lanes must answer every probe")
+    // widen both lanes to the FULL candidate set: membership must agree
+    val flAll = topSets(Similarity.IvfIndex.probe(spark, sf, idx, topK = Int.MaxValue))
+    val i8All = topSets(Similarity.IvfIndex.probeInt8(spark, sf, idx, topK = Int.MaxValue))
+    assert(flAll == i8All, "quantization must not change candidate membership")
+    val overlaps = fl.keys.toSeq.sorted.map(q => (fl(q) intersect i8(q)).size)
+    info(s"int8 top-3 overlap per probe: ${overlaps.mkString(",")} " +
+      s"(scale = ${idx.scale})")
+    // global-scale int8 keeps MOST of the ranking: require a non-trivial
+    // floor rather than a corpus-tuned exact value
+    assert(overlaps.sum >= fl.size * 2,
+      s"int8 lane lost too much ranking: $overlaps")
+  }
 }
