@@ -51,7 +51,18 @@ object BenchSlope {
     // round 8b late additions: the triangle+triads coefficient (edge-join
     // shapes), the gram-join leakage audit (corpus-sided gram stream), and
     // the fused quality battery (scan-bound + anti-join)
-    "q_g5_clustering_coeff", "q_t16_split_leakage", "q_v10_quality_checks")
+    "q_g5_clustering_coeff", "q_t16_split_leakage", "q_v10_quality_checks",
+    // round 9: the remaining round-8b queries without rows (VERDICT ask 5)
+    // — split rollup, packing window, norm profile, the three recall
+    // audits (bounded-probe all-pairs lanes), frame stats, patch tiling,
+    // spike detection —
+    "q_t15_train_split", "q_t17_pack_stats", "q_sim8_norm_profile",
+    "q_sim9_int8_recall", "q_sim10_mrl_recall", "q_mm10_png_meta",
+    "q_mm11_tile_stats", "q_w8_spike_detect",
+    // and this round's additions: cluster-routed split + keep-canonical
+    // (component machinery + pagerank over the simhash graph) and the
+    // int8-served IVF probe
+    "q_t18_cluster_split", "q_t19_keep_canonical", "q_sim11_ivf_int8")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */
