@@ -80,6 +80,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the tiny query-side scan may touch parquet:\n${scans.mkString("\n")}")
   }
 
+  test("Q-SIM11 int8 probe serves the quantized lane: cached index, one tiny parquet scan") {
+    val idx = graft.operators.Similarity.IvfIndex.build(spark, sf, lloydIters = 0)
+    val q = graft.operators.Similarity.IvfIndex.probeInt8(spark, sf, idx)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"int8 assignment must come from the cached index:\n$plan")
+    // live plan may touch parquet exactly once (the vec_id<10 probe scan) —
+    // the candidate side comes from the cached int8 lane, and the backing
+    // files of THAT cache are assignment_int8, not the float lane
+    val live = plan.split("== Initial Plan ==").head.split("InMemoryRelation").head
+    val scans = live.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 1 && scans.head.contains("LessThan(vec_id,10)"),
+      s"only the tiny query-side scan may touch parquet:\n${scans.mkString("\n")}")
+    val files = idx.qassigned.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation].location.inputFiles.toSeq
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("assignment_int8")),
+      s"the served candidates must read the int8 lane: ${files.take(3)}")
+  }
+
   test("IVF index is durable: a fresh session probes from the on-disk index") {
     import graft.operators.Similarity
     // ensure the index exists on disk (first call in this JVM builds+writes)
