@@ -644,9 +644,16 @@ object Dedup {
                         maxDriverPairs: Int): DataFrame = {
     import s.implicits._
     // persist BEFORE the bound check: the distributed path must not pay the
-    // full LSH candidate pipeline twice (once for the check, once for edges)
-    val pairs = pairGraph
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // full LSH candidate pipeline twice (once for the check, once for edges).
+    // A frame the CALLER already persisted is borrowed, not owned — qT18/
+    // qT19 keep consuming it after this returns, so the finally below must
+    // not drop their blocks (that would silently recompute the candidate
+    // join once per downstream consumer).
+    val borrowed = pairGraph.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val pairs =
+      if (borrowed) pairGraph
+      else pairGraph.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unpersist on EVERY exit (including a non-converged failure) — both
     // result paths are driver-local or localCheckpointed, so nothing
     // returned below still reads the persisted blocks
@@ -674,7 +681,7 @@ object Dedup {
         nodes.map(n => (n, find(n))).toSeq
           .toDF("id", "component").orderBy("id")
       } else starComponents(s, pairs)
-    } finally pairs.unpersist()
+    } finally { if (!borrowed) { pairs.unpersist(); () } }
   }
 
   /** Distributed connected components via alternating LARGE-STAR /
