@@ -485,9 +485,13 @@ object Dedup {
     val a = pairGraph.columns(0); val b = pairGraph.columns(1)
     // the pair frame feeds BOTH symmetrization branches — persist it first
     // or the candidate generation upstream (the simhash band join, for
-    // qG4) is computed once per branch
-    val pairs = pairGraph
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // qG4) is computed once per branch. Same borrow discipline as
+    // [[componentsOfPairs]]: a frame the caller persisted stays theirs.
+    val borrowed = pairGraph.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val pairs =
+      if (borrowed) pairGraph
+      else pairGraph.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.selectExpr(s"$a AS src", s"$b AS dst")
       .unionAll(pairs.selectExpr(s"$b AS src", s"$a AS dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -508,7 +512,10 @@ object Dedup {
       // materialize before unpersist: an action on the returned frame would
       // otherwise recompute the whole iteration chain off dropped blocks
       ranks.localCheckpoint(eager = true)
-    } finally { edges.unpersist(); deg.unpersist(); pairs.unpersist(); () }
+    } finally {
+      edges.unpersist(); deg.unpersist()
+      if (!borrowed) { pairs.unpersist(); () }
+    }
   }
 
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the

@@ -856,6 +856,23 @@ class CatalogSpec extends AnyFunSuite {
         |WHEN MATCHED THEN DELETE""".stripMargin)
     assert(spark.table("graftmi.db.docs").count() == 32)
     assert(spark.sql("SELECT raw FROM graftmi.db.docs WHERE _id = 'n1'").count() == 0)
+
+    // a NON-/id partition key: _key = id ++ pk value, so the repair's
+    // raw-derived expression must concat the pk path too
+    spark.sql("CREATE TABLE graftmi.db.parted (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/region', 'buckets'='4')")
+    spark.sql("INSERT INTO graftmi.db.parted VALUES " +
+      """('{"id":"a","region":"eu","v":1}'), ('{"id":"b","region":"us","v":2}')""")
+    Seq(("aeu", """{"id":"a","region":"eu","v":10}"""))
+      .toDF("kk", "doc").createOrReplaceTempView("mi_pk")
+    spark.sql(
+      """MERGE INTO graftmi.db.parted t USING mi_pk s
+        |ON t._key = s.kk
+        |WHEN MATCHED THEN UPDATE SET raw = s.doc""".stripMargin)
+    val av = spark.sql("SELECT raw FROM graftmi.db.parted WHERE _key = 'aeu'").collect()
+    assert(av.length == 1 && av(0).getString(0).contains("10"),
+      s"composite-key merge must land on the pk-derived _key, got ${av.toSeq}")
+    assert(spark.table("graftmi.db.parted").count() == 2)
   }
 
   test("scan statistics: sidecar-driven size/rows, point read shrinks them, small containers broadcast") {
