@@ -176,6 +176,14 @@ class PlanAuditSpec extends AnyFunSuite {
       }.flatten
       assert(files.nonEmpty && files.forall(_.contains("ivf-append")),
         s"assignment must read the appended durable index: ${files.take(3)}")
+      // the int8 lane followed the append, row-aligned: the twin is in the
+      // quantized assignment with EXACTLY vector 5's quantization (the
+      // frozen-scale quantizer is deterministic, so identical floats give
+      // identical TINYINT vectors)
+      def qvOf(id: Long): Seq[Byte] = idx.qassigned
+        .where(col("vec_id") === id).select("qv").head().getSeq[Byte](0)
+      assert(qvOf(900001L) == qvOf(5L),
+        "appended twin must carry vector 5's exact int8 quantization")
     } finally {
       prevRoot match {
         case Some(p) => sys.props("graft.ivf.root") = p
