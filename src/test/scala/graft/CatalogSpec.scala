@@ -873,6 +873,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(av.length == 1 && av(0).getString(0).contains("10"),
       s"composite-key merge must land on the pk-derived _key, got ${av.toSeq}")
     assert(spark.table("graftmi.db.parted").count() == 2)
+
+    // NOT MATCHED BY SOURCE disables group filtering (every group may
+    // rewrite), so the metadata condition rides the join alone — the
+    // full-sync MERGE shape must work on _id too
+    Seq(("d1", """{"id":"d1","v":1111}"""))
+      .toDF("k", "doc").createOrReplaceTempView("mi_sync")
+    spark.sql(
+      """MERGE INTO graftmi.db.docs t USING mi_sync s
+        |ON t._id = s.k
+        |WHEN MATCHED THEN UPDATE SET raw = s.doc
+        |WHEN NOT MATCHED THEN INSERT (raw) VALUES (s.doc)
+        |WHEN NOT MATCHED BY SOURCE AND t._id = 'd7' THEN DELETE""".stripMargin)
+    val d1s = spark.sql("SELECT raw FROM graftmi.db.docs WHERE _id = 'd1'").collect()
+    assert(d1s.length == 1 && d1s(0).getString(0).contains("1111"))
+    assert(spark.sql("SELECT raw FROM graftmi.db.docs WHERE _id = 'd7'").count() == 0,
+      "NOT MATCHED BY SOURCE delete must land through the _id condition")
+    assert(spark.table("graftmi.db.docs").count() == 31)
   }
 
   test("scan statistics: sidecar-driven size/rows, point read shrinks them, small containers broadcast") {
