@@ -408,14 +408,30 @@ final class StagedContainerTable(account: FileAccount, ident: Identifier,
     // REPLACE swaps the DATA, not the table's history: published snapshots
     // (`_snapshots/`) and the dead-letter channel (`_errors/`) are
     // container-lifetime state, so carry them into the staged tree before
-    // the swap — one rename each, no copy. Without this, RTAS would
-    // silently erase every `VERSION AS OF` tag the container ever
-    // published (the replace-preserves-history semantics time-travel
-    // tables are expected to have).
+    // the swap — renames, no copy. Without this, RTAS would silently
+    // erase every `VERSION AS OF` tag the container ever published (the
+    // replace-preserves-history semantics time-travel tables are expected
+    // to have). The AS SELECT itself can have dead-lettered rows into the
+    // STAGED `_errors` already, so when the destination exists the two
+    // channels merge child-by-child (error part files carry job-unique
+    // names; a pathological collision falls back to a disambiguated name
+    // rather than dropping history).
     Seq("_snapshots", "_errors").foreach { keep =>
       val src = new HPath(real, keep).toString
+      val dst = new HPath(dir(stagedC), keep).toString
       if (store.isDirectory(src)) {
-        store.rename(src, new HPath(dir(stagedC), keep).toString); ()
+        if (!store.isDirectory(dst)) { store.rename(src, dst); () }
+        else {
+          val children = store.listFilePaths(src) ++
+            store.listDirNames(src).map(new HPath(src, _).toString)
+          children.foreach { child =>
+            val name = new HPath(child).getName
+            if (!store.rename(child, new HPath(dst, name).toString)) {
+              store.rename(child,
+                new HPath(dst, s"pre-replace-$name").toString); ()
+            }
+          }
+        }
       }
     }
     store.deleteRecursive(real)

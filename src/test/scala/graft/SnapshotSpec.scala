@@ -382,5 +382,21 @@ class SnapshotSpec extends AnyFunSuite {
     spark.sql("CALL graftrs.system.restore('db', 'c', 'pre')")
     assert(ids(spark.sql("SELECT raw FROM graftrs.db.c")) ==
       (1 to 8).map("old" + _).toSet)
+
+    // a replace whose AS SELECT itself dead-letters: the staged _errors
+    // and the container's pre-existing _errors MERGE (both survive)
+    spark.sql("REPLACE TABLE graftrs.db.c TBLPROPERTIES ('pk'='/id') " +
+      """AS SELECT raw FROM (VALUES ('{"id":"ok1","v":1}'), ('not-json')) AS t(raw)""")
+    assert(ids(spark.sql("SELECT raw FROM graftrs.db.c")) == Set("ok1"))
+    import scala.jdk.CollectionConverters._
+    val errTexts = Files.walk(errDir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .flatMap(p => Files.readString(p).linesIterator)
+      .toSeq
+    assert(errTexts.exists(_.contains("\"bad\"")),
+      s"pre-replace dead letters must survive the swap: $errTexts")
+    assert(errTexts.exists(_.contains("not-json")),
+      s"the replace's own dead letters must survive the swap: $errTexts")
   }
 }
