@@ -62,7 +62,11 @@ object BenchSlope {
     // and this round's additions: cluster-routed split + keep-canonical
     // (component machinery + pagerank over the simhash graph) and the
     // int8-served IVF probe
-    "q_t18_cluster_split", "q_t19_keep_canonical", "q_sim11_ivf_int8")
+    "q_t18_cluster_split", "q_t19_keep_canonical", "q_sim11_ivf_int8",
+    // round-9b: the in-cell SemDeDup pair join (per-cell-squares work),
+    // the two-pass unigram LM score (token-stream shuffle + term join),
+    // and the NAAJ exclusion filter (probe-side scan + broadcast build)
+    "q_d15_semantic_dedup", "q_t20_unigram_ll", "q_j11_nullaware_anti")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

@@ -38,6 +38,7 @@ object SparkEntry {
     "q_j8_skew_join"       -> (Joins.qJ8 _),
     "q_j9_asof_join"       -> (Joins.qJ9 _),
     "q_j10_range_band"     -> (Joins.qJ10 _),
+    "q_j11_nullaware_anti" -> (Joins.qJ11 _),
     // aggregates
     "q_a1_count"           -> (Relational.qA1 _),
     "q_a2_hash_agg"        -> (Relational.qA2 _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_t17_pack_stats"     -> (TextAnalysis.qT17 _),
     "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
+    "q_t20_unigram_ll"     -> (TextAnalysis.qT20 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -123,6 +125,7 @@ object SparkEntry {
     "q_d12_chunk_dups"     -> (Dedup.qD12 _),
     "q_d13_minhash_est"    -> (Dedup.qD13 _),
     "q_d14_containment"    -> (Dedup.qD14 _),
+    "q_d15_semantic_dedup" -> (Dedup.qD15 _),
     // dup-graph structure diagnostics
     "q_g1_degree_hist"     -> (Dedup.qG1 _),
     "q_g2_triangles"       -> (Dedup.qG2 _),
@@ -210,6 +213,13 @@ object SparkEntry {
         "(SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS k, event_id FROM events) e " +
         "JOIN (SELECT o_orderkey % 1500 AS k FROM orders) o USING (k) " +
         "GROUP BY k ORDER BY k"),
+    "q_j11_nullaware_anti" -> (
+      // ANSI NOT IN three-valued logic in both engines: null-keyed probe
+      // rows (falsy-id validation nulls the key) drop out as UNKNOWN
+      "SELECT event_id FROM events " +
+        "WHERE (CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END) NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') " +
+        "ORDER BY event_id"),
     "q_j10_range_band" -> (
       // point-in-interval with no equi key: the oracle is DuckDB's native
       // IEJoin over the SAME range predicate — an independent algorithm
@@ -593,6 +603,18 @@ object SparkEntry {
       "(PARTITION BY component ORDER BY rank_e6 DESC, id) AS rn FROM mem) " +
       "SELECT component, id AS survivor_id, CAST(csize AS BIGINT) AS csize, " +
       "CAST(rank_e6 AS BIGINT) AS rank_e6 FROM pick WHERE rn = 1 ORDER BY component"),
+    "q_t20_unigram_ll" -> (
+      // unigram-LM score with integer floor-log2 (length(bin(c))-1) per
+      // token — the engine-exact surrogate for log-likelihood; sums CAST
+      // to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT)
+      "WITH tf AS (SELECT doc_id, w, count(1) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t " +
+        "WHERE w <> '' GROUP BY doc_id, w), " +
+        "uni AS (SELECT w, length(bin(CAST(sum(tf) AS BIGINT))) - 1 AS bits " +
+        "FROM tf GROUP BY w) " +
+        "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, " +
+        "CAST((sum(tf.tf * uni.bits) * 1000) // sum(tf.tf) AS BIGINT) AS ll_pm " +
+        "FROM tf JOIN uni USING (w) GROUP BY tf.doc_id ORDER BY doc_id"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
@@ -785,6 +807,30 @@ object SparkEntry {
       "FROM cand c JOIN sig sx ON c.a_id = sx.doc_id JOIN sig sy ON c.b_id = sy.doc_id " +
       "JOIN gs x ON c.a_id = x.doc_id JOIN gs y ON c.b_id = y.doc_id) " +
       "SELECT a_id, b_id, est_e4, jac_e4, abs(est_e4 - jac_e4) AS err_e4 FROM p ORDER BY a_id, b_id"),
+    "q_d15_semantic_dedup" -> (
+      // SemDeDup: seeded k-means cells (q_sim3's assignment CTE verbatim),
+      // in-cell pairs only, cosine >= 0.4, keep-first prune accounting
+      "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "p2 AS (SELECT x.cid AS cell, x.vec_id AS a_id, y.vec_id AS b_id, " +
+        "a.embedding AS ea, b.embedding AS eb " +
+        "FROM cell x JOIN cell y ON x.cid = y.cid AND x.vec_id < y.vec_id " +
+        "JOIN embeddings a ON a.vec_id = x.vec_id JOIN embeddings b ON b.vec_id = y.vec_id), " +
+        "u2 AS (SELECT cell, a_id, b_id, unnest(generate_series(1, 64)) AS i, ea, eb FROM p2), " +
+        "s2 AS (SELECT cell, a_id, b_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+        "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb " +
+        "FROM u2 GROUP BY cell, a_id, b_id), " +
+        "dup AS (SELECT cell, a_id, b_id FROM s2 WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4), " +
+        "sizes AS (SELECT cid AS cell, count(1) AS n_vecs FROM cell GROUP BY cid), " +
+        "ps AS (SELECT cell, count(1) AS np, count(DISTINCT b_id) AS npr FROM dup GROUP BY cell) " +
+        "SELECT sz.cell, sz.n_vecs, CAST(coalesce(ps.np, 0) AS BIGINT) AS n_dup_pairs, " +
+        "CAST(coalesce(ps.npr, 0) AS BIGINT) AS n_pruned, " +
+        "CAST(((sz.n_vecs - coalesce(ps.npr, 0)) * 1000) // sz.n_vecs AS BIGINT) AS keep_pm " +
+        "FROM sizes sz LEFT JOIN ps USING (cell) ORDER BY cell"),
     "q_d14_containment" -> (
       // q_d10's block-key candidates, verified with ASYMMETRIC containment
       // |A∩B| / min(|A|,|B|) — integer-DIV e4 fixed point, engine-exact

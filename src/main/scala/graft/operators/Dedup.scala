@@ -807,4 +807,55 @@ object Dedup {
         "diameter exceeds the cap; use starComponents")
     labels.select(col("id"), col("lbl").as("component")).orderBy("id")
   }
+
+  /** Q-D15 — SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a k-means coarse
+    * quantizer, then prune near-duplicates WITHIN each cluster only — the
+    * third embedding-dedup posture next to the declared-bounded exact
+    * baseline [[qD7]] and the banded sign-LSH [[qD8]]. Where LSH bands
+    * gate on random projections, SemDeDup gates on the learned cluster
+    * structure: candidate generation is Σ|cell|², never n², and the cells
+    * ARE the [[Similarity.IvfIndex]] cells — the durable, seeded,
+    * oracle-checkable quantizer qSim3 serves ANN from, so the dedup pass
+    * reuses the index's cell-partitioned assignment with ZERO extra corpus
+    * passes (build is memoized + durable; a warm session reads nothing).
+    *
+    * Prune rule (deterministic keep-first): within a cell, a vector is
+    * pruned iff some LOWER-id member of the same cell is cosine-≥-0.4
+    * similar to it — every dup family keeps exactly its minimum id, and
+    * the verdict is engine-exact (the oracle replays seeds → assignment →
+    * in-cell pairs). Declared tradeoff vs [[qD7]]: pairs split across a
+    * cell boundary are not candidates (the SemDeDup contract; recall rises
+    * with fewer/larger cells, cost with more).
+    *
+    * Output: per-cell corpus accounting — members, qualifying in-cell dup
+    * pairs, pruned count, and kept per-mille in integer DIV — the numbers
+    * a curation run reports before dropping the pruned ids.
+    *
+    * Scale shape: assignment is the index's cached cell-partitioned frame;
+    * the in-cell self-join shuffles on `cell` (the SMJ sides are the same
+    * cached subtree), K grows ~√N with the corpus so cells stay bounded;
+    * the stats are one agg each over cell-sized frames. */
+  def qD15(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = Similarity.IvfIndex.build(s, dir, lloydIters = 0)
+    val a = idx.assigned.selectExpr("cell", "vec_id AS a_id", "embedding AS ea")
+    val b = idx.assigned.selectExpr("cell AS b_cell", "vec_id AS b_id",
+      "embedding AS eb")
+    val dupPairs = a.hint("merge")
+      .join(b, col("cell") === col("b_cell") && col("a_id") < col("b_id"))
+      .where(expr("cosine_sim(ea, eb)") >= 0.4)
+      .select("cell", "a_id", "b_id")
+    // one agg computes both counters: pair count + distinct pruned ids
+    // (b_id is the higher id of each pair = the pruned side of keep-first)
+    val pstats = dupPairs.groupBy("cell")
+      .agg(count(lit(1)).as("np"), countDistinct("b_id").as("npr"))
+    idx.assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .join(pstats, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("np"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("npr"), lit(0L)).as("n_pruned"),
+        expr("((n_vecs - coalesce(npr, 0L)) * 1000) DIV n_vecs").as("keep_pm"))
+      .orderBy("cell")
+  }
 }

@@ -216,4 +216,35 @@ object Joins {
           "bit_xor((event_id % 1000003) * 100003 + (o_orderkey % 100003))"),
           lit(0L)).as("h"))
   }
+
+  /** Q-J11 — NULL-AWARE anti join (`NOT IN (subquery)`): the exclusion
+    * filter with three-valued-logic semantics — a probe row whose key is
+    * NULL, or ANY null in the build side, makes the predicate UNKNOWN and
+    * drops the row. This is a DIFFERENT physical operator from [[qJ3]]'s
+    * plain LEFT ANTI (which KEEPS null-keyed probe rows — null never
+    * equi-matches): Spark plans the single-column form as
+    * `BroadcastHashJoin ... LeftAnti, BuildRight, NAAJ` — the O(1)-per-probe
+    * hash form of a predicate that otherwise degenerates to a
+    * BroadcastNestedLoopJoin (the null check must consult the WHOLE build
+    * side). The probe key models the reference's falsy-id validation
+    * (`/root/reference/src/migration.py:92-97` — documents with
+    * missing/falsy ids route to an error channel, not the merge): ids
+    * failing the validity rule become NULL, and NOT IN's UNKNOWN semantics
+    * is exactly "an unvalidatable id asserts nothing" — those rows drop
+    * rather than pass as not-matched.
+    *
+    * Scale: the build side is an aggregated key set (distinct custkeys of
+    * 'F'-status orders), orders of magnitude below the fact table — the
+    * broadcast is the right plan at 100 TB, and the probe side streams
+    * map-only. PlanAuditSpec pins the NAAJ (no nested-loop fallback);
+    * SmokeSpec contrasts against plain LEFT ANTI on the same key. */
+  def qJ11(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_j11_events")
+    Tables.orders(s, d).createOrReplaceTempView("graft_j11_orders")
+    s.sql(
+      """SELECT event_id FROM graft_j11_events
+        |WHERE (CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END) NOT IN
+        |  (SELECT o_custkey FROM graft_j11_orders WHERE o_orderstatus = 'F')
+        |ORDER BY event_id""".stripMargin)
+  }
 }

@@ -614,4 +614,36 @@ object TextAnalysis {
         .localCheckpoint(eager = true)
     } finally { pairs.unpersist(); () }
   }
+
+  /** Q-T20 — unigram language-model quality score, the CCNet-style
+    * perplexity filter (Wenzek et al. 2020) with a SELF-TRAINED model: a
+    * document built from corpus-frequent tokens scores high ("natural"
+    * text under the corpus distribution), one built from rare tokens —
+    * OCR noise, lexicon soup, wrong-language fragments — scores low.
+    * CCNet thresholds KenLM log-likelihood; transcendental log() is not
+    * bit-stable across engines ([[qT9]]'s idf lesson), so the per-token
+    * log2(count) is the INTEGER floor form `length(bin(c)) - 1` — exact in
+    * both engines, monotone in c, which is all a rank-and-threshold filter
+    * consumes. Score = mean bits per token, integer per-mille.
+    *
+    * Scale: one explode-shuffle builds per-(doc, term) tf with map-side
+    * combine ([[qT9]]'s shape); the unigram table reduces the tf frame
+    * (term-sized); scoring joins tf — doc×DISTINCT-term rows, far below
+    * the token stream — to the term table on the term key and reduces per
+    * doc. No token-stream re-shuffle, no driver-side model. */
+  def qT20(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy("w").agg(sum("tf").as("c"))
+      .select(col("w"), (length(expr("bin(c)")) - 1).cast("long").as("bits"))
+    tf.join(uni, "w")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(sum_bits * 1000) DIV n_tokens").as("ll_pm"))
+      .orderBy("doc_id")
+  }
 }

@@ -900,6 +900,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only language-keyed exchanges expected:\n${hashEx.mkString("\n")}")
   }
 
+  test("Q-J11 NOT IN plans as a broadcast NAAJ, never a nested-loop join") {
+    val q = Joins.qJ11(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as the
+    // trailing boolean: "... LeftAnti, BuildRight, true"
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN must plan as a null-aware BroadcastHashJoin:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the NAAJ optimization must apply — nested-loop consults the whole " +
+        s"build side per probe row:\n$plan")
+  }
+
+  test("Q-D15 semantic dedup runs off the cached IVF assignment — no corpus pass") {
+    val q = graft.operators.Dedup.qD15(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"cells must come from the durable index's cached assignment:\n$plan")
+    // live plan (before the InMemoryRelation nodes re-print their stored
+    // build plans): zero parquet scans — unlike the probe queries there is
+    // no query side, so NOTHING may touch parquet here
+    val live = plan.split("== Initial Plan ==").head.split("InMemoryRelation").head
+    val scans = live.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.isEmpty,
+      s"the dedup pass must add zero corpus reads:\n${scans.mkString("\n")}")
+  }
+
+  test("Q-T20 unigram model: map-side combine on both aggregation passes") {
+    val q = graft.operators.TextAnalysis.qT20(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // tf: partial_count below the (doc_id, w) exchange; doc score:
+    // partial_sum below the doc_id exchange — the token stream shuffles once
+    assert(plan.contains("partial_count"), s"tf must combine map-side:\n$plan")
+    assert(plan.contains("partial_sum"), s"doc score must combine map-side:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "floor-log2 must stay in builtin expressions")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),

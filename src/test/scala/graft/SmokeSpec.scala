@@ -42,6 +42,55 @@ class SmokeSpec extends AnyFunSuite {
       graft.core.Tables.documents(spark, sf).count())
   }
 
+  test("q_j11: NOT IN is null-aware — null-keyed probe rows drop, unlike LEFT ANTI") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val nulledKey = expr("CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END")
+    val e = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), nulledKey.as("k"))
+    val nullIds = e.where(col("k").isNull).collect().map(_.getLong(0)).toSet
+    assert(nullIds.nonEmpty, "fixture must null some keys or the test is vacuous")
+    val naaj = graft.operators.Joins.qJ11(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(naaj.intersect(nullIds).isEmpty,
+      "NOT IN must drop null-keyed probe rows (three-valued logic)")
+    // the contrast that makes this a DIFFERENT operator: plain LEFT ANTI on
+    // the SAME key KEEPS the null-keyed rows (null never equi-matches)
+    val f = graft.core.Tables.orders(spark, sf)
+      .where(col("o_orderstatus") === "F").select("o_custkey")
+    val anti = e.join(f, col("k") === col("o_custkey"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(nullIds.subsetOf(anti), "LEFT ANTI keeps null-keyed probe rows")
+    assert(naaj == anti -- nullIds,
+      "NAAJ differs from LEFT ANTI by exactly the null-keyed rows (no build-side nulls)")
+  }
+
+  test("q_d15: keep-first accounting — min member survives, corpus accounted") {
+    val rows = graft.operators.Dedup.qD15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nv = r.getAs[Long]("n_vecs"); val np = r.getAs[Long]("n_pruned")
+      assert(np < nv, "a cell's minimum id is never a pair's b_id — it survives")
+      assert(np <= r.getAs[Long]("n_dup_pairs"), "each pruned id has >= 1 pair")
+      assert(r.getAs[Long]("keep_pm") == ((nv - np) * 1000) / nv)
+    }
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      graft.core.Tables.embeddings(spark, sf).count(),
+      "every vector is assigned to exactly one cell")
+  }
+
+  test("q_t20: unigram score brackets and discriminates") {
+    val rows = graft.operators.TextAnalysis.qT20(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      // bits/token is in [0, 63]: per-mille score in [0, 63000]
+      val pm = r.getAs[Long]("ll_pm")
+      assert(pm >= 0 && pm <= 63000)
+    }
+    // the filter must discriminate, not emit a constant
+    assert(rows.map(_.getAs[Long]("ll_pm")).distinct.length > 1,
+      "scores must vary across documents")
+  }
+
   test("q_t19: one survivor per dup family, member of its own component") {
     val rows = graft.operators.TextAnalysis.qT19(spark, sf).collect()
     assert(rows.nonEmpty)
