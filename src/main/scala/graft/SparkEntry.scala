@@ -109,6 +109,8 @@ object SparkEntry {
     "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
     "q_t20_unigram_ll"     -> (TextAnalysis.qT20 _),
+    "q_t21_bm25"           -> (TextAnalysis.qT21 _),
+    "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -126,6 +128,7 @@ object SparkEntry {
     "q_d13_minhash_est"    -> (Dedup.qD13 _),
     "q_d14_containment"    -> (Dedup.qD14 _),
     "q_d15_semantic_dedup" -> (Dedup.qD15 _),
+    "q_d16_boilerplate"    -> (Dedup.qD16 _),
     // dup-graph structure diagnostics
     "q_g1_degree_hist"     -> (Dedup.qG1 _),
     "q_g2_triangles"       -> (Dedup.qG2 _),
@@ -145,6 +148,7 @@ object SparkEntry {
     "q_sim9_int8_recall"   -> (Similarity.qSim9 _),
     "q_sim10_mrl_recall"   -> (Similarity.qSim10 _),
     "q_sim11_ivf_int8"     -> (Similarity.qSim11 _),
+    "q_sim12_range_search" -> (Similarity.qSim12 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -615,6 +619,31 @@ object SparkEntry {
         "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, " +
         "CAST((sum(tf.tf * uni.bits) * 1000) // sum(tf.tf) AS BIGINT) AS ll_pm " +
         "FROM tf JOIN uni USING (w) GROUP BY tf.doc_id ORDER BY doc_id"),
+    "q_t21_bm25" -> (
+      // Okapi BM25 with k1=6/5, b=3/4 in exact rational form (see the
+      // qT21 scaladoc for the algebra); query = the 3 terms with df
+      // closest to N/2. DuckDB `//` = Spark DIV; sums CAST to BIGINT.
+      "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf FROM tok WHERE w <> '' GROUP BY doc_id, w), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
+        "tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(1) AS BIGINT) AS n FROM dl), " +
+        "dfreq AS (SELECT w, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY w), " +
+        "qt AS (SELECT w, df FROM dfreq, tot ORDER BY abs(2 * df - n), w LIMIT 3), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "((2 * (n - df) + 1) * 1000) // (2 * df + 1) AS idf_s, " +
+        "(22000 * tf * t) // (10 * tf * t + 3 * t + 9 * dl.dl * n) AS tfpart " +
+        "FROM tf JOIN qt USING (w) JOIN dl USING (doc_id), tot) " +
+        "SELECT doc_id, CAST(count(1) AS BIGINT) AS n_hit, " +
+        "CAST(sum(idf_s * tfpart) AS BIGINT) AS bm25_s " +
+        "FROM sc GROUP BY doc_id ORDER BY bm25_s DESC, doc_id LIMIT 20"),
+    "q_t22_mix_weights" -> (
+      "WITH pl AS (SELECT lang, CAST(count(1) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS tokens " +
+        "FROM documents GROUP BY lang), " +
+        "tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t, CAST(count(1) AS BIGINT) AS l FROM pl) " +
+        "SELECT lang, n_docs, tokens, (tokens * 1000) // t AS share_pm, " +
+        "(t * 1000) // (l * tokens) AS weight_pm " +
+        "FROM pl, tot ORDER BY lang"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
@@ -831,6 +860,14 @@ object SparkEntry {
         "CAST(coalesce(ps.npr, 0) AS BIGINT) AS n_pruned, " +
         "CAST(((sz.n_vecs - coalesce(ps.npr, 0)) * 1000) // sz.n_vecs AS BIGINT) AS keep_pm " +
         "FROM sizes sz LEFT JOIN ps USING (cell) ORDER BY cell"),
+    "q_d16_boilerplate" -> (
+      // q_t11's 8-gram kernel, per-doc DISTINCT, shared-by->=3-docs filter
+      "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+        "FROM tok WHERE len(w) >= 8), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM ix), " +
+        "c AS (SELECT gram, CAST(count(1) AS BIGINT) AS df FROM g GROUP BY gram) " +
+        "SELECT gram, df FROM c WHERE df >= 3 ORDER BY df DESC, gram LIMIT 20"),
     "q_d14_containment" -> (
       // q_d10's block-key candidates, verified with ASYMMETRIC containment
       // |A∩B| / min(|A|,|B|) — integer-DIV e4 fixed point, engine-exact
@@ -869,6 +906,13 @@ object SparkEntry {
         ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim12_range_search" -> (
+      // q_sim1's pair/cosine kernel with a radius filter instead of top-k
+      "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        cosineSumSql +
+        " SELECT a_id AS q_id, b_id AS n_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim " +
+        "FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.3 ORDER BY q_id, n_id"),
     "q_sim6_filtered_knn" -> (
       // same shape as q_sim1 with the metadata PRE-filter in the pair
       // predicate: neighbors must share the query's label

@@ -858,4 +858,29 @@ object Dedup {
         expr("((n_vecs - coalesce(npr, 0L)) * 1000) DIV n_vecs").as("keep_pm"))
       .orderBy("cell")
   }
+
+  /** q_d16 — BOILERPLATE / TEMPLATE DETECTION: 8-token shingles shared by
+    * ≥ 3 distinct documents, top-20 by document frequency (tiebreak
+    * lexicographic). Cross-document repeated substrings are boilerplate —
+    * navigation chrome, license headers, templated paragraphs — and the
+    * C4/RefinedWeb-style cleaning pass removes THE SPAN, not the document,
+    * so the detector must surface the spans themselves; whole-doc dedup
+    * (q_d1) and near-dup (q_d4/q_d6) can't see a template pasted into
+    * otherwise-distinct pages.
+    *
+    * Scale: one gram explode (the [[TextAnalysis.qT11]] kernel) with a
+    * per-doc DISTINCT folded into the first hash aggregation, then a
+    * gram-keyed count — work is corpus-linear in total grams, and the
+    * df ≥ 3 filter drops the long singleton tail BEFORE the top-20
+    * TakeOrdered (no global sort). At 100 TB the same plan runs with the
+    * gram string replaced by its 128-bit hash (group by hash, carry one
+    * example string via `min(gram)`) so the shuffle rows stay fixed-width;
+    * the sf-scale form keeps the string for oracle readability. */
+  def qD16(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenGrams(Tables.documents(s, dir))
+      .select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 3)
+      .orderBy(desc("df"), col("gram"))
+      .limit(20)
 }

@@ -778,4 +778,29 @@ object Similarity {
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("overlap_at_10"))
       .orderBy("q_id")
   }
+
+  /** q_sim12 — RANGE (radius) SEARCH: every corpus vector within cosine
+    * ≥ 0.3 of each probe, the other half of the vector-search API surface
+    * (top-k answers "the k nearest"; range answers "ALL near enough" —
+    * duplicate sweeps, abuse-cluster expansion, and recall-oriented
+    * retrieval want the latter, where k is unknowable a priori).
+    *
+    * Scale: [[qSim1]]'s exact shape minus the window — probes broadcast,
+    * the corpus streams ONCE map-only through the broadcast join, and the
+    * threshold filters inline, so there is no per-query ranking state at
+    * all (cheaper than top-k at scale: no partitioned sort, output bounded
+    * by the radius). The IVF route composes identically for selective
+    * radii: rank cells by centroid similarity, probe until a cell's best
+    * possible member falls below τ. */
+  def qSim12(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.selectExpr("vec_id AS q_id", "embedding AS eq").where(col("q_id") < 10)
+    val c = e.selectExpr("vec_id AS n_id", "embedding AS en")
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("sim_raw", expr("cosine_sim(eq, en)"))
+      .where(col("sim_raw") >= 0.3)
+      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim")
+      .orderBy("q_id", "n_id")
+  }
 }

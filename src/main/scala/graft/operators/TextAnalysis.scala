@@ -86,7 +86,7 @@ object TextAnalysis {
     * final one-column gram stream. Documents under 8 tokens contribute
     * nothing (`sequence(1, n)` with n < 1 would generate DESCENDING —
     * guard, don't rely on it). */
-  private def tokenGrams(docs: DataFrame): DataFrame =
+  private[operators] def tokenGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= 8,
           expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
@@ -645,5 +645,79 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         expr("(sum_bits * 1000) DIV n_tokens").as("ll_pm"))
       .orderBy("doc_id")
+  }
+
+  /** Q-T21 — BM25 TERM-MATCH RETRIEVAL: score every document against a
+    * query, Okapi BM25 (k1 = 1.2, b = 0.75), top-20 docs. The lexical
+    * retrieval baseline every RAG / retrieval-eval pipeline runs next to
+    * its vector index — a corpus engine that serves kNN (q_sim1) but not
+    * BM25 can't reproduce the standard hybrid-retrieval comparison.
+    *
+    * The query is data-derived for self-containment: the 3 terms whose
+    * document frequency is closest to N/2 (maximally discriminative — a
+    * df≈N/2 term splits the corpus in half), tiebreak lexicographic.
+    *
+    * Exactness: BM25 is rational once ln is replaced by the Robertson
+    * idf's integer surrogate. With k1 = 6/5, b = 3/4 and avgdl = T/N:
+    *   tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl)
+    *     = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)   — integers throughout;
+    *   idf_s = ((2(N−df)+1)·1000) DIV (2·df+1)  ≈ 1000·(N−df+½)/(df+½).
+    * Both factors are engine-exact BIGINT arithmetic (per-mille scaled),
+    * so the oracle hash-matches without any float tolerance.
+    *
+    * Scale: one tokenize-explode with map-side partial agg (the qX4
+    * shape); df and the query pick reduce the term-sized frame, not the
+    * corpus; (N, T) is a 1-row broadcast; scoring joins tf against 3
+    * broadcast terms — corpus-linear, and the final top-20 is a
+    * TakeOrdered, not a global sort. */
+  def qT21(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tot = dl.agg(sum("dl").as("t"), count(lit(1)).as("n"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val qt = dfreq.crossJoin(broadcast(tot))
+      .orderBy(abs(col("df") * 2 - col("n")), col("w"))
+      .limit(3)
+      .select("w", "df")
+    tf.join(broadcast(qt), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr("((2 * (n - df) + 1) * 1000) DIV (2 * df + 1)").as("idf_s"),
+        expr("(22000 * tf * t) DIV (10 * tf * t + 3 * t + 9 * dl * n)")
+          .as("tfpart"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"),
+        sum(col("idf_s") * col("tfpart")).as("bm25_s"))
+      .orderBy(desc("bm25_s"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** Q-T22 — TRAINING-MIX REWEIGHTING: per-language token mass, corpus
+    * share, and the importance weight that flattens the mix to uniform
+    * (weight ∝ target_share / actual_share with a uniform target across
+    * the observed languages — the DoReMi-style baseline a mixture-tuning
+    * run starts from, and the number a sampling loader multiplies into
+    * each domain's pick probability). Integer per-mille throughout:
+    * share_pm = 1000·tokens/T, weight_pm = 1000·T/(L·tokens).
+    *
+    * Scale: one tokenize pass reduced to a language-sized frame (L rows);
+    * the (T, L) totals re-aggregate THAT frame, not the corpus — the
+    * second pass is over ~hundreds of rows regardless of corpus size. */
+  def qT22(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .select(col("lang"),
+        size(filter(split(lower(col("text")), " "), w => w =!= "")).cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+    val tot = perLang.agg(sum("tokens").as("t"), count(lit(1)).as("l"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        expr("(tokens * 1000) DIV t").as("share_pm"),
+        expr("(t * 1000) DIV (l * tokens)").as("weight_pm"))
+      .orderBy("lang")
   }
 }
