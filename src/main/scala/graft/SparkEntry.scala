@@ -87,6 +87,7 @@ object SparkEntry {
     "q_v9_heavy_hitters"   -> (Relational.qV9 _),
     // data-quality constraint battery (null/range/sign/RI/pk-unique)
     "q_v10_quality_checks" -> (Relational.qV10 _),
+    "q_v11_kmv_overlap"    -> (Relational.qV11 _),
     // text analysis (LLM-pipeline battery)
     "q_x4_term_freq"       -> (TextAnalysis.qX4 _),
     "q_t1_lang_id"         -> (TextAnalysis.qT1 _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_t20_unigram_ll"     -> (TextAnalysis.qT20 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
+    "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -404,6 +406,30 @@ object SparkEntry {
         "UNION ALL SELECT 'orders_orphan_custkey', CAST(orphans AS BIGINT) FROM orph " +
         "UNION ALL SELECT 'orders_dup_pk', CAST(dup_pk AS BIGINT) FROM dup) " +
         "ORDER BY chk"),
+    "q_v11_kmv_overlap" -> (
+      // KMV k=16 sketches over md5h32(user_id), union = k smallest of the
+      // sketch union, intersection via the rho estimator with the |kmv(U)|
+      // denominator (collapses to exact when under-full); exact truth
+      // alongside (the q_d13 audit pattern). M = 2^32.
+      "WITH ah AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h " +
+        "FROM events WHERE event_type = 'click'), " +
+        "bh AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "ka AS (SELECT h FROM ah ORDER BY h LIMIT 16), " +
+        "kb AS (SELECT h FROM bh ORDER BY h LIMIT 16), " +
+        "ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) t ORDER BY h LIMIT 16), " +
+        "ea AS (SELECT CASE WHEN count(1) < 16 THEN count(1) ELSE (15 * 4294967296) // max(h) END AS est_a FROM ka), " +
+        "eb AS (SELECT CASE WHEN count(1) < 16 THEN count(1) ELSE (15 * 4294967296) // max(h) END AS est_b FROM kb), " +
+        "ug AS (SELECT count(1) AS s_u, max(h) AS mx_u FROM ku), " +
+        "eu AS (SELECT CASE WHEN s_u < 16 THEN s_u ELSE (15 * 4294967296) // mx_u END AS est_union, s_u FROM ug), " +
+        "rh AS (SELECT count(1) AS rho FROM ku WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)), " +
+        "exu AS (SELECT count(DISTINCT user_id) AS exact_union FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "exi AS (SELECT count(1) AS exact_inter FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' " +
+        "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t) " +
+        "SELECT CAST(16 AS BIGINT) AS k, CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b, " +
+        "CAST(est_union AS BIGINT) AS est_union, CAST((rho * est_union) // s_u AS BIGINT) AS est_inter, " +
+        "CAST(exact_union AS BIGINT) AS exact_union, CAST(exact_inter AS BIGINT) AS exact_inter " +
+        "FROM ea, eb, eu, rh, exu, exi"),
     "q_w7_cumulative_users" -> (
       "WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id), " +
         "nd AS (SELECT day, count(1) AS n_new FROM fd GROUP BY day) " +
@@ -644,6 +670,31 @@ object SparkEntry {
         "SELECT lang, n_docs, tokens, (tokens * 1000) // t AS share_pm, " +
         "(t * 1000) // (l * tokens) AS weight_pm " +
         "FROM pl, tot ORDER BY lang"),
+    "q_t23_rrf_fusion" -> (
+      // RRF (k=60) over two top-100 candidate lists: qT2's integer quality
+      // composite and qT20's unigram-LM score; absent rank contributes 0
+      "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS w, " +
+        "CAST(n_chars AS BIGINT) AS nc, " +
+        "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','of','and','to','in','is','it'))) AS h " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, (20000 * (5 * least(w, 100) * w + 300 * h + 20 * least(nc, 10 * w)) + 1000 * w) " +
+        "// (2000 * w) AS q10k FROM t), " +
+        "qr AS (SELECT doc_id, row_number() OVER (ORDER BY q10k DESC, doc_id) AS r_q " +
+        "FROM q ORDER BY q10k DESC, doc_id LIMIT 100), " +
+        "tf AS (SELECT doc_id, w, count(1) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) x " +
+        "WHERE w <> '' GROUP BY doc_id, w), " +
+        "uni AS (SELECT w, length(bin(CAST(sum(tf) AS BIGINT))) - 1 AS bits FROM tf GROUP BY w), " +
+        "ll AS (SELECT tf.doc_id, CAST((sum(tf.tf * uni.bits) * 1000) // sum(tf.tf) AS BIGINT) AS ll_pm " +
+        "FROM tf JOIN uni USING (w) GROUP BY tf.doc_id), " +
+        "lr AS (SELECT doc_id, row_number() OVER (ORDER BY ll_pm DESC, doc_id) AS r_l " +
+        "FROM ll ORDER BY ll_pm DESC, doc_id LIMIT 100), " +
+        "f AS (SELECT coalesce(qr.doc_id, lr.doc_id) AS doc_id, " +
+        "CAST(coalesce(r_q, 0) AS BIGINT) AS r_q, CAST(coalesce(r_l, 0) AS BIGINT) AS r_l, " +
+        "coalesce(1000000 // (60 + r_q), 0) + coalesce(1000000 // (60 + r_l), 0) AS rrf_s " +
+        "FROM qr FULL OUTER JOIN lr ON qr.doc_id = lr.doc_id) " +
+        "SELECT doc_id, r_q, r_l, CAST(rrf_s AS BIGINT) AS rrf_s " +
+        "FROM f ORDER BY rrf_s DESC, doc_id LIMIT 20"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +

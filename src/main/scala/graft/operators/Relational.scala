@@ -336,6 +336,65 @@ object Relational {
       .orderBy("chk")
   }
 
+  /** Q-V11 — KMV (k-minimum-values) DISTINCT SKETCH with SET ALGEBRA:
+    * estimate |clickers|, |purchasers|, |union| and |intersection| from
+    * three k=16 sketches, next to the exact truth (the q_d13-style
+    * estimator audit). KMV is the sketch HLL can't replace: two KMV
+    * sketches support union AND intersection estimation (Beyer et al.,
+    * "Distinct-value synopses for multiset operations"), which is how an
+    * engine prices a join's distinct-key overlap without scanning either
+    * side twice.
+    *
+    * Estimator (hash space M = 2^32, md5-prefix hashes, k-th minimum
+    * m_k = max of the k-smallest sketch):
+    *   est(S)    = (k−1)·M DIV m_k          (exact |H(S)| when under-full)
+    *   kmv(A∪B)  = k smallest of kmv(A) ∪ kmv(B)   (mergeable)
+    *   est(A∩B)  = ρ·est(A∪B) DIV |kmv(A∪B)|, ρ = |kmv(A∪B) ∩ kmv(A) ∩ kmv(B)|
+    * The |kmv| denominator (not k) makes the under-full case collapse to
+    * the exact intersection — one formula, both regimes; sf0.001 (15
+    * users < k) exercises the exact branch, sf0.01+ the estimator.
+    *
+    * Scale: each sketch is a TakeOrdered(k) over a distinct-hash frame —
+    * per-partition k-smallest then a k·P-row merge, the mergeable-summary
+    * shape; everything after the sketches touches ≤ 3k rows. The exact
+    * columns exist for the audit and stay feasible at any SF (two
+    * distinct-aggregates); a production run would drop them. */
+  def qV11(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val ev = Tables.events(s, d)
+    def hs(t: String, c: String): DataFrame =
+      ev.where(col("event_type") === t)
+        .selectExpr(graft.functions.Hashing.md5h32("CAST(user_id AS STRING)") + s" AS $c")
+        .distinct()
+    def kmv(f: DataFrame, c: String): DataFrame = f.orderBy(c).limit(k)
+    val ka = kmv(hs("click", "ha"), "ha")
+    val kb = kmv(hs("purchase", "hb"), "hb")
+    val ku = kmv(ka.select(col("ha").as("h")).union(kb.select(col("hb").as("h")))
+      .distinct(), "h")
+    def estOf(f: DataFrame, c: String, out: String): DataFrame =
+      f.agg(count(lit(1)).as("n"), max(col(c)).as("mx"))
+        .selectExpr(s"CASE WHEN n < $k THEN n ELSE " +
+          s"(($k - 1) * CAST(4294967296 AS BIGINT)) DIV mx END AS $out")
+    val uAgg = ku.agg(count(lit(1)).as("s_u"), max("h").as("mx_u"))
+    val rho = ku.join(ka, col("h") === col("ha"), "left_semi")
+      .join(kb, col("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("rho"))
+    def users(t: String): DataFrame =
+      ev.where(col("event_type") === t).select("user_id").distinct()
+    val exU = users("click").union(users("purchase")).distinct()
+      .agg(count(lit(1)).as("exact_union"))
+    val exI = users("click").join(users("purchase"), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("exact_inter"))
+    estOf(ka, "ha", "est_a").crossJoin(estOf(kb, "hb", "est_b"))
+      .crossJoin(uAgg).crossJoin(rho).crossJoin(exU).crossJoin(exI)
+      .selectExpr(s"CAST($k AS BIGINT) AS k", "est_a", "est_b",
+        s"CASE WHEN s_u < $k THEN s_u ELSE " +
+          s"(($k - 1) * CAST(4294967296 AS BIGINT)) DIV mx_u END AS est_union",
+        "s_u", "rho", "exact_union", "exact_inter")
+      .selectExpr("k", "est_a", "est_b", "est_union",
+        "(rho * est_union) DIV s_u AS est_inter", "exact_union", "exact_inter")
+  }
+
   /** Q-A7 — TPC-H Q3 shape: the canonical 3-table analytics query
     * (selective dim filter → fact join → fact join → grouped measure →
     * top-k), the "real BI query" the rest of the inventory composes into.

@@ -720,4 +720,46 @@ object TextAnalysis {
         expr("(t * 1000) DIV (l * tokens)").as("weight_pm"))
       .orderBy("lang")
   }
+
+  /** Q-T23 — RECIPROCAL-RANK-FUSION data selection: fuse two independent
+    * document rankings — the [[qT2]] composite quality score and the
+    * [[qT20]] unigram-LM score — into one selection order via RRF
+    * (Cormack et al.: score = Σ 1/(60 + rank)), top-20 fused picks. The
+    * standard way to combine incomparable quality signals without
+    * calibrating them onto one scale; the same fusion serves hybrid
+    * retrieval (BM25 list + vector list) — [[qT21]] and
+    * [[graft.operators.Similarity.qSim1]] produce exactly such lists.
+    *
+    * Integer-exact: ranks are integers, each RRF term is
+    * 1000000 DIV (60 + r), absent-from-one-list contributes 0 (rank
+    * reported as 0). Fusion happens over each signal's top-100 CANDIDATE
+    * LIST, not the whole corpus — so the only corpus-wide work is two
+    * TakeOrdered(100) passes (distributed k-smallest merges, no global
+    * sort), and the rank windows run over 100-row frames that are
+    * driver-sized BY CONSTRUCTION (the unpartitioned window is bounded,
+    * not a scale hazard). */
+  def qT23(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val cand = 100
+    val q10k = Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang_hits(text).n AS w",
+        "CAST(n_chars AS BIGINT) AS nc", "lang_hits(text).en AS h")
+      .selectExpr("doc_id",
+        "(20000 * (5 * least(w, 100) * w + 300 * h + 20 * least(nc, 10 * w)) + 1000 * w) " +
+          "DIV (2000 * w) AS q10k")
+      .orderBy(desc("q10k"), col("doc_id")).limit(cand)
+      .withColumn("r_q", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("q10k"), col("doc_id"))))
+      .select("doc_id", "r_q")
+    val ll = qT20(s, dir)
+      .orderBy(desc("ll_pm"), col("doc_id")).limit(cand)
+      .withColumn("r_l", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("ll_pm"), col("doc_id"))))
+      .select("doc_id", "r_l")
+    q10k.join(ll, Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id", "coalesce(r_q, 0L) AS r_q", "coalesce(r_l, 0L) AS r_l",
+        "coalesce(1000000 DIV (60 + r_q), 0L) + coalesce(1000000 DIV (60 + r_l), 0L) AS rrf_s")
+      .orderBy(desc("rrf_s"), col("doc_id"))
+      .limit(20)
+  }
 }
