@@ -66,7 +66,16 @@ object BenchSlope {
     // round-9b: the in-cell SemDeDup pair join (per-cell-squares work),
     // the two-pass unigram LM score (token-stream shuffle + term join),
     // and the NAAJ exclusion filter (probe-side scan + broadcast build)
-    "q_d15_semantic_dedup", "q_t20_unigram_ll", "q_j11_nullaware_anti")
+    "q_d15_semantic_dedup", "q_t20_unigram_ll", "q_j11_nullaware_anti",
+    // round-9c: the BM25 scorer (token shuffle + 3-term broadcast join),
+    // the shared-shingle detector (gram explode + per-doc distinct), the
+    // RRF fusion (two corpus rankings reduced to candidate lists), and the
+    // radius search (broadcast map-only corpus stream)
+    "q_t21_bm25", "q_d16_boilerplate", "q_t23_rrf_fusion",
+    "q_sim12_range_search",
+    // and the fuzzy-decontamination pass (map-only signature stream +
+    // broadcast eval bands — the shape must stay corpus-linear)
+    "q_t24_fuzzy_decontam")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

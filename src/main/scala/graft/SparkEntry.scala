@@ -113,6 +113,7 @@ object SparkEntry {
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
+    "q_t24_fuzzy_decontam" -> (TextAnalysis.qT24 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -695,6 +696,21 @@ object SparkEntry {
         "FROM qr FULL OUTER JOIN lr ON qr.doc_id = lr.doc_id) " +
         "SELECT doc_id, r_q, r_l, CAST(rrf_s AS BIGINT) AS rrf_s " +
         "FROM f ORDER BY rrf_s DESC, doc_id LIMIT 20"),
+    "q_t24_fuzzy_decontam" -> (minhashSigSql +
+      // qD4's signature/band CTEs restricted to eval(doc_id<20) × corpus
+      // candidates, exact shingle-Jaccard verify in integer permyriad
+      ", sig AS (SELECT doc_id, " + minhashMinsSql + " FROM h GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, 1 AS band, m1 || '_' || m2 AS bk FROM sig " +
+      "UNION ALL SELECT doc_id, 2, m3 || '_' || m4 FROM sig), " +
+      "cand AS (SELECT DISTINCT b.doc_id AS c_id, a.doc_id AS e_id FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < 20 AND b.doc_id >= 20), " +
+      "gs AS (SELECT doc_id, list_distinct(list(g)) AS gl FROM grams GROUP BY doc_id), " +
+      "j AS (SELECT c.c_id AS doc_id, c.e_id, " +
+      "(CAST(len(list_intersect(x.gl, y.gl)) AS BIGINT) * 10000) // len(list_distinct(list_concat(x.gl, y.gl))) AS jac_e4 " +
+      "FROM cand c JOIN gs x ON c.c_id = x.doc_id JOIN gs y ON c.e_id = y.doc_id) " +
+      "SELECT doc_id, CAST(count(1) AS BIGINT) AS n_eval_hits, CAST(max(jac_e4) AS BIGINT) AS max_jac_e4, " +
+      "CAST(CASE WHEN max(jac_e4) >= 2000 THEN 1 ELSE 0 END AS BIGINT) AS flagged " +
+      "FROM j GROUP BY doc_id ORDER BY doc_id"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +

@@ -79,7 +79,7 @@ object Dedup {
     * explode → md5 → 33-column partial agg shape shuffled (doc_id, 4 longs)
     * per document; this shuffles nothing). Zero-shingle docs return null
     * and are filtered, matching the explode form's dropped groups. */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashSig(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id", "minhash_sig(text, 3) AS ms")

@@ -762,4 +762,50 @@ object TextAnalysis {
       .orderBy(desc("rrf_s"), col("doc_id"))
       .limit(20)
   }
+
+  /** Q-T24 — FUZZY DECONTAMINATION: corpus documents that are NEAR-DUPS of
+    * an eval-set document (doc_id < 20, [[qT11]]'s declared benchmark
+    * stand-in), via MinHash-LSH banding + exact shingle-Jaccard verify.
+    * [[qT11]]'s exact 8-gram pass catches verbatim leakage; a lightly
+    * paraphrased or reformatted eval answer shares few exact 8-grams but
+    * keeps high shingle Jaccard — this is the second decontamination pass
+    * production pipelines run (fuzzy MinHash dedup against evals, the
+    * GPT-3-appendix / Dolma-style hygiene step). Output per flagged-
+    * candidate corpus doc: collision count, max verified Jaccard
+    * (permyriad), and the flag at jac ≥ 0.2.
+    *
+    * Scale: the corpus side pays ONE fused map-only signature pass
+    * ([[graft.operators.Dedup.minhashSig]]'s kernel — no explode, no agg);
+    * the eval side is benchmark-sized, so ITS band keys broadcast and the
+    * candidate join is map-only on the corpus stream (never corpus ×
+    * corpus — unlike [[Dedup.qD4]] this doesn't even need the band
+    * self-join shuffle). Verification tokenizes candidates only, with the
+    * bounded eval shingle side broadcast. */
+  def qT24(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bands = Dedup.minhashSig(s, dir).selectExpr("doc_id",
+      """explode(array(
+        |  named_struct('band', 1, 'bk', concat(m1, '_', m2)),
+        |  named_struct('band', 2, 'bk', concat(m3, '_', m4)))) AS b""".stripMargin)
+      .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
+    val evalB = bands.where(col("doc_id") < 20)
+      .withColumnRenamed("doc_id", "e_id")
+    val cand = bands.where(col("doc_id") >= 20)
+      .join(broadcast(evalB), Seq("band", "bk"))
+      .select("doc_id", "e_id").distinct()
+    val docs = Tables.documents(s, dir)
+    val gc = docs.join(broadcast(cand.select("doc_id").distinct()), Seq("doc_id"))
+      .selectExpr("doc_id", "word_shingles(text, 3) AS gc")
+    val ge = docs.where(col("doc_id") < 20)
+      .join(broadcast(cand.select("e_id").distinct()),
+        col("doc_id") === col("e_id"))
+      .selectExpr("e_id", "word_shingles(text, 3) AS ge")
+    cand.join(gc, "doc_id").join(broadcast(ge), "e_id")
+      .withColumn("jac_e4",
+        expr("(CAST(size(array_intersect(gc, ge)) AS BIGINT) * 10000) DIV size(array_union(gc, ge))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("jac_e4").as("max_jac_e4"))
+      .withColumn("flagged", (col("max_jac_e4") >= 2000).cast("long"))
+      .orderBy("doc_id")
+  }
 }
