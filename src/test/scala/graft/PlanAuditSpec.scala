@@ -939,6 +939,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), "floor-log2 must stay in builtin expressions")
   }
 
+  test("Q-T21 BM25: query terms broadcast, top-20 is TakeOrdered, tf combines map-side") {
+    val q = graft.operators.TextAnalysis.qT21(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 3-term query set and (N,T) totals must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a TakeOrdered, not a global sort:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"tf must combine map-side before the (doc_id, w) exchange:\n$plan")
+    // the (N, T) totals ride 1-row broadcast crosses (BroadcastNestedLoop
+    // Cross over a single-row side — fine at any scale); what must never
+    // appear is an unbroadcast cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring joins must stay broadcast-shaped:\n$plan")
+  }
+
+  test("Q-T24 fuzzy decontamination: eval bands broadcast, no band self-join shuffle") {
+    val q = graft.operators.TextAnalysis.qT24(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark-sized eval band keys must broadcast:\n$plan")
+    // unlike qD4's corpus self-join there must be NO sort-merge join at
+    // all: the corpus band stream meets only broadcast sides
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus bands must never shuffle into a self-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join:\n$plan")
+  }
+
+  test("Q-SIM12 range search: probes broadcast, corpus streams with no ranking state") {
+    val q = graft.operators.Similarity.qSim12(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), // q_id =!= n_id is the only key
+      s"the probe side must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"radius search must carry no per-query ranking state:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the probe join:\n$plan")
+  }
+
+  test("Q-D16 boilerplate: per-doc distinct folds into the first agg, top-20 TakeOrdered") {
+    val q = graft.operators.Dedup.qD16(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("partial_"),
+      s"the gram stream must combine map-side before any exchange:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
