@@ -428,4 +428,78 @@ object Streams {
       s"${graft.functions.Hashing.md5h32("concat(id, '|', pk, '|', text)")} AS h32")
       .agg(count(lit(1)).as("n"), sum(col("h32")).as("h"))
   }
+
+  // ---- ST-9: dedup-gated ingestion ----
+
+  /** ST-9 — DEDUP-GATED INGESTION: admit a micro-batch of documents only if
+    * they are not MinHash-LSH near-dups of anything already ingested — the
+    * online form of the qD4 batch sweep, run AT THE DOOR so the corpus never
+    * accumulates the duplicates a later offline pass would have to claw
+    * back. Each admitted doc's band keys land in a durable band store; the
+    * next batch's candidates stream against it.
+    *
+    * Gate rule (deterministic): a doc is rejected iff one of its 2 band
+    * keys ([[graft.operators.Dedup.qD4]]'s 2×2 banding of the fused
+    * `minhash_sig`) is (a) present in the store under a DIFFERENT doc_id,
+    * or (b) shared with a smaller doc_id in the same batch (min-id-wins;
+    * a doc whose smaller colliding sibling was itself rejected still
+    * rejects — the gate errs toward dropping, which is the right direction
+    * for ingestion hygiene, and stays a one-aggregation rule instead of a
+    * per-batch connected-components pass). Docs too short to shingle have
+    * no bands and admit trivially.
+    *
+    * Exactly-once: foreachBatch can replay a batch after a crash, and a
+    * replayed doc's own bands are already in the store — so the gate keys
+    * collisions on OTHER doc_ids, and a `_commits/<batchId>` marker makes
+    * the whole batch idempotent (replay of a committed batch is a no-op,
+    * the standard foreachBatch sink contract).
+    *
+    * Scale: the batch side is micro-batch-sized and BROADCASTS into the
+    * band-store scan, so the store — which grows with the corpus — streams
+    * map-only and is never shuffled; at 100 TB the store would be
+    * bucket-partitioned by band key so each batch prunes to matching
+    * buckets (the [[graft.core.GraftCatalog]] point-read posture).
+    * Returns (admitted, rejected) counts for the batch. */
+  def dedupGateBatch(spark: SparkSession, storeDir: String,
+      batch: DataFrame, batchId: Long): (Long, Long) = {
+    graft.functions.GraftFunctions.register(spark)
+    val st = graft.core.Storage.hadoop
+    val marker = s"$storeDir/_commits/$batchId"
+    if (st.exists(marker)) return (0L, 0L) // replayed, already committed
+    def commit(): Unit = { st.mkdirs(s"$storeDir/_commits"); st.writeString(marker, ""); () }
+    val n = batch.count()
+    if (n == 0) { commit(); return (0L, 0L) }
+    val bands = batch.selectExpr("doc_id", "minhash_sig(text, 3) AS ms")
+      .where(col("ms").isNotNull)
+      .selectExpr("doc_id",
+        """explode(array(
+          |  named_struct('band', 1, 'bk', concat(ms.m1, '_', ms.m2)),
+          |  named_struct('band', 2, 'bk', concat(ms.m3, '_', ms.m4)))) AS b""".stripMargin)
+      .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
+      .localCheckpoint(eager = true) // one signature pass, fanned 3 ways below
+    val bandsPath = s"$storeDir/bands"
+    val rejectedStore =
+      if (st.exists(bandsPath))
+        spark.read.parquet(bandsPath)
+          .join(broadcast(bands.withColumnRenamed("doc_id", "b_id")),
+            Seq("band", "bk"))
+          .where(col("doc_id") =!= col("b_id"))
+          .select(col("b_id").as("doc_id")).distinct()
+      else batch.select("doc_id").limit(0)
+    val rejectedBatch = bands
+      .join(bands.groupBy("band", "bk").agg(min("doc_id").as("first_id")),
+        Seq("band", "bk"))
+      .where(col("doc_id") > col("first_id"))
+      .select("doc_id").distinct()
+    val rejected = rejectedStore.union(rejectedBatch).distinct()
+      .localCheckpoint(eager = true)
+    val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val nAdmit = admitted.count()
+    admitted.write.mode("append").parquet(s"$storeDir/docs")
+    bands.join(rejected, Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(bandsPath)
+    commit()
+    (nAdmit, n - nAdmit)
+  }
 }

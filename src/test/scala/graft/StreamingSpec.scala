@@ -396,6 +396,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ST-9 dedup-gated ingestion: near-dups rejected at the door, replay is a no-op") {
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "dedup-gate").toString
+    val counts = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val src = MemoryStream[(Long, String)](spark)
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        counts(id) = Streams.dedupGateBatch(b.sparkSession, store, b, id); ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "gate-cp").toString)
+      .start()
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    // batch 0: doc 2 is a within-batch near-dup of doc 1 (min-id-wins)
+    src.addData((1L, dup), (2L, dup),
+      (4L, "completely different words forming another shingle set entirely"))
+    q.processAllAvailable()
+    // batch 1: doc 5 collides with the STORE (doc 1's bands); doc 6 is new
+    src.addData((5L, dup),
+      (6L, "yet another brand new distinct document text with fresh tokens"))
+    q.processAllAvailable()
+    q.stop()
+    assert(counts(0L) == (2L, 1L) && counts(1L) == (1L, 1L),
+      s"per-batch (admitted, rejected): $counts")
+    val docs = spark.read.parquet(s"$store/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docs == Set(1L, 4L, 6L), s"admitted corpus: $docs")
+    // the band store holds only admitted docs' keys
+    val bandDocs = spark.read.parquet(s"$store/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bandDocs == Set(1L, 4L, 6L), s"band store docs: $bandDocs")
+    // replaying a committed batchId is a no-op even with different data
+    val replay = Streams.dedupGateBatch(spark, store,
+      spark.range(1).selectExpr("90L AS doc_id", s"'$dup' AS text"), 0L)
+    assert(replay == (0L, 0L), "committed batch must not re-apply")
+    assert(spark.read.parquet(s"$store/docs").count() == 3)
+  }
+
   test("ST-7 stream-stream interval join: two live streams == batch funnel") {
     // clicks and purchases as SEPARATE streams (the two-source shape a real
     // funnel pipeline has), both watermarked so the interval condition
