@@ -877,8 +877,16 @@ object Dedup {
     * example string via `min(gram)`) so the shuffle rows stay fixed-width;
     * the sf-scale form keeps the string for oracle readability. */
   def qD16(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tokenGrams(Tables.documents(s, dir))
-      .select("doc_id", "gram").distinct()
+    Tables.documents(s, dir)
+      .select(split(lower(col("text")), " ").as("w"))
+      // per-doc DISTINCT happens INSIDE the row (array_distinct before the
+      // explode), so the gram stream needs no (doc_id, gram) exchange at
+      // all — the only shuffle is the final gram-keyed count, map-side
+      // combined. [[TextAnalysis.tokenGrams]] + .distinct() is the
+      // two-exchange form; this is the same multiset.
+      .select(explode(when(size(col("w")) >= 8,
+          expr("array_distinct(transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' ')))"))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df") >= 3)
       .orderBy(desc("df"), col("gram"))
