@@ -61,6 +61,7 @@ object SparkEntry {
     "q_w8_spike_detect"    -> (Windows.qW8 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
+    "q_o2_diverse_topk"    -> (Relational.qO2 _),
     // set ops
     "q_u1_union_all"       -> (Relational.qU1 _),
     "q_u2_except"          -> (Relational.qU2 _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
     "q_t24_fuzzy_decontam" -> (TextAnalysis.qT24 _),
+    "q_t25_token_spectrum" -> (TextAnalysis.qT25 _),
     // dedup family
     "q_x5_distinct_hash"   -> (Dedup.qX5 _),
     "q_d1_exact_dedup"     -> (Dedup.qD1 _),
@@ -132,6 +134,7 @@ object SparkEntry {
     "q_d14_containment"    -> (Dedup.qD14 _),
     "q_d15_semantic_dedup" -> (Dedup.qD15 _),
     "q_d16_boilerplate"    -> (Dedup.qD16 _),
+    "q_d17_dup_gram_mass"  -> (Dedup.qD17 _),
     // dup-graph structure diagnostics
     "q_g1_degree_hist"     -> (Dedup.qG1 _),
     "q_g2_triangles"       -> (Dedup.qG2 _),
@@ -152,6 +155,7 @@ object SparkEntry {
     "q_sim10_mrl_recall"   -> (Similarity.qSim10 _),
     "q_sim11_ivf_int8"     -> (Similarity.qSim11 _),
     "q_sim12_range_search" -> (Similarity.qSim12 _),
+    "q_sim13_pq_adc"       -> (Similarity.qSim13 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -296,6 +300,12 @@ object SparkEntry {
         "CAST(last_day(o_orderdate::DATE) AS VARCHAR) AS ld FROM orders ORDER BY o_orderkey"),
     "q_o1_topk" -> (
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_o2_diverse_topk" -> (
+      // per-language rank caps the group BEFORE the global top-20
+      "WITH r AS (SELECT doc_id, lang, n_chars, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS lr FROM documents) " +
+        "SELECT doc_id, lang, n_chars, CAST(lr AS BIGINT) AS lang_rank " +
+        "FROM r WHERE lr <= 3 ORDER BY n_chars DESC, doc_id LIMIT 20"),
     "q_u1_union_all" -> (
       "SELECT k FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) t ORDER BY k"),
     "q_u2_except" -> (
@@ -646,6 +656,20 @@ object SparkEntry {
         "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, " +
         "CAST((sum(tf.tf * uni.bits) * 1000) // sum(tf.tf) AS BIGINT) AS ll_pm " +
         "FROM tf JOIN uni USING (w) GROUP BY tf.doc_id ORDER BY doc_id"),
+    "q_t25_token_spectrum" -> (
+      // frequency spectrum binned by floor-log2(tf) — the q_t20
+      // length(bin(c))-1 idiom; shares integer per-mille vs 1-row totals
+      "WITH tf AS (SELECT w, CAST(count(1) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t " +
+        "WHERE w <> '' GROUP BY w), " +
+        "b AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bin, " +
+        "CAST(count(1) AS BIGINT) AS n_types, CAST(sum(c) AS BIGINT) AS occ_mass " +
+        "FROM tf GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_types) AS BIGINT) AS vocab, CAST(sum(occ_mass) AS BIGINT) AS total FROM b) " +
+        "SELECT bin, n_types, occ_mass, " +
+        "CAST((n_types * 1000) // vocab AS BIGINT) AS type_pm, " +
+        "CAST((occ_mass * 1000) // total AS BIGINT) AS mass_pm " +
+        "FROM b, tot ORDER BY bin"),
     "q_t21_bm25" -> (
       // Okapi BM25 with k1=6/5, b=3/4 in exact rational form (see the
       // qT21 scaladoc for the algebra); query = the 3 terms with df
@@ -935,6 +959,22 @@ object SparkEntry {
         "g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM ix), " +
         "c AS (SELECT gram, CAST(count(1) AS BIGINT) AS df FROM g GROUP BY gram) " +
         "SELECT gram, df FROM c WHERE df >= 3 ORDER BY df DESC, gram LIMIT 20"),
+    "q_d17_dup_gram_mass" -> (
+      // q_d16's 8-gram kernel WITH multiplicity; duplicated-occurrence
+      // mass in integer per-mille (DuckDB `//` = Spark DIV; sums CAST to
+      // BIGINT against HUGEINT widening)
+      "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+        "FROM tok WHERE len(w) >= 8), " +
+        "g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM ix), " +
+        "pg AS (SELECT gram, doc_id, count(1) AS c FROM g GROUP BY gram, doc_id), " +
+        "cg AS (SELECT gram, CAST(sum(c) AS BIGINT) AS occ, CAST(count(1) AS BIGINT) AS df FROM pg GROUP BY gram) " +
+        "SELECT CAST(sum(occ) AS BIGINT) AS total_occ, CAST(count(1) AS BIGINT) AS distinct_grams, " +
+        "CAST(sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) AS BIGINT) AS dup_occ, " +
+        "CAST(sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS BIGINT) AS cross_doc_occ, " +
+        "CAST((sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) * 1000) // sum(occ) AS BIGINT) AS dup_pm, " +
+        "CAST((sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) * 1000) // sum(occ) AS BIGINT) AS cross_doc_pm " +
+        "FROM cg"),
     "q_d14_containment" -> (
       // q_d10's block-key candidates, verified with ASYMMETRIC containment
       // |A∩B| / min(|A|,|B|) — integer-DIV e4 fixed point, engine-exact
@@ -1031,6 +1071,43 @@ object SparkEntry {
         "r AS (SELECT q_id, n_id, qdot, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rank FROM idot) " +
         "SELECT q_id, n_id, qdot, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim13_pq_adc" -> (
+      // PQ replay: q_sim9's int8 lane, codebook = the vec_id<16 int8
+      // seeds sliced into 8 sub-spaces × 16 codes; codes argmin exact
+      // BIGINT squared-L2 (tiebreak lower code), ADC = per-probe LUT
+      // sums — integer end-to-end after the one deterministic floor
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+        "cb AS (SELECT vec_id AS code, qv AS cq FROM qz WHERE vec_id < 16), " +
+        "ms AS (SELECT unnest(generate_series(0, 7)) AS m), " +
+        "js AS (SELECT unnest(generate_series(1, 8)) AS j), " +
+        "cd AS (SELECT v.vec_id, ms.m, cb.code, " +
+        "sum((v.qv[ms.m*8+js.j] - cb.cq[ms.m*8+js.j]) * (v.qv[ms.m*8+js.j] - cb.cq[ms.m*8+js.j])) AS d " +
+        "FROM qz v, ms, cb, js GROUP BY 1, 2, 3), " +
+        "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn FROM cd) t WHERE rn = 1), " +
+        "lu AS (SELECT q.vec_id AS q_id, ms.m, cb.code, CAST(sum(q.qv[ms.m*8+js.j] * cb.cq[ms.m*8+js.j]) AS BIGINT) AS lt " +
+        "FROM qz q, ms, cb, js WHERE q.vec_id < 10 GROUP BY 1, 2, 3), " +
+        "ad AS (SELECT l.q_id, c.vec_id AS n_id, CAST(sum(l.lt) AS BIGINT) AS adot " +
+        "FROM codes c JOIN lu l ON l.m = c.m AND l.code = c.code AND c.vec_id <> l.q_id " +
+        "GROUP BY 1, 2), " +
+        "pt AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, n_id) AS r FROM ad) t WHERE r <= 10), " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        cosineSumSql +
+        ", f AS (SELECT q_id, n_id FROM (SELECT a_id AS q_id, b_id AS n_id, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS r FROM s) t WHERE r <= 10), " +
+        "iu AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, unnest(generate_series(1, 64)) AS i, a.qv AS qa, b.qv AS qb " +
+        "FROM qz a JOIN qz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        "idot AS (SELECT q_id, n_id, sum(qa[i] * qb[i]) AS dot FROM iu GROUP BY q_id, n_id), " +
+        "itop AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS r FROM idot) t WHERE r <= 10) " +
+        "SELECT pt.q_id, " +
+        "CAST(sum(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10, " +
+        "CAST(sum(CASE WHEN itop.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_vs_int8 " +
+        "FROM pt LEFT JOIN f USING (q_id, n_id) LEFT JOIN itop USING (q_id, n_id) " +
+        "GROUP BY pt.q_id ORDER BY pt.q_id"),
     "q_sim10_mrl_recall" -> (
       // both lanes are q_sim1's float-cosine contract; the truncated lane
       // runs over the 16-dim prefix (list slice, deterministic both sides)

@@ -891,4 +891,43 @@ object Dedup {
       .where(col("df") >= 3)
       .orderBy(desc("df"), col("gram"))
       .limit(20)
+
+  /** q_d17 — DUPLICATED-N-GRAM MASS: the corpus-level duplication metric
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): of all 8-token-gram OCCURRENCES in the corpus, what
+    * fraction belong to a gram that occurs more than once (`dup_pm`), and
+    * what fraction to a gram seen in more than one document
+    * (`cross_doc_pm`)? One row. Where q_d16 surfaces the top offending
+    * SPANS, this prices the total duplicated token mass — the number that
+    * says how much a substring-dedup pass (the suffix-array NearDup /
+    * ExactSubstr pass at training scale) would actually remove, and the
+    * health metric tracked release-over-release on a refreshed corpus.
+    *
+    * Exactness: pure integer counts and per-mille integer DIV.
+    *
+    * Scale: grams keep their multiplicity (unlike q_d16's per-doc
+    * distinct), so the plan is explode → (gram, doc)-keyed count with
+    * map-side combine → gram-keyed reduce of the already-collapsed
+    * (gram, doc) frame → a single global sum. The second exchange carries
+    * one row per DISTINCT (gram, doc), far below the token stream; at
+    * 100 TB group by the gram's 128-bit hash (fixed-width shuffle rows)
+    * exactly as q_d12 does for chunks — the sf-scale form keeps the
+    * string for oracle readability. */
+  def qD17(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 8,
+          expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("gram").agg(sum("c").as("occ"), count(lit(1)).as("df"))
+      .agg(
+        sum("occ").as("total_occ"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("occ") >= 2, col("occ")).otherwise(0L)).as("dup_occ"),
+        sum(when(col("df") >= 2, col("occ")).otherwise(0L)).as("cross_doc_occ"))
+      .select(col("total_occ"), col("distinct_grams"), col("dup_occ"),
+        col("cross_doc_occ"),
+        expr("(dup_occ * 1000) DIV total_occ").as("dup_pm"),
+        expr("(cross_doc_occ * 1000) DIV total_occ").as("cross_doc_pm"))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -479,6 +480,26 @@ object Relational {
       .select("o_orderkey", "o_totalprice")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
+
+  /** Q-O2 — DIVERSIFIED TOP-K: global top-20 documents by length with at
+    * most 3 per language — the per-group cap every retrieval/serving and
+    * data-selection surface needs (a plain top-k returns 20 near-identical
+    * hits from the dominant group; q_t10 caps a SAMPLE, this caps a
+    * RANKING). Deterministic total order: length desc, doc_id asc.
+    *
+    * Scale: the per-group cap is a language-PARTITIONED window (each
+    * shard ranks independently — no global sort), and only the ≤ 3·|langs|
+    * survivors reach the final TakeOrdered(20). The unbounded-global-
+    * window trap (rank everything, then filter) never appears. */
+  def qO2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "n_chars")
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))))
+      .where(col("lr") <= 3)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("lr").cast("long").as("lang_rank"))
 
   /** Q-U1 — UNION ALL: the multi-container consolidation loop
     * (/root/reference/src/main.py:141-148) as one plan. */

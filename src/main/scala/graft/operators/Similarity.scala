@@ -803,4 +803,86 @@ object Similarity {
       .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim")
       .orderBy("q_id", "n_id")
   }
+
+  /** q_sim13 — PRODUCT QUANTIZATION (PQ) ADC recall audit: encode every
+    * int8 corpus vector as 8 sub-space codes (8 dims × 16 codes each — the
+    * Jégou/Douze/Schmid 2011 scheme), rank neighbors by the asymmetric-
+    * distance-computation (ADC) dot built from per-probe lookup tables,
+    * and price the result per probe against BOTH baselines: top-10
+    * overlap vs the float cosine truth (`overlap_at_10`) and vs the
+    * un-PQ'd int8 ranking (`overlap_vs_int8` — the INCREMENTAL loss PQ
+    * adds on top of q_sim9's quantization). PQ codes are 8 bytes/vector —
+    * 32× smaller than the float lane, 8× smaller than int8 — the
+    * compression that lets a 100 TB corpus's candidate lists live in
+    * executor memory. The codebook here is the SEEDED form (sub-vectors of
+    * the vec_id < 16 int8 seeds) so the oracle can replay it — the same
+    * seeded-vs-Lloyd split as q_sim3/q_sim4; a trained codebook drops in
+    * through the identical encode/ADC machinery.
+    *
+    * Engine-exactness: integer end-to-end after q_sim9's one deterministic
+    * floor — codes argmin by exact BIGINT squared-L2 (ties to the lower
+    * code: `array_min` on (dist, code) structs), LUT entries and ADC sums
+    * exact BIGINT, rankings tiebreak on n_id.
+    *
+    * Scale: the codebook is 16×64 BIGINTs of driver metadata (bounded
+    * collect, the qSim7 pattern) bound as a LITERAL, so ENCODING IS
+    * MAP-ONLY — the corpus streams once, no join, no shuffle; each probe
+    * computes its 8×16 LUT inside its own row; scoring is the qSim1
+    * broadcast shape where the corpus side carries 8 codes instead of 64
+    * floats, and ADC is 8 array lookups per candidate instead of 64
+    * multiplies. */
+  def qSim13(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val mx = e.selectExpr(
+      "max(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))) AS mx")
+    val qz = e.crossJoin(broadcast(mx)).selectExpr("vec_id",
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) AS qv")
+    // codebook: the 16 int8 seed vectors — bounded driver metadata
+    val cb: Seq[Seq[Long]] = qz.where(col("vec_id") < 16).orderBy("vec_id")
+      .select("qv").collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val cbCol = typedLit(cb)
+    // per-vector codes: map-only argmin over the literal codebook
+    val codes = qz.withColumn("cb", cbCol).selectExpr("vec_id",
+      """transform(sequence(0, 7), m ->
+        |  array_min(transform(sequence(0, 15), cc -> named_struct(
+        |    'd', aggregate(sequence(1, 8), 0L, (acc, j) ->
+        |           acc + (element_at(qv, m*8+j) - element_at(element_at(cb, cc+1), m*8+j))
+        |               * (element_at(qv, m*8+j) - element_at(element_at(cb, cc+1), m*8+j))),
+        |    'c', cc))).c) AS codes""".stripMargin)
+    val probes = col("q_id") < 10
+    val w = Window.partitionBy("q_id")
+    // per-probe ADC lookup table, computed inside the probe's own row
+    val lut = qz.where(col("vec_id") < 10).withColumn("cb", cbCol)
+      .selectExpr("vec_id AS q_id",
+        """transform(sequence(0, 7), m ->
+          |  transform(sequence(0, 15), cc ->
+          |    aggregate(sequence(1, 8), 0L, (acc, j) ->
+          |      acc + element_at(qv, m*8+j) * element_at(element_at(cb, cc+1), m*8+j)))) AS lut""".stripMargin)
+    val pq = broadcast(lut)
+      .join(codes.selectExpr("vec_id AS n_id", "codes"), col("q_id") =!= col("n_id"))
+      .withColumn("adot", expr(
+        "aggregate(sequence(0, 7), 0L, (acc, m) -> " +
+          "acc + element_at(element_at(lut, m+1), CAST(element_at(codes, m+1) + 1 AS INT)))"))
+      .withColumn("r", row_number().over(w.orderBy(desc("adot"), col("n_id"))))
+      .where(col("r") <= 10).select("q_id", "n_id")
+    // float truth lane (qSim1's contract) and int8 exact lane (qSim9's)
+    val f = broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq").where(probes))
+      .join(e.selectExpr("vec_id AS n_id", "embedding AS en"), col("q_id") =!= col("n_id"))
+      .withColumn("sim", expr("cosine_sim(eq, en)"))
+      .withColumn("r", row_number().over(w.orderBy(col("sim").desc, col("n_id"))))
+      .where(col("r") <= 10).selectExpr("q_id", "n_id", "1 AS fh")
+    val i8 = broadcast(qz.selectExpr("vec_id AS q_id", "qv AS qq").where(probes))
+      .join(qz.selectExpr("vec_id AS n_id", "qv AS qn"), col("q_id") =!= col("n_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qq, qn, (x, y) -> x * y), 0L, (a, b) -> a + b)"))
+      .withColumn("r", row_number().over(w.orderBy(desc("dot"), col("n_id"))))
+      .where(col("r") <= 10).selectExpr("q_id", "n_id", "1 AS ih")
+    pq.join(f, Seq("q_id", "n_id"), "left")
+      .join(i8, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("fh"), lit(0))).cast("long").as("overlap_at_10"),
+        sum(coalesce(col("ih"), lit(0))).cast("long").as("overlap_vs_int8"))
+      .orderBy("q_id")
+  }
 }

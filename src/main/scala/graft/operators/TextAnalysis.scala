@@ -808,4 +808,39 @@ object TextAnalysis {
       .withColumn("flagged", (col("max_jac_e4") >= 2000).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** Q-T25 — TOKEN FREQUENCY SPECTRUM (Zipf/Heaps audit): group the
+    * vocabulary by floor-log2 of term frequency and report, per bin, the
+    * number of types and their total occurrence mass plus per-mille
+    * shares. The frequency spectrum is the one-table corpus fingerprint
+    * behind Zipf's law (mass per log-frequency bin ~ flat for natural
+    * text) and Heaps' law (how fast vocabulary grows) — the audit that
+    * flags a machine-generated or template-heavy crawl slice (hapax bin
+    * collapses, head bin bloats) before it contaminates a training mix,
+    * and the input to tokenizer-vocabulary sizing.
+    *
+    * Exactness: floor-log2 via `length(bin(c)) - 1` (the q_t20 idiom —
+    * transcendental log() is not bit-stable across engines); shares are
+    * integer per-mille DIV against 1-row broadcast totals.
+    *
+    * Scale: one tokenize-explode with map-side partial agg builds the
+    * term-frequency frame (the qX4 shape); the spectrum reduces the
+    * VOCABULARY-sized frame to ≤ 64 bins; totals are a 1-row broadcast
+    * joined back. Nothing after the first exchange is corpus-sized. */
+  def qT25(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bins = tf
+      .select((length(expr("bin(c)")) - 1).cast("long").as("bin"), col("c"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("occ_mass"))
+    val tot = bins.agg(sum("n_types").as("vocab"), sum("occ_mass").as("total"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_types"), col("occ_mass"),
+        expr("(n_types * 1000) DIV vocab").as("type_pm"),
+        expr("(occ_mass * 1000) DIV total").as("mass_pm"))
+      .orderBy("bin")
+  }
 }

@@ -994,6 +994,57 @@ class PlanAuditSpec extends AnyFunSuite {
       s"top-20 must be a TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("Q-O2 diversified top-k: language-partitioned window, global top-20 TakeOrdered") {
+    val q = graft.operators.Relational.qO2(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Window"), s"the per-group cap must be a window:\n$plan")
+    // the cap ranks INSIDE each language shard — never an unpartitioned
+    // global window (the rank-everything-then-filter trap)
+    assert(!plan.contains("Window [row_number() windowspecdefinition(n_chars"),
+      s"the window must partition by lang, not rank globally:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the global top-20 must be a TakeOrdered, not a full sort:\n$plan")
+  }
+
+  test("Q-D17 dup-gram mass: map-side combine, no join, no window") {
+    val q = graft.operators.Dedup.qD17(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("partial_"),
+      s"the gram stream must combine map-side before any exchange:\n$plan")
+    assert(!plan.contains("Join"), s"pure aggregation — no join belongs here:\n$plan")
+    assert(!plan.contains("Window"), s"no per-row ranking state belongs here:\n$plan")
+  }
+
+  test("Q-T25 token spectrum: vocabulary reduces to bins, totals broadcast back") {
+    val q = graft.operators.TextAnalysis.qT25(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("partial_"),
+      s"the token stream must combine map-side before any exchange:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row totals must broadcast into the bin frame:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing here is big enough to shuffle-join:\n$plan")
+  }
+
+  test("Q-SIM13 PQ ADC: codebook is a literal, corpus never shuffle-joins") {
+    val q = graft.operators.Similarity.qSim13(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // encoding and ADC ride broadcast joins (probes/LUTs are bounded);
+    // the corpus side must never build a shuffle join for scoring
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe LUTs must broadcast into the coded corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbounded cartesian belongs in the scoring join:\n$plan")
+    for (r <- q.collect()) {
+      val f = r.getAs[Long]("overlap_at_10"); val i = r.getAs[Long]("overlap_vs_int8")
+      assert(f >= 0 && f <= 10 && i >= 0 && i <= 10, s"overlap out of range: $r")
+    }
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),

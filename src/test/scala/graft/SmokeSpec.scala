@@ -102,4 +102,39 @@ class SmokeSpec extends AnyFunSuite {
       assert(r.getAs[Long]("survivor_id") >= r.getAs[Long]("component"))
     }
   }
+
+  test("q_d17: duplicated-gram mass is internally consistent") {
+    val r = graft.operators.Dedup.qD17(spark, sf).collect().head
+    val total = r.getAs[Long]("total_occ")
+    val dup = r.getAs[Long]("dup_occ")
+    val cross = r.getAs[Long]("cross_doc_occ")
+    assert(total >= r.getAs[Long]("distinct_grams"), "occurrences >= types")
+    assert(dup <= total && cross <= total)
+    // a gram in 2+ docs necessarily occurs 2+ times, never the converse
+    assert(cross <= dup, "cross-doc mass is a subset of duplicated mass")
+    assert(r.getAs[Long]("dup_pm") >= r.getAs[Long]("cross_doc_pm"))
+  }
+
+  test("q_o2: at most 3 per language, globally ordered") {
+    val rows = graft.operators.Relational.qO2(spark, sf).collect()
+    assert(rows.length <= 20)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, g) =>
+      assert(g.length <= 3, s"language $l exceeds the diversity cap")
+    }
+    val lens = rows.map(_.getAs[Long]("n_chars"))
+    assert(lens.zip(lens.tail).forall { case (a, b) => a >= b }, "ranked by length desc")
+  }
+
+  test("q_t25: spectrum masses account for every token") {
+    val rows = graft.operators.TextAnalysis.qT25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tokens = graft.core.Tables.documents(spark, sf)
+      .selectExpr("explode(split(lower(text), ' ')) AS w").where("w <> ''").count()
+    assert(rows.map(_.getAs[Long]("occ_mass")).sum == tokens, "mass conservation")
+    // every type with frequency f >= 2^bin sits in a well-formed bin
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin") >= 0)
+      assert(r.getAs[Long]("occ_mass") >= r.getAs[Long]("n_types"), "occ >= types per bin")
+    }
+  }
 }
