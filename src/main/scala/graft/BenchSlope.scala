@@ -75,7 +75,12 @@ object BenchSlope {
     "q_sim12_range_search",
     // and the fuzzy-decontamination pass (map-only signature stream +
     // broadcast eval bands — the shape must stay corpus-linear)
-    "q_t24_fuzzy_decontam")
+    "q_t24_fuzzy_decontam",
+    // round-9d: the with-multiplicity gram-mass aggregation (the largest
+    // intermediate stream in the suite), the vocabulary spectrum (token
+    // shuffle + bin reduce), and the PQ encode+ADC lanes (corpus encodes
+    // map-only; the bounded-probe scoring joins must stay corpus-linear)
+    "q_d17_dup_gram_mass", "q_t25_token_spectrum", "q_sim13_pq_adc")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

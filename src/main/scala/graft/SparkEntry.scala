@@ -184,6 +184,7 @@ object SparkEntry {
     "q_mm9_image_hash_dups" -> (Multimodal.qMm9 _),
     "q_mm10_png_meta"       -> (Multimodal.qMm10 _),
     "q_mm11_tile_stats"     -> (Multimodal.qMm11 _),
+    "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU4 _),
   )
@@ -1356,6 +1357,28 @@ object SparkEntry {
         "CAST(3 * sum(CASE WHEN x < 4 AND y >= 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t10, " +
         "CAST(3 * sum(CASE WHEN x >= 4 AND y >= 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t11 " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm12_audio_dups" -> (
+      // audio-fingerprint near-dups: the oracle replays the closed-form
+      // PCM (Multimodal.wavSample), 8-frame energies, floor-log2 codes
+      // (length(bin(x))-1, the q_t20 idiom), 2-band pigeonhole candidates
+      // and the <= 1 differing-code verify — all exact integers
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "sam AS (SELECT doc_id, k.i AS k, " +
+        "CAST((doc_id * 37 + k.i * 11) % 2048 - 1024 AS BIGINT) AS s FROM d, " +
+        "(SELECT unnest(generate_series(0, 63)) AS i) k), " +
+        "e AS (SELECT doc_id, k // 8 AS f, sum(s * s) AS ef FROM sam GROUP BY 1, 2), " +
+        "q AS (SELECT doc_id, f, CAST(length(bin(CAST(ef + 1 AS BIGINT))) - 1 AS BIGINT) AS qf FROM e), " +
+        "v AS (SELECT doc_id, list(qf ORDER BY f) AS qs FROM q GROUP BY doc_id), " +
+        "b AS (SELECT doc_id, 0 AS bi, qs[1] AS c1, qs[2] AS c2, qs[3] AS c3, qs[4] AS c4 FROM v " +
+        "UNION ALL SELECT doc_id, 1, qs[5], qs[6], qs[7], qs[8] FROM v), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM b x JOIN b y " +
+        "ON x.bi = y.bi AND x.c1 = y.c1 AND x.c2 = y.c2 AND x.c3 = y.c3 AND x.c4 = y.c4 " +
+        "AND x.doc_id < y.doc_id), " +
+        "p2 AS (SELECT c.a_id, c.b_id, CAST(" +
+        (1 to 8).map(f => s"CASE WHEN va.qs[$f] <> vb.qs[$f] THEN 1 ELSE 0 END")
+          .mkString(" + ") + " AS BIGINT) AS n_diff " +
+        "FROM cand c JOIN v va ON va.doc_id = c.a_id JOIN v vb ON vb.doc_id = c.b_id) " +
+        "SELECT a_id, b_id, n_diff FROM p2 WHERE n_diff <= 1 ORDER BY a_id, b_id"),
     "q_mm5_audio_real" -> (
       // real WAV decode Spark-side; the oracle replays the PCM sample
       // function (Multimodal.wavSample) arithmetically — PCM is lossless

@@ -676,6 +676,74 @@ object Multimodal {
   def qMm8(spark: SparkSession, dir: String): DataFrame =
     audioBands(wavAssets(spark, dir), WavDecoder).orderBy("asset_id")
 
+  case class AudioPrint(asset_id: Long, e0: Long, e1: Long, e2: Long, e3: Long,
+                        e4: Long, e5: Long, e6: Long, e7: Long)
+
+  /** Per-clip 8-frame energy profile (8 samples per frame, exact integer
+    * Σs² per frame) through the real WAV decode — the raw material of the
+    * [[qMm12]] audio fingerprint. Same batched executor-side shape as
+    * [[audioBands]]: a clip reduces to 8 longs, bytes never cross an
+    * exchange. */
+  def audioPrints(assets: DataFrame, decoder: AssetDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decode(a.bytes).map { d =>
+              val e = new Array[Long](8)
+              var k = 0
+              val n = d.samples.length
+              while (k < n) {
+                val s = d.samples(k).toLong
+                e(math.min(k * 8 / math.max(n, 1), 7)) += s * s
+                k += 1
+              }
+              AudioPrint(a.asset_id, e(0), e(1), e(2), e(3), e(4), e(5), e(6), e(7))
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Q-MM12: audio-fingerprint NEAR-DUP pairs — the third modality of the
+    * banded dedup family (text q_d6, image q_mm9, audio here), in the
+    * Haitsma-Kalker shape: real WAV decode → 8 frame energies →
+    * per-frame coarse code = floor-log2(energy+1) (the engine-exact
+    * `length(bin(x))-1` idiom) → 2 bands of 4 codes → candidates = band
+    * equality join (pigeonhole: ≤ 1 differing code ⇒ one band matches
+    * exactly) → verify = count of differing codes ≤ 1 on the candidate
+    * set only. Catches re-encoded / slightly-reprocessed clips that
+    * byte-level dedup misses. Never all-pairs: candidate volume is the
+    * band-bucket join's, verify is O(candidates); fingerprints are 8
+    * small ints per clip (~1e-6 of the audio bytes), so at 100 TB the
+    * fingerprint frame is the only thing that shuffles — the clip bytes
+    * reduce executor-side in one batched decode pass. */
+  def qMm12(spark: SparkSession, dir: String): DataFrame = {
+    val q = audioPrints(wavAssets(spark, dir), WavDecoder)
+      .selectExpr("asset_id" +: (0 to 7).map(f =>
+        s"CAST(length(bin(e$f + 1)) - 1 AS BIGINT) AS q$f"): _*)
+    // a band's 4 codes pack into ONE BIGINT (each code = floor-log2 of a
+    // BIGINT, so < 64 = 6 bits) — the join key is a scalar, exactly
+    // qMm9's shape, not a struct comparison
+    def pack(fs: Range, p: String) =
+      fs.map(f => s"${p}$f").reduce((acc, c) => s"($acc * 64 + $c)")
+    def banded(p: String) = q.toDF(
+      s"${p}_id" +: (0 to 7).map(f => s"${p}$f"): _*)
+      .selectExpr((s"${p}_id" +: (0 to 7).map(f => s"${p}$f")) :+
+        (s"posexplode(array(${pack(0 to 3, p)}, ${pack(4 to 7, p)})) " +
+          "AS (bi, bv)"): _*)
+    banded("a").join(banded("b"), Seq("bi", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .selectExpr("a_id", "b_id",
+        "CAST(" + (0 to 7).map(f =>
+          s"CAST(a$f <> b$f AS INT)").mkString(" + ") + " AS BIGINT) AS n_diff")
+      .where(col("n_diff") <= 1)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   /** Real PNG assets with VARYING geometry for the metadata fast path
     * ([[qMm10]]): width 4 + id mod 13, height 4 + id mod 7, alternating
     * truecolor (even ids → PNG color type 2) and 8-bit grayscale (odd ids
