@@ -80,7 +80,16 @@ object BenchSlope {
     // intermediate stream in the suite), the vocabulary spectrum (token
     // shuffle + bin reduce), and the PQ encode+ADC lanes (corpus encodes
     // map-only; the bounded-probe scoring joins must stay corpus-linear)
-    "q_d17_dup_gram_mass", "q_t25_token_spectrum", "q_sim13_pq_adc")
+    "q_d17_dup_gram_mass", "q_t25_token_spectrum", "q_sim13_pq_adc",
+    // round-9e: the iterative LPA rounds (edge-sized joins + node-sized
+    // arg-max windows, the qG4 risk profile), the decorrelated Q17 gate
+    // (per-part agg + gate join sharing one exchange), the audio-fingerprint
+    // band join (third banded-dedup modality), the set-algebra KMV sketch
+    // (per-partition TakeOrdered merges), and the diversified top-k
+    // (partitioned cap + bounded TakeOrdered)
+    "q_g6_label_prop", "q_a9_small_orders", "q_mm12_audio_dups",
+    "q_v11_kmv_overlap", "q_o2_diverse_topk", "q_w9_robust_spike",
+    "q_t22_mix_weights")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

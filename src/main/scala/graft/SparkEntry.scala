@@ -47,6 +47,7 @@ object SparkEntry {
     "q_a5_cube"            -> (Relational.qA5 _),
     "q_a6_pivot"           -> (Relational.qA6 _),
     "q_a7_top_revenue"     -> (Relational.qA7 _),
+    "q_a9_small_orders"    -> (Relational.qA9 _),
     // windows
     "q_w1_dedup_latest"    -> (Windows.qW1 _),
     "q_w2_running_sum"     -> (Windows.qW2 _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "q_x9_retention"       -> (Windows.qX9 _),
     "q_w7_cumulative_users" -> (Windows.qW7 _),
     "q_w8_spike_detect"    -> (Windows.qW8 _),
+    "q_w9_robust_spike"    -> (Windows.qW9 _),
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
     "q_o2_diverse_topk"    -> (Relational.qO2 _),
@@ -141,6 +143,7 @@ object SparkEntry {
     "q_g3_component_sizes" -> (Dedup.qG3 _),
     "q_g4_pagerank"        -> (Dedup.qG4 _),
     "q_g5_clustering_coeff" -> (Dedup.qG5 _),
+    "q_g6_label_prop"      -> (Dedup.qG6 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -279,6 +282,18 @@ object SparkEntry {
         "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01' AND l_shipdate > TIMESTAMP '1996-01-01' " +
         "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "q_a9_small_orders" -> (
+      // TPC-H Q17 shape, decorrelated; 0.2·avg gate cross-multiplied to
+      // integers (5·q·cnt < Σq) so the oracle is division-free
+      "WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'), " +
+        "l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS ep " +
+        "FROM lineitem JOIN pp ON l_partkey = p_partkey), " +
+        "a AS (SELECT l_partkey AS pk, count(1) AS cnt, sum(q) AS sq FROM l GROUP BY 1) " +
+        "SELECT CAST(count(1) AS BIGINT) AS n_small, " +
+        "CAST(sum(q) AS BIGINT) AS qty_sum, " +
+        "CAST(ROUND(sum(ep), 2) AS DOUBLE) AS revenue " +
+        "FROM l JOIN a ON l.l_partkey = a.pk WHERE 5 * q * cnt < sq"),
     "q_w1_dedup_latest" -> (
       "SELECT event_id FROM (SELECT event_id, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id) AS rn FROM events) t " +
         "WHERE rn = 1 ORDER BY event_id"),
@@ -402,6 +417,17 @@ object SparkEntry {
         "SELECT event_type, day, c, prev_c, " +
         "(prev_c IS NOT NULL AND c > prev_c * 2) AS spike " +
         "FROM l ORDER BY event_type, day"),
+    "q_w9_robust_spike" -> (
+      // trailing-7-day LOWER median (integer selection, no float averaging)
+      // via a windowed list — replays qW9's collect→sort→pick exactly
+      "WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "h AS (SELECT event_type, day, c, list_sort(list(c) OVER " +
+        "(PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS hist FROM dc), " +
+        "m AS (SELECT event_type, day, c, CASE WHEN len(hist) >= 4 " +
+        "THEN CAST(hist[CAST((len(hist)+1)//2 AS INT)] AS BIGINT) END AS med FROM h) " +
+        "SELECT event_type, day, c, med, " +
+        "(med IS NOT NULL AND c > med * 2) AS anomaly FROM m ORDER BY event_type, day"),
     "q_v10_quality_checks" -> (
       "WITH li AS (SELECT " +
         "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ok, " +
@@ -590,6 +616,20 @@ object SparkEntry {
       }.mkString +
       s" SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e6 " +
       s"FROM r${graft.operators.Dedup.PageRankIters} ORDER BY doc_id"),
+    "q_g6_label_prop" -> (simhashPairsSql +
+      // fixed-round synchronous label propagation: label(i+1) = the neighbor
+      // label maximizing (count, −label) — chained CTEs, one per round,
+      // replaying Dedup.qG6's recurrence exactly (the q_g4 pattern)
+      ", ed AS (SELECT a_id AS s, b_id AS t FROM sp UNION ALL SELECT b_id, a_id FROM sp), " +
+      "l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM ed)" +
+      (1 to graft.operators.Dedup.LabelPropIters).map { i =>
+        s", c$i AS (SELECT e.s AS id, l.lbl, count(1) AS c " +
+          s"FROM ed e JOIN l${i - 1} l ON e.t = l.id GROUP BY 1, 2), " +
+          s"l$i AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER " +
+          s"(PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM c$i) t WHERE rn = 1)"
+      }.mkString +
+      s" SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community " +
+      s"FROM l${graft.operators.Dedup.LabelPropIters} ORDER BY doc_id"),
     // DuckDB needs RECURSIVE on the WITH clause for the reach() CTE
     "q_t18_cluster_split" -> (simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
       // components over the simhash pair graph (recursive min-reachable,

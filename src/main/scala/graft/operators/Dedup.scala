@@ -518,6 +518,71 @@ object Dedup {
     }
   }
 
+  /** Synchronous rounds of [[qG6]]'s label-propagation recurrence — fixed so
+    * the DuckDB oracle can replay them as chained CTEs (the [[PageRankIters]]
+    * pattern: determinism over convergence detection). */
+  val LabelPropIters = 3
+
+  /** Q-G6 — LABEL-PROPAGATION COMMUNITIES over the SimHash near-dup graph:
+    * the structure detector BETWEEN [[qG1]]'s degrees and [[qD9]]'s connected
+    * components. Components answer "what is reachable" — but one spurious
+    * bridge edge (a boilerplate hub, exactly what qG1 exists to flag) welds
+    * two unrelated duplicate families into one component, and
+    * keep-one-per-cluster would then destroy a whole family. LPA answers
+    * "what is DENSELY connected": each node repeatedly adopts the label most
+    * common among its neighbors, so labels flood plausibly within cliques but
+    * cannot colonize across a single bridge edge against a denser majority —
+    * per-mode community structure at component-detection cost.
+    *
+    * Determinism (the synchronous form): label(0) = own id; label(i+1) =
+    * the neighbor label maximizing (count, −label) — frequency first, min
+    * label on ties — for a FIXED [[LabelPropIters]] rounds. Both orders are
+    * total and integer, so the oracle replays the recurrence exactly;
+    * asynchronous/randomized LPA variants trade that reproducibility away.
+    *
+    * Scale: the candidate subtree persists once ([[withPersistedEdges]]);
+    * each round is one edge-sized equi-join on the label frame plus one
+    * (node, label)-keyed count and a node-partitioned arg-max window — the
+    * same O(iters × |E|) BSP shape as [[pageRank]], no driver data movement.
+    * The window partitions by node over ≤ degree rows, never globally. */
+  def qG6(s: SparkSession, dir: String): DataFrame =
+    labelProp(qD6(s, dir).select("a_id", "b_id"), LabelPropIters)
+      .selectExpr("id AS doc_id", "lbl AS community").orderBy("doc_id")
+
+  /** The iteration core of [[qG6]] over any canonical (a, b) pair frame —
+    * symmetrizes, persists the edge frame, runs `iters` synchronous rounds.
+    * Spec-testable on synthetic graphs (bridge vs clique behavior). */
+  def labelProp(pairGraph: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = pairGraph.columns(0); val b = pairGraph.columns(1)
+    val borrowed = pairGraph.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val pairs =
+      if (borrowed) pairGraph
+      else pairGraph.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.selectExpr(s"$a AS src", s"$b AS dst")
+      .unionAll(pairs.selectExpr(s"$b AS src", s"$a AS dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lbls = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      val byNode = Window.partitionBy("nid")
+        .orderBy(col("c").desc, col("nlbl"))
+      for (_ <- 1 to iters) {
+        val votes = edges.join(lbls, edges("dst") === lbls("id"))
+          .select(edges("src").as("nid"), lbls("lbl").as("nlbl"))
+          .groupBy("nid", "nlbl").agg(count(lit(1)).as("c"))
+        lbls = votes.withColumn("rn", row_number().over(byNode))
+          .where(col("rn") === 1)
+          .select(col("nid").as("id"), col("nlbl").as("lbl"))
+      }
+      lbls.localCheckpoint(eager = true)
+    } finally {
+      edges.unpersist()
+      if (!borrowed) { pairs.unpersist(); () }
+    }
+  }
+
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the
     * codegen'd [[graft.functions.CosineSimilarity]] expression, with a
     * DECLARED key bound (`a_id < 200`) like its siblings qD2/qX2.

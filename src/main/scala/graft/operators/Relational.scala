@@ -444,6 +444,42 @@ object Relational {
       .limit(10)
   }
 
+  /** Q-A9 — CORRELATED-AGGREGATE GATE (TPC-H Q17 shape): lineitems whose
+    * quantity falls below 20% of their part's own average quantity, summed —
+    * the "small-order" analysis whose naive spelling is a correlated scalar
+    * subquery re-aggregating lineitem PER ROW. The scale-correct plan is its
+    * decorrelation, written explicitly: aggregate once per part key, join the
+    * one-row-per-key frame back, gate row vs group aggregate. Catalyst
+    * performs the same rewrite on the subquery spelling; spelling it as the
+    * agg+join keeps the plan shape pinned rather than trusting the rewriter.
+    *
+    * Exactness: the 0.2·avg threshold is cross-multiplied into integers —
+    * `5·q·cnt < Σq` — so no division, no float, ever; quantities are
+    * integer-valued doubles cast to BIGINT; revenue sums DECIMAL(18,2).
+    *
+    * Scale: the brand filter prunes `part` to ~1/25 and BROADCASTS it as a
+    * semi-join, so ~96% of lineitem never leaves its scan stage; the
+    * per-part aggregate is a map-combined partial over the pruned stream;
+    * the gate join is per-part-keyed (both sides share the l_partkey
+    * shuffle — ONE exchange serves the agg and the join); output is one
+    * row. */
+  def qA9(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val l = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"),
+        col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice").cast("decimal(18,2)").as("ep"))
+    val perPart = l.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum("q").as("sq"))
+    l.join(perPart, l("l_partkey") === perPart("pk"))
+      .where(lit(5) * col("q") * col("cnt") < col("sq"))
+      .agg(count(lit(1)).as("n_small"),
+        sum("q").cast("long").as("qty_sum"),
+        round(sum("ep"), 2).cast("double").as("revenue"))
+  }
+
   /** Q-A6 — pivot: per-user event-type counts as columns. The pivot value
     * list is DECLARED (the 5 event kinds), not discovered — at scale the
     * discovery pass is a second full scan plus a collect of the distinct

@@ -251,4 +251,38 @@ object Windows {
         col("prev_c").isNotNull && col("c") > col("prev_c") * 2)
       .orderBy("event_type", "day")
   }
+
+  /** Q-W9 — ROBUST spike detection: [[qW8]] flags on yesterday alone, so a
+    * two-day ramp or one quiet Sunday fools it; the monitoring form that
+    * survives noisy feeds compares each day against the MEDIAN of its
+    * trailing 7 days — one outlier day cannot move a median, so a single
+    * bad reference day stops minting false alarms. A day is anomalous when
+    * its count exceeds 2× that trailing median, with at least 4 days of
+    * history (no verdict on a cold start).
+    *
+    * Exactness across engines: the trailing window is a collect→sort→pick
+    * of ≤ 7 INTEGER daily counts, and "median" is the LOWER median
+    * (element (n+1)/2 of the sorted list) — pure integer selection, no
+    * float averaging of middle pairs, so the oracle hash-matches with zero
+    * tolerance. The all-integer flag is `c > 2·med`, nothing to tune.
+    *
+    * Scale: identical posture to [[qW8]] — the raw stream reduces to a
+    * (type, day) calendar-sized frame in one map-combined agg; the window
+    * holds ≤ 7 longs per row over that metadata-sized frame, so the
+    * collect_list frame is bounded BY CONSTRUCTION, never data-sized. */
+  def qW9(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hist", array_sort(collect_list(col("c")).over(w)))
+      .withColumn("med",
+        when(size(col("hist")) >= 4,
+          expr("element_at(hist, CAST((size(hist) + 1) DIV 2 AS INT))"))
+          .cast("long"))
+      .withColumn("anomaly", col("med").isNotNull && col("c") > col("med") * 2)
+      .select(col("event_type"), col("day"), col("c"), col("med"), col("anomaly"))
+      .orderBy("event_type", "day")
+  }
 }

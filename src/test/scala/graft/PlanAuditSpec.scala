@@ -872,6 +872,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"one (type, day) agg exchange + one type window exchange:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_w9 robust spike: calendar-sized agg, partitioned bounded window, no join") {
+    val q = graft.operators.Windows.qW9(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"robust spike detection must not join:\n$plan")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 2,
+      s"one (type, day) agg exchange + one type window exchange:\n${hashEx.mkString("\n")}")
+    // the collect_list window must stay event_type-partitioned — a global
+    // window would single-task the calendar frame
+    assert(plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("event_type")), s"window must partition by type:\n$plan")
+  }
+
+  test("q_a9 correlated-aggregate gate: part dim broadcasts, no cartesian, one row out") {
+    val q = graft.operators.Relational.qA9(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), s"gate must stay keyed:\n$plan")
+    // the brand-filtered part key set is the semi-join build side
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"pruned part dim must broadcast as a semi-join:\n$plan")
+    assert(rows.length == 1)
+    val r = rows.head
+    // every gated lineitem has quantity >= 1, so qty_sum >= n_small
+    assert(r.getLong(0) >= 0L && (r.isNullAt(1) || r.getLong(1) >= r.getLong(0)))
+  }
+
   test("q_t16 leakage audit: test grams broadcast, train gram stream never builds a hash side") {
     val q = graft.operators.TextAnalysis.qT16(spark, sf)
     q.collect()

@@ -138,6 +138,36 @@ class RecallSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= 150000L))
   }
 
+  test("labelProp: a bridge edge cannot weld two cliques; driver replay is exact") {
+    import spark.implicits._
+    // two 3-cliques joined by ONE bridge edge (3)-(10): connected components
+    // would merge them into one cluster; LPA must keep two communities
+    // because a single bridge label cannot outvote an in-clique majority
+    val pairGraph = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a_id", "b_id")
+    val got = Dedup.labelProp(pairGraph, Dedup.LabelPropIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent driver replay of the synchronous recurrence:
+    // label(i+1) = neighbor label maximizing (count, -label)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var l = nbrs.keys.map(id => id -> id).toMap
+    (1 to Dedup.LabelPropIters).foreach { _ =>
+      l = nbrs.map { case (id, ns) =>
+        val cnt = ns.map(l).groupBy(identity).view.mapValues(_.size.toLong)
+        id -> cnt.toSeq.maxBy { case (lbl, c) => (c, -lbl) }._1
+      }
+    }
+    assert(got == l, s"distributed LPA must replay the reference: $got vs $l")
+    // community structure: each clique uniform, the two cliques distinct
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, "clique A must agree")
+    assert(Set(got(10L), got(11L), got(12L)).size == 1, "clique B must agree")
+    assert(got(1L) != got(10L),
+      s"the bridge must not weld the cliques into one community: $got")
+  }
+
   test("full-signature LSH (qSim2 family): recall measured, monotone in width") {
     val p8 = pairs(Similarity.qSim2(spark, sf))
     val p4 = pairs(Similarity.lshPairs(spark, sf, planes = 4))
