@@ -89,7 +89,11 @@ object BenchSlope {
     // (partitioned cap + bounded TakeOrdered)
     "q_g6_label_prop", "q_a9_small_orders", "q_mm12_audio_dups",
     "q_v11_kmv_overlap", "q_o2_diverse_topk", "q_w9_robust_spike",
-    "q_t22_mix_weights")
+    "q_t22_mix_weights",
+    // the substring-removal accounting: gram-keyed self-join of the gram
+    // stream against its duplicated subset + an x8 coverage explode — the
+    // heaviest gram-family plan, must stay corpus-linear
+    "q_d18_substr_removal")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

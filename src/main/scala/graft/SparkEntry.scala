@@ -144,6 +144,7 @@ object SparkEntry {
     "q_g4_pagerank"        -> (Dedup.qG4 _),
     "q_g5_clustering_coeff" -> (Dedup.qG5 _),
     "q_g6_label_prop"      -> (Dedup.qG6 _),
+    "q_d18_substr_removal" -> (Dedup.qD18 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -616,6 +617,21 @@ object SparkEntry {
       }.mkString +
       s" SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e6 " +
       s"FROM r${graft.operators.Dedup.PageRankIters} ORDER BY doc_id"),
+    "q_d18_substr_removal" -> (
+      // a token position is removed iff covered by a duplicated 8-gram
+      // occurrence (corpus-wide count >= 2); coverage = distinct positions
+      "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "tk AS (SELECT doc_id, len(w) AS n, w FROM t), " +
+        "g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram " +
+        "FROM tk, unnest(generate_series(1, greatest(n - 7, 0))) AS s(i)), " +
+        "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(1) >= 2), " +
+        "cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM " +
+        "(SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS p " +
+        "FROM g JOIN dup USING (gram)) q GROUP BY doc_id) " +
+        "SELECT tk.doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(covered, 0) AS BIGINT) AS covered, " +
+        "CAST(((n - coalesce(covered, 0)) * 1000) // n AS BIGINT) AS kept_pm " +
+        "FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id ORDER BY tk.doc_id"),
     "q_g6_label_prop" -> (simhashPairsSql +
       // fixed-round synchronous label propagation: label(i+1) = the neighbor
       // label maximizing (count, −label) — chained CTEs, one per round,

@@ -995,4 +995,52 @@ object Dedup {
         col("cross_doc_occ"),
         expr("(dup_occ * 1000) DIV total_occ").as("dup_pm"),
         expr("(cross_doc_occ * 1000) DIV total_occ").as("cross_doc_pm"))
+
+  /** q_d18 — SUBSTRING-DEDUP REMOVAL ACCOUNTING, the per-document form of
+    * the ExactSubstr pass of Lee et al. 2022: [[qD17]] prices the corpus-
+    * wide duplicated-gram mass in one number; this computes what the
+    * removal pass would actually do to EACH document — a token position is
+    * removed iff it is COVERED by some duplicated 8-gram occurrence (gram
+    * count ≥ 2 corpus-wide, within-doc repeats included), and the output
+    * is per-doc (token count, covered count, kept per-mille). The
+    * difference matters: a doc can have low duplicated-GRAM share but
+    * high covered-TOKEN share (overlapping grams tile a span), and
+    * kept_pm is the number a curation run thresholds on ("drop docs that
+    * dedup would hollow out below 40%").
+    *
+    * Exactness: pure integer counts, per-mille integer DIV; coverage is a
+    * distinct-position count, insensitive to how many grams tile a token.
+    *
+    * Scale: grams carry their start index built in-row (named_struct
+    * inside the [[TextAnalysis.tokenGrams]] HOF — one explode, no token
+    * table); the duplicated-gram set reduces by gram key with map-side
+    * combine; marking occurrences is a gram-keyed equi-join of the two
+    * gram streams (fixed-width rows once the gram string is replaced by
+    * its 128-bit hash at 100 TB, the q_d12 discipline; AQE splits the
+    * boilerplate-gram skew); coverage explodes ×8 on the DUPLICATED
+    * subset only, then reduces per doc. Never all-pairs, never a window
+    * over the token stream. */
+  def qD18(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+    val grams = toks.select(col("doc_id"), explode(when(col("n") >= 8,
+        expr("transform(sequence(1, n - 7), i -> " +
+          "named_struct('i', i, 'gram', array_join(slice(w, i, 8), ' ')))"))
+      .otherwise(expr("CAST(array() AS array<struct<i:int,gram:string>>)")))
+      .as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("gram")
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("cov"))
+    toks.select(col("doc_id"), col("n"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        coalesce(col("cov"), lit(0L)).as("covered"),
+        expr("((n - coalesce(cov, 0L)) * 1000) DIV n").as("kept_pm"))
+      .orderBy("doc_id")
+  }
 }

@@ -900,6 +900,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(r.getLong(0) >= 0L && (r.isNullAt(1) || r.getLong(1) >= r.getLong(0)))
   }
 
+  test("q_d18 substring removal: keyed gram join, one row per document, kept_pm bounds") {
+    val q = graft.operators.Dedup.qD18(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"gram marking must be a keyed equi-join, never all-pairs:\n$plan")
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every document gets a removal verdict")
+    rows.foreach { r =>
+      val n = r.getLong(1); val cov = r.getLong(2); val kept = r.getLong(3)
+      assert(cov >= 0 && cov <= n, s"coverage within [0, n]: $r")
+      assert(kept >= 0 && kept <= 1000, s"kept_pm within [0, 1000]: $r")
+    }
+  }
+
   test("q_t16 leakage audit: test grams broadcast, train gram stream never builds a hash side") {
     val q = graft.operators.TextAnalysis.qT16(spark, sf)
     q.collect()
