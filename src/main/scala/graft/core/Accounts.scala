@@ -27,6 +27,10 @@ final case class CompactionStats(buckets: Set[Long], filesBefore: Long,
 final case class SnapshotInfo(tag: String, createdMs: Long,
                               files: Long, bytes: Long)
 
+/** Outcome of one [[FileAccount.distinctKeys]] pass. */
+final case class DistinctStats(estimate: Long, buckets: Int,
+                               vouched: Int, resketched: Int)
+
 /** File-backed account: the catalog surface of the reference
   * (/root/reference/src/clients.py, containers.py) over a directory tree
   * `root/<database>/<container>/{_meta.json, data/b=<k>/<part>.txt}`.
@@ -907,6 +911,103 @@ case class FileAccount(root: String) {
       .agg(count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(raw))"), lit(0L)).as("h"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  // ---- per-bucket distinct-key HLL sketch sidecar (_sketches.json) ----
+  //
+  // The mergeable-summaries form of the count sidecar: each bucket carries a
+  // serialized Datasketches HLL sketch of its merge keys (Spark's
+  // hll_sketch_agg), vouched by the same listing signature as _counts.json.
+  // Distinct-key estimation then costs O(metadata + changed buckets): vouched
+  // buckets contribute their stored sketch for free, only unvouched buckets
+  // re-sketch, and the container estimate is a driver-bounded union of
+  // bucket sketches (HLL union is exact over sketches — the property that
+  // makes per-bucket caching sound). At 100 TB this is the difference
+  // between a COUNT(DISTINCT key) full scan per audit and a listing walk
+  // plus the delta — the same O(delta) contract as incremental verify (A15),
+  // applied to cardinality.
+
+  private def sketchesPath(db: String, container: String): String =
+    p(db, container, "_sketches.json")
+
+  /** Sidecar entries: bucket → (serialized HLL sketch, listing signature at
+    * sketch time). */
+  private[graft] def readBucketSketches(
+      db: String, container: String): Map[Long, (Array[Byte], String)] = {
+    val f = sketchesPath(db, container)
+    if (!store.exists(f)) Map.empty
+    else
+      """\{"b":\s*(\d+),\s*"sk":\s*"([A-Za-z0-9+/=]*)",\s*"sig":\s*"([a-f0-9]*)"\}""".r
+        .findAllMatchIn(store.readString(f))
+        .map(m => m.group(1).toLong ->
+          (java.util.Base64.getDecoder.decode(m.group(2)), m.group(3))).toMap
+  }
+
+  private def writeBucketSketches(db: String, container: String,
+      sketches: Map[Long, (Array[Byte], String)]): Unit =
+    store.writeString(sketchesPath(db, container),
+      sketches.toSeq.sortBy(_._1).map { case (b, (sk, sig)) =>
+        s"""{"b": $b, "sk": "${java.util.Base64.getEncoder.encodeToString(sk)}", "sig": "$sig"}"""
+      }.mkString("{\"buckets\": [\n  ", ",\n  ", "\n]}\n"))
+
+  /** Distinct merge-key estimate in O(metadata + unvouched buckets):
+    * buckets whose listing signature matches the sketch sidecar contribute
+    * their stored sketch free; unvouched buckets — and only those — are
+    * re-sketched in ONE distributed pass (grouped by physical bucket dir)
+    * and written back, so the next call is metadata-only. Stray
+    * out-of-layout files are sketched per call and unioned into the
+    * estimate but never persisted (their keys belong to hash buckets whose
+    * signatures cannot vouch for them; the next upsert absorbs them).
+    * Self-healing and idempotent, like [[countRows]]. */
+  def distinctKeys(spark: SparkSession, db: String,
+                   container: String): DistinctStats = {
+    GraftFunctions.register(spark)
+    val props = containerProperties(db, container)
+    val csv = props.pkPaths.map(_.stripPrefix("/")).mkString(",")
+    val keyExpr = "concat_ws('', __m.id" +
+      props.pkPaths.indices.map(i => s", __m.pk$i").mkString + ")"
+    def sketchOf(df: DataFrame): DataFrame =
+      df.selectExpr("__b", s"json_doc_keys(raw, '$csv', 'false') AS __m")
+        .selectExpr("__b", s"$keyExpr AS __k")
+        .groupBy("__b").agg(expr("hll_sketch_agg(__k)").as("sk"))
+
+    val sidecar = readBucketSketches(db, container)
+    val dirs = bucketDirList(db, container)
+    val sigs = dirs.map { case (b, dir) => b -> dirSignature(dir) }.toMap
+    val (vouched, unvouched) = dirs.partition { case (b, _) =>
+      sidecar.get(b).exists(_._2 == sigs(b)) }
+    val fresh: Map[Long, Array[Byte]] =
+      if (unvouched.isEmpty) Map.empty
+      else sketchOf(
+        spark.read.option("recursiveFileLookup", "true")
+          .text(unvouched.map(_._2): _*)
+          .select(col("value").as("raw"))
+          .withColumn("__b",
+            regexp_extract(input_file_name(), "/b=(\\d+)/", 1).cast("long")))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    if (fresh.nonEmpty || sidecar.keySet.exists(b => !sigs.contains(b)))
+      // write back fresh sketches; drop entries for vanished buckets
+      writeBucketSketches(db, container,
+        (sidecar -- sidecar.keySet.filterNot(sigs.contains) -- fresh.keys) ++
+          fresh.map { case (b, sk) => b -> (sk, sigs(b)) })
+    val strays = strayFiles(db, container)
+    val straySketch: Seq[Array[Byte]] =
+      if (strays.isEmpty) Nil
+      else sketchOf(spark.read.text(strays: _*)
+          .select(col("value").as("raw")).withColumn("__b", lit(-1L)))
+        .collect().map(_.getAs[Array[Byte]](1)).toSeq
+    val all: Seq[Array[Byte]] =
+      vouched.map { case (b, _) => sidecar(b)._1 } ++
+        fresh.values ++ straySketch
+    val estimate =
+      if (all.isEmpty) 0L
+      else {
+        import org.apache.spark.sql.Encoders
+        spark.createDataset(all)(Encoders.BINARY).toDF("sk")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+          .head().getLong(0)
+      }
+    DistinctStats(estimate, dirs.size, vouched.size, unvouched.size)
+  }
 
   /** A1: full container scan, RAW — one `raw` string column per document
     * line, no inference, bucket layout transparent (recursive lookup). */

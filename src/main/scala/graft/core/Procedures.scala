@@ -29,7 +29,7 @@ private[core] object GraftProcedures {
   val names: Array[String] =
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
-      "expire_snapshots", "diff")
+      "expire_snapshots", "diff", "distinct")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -37,6 +37,7 @@ private[core] object GraftProcedures {
     case "stats"    => new StatsProcedure(account)
     case "verify"   => new VerifyProcedure(account)
     case "rebucket" => new RebucketProcedure(account)
+    case "distinct" => new DistinctProcedure(account)
     case "snapshot"      => new SnapshotProcedure(account)
     case "snapshots"     => new ListSnapshotsProcedure(account)
     case "restore"       => new RestoreProcedure(account)
@@ -222,6 +223,42 @@ private[core] final class VerifyProcedure(account: FileAccount)
       StructField("rescanned_buckets", IntegerType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       rows, sigs.size, vouched, sigs.size - vouched))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.distinct(db, container)` — incremental distinct
+  * merge-key estimate via the per-bucket HLL sketch sidecar
+  * ([[FileAccount.distinctKeys]]): vouched buckets contribute their stored
+  * sketch free, only changed buckets re-sketch, and the estimate is a
+  * driver-bounded sketch union — COUNT(DISTINCT key) at O(delta) cost. */
+private[core] final class DistinctProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "distinct"
+  override def description(): String =
+    "distinct merge-key estimate: vouched bucket sketches free, changed buckets re-sketched"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("db", StringType).build(),
+    ProcedureParameter.in("container", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val db = input.getUTF8String(0).toString
+    val container = input.getUTF8String(1).toString
+    val stats = account.distinctKeys(SparkSession.active, db, container)
+    val schema = StructType(Seq(
+      StructField("distinct_keys_est", LongType, nullable = false),
+      StructField("buckets", IntegerType, nullable = false),
+      StructField("vouched_buckets", IntegerType, nullable = false),
+      StructField("resketched_buckets", IntegerType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      stats.estimate, stats.buckets, stats.vouched, stats.resketched))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

@@ -368,4 +368,52 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("autocompact") ||
       e.getMessage.contains("fixed at creation"))
   }
+
+  test("distinctKeys: bucket-sketch estimate is incremental — only changed buckets re-sketch") {
+    val acc = newAccount("distinct")
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/id"), buckets = 4))
+    upsert(acc, "db", "c", (1 to 200).map(i => s"""{"id":"d$i","v":$i}"""), parts = 4)
+
+    // cold call: every bucket sketches; HLL is exact at this cardinality
+    val first = acc.distinctKeys(spark, "db", "c")
+    assert(first.estimate == 200L,
+      s"HLL is exact in sparse mode at 200 keys: $first")
+    assert(first.resketched == first.buckets && first.vouched == 0, s"$first")
+
+    // warm call: pure metadata — zero buckets re-sketched, same estimate
+    val second = acc.distinctKeys(spark, "db", "c")
+    assert(second == first.copy(vouched = first.buckets, resketched = 0),
+      s"warm call must be metadata-only: $second")
+
+    // a delta upsert touches SOME buckets; only those re-sketch.
+    // 20 new keys + 10 rewrites of existing keys (distinct +20 only)
+    upsert(acc, "db", "c",
+      (201 to 220).map(i => s"""{"id":"d$i","v":$i}""") ++
+        (1 to 10).map(i => s"""{"id":"d$i","v":${i * 100}}"""), parts = 2)
+    val third = acc.distinctKeys(spark, "db", "c")
+    assert(third.estimate == 220L, s"delta must raise the estimate: $third")
+    assert(third.resketched >= 1 && third.resketched <= third.buckets,
+      s"only touched buckets re-sketch: $third")
+    // and the call after the repair is metadata-only again
+    val fourth = acc.distinctKeys(spark, "db", "c")
+    assert(fourth.resketched == 0 && fourth.estimate == 220L, s"$fourth")
+  }
+
+  test("SQL surface: CALL graft.system.distinct returns the sketch estimate") {
+    val acc = newAccount("calldistinct")
+    spark.conf.set("spark.sql.catalog.graftdk",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdk.root", acc.root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftdk.db")
+    spark.sql("CREATE TABLE graftdk.db.c (raw STRING) " +
+      "TBLPROPERTIES ('pk'='/id', 'buckets'='2')")
+    upsert(acc, "db", "c", (1 to 64).map(i => s"""{"id":"k$i"}"""), parts = 2)
+    val r = spark.sql(
+      "CALL graftdk.system.distinct(db => 'db', container => 'c')").head()
+    assert(r.getLong(0) == 64L && r.getInt(1) == 2 && r.getInt(3) == 2, s"$r")
+    val r2 = spark.sql("CALL graftdk.system.distinct('db', 'c')").head()
+    assert(r2.getLong(0) == 64L && r2.getInt(2) == 2 && r2.getInt(3) == 0,
+      s"second call must be vouched: $r2")
+  }
 }
