@@ -93,7 +93,10 @@ object BenchSlope {
     // the substring-removal accounting: gram-keyed self-join of the gram
     // stream against its duplicated subset + an x8 coverage explode — the
     // heaviest gram-family plan, must stay corpus-linear
-    "q_d18_substr_removal")
+    "q_d18_substr_removal",
+    // dedup-aware mix: the full qT19 survivor chain + a corpus tokenize
+    // pass with a broadcast anti-join exclusion
+    "q_t26_dedup_mix")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

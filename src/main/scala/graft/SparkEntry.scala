@@ -112,6 +112,7 @@ object SparkEntry {
     "q_t17_pack_stats"     -> (TextAnalysis.qT17 _),
     "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
+    "q_t26_dedup_mix"      -> (TextAnalysis.qT26 _),
     "q_t20_unigram_ll"     -> (TextAnalysis.qT20 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
@@ -701,6 +702,38 @@ object SparkEntry {
       "(PARTITION BY component ORDER BY rank_e6 DESC, id) AS rn FROM mem) " +
       "SELECT component, id AS survivor_id, CAST(csize AS BIGINT) AS csize, " +
       "CAST(rank_e6 AS BIGINT) AS rank_e6 FROM pick WHERE rn = 1 ORDER BY component"),
+    "q_t26_dedup_mix" -> (simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // q_t19's survivor pick inverted: DROPPED = non-canonical component
+      // members; per-language doc/token mass before vs after exclusion
+      ", ed AS (SELECT a_id AS s, b_id AS t FROM sp UNION ALL SELECT b_id, a_id FROM sp), " +
+      "dg AS (SELECT s, count(1) AS deg FROM ed GROUP BY s), " +
+      "r0 AS (SELECT s AS id, CAST(1000000 AS BIGINT) AS r FROM dg)" +
+      (1 to graft.operators.Dedup.PageRankIters).map { i =>
+        s", r$i AS (SELECT e.t AS id, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r " +
+          s"FROM ed e JOIN r${i - 1} r ON e.s = r.id JOIN dg d ON d.s = e.s GROUP BY e.t)"
+      }.mkString +
+      ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      "mem AS (SELECT c.id, c.component, rr.r AS rank_e6 FROM comp c " +
+      s"JOIN r${graft.operators.Dedup.PageRankIters} rr ON rr.id = c.id), " +
+      "pick AS (SELECT id, row_number() OVER (PARTITION BY component " +
+      "ORDER BY rank_e6 DESC, id) AS rn FROM mem), " +
+      "dropd AS (SELECT id FROM pick WHERE rn > 1), " +
+      "d AS (SELECT doc_id, lang, " +
+      "len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS ntok FROM documents), " +
+      "bef AS (SELECT lang, count(1) AS docs_before, sum(ntok) AS tokens_before FROM d GROUP BY lang), " +
+      "aft AS (SELECT lang, count(1) AS docs_after, sum(ntok) AS tokens_after FROM d " +
+      "WHERE doc_id NOT IN (SELECT id FROM dropd) GROUP BY lang) " +
+      "SELECT b.lang, CAST(docs_before AS BIGINT) AS docs_before, " +
+      "CAST(coalesce(docs_after, 0) AS BIGINT) AS docs_after, " +
+      "CAST(tokens_before AS BIGINT) AS tokens_before, " +
+      "CAST(coalesce(tokens_after, 0) AS BIGINT) AS tokens_after, " +
+      "CAST((coalesce(docs_after, 0) * 1000) // docs_before AS BIGINT) AS kept_docs_pm, " +
+      "CAST(CASE WHEN tokens_before = 0 THEN 1000 " +
+      "ELSE (coalesce(tokens_after, 0) * 1000) // tokens_before END AS BIGINT) AS kept_tokens_pm " +
+      "FROM bef b LEFT JOIN aft a ON b.lang = a.lang ORDER BY b.lang"),
     "q_t20_unigram_ll" -> (
       // unigram-LM score with integer floor-log2 (length(bin(c))-1) per
       // token — the engine-exact surrogate for log-likelihood; sums CAST

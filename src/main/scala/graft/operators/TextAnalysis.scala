@@ -843,4 +843,58 @@ object TextAnalysis {
         expr("(occ_mass * 1000) DIV total").as("mass_pm"))
       .orderBy("bin")
   }
+
+  /** Q-T26 — DEDUP-AWARE TRAINING MIX: the [[qT22]] per-language token
+    * mass recomputed AFTER keep-one-per-cluster dedup ([[qT19]]'s
+    * survivors), side by side with the raw mass — docs and tokens before
+    * vs after, with integer per-mille retention. The number that matters:
+    * mixture weights tuned on RAW token counts are wrong exactly when
+    * duplication is language-skewed (a heavily-mirrored language looks
+    * bigger than the text it actually contributes), so a loader must
+    * reweight on EFFECTIVE tokens — this is the query that prices that
+    * correction, per language.
+    *
+    * Scale: the drop set (non-canonical members of simhash components) is
+    * GRAPH-sized, never corpus-sized, so the doc-side exclusion is a
+    * broadcast anti-join and the corpus streams once through tokenize +
+    * per-language reduce (the qT22 plan plus one broadcast). The pair
+    * frame persists once and feeds both the component map and the
+    * PageRank ranking (the qT18/qT19 borrow discipline). */
+  def qT26(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pairs = Dedup.qD6(s, dir).select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val comp = Dedup.componentsOfPairs(s, pairs, Dedup.MaxDriverPairs)
+      val ranks = Dedup.pageRank(pairs, Dedup.PageRankIters)
+        .selectExpr("id AS r_id", "r AS rank_e6")
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        .orderBy(desc("rank_e6"), col("id"))
+      val dropped = comp.join(ranks, col("id") === col("r_id"))
+        .withColumn("rn", row_number().over(cw))
+        .where(col("rn") > 1)
+        .select(col("id").as("drop_id"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .cast("long").as("ntok"))
+      val before = docs.groupBy("lang")
+        .agg(count(lit(1)).as("docs_before"), sum("ntok").as("tokens_before"))
+      val after = docs
+        .join(broadcast(dropped), col("doc_id") === col("drop_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs_after"), sum("ntok").as("tokens_after"))
+      before.join(after, Seq("lang"), "left")
+        .select(col("lang"), col("docs_before"),
+          coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+          col("tokens_before"),
+          coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
+        .select(col("lang"), col("docs_before"), col("docs_after"),
+          col("tokens_before"), col("tokens_after"),
+          expr("(docs_after * 1000) DIV docs_before").as("kept_docs_pm"),
+          expr("CASE WHEN tokens_before = 0 THEN 1000 " +
+            "ELSE (tokens_after * 1000) DIV tokens_before END").as("kept_tokens_pm"))
+        .orderBy("lang")
+        .localCheckpoint(eager = true)
+    } finally { pairs.unpersist(); () }
+  }
 }
