@@ -39,6 +39,7 @@ object SparkEntry {
     "q_j9_asof_join"       -> (Joins.qJ9 _),
     "q_j10_range_band"     -> (Joins.qJ10 _),
     "q_j11_nullaware_anti" -> (Joins.qJ11 _),
+    "q_j12_bloom_prejoin"  -> (Joins.qJ12 _),
     // aggregates
     "q_a1_count"           -> (Relational.qA1 _),
     "q_a2_hash_agg"        -> (Relational.qA2 _),
@@ -64,6 +65,7 @@ object SparkEntry {
     // sort / limit
     "q_o1_topk"            -> (Relational.qO1 _),
     "q_o2_diverse_topk"    -> (Relational.qO2 _),
+    "q_o3_weighted_sample" -> (Relational.qO3 _),
     // set ops
     "q_u1_union_all"       -> (Relational.qU1 _),
     "q_u2_except"          -> (Relational.qU2 _),
@@ -113,6 +115,7 @@ object SparkEntry {
     "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
     "q_t26_dedup_mix"      -> (TextAnalysis.qT26 _),
+    "q_t27_temperature_mix" -> (TextAnalysis.qT27 _),
     "q_t20_unigram_ll"     -> (TextAnalysis.qT20 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
@@ -145,6 +148,7 @@ object SparkEntry {
     "q_g4_pagerank"        -> (Dedup.qG4 _),
     "q_g5_clustering_coeff" -> (Dedup.qG5 _),
     "q_g6_label_prop"      -> (Dedup.qG6 _),
+    "q_g7_kcore"           -> (Dedup.qG7 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
@@ -237,6 +241,13 @@ object SparkEntry {
         "WHERE (CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END) NOT IN " +
         "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') " +
         "ORDER BY event_id"),
+    "q_j12_bloom_prejoin" -> (
+      // the bloom prefilter is exchange physics, not semantics: false
+      // positives die at the exact join, so the oracle is the PLAIN join
+      "SELECT CAST(count(1) AS BIGINT) AS n, " +
+        "CAST(coalesce(bit_xor((l_orderkey % 1000003) * 100003 + l_linenumber), 0) AS BIGINT) AS h " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_orderstatus = 'F' AND o.o_orderpriority = '1-URGENT'"),
     "q_j10_range_band" -> (
       // point-in-interval with no equi key: the oracle is DuckDB's native
       // IEJoin over the SAME range predicate — an independent algorithm
@@ -324,6 +335,13 @@ object SparkEntry {
         "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS lr FROM documents) " +
         "SELECT doc_id, lang, n_chars, CAST(lr AS BIGINT) AS lang_rank " +
         "FROM r WHERE lr <= 3 ORDER BY n_chars DESC, doc_id LIMIT 20"),
+    "q_o3_weighted_sample" -> (
+      // priority sampling, integer-exact: q = w*2^32 DIV (h+1) with h the
+      // 32-bit md5 fragment of the doc id (Hashing.md5h32's DuckDB form)
+      "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w, " +
+        "(CAST(n_chars AS BIGINT) * 4294967296) // " +
+        "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 1) AS priority " +
+        "FROM documents ORDER BY priority DESC, doc_id LIMIT 20"),
     "q_u1_union_all" -> (
       "SELECT k FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) t ORDER BY k"),
     "q_u2_except" -> (
@@ -647,6 +665,25 @@ object SparkEntry {
       }.mkString +
       s" SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community " +
       s"FROM l${graft.operators.Dedup.LabelPropIters} ORDER BY doc_id"),
+    "q_g7_kcore" -> (simhashPairsSql +
+      // fixed-round 2-core peel: chained CTEs, one (degree, survivor-edge)
+      // pair per round, replaying Dedup.qG7's recurrence exactly
+      ", e0 AS (SELECT a_id AS u, b_id AS v FROM sp)" +
+      (1 to graft.operators.Dedup.KCoreIters).map { i =>
+        s", d$i AS (SELECT id, count(1) AS c FROM (SELECT u AS id FROM e${i - 1} " +
+          s"UNION ALL SELECT v FROM e${i - 1}) t GROUP BY id), " +
+          s"k$i AS (SELECT id FROM d$i WHERE c >= 2), " +
+          s"e$i AS (SELECT u, v FROM e${i - 1} " +
+          s"WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i))"
+      }.mkString +
+      " " +
+      (0 to graft.operators.Dedup.KCoreIters).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS iter, " +
+          s"(SELECT count(DISTINCT id) FROM (SELECT u AS id FROM e$i " +
+          s"UNION ALL SELECT v FROM e$i) t) AS n_nodes, " +
+          s"(SELECT count(1) FROM e$i) AS n_edges"
+      }.mkString(" UNION ALL ") +
+      " ORDER BY iter"),
     // DuckDB needs RECURSIVE on the WITH clause for the reach() CTE
     "q_t18_cluster_split" -> (simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
       // components over the simhash pair graph (recursive min-reachable,
@@ -785,6 +822,19 @@ object SparkEntry {
         "SELECT lang, n_docs, tokens, (tokens * 1000) // t AS share_pm, " +
         "(t * 1000) // (l * tokens) AS weight_pm " +
         "FROM pl, tot ORDER BY lang"),
+    "q_t27_temperature_mix" -> (
+      // alpha = 1/2 temperature resampling: pow(x, 0.5) is IEEE sqrt,
+      // correctly rounded in both engines, so floor(sqrt(tokens)) is
+      // bit-stable where a general pow(tokens, alpha) is not
+      "WITH pl AS (SELECT lang, " +
+        "CAST(sum(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS tokens " +
+        "FROM documents GROUP BY lang), " +
+        "ph AS (SELECT lang, tokens, CAST(floor(sqrt(tokens)) AS BIGINT) AS s_half FROM pl), " +
+        "tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t, CAST(sum(s_half) AS BIGINT) AS sh FROM ph) " +
+        "SELECT lang, tokens, (tokens * 1000) // t AS share_pm, " +
+        "(s_half * 1000) // sh AS tshare_pm, " +
+        "(s_half * t * 1000) // (tokens * sh) AS boost_pm " +
+        "FROM ph, tot ORDER BY lang"),
     "q_t23_rrf_fusion" -> (
       // RRF (k=60) over two top-100 candidate lists: qT2's integer quality
       // composite and qT20's unigram-LM score; absent rank contributes 0

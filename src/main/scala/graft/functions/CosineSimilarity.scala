@@ -127,6 +127,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mask_json", exprs => MaskJson(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs(1),
+        java.util.HexFormat.of().parseHex(litString(exprs(0)))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "json_doc_keys",
       exprs => JsonDocKeys(exprs.head, litString(exprs(1)).split(",").toSeq,
         litString(exprs(2)).toBoolean), "built-in")

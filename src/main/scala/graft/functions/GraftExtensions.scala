@@ -80,6 +80,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MaskJson(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomMightContain(exprs(1),
+          java.util.HexFormat.of().parseHex(GraftFunctions.litString(exprs(0))))))
+    ext.injectFunction((
       FunctionIdentifier("json_doc_keys"),
       new ExpressionInfo(classOf[JsonDocKeys].getName, "json_doc_keys"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

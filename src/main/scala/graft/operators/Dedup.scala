@@ -583,6 +583,67 @@ object Dedup {
     }
   }
 
+  /** Synchronous peel rounds of [[qG7]] — fixed so the DuckDB oracle can
+    * replay them as chained CTEs (the [[PageRankIters]] pattern: determinism
+    * over convergence detection; the peel is idempotent once converged, so
+    * extra rounds never change the answer, only certify it). */
+  val KCoreIters = 3
+
+  /** Q-G7 — 2-CORE decomposition of the SimHash near-dup graph: iteratively
+    * peel degree-1 nodes (and the edges they carry) until only nodes with
+    * ≥ 2 surviving neighbors remain, reporting (iteration, nodes, edges)
+    * after each of [[KCoreIters]] synchronous rounds. The k-core is the
+    * third structural lens after [[qG2]]'s triangles and [[qG6]]'s
+    * communities: dup FAMILIES (cliques) sit entirely inside the 2-core,
+    * while chain/star false-positive filaments — transitive SimHash matches
+    * stitching unrelated docs — peel away completely. The per-round deltas
+    * are the diagnostic: a graph whose edge count collapses under peeling
+    * is filament-shaped, and keep-one-per-component ([[qT19]]) would be
+    * destroying singletons glued by noise, not duplicates.
+    *
+    * Scale: the candidate subtree persists once ([[withPersistedEdges]]);
+    * each round is one map-combined degree count plus two semi-joins of the
+    * edge frame against the surviving-node set — O(iters × |E|) BSP, the
+    * [[pageRank]]/[[labelProp]] shape. Each round's frame persists and the
+    * prior round unpersists after its successor materializes (the chain is
+    * shrink-only, so peak footprint is ≤ 2 edge frames). The reported rows
+    * are metadata-sized aggregates; nothing corpus-scaled reaches the
+    * driver. */
+  def qG7(s: SparkSession, dir: String): DataFrame =
+    withPersistedEdges(
+        qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))) { e0 =>
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def stat(i: Int, e: DataFrame): DataFrame = {
+        val nodes = e.select(col("u").as("id"))
+          .unionAll(e.select(col("v").as("id")))
+          .agg(countDistinct("id").as("n_nodes"))
+        val edges = e.agg(count(lit(1)).as("n_edges"))
+        nodes.crossJoin(edges)
+          .select(lit(i.toLong).as("iter"), col("n_nodes"), col("n_edges"))
+      }
+      var e = e0
+      var out = stat(0, e)
+      val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      try {
+        for (i <- 1 to KCoreIters) {
+          val keep = e.select(col("u").as("id"))
+            .unionAll(e.select(col("v").as("id")))
+            .groupBy("id").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= 2)
+            .select("id")
+          val next = e
+            .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+            .select("u", "v")
+            .persist(lvl)
+          held += next
+          e = next
+          out = out.unionAll(stat(i, e))
+        }
+        out.orderBy("iter").localCheckpoint(eager = true)
+      } finally { held.foreach(_.unpersist()); () }
+    }
+
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the
     * codegen'd [[graft.functions.CosineSimilarity]] expression, with a
     * DECLARED key bound (`a_id < 200`) like its siblings qD2/qX2.

@@ -247,4 +247,56 @@ object Joins {
         |  (SELECT o_custkey FROM graft_j11_orders WHERE o_orderstatus = 'F')
         |ORDER BY event_id""".stripMargin)
   }
+
+  /** Q-J12 — BLOOM SEMI-JOIN REDUCTION: a fact-fact equi-join against a
+    * selectively-filtered dimension (urgent finished orders, ~6.7% of the
+    * orders fact), with the probe side pre-filtered MAP-SIDE by a bloom
+    * filter built over the dim keys — the runtime-filter pattern that
+    * decides shuffle volume at 100 TB. A plain shuffle join moves ALL of
+    * lineitem through the exchange and discards ~93% of it at the join;
+    * the bloom probe ([[graft.functions.BloomMightContain]], codegen'd
+    * into the scan's fused loop) drops non-matching rows BEFORE the
+    * exchange at two-hash-per-row cost, so the shuffle carries only
+    * (matches + fpp·non-matches). The exact join then removes the bloom's
+    * false positives — the result is IDENTICAL to the plain join for any
+    * fpp, which is why the oracle is the plain join: the sketch affects
+    * bytes moved, never the answer.
+    *
+    * Build path: the filter is a distributed partial+merge aggregate over
+    * the dim ([[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]],
+    * the qV6 build), sized by an exact pushed-down count of the filtered
+    * dim — at 1% fpp ≈ 1.2 bytes/key, a ~10M-key dim is a ~12 MB
+    * broadcast-sized constant, far under the exchange volume it saves.
+    * This is Spark's own `runtime.bloomFilter` injection made EXPLICIT:
+    * the optimizer's version fires on heuristics (creation-side size
+    * thresholds); a pipeline that knows its dim filter is selective
+    * declares the reduction and keeps it under test. The `merge` hint pins
+    * the fact-fact contract (neither side broadcast at scale — with a
+    * broadcast join the probe would be pointless, since the same hash
+    * table already filters map-side).
+    *
+    * Two bounded driver steps: the dim-count row (sizing) and the merged
+    * filter itself; both dim-scaled, never fact-scaled. */
+  def qJ12(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dim = Tables.orders(s, d)
+      .where(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val nKeys = math.max(dim.count(), 1L)
+    val bf = dim.stat.bloomFilter(col("o_orderkey"), nKeys, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val hex = java.util.HexFormat.of().formatHex(bos.toByteArray)
+    val probe = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber")
+      .where(expr(s"bloom_might_contain('$hex', l_orderkey)"))
+    // the qJ10 hash discipline: mod-reduce before multiply so the checksum
+    // stays well under int64 at any SF, where Spark and DuckDB agree
+    probe.hint("merge").join(dim, probe("l_orderkey") === dim("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr(
+          "bit_xor((l_orderkey % 1000003) * 100003 + l_linenumber)"),
+          lit(0L)).as("h"))
+  }
 }

@@ -537,6 +537,36 @@ object Relational {
       .limit(20)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("lr").cast("long").as("lang_rank"))
 
+  /** Q-O3 — WEIGHTED SAMPLE via PRIORITY SAMPLING (Duffield–Lund–Thorup):
+    * draw 20 documents with inclusion probability increasing in weight
+    * (n_chars — "sample long documents more often", the length-biased draw
+    * a curation pipeline uses to eyeball where the token mass lives).
+    * Priority sampling assigns each item priority q = w / u with u uniform
+    * in (0,1], keeps the top-k by q — a one-pass, merge-friendly scheme
+    * with near-optimal variance for weighted subset sums.
+    *
+    * Engine-exact form: u derives from the 32-bit md5 fragment
+    * ([[graft.functions.Hashing.md5h32]]) of the doc id — u = (h+1)/2^32 —
+    * so q = w·2^32 DIV (h+1) is PURE INTEGER arithmetic (max n_chars·2^32
+    * ≈ 2^41, no overflow), reproducible bit-for-bit in DuckDB: no float
+    * division, no ln/pow (the exponential-jump formulations need both).
+    * Deterministic-by-seed is a feature here, not a compromise: the same
+    * property that makes the oracle replayable makes the sample itself
+    * reproducible across reruns and engines — the audit requirement for
+    * any sample that feeds a training mix.
+    *
+    * Scale: hash + priority are map-only codegen'd projections; the top-20
+    * is a TakeOrdered (per-partition heaps + driver merge of 20-row
+    * partials), never a global sort. One corpus pass, zero shuffle. */
+  def qO3(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS w",
+        graft.functions.Hashing.md5h32("CAST(doc_id AS STRING)") + " AS h")
+      .selectExpr("doc_id", "lang", "w",
+        "(w * 4294967296) DIV (h + 1) AS priority")
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(20)
+
   /** Q-U1 — UNION ALL: the multi-container consolidation loop
     * (/root/reference/src/main.py:141-148) as one plan. */
   def qU1(s: SparkSession, d: String): DataFrame =

@@ -897,4 +897,39 @@ object TextAnalysis {
         .localCheckpoint(eager = true)
     } finally { pairs.unpersist(); () }
   }
+
+  /** Q-T27 — TEMPERATURE-RESAMPLED language mix (α = 1/2): [[qT22]] flattens
+    * the mix all the way to uniform; the standard production compromise
+    * (UniMax / mT5-style temperature sampling) resamples language l with
+    * probability ∝ mass^α, 0 < α < 1 — boosting tails without letting a
+    * 50-doc language repeat until it memorizes. α = 1/2 is the one exponent
+    * in that family with an ENGINE-EXACT form: pow(x, 0.5) is IEEE-754
+    * `sqrt`, correctly rounded by mandate in both the JVM and DuckDB, so
+    * `floor(sqrt(tokens))` is bit-stable cross-engine where a general
+    * `pow(tokens, 0.3)` (exp/ln composition, implementation-defined ULP)
+    * is not. Emits per language: token mass, the proportional share, the
+    * temperature share, and the resampling boost each document in that
+    * language gets under the new mix — all integer per-mille
+    * (boost_pm = 1000 · tshare/share = (s_l · T · 1000) DIV (tokens · S)).
+    *
+    * Scale: identical shape to [[qT22]] — the corpus reduces to an L-row
+    * frame in one tokenize pass with map-side partial aggregation; the
+    * sqrt/share arithmetic runs over those L rows and a broadcast 1-row
+    * total. Nothing downstream of the first agg scales with the corpus. */
+  def qT27(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .select(col("lang"),
+        size(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(sum("ntok").as("tokens"))
+      .withColumn("s_half", expr("CAST(floor(sqrt(tokens)) AS BIGINT)"))
+    val tot = perLang.agg(sum("tokens").as("t"), sum("s_half").as("sh"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("tokens"),
+        expr("(tokens * 1000) DIV t").as("share_pm"),
+        expr("(s_half * 1000) DIV sh").as("tshare_pm"),
+        expr("(s_half * t * 1000) DIV (tokens * sh)").as("boost_pm"))
+      .orderBy("lang")
+  }
 }

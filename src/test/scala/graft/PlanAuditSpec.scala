@@ -1088,6 +1088,46 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("Q-J12 bloom prejoin: probe filtered below the shuffle join, in codegen") {
+    val q = Joins.qJ12(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"),
+      "fact-fact contract: the exact join must be a shuffle join, not broadcast")
+    // the probe must run INSIDE a whole-stage-codegen span ("*(n) Filter"),
+    // below the exchange — that placement is the whole point of the operator
+    val probeLine = plan.linesIterator.find(_.contains("bloommightcontain"))
+    assert(probeLine.exists(_.contains("Filter")),
+      s"bloom probe must be a Filter on the probe side:\n$plan")
+    assert(probeLine.exists(_.contains("*(")),
+      s"bloom probe fell out of codegen: ${probeLine.getOrElse("")}")
+    val probeIdx = plan.linesIterator.indexWhere(_.contains("bloommightcontain"))
+    val joinIdx = plan.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    assert(probeIdx > joinIdx,
+      "probe filter must sit below the join (map side of the exchange)")
+  }
+
+  test("Q-O3 weighted sample: TakeOrdered top-k, map-only (no exchange below it)") {
+    val q = Relational.qO3(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "priority top-20 must be a TakeOrdered, not a global sort")
+    assert(!plan.contains("hashpartitioning"),
+      s"one corpus pass, zero shuffle:\n$plan")
+  }
+
+  test("Q-G7 k-core: peel is shrink-only and converges on the fixture graph") {
+    val rows = graft.operators.Dedup.qG7(spark, sf).collect()
+    assert(rows.length == graft.operators.Dedup.KCoreIters + 1)
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    val nodes = rows.map(_.getAs[Long]("n_nodes"))
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a },
+      s"peel must never add edges: ${edges.mkString(",")}")
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => b <= a },
+      s"peel must never add nodes: ${nodes.mkString(",")}")
+  }
+
   test("hot-path queries stay inside whole-stage codegen") {
     for ((name, q) <- Seq(
       "q_a2" -> Relational.qA2(spark, sf),
