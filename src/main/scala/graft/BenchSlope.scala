@@ -96,7 +96,12 @@ object BenchSlope {
     "q_d18_substr_removal",
     // dedup-aware mix: the full qT19 survivor chain + a corpus tokenize
     // pass with a broadcast anti-join exclusion
-    "q_t26_dedup_mix")
+    "q_t26_dedup_mix",
+    // round-9f: the iterative k-core peel (3 BSP rounds of degree count +
+    // double semi-join, the qG4/qG6 risk profile) and the bloom prejoin
+    // (distributed filter build + probe-filtered fact-fact shuffle join —
+    // the probe cost must stay scan-bound as the fact side grows)
+    "q_g7_kcore", "q_j12_bloom_prejoin")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

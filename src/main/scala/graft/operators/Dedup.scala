@@ -612,36 +612,43 @@ object Dedup {
   def qG7(s: SparkSession, dir: String): DataFrame =
     withPersistedEdges(
         qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))) { e0 =>
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      def stat(i: Int, e: DataFrame): DataFrame = {
-        val nodes = e.select(col("u").as("id"))
-          .unionAll(e.select(col("v").as("id")))
-          .agg(countDistinct("id").as("n_nodes"))
-        val edges = e.agg(count(lit(1)).as("n_edges"))
-        nodes.crossJoin(edges)
-          .select(lit(i.toLong).as("iter"), col("n_nodes"), col("n_edges"))
+      import s.implicits._
+      // each round TRUNCATES LINEAGE (eager localCheckpoint): the peel
+      // references its input three times per round (degree + two semi
+      // joins), so a chained logical plan holds 3^i copies of the
+      // candidate-join subtree by round i — DRIVER-side analysis/
+      // canonicalization blows up exponentially (measured: round-3 stats
+      // 6.5 s with fully-warm caches, pure planning). Checkpointing each
+      // round's edge frame makes every plan round-sized and the blocks
+      // back the next round's three readers — the reason pageRank/qG6
+      // checkpoint their results. The per-round stats are 2 scalars ×
+      // (iters+1) BY CONSTRUCTION — bounded driver traffic, never
+      // graph-sized.
+      // one job per stat: each edge contributes both endpoints, so
+      // count(1) = 2·edges and countDistinct = nodes in a single agg
+      def stat(e: DataFrame): (Long, Long) = {
+        val r = e.select(explode(array(col("u"), col("v"))).as("id"))
+          .agg(count(lit(1)).as("m2"), countDistinct("id").as("n"))
+          .collect()(0)
+        (r.getLong(1), r.getLong(0) / 2)
       }
       var e = e0
-      var out = stat(0, e)
-      val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      try {
-        for (i <- 1 to KCoreIters) {
-          val keep = e.select(col("u").as("id"))
-            .unionAll(e.select(col("v").as("id")))
-            .groupBy("id").agg(count(lit(1)).as("deg"))
-            .where(col("deg") >= 2)
-            .select("id")
-          val next = e
-            .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-            .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-            .select("u", "v")
-            .persist(lvl)
-          held += next
-          e = next
-          out = out.unionAll(stat(i, e))
-        }
-        out.orderBy("iter").localCheckpoint(eager = true)
-      } finally { held.foreach(_.unpersist()); () }
+      val rounds = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val (n0, m0) = stat(e); rounds += ((0L, n0, m0))
+      for (i <- 1 to KCoreIters) {
+        val keep = e.select(col("u").as("id"))
+          .unionAll(e.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 2)
+          .select("id")
+        e = e
+          .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint(eager = true)
+        val (n, m) = stat(e); rounds += ((i.toLong, n, m))
+      }
+      rounds.toSeq.toDF("iter", "n_nodes", "n_edges").orderBy("iter")
     }
 
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the
