@@ -831,10 +831,13 @@ object SparkEntry {
         "FROM documents GROUP BY lang), " +
         "ph AS (SELECT lang, tokens, CAST(floor(sqrt(tokens)) AS BIGINT) AS s_half FROM pl), " +
         "tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t, CAST(sum(s_half) AS BIGINT) AS sh FROM ph) " +
-        "SELECT lang, tokens, (tokens * 1000) // t AS share_pm, " +
-        "(s_half * 1000) // sh AS tshare_pm, " +
-        "(s_half * t * 1000) // (tokens * sh) AS boost_pm " +
-        "FROM ph, tot ORDER BY lang"),
+        ", sh2 AS (SELECT lang, tokens, (tokens * 1000) // t AS share_pm, " +
+        "(s_half * 1000) // sh AS tshare_pm FROM ph, tot) " +
+        // boost on the per-mille-ROUNDED shares (overflow contract, see
+        // TextAnalysis.qT27): intermediates <= 1e6, no s_half*t product
+        "SELECT lang, tokens, share_pm, tshare_pm, " +
+        "(tshare_pm * 1000) // NULLIF(share_pm, 0) AS boost_pm " +
+        "FROM sh2 ORDER BY lang"),
     "q_t23_rrf_fusion" -> (
       // RRF (k=60) over two top-100 candidate lists: qT2's integer quality
       // composite and qT20's unigram-LM score; absent rank contributes 0

@@ -975,7 +975,7 @@ case class FileAccount(root: String) {
     val sigs = dirs.map { case (b, dir) => b -> dirSignature(dir) }.toMap
     val (vouched, unvouched) = dirs.partition { case (b, _) =>
       sidecar.get(b).exists(_._2 == sigs(b)) }
-    val fresh: Map[Long, Array[Byte]] =
+    val sketched: Map[Long, Array[Byte]] =
       if (unvouched.isEmpty) Map.empty
       else sketchOf(
         spark.read.option("recursiveFileLookup", "true")
@@ -984,6 +984,13 @@ case class FileAccount(root: String) {
           .withColumn("__b",
             regexp_extract(input_file_name(), "/b=(\\d+)/", 1).cast("long")))
         .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // EVERY unvouched bucket gets an entry: a bucket dir that scans to zero
+    // rows produces no group in the sketch pass, so it writes back a
+    // zero-length marker keyed by its current signature — otherwise empty
+    // buckets stay unvouched forever (re-scanned every call, stale entries
+    // retained) and the "next call is metadata-only" contract fails
+    val fresh: Map[Long, Array[Byte]] = unvouched.map { case (b, _) =>
+      b -> sketched.getOrElse(b, Array.emptyByteArray) }.toMap
     if (fresh.nonEmpty || sidecar.keySet.exists(b => !sigs.contains(b)))
       // write back fresh sketches; drop entries for vanished buckets
       writeBucketSketches(db, container,
@@ -995,9 +1002,11 @@ case class FileAccount(root: String) {
       else sketchOf(spark.read.text(strays: _*)
           .select(col("value").as("raw")).withColumn("__b", lit(-1L)))
         .collect().map(_.getAs[Array[Byte]](1)).toSeq
+    // zero-length entries are empty-bucket markers, not sketches — they
+    // vouch the bucket but contribute nothing to the union
     val all: Seq[Array[Byte]] =
-      vouched.map { case (b, _) => sidecar(b)._1 } ++
-        fresh.values ++ straySketch
+      (vouched.map { case (b, _) => sidecar(b)._1 } ++
+        fresh.values ++ straySketch).filter(_.nonEmpty)
     val estimate =
       if (all.isEmpty) 0L
       else {

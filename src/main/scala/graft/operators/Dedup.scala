@@ -223,7 +223,7 @@ object Dedup {
     * 32 bit votes in ONE codegen'd pass per document — a map-only
     * projection, no explode, no aggregation shuffle (the previous shape
     * shuffled (doc_id, 33 longs) per document through a partial agg). */
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id", "simhash32(text) AS simhash")
@@ -243,8 +243,15 @@ object Dedup {
     * shape as the MinHash LSH join (qD4) but with zero recall loss. At scale
     * the shuffle key is (band, value): cardinality 3×2^11 here, widened by
     * taking more/wider bands as the corpus grows; AQE splits hot buckets. */
-  def qD6(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(s, dir).selectExpr("doc_id", "simhash",
+  def qD6(s: SparkSession, dir: String): DataFrame =
+    pairsOfSigs(simhash(s, dir))
+
+  /** The [[qD6]] band join over ANY (doc_id, simhash) frame — factored so
+    * [[DupClusters]] can mine pairs from a persisted signature frame (build:
+    * one corpus pass feeds both the stored sigs and the pair mining) and
+    * from signature DELTAS on append. Semantics identical to qD6. */
+  private[graft] def pairsOfSigs(sigs: DataFrame): DataFrame = {
+    val sh = sigs.selectExpr("doc_id", "simhash",
       "simhash & 2047 AS v0", "(simhash >> 11) & 2047 AS v1",
       "(simhash >> 22) & 1023 AS v2")
     val bands = sh.selectExpr("doc_id", "simhash",
@@ -276,7 +283,10 @@ object Dedup {
     * candidate-bounded equi-join, and the O(len²) edit-distance kernel
     * runs ONLY on matched pairs — never corpus². */
   def qD11(s: SparkSession, dir: String): DataFrame = {
-    val cand = qD6(s, dir).select("a_id", "b_id")
+    // candidates come from the durable [[DupClusters]] artifact — warm runs
+    // skip the signature + band-join mining entirely and pay only the two
+    // candidate-bounded text joins below
+    val cand = DupClusters.build(s, dir).pairs.select("a_id", "b_id")
     val docs = Tables.documents(s, dir)
     // CHAINED text fetch, not two independent doc⋈cand joins: the candidate
     // frame broadcasts into documents for side-a text, and that (still
@@ -366,29 +376,19 @@ object Dedup {
     * reads (a heavy-tailed degree histogram means a hub document, usually
     * boilerplate, about to glue unrelated clusters together). One shuffle
     * to count degrees, one metadata-sized shuffle to histogram them. */
-  def qG1(s: SparkSession, dir: String): DataFrame =
-    withPersistedEdges(qD6(s, dir).select("a_id", "b_id")) { e =>
-      e.select(col("a_id").as("id")).unionAll(e.select(col("b_id").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-        .orderBy("degree")
-    }
-
-  /** Persist an edge frame across the multi-branch graph diagnostics, then
-    * materialize the (metadata-sized) result and release the blocks — the
-    * [[pageRank]] discipline applied to qG1/qG2/qG5. These queries fan the
-    * ONE expensive subtree (the qD6 simhash band join) into 2–5 branches;
-    * Spark's ReusedExchange happens to dedupe that today, but an explicit
-    * persist pins the guarantee instead of trusting a planner heuristic —
-    * at 100 TB a silently-lost reuse would recompute candidate generation
-    * per branch. Results here are histogram/scalar-sized, so the eager
-    * localCheckpoint is O(rows-returned), not O(edges). */
-  private def withPersistedEdges(edges: DataFrame)(
-      body: DataFrame => DataFrame): DataFrame = {
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try body(e).localCheckpoint(eager = true)
-    finally { e.unpersist(); () }
+  def qG1(s: SparkSession, dir: String): DataFrame = {
+    val e = DupClusters.build(s, dir).pairs
+    e.select(col("a_id").as("id")).unionAll(e.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
   }
+
+  // (The former withPersistedEdges helper is gone: every qG* diagnostic now
+  // reads the qD6 graph from the durable [[DupClusters]] artifact, whose
+  // pair frame is persisted + materialized once per session — the
+  // multi-branch reuse those queries needed is the artifact's contract,
+  // and candidate generation runs once per CORPUS STATE, not per query.)
 
   /** Q-G2 — TRIANGLE COUNT of the SimHash near-dup graph: each triangle
     * a<b<c found once by joining its canonically-oriented edges
@@ -397,16 +397,16 @@ object Dedup {
     * keys. Triangle density distinguishes genuine dup CLUSTERS (cliques →
     * many triangles) from chain-shaped false-positive paths (none), the
     * cheap structural check before trusting components (qD9). */
-  def qG2(s: SparkSession, dir: String): DataFrame =
-    withPersistedEdges(
-        qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))) { e =>
-      val ab = e.selectExpr("u AS a", "v AS b")
-      val bc = e.selectExpr("u AS b2", "v AS c")
-      val ac = e.selectExpr("u AS a3", "v AS c3")
-      ab.join(bc, col("b") === col("b2"))
-        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
-        .agg(count(lit(1)).as("triangles"))
-    }
+  def qG2(s: SparkSession, dir: String): DataFrame = {
+    val e = DupClusters.build(s, dir).pairs
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val ab = e.selectExpr("u AS a", "v AS b")
+    val bc = e.selectExpr("u AS b2", "v AS c")
+    val ac = e.selectExpr("u AS a3", "v AS c3")
+    ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("triangles"))
+  }
 
   /** Q-G5 — GLOBAL CLUSTERING COEFFICIENT of the dup graph:
     * 3·triangles / open-triads, in integer e4 fixed point. The one-number
@@ -418,26 +418,26 @@ object Dedup {
     * sized); triangles reuse the canonical edge-join; both are metadata-
     * sized aggs over edge-sized shuffles — nothing new materializes at
     * 100 TB beyond what qG1/qG2 already pay. */
-  def qG5(s: SparkSession, dir: String): DataFrame =
-    withPersistedEdges(
-        qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))) { e =>
-      val deg = e.selectExpr("u AS id").unionAll(e.selectExpr("v AS id"))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-      val triads = deg.agg(
-        sum(expr("deg * (deg - 1)")).as("t2")) // 2×triads, avoids the /2
-      val ab = e.selectExpr("u AS a", "v AS b")
-      val bc = e.selectExpr("u AS b2", "v AS c")
-      val ac = e.selectExpr("u AS a3", "v AS c3")
-      val tri = ab.join(bc, col("b") === col("b2"))
-        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
-        .agg(count(lit(1)).as("triangles"))
-      tri.crossJoin(broadcast(triads))
-        .selectExpr("triangles",
-          "CAST(t2 DIV 2 AS BIGINT) AS triads",
-          // 3T/triads in e4: (6T·10000) DIV (2·triads) keeps it integral
-          "CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) " +
-            "ELSE (triangles * 6 * 10000) DIV t2 END AS coeff_e4")
-    }
+  def qG5(s: SparkSession, dir: String): DataFrame = {
+    val e = DupClusters.build(s, dir).pairs
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val deg = e.selectExpr("u AS id").unionAll(e.selectExpr("v AS id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triads = deg.agg(
+      sum(expr("deg * (deg - 1)")).as("t2")) // 2×triads, avoids the /2
+    val ab = e.selectExpr("u AS a", "v AS b")
+    val bc = e.selectExpr("u AS b2", "v AS c")
+    val ac = e.selectExpr("u AS a3", "v AS c3")
+    val tri = ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("triangles"))
+    tri.crossJoin(broadcast(triads))
+      .selectExpr("triangles",
+        "CAST(t2 DIV 2 AS BIGINT) AS triads",
+        // 3T/triads in e4: (6T·10000) DIV (2·triads) keeps it integral
+        "CASE WHEN t2 = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (triangles * 6 * 10000) DIV t2 END AS coeff_e4")
+  }
 
   /** Q-G3 — component SIZE histogram over the dup clusters ([[qD9]]):
     * (cluster size, cluster count) rows — the distribution a dedup run
@@ -475,8 +475,12 @@ object Dedup {
     * out-edges by construction), so no dangling-mass redistribution term
     * is needed. */
   def qG4(s: SparkSession, dir: String): DataFrame =
-    pageRank(qD6(s, dir).select("a_id", "b_id"), PageRankIters)
-      .selectExpr("id AS doc_id", "r AS rank_e6").orderBy("doc_id")
+    // the ranks ARE the artifact: clusters/ stores the [[pageRank]]
+    // recurrence's result per graph node, so a warm run is one graph-sized
+    // parquet read — the recurrence runs once per corpus state, in the
+    // [[DupClusters]] build
+    DupClusters.build(s, dir).clusters
+      .selectExpr("id AS doc_id", "rank_e6").orderBy("doc_id")
 
   /** The iteration core of [[qG4]] over any canonical (a, b) pair frame —
     * symmetrizes the edges, persists them once, and runs `iters` rounds of
@@ -546,7 +550,8 @@ object Dedup {
     * same O(iters × |E|) BSP shape as [[pageRank]], no driver data movement.
     * The window partitions by node over ≤ degree rows, never globally. */
   def qG6(s: SparkSession, dir: String): DataFrame =
-    labelProp(qD6(s, dir).select("a_id", "b_id"), LabelPropIters)
+    labelProp(DupClusters.build(s, dir).pairs.select("a_id", "b_id"),
+        LabelPropIters)
       .selectExpr("id AS doc_id", "lbl AS community").orderBy("doc_id")
 
   /** The iteration core of [[qG6]] over any canonical (a, b) pair frame —
@@ -602,17 +607,26 @@ object Dedup {
     * destroying singletons glued by noise, not duplicates.
     *
     * Scale: the candidate subtree persists once ([[withPersistedEdges]]);
-    * each round is one map-combined degree count plus two semi-joins of the
-    * edge frame against the surviving-node set — O(iters × |E|) BSP, the
-    * [[pageRank]]/[[labelProp]] shape. Each round's frame persists and the
-    * prior round unpersists after its successor materializes (the chain is
-    * shrink-only, so peak footprint is ≤ 2 edge frames). The reported rows
-    * are metadata-sized aggregates; nothing corpus-scaled reaches the
-    * driver. */
-  def qG7(s: SparkSession, dir: String): DataFrame =
-    withPersistedEdges(
-        qD6(s, dir).select(col("a_id").as("u"), col("b_id").as("v"))) { e0 =>
-      import s.implicits._
+    * each round is ONE map-combined degree shuffle plus two semi-joins of
+    * the edge frame against the surviving-node set — O(iters × |E|) BSP,
+    * the [[pageRank]]/[[labelProp]] shape. The degree frame is computed
+    * ONCE per round and shared between the round's (nodes, edges) stats
+    * and the `deg >= 2` keep-set (stats are Σdeg/2 and count over that
+    * frame — no second explode/countDistinct shuffle of the edges; that
+    * duplicate stat job was the suite's most expensive query's main fat).
+    * Each round's checkpointed frame is explicitly `unpersist`ed once its
+    * successor materializes — the chain is shrink-only, so peak block
+    * footprint is ≤ 2 edge frames by construction, not by GC timing. The
+    * reported rows are metadata-sized aggregates; nothing corpus-scaled
+    * reaches the driver. */
+  def qG7(s: SparkSession, dir: String): DataFrame = {
+    // e0 is a projection of the artifact's persisted pair frame — round 1's
+    // three readers (degrees + two semi-joins) re-project from cached
+    // blocks, so no extra persist layer is needed
+    val e0 = DupClusters.build(s, dir).pairs
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    import s.implicits._
+    {
       // each round TRUNCATES LINEAGE (eager localCheckpoint): the peel
       // references its input three times per round (degree + two semi
       // joins), so a chained logical plan holds 3^i copies of the
@@ -624,32 +638,51 @@ object Dedup {
       // checkpoint their results. The per-round stats are 2 scalars ×
       // (iters+1) BY CONSTRUCTION — bounded driver traffic, never
       // graph-sized.
-      // one job per stat: each edge contributes both endpoints, so
-      // count(1) = 2·edges and countDistinct = nodes in a single agg
-      def stat(e: DataFrame): (Long, Long) = {
-        val r = e.select(explode(array(col("u"), col("v"))).as("id"))
-          .agg(count(lit(1)).as("m2"), countDistinct("id").as("n"))
-          .collect()(0)
-        (r.getLong(1), r.getLong(0) / 2)
-      }
-      var e = e0
-      val rounds = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-      val (n0, m0) = stat(e); rounds += ((0L, n0, m0))
-      for (i <- 1 to KCoreIters) {
-        val keep = e.select(col("u").as("id"))
+      // ONE degree shuffle per round, shared by stats AND the keep-set:
+      // each edge contributes both endpoints, so over the degree frame
+      // count(*) = nodes and sum(deg) = 2·edges — the stats collect is
+      // the action that materializes the persisted degree frame, and the
+      // keep semi-joins then read the same blocks. No second
+      // explode/countDistinct pass over the edges exists.
+      def degreesOf(e: DataFrame): DataFrame =
+        e.select(col("u").as("id"))
           .unionAll(e.select(col("v").as("id")))
           .groupBy("id").agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= 2)
-          .select("id")
-        e = e
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def statOf(deg: DataFrame): (Long, Long) = {
+        val r = deg.agg(count(lit(1)).as("n"), sum("deg").as("m2")).collect()(0)
+        (r.getLong(0), r.getLong(1) / 2)
+      }
+      var e = e0
+      var prevCkpt: DataFrame = null // round i-1's checkpoint, freed at i+1
+      val rounds = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var deg = degreesOf(e)
+      val (n0, m0) = statOf(deg); rounds += ((0L, n0, m0))
+      for (i <- 1 to KCoreIters) {
+        val keep = deg.where(col("deg") >= 2).select("id")
+        val next = e
           .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
           .select("u", "v")
           .localCheckpoint(eager = true)
-        val (n, m) = stat(e); rounds += ((i.toLong, n, m))
+        // successor is materialized: the previous round's checkpoint
+        // blocks (and its degree frame) are dead — free them NOW, not at
+        // ContextCleaner GC time, so peak footprint stays <= 2 frames
+        deg.unpersist()
+        if (prevCkpt ne null) { prevCkpt.unpersist(); () }
+        prevCkpt = if (e ne e0) e else null
+        e = next
+        deg = degreesOf(e)
+        val (n, m) = statOf(deg); rounds += ((i.toLong, n, m))
       }
+      deg.unpersist()
+      if (prevCkpt ne null) { prevCkpt.unpersist(); () }
+      // the result is driver-local scalars — the last round's checkpoint
+      // is dead too (e0 projects from the artifact's frame, not ours)
+      if (e ne e0) { e.unpersist(); () }
       rounds.toSeq.toDF("iter", "n_nodes", "n_edges").orderBy("iter")
     }
+  }
 
   /** Embedding-cosine near-dup pairs (exact, bounded): cosine >= 0.4 via the
     * codegen'd [[graft.functions.CosineSimilarity]] expression, with a

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+
+/** DURABLE dup-cluster index over the SimHash near-dup graph — the artifact
+  * form of the [[Dedup.qD6]] → components → PageRank pipeline that
+  * [[TextAnalysis.qT18]] (cluster-routed split), [[TextAnalysis.qT19]]
+  * (keep-canonical), [[TextAnalysis.qT26]] (dedup-aware mix) and the qG*
+  * structural diagnostics all consume. Without it, every one of those
+  * queries re-mines the band graph and re-runs the BSP loops from raw text
+  * per invocation; with it, the graph is mined ONCE per corpus state and
+  * every consumer afterwards reads graph-sized parquet.
+  *
+  * Same durability pattern as [[Similarity.IvfIndex]] (the template this
+  * deliberately mirrors): corpus-fingerprint-keyed directory under
+  * `graft.dupindex.root`, staged build published by ONE atomic rename with
+  * the metadata marker written last, all mutation under the shared
+  * stale-safe index lock, and an in-process memo so a session pays the
+  * parquet read once. A changed corpus hashes to a different directory, so
+  * load-on-miss can never serve a stale graph.
+  *
+  * On-disk layout (`v1-<fp>-p<iters>/`):
+  *   - `sigs/`     (doc_id, simhash)            — node-sized; what appends
+  *                                                 join new docs against
+  *   - `pairs/`    (a_id, b_id, ham)            — the verified qD6 edges
+  *   - `clusters/` (id, component, rank_e6)     — component label (min
+  *                    reachable id, [[Dedup.componentsOfPairs]]) and
+  *                    integer-micro PageRank ([[Dedup.pageRank]],
+  *                    [[Dedup.PageRankIters]] rounds) per non-singleton node
+  *   - `meta.tsv`                                — doc count + params;
+  *                    its existence IS the published-index predicate
+  *
+  * Scale posture: the build is ONE corpus pass (the fused simhash32
+  * projection — the persisted signature frame feeds both the stored
+  * `sigs/` and the band-join mining), plus graph-sized joins and the
+  * O(iters×|E|) BSP loops; everything written is graph- or node-sized,
+  * orders of magnitude below the corpus. Warm consumers run ZERO corpus
+  * passes (q_t19/q_g4 touch only artifact files — PlanAuditSpec pins this
+  * via `inputFiles`, the qSim3 discipline). [[append]] keeps the artifact
+  * consistent under ingestion (the ST-9 gate's admitted batches) with
+  * delta-sized work: new signatures band-join against the stored node-sized
+  * `sigs/`, never against corpus text.
+  */
+object DupClusters {
+
+  /** A loaded index: `pairs` and `clusters` are persisted + materialized
+    * (MEMORY_AND_DISK); `sigs` stays a lazy reader — only [[append]] needs
+    * it, and only as the build side of a delta join. */
+  final case class DupIndex(path: String, nDocs: Long, sigs: DataFrame,
+                            pairs: DataFrame, clusters: DataFrame)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DupIndex]()
+
+  private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
+
+  /** Root for durable dup-cluster indexes (`graft.dupindex.root` overrides;
+    * any Hadoop URI on a rename-capable store — the same coordination
+    * contract [[Similarity.IvfIndex]] enforces through the shared lock). */
+  private def indexRoot: String =
+    sys.props.getOrElse("graft.dupindex.root", "target/dup-index")
+
+  /** Bump when the graph recipe (banding, Hamming bound, iteration counts)
+    * or the layout changes — an index built by an older recipe must not be
+    * served for the same corpus. */
+  private val FormatVersion = 1
+
+  private def sub(base: String, child: String): String =
+    new org.apache.hadoop.fs.Path(base, child).toString
+
+  private def indexPath(dir: String): String =
+    new org.apache.hadoop.fs.Path(indexRoot,
+      s"v$FormatVersion-" +
+        Similarity.IvfIndex.fileFingerprint(
+          new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString) +
+        s"-p${Dedup.PageRankIters}").toString
+
+  private def cacheKey(s: SparkSession, dir: String): String =
+    s"${System.identityHashCode(s)}|${indexPath(dir)}"
+
+  /** Corpus doc count from parquet metadata — a driver-cheap reconciliation
+    * handle ([[append]] refuses a delta that doesn't add up). */
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    Tables.documents(s, dir).count()
+
+  /** Build (or fetch) the index for `dir`: in-process memo, then the
+    * durable on-disk copy, and only on a true miss the one-pass corpus
+    * build — staged and atomically renamed into place under the shared
+    * mutation lock (two racing JVMs: one rename wins, the loser loads). */
+  def build(s: SparkSession, dir: String): DupIndex =
+    cache.computeIfAbsent(cacheKey(s, dir), _ => loadOrBuild(s, dir))
+
+  private def loadOrBuild(s: SparkSession, dir: String): DupIndex = {
+    val path = indexPath(dir)
+    val marker = sub(path, "meta.tsv")
+    if (!store.exists(marker)) {
+      store.mkdirs(indexRoot)
+      Similarity.IvfIndex.withIndexLock(path + ".lock") {
+        if (!store.exists(marker)) {
+          // a marker-less directory is a crashed pre-publish leftover —
+          // safe to clear under the lock
+          if (store.exists(path)) store.deleteRecursive(path)
+          val sigs = Dedup.simhash(s, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val pairs = Dedup.pairsOfSigs(sigs)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try stageAndPublish(s, path, sigs, pairs, corpusCount(s, dir))
+            finally { pairs.unpersist(); () }
+          } finally { sigs.unpersist(); () }
+        }
+      }
+    }
+    load(s, path)
+  }
+
+  /** Stage the three frames + marker into `<path>.tmp-*`, publish by ONE
+    * atomic rename. `pairs` must be persisted by the caller — components,
+    * PageRank, and the parquet write all read it. */
+  private def stageAndPublish(s: SparkSession, path: String, sigs: DataFrame,
+                              pairs: DataFrame, nDocs: Long): Unit = {
+    val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    val edges = pairs.select("a_id", "b_id")
+    val comp = Dedup.componentsOfPairs(s, edges, Dedup.MaxDriverPairs)
+    val ranks = Dedup.pageRank(edges, Dedup.PageRankIters)
+      .selectExpr("id AS r_id", "r AS rank_e6")
+    sigs.write.mode("overwrite").parquet(sub(staging, "sigs"))
+    pairs.write.mode("overwrite").parquet(sub(staging, "pairs"))
+    comp.join(ranks, col("id") === col("r_id"))
+      .select("id", "component", "rank_e6")
+      .write.mode("overwrite").parquet(sub(staging, "clusters"))
+    store.writeString(sub(staging, "meta.tsv"),
+      s"nDocs\t$nDocs\npageRankIters\t${Dedup.PageRankIters}\n")
+    if (!(store.rename(staging, path) && store.exists(sub(path, "meta.tsv")))) {
+      store.deleteRecursive(staging)
+      throw new IllegalStateException(
+        s"dup-cluster index: publishing $staging -> $path failed")
+    }
+  }
+
+  private def load(s: SparkSession, path: String): DupIndex = {
+    val meta = store.readString(sub(path, "meta.tsv"))
+      .linesIterator.map(_.split("\t")).collect { case Array(k, v) => k -> v }
+      .toMap
+    val pairs = s.read.parquet(sub(path, "pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize: consumers must not re-read per branch
+    val clusters = s.read.parquet(sub(path, "clusters"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clusters.count()
+    DupIndex(path, meta("nDocs").toLong,
+      s.read.parquet(sub(path, "sigs")), pairs, clusters)
+  }
+
+  /** Incremental maintenance — the ingestion-side contract that keeps the
+    * ST-9 dedup gate and this offline graph CONSISTENT: after new documents
+    * land in the corpus (e.g. a gate-admitted micro-batch appended to
+    * `documents.parquet`), the caller hands the SAME delta here and the
+    * index advances with delta-sized work:
+    *
+    *   1. delta signatures — one fused simhash32 pass over `newDocs` only;
+    *   2. delta pairs — the new signatures band-join the stored node-sized
+    *      `sigs/` (complete by the qD6 pigeonhole: every new pair has a
+    *      delta endpoint, and prior-prior pairs are already stored);
+    *   3. components + PageRank recompute over the UNIFIED pair frame —
+    *      graph-sized BSP, zero corpus passes;
+    *   4. publish at the NEW corpus fingerprint's path (atomic rename).
+    *
+    * Spec-pinned equal to a from-scratch [[build]] on the post-append
+    * corpus (same pairs, same clusters — DupClustersSpec), which is the
+    * consistency statement: gate-admitted data and offline curation see
+    * the same graph. `newDocs` needs (doc_id, text) with genuinely new ids
+    * (dedupe upstream — the gate already guarantees this for admitted
+    * docs); the reconciliation check `prior.nDocs + |delta| = |corpus|`
+    * refuses a delta that doesn't add up (files changed out-of-band →
+    * rebuild instead of publishing a silently-wrong graph). */
+  def append(s: SparkSession, dir: String, prior: DupIndex,
+             newDocs: DataFrame): DupIndex = {
+    GraftFunctions.register(s)
+    val newPath = indexPath(dir)
+    require(newPath != prior.path,
+      "dup-cluster append: corpus fingerprint unchanged — the delta is not " +
+        "in the corpus yet (append AFTER the new files land)")
+    val now = corpusCount(s, dir)
+    val nNew = newDocs.count()
+    require(prior.nDocs + nNew == now,
+      s"dup-cluster append: prior ${prior.nDocs} docs + delta $nNew != " +
+        s"corpus $now — out-of-band change detected, rebuild instead")
+    val dSigs = newDocs.selectExpr("doc_id", "simhash32(text) AS simhash")
+      .where(col("simhash").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val allSigs = prior.sigs.unionByName(dSigs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // delta mining: all-sigs × delta-sigs on the band keys. The delta
+        // side broadcasts (micro-batch-sized); the node-sized signature
+        // frame streams map-only — the corpus text is never touched.
+        def bandsOf(df: DataFrame) = df.selectExpr("doc_id", "simhash",
+          """stack(3, 0, simhash & 2047,
+            |         1, (simhash >> 11) & 2047,
+            |         2, (simhash >> 22) & 1023) AS (band, bv)""".stripMargin)
+        val a = bandsOf(allSigs)
+          .selectExpr("doc_id AS x_id", "simhash AS sx", "band", "bv")
+        val d = bandsOf(dSigs)
+          .selectExpr("doc_id AS y_id", "simhash AS sy",
+            "band AS band_d", "bv AS bv_d")
+        val newPairs = a.join(broadcast(d),
+            col("band") === col("band_d") && col("bv") === col("bv_d") &&
+              col("x_id") =!= col("y_id"))
+          .withColumn("ham", expr("bit_count(sx ^ sy)"))
+          .where(col("ham") <= 2)
+          // canonicalize: a delta id can sit on either side of an edge
+          .selectExpr("least(x_id, y_id) AS a_id",
+            "greatest(x_id, y_id) AS b_id", "CAST(ham AS INT) AS ham")
+          .distinct()
+        val pairs = prior.pairs.unionByName(newPairs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Similarity.IvfIndex.withIndexLock(newPath + ".lock") {
+            if (!store.exists(sub(newPath, "meta.tsv"))) {
+              if (store.exists(newPath)) store.deleteRecursive(newPath)
+              stageAndPublish(s, newPath, allSigs, pairs, now)
+            }
+          }
+        } finally { pairs.unpersist(); () }
+      } finally { allSigs.unpersist(); () }
+    } finally { dSigs.unpersist(); () }
+    cache.computeIfAbsent(cacheKey(s, dir), _ => load(s, newPath))
+  }
+
+  /** Test/maintenance hook: drop this session's memoized frames so a fresh
+    * [[build]] exercises the durable load path. */
+  private[graft] def evictSession(s: SparkSession): Unit = {
+    val pfx = s"${System.identityHashCode(s)}|"
+    cache.keySet().removeIf(_.startsWith(pfx))
+  }
+}

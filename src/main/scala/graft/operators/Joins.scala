@@ -276,9 +276,17 @@ object Joins {
     * table already filters map-side).
     *
     * Two bounded driver steps: the dim-count row (sizing) and the merged
-    * filter itself; both dim-scaled, never fact-scaled. */
+    * filter itself; both dim-scaled, never fact-scaled.
+    *
+    * The filter BINDS AS BYTES, not as SQL text: the probe Column wraps
+    * [[graft.functions.BloomMightContain]] directly
+    * ([[org.apache.spark.sql.GraftColumn.of]]), so the bytes ride the
+    * expression tree (→ `addReferenceObj` in codegen) and the PLAN TEXT is
+    * O(1) in dim cardinality. The `bloom_might_contain('<hex>', k)` SQL
+    * registration remains as a convenience path for small filters only —
+    * at 1% fpp a 1M-key dim would be ~2.4 MB of hex inside every parsed /
+    * analyzed / canonicalized plan copy. PlanAuditSpec pins the O(1) bound. */
   def qJ12(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val dim = Tables.orders(s, d)
       .where(col("o_orderstatus") === "F" &&
         col("o_orderpriority") === "1-URGENT")
@@ -287,10 +295,12 @@ object Joins {
     val bf = dim.stat.bloomFilter(col("o_orderkey"), nKeys, 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val hex = java.util.HexFormat.of().formatHex(bos.toByteArray)
     val probe = Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber")
-      .where(expr(s"bloom_might_contain('$hex', l_orderkey)"))
+      .where(org.apache.spark.sql.GraftColumn.of(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("l_orderkey"),
+          bos.toByteArray)))
     // the qJ10 hash discipline: mod-reduce before multiply so the checksum
     // stays well under int64 at any SF, where Spark and DuckDB agree
     probe.hint("merge").join(dim, probe("l_orderkey") === dim("o_orderkey"))

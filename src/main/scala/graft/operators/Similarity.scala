@@ -174,7 +174,7 @@ object Similarity {
             "-Dgraft.ivf.singleWriter=true (YOU then guarantee at most one " +
             "writing process).")
 
-    private def withIndexLock[T](lock: String)(body: => T): T = {
+    private[graft] def withIndexLock[T](lock: String)(body: => T): T = {
       requireCoordinationCapable(lock)
       val token = s"${java.util.UUID.randomUUID()}@${System.currentTimeMillis()}"
       def tsOf(content: String): Long =
@@ -244,8 +244,13 @@ object Similarity {
     /** Corpus fingerprint from driver-side file metadata (names/sizes/mtimes
       * of the embeddings parquet) — a changed corpus hashes to a different
       * index directory, so load-on-miss can never serve a stale index. */
-    private def corpusFingerprint(dir: String): String = {
-      val p = new org.apache.hadoop.fs.Path(dir, "embeddings.parquet").toString
+    private def corpusFingerprint(dir: String): String =
+      fileFingerprint(new org.apache.hadoop.fs.Path(dir, "embeddings.parquet").toString)
+
+    /** Shared driver-metadata fingerprint of one file/dir tree (names,
+      * sizes, mtimes) — also keys [[graft.operators.DupClusters]]'
+      * artifact over `documents.parquet`. */
+    private[graft] def fileFingerprint(p: String): String = {
       val walked = store.walk(p)
       val parts =
         if (walked.nonEmpty) walked.map(f => s"${f.relPath}:${f.size}:${f.mtimeMs}").sorted

@@ -538,14 +538,16 @@ object TextAnalysis {
     * Scale: the component map and edge set are candidate-graph-sized
     * (orders of magnitude below the corpus), so the doc→component join
     * broadcasts; routing itself is one md5 per row, derived not stored —
-    * same posture as qT15. */
+    * same posture as qT15. Both frames come from the durable
+    * [[DupClusters]] artifact: a warm run's only corpus touch is the one
+    * doc-id projection the split assignment itself needs — the graph is
+    * never re-mined. */
   def qT18(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val pairs = Dedup.qD6(s, dir).select("a_id", "b_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val comp = Dedup.componentsOfPairs(s, pairs, Dedup.MaxDriverPairs)
-      val asg = Tables.documents(s, dir).select(col("doc_id"))
+    val idx = DupClusters.build(s, dir)
+    val pairs = idx.pairs.select("a_id", "b_id")
+    val comp = idx.clusters.select("id", "component")
+    val asg = Tables.documents(s, dir).select(col("doc_id"))
         .join(broadcast(comp), col("doc_id") === col("id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))
@@ -577,8 +579,6 @@ object TextAnalysis {
           coalesce(col("ce"), lit(0L)).as("cross_edges"),
           coalesce(col("he"), lit(0L)).as("hash_cross_edges"))
         .orderBy("split")
-        .localCheckpoint(eager = true)
-    } finally { pairs.unpersist(); () }
   }
 
   /** Q-T19 — KEEP-CANONICAL curation: materialize ONE survivor per dup
@@ -590,29 +590,24 @@ object TextAnalysis {
     * recurrence over the SAME graph), tiebreak min doc_id, both total
     * orders, so the pick is deterministic across engines and re-runs.
     *
-    * Scale: every frame here (edges, components, ranks, survivors) is
-    * candidate-graph-sized; the corpus is never re-scanned beyond the one
-    * signature pass qD6 already makes, and the per-family pick is a
-    * row_number over component partitions — no global ordering. */
+    * Scale: every frame here (components, ranks, survivors) is
+    * candidate-graph-sized, and ALL of it now comes from the durable
+    * [[DupClusters]] artifact — `clusters/` already carries (id, component,
+    * rank_e6) per member, so a warm run reads graph-sized parquet and runs
+    * one component-partitioned window: ZERO corpus passes, zero graph
+    * mining (PlanAuditSpec pins `inputFiles` ⊆ artifact). The cold path
+    * (first run per corpus state) pays the one-pass build once, for every
+    * consumer thereafter. */
   def qT19(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val pairs = Dedup.qD6(s, dir).select("a_id", "b_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val comp = Dedup.componentsOfPairs(s, pairs, Dedup.MaxDriverPairs)
-      val ranks = Dedup.pageRank(pairs, Dedup.PageRankIters)
-        .selectExpr("id AS r_id", "r AS rank_e6")
-      val cw = org.apache.spark.sql.expressions.Window.partitionBy("component")
-      val pick = comp.join(ranks, col("id") === col("r_id"))
-        .withColumn("csize", count(lit(1)).over(cw))
-        .withColumn("rn", row_number().over(
-          cw.orderBy(desc("rank_e6"), col("id"))))
-        .where(col("rn") === 1)
-      pick.select(col("component"), col("id").as("survivor_id"),
-          col("csize"), col("rank_e6"))
-        .orderBy("component")
-        .localCheckpoint(eager = true)
-    } finally { pairs.unpersist(); () }
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    DupClusters.build(s, dir).clusters
+      .withColumn("csize", count(lit(1)).over(cw))
+      .withColumn("rn", row_number().over(
+        cw.orderBy(desc("rank_e6"), col("id"))))
+      .where(col("rn") === 1)
+      .select(col("component"), col("id").as("survivor_id"),
+        col("csize"), col("rank_e6"))
+      .orderBy("component")
   }
 
   /** Q-T20 — unigram language-model quality score, the CCNet-style
@@ -857,45 +852,38 @@ object TextAnalysis {
     * Scale: the drop set (non-canonical members of simhash components) is
     * GRAPH-sized, never corpus-sized, so the doc-side exclusion is a
     * broadcast anti-join and the corpus streams once through tokenize +
-    * per-language reduce (the qT22 plan plus one broadcast). The pair
-    * frame persists once and feeds both the component map and the
-    * PageRank ranking (the qT18/qT19 borrow discipline). */
+    * per-language reduce (the qT22 plan plus one broadcast). The component
+    * map and ranks come from the durable [[DupClusters]] artifact — a warm
+    * run's only corpus work is the tokenize pass the token accounting
+    * itself requires; the graph is never re-mined. */
   def qT26(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val pairs = Dedup.qD6(s, dir).select("a_id", "b_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val comp = Dedup.componentsOfPairs(s, pairs, Dedup.MaxDriverPairs)
-      val ranks = Dedup.pageRank(pairs, Dedup.PageRankIters)
-        .selectExpr("id AS r_id", "r AS rank_e6")
-      val cw = org.apache.spark.sql.expressions.Window.partitionBy("component")
-        .orderBy(desc("rank_e6"), col("id"))
-      val dropped = comp.join(ranks, col("id") === col("r_id"))
-        .withColumn("rn", row_number().over(cw))
-        .where(col("rn") > 1)
-        .select(col("id").as("drop_id"))
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        size(filter(split(lower(col("text")), " "), w => w =!= ""))
-          .cast("long").as("ntok"))
-      val before = docs.groupBy("lang")
-        .agg(count(lit(1)).as("docs_before"), sum("ntok").as("tokens_before"))
-      val after = docs
-        .join(broadcast(dropped), col("doc_id") === col("drop_id"), "left_anti")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("docs_after"), sum("ntok").as("tokens_after"))
-      before.join(after, Seq("lang"), "left")
-        .select(col("lang"), col("docs_before"),
-          coalesce(col("docs_after"), lit(0L)).as("docs_after"),
-          col("tokens_before"),
-          coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
-        .select(col("lang"), col("docs_before"), col("docs_after"),
-          col("tokens_before"), col("tokens_after"),
-          expr("(docs_after * 1000) DIV docs_before").as("kept_docs_pm"),
-          expr("CASE WHEN tokens_before = 0 THEN 1000 " +
-            "ELSE (tokens_after * 1000) DIV tokens_before END").as("kept_tokens_pm"))
-        .orderBy("lang")
-        .localCheckpoint(eager = true)
-    } finally { pairs.unpersist(); () }
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(desc("rank_e6"), col("id"))
+    val dropped = DupClusters.build(s, dir).clusters
+      .withColumn("rn", row_number().over(cw))
+      .where(col("rn") > 1)
+      .select(col("id").as("drop_id"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      size(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .cast("long").as("ntok"))
+    val before = docs.groupBy("lang")
+      .agg(count(lit(1)).as("docs_before"), sum("ntok").as("tokens_before"))
+    val after = docs
+      .join(broadcast(dropped), col("doc_id") === col("drop_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs_after"), sum("ntok").as("tokens_after"))
+    before.join(after, Seq("lang"), "left")
+      .select(col("lang"), col("docs_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        col("tokens_before"),
+        coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
+      .select(col("lang"), col("docs_before"), col("docs_after"),
+        col("tokens_before"), col("tokens_after"),
+        expr("(docs_after * 1000) DIV docs_before").as("kept_docs_pm"),
+        expr("CASE WHEN tokens_before = 0 THEN 1000 " +
+          "ELSE (tokens_after * 1000) DIV tokens_before END").as("kept_tokens_pm"))
+      .orderBy("lang")
   }
 
   /** Q-T27 — TEMPERATURE-RESAMPLED language mix (α = 1/2): [[qT22]] flattens
@@ -910,7 +898,22 @@ object TextAnalysis {
     * is not. Emits per language: token mass, the proportional share, the
     * temperature share, and the resampling boost each document in that
     * language gets under the new mix — all integer per-mille
-    * (boost_pm = 1000 · tshare/share = (s_l · T · 1000) DIV (tokens · S)).
+    * (boost_pm = (tshare_pm · 1000) DIV share_pm).
+    *
+    * OVERFLOW CONTRACT: boost_pm is defined on the per-mille-ROUNDED
+    * shares, not the raw masses. The raw form
+    * ((s_l · T · 1000) DIV (tokens · S)) overflows Int64 once
+    * T · s_half_l exceeds ~9.2e15 (a 1e12-token corpus with one
+    * 1e10-token language crosses it), and Spark wraps silently in
+    * non-ANSI mode while DuckDB widens — the cross-engine-exact claim
+    * would break exactly at the 100 TB posture. The rounded form's
+    * intermediates are ≤ 1e6 by construction; the only remaining Int64
+    * bound is tokens·1000 < 2^63, i.e. a ~9.2e15-token (≈ 37 PB text)
+    * corpus — documented, far above posture. Rounding: boost resolution
+    * is 1/1000 compounded through two per-mille floors (monotone,
+    * reproducible in both engines); a language under 1/1000 of corpus
+    * mass has share_pm = 0 → boost_pm NULL (declared, NULLIF-guarded in
+    * both engines) rather than a division error.
     *
     * Scale: identical shape to [[qT22]] — the corpus reduces to an L-row
     * frame in one tokenize pass with map-side partial aggregation; the
@@ -928,8 +931,9 @@ object TextAnalysis {
     perLang.crossJoin(broadcast(tot))
       .select(col("lang"), col("tokens"),
         expr("(tokens * 1000) DIV t").as("share_pm"),
-        expr("(s_half * 1000) DIV sh").as("tshare_pm"),
-        expr("(s_half * t * 1000) DIV (tokens * sh)").as("boost_pm"))
+        expr("(s_half * 1000) DIV sh").as("tshare_pm"))
+      .withColumn("boost_pm",
+        expr("(tshare_pm * 1000) DIV NULLIF(share_pm, 0)"))
       .orderBy("lang")
   }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, DupClusters, TextAnalysis}
+
+/** The durable dup-cluster index (VERDICT r9 task 1): build-once semantics,
+  * fresh-session durability, and the append path's consistency contract —
+  * an appended artifact must equal a from-scratch mining of the post-append
+  * corpus (same pairs, same clusters), which is what keeps the ST-9
+  * ingestion gate and offline curation looking at the same graph.
+  */
+class DupClustersSpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "dupclusters-spec")
+  val sf = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+    df.select("a_id", "b_id", "ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  private def clusterSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("id", "component", "rank_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("build: artifact pairs/clusters equal direct qD6 mining + components + PageRank") {
+    val idx = DupClusters.build(spark, sf)
+    assert(pairSet(idx.pairs) == pairSet(Dedup.qD6(spark, sf)),
+      "stored pairs must equal a direct qD6 run")
+    val direct = {
+      val p = Dedup.qD6(spark, sf).select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val comp = Dedup.componentsOfPairs(spark, p, Dedup.MaxDriverPairs)
+        val ranks = Dedup.pageRank(p, Dedup.PageRankIters)
+          .selectExpr("id AS r_id", "r AS rank_e6")
+        clusterSet(comp.join(ranks, col("id") === col("r_id"))
+          .select("id", "component", "rank_e6"))
+      } finally { p.unpersist(); () }
+    }
+    assert(clusterSet(idx.clusters) == direct,
+      "stored clusters must equal direct components ⋈ PageRank")
+    assert(idx.nDocs == 500L)
+  }
+
+  test("durable: a fresh session loads the artifact (zero corpus passes) and answers identically") {
+    val orig = TextAnalysis.qT19(spark, sf).collect().map(_.toString).toSeq
+    val s2 = spark.newSession()
+    val idx = DupClusters.build(s2, sf)
+    // backing files of both served frames must be index files, never corpus
+    def backing(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation].location.inputFiles.toSeq
+      }.flatten
+    for ((df, what) <- Seq((idx.pairs, "pairs"), (idx.clusters, "clusters"))) {
+      val files = backing(df)
+      assert(files.nonEmpty && files.forall(_.contains("dup-index")),
+        s"fresh-session $what must come from the durable artifact: ${files.take(3)}")
+    }
+    val fresh = TextAnalysis.qT19(s2, sf).collect().map(_.toString).toSeq
+    assert(fresh == orig, "durable-artifact qT19 must match the building session")
+  }
+
+  test("append: delta advance equals from-scratch mining of the post-append corpus") {
+    val root = Files.createTempDirectory("graft-dupappend").toString
+    val corpus = s"$root/documents.parquet"
+    val all = graft.core.Tables.documents(spark, sf)
+    val base = all.where(col("doc_id") < 450)
+    val delta = all.where(col("doc_id") >= 450)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.write.parquet(corpus)
+    val idx0 = DupClusters.build(spark, root)
+    // the corpus grows (the gate-admitted batch lands as appended files) …
+    delta.write.mode("append").parquet(corpus)
+    // … and the SAME delta advances the index with delta-sized work
+    val idx1 = DupClusters.append(spark, root, idx0, delta.select("doc_id", "text"))
+    assert(idx1.nDocs == 500L)
+    // consistency: equal to mining the post-append corpus from scratch
+    assert(pairSet(idx1.pairs) == pairSet(Dedup.qD6(spark, root)),
+      "appended pairs must equal from-scratch qD6 on the new corpus")
+    val scratch = {
+      val p = Dedup.qD6(spark, root).select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val comp = Dedup.componentsOfPairs(spark, p, Dedup.MaxDriverPairs)
+        val ranks = Dedup.pageRank(p, Dedup.PageRankIters)
+          .selectExpr("id AS r_id", "r AS rank_e6")
+        clusterSet(comp.join(ranks, col("id") === col("r_id"))
+          .select("id", "component", "rank_e6"))
+      } finally { p.unpersist(); () }
+    }
+    assert(clusterSet(idx1.clusters) == scratch,
+      "appended clusters must equal from-scratch components ⋈ PageRank")
+    delta.unpersist()
+  }
+
+  test("append refuses a delta that does not reconcile with the corpus") {
+    val root = Files.createTempDirectory("graft-dupref").toString
+    val corpus = s"$root/documents.parquet"
+    val all = graft.core.Tables.documents(spark, sf)
+    all.where(col("doc_id") < 100).write.parquet(corpus)
+    val idx0 = DupClusters.build(spark, root)
+    // fingerprint unchanged → the delta is not in the corpus yet
+    val eSame = intercept[IllegalArgumentException](
+      DupClusters.append(spark, root, idx0,
+        all.where(col("doc_id") >= 100).select("doc_id", "text")))
+    assert(eSame.getMessage.contains("fingerprint unchanged"))
+    // corpus advanced by 400 docs but the claimed delta has 10 → refuse
+    all.where(col("doc_id") >= 100).write.mode("append").parquet(corpus)
+    val eCount = intercept[IllegalArgumentException](
+      DupClusters.append(spark, root, idx0,
+        all.where(col("doc_id") >= 490).select("doc_id", "text")))
+    assert(eCount.getMessage.contains("out-of-band"))
+  }
+}

@@ -400,6 +400,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(fourth.resketched == 0 && fourth.estimate == 220L, s"$fourth")
   }
 
+  test("distinctKeys: an empty bucket dir vouches too — zero-marker entry, next call metadata-only") {
+    val acc = newAccount("distinctempty")
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c", ContainerProps(Seq("/id"), buckets = 2))
+    upsert(acc, "db", "c", (1 to 40).map(i => s"""{"id":"e$i","v":$i}"""), parts = 2)
+    // an externally-created empty bucket dir (a compaction that drained it,
+    // a torn external write): scans to zero rows, so the sketch pass emits
+    // no group for it — it must STILL get a sidecar entry (zero marker),
+    // or it stays unvouched and re-scans on every call forever
+    Files.createDirectories(Paths.get(acc.root, "db", "c", "data", "b=9"))
+    val first = acc.distinctKeys(spark, "db", "c")
+    assert(first.estimate == 40L, s"$first")
+    val second = acc.distinctKeys(spark, "db", "c")
+    assert(second.resketched == 0,
+      s"empty bucket must be vouched after the first call: $second")
+    assert(second.vouched == second.buckets && second.estimate == 40L, s"$second")
+    // an empty file appearing in the empty bucket changes its signature:
+    // exactly that one bucket re-sketches (still zero keys), then re-vouches
+    Files.createFile(Paths.get(acc.root, "db", "c", "data", "b=9", "part-x.txt"))
+    val third = acc.distinctKeys(spark, "db", "c")
+    assert(third.resketched == 1 && third.estimate == 40L, s"$third")
+    val fourth = acc.distinctKeys(spark, "db", "c")
+    assert(fourth.resketched == 0 && fourth.estimate == 40L, s"$fourth")
+  }
+
   test("SQL surface: CALL graft.system.distinct returns the sketch estimate") {
     val acc = newAccount("calldistinct")
     spark.conf.set("spark.sql.catalog.graftdk",

@@ -1106,6 +1106,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val joinIdx = plan.linesIterator.indexWhere(_.contains("SortMergeJoin"))
     assert(probeIdx > joinIdx,
       "probe filter must sit below the join (map side of the exchange)")
+    // the filter BINDS AS BYTES (GraftColumn.of + addReferenceObj), never as
+    // SQL text: every plan representation must be O(1) in dim cardinality.
+    // The old hex-literal path put ~2.4 bytes/dim-key into the parsed plan
+    // (multi-MB at a 1M-key dim); a 500-hex-char run is the detector.
+    val hexRun = "[0-9a-fA-F]{500}".r
+    for ((repr, what) <- Seq(
+        (q.queryExecution.logical.toString, "parsed/logical"),
+        (q.queryExecution.analyzed.toString, "analyzed"),
+        (q.queryExecution.optimizedPlan.toString, "optimized"),
+        (plan, "executed"))) {
+      assert(hexRun.findFirstIn(repr).isEmpty,
+        s"$what plan carries the serialized bloom filter as text")
+      assert(repr.length < 64 * 1024,
+        s"$what plan text not O(1) in dim cardinality: ${repr.length} chars")
+    }
   }
 
   test("Q-O3 weighted sample: TakeOrdered top-k, map-only (no exchange below it)") {
@@ -1115,6 +1130,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "priority top-20 must be a TakeOrdered, not a global sort")
     assert(!plan.contains("hashpartitioning"),
       s"one corpus pass, zero shuffle:\n$plan")
+  }
+
+  test("Q-T19/Q-G4 warm: zero corpus passes — every file source is the dup-cluster artifact") {
+    graft.operators.DupClusters.build(spark, sf) // ensure built (idempotent)
+    def sources(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation].location.inputFiles.toSeq
+      }.flatten
+    // graph-only consumers: NOTHING outside the artifact may be read —
+    // the qD6 re-mining these queries used to pay is structurally gone
+    for ((q, name) <- Seq(
+        (graft.operators.TextAnalysis.qT19(spark, sf), "qT19"),
+        (graft.operators.Dedup.qG4(spark, sf), "qG4"))) {
+      val files = sources(q)
+      assert(files.nonEmpty && files.forall(_.contains("dup-index")),
+        s"$name warm run must read ONLY the artifact: ${files.filterNot(_.contains("dup-index")).take(3)}")
+    }
+    // corpus-touching consumers: documents may appear ONLY for the work the
+    // query itself defines (split assignment / token accounting), and the
+    // artifact must appear — never a signature re-mine (which would read
+    // documents through a simhash projection; structural check: each
+    // documents scan in the OPTIMIZED plan must not feed simhash32)
+    for ((q, name) <- Seq(
+        (graft.operators.TextAnalysis.qT18(spark, sf), "qT18"),
+        (graft.operators.TextAnalysis.qT26(spark, sf), "qT26"))) {
+      val files = sources(q)
+      assert(files.exists(_.contains("dup-index")),
+        s"$name must consume the artifact")
+      assert(files.forall(f => f.contains("dup-index") || f.contains("documents.parquet")),
+        s"$name reads unexpected sources: ${files.take(3)}")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("simhash32"),
+        s"$name must not re-mine signatures from the corpus")
+    }
   }
 
   test("Q-G7 k-core: peel is shrink-only and converges on the fixture graph") {
