@@ -194,6 +194,7 @@ object SparkEntry {
     "q_mm10_png_meta"       -> (Multimodal.qMm10 _),
     "q_mm11_tile_stats"     -> (Multimodal.qMm11 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
+    "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
     "q_u4_flatten"          -> (Documents.qU4 _),
   )
@@ -1499,6 +1500,14 @@ object SparkEntry {
         "CAST(3 * sum(CASE WHEN x < 4 AND y >= 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t10, " +
         "CAST(3 * sum(CASE WHEN x >= 4 AND y >= 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t11 " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm13_jpeg_decode" -> (
+      // real JPEG encode+decode on the Spark side; JPEG is LOSSY, so the
+      // oracle checks the recovered decision LEVEL (constant-gray canvases
+      // spaced 16 apart — robust to any mean decode error within ±8;
+      // measured JDK error ≤ 2) plus the exact geometry
+      "SELECT doc_id AS asset_id, CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
+        "CAST((doc_id * 37) % 14 AS BIGINT) AS lvl " +
+        "FROM documents WHERE doc_id < 200 ORDER BY asset_id"),
     "q_mm12_audio_dups" -> (
       // audio-fingerprint near-dups: the oracle replays the closed-form
       // PCM (Multimodal.wavSample), 8-frame energies, floor-log2 codes

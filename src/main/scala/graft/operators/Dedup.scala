@@ -450,6 +450,35 @@ object Dedup {
       .groupBy("csize").agg(count(lit(1)).as("n_components"))
       .orderBy("csize")
 
+  /** Lineage truncation for the iterative BSP loops ([[pageRank]],
+    * [[labelProp]], [[qG7]]'s peel, [[starComponents]],
+    * [[labelComponents]]) — THE FAULT-TOLERANCE TRADE, made explicit:
+    *
+    *  - Default: eager `localCheckpoint` — blocks live UNREPLICATED on the
+    *    executors that computed them. Fastest (no extra write), and
+    *    correct lineage truncation — but on a real cluster an executor
+    *    loss mid-iteration FAILS THE JOB (the truncated lineage cannot
+    *    recompute the lost blocks). Fine on local[n] and for short loops;
+    *    at 100 TB with hours-long iterations it is a availability bet.
+    *  - `spark.graft.checkpointDir=<fault-tolerant URI>` (session conf):
+    *    each round writes a RELIABLE checkpoint to that store instead —
+    *    an executor loss recomputes from the checkpoint files, the job
+    *    survives. Costs one distributed write per round, and checkpoint
+    *    files outlive `unpersist()` (they are files, not blocks): they are
+    *    reclaimed at context stop, or per-reference when
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
+    *
+    * The SparkContext checkpoint dir is process-global and set on first
+    * use; `Dataset.checkpoint` requires it. */
+  private[graft] def truncate(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+
   /** PageRank damping split and per-node starting mass for [[qG4]], in
     * integer micro-units: rank(0) = 1e6; rank(i+1) = (1−d)·1e6 + d·Σ
     * contributions, with d = 85/100 applied as integer `DIV` — every
@@ -515,7 +544,7 @@ object Dedup {
       }
       // materialize before unpersist: an action on the returned frame would
       // otherwise recompute the whole iteration chain off dropped blocks
-      ranks.localCheckpoint(eager = true)
+      truncate(ranks)
     } finally {
       edges.unpersist(); deg.unpersist()
       if (!borrowed) { pairs.unpersist(); () }
@@ -544,7 +573,8 @@ object Dedup {
     * total and integer, so the oracle replays the recurrence exactly;
     * asynchronous/randomized LPA variants trade that reproducibility away.
     *
-    * Scale: the candidate subtree persists once ([[withPersistedEdges]]);
+    * Scale: the edge frame comes from the durable [[DupClusters]] artifact
+    * (persisted once per session — no per-query re-mining);
     * each round is one edge-sized equi-join on the label frame plus one
     * (node, label)-keyed count and a node-partitioned arg-max window — the
     * same O(iters × |E|) BSP shape as [[pageRank]], no driver data movement.
@@ -581,7 +611,7 @@ object Dedup {
           .where(col("rn") === 1)
           .select(col("nid").as("id"), col("nlbl").as("lbl"))
       }
-      lbls.localCheckpoint(eager = true)
+      truncate(lbls)
     } finally {
       edges.unpersist()
       if (!borrowed) { pairs.unpersist(); () }
@@ -606,7 +636,8 @@ object Dedup {
     * is filament-shaped, and keep-one-per-component ([[qT19]]) would be
     * destroying singletons glued by noise, not duplicates.
     *
-    * Scale: the candidate subtree persists once ([[withPersistedEdges]]);
+    * Scale: the edge frame comes from the durable [[DupClusters]] artifact
+    * (persisted once per session — no per-query re-mining);
     * each round is ONE map-combined degree shuffle plus two semi-joins of
     * the edge frame against the surviving-node set — O(iters × |E|) BSP,
     * the [[pageRank]]/[[labelProp]] shape. The degree frame is computed
@@ -660,11 +691,10 @@ object Dedup {
       val (n0, m0) = statOf(deg); rounds += ((0L, n0, m0))
       for (i <- 1 to KCoreIters) {
         val keep = deg.where(col("deg") >= 2).select("id")
-        val next = e
+        val next = truncate(e
           .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-          .select("u", "v")
-          .localCheckpoint(eager = true)
+          .select("u", "v"))
         // successor is materialized: the previous round's checkpoint
         // blocks (and its degree frame) are dead — free them NOW, not at
         // ContextCleaner GC time, so peak footprint stays <= 2 frames
@@ -882,7 +912,8 @@ object Dedup {
       .distinct()
     var edges = pairGraph
       .select(col(pairGraph.columns(0)).as("u"), col(pairGraph.columns(1)).as("v"))
-      .where(u =!= v).distinct().localCheckpoint()
+      .where(u =!= v).distinct()
+      .transform(truncate)
     var fp = (-1L, -1L)
     var rounds = 0
     var converged = false
@@ -904,7 +935,7 @@ object Dedup {
       val next = oriented.join(smins, "u").where(v =!= col("m"))
         .select(v.as("u"), col("m").as("v"))
         .unionAll(smins.select(u, col("m").as("v")))
-        .distinct().localCheckpoint()
+        .distinct().transform(truncate)
       // fixpoint check off the checkpointed blocks: star rounds are
       // deterministic edge-set rewrites, so (count, order-free checksum)
       // equality means the edge set stopped moving
@@ -946,7 +977,7 @@ object Dedup {
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     var labels = edges.select(col("a_id").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint()
+      .transform(truncate)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -961,7 +992,7 @@ object Dedup {
           col("lbl").as("old"))
         .select(col("id"), col("nlbl2").as("lbl"),
           (col("nlbl2") =!= col("old")).as("chg"))
-        .localCheckpoint()
+        .transform(truncate)
       changed = next.where(col("chg")).count()
       labels = next.select("id", "lbl")
       rounds += 1

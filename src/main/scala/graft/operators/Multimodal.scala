@@ -385,6 +385,74 @@ object Multimodal {
   def qMm11(spark: SparkSession, dir: String): DataFrame =
     tileStats(pngAssets(spark, dir), ImageIoDecoder).orderBy("asset_id")
 
+  // ---- JPEG lane (q_mm13) ----
+
+  /** Distinct gray levels for the JPEG canvases, spaced 16 apart in
+    * [24, 232] — level(id) = (id·37) mod 14, gray(id) = level·16 + 24. */
+  val JpegLevels = 14
+
+  def jpegLevel(id: Long): Int = ((id * 37) % JpegLevels).toInt
+
+  /** Real JPEG assets: one CONSTANT-gray 8×8 canvas per document
+    * (doc_id < 200), encoded through the JDK's actual JPEG writer at
+    * EXPLICIT quality 0.95 (the default is writer-dependent; pinning it
+    * makes the blobs deterministic). JPEG is the dominant real-corpus
+    * image format — javax.imageio decodes it natively, so the whole
+    * image lane ([[pixelFeatures]], [[tileStats]], [[imageHashes]]) runs
+    * on it unchanged. */
+  def jpegAssets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).where(col("doc_id") < 200)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = jpegLevel(id) * 16 + 24
+          val img = new java.awt.image.BufferedImage(
+            PngSide, PngSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < PngSide) {
+            var x = 0
+            while (x < PngSide) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          val p = writer.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(0.95f)
+          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try {
+            writer.setOutput(out)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          } finally { writer.dispose(); out.close() }
+          (id, "image", bos.toByteArray)
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Q-MM13 — the JPEG DECODE lane: real JPEG blobs ([[jpegAssets]])
+    * through the real [[ImageIoDecoder]], reduced to the recovered gray
+    * LEVEL per asset.
+    *
+    * The oracle contract differs from [[qMm4]]'s by necessity: JPEG is
+    * LOSSY, so "decoded == generated pixel-for-pixel" is impossible BY
+    * DEFINITION — an exact-pixel-sum oracle would be asserting properties
+    * of one codec build, not of this engine. Instead the canvases are
+    * constant-gray at levels spaced 16 apart, and the checked statistic is
+    * the DECISION-LEVEL recovery: lvl = (⌊px_sum / (w·h·3)⌋ − 16) DIV 16,
+    * which reproduces the closed-form level for ANY decode whose mean
+    * error is within ±8 gray units (measured JDK round-trip error on these
+    * canvases: ≤ 2 — MultimodalSpec pins the ≤ 4 headroom bound). Width,
+    * height, and pixel count stay exact (lossy compression never changes
+    * geometry). Same batched mapPartitions shape as the PNG lane: blobs
+    * never cross an exchange. */
+  def qMm13(spark: SparkSession, dir: String): DataFrame =
+    pixelFeatures(jpegAssets(spark, dir), ImageIoDecoder)
+      .selectExpr("asset_id", "w", "h",
+        "CAST(((px_sum DIV (CAST(w AS BIGINT) * h * 3)) - 16) DIV 16 AS BIGINT) AS lvl")
+      .orderBy("asset_id")
+
   /** 64-bit average-hash of a decoded image as four 16-bit bands: bit k
     * (row-major pixel index) is set iff pixel_k × n ≥ Σ pixels (the
     * integer form of "above the mean" — no float division, so the oracle

@@ -464,6 +464,7 @@ object Streams {
       batch: DataFrame, batchId: Long): (Long, Long) = {
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
+    healGateStore(storeDir) // finish any crashed compaction swap first
     val marker = s"$storeDir/_commits/$batchId"
     if (st.exists(marker)) return (0L, 0L) // replayed, already committed
     def commit(): Unit = { st.mkdirs(s"$storeDir/_commits"); st.writeString(marker, ""); () }
@@ -500,6 +501,87 @@ object Streams {
     bands.join(rejected, Seq("doc_id"), "left_anti")
       .write.mode("append").parquet(bandsPath)
     commit()
+    // upkeep AFTER the commit marker: every micro-batch appends one parquet
+    // write to bands/ and docs/ — unbounded small-file accumulation, the
+    // exact disease FileAccount.compactContainer cures for containers. The
+    // threshold keeps amortized upkeep O(1) per batch (a rewrite every
+    // ~GateCompactThreshold batches, each reading only store-sized data).
+    compactGateStore(spark, storeDir)
     (nAdmit, n - nAdmit)
+  }
+
+  /** File-count bound for [[dedupGateBatch]]'s store: a sub-store whose
+    * data-file count exceeds this compacts on the next batch. */
+  val GateCompactThreshold = 16
+
+  /** Finish a crashed [[compactGateStore]] swap — called at every gate
+    * entry. Invariant of the swap protocol (stage → rename away → rename
+    * in → drop trash): at any crash point either the live dir exists
+    * (leftovers are garbage) or the trash dir holds the COMPLETE original
+    * (restore by one rename). Either way no row is ever lost. */
+  private[graft] def healGateStore(storeDir: String): Unit = {
+    val st = graft.core.Storage.hadoop
+    if (!st.exists(storeDir)) return
+    for (sub <- Seq("bands", "docs")) {
+      val live = s"$storeDir/$sub"
+      val leftovers = st.listDirNames(storeDir)
+        .filter(n => n.startsWith(s"$sub.compact-") || n.startsWith(s"$sub.trash-"))
+        .map(n => s"$storeDir/$n")
+      if (!st.exists(live))
+        leftovers.find(_.contains(".trash-")).foreach(st.rename(_, live))
+      leftovers.filter(st.exists(_)).filterNot(_ == live)
+        .foreach(st.deleteRecursive(_))
+    }
+  }
+
+  /** Compact the gate's band/doc stores back to size-targeted files once
+    * they cross [[GateCompactThreshold]] — the maintenance story the
+    * append-per-batch layout needs (without it a month of micro-batches is
+    * tens of thousands of tiny parquet files and the store scan dies of
+    * listing + open overhead long before data volume matters).
+    *
+    * Swap protocol per sub-store: rewrite into a staging dir (lineage
+    * TRUNCATED first — the plan reads the very files the swap replaces),
+    * rename the live dir to trash, rename staging in, drop trash. A crash
+    * anywhere leaves either the live dir or the complete original in
+    * trash; [[healGateStore]] (run at every gate entry) restores the
+    * invariant. Gate determinism is layout-independent — decisions read
+    * the full row set, never file boundaries — so a compaction between
+    * batches never changes an admit/reject (spec-pinned). */
+  def compactGateStore(spark: SparkSession, storeDir: String,
+      fileThreshold: Int = GateCompactThreshold,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val st = graft.core.Storage.hadoop
+    var before = 0; var after = 0
+    for (sub <- Seq("bands", "docs")) {
+      val live = s"$storeDir/$sub"
+      if (st.exists(live)) {
+        val files = st.walk(live).filterNot { f =>
+          val n = f.relPath.split('/').last
+          n.startsWith("_") || n.startsWith(".")
+        }
+        before += files.size
+        if (files.size > fileThreshold) {
+          val nOut = math.max(1L,
+            (files.map(_.size).sum + targetBytes - 1L) / targetBytes).toInt
+          val rows = spark.read.parquet(live)
+            .repartition(nOut).localCheckpoint(eager = true)
+          val tag = java.util.UUID.randomUUID().toString.take(8)
+          val staging = s"$live.compact-$tag"
+          rows.write.mode("overwrite").parquet(staging)
+          rows.unpersist()
+          if (!(st.rename(live, s"$live.trash-$tag") &&
+              st.rename(staging, live)))
+            throw new IllegalStateException(
+              s"gate-store compaction swap failed for $live (heal on next entry)")
+          st.deleteRecursive(s"$live.trash-$tag")
+          after += st.walk(live).count { f =>
+            val n = f.relPath.split('/').last
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+        } else after += files.size
+      }
+    }
+    (before, after)
   }
 }

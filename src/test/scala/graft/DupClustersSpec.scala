@@ -98,6 +98,39 @@ class DupClustersSpec extends AnyFunSuite {
     delta.unpersist()
   }
 
+  test("BSP loops take the RELIABLE checkpoint path when spark.graft.checkpointDir is set (graftfs://)") {
+    // the cluster fault-tolerance option (VERDICT r9 task 5): localCheckpoint
+    // blocks die with an executor; with the conf set, every round writes a
+    // reliable checkpoint to the named fault-tolerant store instead — proven
+    // here through a NON-DEFAULT Hadoop scheme, the boundary a real
+    // deployment crosses for hdfs:// — with identical results either way
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "graft-ckpt")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.checkpointDir", "graftfs:" + ckpt.toAbsolutePath)
+    def pairsOn(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("a_id", "b_id")
+    }
+    val reliable = Dedup.pageRank(pairsOn(s2), 2)
+      .collect().map(_.toString).sorted.toSeq
+    val local = Dedup.pageRank(pairsOn(spark), 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(reliable == local, "checkpoint mode must never change results")
+    import scala.jdk.CollectionConverters._
+    val written = Files.walk(ckpt).iterator().asScala
+      .count(p => Files.isRegularFile(p) && p.toString.contains("rdd-"))
+    assert(written > 0,
+      s"reliable checkpoint files must land under $ckpt via graftfs://")
+    // components + label propagation honor the same switch
+    val c2 = Dedup.componentsOfPairs(s2, pairsOn(s2), 0)
+      .collect().map(_.toString).sorted.toSeq
+    val c1 = Dedup.componentsOfPairs(spark, pairsOn(spark), 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(c2 == c1)
+  }
+
   test("append refuses a delta that does not reconcile with the corpus") {
     val root = Files.createTempDirectory("graft-dupref").toString
     val corpus = s"$root/documents.parquet"

@@ -732,6 +732,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"decoded blobs must stay on their executor:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_mm13 JPEG lane: decode error within declared headroom, every level recovered") {
+    import graft.operators.Multimodal
+    // the oracle's decision margin is ±8 gray units; pin 2× headroom (≤ 4)
+    // on the MEASURED mean round-trip error of every canvas, so a codec
+    // drift shows up here long before it could flip an oracle level
+    val rows = Multimodal.pixelFeatures(
+      Multimodal.jpegAssets(spark, sf), Multimodal.ImageIoDecoder).collect()
+    assert(rows.length == 200, s"all JPEG blobs must decode: ${rows.length}")
+    for (r <- rows) {
+      val id = r.getAs[Long]("asset_id")
+      val g = Multimodal.jpegLevel(id) * 16 + 24
+      val avg = r.getAs[Long]("px_sum").toDouble / (8 * 8 * 3)
+      assert(math.abs(avg - g) <= 4.0,
+        s"asset $id: decoded mean $avg vs encoded $g exceeds headroom")
+    }
+    val lv = Multimodal.qMm13(spark, sf).collect()
+    assert(lv.length == 200 && lv.forall(r =>
+      r.getAs[Long]("lvl") == Multimodal.jpegLevel(r.getAs[Long]("asset_id"))),
+      "recovered levels must replay the closed form")
+  }
+
   test("q_x9 retention: distinct-then-window, no self-join, metadata rollup") {
     val q = graft.operators.Windows.qX9(spark, sf)
     q.collect()

@@ -434,6 +434,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/docs").count() == 3)
   }
 
+  test("ST-9 store maintenance: bounded files under many batches; decisions survive compaction; crashed swap heals") {
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "gate-compact").toString
+    val st = graft.core.Storage.hadoop
+    def nFiles(sub: String): Int = st.walk(s"$store/$sub").count { f =>
+      val n = f.relPath.split('/').last
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val firstText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    for (i <- 0 until 24) {
+      val text = if (i == 0) firstText
+        else s"document number$i speaks about topic$i and subject$i plus matter$i uniquely distinct"
+      val df = spark.range(1).selectExpr(s"CAST(${100 + i} AS BIGINT) AS doc_id",
+        s"'$text' AS text")
+      assert(Streams.dedupGateBatch(spark, store, df, i.toLong) == (1L, 0L))
+    }
+    // each of the 24 batches appended >= 1 parquet file per sub-store; the
+    // auto-compaction (threshold GateCompactThreshold) must keep counts
+    // bounded instead of letting them grow with batch count
+    assert(nFiles("bands") <= Streams.GateCompactThreshold + 1,
+      s"bands files unbounded: ${nFiles("bands")}")
+    assert(nFiles("docs") <= Streams.GateCompactThreshold + 1,
+      s"docs files unbounded: ${nFiles("docs")}")
+    assert(spark.read.parquet(s"$store/docs").count() == 24,
+      "compaction must never lose admitted docs")
+    // determinism across compaction: a near-dup of batch 0's admitted doc —
+    // whose band keys have been rewritten by at least one compaction — is
+    // still rejected by the same rule
+    val rej = Streams.dedupGateBatch(spark, store,
+      spark.range(1).selectExpr("CAST(999 AS BIGINT) AS doc_id", s"'$firstText' AS text"),
+      1000L)
+    assert(rej == (0L, 1L), s"post-compaction store must still reject: $rej")
+    // crashed swap: live dir renamed away, complete original in trash —
+    // the entry-time heal restores it and the gate keeps rejecting
+    assert(st.rename(s"$store/bands", s"$store/bands.trash-deadbeef"))
+    Streams.healGateStore(store)
+    assert(st.exists(s"$store/bands"), "heal must restore the live dir from trash")
+    val rej2 = Streams.dedupGateBatch(spark, store,
+      spark.range(1).selectExpr("CAST(998 AS BIGINT) AS doc_id", s"'$firstText' AS text"),
+      1001L)
+    assert(rej2 == (0L, 1L), s"healed store must still reject: $rej2")
+  }
+
   test("ST-7 stream-stream interval join: two live streams == batch funnel") {
     // clicks and purchases as SEPARATE streams (the two-source shape a real
     // funnel pipeline has), both watermarked so the interval condition
