@@ -101,7 +101,12 @@ object BenchSlope {
     // double semi-join, the qG4/qG6 risk profile) and the bloom prejoin
     // (distributed filter build + probe-filtered fact-fact shuffle join —
     // the probe cost must stay scan-bound as the fact side grows)
-    "q_g7_kcore", "q_j12_bloom_prejoin")
+    "q_g7_kcore", "q_j12_bloom_prejoin",
+    // round 10: the JPEG decode lane (batched executor-side decode must
+    // stay corpus-linear like its PNG sibling), the temperature mix (one
+    // map-combined tokenize pass to an L-row frame), and the priority
+    // sample (map-only TakeOrdered)
+    "q_mm13_jpeg_decode", "q_t27_temperature_mix", "q_o3_weighted_sample")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

@@ -511,20 +511,80 @@ object Dedup {
     DupClusters.build(s, dir).clusters
       .selectExpr("id AS doc_id", "rank_e6").orderBy("doc_id")
 
+  /** Bounded limit-collect of a canonical 2-column pair frame: Some(edges)
+    * iff it holds ≤ maxPairs rows — the [[componentsOfPairs]] declared-bound
+    * discipline shared by every driver fast path in this file. The collect
+    * can never be corpus-sized (limit+1 rows max); 0 disables the fast
+    * path, which specs use to pin the distributed loops EQUAL. */
+  private def boundedEdges(pairGraph: DataFrame,
+                           maxPairs: Int): Option[Array[(Long, Long)]] = {
+    if (maxPairs <= 0) None
+    else {
+      val head = pairGraph.limit(maxPairs + 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      if (head.length <= maxPairs) Some(head) else None
+    }
+  }
+
   /** The iteration core of [[qG4]] over any canonical (a, b) pair frame —
-    * symmetrizes the edges, persists them once, and runs `iters` rounds of
-    * the integer recurrence. Spec-testable on synthetic graphs. */
-  def pageRank(pairGraph: DataFrame, iters: Int): DataFrame = {
+    * symmetrizes the edges and runs `iters` rounds of the integer
+    * recurrence. HYBRID by declared bound like [[componentsOfPairs]]:
+    * under [[MaxDriverPairs]] edges the recurrence replays on the driver
+    * in microseconds (every operation is exact integer arithmetic, so the
+    * two paths are bit-equal — spec-pinned); above it, the distributed
+    * BSP loop (persisted edge/degree frames, one edge-sized join + one
+    * node-sized agg per round). Spec-testable on synthetic graphs. */
+  def pageRank(pairGraph: DataFrame, iters: Int,
+               maxDriverPairs: Int = MaxDriverPairs): DataFrame = {
     val a = pairGraph.columns(0); val b = pairGraph.columns(1)
-    // the pair frame feeds BOTH symmetrization branches — persist it first
-    // or the candidate generation upstream (the simhash band join, for
-    // qG4) is computed once per branch. Same borrow discipline as
-    // [[componentsOfPairs]]: a frame the caller persisted stays theirs.
+    // the pair frame feeds the bound check AND both symmetrization
+    // branches — persist it first or the candidate generation upstream
+    // (the simhash band join, for qG4) is computed once per reader. Same
+    // borrow discipline as [[componentsOfPairs]]: a frame the caller
+    // persisted stays theirs.
     val borrowed = pairGraph.storageLevel !=
       org.apache.spark.storage.StorageLevel.NONE
     val pairs =
       if (borrowed) pairGraph
       else pairGraph.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    boundedEdges(pairs.select(a, b), maxDriverPairs) match {
+      case Some(es) =>
+        try driverPageRank(pairs.sparkSession, es, iters)
+        finally { if (!borrowed) { pairs.unpersist() }; () }
+      case None => distributedPageRank(pairs, a, b, iters, borrowed)
+    }
+  }
+
+  /** Driver replay of the [[pageRank]] recurrence over a bounded edge list
+    * — same integer ops in the same structure (floor-div contributions per
+    * source, damped sum per destination), so results are bit-equal to the
+    * distributed loop. */
+  private def driverPageRank(s: SparkSession, es: Array[(Long, Long)],
+                             iters: Int): DataFrame = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    def add(u: Long, v: Long): Unit = {
+      adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v; ()
+    }
+    es.foreach { case (u, v) => add(u, v); add(v, u) }
+    var r = mutable.LongMap.empty[Long]
+    adj.foreachKey(k => r(k) = 1000000L)
+    for (_ <- 1 to iters) {
+      val nxt = mutable.LongMap.empty[Long]
+      adj.foreach { case (src, dsts) =>
+        val c = r(src) / dsts.length
+        dsts.foreach(d => nxt(d) = nxt.getOrElse(d, 0L) + c)
+      }
+      val damped = mutable.LongMap.empty[Long]
+      nxt.foreach { case (k, v) => damped(k) = 150000L + (85L * v) / 100L }
+      r = damped
+    }
+    import s.implicits._
+    r.toSeq.sortBy(_._1).toDF("id", "r")
+  }
+
+  private def distributedPageRank(pairs: DataFrame, a: String, b: String,
+                                  iters: Int, borrowed: Boolean): DataFrame = {
     val edges = pairs.selectExpr(s"$a AS src", s"$b AS dst")
       .unionAll(pairs.selectExpr(s"$b AS src", s"$a AS dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -587,7 +647,8 @@ object Dedup {
   /** The iteration core of [[qG6]] over any canonical (a, b) pair frame —
     * symmetrizes, persists the edge frame, runs `iters` synchronous rounds.
     * Spec-testable on synthetic graphs (bridge vs clique behavior). */
-  def labelProp(pairGraph: DataFrame, iters: Int): DataFrame = {
+  def labelProp(pairGraph: DataFrame, iters: Int,
+                maxDriverPairs: Int = MaxDriverPairs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = pairGraph.columns(0); val b = pairGraph.columns(1)
     val borrowed = pairGraph.storageLevel !=
@@ -595,27 +656,70 @@ object Dedup {
     val pairs =
       if (borrowed) pairGraph
       else pairGraph.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.selectExpr(s"$a AS src", s"$b AS dst")
-      .unionAll(pairs.selectExpr(s"$b AS src", s"$a AS dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var lbls = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-      val byNode = Window.partitionBy("nid")
-        .orderBy(col("c").desc, col("nlbl"))
-      for (_ <- 1 to iters) {
-        val votes = edges.join(lbls, edges("dst") === lbls("id"))
-          .select(edges("src").as("nid"), lbls("lbl").as("nlbl"))
-          .groupBy("nid", "nlbl").agg(count(lit(1)).as("c"))
-        lbls = votes.withColumn("rn", row_number().over(byNode))
-          .where(col("rn") === 1)
-          .select(col("nid").as("id"), col("nlbl").as("lbl"))
+    // HYBRID by declared bound ([[componentsOfPairs]]' discipline): the
+    // synchronous (count desc, min label) arg-max is a total integer order,
+    // so the driver replay is bit-equal to the distributed rounds —
+    // spec-pinned via the maxDriverPairs=0 forced-distributed variant
+    boundedEdges(pairs.select(a, b), maxDriverPairs) match {
+      case Some(es) =>
+        try driverLabelProp(pairs.sparkSession, es, iters)
+        finally { if (!borrowed) { pairs.unpersist() }; () }
+      case None => try {
+        val edges = pairs.selectExpr(s"$a AS src", s"$b AS dst")
+          .unionAll(pairs.selectExpr(s"$b AS src", s"$a AS dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var lbls = edges.select(col("src").as("id")).distinct()
+            .select(col("id"), col("id").as("lbl"))
+          val byNode = Window.partitionBy("nid")
+            .orderBy(col("c").desc, col("nlbl"))
+          for (_ <- 1 to iters) {
+            val votes = edges.join(lbls, edges("dst") === lbls("id"))
+              .select(edges("src").as("nid"), lbls("lbl").as("nlbl"))
+              .groupBy("nid", "nlbl").agg(count(lit(1)).as("c"))
+            lbls = votes.withColumn("rn", row_number().over(byNode))
+              .where(col("rn") === 1)
+              .select(col("nid").as("id"), col("nlbl").as("lbl"))
+          }
+          truncate(lbls)
+        } finally { edges.unpersist(); () }
+      } finally {
+        if (!borrowed) { pairs.unpersist(); () }
       }
-      truncate(lbls)
-    } finally {
-      edges.unpersist()
-      if (!borrowed) { pairs.unpersist(); () }
     }
+  }
+
+  /** Driver replay of the synchronous LPA recurrence — per round, every
+    * node adopts the label maximizing (neighbor-vote count, −label) over
+    * the PREVIOUS round's labels; multiplicity counts, exactly like the
+    * distributed unionAll edges. */
+  private def driverLabelProp(s: SparkSession, es: Array[(Long, Long)],
+                              iters: Int): DataFrame = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    def add(u: Long, v: Long): Unit = {
+      adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v; ()
+    }
+    es.foreach { case (u, v) => add(u, v); add(v, u) }
+    var lbl = mutable.LongMap.empty[Long]
+    adj.foreachKey(k => lbl(k) = k)
+    for (_ <- 1 to iters) {
+      val nxt = mutable.LongMap.empty[Long]
+      adj.foreach { case (node, nbrs) =>
+        val votes = mutable.LongMap.empty[Long]
+        nbrs.foreach { n =>
+          val l = lbl(n); votes(l) = votes.getOrElse(l, 0L) + 1L
+        }
+        var bestL = Long.MaxValue; var bestC = 0L
+        votes.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        nxt(node) = bestL
+      }
+      lbl = nxt
+    }
+    import s.implicits._
+    lbl.toSeq.sortBy(_._1).toDF("id", "lbl")
   }
 
   /** Synchronous peel rounds of [[qG7]] — fixed so the DuckDB oracle can
@@ -650,12 +754,47 @@ object Dedup {
     * footprint is ≤ 2 edge frames by construction, not by GC timing. The
     * reported rows are metadata-sized aggregates; nothing corpus-scaled
     * reaches the driver. */
-  def qG7(s: SparkSession, dir: String): DataFrame = {
-    // e0 is a projection of the artifact's persisted pair frame — round 1's
-    // three readers (degrees + two semi-joins) re-project from cached
-    // blocks, so no extra persist layer is needed
-    val e0 = DupClusters.build(s, dir).pairs
-      .select(col("a_id").as("u"), col("b_id").as("v"))
+  def qG7(s: SparkSession, dir: String): DataFrame =
+    kcorePeel(s, DupClusters.build(s, dir).pairs
+      .select(col("a_id").as("u"), col("b_id").as("v")), KCoreIters,
+      MaxDriverPairs)
+
+  /** The [[qG7]] peel over any (u, v) edge frame — HYBRID by declared bound
+    * ([[componentsOfPairs]]' discipline): under [[MaxDriverPairs]] edges
+    * the peel replays on the driver (pure integer set operations, so the
+    * paths are bit-equal — spec-pinned via the forced-distributed variant);
+    * above it, the BSP loop below. e0 should be a projection of a
+    * persisted frame — round 1's readers re-project from cached blocks. */
+  private[graft] def kcorePeel(s: SparkSession, e0: DataFrame, iters: Int,
+                               maxDriverPairs: Int): DataFrame = {
+    import s.implicits._
+    boundedEdges(e0, maxDriverPairs) match {
+      case Some(es0) =>
+        import scala.collection.mutable
+        def statOf(es: Array[(Long, Long)]): (Long, Long) = {
+          val nodes = mutable.LongMap.empty[Boolean]
+          es.foreach { case (u, v) => nodes(u) = true; nodes(v) = true }
+          (nodes.size.toLong, es.length.toLong)
+        }
+        var es = es0
+        val rounds = mutable.ArrayBuffer[(Long, Long, Long)]()
+        val (n0, m0) = statOf(es); rounds += ((0L, n0, m0))
+        for (i <- 1 to iters) {
+          val deg = mutable.LongMap.empty[Long]
+          es.foreach { case (u, v) =>
+            deg(u) = deg.getOrElse(u, 0L) + 1L
+            deg(v) = deg.getOrElse(v, 0L) + 1L
+          }
+          es = es.filter { case (u, v) => deg(u) >= 2L && deg(v) >= 2L }
+          val (n, m) = statOf(es); rounds += ((i.toLong, n, m))
+        }
+        rounds.toSeq.toDF("iter", "n_nodes", "n_edges").orderBy("iter")
+      case None => distributedKcore(s, e0, iters)
+    }
+  }
+
+  private def distributedKcore(s: SparkSession, e0: DataFrame,
+                               iters: Int): DataFrame = {
     import s.implicits._
     {
       // each round TRUNCATES LINEAGE (eager localCheckpoint): the peel
@@ -689,7 +828,7 @@ object Dedup {
       val rounds = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       var deg = degreesOf(e)
       val (n0, m0) = statOf(deg); rounds += ((0L, n0, m0))
-      for (i <- 1 to KCoreIters) {
+      for (i <- 1 to iters) {
         val keep = deg.where(col("deg") >= 2).select("id")
         val next = truncate(e
           .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")

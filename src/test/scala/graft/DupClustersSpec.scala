@@ -113,9 +113,11 @@ class DupClustersSpec extends AnyFunSuite {
       import s.implicits._
       Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("a_id", "b_id")
     }
-    val reliable = Dedup.pageRank(pairsOn(s2), 2)
+    // maxDriverPairs=0 forces the distributed loop (the driver fast path
+    // neither checkpoints nor needs to — nothing iterative leaves the JVM)
+    val reliable = Dedup.pageRank(pairsOn(s2), 2, 0)
       .collect().map(_.toString).sorted.toSeq
-    val local = Dedup.pageRank(pairsOn(spark), 2)
+    val local = Dedup.pageRank(pairsOn(spark), 2, 0)
       .collect().map(_.toString).sorted.toSeq
     assert(reliable == local, "checkpoint mode must never change results")
     import scala.jdk.CollectionConverters._

@@ -129,7 +129,12 @@ class RecallSpec extends AnyFunSuite {
         _.map { case (s, _) => contrib(s) }.sum).toMap
         .map { case (id, s) => id -> (150000L + 85L * s / 100L) }
     }
-    assert(got == r, s"distributed PageRank must replay the reference: $got vs $r")
+    assert(got == r, s"PageRank must replay the reference: $got vs $r")
+    // hybrid contract: the forced-distributed loop (maxDriverPairs=0) is
+    // bit-equal to the driver fast path the bounded graph took above
+    val dist = Dedup.pageRank(pairGraph, 3, 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(dist == got, "distributed and driver paths must be bit-equal")
     // structure: the hub concentrates rank; leaves are symmetric
     assert(got(1L) > got(2L), "hub must outrank a leaf")
     assert(Set(got(2L), got(3L), got(4L), got(5L)).size == 1,
@@ -160,12 +165,32 @@ class RecallSpec extends AnyFunSuite {
         id -> cnt.toSeq.maxBy { case (lbl, c) => (c, -lbl) }._1
       }
     }
-    assert(got == l, s"distributed LPA must replay the reference: $got vs $l")
+    assert(got == l, s"LPA must replay the reference: $got vs $l")
+    // hybrid contract: forced-distributed == driver fast path
+    val dist = Dedup.labelProp(pairGraph, Dedup.LabelPropIters, 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(dist == got, "distributed and driver paths must be bit-equal")
     // community structure: each clique uniform, the two cliques distinct
     assert(Set(got(1L), got(2L), got(3L)).size == 1, "clique A must agree")
     assert(Set(got(10L), got(11L), got(12L)).size == 1, "clique B must agree")
     assert(got(1L) != got(10L),
       s"the bridge must not weld the cliques into one community: $got")
+  }
+
+  test("k-core peel: driver fast path bit-equal to the forced-distributed loop") {
+    import spark.implicits._
+    // 4-clique (survives 2-core) + a pendant chain 4-20-21 (peels away) +
+    // isolated pair 30-31 (peels in round 1)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 20L), (20L, 21L), (30L, 31L)).toDF("u", "v")
+    def rows(maxDriver: Int) =
+      graft.operators.Dedup.kcorePeel(spark, e, 3, maxDriver)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = rows(100000)
+    val dist = rows(0)
+    assert(fast == dist, s"hybrid paths diverge: $fast vs $dist")
+    // structure: the chain and pair peel, the clique alone survives
+    assert(fast.head == ((0L, 8L, 9L)) && fast.last == ((3L, 4L, 6L)), s"$fast")
   }
 
   test("full-signature LSH (qSim2 family): recall measured, monotone in width") {
