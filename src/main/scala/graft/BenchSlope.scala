@@ -106,7 +106,12 @@ object BenchSlope {
     // stay corpus-linear like its PNG sibling), the temperature mix (one
     // map-combined tokenize pass to an L-row frame), and the priority
     // sample (map-only TakeOrdered)
-    "q_mm13_jpeg_decode", "q_t27_temperature_mix", "q_o3_weighted_sample")
+    "q_mm13_jpeg_decode", "q_t27_temperature_mix", "q_o3_weighted_sample",
+    // the BPE pair induction (vocabulary-sized pair explode over the
+    // word-frequency table — must stay corpus-linear in the tokenize, flat
+    // in the pair stage) and the IVF-PQ ADC lane (corpus encode map-only,
+    // candidate scoring cell-bounded)
+    "q_t28_bpe_merges", "q_sim14_ivfpq")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
     "q_t26_dedup_mix"      -> (TextAnalysis.qT26 _),
     "q_t27_temperature_mix" -> (TextAnalysis.qT27 _),
+    "q_t28_bpe_merges"     -> (TextAnalysis.qT28 _),
     "q_t20_unigram_ll"     -> (TextAnalysis.qT20 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_sim11_ivf_int8"     -> (Similarity.qSim11 _),
     "q_sim12_range_search" -> (Similarity.qSim12 _),
     "q_sim13_pq_adc"       -> (Similarity.qSim13 _),
+    "q_sim14_ivfpq"        -> (Similarity.qSim14 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -839,6 +841,16 @@ object SparkEntry {
         "SELECT lang, tokens, share_pm, tshare_pm, " +
         "(tshare_pm * 1000) // NULLIF(share_pm, 0) AS boost_pm " +
         "FROM sh2 ORDER BY lang"),
+    "q_t28_bpe_merges" -> (
+      // one BPE merge round over the word-frequency table: adjacent char
+      // pairs weighted by word count, top-20 by (mass desc, pair asc);
+      // words under 2 chars carry no pair (both sides filter them)
+      "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "wf AS (SELECT w, CAST(count(1) AS BIGINT) AS n FROM t WHERE w <> '' GROUP BY w), " +
+        "px AS (SELECT n, w, unnest(generate_series(1, length(w) - 1)) AS i " +
+        "FROM wf WHERE length(w) >= 2) " +
+        "SELECT substring(w, i, 2) AS pair, CAST(sum(n) AS BIGINT) AS n_occ " +
+        "FROM px GROUP BY 1 ORDER BY n_occ DESC, pair LIMIT 20"),
     "q_t23_rrf_fusion" -> (
       // RRF (k=60) over two top-100 candidate lists: qT2's integer quality
       // composite and qT20's unigram-LM score; absent rank contributes 0
@@ -1215,6 +1227,39 @@ object SparkEntry {
         "r AS (SELECT q_id, n_id, qdot, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rank FROM idot) " +
         "SELECT q_id, n_id, qdot, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim14_ivfpq" -> (
+      // q_sim11's seeded cell/probe machinery + q_sim13's PQ machinery:
+      // candidates = members of the 4 probed cells, scored by the integer
+      // ADC (per-probe 8x16 LUT, 8 lookups per candidate) — the Faiss
+      // IVFPQ shape, integer end-to-end after the one deterministic floor
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+        "p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 10 AND rn <= 4), " +
+        "cb AS (SELECT vec_id AS code, qv AS cq FROM qz WHERE vec_id < 16), " +
+        "ms AS (SELECT unnest(generate_series(0, 7)) AS m), " +
+        "js AS (SELECT unnest(generate_series(1, 8)) AS j), " +
+        "cd AS (SELECT v.vec_id, ms.m, cb.code, " +
+        "sum((v.qv[ms.m*8+js.j] - cb.cq[ms.m*8+js.j]) * (v.qv[ms.m*8+js.j] - cb.cq[ms.m*8+js.j])) AS d " +
+        "FROM qz v, ms, cb, js GROUP BY 1, 2, 3), " +
+        "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn FROM cd) t WHERE rn = 1), " +
+        "lu AS (SELECT q.vec_id AS q_id, ms.m, cb.code, CAST(sum(q.qv[ms.m*8+js.j] * cb.cq[ms.m*8+js.j]) AS BIGINT) AS lt " +
+        "FROM qz q, ms, cb, js WHERE q.vec_id < 10 GROUP BY 1, 2, 3), " +
+        "cand AS (SELECT pr.q_id, t.vec_id AS n_id FROM probe pr " +
+        "JOIN cell t ON t.cid = pr.cid AND t.vec_id <> pr.q_id), " +
+        "ad AS (SELECT c.q_id, c.n_id, CAST(sum(l.lt) AS BIGINT) AS adot " +
+        "FROM cand c JOIN codes k ON k.vec_id = c.n_id " +
+        "JOIN lu l ON l.q_id = c.q_id AND l.m = k.m AND l.code = k.code " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT q_id, n_id, adot, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adot DESC, n_id) AS rank FROM ad) " +
+        "SELECT q_id, n_id, adot, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
     "q_sim13_pq_adc" -> (
       // PQ replay: q_sim9's int8 lane, codebook = the vec_id<16 int8
       // seeds sliced into 8 sub-spaces × 16 codes; codes argmin exact

@@ -127,6 +127,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mask_json", exprs => MaskJson(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_dot", exprs => IntDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
       exprs => BloomMightContain(exprs(1),
         java.util.HexFormat.of().parseHex(litString(exprs(0)))), "built-in")

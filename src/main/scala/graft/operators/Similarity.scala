@@ -530,6 +530,54 @@ object Similarity {
         .select(col("q_id"), col("n_id"), col("qdot"), col("rank"))
         .orderBy("q_id", "rank")
     }
+
+    /** Probe through the IVF-PQ lane — the Faiss `IVFPQ` architecture
+      * completed: cell ranking as every other probe (float centroids,
+      * full-precision query), but candidates are scored by ASYMMETRIC
+      * DISTANCE COMPUTATION over PQ codes instead of any per-member
+      * vector read. The codebook is the 16 quantized seed vectors sliced
+      * 8×16 (the [[Similarity.qSim13]] recipe over the index's OWN int8
+      * lane — the [[graft.functions.PqEncode]] codegen'd argmin, codes
+      * directly off the durable TINYINT assignment); each probe builds
+      * its 8×16 LUT once (probe-count rows, HOF is fine there) and every
+      * candidate costs 8 table lookups — at 100 TB the candidate read is
+      * 8 bytes of codes instead of 64 floats, the memory-bandwidth
+      * endgame of the int8 lane's 4× (this is 32×). Exact ranking order:
+      * (adot desc, n_id) — integer end-to-end, oracle-replayable. */
+    def probePq(s: SparkSession, dir: String, idx: Index,
+                nprobe: Int = IvfProbe, topK: Int = 10): DataFrame = {
+      GraftFunctions.register(s)
+      graft.functions.IvfRankCells.register(s, idx.fn, idx.cellIds, idx.cents)
+      val cb: Array[Array[Long]] = idx.qassigned.where(col("vec_id") < 16)
+        .orderBy("vec_id").select("qv").collect()
+        .map(_.getSeq[Byte](0).map(_.toLong).toArray)
+      val codes = idx.qassigned.select(col("vec_id").as("n_id"), col("cell"),
+        org.apache.spark.sql.GraftColumn.of(graft.functions.PqEncode(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("qv"),
+          cb, 8)).as("codes"))
+      val cbCol = typedLit(cb.map(_.toSeq).toSeq)
+      val probes = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        .selectExpr("vec_id AS q_id",
+          quantizeExpr("embedding", idx.scale) + " AS qq",
+          s"explode(${idx.fn}(embedding, $nprobe)) AS cell")
+        .withColumn("cb", cbCol)
+        .selectExpr("q_id", "cell",
+          """transform(sequence(0, 7), m ->
+            |  transform(sequence(0, 15), cc ->
+            |    aggregate(sequence(1, 8), 0L, (acc, j) ->
+            |      acc + CAST(element_at(qq, m*8+j) AS BIGINT)
+            |          * element_at(element_at(cb, cc+1), m*8+j)))) AS lut""".stripMargin)
+      val w = Window.partitionBy("q_id").orderBy(desc("adot"), col("n_id"))
+      broadcast(probes).join(codes, "cell")
+        .where(col("n_id") =!= col("q_id"))
+        .withColumn("adot", expr(
+          "aggregate(sequence(0, 7), 0L, (acc, m) -> " +
+            "acc + element_at(element_at(lut, m+1), CAST(element_at(codes, m+1) + 1 AS INT)))"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(col("q_id"), col("n_id"), col("adot"), col("rank"))
+        .orderBy("q_id", "rank")
+    }
   }
 
   /** Q-SIM3: IVF ANN with the seeded quantizer — build(0 Lloyd rounds) +
@@ -551,6 +599,15 @@ object Similarity {
     * float probe on the identical index. */
   def qSim11(s: SparkSession, dir: String): DataFrame =
     IvfIndex.probeInt8(s, dir, IvfIndex.build(s, dir, lloydIters = 0))
+
+  /** Q-SIM14 — IVF-PQ: the seeded index probed through PQ codes with
+    * asymmetric distance computation ([[IvfIndex.probePq]]) — the fourth
+    * and final serving compression level (float → int8 → PQ codes), the
+    * standard Faiss IVFPQ shape. Recall cost vs the exact lanes is
+    * RecallSpec's business; the oracle replays the integer ADC ranking
+    * exactly. */
+  def qSim14(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.probePq(s, dir, IvfIndex.build(s, dir, lloydIters = 0))
 
   /** Q-SIM5 — per-class embedding CENTROIDS (the prototype / class-mean
     * vector aggregate every training pipeline computes: cluster summaries,
@@ -841,53 +898,61 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val mx = e.selectExpr(
       "max(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))) AS mx")
+    // the quantize is a cheap 64-op map projection; the expensive stages
+    // (encode, rescore) run on the NATIVE kernels below, so the frame can
+    // stay lazy (a persist would block the plan audit behind a checkpoint
+    // and saves little once the HOF interpretive cost is gone)
     val qz = e.crossJoin(broadcast(mx)).selectExpr("vec_id",
       "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) AS qv")
-    // codebook: the 16 int8 seed vectors — bounded driver metadata
-    val cb: Seq[Seq[Long]] = qz.where(col("vec_id") < 16).orderBy("vec_id")
-      .select("qv").collect().map(_.getSeq[Long](0).toSeq).toSeq
-    val cbCol = typedLit(cb)
-    // per-vector codes: map-only argmin over the literal codebook
-    val codes = qz.withColumn("cb", cbCol).selectExpr("vec_id",
-      """transform(sequence(0, 7), m ->
-        |  array_min(transform(sequence(0, 15), cc -> named_struct(
-        |    'd', aggregate(sequence(1, 8), 0L, (acc, j) ->
-        |           acc + (element_at(qv, m*8+j) - element_at(element_at(cb, cc+1), m*8+j))
-        |               * (element_at(qv, m*8+j) - element_at(element_at(cb, cc+1), m*8+j))),
-        |    'c', cc))).c) AS codes""".stripMargin)
-    val probes = col("q_id") < 10
-    val w = Window.partitionBy("q_id")
-    // per-probe ADC lookup table, computed inside the probe's own row
-    val lut = qz.where(col("vec_id") < 10).withColumn("cb", cbCol)
-      .selectExpr("vec_id AS q_id",
-        """transform(sequence(0, 7), m ->
-          |  transform(sequence(0, 15), cc ->
-          |    aggregate(sequence(1, 8), 0L, (acc, j) ->
-          |      acc + element_at(qv, m*8+j) * element_at(element_at(cb, cc+1), m*8+j)))) AS lut""".stripMargin)
-    val pq = broadcast(lut)
-      .join(codes.selectExpr("vec_id AS n_id", "codes"), col("q_id") =!= col("n_id"))
-      .withColumn("adot", expr(
-        "aggregate(sequence(0, 7), 0L, (acc, m) -> " +
-          "acc + element_at(element_at(lut, m+1), CAST(element_at(codes, m+1) + 1 AS INT)))"))
-      .withColumn("r", row_number().over(w.orderBy(desc("adot"), col("n_id"))))
-      .where(col("r") <= 10).select("q_id", "n_id")
-    // float truth lane (qSim1's contract) and int8 exact lane (qSim9's)
-    val f = broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq").where(probes))
-      .join(e.selectExpr("vec_id AS n_id", "embedding AS en"), col("q_id") =!= col("n_id"))
-      .withColumn("sim", expr("cosine_sim(eq, en)"))
-      .withColumn("r", row_number().over(w.orderBy(col("sim").desc, col("n_id"))))
-      .where(col("r") <= 10).selectExpr("q_id", "n_id", "1 AS fh")
-    val i8 = broadcast(qz.selectExpr("vec_id AS q_id", "qv AS qq").where(probes))
-      .join(qz.selectExpr("vec_id AS n_id", "qv AS qn"), col("q_id") =!= col("n_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(qq, qn, (x, y) -> x * y), 0L, (a, b) -> a + b)"))
-      .withColumn("r", row_number().over(w.orderBy(desc("dot"), col("n_id"))))
-      .where(col("r") <= 10).selectExpr("q_id", "n_id", "1 AS ih")
-    pq.join(f, Seq("q_id", "n_id"), "left")
-      .join(i8, Seq("q_id", "n_id"), "left")
-      .groupBy("q_id")
-      .agg(sum(coalesce(col("fh"), lit(0))).cast("long").as("overlap_at_10"),
-        sum(coalesce(col("ih"), lit(0))).cast("long").as("overlap_vs_int8"))
-      .orderBy("q_id")
+    locally {
+      // codebook: the 16 int8 seed vectors — bounded driver metadata
+      val cb: Array[Array[Long]] = qz.where(col("vec_id") < 16).orderBy("vec_id")
+        .select("qv").collect().map(_.getSeq[Long](0).toArray)
+      // per-vector codes: the codegen'd PQ encoder (argmin exact BIGINT
+      // squared-L2 per subspace, tie → lowest code — identical to the HOF
+      // formulation, spec-pinned, but fused into the scan loop instead of
+      // ~1024 interpreted lambda calls per row)
+      val codes = qz.select(col("vec_id"),
+        org.apache.spark.sql.GraftColumn.of(graft.functions.PqEncode(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("qv"),
+          cb, 8)).as("codes"))
+      val cbCol = typedLit(cb.map(_.toSeq).toSeq)
+      val probes = col("q_id") < 10
+      val w = Window.partitionBy("q_id")
+      // per-probe ADC lookup table, computed inside the probe's own row
+      // (10 rows — the HOF form is fine at probe cardinality)
+      val lut = qz.where(col("vec_id") < 10).withColumn("cb", cbCol)
+        .selectExpr("vec_id AS q_id",
+          """transform(sequence(0, 7), m ->
+            |  transform(sequence(0, 15), cc ->
+            |    aggregate(sequence(1, 8), 0L, (acc, j) ->
+            |      acc + element_at(qv, m*8+j) * element_at(element_at(cb, cc+1), m*8+j)))) AS lut""".stripMargin)
+      val pq = broadcast(lut)
+        .join(codes.selectExpr("vec_id AS n_id", "codes"), col("q_id") =!= col("n_id"))
+        .withColumn("adot", expr(
+          "aggregate(sequence(0, 7), 0L, (acc, m) -> " +
+            "acc + element_at(element_at(lut, m+1), CAST(element_at(codes, m+1) + 1 AS INT)))"))
+        .withColumn("r", row_number().over(w.orderBy(desc("adot"), col("n_id"))))
+        .where(col("r") <= 10).select("q_id", "n_id")
+      // float truth lane (qSim1's contract) and int8 exact lane (qSim9's,
+      // via the codegen'd int_dot kernel — same integer sum as the
+      // zip_with/aggregate HOF on these fixed-dim vectors)
+      val f = broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq").where(probes))
+        .join(e.selectExpr("vec_id AS n_id", "embedding AS en"), col("q_id") =!= col("n_id"))
+        .withColumn("sim", expr("cosine_sim(eq, en)"))
+        .withColumn("r", row_number().over(w.orderBy(col("sim").desc, col("n_id"))))
+        .where(col("r") <= 10).selectExpr("q_id", "n_id", "1 AS fh")
+      val i8 = broadcast(qz.selectExpr("vec_id AS q_id", "qv AS qq").where(probes))
+        .join(qz.selectExpr("vec_id AS n_id", "qv AS qn"), col("q_id") =!= col("n_id"))
+        .withColumn("dot", expr("int_dot(qq, qn)"))
+        .withColumn("r", row_number().over(w.orderBy(desc("dot"), col("n_id"))))
+        .where(col("r") <= 10).selectExpr("q_id", "n_id", "1 AS ih")
+      pq.join(f, Seq("q_id", "n_id"), "left")
+        .join(i8, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("fh"), lit(0))).cast("long").as("overlap_at_10"),
+          sum(coalesce(col("ih"), lit(0))).cast("long").as("overlap_vs_int8"))
+        .orderBy("q_id")
+    }
   }
 }

@@ -936,4 +936,40 @@ object TextAnalysis {
         expr("(tshare_pm * 1000) DIV NULLIF(share_pm, 0)"))
       .orderBy("lang")
   }
+
+  /** Q-T28 — BPE MERGE-PAIR INDUCTION (one round): the top-20 adjacent
+    * character pairs by corpus occurrence mass — exactly the statistic the
+    * first merge round of byte-pair-encoding tokenizer training (Sennrich
+    * et al. 2016) maximizes, and the missing primitive between
+    * [[qT25]]'s frequency spectrum (which sizes a vocabulary) and an
+    * actual learned vocabulary. Real BPE trainers iterate this: count
+    * pairs, merge the argmax, recount; ONE deterministic round is the
+    * oracle-checkable unit (iterated merges change the symbol alphabet,
+    * which SQL replays poorly), and the round's top-k IS the merge list a
+    * trainer would commit.
+    *
+    * The trick that makes this scale is the same one production BPE uses:
+    * pairs are counted over the WORD-FREQUENCY TABLE, not the token
+    * stream — the corpus reduces to (word, count) in one map-combined
+    * shuffle (vocabulary-sized, qT9's tf shape), and the pair explode
+    * (len−1 substrings per DISTINCT word, weighted by its count) runs
+    * over that table. At 100 TB the token stream is petabytes; the
+    * vocabulary is megabytes. Top-20 is a TakeOrdered, never a global
+    * sort; (count desc, pair asc) is a total order, so the result is
+    * deterministic cross-engine. Words under 2 chars carry no pair and
+    * are filtered BEFORE the explode (also: Spark's `sequence(1, 0)`
+    * counts DOWN, which would fabricate pairs — the filter is
+    * correctness, not just economy). */
+  def qT28(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    words.where(length(col("w")) >= 2)
+      .selectExpr("n",
+        "explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair")
+      .groupBy("pair").agg(sum("n").as("n_occ"))
+      .orderBy(desc("n_occ"), col("pair"))
+      .limit(20)
+  }
 }

@@ -125,6 +125,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(fresh == orig, "durable-index probe must match the building session")
   }
 
+  test("pq_encode / int_dot match their HOF formulations bit-for-bit and stay in codegen") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.core.Tables.embeddings(spark, sf)
+    // materialization boundary below the kernels (the qSim13 shape: the
+    // quantize HOF runs upstream of a persist) — otherwise projection
+    // collapse puts the non-codegen lambda into the same Project and the
+    // whole node falls out of codegen regardless of the kernel
+    val qz = e.selectExpr("vec_id",
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 50.0) AS BIGINT)) AS qv")
+      .localCheckpoint(true)
+    val cb: Array[Array[Long]] = qz.where(col("vec_id") < 16).orderBy("vec_id")
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    val native = qz.select(col("vec_id"),
+      org.apache.spark.sql.GraftColumn.of(graft.functions.PqEncode(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("qv"), cb, 8))
+        .cast("array<bigint>").as("codes"))
+    val hof = qz.withColumn("cb", typedLit(cb.map(_.toSeq).toSeq)).selectExpr("vec_id",
+      """transform(sequence(0, 7), m ->
+        |  array_min(transform(sequence(0, 15), cc -> named_struct(
+        |    'd', aggregate(sequence(1, 8), 0L, (acc, j) ->
+        |           acc + (element_at(qv, m*8+j) - element_at(element_at(cb, cc+1), m*8+j))
+        |               * (element_at(qv, m*8+j) - element_at(element_at(cb, cc+1), m*8+j))),
+        |    'c', CAST(cc AS BIGINT)))).c) AS codes""".stripMargin)
+    assert(native.orderBy("vec_id").collect().map(_.toString).toSeq ==
+      hof.orderBy("vec_id").collect().map(_.toString).toSeq,
+      "PqEncode must replay the HOF argmin (ties to lowest code) exactly")
+    val nd = qz.selectExpr("vec_id", "int_dot(qv, qv) AS d")
+    val hd = qz.selectExpr("vec_id",
+      "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, b) -> a + b) AS d")
+    assert(nd.orderBy("vec_id").collect().map(_.toString).toSeq ==
+      hd.orderBy("vec_id").collect().map(_.toString).toSeq)
+    // both kernels must live inside a WholeStageCodegen span
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("pqencode") && l.contains("*(")),
+      s"PqEncode fell out of codegen:\n$plan")
+    val dplan = nd.queryExecution.executedPlan.toString
+    assert(dplan.linesIterator.exists(l => l.contains("intdot") && l.contains("*(")),
+      s"IntDot fell out of codegen:\n$dplan")
+  }
+
   test("lsh_band_sig matches the HOF formulation bit-for-bit and stays in codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -232,4 +232,26 @@ class RecallSpec extends AnyFunSuite {
     assert(overlaps.sum >= fl.size * 2,
       s"int8 lane lost too much ranking: $overlaps")
   }
+
+  test("IVF-PQ (q_sim14): candidate set identical to the exact lanes, ADC overlap measured") {
+    // third serving lane over the SAME index: PQ codes change scores,
+    // never cell membership — candidates must agree exactly with the int8
+    // lane; the top-10 overlap against the exact int8 ranking is the
+    // measured cost of 32x candidate-read compression
+    val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val pqAll = topSets(Similarity.IvfIndex.probePq(spark, sf, idx, topK = Int.MaxValue))
+    val i8All = topSets(Similarity.IvfIndex.probeInt8(spark, sf, idx, topK = Int.MaxValue))
+    assert(pqAll == i8All, "PQ must not change candidate membership")
+    val pq = topSets(Similarity.IvfIndex.probePq(spark, sf, idx, topK = 10))
+    val i8 = topSets(Similarity.IvfIndex.probeInt8(spark, sf, idx, topK = 10))
+    val overlaps = pq.keys.toSeq.sorted.map(q => (pq(q) intersect i8(q)).size)
+    info(s"IVF-PQ top-10 overlap vs exact int8 per probe: ${overlaps.mkString(",")}")
+    // a 16-code 8-subspace codebook is coarse by design; require the ADC
+    // ranking to beat chance by a wide margin, not a corpus-tuned value
+    assert(overlaps.sum >= pq.size * 3,
+      s"ADC ranking no better than noise: $overlaps")
+  }
 }
