@@ -794,6 +794,36 @@ class PlanAuditSpec extends AnyFunSuite {
       "recovered levels must replay the closed form")
   }
 
+  test("q_t28 BPE pairs: vocabulary-sized pair stage, map-side combine, TakeOrdered top-20") {
+    val q = graft.operators.TextAnalysis.qT28(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a TakeOrdered, never a global sort:\n$plan")
+    assert(!plan.contains("Sort ") || plan.contains("TakeOrdered"),
+      s"no global sort allowed:\n$plan")
+    // both aggregations (word-frequency, pair mass) must partial-aggregate
+    // before their exchanges — the token stream reduces map-side
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.count(_.contains("partial")) >= 2,
+      s"both stages must map-side combine:\n${aggs.mkString("\n")}")
+  }
+
+  test("q_sim14 IVF-PQ: probes broadcast, candidates from the cached int8 lane, no corpus shuffle-join") {
+    val q = graft.operators.Similarity.qSim14(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"probe LUTs must broadcast into the coded corpus:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"codes must encode off the cached int8 assignment, not a corpus rebuild:\n$plan")
+    // the only live parquet scan is the tiny probe side (vec_id < 10)
+    val live = plan.split("InMemoryRelation").head
+    val scans = live.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.forall(_.contains("LessThan(vec_id,10)")),
+      s"only the probe-side scan may touch parquet:\n${scans.mkString("\n")}")
+  }
+
   test("q_x9 retention: distinct-then-window, no self-join, metadata rollup") {
     val q = graft.operators.Windows.qX9(spark, sf)
     q.collect()
