@@ -133,6 +133,43 @@ class DupClustersSpec extends AnyFunSuite {
     assert(c2 == c1)
   }
 
+  test("e2e: gate-admitted batches keep the offline graph consistent via append") {
+    // the full ingestion story (VERDICT r9 task 1's consistency clause):
+    // ST-9 decides ADMISSION (MinHash bands at the door), the dup-cluster
+    // index tracks the admitted corpus's near-dup STRUCTURE — each
+    // admitted batch lands in the corpus AND advances the index by delta,
+    // and after N batches the appended index equals a from-scratch build
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-e2e").toString
+    val root = Files.createTempDirectory("graft-gatecorpus").toString
+    val corpus = s"$root/documents.parquet"
+    val all = graft.core.Tables.documents(spark, sf)
+    // seed corpus + index
+    all.where(col("doc_id") < 400).write.parquet(corpus)
+    var idx = DupClusters.build(spark, root)
+    graft.functions.GraftFunctions.register(spark)
+    for ((lo, hi, bid) <- Seq((400, 450, 0L), (450, 500, 1L))) {
+      val batch = all.where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (admitted, rejected) =
+        graft.streaming.Streams.dedupGateBatch(spark, store, batch, bid)
+      assert(admitted + rejected == hi - lo)
+      // the admitted docs ARE the corpus delta (replicating what a
+      // foreachBatch sink would write), and the SAME delta advances the index
+      val adm = spark.read.parquet(s"$store/docs")
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+      adm.write.mode("append").parquet(corpus)
+      idx = DupClusters.append(spark, root, idx, adm)
+      batch.unpersist()
+    }
+    // consistency: the incrementally-maintained index equals mining the
+    // final corpus from scratch
+    assert(pairSet(idx.pairs) == pairSet(Dedup.qD6(spark, root)),
+      "gate-fed appended index must equal from-scratch mining")
+    assert(idx.nDocs == graft.core.Tables.documents(spark, root).count())
+  }
+
   test("append refuses a delta that does not reconcile with the corpus") {
     val root = Files.createTempDirectory("graft-dupref").toString
     val corpus = s"$root/documents.parquet"
