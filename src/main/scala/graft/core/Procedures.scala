@@ -29,7 +29,7 @@ private[core] object GraftProcedures {
   val names: Array[String] =
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
-      "expire_snapshots", "diff", "distinct")
+      "expire_snapshots", "diff", "distinct", "dupclusters")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -38,6 +38,7 @@ private[core] object GraftProcedures {
     case "verify"   => new VerifyProcedure(account)
     case "rebucket" => new RebucketProcedure(account)
     case "distinct" => new DistinctProcedure(account)
+    case "dupclusters" => new DupClustersProcedure(account)
     case "snapshot"      => new SnapshotProcedure(account)
     case "snapshots"     => new ListSnapshotsProcedure(account)
     case "restore"       => new RestoreProcedure(account)
@@ -259,6 +260,46 @@ private[core] final class DistinctProcedure(account: FileAccount)
       StructField("resketched_buckets", IntegerType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       stats.estimate, stats.buckets, stats.vouched, stats.resketched))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.dupclusters(dir)` — build (or warm-load) the durable
+  * dup-cluster index over a documents corpus directory
+  * ([[graft.operators.DupClusters]]) and report its shape: docs covered,
+  * verified near-dup pairs, clustered (non-singleton) members. The SQL
+  * doorway to the artifact the cluster-routed split / keep-canonical /
+  * dedup-aware-mix queries consume — a warm call is metadata + cached
+  * graph-sized counts, never a corpus pass; a cold call pays the one-pass
+  * build ONCE for every consumer thereafter. Takes a corpus DIRECTORY (the
+  * index is corpus-fingerprint-keyed), not a db/container — the same
+  * testdata contract as the query surface. */
+private[core] final class DupClustersProcedure(account: FileAccount)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "dupclusters"
+  override def description(): String =
+    "build or warm-load the durable dup-cluster index for a corpus dir"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("dir", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = input.getUTF8String(0).toString
+    val idx = graft.operators.DupClusters.build(SparkSession.active, dir)
+    val schema = StructType(Seq(
+      StructField("index_path", StringType, nullable = false),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("n_clustered", LongType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      GraftProcedures.utf8(idx.path), idx.nDocs,
+      idx.pairs.count(), idx.clusters.count()))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

@@ -441,4 +441,18 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 64L && r2.getInt(2) == 2 && r2.getInt(3) == 0,
       s"second call must be vouched: $r2")
   }
+
+  test("SQL surface: CALL graft.system.dupclusters builds/loads the dup index and reports its shape") {
+    val acc = newAccount("calldup")
+    spark.conf.set("spark.sql.catalog.graftdc",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdc.root", acc.root)
+    val dir = "/root/testdata/sf0.001"
+    val r = spark.sql(s"CALL graftdc.system.dupclusters('$dir')").head()
+    assert(r.getString(0).contains("dup-index"), s"$r")
+    assert(r.getLong(1) == 500L, s"n_docs: $r")
+    val idx = graft.operators.DupClusters.build(spark, dir)
+    assert(r.getLong(2) == idx.pairs.count() &&
+      r.getLong(3) == idx.clusters.count(), s"$r")
+  }
 }
