@@ -456,10 +456,13 @@ object Streams {
     *
     * Scale: the batch side is micro-batch-sized and BROADCASTS into the
     * band-store scan, so the store — which grows with the corpus — streams
-    * map-only and is never shuffled; at 100 TB the store would be
-    * bucket-partitioned by band key so each batch prunes to matching
-    * buckets (the [[graft.core.GraftCatalog]] point-read posture).
-    * Returns (admitted, rejected) counts for the batch. */
+    * map-only and is never shuffled; AND the store IS bucket-partitioned
+    * by band key (`bp = hash(bk) mod` [[GateBandBuckets]], the
+    * [[graft.core.GraftCatalog]] point-read posture), so each batch's scan
+    * prunes to its own keys' partitions — the bytes read per batch track
+    * the batch, not the corpus (pruning is lossless: a colliding store row
+    * shares the bk, hence the partition). Returns (admitted, rejected)
+    * counts for the batch. */
   def dedupGateBatch(spark: SparkSession, storeDir: String,
       batch: DataFrame, batchId: Long): (Long, Long) = {
     graft.functions.GraftFunctions.register(spark)
@@ -476,17 +479,27 @@ object Streams {
         """explode(array(
           |  named_struct('band', 1, 'bk', concat(ms.m1, '_', ms.m2)),
           |  named_struct('band', 2, 'bk', concat(ms.m3, '_', ms.m4)))) AS b""".stripMargin)
-      .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
+      .selectExpr("doc_id", "b.band AS band", "b.bk AS bk",
+        // the store's partition key: band keys hash into GateBandBuckets
+        // dirs, so a batch's store scan PRUNES to matching partitions
+        s"pmod(xxhash64(b.bk), $GateBandBuckets) AS bp")
       .localCheckpoint(eager = true) // one signature pass, fanned 3 ways below
     val bandsPath = s"$storeDir/bands"
     val rejectedStore =
-      if (st.exists(bandsPath))
-        spark.read.parquet(bandsPath)
+      if (st.exists(bandsPath)) {
+        // micro-batch-bounded driver collect (<= 2 band keys per doc): the
+        // partitions this batch can possibly collide in. The store scan
+        // reads ONLY those bp dirs — at 100 TB the store grows with the
+        // corpus but each batch's read stays ~|batch|/GateBandBuckets of
+        // it; a matching store row has the same bk, hence the same bp, so
+        // pruning can never lose a collision
+        val bps = bands.select("bp").distinct().collect().map(_.getLong(0)).toSeq
+        prunedBandStore(spark, bandsPath, bps)
           .join(broadcast(bands.withColumnRenamed("doc_id", "b_id")),
             Seq("band", "bk"))
           .where(col("doc_id") =!= col("b_id"))
           .select(col("b_id").as("doc_id")).distinct()
-      else batch.select("doc_id").limit(0)
+      } else batch.select("doc_id").limit(0)
     val rejectedBatch = bands
       .join(bands.groupBy("band", "bk").agg(min("doc_id").as("first_id")),
         Seq("band", "bk"))
@@ -499,7 +512,7 @@ object Streams {
     val nAdmit = admitted.count()
     admitted.write.mode("append").parquet(s"$storeDir/docs")
     bands.join(rejected, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(bandsPath)
+      .write.mode("append").partitionBy("bp").parquet(bandsPath)
     commit()
     // upkeep AFTER the commit marker: every micro-batch appends one parquet
     // write to bands/ and docs/ — unbounded small-file accumulation, the
@@ -511,8 +524,26 @@ object Streams {
   }
 
   /** File-count bound for [[dedupGateBatch]]'s store: a sub-store whose
-    * data-file count exceeds this compacts on the next batch. */
+    * data-file count (beyond one file per live band partition, for the
+    * partitioned band store) exceeds this compacts on the next batch. */
   val GateCompactThreshold = 16
+
+  /** Hash-partition count of the band store (`bands/bp=N/`): each batch's
+    * store scan prunes to its own band keys' partitions — the
+    * "bucket-partitioned by band key" posture the GraftCatalog point-read
+    * path uses, applied to ingestion state. 64 keeps partition dirs
+    * coarse enough that a compacted store is ~1 file per partition. */
+  val GateBandBuckets = 64
+
+  /** The pruned band-store reader — partition filters reach the parquet
+    * source listing, so only the named `bp=` dirs are touched
+    * (spec-pinned via inputFiles). */
+  private[graft] def prunedBandStore(spark: SparkSession, bandsPath: String,
+                                     bps: Seq[Long]): DataFrame =
+    // partition-type inference reads `bp=` dirs back as INT — filter with
+    // INT literals so the predicate stays a bare partition-column filter
+    // (a cast-wrapped column can drop out of partition pruning)
+    spark.read.parquet(bandsPath).where(col("bp").isin(bps.map(_.toInt): _*))
 
   /** Finish a crashed [[compactGateStore]] swap — called at every gate
     * entry. Invariant of the swap protocol (stage → rename away → rename
@@ -561,14 +592,29 @@ object Streams {
           n.startsWith("_") || n.startsWith(".")
         }
         before += files.size
-        if (files.size > fileThreshold) {
+        // the partitioned band store legitimately holds ~1 file per live
+        // bp dir — the compaction trigger counts files BEYOND that floor,
+        // or a fully-compacted store would re-trigger every batch
+        val floor =
+          if (sub == "bands") files.map(_.relPath.split('/').head).distinct.size
+          else 0
+        if (files.size - floor > fileThreshold) {
           val nOut = math.max(1L,
             (files.map(_.size).sum + targetBytes - 1L) / targetBytes).toInt
-          val rows = spark.read.parquet(live)
-            .repartition(nOut).localCheckpoint(eager = true)
+          val rows =
+            if (sub == "bands")
+              // hash-cluster whole bp groups per task → exactly one file
+              // per partition dir after the partitionBy write
+              spark.read.parquet(live).repartition(col("bp"))
+                .localCheckpoint(eager = true)
+            else
+              spark.read.parquet(live).repartition(nOut)
+                .localCheckpoint(eager = true)
           val tag = java.util.UUID.randomUUID().toString.take(8)
           val staging = s"$live.compact-$tag"
-          rows.write.mode("overwrite").parquet(staging)
+          if (sub == "bands")
+            rows.write.mode("overwrite").partitionBy("bp").parquet(staging)
+          else rows.write.mode("overwrite").parquet(staging)
           rows.unpersist()
           if (!(st.rename(live, s"$live.trash-$tag") &&
               st.rename(staging, live)))

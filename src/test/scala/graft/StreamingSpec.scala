@@ -452,11 +452,30 @@ class StreamingSpec extends AnyFunSuite {
     }
     // each of the 24 batches appended >= 1 parquet file per sub-store; the
     // auto-compaction (threshold GateCompactThreshold) must keep counts
-    // bounded instead of letting them grow with batch count
-    assert(nFiles("bands") <= Streams.GateCompactThreshold + 1,
-      s"bands files unbounded: ${nFiles("bands")}")
+    // bounded instead of letting them grow with batch count. The band
+    // store's floor is one file per live bp partition dir.
+    val bpDirs = st.listDirNames(s"$store/bands").count(_.startsWith("bp="))
+    assert(bpDirs > 0, "band store must be hash-partitioned by bp")
+    assert(nFiles("bands") <= bpDirs + Streams.GateCompactThreshold + 1,
+      s"bands files unbounded: ${nFiles("bands")} over $bpDirs partitions")
     assert(nFiles("docs") <= Streams.GateCompactThreshold + 1,
       s"docs files unbounded: ${nFiles("docs")}")
+    // partition pruning: a reader scoped to a bp subset must READ only
+    // those partition dirs' files (the per-batch store-scan contract) —
+    // checked on the scan's numFiles metric, since inputFiles lists the
+    // unpruned relation
+    val someBps = spark.read.parquet(s"$store/bands")
+      .select("bp").distinct().limit(2).collect()
+      .map(_.getAs[Number](0).longValue()).toSeq
+    val pruned = Streams.prunedBandStore(spark, s"$store/bands", someBps)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles > 0 && readFiles < nFiles("bands"),
+      s"scan must prune: read $readFiles of ${nFiles("bands")} files")
+    assert(scan.toString.contains("PartitionFilters"),
+      "bp filter must reach the scan as a partition filter")
     assert(spark.read.parquet(s"$store/docs").count() == 24,
       "compaction must never lose admitted docs")
     // determinism across compaction: a near-dup of batch 0's admitted doc —
