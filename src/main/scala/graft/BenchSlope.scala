@@ -111,7 +111,10 @@ object BenchSlope {
     // word-frequency table — must stay corpus-linear in the tokenize, flat
     // in the pair stage) and the IVF-PQ ADC lane (corpus encode map-only,
     // candidate scoring cell-bounded)
-    "q_t28_bpe_merges", "q_sim14_ivfpq")
+    "q_t28_bpe_merges", "q_sim14_ivfpq",
+    // hybrid retrieval: two broadcast map-only lanes + candidate-bounded
+    // fusion — both lanes must stay corpus-linear
+    "q_sim15_hybrid_rrf")
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
     * means super-linear growth even granting 30% measurement noise. */

@@ -167,6 +167,7 @@ object SparkEntry {
     "q_sim12_range_search" -> (Similarity.qSim12 _),
     "q_sim13_pq_adc"       -> (Similarity.qSim13 _),
     "q_sim14_ivfpq"        -> (Similarity.qSim14 _),
+    "q_sim15_hybrid_rrf"   -> (Similarity.qSim15 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -1227,6 +1228,31 @@ object SparkEntry {
         "r AS (SELECT q_id, n_id, qdot, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rank FROM idot) " +
         "SELECT q_id, n_id, qdot, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim15_hybrid_rrf" -> (
+      // hybrid retrieval: exact-cosine vector lane + distinct-token
+      // Jaccard lexical lane (integer permyriad), each top-100, fused with
+      // integer RRF (k=60, absent rank contributes 0 — the q_t23 contract)
+      "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id), " +
+        cosineSumSql +
+        ", v AS (SELECT q_id, n_id, r_v FROM (SELECT a_id AS q_id, b_id AS n_id, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS r_v FROM s) t " +
+        "WHERE r_v <= 100), " +
+        "ws AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "lx AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, " +
+        "(len(list_intersect(a.w, b.w)) * 10000) // len(list_distinct(list_concat(a.w, b.w))) AS jac4 " +
+        "FROM ws a JOIN ws b ON a.doc_id < 5 AND a.doc_id <> b.doc_id), " +
+        "l AS (SELECT q_id, n_id, r_l FROM (SELECT q_id, n_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY jac4 DESC, n_id) AS r_l FROM lx) t " +
+        "WHERE r_l <= 100), " +
+        "f AS (SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id, " +
+        "CAST(coalesce(v.r_v, 0) AS BIGINT) AS r_v, CAST(coalesce(l.r_l, 0) AS BIGINT) AS r_l, " +
+        "CAST(coalesce(1000000 // (60 + v.r_v), 0) + coalesce(1000000 // (60 + l.r_l), 0) AS BIGINT) AS rrf_s " +
+        "FROM v FULL OUTER JOIN l ON v.q_id = l.q_id AND v.n_id = l.n_id), " +
+        "r AS (SELECT q_id, n_id, r_v, r_l, rrf_s, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY rrf_s DESC, n_id) AS rank FROM f) " +
+        "SELECT q_id, n_id, r_v, r_l, rrf_s, CAST(rank AS BIGINT) AS rank " +
+        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
     "q_sim14_ivfpq" -> (
       // q_sim11's seeded cell/probe machinery + q_sim13's PQ machinery:
       // candidates = members of the 4 probed cells, scored by the integer

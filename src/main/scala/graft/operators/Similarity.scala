@@ -609,6 +609,66 @@ object Similarity {
   def qSim14(s: SparkSession, dir: String): DataFrame =
     IvfIndex.probePq(s, dir, IvfIndex.build(s, dir, lloydIters = 0))
 
+  /** Q-SIM15 — HYBRID RETRIEVAL: the canonical RAG search operator —
+    * a lexical lane and a vector lane ranked independently per probe, then
+    * fused with reciprocal-rank fusion (Cormack's 1/(60+r), [[
+    * graft.operators.TextAnalysis.qT23]]'s integer form). Hybrid search is
+    * what production retrieval actually serves (BM25-class exact matching
+    * catches what embeddings blur — rare names, code, numbers — and
+    * vectors catch paraphrase that lexical misses); RRF is the
+    * calibration-free way to combine the two incomparable score scales.
+    *
+    * Probes are the first 5 documents (doc_id ↔ vec_id aligned by the
+    * fixture contract) run as "more-like-this" queries: the vector lane
+    * is exact cosine over the probe's embedding ([[qSim1]]'s broadcast
+    * shape), the lexical lane is distinct-token Jaccard against the
+    * probe's own token set in integer permyriad (engine-exact, the qD2
+    * verify kernel as a ranking signal). Each lane keeps its top-100
+    * candidate list; fusion — absent rank contributes 0, the qT23
+    * contract — emits the top-10 per probe with both source ranks, so a
+    * consumer can see WHY a hit fused high.
+    *
+    * Scale: both lanes broadcast the 5-probe side and stream the corpus
+    * map-only; the per-probe rank windows partition on q_id (bounded
+    * partitions); fusion runs over ≤ 200 candidate rows per probe — at
+    * 100 TB the lanes would be served by the IVF/PQ index and an inverted
+    * index respectively, and the fusion stage is unchanged (it only ever
+    * sees candidate lists). */
+  def qSim15(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("w"))
+    val w = Window.partitionBy("q_id")
+    val v = broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq")
+        .where(col("q_id") < 5))
+      .join(e.selectExpr("vec_id AS n_id", "embedding AS en"),
+        col("q_id") =!= col("n_id"))
+      .withColumn("sim", expr("cosine_sim(eq, en)"))
+      .withColumn("r_v", row_number().over(w.orderBy(col("sim").desc, col("n_id"))))
+      .where(col("r_v") <= 100).select("q_id", "n_id", "r_v")
+    val l = broadcast(docs.selectExpr("doc_id AS q_id", "w AS wq")
+        .where(col("q_id") < 5))
+      .join(docs.selectExpr("doc_id AS n_id", "w AS wn"),
+        col("q_id") =!= col("n_id"))
+      .withColumn("jac4", expr(
+        "(size(array_intersect(wq, wn)) * 10000) DIV size(array_union(wq, wn))"))
+      .withColumn("r_l", row_number().over(w.orderBy(desc("jac4"), col("n_id"))))
+      .where(col("r_l") <= 100).select("q_id", "n_id", "r_l")
+    v.join(l, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf_s",
+        (coalesce(expr("1000000 DIV (60 + r_v)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + r_l)"), lit(0L))).cast("long"))
+      .select(col("q_id"), col("n_id"),
+        coalesce(col("r_v"), lit(0)).cast("long").as("r_v"),
+        coalesce(col("r_l"), lit(0)).cast("long").as("r_l"),
+        col("rrf_s"))
+      .withColumn("rank", row_number().over(w.orderBy(desc("rrf_s"), col("n_id"))))
+      .where(col("rank") <= 10)
+      .selectExpr("q_id", "n_id", "r_v", "r_l", "rrf_s", "CAST(rank AS BIGINT) AS rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** Q-SIM5 — per-class embedding CENTROIDS (the prototype / class-mean
     * vector aggregate every training pipeline computes: cluster summaries,
     * nearest-class-mean classification, drift tracking between snapshot
