@@ -1,0 +1,390 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** DURABLE INVERTED INDEX over the `documents` corpus — the artifact form
+  * of the lexical retrieval lanes (VERDICT r10 task 2): [[TextAnalysis
+  * .qT21]]'s BM25 scoring and [[Similarity.qSim15]]'s Jaccard lane both
+  * used to re-tokenize the WHOLE corpus per run; with this index the
+  * corpus is tokenized ONCE per corpus state and every lexical consumer
+  * afterwards reads index-sized parquet — postings for the query's terms
+  * (bucket-pruned), term- and node-sized sidecars, zero corpus passes.
+  *
+  * Same durability pattern as [[Similarity.IvfIndex]] / [[DupClusters]]:
+  * corpus-fingerprint-keyed directory under `graft.lexindex.root`, staged
+  * build published by ONE atomic rename with `meta.tsv` written last (its
+  * existence IS the published predicate), all mutation under the shared
+  * stale-safe index lock, and a session-scoped memo ([[graft.core
+  * .SessionCache]]) so a session pays the sidecar reads once.
+  *
+  * On-disk layout (`v1-<fp>-b<buckets>/`):
+  *   - `postings/wb=<b>/` (w, doc_id, tf) — one row per (doc, distinct
+  *     non-empty token), hash-partitioned on the TERM into `buckets`
+  *     directories so a k-term query prunes the read to <= k buckets
+  *     (parquet partition pruning on `wb`; the classic posting-list seek,
+  *     expressed as directory pruning). Empty-string tokens (split()'s
+  *     artifacts around doubled/leading spaces) are NOT posted — they are
+  *     accounted by `has_empty` below so set semantics stay exact.
+  *   - `terms/`  (w, df) — term-sized document frequencies; query
+  *     selection and idf read THIS, never the corpus.
+  *   - `doclen/` (doc_id, dl, nterms, has_empty) — node-sized per-doc
+  *     stats: dl = non-empty token count (BM25 length norm), nterms =
+  *     distinct non-empty tokens, has_empty = whether split() produced ""
+  *     (so distinct-set sizes including "" are reconstructible:
+  *     |set| = nterms + has_empty). Every corpus doc has a row (token-less
+  *     docs carry dl = 0) — Jaccard consumers rank the WHOLE corpus.
+  *   - `meta.tsv` — nDocsAll / nTok (docs with >= 1 token — BM25's N) /
+  *     tTok (total tokens — avgdl's numerator) / buckets.
+  *   - `corpus_files.tsv` — the corpus file listing (relPath:size:mtime)
+  *     at build time; [[append]]'s out-of-band-change guard (a corpus
+  *     whose PRE-EXISTING files changed must rebuild, not append — the
+  *     count-only check ADVICE r10 flagged on DupClusters is not enough).
+  *
+  * Scale posture: the build is one tokenize-explode corpus pass with
+  * map-side partial aggregation (the qT9/qT21 shape) plus a map-only
+  * per-doc stats projection; everything written is index-sized. Warm BM25
+  * reads <= k posting buckets + the term/doclen sidecars; the Jaccard lane
+  * streams postings (index-sized, far below corpus text) against a
+  * broadcast probe set. [[append]] advances the index with DELTA-sized
+  * tokenization (new docs only) — prior postings are re-laid-out
+  * bucket-by-bucket without ever touching corpus text; at petabyte scale
+  * the same layout admits per-bucket file appends.
+  */
+object LexIndex {
+
+  /** A loaded index: `terms` and `doclen` are persisted + materialized
+    * (bounded: term- and node-sized); `postings` stays a LAZY reader —
+    * it is the one index-scale frame, and its consumers either
+    * bucket-prune it (BM25) or stream it map-only (Jaccard). */
+  final case class Index(path: String, nDocsAll: Long, nTok: Long,
+                         tTok: Long, buckets: Int, postings: DataFrame,
+                         terms: DataFrame, doclen: DataFrame)
+
+  private val cache = new graft.core.SessionCache[Index]()
+
+  private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
+
+  /** Root for durable inverted indexes (`graft.lexindex.root` overrides;
+    * any Hadoop URI on a rename-capable store). */
+  private def indexRoot: String =
+    sys.props.getOrElse("graft.lexindex.root", "target/lex-index")
+
+  /** Postings hash-partition count, frozen at build time (recorded in
+    * meta.tsv — pruning math must use the BUILD-time value forever).
+    * Default 64 suits the test SFs; a 100 TB corpus wants thousands
+    * (`-Dgraft.lexindex.buckets=4096`) so per-term reads stay file-sized. */
+  private def configuredBuckets: Int =
+    sys.props.getOrElse("graft.lexindex.buckets", "64").toInt
+
+  /** Bump when the tokenization recipe or the layout changes — an index
+    * built by an older recipe must not be served for the same corpus. */
+  private val FormatVersion = 1
+
+  private def sub(base: String, child: String): String =
+    new org.apache.hadoop.fs.Path(base, child).toString
+
+  private def corpusPath(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString
+
+  private def indexPath(dir: String): String =
+    new org.apache.hadoop.fs.Path(indexRoot,
+      s"v$FormatVersion-" +
+        Similarity.IvfIndex.fileFingerprint(corpusPath(dir)) +
+        s"-b$configuredBuckets").toString
+
+  /** The corpus file listing serialized for `corpus_files.tsv` — one
+    * `relPath:size:mtimeMs` line per DATA file, sorted. Hidden/metadata
+    * files (basename starting `_` or `.` — `_SUCCESS`, checksum sidecars)
+    * are excluded: readers ignore them by the Hadoop convention, and an
+    * append legitimately rewrites `_SUCCESS`. [[append]]'s out-of-band
+    * guard compares these entries exactly. */
+  private[graft] def corpusEntries(p: String): Seq[String] = {
+    def hidden(rel: String): Boolean = {
+      val base = rel.substring(rel.lastIndexOf('/') + 1)
+      base.startsWith("_") || base.startsWith(".")
+    }
+    val walked = store.walk(p).filterNot(f => hidden(f.relPath))
+    val parts =
+      if (walked.nonEmpty) walked.map(f => s"${f.relPath}:${f.size}:${f.mtimeMs}")
+      else store.fileMeta(p).map(f => s":${f.size}:${f.mtimeMs}").toSeq
+    parts.sorted
+  }
+
+  /** Out-of-band-change guard (ADVICE r10): every file recorded at the
+    * prior build must still exist UNCHANGED (same size + mtime) in the
+    * current corpus — a delta append only ADDS files. Returns the changed/
+    * missing prior entries (empty = safe to append). */
+  private[graft] def changedPriorFiles(prior: Seq[String],
+                                       current: Seq[String]): Seq[String] = {
+    val cur = current.toSet
+    prior.filterNot(cur.contains)
+  }
+
+  /** The tokenization recipe, shared by build and append so the index and
+    * its delta advance are definitionally the same function of the text.
+    * One row per doc: (doc_id, toks). */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+
+  private def tfOf(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), explode(col("toks")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
+  private def doclenOf(tok: DataFrame): DataFrame =
+    // map-only: every stat is per-row over toks — no shuffle
+    tok.select(col("doc_id"),
+      size(filter(col("toks"), t => t =!= "")).cast("long").as("dl"),
+      size(array_distinct(filter(col("toks"), t => t =!= "")))
+        .cast("long").as("nterms"),
+      array_contains(col("toks"), "").as("has_empty"))
+
+  private def withBucket(tf: DataFrame, buckets: Int): DataFrame =
+    tf.withColumn("wb", pmod(xxhash64(col("w")), lit(buckets.toLong)))
+
+  /** Bucket ids for literal terms — one 1-row driver job so the pruning
+    * predicate uses the exact engine hash (no driver-side reimplementation
+    * of xxhash64 to drift). */
+  private def bucketsOf(s: SparkSession, ws: Seq[String], buckets: Int): Seq[Long] =
+    if (ws.isEmpty) Seq.empty
+    else s.range(1).select(
+        ws.map(w => pmod(xxhash64(lit(w)), lit(buckets.toLong))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+
+  /** Build (or fetch) the index for `dir`: session memo, then the durable
+    * on-disk copy, and only on a true miss the one-pass corpus build —
+    * staged and atomically renamed into place under the shared mutation
+    * lock (two racing JVMs: one rename wins, the loser loads). */
+  def build(s: SparkSession, dir: String): Index =
+    cache.getOrCompute(s, indexPath(dir))(loadOrBuild(s, dir))
+
+  private def loadOrBuild(s: SparkSession, dir: String): Index = {
+    val path = indexPath(dir)
+    val marker = sub(path, "meta.tsv")
+    if (!store.exists(marker)) {
+      store.mkdirs(indexRoot)
+      Similarity.IvfIndex.withIndexLock(path + ".lock") {
+        if (!store.exists(marker)) {
+          if (store.exists(path)) store.deleteRecursive(path)
+          val entries = corpusEntries(corpusPath(dir))
+          val tok = tokenized(Tables.documents(s, dir))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val dlen = doclenOf(tok)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val tf = tfOf(tok)
+              val totals = dlen.agg(
+                count(lit(1)).as("all"),
+                sum(when(col("dl") > 0, 1L).otherwise(0L)).as("ntok"),
+                sum("dl").as("ttok")).head()
+              stageAndPublish(s, path, tf, dlen, entries,
+                totals.getLong(0), totals.getLong(1), totals.getLong(2),
+                configuredBuckets)
+            } finally { dlen.unpersist(); () }
+          } finally { tok.unpersist(); () }
+        }
+      }
+    }
+    load(s, path)
+  }
+
+  /** Stage postings (term-bucketed) + sidecars + markers into
+    * `<path>.tmp-*`, publish by ONE atomic rename, meta.tsv written last.
+    * `termsOverride`: [[append]] passes the prior-terms ⊕ delta-df merge
+    * (term- + delta-sized) so the df sidecar never re-aggregates the full
+    * postings frame. */
+  private def stageAndPublish(s: SparkSession, path: String, tf: DataFrame,
+                              dlen: DataFrame, entries: Seq[String],
+                              nAll: Long, nTok: Long, tTok: Long,
+                              buckets: Int,
+                              termsOverride: Option[DataFrame] = None): Unit = {
+    val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    val bucketed = withBucket(tf, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // repartition on wb so each bucket directory gets ~1 file (not one
+      // per upstream task); sort by term inside so parquet min/max stats
+      // skip row groups within a bucket — the posting-list seek's second
+      // level once buckets grow multi-file
+      bucketed.repartition(col("wb")).sortWithinPartitions("w", "doc_id")
+        .write.mode("overwrite").partitionBy("wb")
+        .parquet(sub(staging, "postings"))
+      termsOverride
+        .getOrElse(bucketed.groupBy("w").agg(count(lit(1)).as("df")))
+        .write.mode("overwrite").parquet(sub(staging, "terms"))
+      dlen.write.mode("overwrite").parquet(sub(staging, "doclen"))
+      store.writeString(sub(staging, "corpus_files.tsv"),
+        entries.mkString("", "\n", "\n"))
+      store.writeString(sub(staging, "meta.tsv"),
+        s"nDocsAll\t$nAll\nnTok\t$nTok\ntTok\t$tTok\nbuckets\t$buckets\n")
+      if (!(store.rename(staging, path) && store.exists(sub(path, "meta.tsv")))) {
+        store.deleteRecursive(staging)
+        throw new IllegalStateException(
+          s"lex index: publishing $staging -> $path failed")
+      }
+    } finally { bucketed.unpersist(); () }
+  }
+
+  private def load(s: SparkSession, path: String): Index = {
+    val meta = store.readString(sub(path, "meta.tsv"))
+      .linesIterator.map(_.split("\t")).collect { case Array(k, v) => k -> v }
+      .toMap
+    val terms = s.read.parquet(sub(path, "terms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    terms.count() // materialize: consumers must not re-read per branch
+    val doclen = s.read.parquet(sub(path, "doclen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    doclen.count()
+    Index(path, meta("nDocsAll").toLong, meta("nTok").toLong,
+      meta("tTok").toLong, meta("buckets").toInt,
+      s.read.parquet(sub(path, "postings")), terms, doclen)
+  }
+
+  /** Incremental maintenance: after new documents land in the corpus,
+    * hand the SAME delta here and the index advances with delta-sized
+    * tokenization — delta postings/doclen from `newDocs` only, term df
+    * merged term-frame-against-delta, prior postings re-laid-out without
+    * touching corpus text. Guards (both must pass, else rebuild):
+    *   - count reconciliation: prior.nDocsAll + |delta| = |corpus|;
+    *   - file reconciliation: every corpus file recorded at the prior
+    *     build is still byte-identical (size+mtime) — an in-place edit
+    *     with unchanged row count CANNOT slip through (ADVICE r10).
+    * Spec-pinned equal to a from-scratch [[build]] on the post-append
+    * corpus. `newDocs` needs (doc_id, text) with genuinely new ids. */
+  def append(s: SparkSession, dir: String, prior: Index,
+             newDocs: DataFrame): Index = {
+    val newPath = indexPath(dir)
+    require(newPath != prior.path,
+      "lex index append: corpus fingerprint unchanged — the delta is not " +
+        "in the corpus yet (append AFTER the new files land)")
+    val priorEntries = store.readString(sub(prior.path, "corpus_files.tsv"))
+      .linesIterator.filter(_.nonEmpty).toSeq
+    val nowEntries = corpusEntries(corpusPath(dir))
+    val changed = changedPriorFiles(priorEntries, nowEntries)
+    require(changed.isEmpty,
+      s"lex index append: ${changed.size} pre-existing corpus file(s) " +
+        s"changed out-of-band (${changed.take(3).mkString(", ")}) — " +
+        "rebuild instead of appending onto a stale base")
+    val now = Tables.documents(s, dir).count()
+    val nNew = newDocs.count()
+    require(prior.nDocsAll + nNew == now,
+      s"lex index append: prior ${prior.nDocsAll} docs + delta $nNew != " +
+        s"corpus $now — out-of-band change detected, rebuild instead")
+    val tok = tokenized(newDocs.select("doc_id", "text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dTf = tfOf(tok)
+      val dDlen = doclenOf(tok)
+      val allTf = prior.postings.select("doc_id", "w", "tf").unionByName(dTf)
+      val allDlen = prior.doclen.unionByName(dDlen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dTotals = dDlen.agg(
+          coalesce(sum(when(col("dl") > 0, 1L).otherwise(0L)), lit(0L))
+            .as("ntok"),
+          coalesce(sum("dl"), lit(0L)).as("ttok")).head()
+        val mergedTerms = prior.terms
+          .unionByName(dTf.groupBy("w").agg(count(lit(1)).as("df")))
+          .groupBy("w").agg(sum("df").as("df"))
+        Similarity.IvfIndex.withIndexLock(newPath + ".lock") {
+          if (!store.exists(sub(newPath, "meta.tsv"))) {
+            if (store.exists(newPath)) store.deleteRecursive(newPath)
+            stageAndPublish(s, newPath, allTf, allDlen, nowEntries,
+              now, prior.nTok + dTotals.getLong(0),
+              prior.tTok + dTotals.getLong(1), prior.buckets,
+              termsOverride = Some(mergedTerms))
+          }
+        }
+      } finally { allDlen.unpersist(); () }
+    } finally { tok.unpersist(); () }
+    cache.getOrCompute(s, newPath)(load(s, newPath))
+  }
+
+  // ---------------------------------------------------------------- serving
+
+  /** [[TextAnalysis.qT21]] served from the index: pick the 3 df-closest-to-
+    * N/2 terms from the TERM-sized sidecar (3-row bounded collect), read
+    * ONLY those terms' posting buckets (parquet partition pruning on `wb`),
+    * join the node-sized doclen, and score with qT21's exact integer BM25 —
+    * identical output, zero corpus passes when warm. */
+  def bm25TopDocs(s: SparkSession, dir: String, nTerms: Int = 3,
+                  topN: Int = 20): DataFrame = {
+    val idx = build(s, dir)
+    val n = idx.nTok
+    val t = idx.tTok
+    // bounded collect: nTerms rows by construction (the query pick)
+    val qt = idx.terms
+      .orderBy(abs(col("df") * 2 - lit(n)), col("w"))
+      .limit(nTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ws = qt.map(_._1).toSeq
+    val wbs = bucketsOf(s, ws, idx.buckets)
+    val dfMap = typedLit(qt.map { case (w, d) => w -> d }.toMap)
+    idx.postings
+      .where(col("wb").isin(wbs: _*) && col("w").isin(ws: _*))
+      .join(idx.doclen.select("doc_id", "dl"), "doc_id")
+      .withColumn("df", element_at(dfMap, col("w")))
+      .select(col("doc_id"),
+        expr(s"((2 * (CAST($n AS BIGINT) - df) + 1) * 1000) DIV (2 * df + 1)")
+          .as("idf_s"),
+        expr(s"(22000 * tf * CAST($t AS BIGINT)) DIV " +
+          s"(10 * tf * CAST($t AS BIGINT) + 3 * CAST($t AS BIGINT) + " +
+          s"9 * dl * CAST($n AS BIGINT))").as("tfpart"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"),
+        sum(col("idf_s") * col("tfpart")).as("bm25_s"))
+      .orderBy(desc("bm25_s"), col("doc_id"))
+      .limit(topN)
+  }
+
+  /** [[Similarity.qSim15]]'s lexical lane served from the index: per-probe
+    * distinct-token Jaccard rank over the WHOLE corpus, reconstructed from
+    * postings ∩ + the node-sized set-size sidecar — set identities
+    * (inclusion–exclusion, with split()'s "" token accounted via
+    * `has_empty`) make it bit-equal to intersecting the raw token arrays,
+    * with zero corpus passes when warm. Returns (q_id, n_id, r_l <= topR).
+    *
+    * Shape: the probe side (its postings rows + sidecar row) is tiny and
+    * broadcast; postings stream map-only into a (q, n)-keyed partial-agg
+    * shuffle bounded by candidate pairs; the all-docs frame is the
+    * node-sized doclen, never corpus text. */
+  def jaccardTopDocs(s: SparkSession, dir: String, nProbes: Int = 5,
+                     topR: Int = 100): DataFrame = {
+    val idx = build(s, dir)
+    val probeMeta = idx.doclen.where(col("doc_id") < nProbes)
+      .select(col("doc_id").as("q_id"),
+        (col("nterms") + when(col("has_empty"), 1L).otherwise(0L)).as("ssq"),
+        col("has_empty").as("he_q"))
+    val probePost = idx.postings.where(col("doc_id") < nProbes)
+      .select(col("doc_id").as("q_id"), col("w"))
+    val inter0 = broadcast(probePost)
+      .join(idx.postings.select(col("doc_id").as("n_id"), col("w")), "w")
+      .groupBy("q_id", "n_id").agg(count(lit(1)).as("shared"))
+    val all = idx.doclen
+      .select(col("doc_id").as("n_id"),
+        (col("nterms") + when(col("has_empty"), 1L).otherwise(0L)).as("ssn"),
+        col("has_empty").as("he_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    broadcast(probeMeta)
+      .join(all, col("q_id") =!= col("n_id"))
+      .join(inter0, Seq("q_id", "n_id"), "left")
+      .withColumn("inter",
+        coalesce(col("shared"), lit(0L)) +
+          when(col("he_q") && col("he_n"), 1L).otherwise(0L))
+      .withColumn("jac4",
+        expr("(inter * 10000) DIV (ssq + ssn - inter)"))
+      .withColumn("r_l", row_number().over(
+        w.orderBy(desc("jac4"), col("n_id"))))
+      .where(col("r_l") <= topR)
+      .select("q_id", "n_id", "r_l")
+  }
+
+  /** Test/maintenance hook: drop this session's memoized frames so a fresh
+    * [[build]] exercises the durable load path. */
+  private[graft] def evictSession(s: SparkSession): Unit =
+    cache.evictSession(s)
+}

@@ -628,17 +628,20 @@ object Similarity {
     * contract — emits the top-10 per probe with both source ranks, so a
     * consumer can see WHY a hit fused high.
     *
-    * Scale: both lanes broadcast the 5-probe side and stream the corpus
-    * map-only; the per-probe rank windows partition on q_id (bounded
-    * partitions); fusion runs over ≤ 200 candidate rows per probe — at
-    * 100 TB the lanes would be served by the IVF/PQ index and an inverted
-    * index respectively, and the fusion stage is unchanged (it only ever
-    * sees candidate lists). */
+    * Scale (round 11): the vector lane broadcasts the 5-probe side and
+    * streams the corpus map-only; the LEXICAL lane is served by the
+    * durable inverted index ([[LexIndex.jaccardTopDocs]]) — probe token
+    * sets and set-size sidecars come from index files, the corpus text is
+    * never re-tokenized (warm runs: zero corpus passes on the lexical
+    * side, PlanAuditSpec inputFiles audit; [[lexLaneDirect]] keeps the
+    * index-free formulation and LexIndexSpec pins the two bit-equal).
+    * The per-probe rank windows partition on q_id (bounded partitions);
+    * fusion runs over ≤ 200 candidate rows per probe — at 100 TB the
+    * vector lane would be served by the IVF/PQ index the same way, and
+    * the fusion stage is unchanged (it only ever sees candidate lists). */
   def qSim15(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("w"))
     val w = Window.partitionBy("q_id")
     val v = broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq")
         .where(col("q_id") < 5))
@@ -647,14 +650,7 @@ object Similarity {
       .withColumn("sim", expr("cosine_sim(eq, en)"))
       .withColumn("r_v", row_number().over(w.orderBy(col("sim").desc, col("n_id"))))
       .where(col("r_v") <= 100).select("q_id", "n_id", "r_v")
-    val l = broadcast(docs.selectExpr("doc_id AS q_id", "w AS wq")
-        .where(col("q_id") < 5))
-      .join(docs.selectExpr("doc_id AS n_id", "w AS wn"),
-        col("q_id") =!= col("n_id"))
-      .withColumn("jac4", expr(
-        "(size(array_intersect(wq, wn)) * 10000) DIV size(array_union(wq, wn))"))
-      .withColumn("r_l", row_number().over(w.orderBy(desc("jac4"), col("n_id"))))
-      .where(col("r_l") <= 100).select("q_id", "n_id", "r_l")
+    val l = LexIndex.jaccardTopDocs(s, dir, nProbes = 5, topR = 100)
     v.join(l, Seq("q_id", "n_id"), "full_outer")
       .withColumn("rrf_s",
         (coalesce(expr("1000000 DIV (60 + r_v)"), lit(0L)) +
@@ -667,6 +663,23 @@ object Similarity {
       .where(col("rank") <= 10)
       .selectExpr("q_id", "n_id", "r_v", "r_l", "rrf_s", "CAST(rank AS BIGINT) AS rank")
       .orderBy("q_id", "rank")
+  }
+
+  /** The index-free lexical lane of [[qSim15]] (re-tokenizes the corpus
+    * per run) — retained as the equality oracle for the
+    * [[LexIndex.jaccardTopDocs]] served form. */
+  private[graft] def lexLaneDirect(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("w"))
+    val win = Window.partitionBy("q_id")
+    broadcast(docs.selectExpr("doc_id AS q_id", "w AS wq")
+        .where(col("q_id") < 5))
+      .join(docs.selectExpr("doc_id AS n_id", "w AS wn"),
+        col("q_id") =!= col("n_id"))
+      .withColumn("jac4", expr(
+        "(size(array_intersect(wq, wn)) * 10000) DIV size(array_union(wq, wn))"))
+      .withColumn("r_l", row_number().over(win.orderBy(desc("jac4"), col("n_id"))))
+      .where(col("r_l") <= 100).select("q_id", "n_id", "r_l")
   }
 
   /** Q-SIM5 — per-class embedding CENTROIDS (the prototype / class-mean
