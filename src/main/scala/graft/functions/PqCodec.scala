@@ -29,11 +29,14 @@ import org.apache.spark.sql.types._
 case class PqEncode(child: Expression, codebook: Array[Array[Long]],
                     subspaces: Int) extends UnaryExpression {
 
+  // non-emptiness FIRST (ADVICE r10): `codebook.head` on an empty codebook
+  // would die with NoSuchElementException instead of the contract message
+  require(codebook.nonEmpty, "pq_encode: codebook must be non-empty")
   private val dims = codebook.head.length
-  private val sub = dims / subspaces
   require(subspaces > 0 && dims % subspaces == 0 &&
     codebook.forall(_.length == dims),
     s"codebook must be rectangular with dims divisible by $subspaces")
+  private val sub = dims / subspaces
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -57,6 +60,12 @@ case class PqEncode(child: Expression, codebook: Array[Array[Long]],
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    // eval-time contract check (ADVICE r10): a short input must surface as
+    // the documented error, not a raw ArrayIndexOutOfBounds from the loop
+    if (arr.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"pq_encode: input length ${arr.numElements()} != codebook " +
+          s"vector length $dims")
     val k = codebook.length
     val out = new Array[Int](subspaces)
     var m = 0
@@ -94,6 +103,11 @@ case class PqEncode(child: Expression, codebook: Array[Array[Long]],
       val diff = ctx.freshName("diff")
       val bestC = ctx.freshName("bestC"); val bestD = ctx.freshName("bestD")
       s"""
+         |if ($v.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: input length " + $v.numElements() +
+         |    " != codebook vector length " + $dims);
+         |}
          |int[] $out = new int[$subspaces];
          |for (int $m = 0; $m < $subspaces; $m++) {
          |  int $bestC = 0; long $bestD = Long.MAX_VALUE;

@@ -479,6 +479,35 @@ object Dedup {
       case None => df.localCheckpoint(eager = true)
     }
 
+  /** Delete the RELIABLE checkpoint files behind a [[truncate]]d frame
+    * (ADVICE r10: unlike localCheckpoint BLOCKS, reliable checkpoints are
+    * FILES — `unpersist` never reclaims them, and without
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` they accumulate
+    * one `rdd-*` directory per round per loop until context stop). The
+    * BSP loops call this on round i's frame once round i+1 has
+    * materialized — mirroring the `prevCkpt.unpersist` discipline — so a
+    * long-lived session iterating many corpus states holds at most the
+    * live round's files per loop. No-op in localCheckpoint mode
+    * (`getCheckpointFile` is None for local checkpoints). Failures are
+    * stderr-visible, never fatal: leaking a directory beats failing a
+    * converging loop. */
+  private[graft] def dropCheckpointFiles(df: DataFrame): Unit = {
+    val files = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile
+    }.flatten
+    if (files.nonEmpty) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      files.foreach { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).delete(p, true); ()
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"checkpoint cleanup: failed to delete $f: $e") }
+      }
+    }
+  }
+
   /** PageRank damping split and per-node starting mass for [[qG4]], in
     * integer micro-units: rank(0) = 1e6; rank(i+1) = (1−d)·1e6 + d·Σ
     * contributions, with d = 85/100 applied as integer `DIV` — every
@@ -836,19 +865,24 @@ object Dedup {
           .select("u", "v"))
         // successor is materialized: the previous round's checkpoint
         // blocks (and its degree frame) are dead — free them NOW, not at
-        // ContextCleaner GC time, so peak footprint stays <= 2 frames
+        // ContextCleaner GC time, so peak footprint stays <= 2 frames;
+        // in reliable mode the round's checkpoint FILES go with it
         deg.unpersist()
-        if (prevCkpt ne null) { prevCkpt.unpersist(); () }
+        if (prevCkpt ne null) {
+          prevCkpt.unpersist(); dropCheckpointFiles(prevCkpt); ()
+        }
         prevCkpt = if (e ne e0) e else null
         e = next
         deg = degreesOf(e)
         val (n, m) = statOf(deg); rounds += ((i.toLong, n, m))
       }
       deg.unpersist()
-      if (prevCkpt ne null) { prevCkpt.unpersist(); () }
+      if (prevCkpt ne null) {
+        prevCkpt.unpersist(); dropCheckpointFiles(prevCkpt); ()
+      }
       // the result is driver-local scalars — the last round's checkpoint
       // is dead too (e0 projects from the artifact's frame, not ours)
-      if (e ne e0) { e.unpersist(); () }
+      if (e ne e0) { e.unpersist(); dropCheckpointFiles(e); () }
       rounds.toSeq.toDF("iter", "n_nodes", "n_edges").orderBy("iter")
     }
   }
@@ -1057,6 +1091,7 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < 50) {
+      val prev = edges // freed (files included) once `next` materializes
       // LARGE-STAR: per node, attach every strictly-larger neighbor to
       // min(neighborhood ∪ self). Edges where the neighbor is smaller are
       // preserved from the other endpoint's reduce (the graph is
@@ -1083,6 +1118,10 @@ object Dedup {
       converged = nfp == fp
       fp = nfp
       edges = next
+      // `next` is materialized (eager truncate + the fingerprint action):
+      // round i-1's checkpoint is dead — blocks and, in reliable mode,
+      // files. The final round's frame stays (the caller consumes it).
+      prev.unpersist(); dropCheckpointFiles(prev)
       rounds += 1
     }
     // the cap is a runaway backstop, not a result: a non-converged graph

@@ -53,8 +53,7 @@ object DupClusters {
   final case class DupIndex(path: String, nDocs: Long, sigs: DataFrame,
                             pairs: DataFrame, clusters: DataFrame)
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DupIndex]()
+  private val cache = new graft.core.SessionCache[DupIndex]()
 
   private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
 
@@ -66,21 +65,21 @@ object DupClusters {
 
   /** Bump when the graph recipe (banding, Hamming bound, iteration counts)
     * or the layout changes — an index built by an older recipe must not be
-    * served for the same corpus. */
-  private val FormatVersion = 1
+    * served for the same corpus. v2: + `corpus_files.tsv` (the corpus file
+    * listing at build time, [[append]]'s out-of-band-change guard). */
+  private val FormatVersion = 2
 
   private def sub(base: String, child: String): String =
     new org.apache.hadoop.fs.Path(base, child).toString
 
+  private def corpusPath(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString
+
   private def indexPath(dir: String): String =
     new org.apache.hadoop.fs.Path(indexRoot,
       s"v$FormatVersion-" +
-        Similarity.IvfIndex.fileFingerprint(
-          new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString) +
+        Similarity.IvfIndex.fileFingerprint(corpusPath(dir)) +
         s"-p${Dedup.PageRankIters}").toString
-
-  private def cacheKey(s: SparkSession, dir: String): String =
-    s"${System.identityHashCode(s)}|${indexPath(dir)}"
 
   /** Corpus doc count from parquet metadata — a driver-cheap reconciliation
     * handle ([[append]] refuses a delta that doesn't add up). */
@@ -92,7 +91,7 @@ object DupClusters {
     * build — staged and atomically renamed into place under the shared
     * mutation lock (two racing JVMs: one rename wins, the loser loads). */
   def build(s: SparkSession, dir: String): DupIndex =
-    cache.computeIfAbsent(cacheKey(s, dir), _ => loadOrBuild(s, dir))
+    cache.getOrCompute(s, indexPath(dir))(loadOrBuild(s, dir))
 
   private def loadOrBuild(s: SparkSession, dir: String): DupIndex = {
     val path = indexPath(dir)
@@ -104,12 +103,14 @@ object DupClusters {
           // a marker-less directory is a crashed pre-publish leftover —
           // safe to clear under the lock
           if (store.exists(path)) store.deleteRecursive(path)
+          val entries = LexIndex.corpusEntries(corpusPath(dir))
           val sigs = Dedup.simhash(s, dir)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val pairs = Dedup.pairsOfSigs(sigs)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try stageAndPublish(s, path, sigs, pairs, corpusCount(s, dir))
+            try stageAndPublish(s, path, sigs, pairs, corpusCount(s, dir),
+              entries)
             finally { pairs.unpersist(); () }
           } finally { sigs.unpersist(); () }
         }
@@ -122,7 +123,8 @@ object DupClusters {
     * atomic rename. `pairs` must be persisted by the caller — components,
     * PageRank, and the parquet write all read it. */
   private def stageAndPublish(s: SparkSession, path: String, sigs: DataFrame,
-                              pairs: DataFrame, nDocs: Long): Unit = {
+                              pairs: DataFrame, nDocs: Long,
+                              entries: Seq[String]): Unit = {
     val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     val edges = pairs.select("a_id", "b_id")
     val comp = Dedup.componentsOfPairs(s, edges, Dedup.MaxDriverPairs)
@@ -133,6 +135,8 @@ object DupClusters {
     comp.join(ranks, col("id") === col("r_id"))
       .select("id", "component", "rank_e6")
       .write.mode("overwrite").parquet(sub(staging, "clusters"))
+    store.writeString(sub(staging, "corpus_files.tsv"),
+      entries.mkString("", "\n", "\n"))
     store.writeString(sub(staging, "meta.tsv"),
       s"nDocs\t$nDocs\npageRankIters\t${Dedup.PageRankIters}\n")
     if (!(store.rename(staging, path) && store.exists(sub(path, "meta.tsv")))) {
@@ -175,9 +179,11 @@ object DupClusters {
     * consistency statement: gate-admitted data and offline curation see
     * the same graph. `newDocs` needs (doc_id, text) with genuinely new ids
     * (dedupe upstream — the gate already guarantees this for admitted
-    * docs); the reconciliation check `prior.nDocs + |delta| = |corpus|`
-    * refuses a delta that doesn't add up (files changed out-of-band →
-    * rebuild instead of publishing a silently-wrong graph). */
+    * docs). Out-of-band guards (BOTH must pass, else rebuild): the count
+    * reconciliation `prior.nDocs + |delta| = |corpus|`, AND (ADVICE r10 —
+    * an in-place edit can keep the count unchanged) a per-file check that
+    * every corpus file recorded at the prior build is still byte-identical
+    * (size + mtime, `corpus_files.tsv`) — an append only ADDS files. */
   def append(s: SparkSession, dir: String, prior: DupIndex,
              newDocs: DataFrame): DupIndex = {
     GraftFunctions.register(s)
@@ -185,6 +191,14 @@ object DupClusters {
     require(newPath != prior.path,
       "dup-cluster append: corpus fingerprint unchanged — the delta is not " +
         "in the corpus yet (append AFTER the new files land)")
+    val priorEntries = store.readString(sub(prior.path, "corpus_files.tsv"))
+      .linesIterator.filter(_.nonEmpty).toSeq
+    val nowEntries = LexIndex.corpusEntries(corpusPath(dir))
+    val changed = LexIndex.changedPriorFiles(priorEntries, nowEntries)
+    require(changed.isEmpty,
+      s"dup-cluster append: ${changed.size} pre-existing corpus file(s) " +
+        s"changed out-of-band (${changed.take(3).mkString(", ")}) — " +
+        "rebuild instead of appending onto a stale base")
     val now = corpusCount(s, dir)
     val nNew = newDocs.count()
     require(prior.nDocs + nNew == now,
@@ -224,19 +238,17 @@ object DupClusters {
           Similarity.IvfIndex.withIndexLock(newPath + ".lock") {
             if (!store.exists(sub(newPath, "meta.tsv"))) {
               if (store.exists(newPath)) store.deleteRecursive(newPath)
-              stageAndPublish(s, newPath, allSigs, pairs, now)
+              stageAndPublish(s, newPath, allSigs, pairs, now, nowEntries)
             }
           }
         } finally { pairs.unpersist(); () }
       } finally { allSigs.unpersist(); () }
     } finally { dSigs.unpersist(); () }
-    cache.computeIfAbsent(cacheKey(s, dir), _ => load(s, newPath))
+    cache.getOrCompute(s, newPath)(load(s, newPath))
   }
 
   /** Test/maintenance hook: drop this session's memoized frames so a fresh
     * [[build]] exercises the durable load path. */
-  private[graft] def evictSession(s: SparkSession): Unit = {
-    val pfx = s"${System.identityHashCode(s)}|"
-    cache.keySet().removeIf(_.startsWith(pfx))
-  }
+  private[graft] def evictSession(s: SparkSession): Unit =
+    cache.evictSession(s)
 }

@@ -133,7 +133,7 @@ object Similarity {
                            cents: Array[Array[Double]], assigned: DataFrame,
                            scale: Double, qassigned: DataFrame)
 
-    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+    private val cache = new graft.core.SessionCache[Index]()
 
     private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
 
@@ -342,14 +342,10 @@ object Similarity {
       * into place (centroids marker inside), so two JVMs racing the same
       * build can never interleave files: exactly one rename wins, the loser
       * discards its staging dir and loads the winner's index. */
-    private def cacheKey(s: SparkSession, dir: String, lloydIters: Int,
-                         cells: Int): String =
-      s"${System.identityHashCode(s)}|${indexPath(dir, lloydIters, cells)}"
-
     def build(s: SparkSession, dir: String, lloydIters: Int,
               cells: Int = IvfCells): Index =
-      cache.computeIfAbsent(cacheKey(s, dir, lloydIters, cells),
-        _ => loadOrBuild(s, dir, lloydIters, cells))
+      cache.getOrCompute(s, indexPath(dir, lloydIters, cells))(
+        loadOrBuild(s, dir, lloydIters, cells))
 
     /** Incremental index maintenance: assign NEW vectors (`vec_id`,
       * `embedding`; ids must be new — dedupe upstream) with the stored
@@ -393,7 +389,7 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       qasg.count()
       val updated = prior.copy(assigned = asg, qassigned = qasg)
-      cache.put(cacheKey(s, dir, lloydIters, cells), updated)
+      cache.put(s, indexPath(dir, lloydIters, cells), updated)
       updated
     }
 

@@ -133,6 +133,45 @@ class DupClustersSpec extends AnyFunSuite {
     assert(c2 == c1)
   }
 
+  test("reliable checkpoints are reclaimed per round, not accumulated (ADVICE r10)") {
+    // without cleanup, every star round leaves an rdd-* directory until
+    // context stop — a long-lived session iterating many corpus states
+    // accumulates checkpoint data unboundedly. The loops now delete round
+    // i's files once round i+1 materializes; only the FINAL frame's files
+    // (consumed by the caller) may survive a call.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "graft-ckpt")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.checkpointDir", "graftfs:" + ckpt.toAbsolutePath)
+    import s2.implicits._
+    // a 12-node chain: star rounds need several iterations to converge,
+    // so >= 2 superseded checkpoints exist to reclaim
+    val chain = (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq
+      .toDF("a_id", "b_id")
+    def countRddDirs(): Int = {
+      // the sc checkpoint root is process-global and set on FIRST use —
+      // resolve the ACTUAL root (an earlier test may own it) and count
+      // surviving round directories there
+      s2.sparkContext.getCheckpointDir.map { uri =>
+        val p = new org.apache.hadoop.fs.Path(uri)
+        val fs = p.getFileSystem(s2.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(_.getPath.getName.startsWith("rdd-"))
+      }.getOrElse(0)
+    }
+    // prime: one call sets the global dir; measure the DELTA of a second
+    val r1 = Dedup.componentsOfPairs(s2, chain, 0).collect()
+    assert(r1.nonEmpty && r1.forall(_.getLong(1) == 1L),
+      "chain must collapse to one component")
+    val before = countRddDirs()
+    Dedup.componentsOfPairs(s2, chain, 0).collect()
+    val after = countRddDirs()
+    assert(after - before <= 1,
+      s"a multi-round star loop must leave at most its final checkpoint " +
+        s"($before -> $after rdd-* dirs)")
+  }
+
   test("e2e: gate-admitted batches keep the offline graph consistent via append") {
     // the full ingestion story (VERDICT r9 task 1's consistency clause):
     // ST-9 decides ADMISSION (MinHash bands at the door), the dup-cluster

@@ -166,6 +166,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"IntDot fell out of codegen:\n$dplan")
   }
 
+  test("pq_encode contract errors: empty codebook and wrong-length input (ADVICE r10)") {
+    import org.apache.spark.sql.functions.col
+    // empty codebook must die with the CONTRACT message, not a raw
+    // NoSuchElementException from codebook.head
+    val e1 = intercept[IllegalArgumentException] {
+      graft.functions.PqEncode(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("qv"),
+        Array.empty[Array[Long]], 8)
+    }
+    assert(e1.getMessage.contains("codebook must be non-empty"), e1.getMessage)
+    // a short input surfaces as the documented length error (from generated
+    // code AND interpreted eval), never an ArrayIndexOutOfBounds
+    import spark.implicits._
+    val cb = Array(Array(0L, 0L, 0L, 0L), Array(1L, 1L, 1L, 1L))
+    val short = Seq((1L, Seq(1L, 2L))).toDF("vec_id", "qv")
+    val thrown = intercept[Throwable] {
+      short.select(org.apache.spark.sql.GraftColumn.of(graft.functions.PqEncode(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("qv"),
+        cb, 2)).as("codes")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(thrown).exists(c =>
+      c.getMessage != null && c.getMessage.contains("input length 2") &&
+        c.getMessage.contains("codebook vector length 4")),
+      s"expected the contract message in: ${chain(thrown).map(_.getMessage)}")
+    // and a well-formed input on the same codebook still encodes
+    val ok = Seq((1L, Seq(1L, 1L, 1L, 1L))).toDF("vec_id", "qv")
+      .select(org.apache.spark.sql.GraftColumn.of(graft.functions.PqEncode(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("qv"),
+        cb, 2)).as("codes")).head().getSeq[Int](0)
+    assert(ok == Seq(1, 1))
+  }
+
   test("lsh_band_sig matches the HOF formulation bit-for-bit and stays in codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
