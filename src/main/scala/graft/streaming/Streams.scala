@@ -457,17 +457,22 @@ object Streams {
     * Scale: the batch side is micro-batch-sized and BROADCASTS into the
     * band-store scan, so the store — which grows with the corpus — streams
     * map-only and is never shuffled; AND the store IS bucket-partitioned
-    * by band key (`bp = hash(bk) mod` [[GateBandBuckets]], the
-    * [[graft.core.GraftCatalog]] point-read posture), so each batch's scan
-    * prunes to its own keys' partitions — the bytes read per batch track
-    * the batch, not the corpus (pruning is lossless: a colliding store row
-    * shares the bk, hence the partition). Returns (admitted, rejected)
-    * counts for the batch. */
+    * by band key (`bp = hash(bk) mod` the store's frozen bucket count —
+    * `spark.graft.gateBandBuckets` at creation, default
+    * [[GateBandBucketsDefault]], recorded in `_store_meta.tsv` like a
+    * container's bucket count — the [[graft.core.GraftCatalog]] point-read
+    * posture), so each batch's scan prunes to its own keys' partitions —
+    * the bytes read per batch track the batch, not the corpus (pruning is
+    * lossless: a colliding store row shares the bk, hence the partition).
+    * Pre-marker stores are adopted/migrated one-time at entry — see
+    * [[resolveGateStore]]. Returns (admitted, rejected) counts for the
+    * batch. */
   def dedupGateBatch(spark: SparkSession, storeDir: String,
       batch: DataFrame, batchId: Long): (Long, Long) = {
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
     healGateStore(storeDir) // finish any crashed compaction swap first
+    val meta = resolveGateStore(spark, storeDir) // layout marker + migration
     val marker = s"$storeDir/_commits/$batchId"
     if (st.exists(marker)) return (0L, 0L) // replayed, already committed
     def commit(): Unit = { st.mkdirs(s"$storeDir/_commits"); st.writeString(marker, ""); () }
@@ -480,9 +485,9 @@ object Streams {
           |  named_struct('band', 1, 'bk', concat(ms.m1, '_', ms.m2)),
           |  named_struct('band', 2, 'bk', concat(ms.m3, '_', ms.m4)))) AS b""".stripMargin)
       .selectExpr("doc_id", "b.band AS band", "b.bk AS bk",
-        // the store's partition key: band keys hash into GateBandBuckets
-        // dirs, so a batch's store scan PRUNES to matching partitions
-        s"pmod(xxhash64(b.bk), $GateBandBuckets) AS bp")
+        // the store's partition key: band keys hash into the store's FROZEN
+        // bucket count, so a batch's store scan PRUNES to matching partitions
+        s"pmod(xxhash64(b.bk), ${meta.bandBuckets}) AS bp")
       .localCheckpoint(eager = true) // one signature pass, fanned 3 ways below
     val bandsPath = s"$storeDir/bands"
     val rejectedStore =
@@ -490,7 +495,7 @@ object Streams {
         // micro-batch-bounded driver collect (<= 2 band keys per doc): the
         // partitions this batch can possibly collide in. The store scan
         // reads ONLY those bp dirs — at 100 TB the store grows with the
-        // corpus but each batch's read stays ~|batch|/GateBandBuckets of
+        // corpus but each batch's read stays ~|batch|/bandBuckets of
         // it; a matching store row has the same bk, hence the same bp, so
         // pruning can never lose a collision
         val bps = bands.select("bp").distinct().collect().map(_.getLong(0)).toSeq
@@ -528,12 +533,135 @@ object Streams {
     * partitioned band store) exceeds this compacts on the next batch. */
   val GateCompactThreshold = 16
 
-  /** Hash-partition count of the band store (`bands/bp=N/`): each batch's
-    * store scan prunes to its own band keys' partitions — the
+  /** Default hash-partition count of the band store (`bands/bp=N/`): each
+    * batch's store scan prunes to its own band keys' partitions — the
     * "bucket-partitioned by band key" posture the GraftCatalog point-read
-    * path uses, applied to ingestion state. 64 keeps partition dirs
-    * coarse enough that a compacted store is ~1 file per partition. */
-  val GateBandBuckets = 64
+    * path uses, applied to ingestion state. The count is FROZEN at store
+    * creation (from `spark.graft.gateBandBuckets`, this default otherwise)
+    * and recorded in the store's `_store_meta.tsv` — exactly like a
+    * container's bucket count. Why a large default matters: a batch with
+    * ≥buckets distinct band keys touches every partition and re-reads the
+    * whole band store, so the bucket count bounds the largest batch that
+    * still prunes (a thousands-of-docs ingestion batch carries ~2×|docs|
+    * band keys — 64 was far too coarse, 1024 keeps a 100 TB store's
+    * per-batch read at ~|batch|/1024 of it). */
+  val GateBandBucketsDefault = 1024
+
+  /** Session override for the bucket count of NEWLY CREATED gate stores
+    * (existing stores keep their frozen count). */
+  val GateBandBucketsConf = "spark.graft.gateBandBuckets"
+
+  /** Current gate-store layout version: v2 = bands hash-partitioned by
+    * `bp` with the bucket count frozen in `_store_meta.tsv`. History:
+    * v0 = unpartitioned bands (no `bp` column), v1 = partitioned with a
+    * hard-coded 64 and no marker. */
+  val GateLayoutVersion = 2
+
+  /** The gate store's frozen facts (layout version + band-bucket count),
+    * persisted in `_store_meta.tsv` at creation. */
+  final case class GateStoreMeta(layoutVersion: Int, bandBuckets: Int)
+
+  private def gateMetaPath(storeDir: String): String =
+    s"$storeDir/_store_meta.tsv"
+
+  private def writeGateMeta(storeDir: String, m: GateStoreMeta): Unit = {
+    val st = graft.core.Storage.hadoop
+    st.mkdirs(storeDir)
+    st.writeString(gateMetaPath(storeDir),
+      s"layoutVersion\t${m.layoutVersion}\nbandBuckets\t${m.bandBuckets}\n")
+  }
+
+  private[graft] def readGateMeta(storeDir: String): Option[GateStoreMeta] = {
+    val st = graft.core.Storage.hadoop
+    val p = gateMetaPath(storeDir)
+    if (!st.exists(p)) None
+    else {
+      val kv = st.readString(p).linesIterator.filter(_.nonEmpty)
+        .map(_.split('\t')).collect { case Array(k, v) => k -> v }.toMap
+      Some(GateStoreMeta(kv("layoutVersion").toInt, kv("bandBuckets").toInt))
+    }
+  }
+
+  /** Resolve the store's layout marker at every gate entry, adopting or
+    * migrating marker-less stores ONE TIME (ADVICE r10: the hash-partitioned
+    * layout landed with no version marker, so a store written by an older
+    * build would fail analysis — `bp` not found — or fail partition
+    * discovery once mixed layouts land in the same dir):
+    *
+    *  - marker present → its frozen `bandBuckets` governs every bp
+    *    computation (a later session conf change never re-keys a store);
+    *    if `bands/` exists WITHOUT `bp=` dirs the previous migration
+    *    crashed between marker write and swap — redo it (the swap protocol
+    *    + [[healGateStore]] make the redo safe from any crash point).
+    *  - no marker, no `bands/` → fresh store: freeze
+    *    `spark.graft.gateBandBuckets` (default [[GateBandBucketsDefault]]).
+    *  - no marker, `bands/` with `bp=` dirs → a v1 store (the layout that
+    *    hard-coded 64): adopt in place — same physical layout, marker
+    *    records the historical 64.
+    *  - no marker, `bands/` without `bp=` dirs → a v0 unpartitioned store:
+    *    write the marker, then rewrite `bands/` once with derived `bp`
+    *    via the compaction swap protocol (crash-safe; a marker-only state
+    *    is the redo case above). Decisions are layout-independent — the
+    *    gate reads the full row set — so migration never changes an
+    *    admit/reject. */
+  private[graft] def resolveGateStore(spark: SparkSession,
+      storeDir: String): GateStoreMeta = {
+    val st = graft.core.Storage.hadoop
+    val bandsPath = s"$storeDir/bands"
+    def hasBpDirs = st.listDirNames(bandsPath).exists(_.startsWith("bp="))
+    def hasDataFiles = st.walk(bandsPath).exists { f =>
+      val n = f.relPath.split('/').last
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    readGateMeta(storeDir) match {
+      case Some(m) =>
+        require(m.layoutVersion <= GateLayoutVersion,
+          s"gate store $storeDir has layout v${m.layoutVersion}, newer than " +
+            s"this build's v$GateLayoutVersion — refusing to write")
+        if (st.exists(bandsPath) && !hasBpDirs && hasDataFiles)
+          migrateGateBands(spark, bandsPath, m.bandBuckets) // crashed migration: redo
+        m
+      case None if !st.exists(bandsPath) =>
+        val m = GateStoreMeta(GateLayoutVersion, spark.conf
+          .getOption(GateBandBucketsConf).map(_.toInt)
+          .getOrElse(GateBandBucketsDefault))
+        require(m.bandBuckets > 0, s"$GateBandBucketsConf must be positive")
+        writeGateMeta(storeDir, m); m
+      case None if hasBpDirs =>
+        val m = GateStoreMeta(GateLayoutVersion, 64) // v1's hard-coded count
+        writeGateMeta(storeDir, m); m
+      case None =>
+        val m = GateStoreMeta(GateLayoutVersion, spark.conf
+          .getOption(GateBandBucketsConf).map(_.toInt)
+          .getOrElse(GateBandBucketsDefault))
+        writeGateMeta(storeDir, m) // marker FIRST: a crash mid-swap redoes above
+        if (hasDataFiles) migrateGateBands(spark, bandsPath, m.bandBuckets)
+        else { st.deleteRecursive(bandsPath); () } // empty v0 shell (e.g. lone _SUCCESS)
+        m
+    }
+  }
+
+  /** One-time v0→v2 band rewrite: derive `bp` from the stored band keys and
+    * swap the partitioned layout in via the compaction protocol (stage →
+    * rename away → rename in → drop trash), so [[healGateStore]] covers
+    * every crash point. */
+  private def migrateGateBands(spark: SparkSession, live: String,
+      buckets: Int): Unit = {
+    val st = graft.core.Storage.hadoop
+    val rows = spark.read.parquet(live)
+      .withColumn("bp", pmod(xxhash64(col("bk")), lit(buckets.toLong)))
+      .repartition(col("bp"))
+      .localCheckpoint(eager = true) // the plan reads the files the swap replaces
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$live.compact-$tag"
+    rows.write.mode("overwrite").partitionBy("bp").parquet(staging)
+    rows.unpersist()
+    if (!(st.rename(live, s"$live.trash-$tag") && st.rename(staging, live)))
+      throw new IllegalStateException(
+        s"gate-store migration swap failed for $live (heal on next entry)")
+    st.deleteRecursive(s"$live.trash-$tag")
+    ()
+  }
 
   /** The pruned band-store reader — partition filters reach the parquet
     * source listing, so only the named `bp=` dirs are touched

@@ -496,6 +496,108 @@ class StreamingSpec extends AnyFunSuite {
     assert(rej2 == (0L, 1L), s"healed store must still reject: $rej2")
   }
 
+  test("ST-9 store layout: bucket count frozen at creation; per-batch read tracks the batch, not the corpus") {
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "gate-buckets").toString
+    val st = graft.core.Storage.hadoop
+    // a session asking for 256 buckets CREATES the store with 256 frozen
+    val s2 = spark.newSession()
+    s2.conf.set(Streams.GateBandBucketsConf, "256")
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val mk = (id: Long, text: String) =>
+      s2.range(1).selectExpr(s"CAST($id AS BIGINT) AS doc_id", s"'$text' AS text")
+    assert(Streams.dedupGateBatch(s2, store, mk(1L, dup), 0L) == (1L, 0L))
+    val meta0 = Streams.readGateMeta(store).get
+    assert(meta0 == Streams.GateStoreMeta(Streams.GateLayoutVersion, 256),
+      s"store must freeze the creating session's bucket count: $meta0")
+    // a LATER session with a different conf does not re-key the store: the
+    // frozen 256 still governs bp, so a store near-dup is still caught
+    val s3 = spark.newSession()
+    s3.conf.set(Streams.GateBandBucketsConf, "8")
+    assert(Streams.dedupGateBatch(s3, store,
+      s3.range(1).selectExpr("CAST(9 AS BIGINT) AS doc_id", s"'$dup' AS text"),
+      1L) == (0L, 1L), "frozen bucket count must keep store collisions visible")
+    assert(Streams.readGateMeta(store).get.bandBuckets == 256,
+      "an existing store's frozen count must survive later conf changes")
+    // grow the corpus well past one batch, then verify a batch's store scan
+    // reads only ITS band keys' partitions — the pruning win the larger
+    // bucket count exists for (with 64 buckets a modest batch touched
+    // every partition and re-read the whole store)
+    for (i <- 2 to 40)
+      assert(Streams.dedupGateBatch(s2, store,
+        mk(100L + i, s"document number$i about topic$i subject$i matter$i distinctly unique"),
+        10L + i) == (1L, 0L))
+    val allBands = s2.read.parquet(s"$store/bands")
+    val total = allBands.count()
+    val batchBps = allBands.where(col("doc_id") === 140L)
+      .select("bp").distinct().collect().map(_.getAs[Number](0).longValue()).toSeq
+    assert(batchBps.nonEmpty && batchBps.size <= 2)
+    val pruned = Streams.prunedBandStore(s2, s"$store/bands", batchBps)
+    val readRows = pruned.count()
+    assert(readRows < total / 4,
+      s"a 1-doc batch's store scan must read a small fraction of the corpus " +
+        s"($readRows of $total band rows)")
+    assert(st.exists(s"$store/_store_meta.tsv"))
+  }
+
+  test("ST-9 store layout: marker-less v0/v1 stores adopt or migrate one-time, decisions unchanged") {
+    import graft.streaming.Streams
+    graft.functions.GraftFunctions.register(spark)
+    val st = graft.core.Storage.hadoop
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    def v0Bands(id: Long, text: String): DataFrame =
+      spark.range(1).selectExpr(s"CAST($id AS BIGINT) AS doc_id", s"'$text' AS text")
+        .selectExpr("doc_id", "minhash_sig(text, 3) AS ms")
+        .selectExpr("doc_id",
+          """explode(array(
+            |  named_struct('band', 1, 'bk', concat(ms.m1, '_', ms.m2)),
+            |  named_struct('band', 2, 'bk', concat(ms.m3, '_', ms.m4)))) AS b""".stripMargin)
+        .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
+    // ---- v0: unpartitioned bands (no bp column, no marker) ----
+    val v0 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "gate-v0").toString
+    v0Bands(1L, dup).write.parquet(s"$v0/bands")
+    spark.range(1).selectExpr("CAST(1 AS BIGINT) AS doc_id", s"'$dup' AS text")
+      .write.parquet(s"$v0/docs")
+    // first entry migrates in place and the stored doc still rejects its twin
+    assert(Streams.dedupGateBatch(spark, v0,
+      spark.range(1).selectExpr("CAST(99 AS BIGINT) AS doc_id", s"'$dup' AS text"),
+      0L) == (0L, 1L), "migrated v0 store must still reject the stored near-dup")
+    val m0 = Streams.readGateMeta(v0).get
+    assert(m0.layoutVersion == Streams.GateLayoutVersion)
+    assert(st.listDirNames(s"$v0/bands").exists(_.startsWith("bp=")),
+      "v0 bands must be rewritten into the partitioned layout")
+    assert(spark.read.parquet(s"$v0/bands").count() == 2,
+      "migration must not lose band rows")
+    // bp values must match the frozen count's keying (else pruning would
+    // silently miss collisions)
+    val bad = spark.read.parquet(s"$v0/bands")
+      .where(expr(s"bp <> pmod(xxhash64(bk), ${m0.bandBuckets})")).count()
+    assert(bad == 0, s"$bad migrated rows keyed inconsistently with the marker")
+    // ---- v1: bp-partitioned with the historical hard-coded 64, no marker ----
+    val v1 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "gate-v1").toString
+    v0Bands(1L, dup).selectExpr("doc_id", "band", "bk",
+        "pmod(xxhash64(bk), 64) AS bp")
+      .write.partitionBy("bp").parquet(s"$v1/bands")
+    spark.range(1).selectExpr("CAST(1 AS BIGINT) AS doc_id", s"'$dup' AS text")
+      .write.parquet(s"$v1/docs")
+    assert(Streams.dedupGateBatch(spark, v1,
+      spark.range(1).selectExpr("CAST(99 AS BIGINT) AS doc_id", s"'$dup' AS text"),
+      0L) == (0L, 1L), "adopted v1 store must still reject the stored near-dup")
+    assert(Streams.readGateMeta(v1).get.bandBuckets == 64,
+      "a v1 store must be adopted with its historical bucket count, not re-keyed")
+    // a from-scratch build must refuse a FUTURE layout rather than corrupt it
+    val vN = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "gate-vn").toString
+    st.writeString(s"$vN/_store_meta.tsv", "layoutVersion\t99\nbandBuckets\t64\n")
+    val e = intercept[IllegalArgumentException] {
+      Streams.dedupGateBatch(spark, vN,
+        spark.range(1).selectExpr("CAST(1 AS BIGINT) AS doc_id", "'x y z' AS text"), 0L)
+    }
+    assert(e.getMessage.contains("newer than"), e.getMessage)
+  }
+
   test("ST-7 stream-stream interval join: two live streams == batch funnel") {
     // clicks and purchases as SEPARATE streams (the two-source shape a real
     // funnel pipeline has), both watermarked so the interval condition
