@@ -150,6 +150,7 @@ object SparkEntry {
     "q_g5_clustering_coeff" -> (Dedup.qG5 _),
     "q_g6_label_prop"      -> (Dedup.qG6 _),
     "q_g7_kcore"           -> (Dedup.qG7 _),
+    "q_g8_kcore3"          -> (Dedup.qG8 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
@@ -669,25 +670,8 @@ object SparkEntry {
       }.mkString +
       s" SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community " +
       s"FROM l${graft.operators.Dedup.LabelPropIters} ORDER BY doc_id"),
-    "q_g7_kcore" -> (simhashPairsSql +
-      // fixed-round 2-core peel: chained CTEs, one (degree, survivor-edge)
-      // pair per round, replaying Dedup.qG7's recurrence exactly
-      ", e0 AS (SELECT a_id AS u, b_id AS v FROM sp)" +
-      (1 to graft.operators.Dedup.KCoreIters).map { i =>
-        s", d$i AS (SELECT id, count(1) AS c FROM (SELECT u AS id FROM e${i - 1} " +
-          s"UNION ALL SELECT v FROM e${i - 1}) t GROUP BY id), " +
-          s"k$i AS (SELECT id FROM d$i WHERE c >= 2), " +
-          s"e$i AS (SELECT u, v FROM e${i - 1} " +
-          s"WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i))"
-      }.mkString +
-      " " +
-      (0 to graft.operators.Dedup.KCoreIters).map { i =>
-        s"SELECT CAST($i AS BIGINT) AS iter, " +
-          s"(SELECT count(DISTINCT id) FROM (SELECT u AS id FROM e$i " +
-          s"UNION ALL SELECT v FROM e$i) t) AS n_nodes, " +
-          s"(SELECT count(1) FROM e$i) AS n_edges"
-      }.mkString(" UNION ALL ") +
-      " ORDER BY iter"),
+    "q_g7_kcore" -> kcoreOracleSql(2),
+    "q_g8_kcore3" -> kcoreOracleSql(3),
     // DuckDB needs RECURSIVE on the WITH clause for the reach() CTE
     "q_t18_cluster_split" -> (simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
       // components over the simhash pair graph (recursive min-reachable,
@@ -1761,6 +1745,28 @@ object SparkEntry {
   private val simhashPairsSql: String = simhashSql +
     ", sp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b " +
     "ON a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)"
+
+  /** Fixed-round k-core(k) peel oracle: chained CTEs, one (degree,
+    * survivor-edge) pair per round, replaying [[graft.operators.Dedup
+    * .kcorePeel]]'s recurrence exactly — `k` parameterizes the survival
+    * bound (q_g7 pins k=2, q_g8 k=3). */
+  private def kcoreOracleSql(k: Int): String = simhashPairsSql +
+    ", e0 AS (SELECT a_id AS u, b_id AS v FROM sp)" +
+    (1 to graft.operators.Dedup.KCoreIters).map { i =>
+      s", d$i AS (SELECT id, count(1) AS c FROM (SELECT u AS id FROM e${i - 1} " +
+        s"UNION ALL SELECT v FROM e${i - 1}) t GROUP BY id), " +
+        s"k$i AS (SELECT id FROM d$i WHERE c >= $k), " +
+        s"e$i AS (SELECT u, v FROM e${i - 1} " +
+        s"WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i))"
+    }.mkString +
+    " " +
+    (0 to graft.operators.Dedup.KCoreIters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, " +
+        s"(SELECT count(DISTINCT id) FROM (SELECT u AS id FROM e$i " +
+        s"UNION ALL SELECT v FROM e$i) t) AS n_nodes, " +
+        s"(SELECT count(1) FROM e$i) AS n_edges"
+    }.mkString(" UNION ALL ") +
+    " ORDER BY iter"
 
   /** CTEs `u`,`s`: explicit index-order double-precision cosine terms for the
     * pair set defined by `p` — must match CosineSimilarity's accumulation

@@ -29,7 +29,8 @@ private[core] object GraftProcedures {
   val names: Array[String] =
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
-      "expire_snapshots", "diff", "distinct", "dupclusters")
+      "expire_snapshots", "expire_indexes", "diff", "distinct",
+      "dupclusters")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -44,6 +45,7 @@ private[core] object GraftProcedures {
     case "restore"       => new RestoreProcedure(account)
     case "drop_snapshot" => new DropSnapshotProcedure(account)
     case "expire_snapshots" => new ExpireSnapshotsProcedure(account)
+    case "expire_indexes"   => new ExpireIndexesProcedure
     case "diff"          => new DiffProcedure(account)
   }
 
@@ -512,6 +514,69 @@ private[core] final class ExpireSnapshotsProcedure(account: FileAccount)
       StructField("bytes", LongType, nullable = false)))
     val rows = dropped.map(i => new GenericInternalRow(Array[Any](
       GraftProcedures.utf8(i.tag), i.createdMs, i.files, i.bytes)))
+    java.util.List.of[Scan](
+      new GraftProcedures.RowsScan(schema, rows.toArray)).iterator()
+  }
+}
+
+/** `CALL graft.system.expire_indexes(kind, corpus_dir[, keep_last_n]
+  * [, older_than_ms])` — retention sweep over the durable index artifacts
+  * ([[graft.operators.IndexRetention]]): drops SUPERSEDED corpus-fingerprint
+  * dirs under the ivf / dup / lex index roots, never the live fingerprint
+  * of `corpus_dir`'s current files and never a lock-held in-flight build.
+  * `kind` is `ivf`, `dup`, `lex`, or `all`; bound semantics mirror
+  * `expire_snapshots` (drop outside the newest `keep_last_n` AND older
+  * than `older_than_ms`; -1 = unset; at least one must be set). Returns
+  * one row per swept dir. */
+private[core] final class ExpireIndexesProcedure
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "expire_indexes"
+  override def description(): String =
+    "drop superseded index-artifact fingerprints outside keep_last_n / older_than_ms"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("kind", StringType)
+      .comment("ivf | dup | lex | all").build(),
+    ProcedureParameter.in("corpus_dir", StringType)
+      .comment("corpus whose CURRENT fingerprint is protected").build(),
+    ProcedureParameter.in("keep_last_n", IntegerType).defaultValue("-1")
+      .comment("always retain the newest N superseded dirs (-1 = unset)")
+      .build(),
+    ProcedureParameter.in("older_than_ms", LongType).defaultValue("-1")
+      .comment("only drop dirs published before this epoch-ms (-1 = unset)")
+      .build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val kind = input.getUTF8String(0).toString
+    val dir = input.getUTF8String(1).toString
+    val keepN = Some(input.getInt(2)).filter(_ >= 0)
+    val olderMs = Some(input.getLong(3)).filter(_ >= 0)
+    val swept = kind match {
+      case "ivf" => graft.operators.Similarity.IvfIndex
+        .expireStale(dir, keepN, olderMs)
+      case "dup" => graft.operators.DupClusters.expireStale(dir, keepN, olderMs)
+      case "lex" => graft.operators.LexIndex.expireStale(dir, keepN, olderMs)
+      case "all" =>
+        graft.operators.Similarity.IvfIndex.expireStale(dir, keepN, olderMs) ++
+          graft.operators.DupClusters.expireStale(dir, keepN, olderMs) ++
+          graft.operators.LexIndex.expireStale(dir, keepN, olderMs)
+      case other => throw new IllegalArgumentException(
+        s"expire_indexes: unknown kind '$other' (ivf | dup | lex | all)")
+    }
+    val schema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("created_ms", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    val rows = swept.map(s => new GenericInternalRow(Array[Any](
+      GraftProcedures.utf8(s.kind), GraftProcedures.utf8(s.name),
+      s.createdMs, s.files, s.bytes)))
     java.util.List.of[Scan](
       new GraftProcedures.RowsScan(schema, rows.toArray)).iterator()
   }

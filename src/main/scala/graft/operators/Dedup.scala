@@ -788,15 +788,30 @@ object Dedup {
       .select(col("a_id").as("u"), col("b_id").as("v")), KCoreIters,
       MaxDriverPairs)
 
-  /** The [[qG7]] peel over any (u, v) edge frame — HYBRID by declared bound
-    * ([[componentsOfPairs]]' discipline): under [[MaxDriverPairs]] edges
-    * the peel replays on the driver (pure integer set operations, so the
-    * paths are bit-equal — spec-pinned via the forced-distributed variant);
-    * above it, the BSP loop below. e0 should be a projection of a
-    * persisted frame — round 1's readers re-project from cached blocks. */
+  /** Q-G8 — the k = 3 peel of the same graph (same recurrence, stricter
+    * survival bound: a node needs ≥ 3 surviving neighbors each round).
+    * Where the 2-core separates filaments from families, the 3-core
+    * isolates the DENSE families only — a clique of 4+ near-dups survives,
+    * a triangle glued by one transitive match does not. Shares [[qG7]]'s
+    * artifact-served edge frame, per-round degree shuffle, and chained-CTE
+    * oracle replay (`c >= 3`). */
+  def qG8(s: SparkSession, dir: String): DataFrame =
+    kcorePeel(s, DupClusters.build(s, dir).pairs
+      .select(col("a_id").as("u"), col("b_id").as("v")), KCoreIters,
+      MaxDriverPairs, k = 3)
+
+  /** The [[qG7]]/[[qG8]] peel over any (u, v) edge frame, generalized to
+    * k-core(k) (survival bound `deg >= k`, default the 2-core) — HYBRID by
+    * declared bound ([[componentsOfPairs]]' discipline): under
+    * [[MaxDriverPairs]] edges the peel replays on the driver (pure integer
+    * set operations, so the paths are bit-equal — spec-pinned via the
+    * forced-distributed variant); above it, the BSP loop below. e0 should
+    * be a projection of a persisted frame — round 1's readers re-project
+    * from cached blocks. */
   private[graft] def kcorePeel(s: SparkSession, e0: DataFrame, iters: Int,
-                               maxDriverPairs: Int): DataFrame = {
+                               maxDriverPairs: Int, k: Int = 2): DataFrame = {
     import s.implicits._
+    require(k >= 1, s"k-core needs k >= 1, got $k")
     boundedEdges(e0, maxDriverPairs) match {
       case Some(es0) =>
         import scala.collection.mutable
@@ -814,16 +829,16 @@ object Dedup {
             deg(u) = deg.getOrElse(u, 0L) + 1L
             deg(v) = deg.getOrElse(v, 0L) + 1L
           }
-          es = es.filter { case (u, v) => deg(u) >= 2L && deg(v) >= 2L }
+          es = es.filter { case (u, v) => deg(u) >= k.toLong && deg(v) >= k.toLong }
           val (n, m) = statOf(es); rounds += ((i.toLong, n, m))
         }
         rounds.toSeq.toDF("iter", "n_nodes", "n_edges").orderBy("iter")
-      case None => distributedKcore(s, e0, iters)
+      case None => distributedKcore(s, e0, iters, k)
     }
   }
 
   private def distributedKcore(s: SparkSession, e0: DataFrame,
-                               iters: Int): DataFrame = {
+                               iters: Int, k: Int): DataFrame = {
     import s.implicits._
     {
       // each round TRUNCATES LINEAGE (eager localCheckpoint): the peel
@@ -858,7 +873,7 @@ object Dedup {
       var deg = degreesOf(e)
       val (n0, m0) = statOf(deg); rounds += ((0L, n0, m0))
       for (i <- 1 to iters) {
-        val keep = deg.where(col("deg") >= 2).select("id")
+        val keep = deg.where(col("deg") >= k).select("id")
         val next = truncate(e
           .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")

@@ -86,6 +86,16 @@ object DupClusters {
   private def corpusCount(s: SparkSession, dir: String): Long =
     Tables.documents(s, dir).count()
 
+  /** Retention sweep over this root: drop superseded fingerprint dirs
+    * (never `dir`'s live fingerprint, never a lock-held build) outside the
+    * newest `keepLastN` and older than `olderThanMs` — see
+    * [[IndexRetention]] and `CALL graft.system.expire_indexes`. */
+  def expireStale(dir: String, keepLastN: Option[Int],
+                  olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
+    IndexRetention.sweep(store, indexRoot, "dup",
+      Set(Similarity.IvfIndex.fileFingerprint(corpusPath(dir))),
+      keepLastN, olderThanMs)
+
   /** Build (or fetch) the index for `dir`: in-process memo, then the
     * durable on-disk copy, and only on a true miss the one-pass corpus
     * build — staged and atomically renamed into place under the shared

@@ -1,0 +1,70 @@
+package graft.operators
+
+/** Retention sweep for the durable index artifacts ([[Similarity.IvfIndex]],
+  * [[DupClusters]], [[LexIndex]]). Each of those publishes a NEW
+  * corpus-fingerprint-keyed directory whenever the corpus changes and never
+  * deletes superseded ones — correct (fingerprint keying is exactly what
+  * makes stale serving impossible) but unbounded storage under daily corpus
+  * drops at 100 TB. This is the `expire_snapshots` pattern applied to index
+  * roots: drop superseded fingerprint dirs outside the newest `keep_last_n`
+  * AND older than `older_than_ms` (each bound alone only retains more; at
+  * least one must be set), while
+  *
+  *  - the LIVE fingerprint — whatever the current corpus files hash to —
+  *    is never dropped, at any format version or parameterization;
+  *  - a dir whose build lock is held (in-flight build, or a racing JVM's
+  *    staging `<path>.tmp-*`) is never touched;
+  *  - sweeping is per-dir and idempotent — a crash mid-sweep just leaves
+  *    fewer dirs for the next call.
+  *
+  * Reader coordination contract (same as `expire_snapshots`): a session
+  * still holding persisted frames loaded from a SUPERSEDED fingerprint can
+  * lose spilled blocks' backing files — pick retention longer than the
+  * longest consumer session, or run the sweep at a quiet moment.
+  *
+  * SQL surface: `CALL graft.system.expire_indexes(kind, corpus_dir[,
+  * keep_last_n][, older_than_ms])` ([[graft.core.GraftCatalog]]). */
+private[graft] object IndexRetention {
+
+  /** One swept index dir: `created_ms` is the newest file mtime inside it
+    * (= publish time for rename-committed artifacts). */
+  final case class Swept(kind: String, name: String, createdMs: Long,
+                        files: Long, bytes: Long)
+
+  /** Sweep one index root. `liveFingerprints` are substrings that mark a
+    * dir as live (the current corpus fingerprint — dir names embed it
+    * between the version prefix and the parameter suffix). */
+  def sweep(store: graft.core.Storage, root: String, kind: String,
+            liveFingerprints: Set[String], keepLastN: Option[Int],
+            olderThanMs: Option[Long]): Seq[Swept] = {
+    require(keepLastN.nonEmpty || olderThanMs.nonEmpty,
+      "expire_indexes: set keep_last_n and/or older_than_ms")
+    require(keepLastN.forall(_ >= 0) && olderThanMs.forall(_ >= 0),
+      "expire_indexes: retention bounds must be non-negative")
+    require(liveFingerprints.forall(_.nonEmpty),
+      "expire_indexes: empty live fingerprint would protect nothing")
+    if (!store.exists(root)) return Seq.empty
+    def path(n: String) = new org.apache.hadoop.fs.Path(root, n).toString
+    def lockHeld(n: String): Boolean = {
+      // a staging dir `<base>.tmp-xxxx` is guarded by its BASE's lock
+      val base = n.split("\\.tmp-")(0)
+      store.exists(path(base) + ".lock")
+    }
+    val cands = store.listDirNames(root)
+      .filterNot(n => liveFingerprints.exists(n.contains))
+      .filterNot(lockHeld)
+      .map { n =>
+        val p = path(n)
+        val files = store.walk(p)
+        val created =
+          if (files.nonEmpty) files.map(_.mtimeMs).max
+          else store.fileMeta(p).map(_.mtimeMs).getOrElse(0L)
+        Swept(kind, n, created, files.size.toLong, files.map(_.size).sum)
+      }
+      .sortBy(-_.createdMs)
+    val outsideN = keepLastN.map(cands.drop).getOrElse(cands)
+    val toDrop = olderThanMs.map(t => outsideN.filter(_.createdMs < t))
+      .getOrElse(outsideN)
+    toDrop.filter(s => store.deleteRecursive(path(s.name)))
+  }
+}

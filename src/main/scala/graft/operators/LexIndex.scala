@@ -95,6 +95,16 @@ object LexIndex {
         Similarity.IvfIndex.fileFingerprint(corpusPath(dir)) +
         s"-b$configuredBuckets").toString
 
+  /** Retention sweep over this root: drop superseded fingerprint dirs
+    * (never `dir`'s live fingerprint, never a lock-held build) outside the
+    * newest `keepLastN` and older than `olderThanMs` — see
+    * [[IndexRetention]] and `CALL graft.system.expire_indexes`. */
+  def expireStale(dir: String, keepLastN: Option[Int],
+                  olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
+    IndexRetention.sweep(store, indexRoot, "lex",
+      Set(Similarity.IvfIndex.fileFingerprint(corpusPath(dir))),
+      keepLastN, olderThanMs)
+
   /** The corpus file listing serialized for `corpus_files.tsv` — one
     * `relPath:size:mtimeMs` line per DATA file, sorted. Hidden/metadata
     * files (basename starting `_` or `.` — `_SUCCESS`, checksum sidecars)

@@ -443,10 +443,19 @@ object Multimodal {
     * the DECISION-LEVEL recovery: lvl = (⌊px_sum / (w·h·3)⌋ − 16) DIV 16,
     * which reproduces the closed-form level for ANY decode whose mean
     * error is within ±8 gray units (measured JDK round-trip error on these
-    * canvases: ≤ 2 — MultimodalSpec pins the ≤ 4 headroom bound). Width,
-    * height, and pixel count stay exact (lossy compression never changes
-    * geometry). Same batched mapPartitions shape as the PNG lane: blobs
-    * never cross an exchange. */
+    * canvases: ≤ 2 — the PlanAuditSpec headroom test pins a ≤ 4 bound).
+    * Width, height, and pixel count stay exact (lossy compression never
+    * changes geometry). Same batched mapPartitions shape as the PNG lane:
+    * blobs never cross an exchange.
+    *
+    * JDK-version contract: the oracle depends on the platform JPEG decoder
+    * only through "mean round-trip error ≤ 4 on constant canvases" — half
+    * the ±8 decision margin. The fold at a decision boundary is integer
+    * floor division (exact boundary → the UPPER level), restated from
+    * first principles by the adversarial boundary-canvas spec
+    * (PlanAuditSpec), which also re-measures the error contract at the
+    * level EDGE — so a JDK upgrade whose decoder drifts fails that spec
+    * loudly instead of silently flipping a level here. */
   def qMm13(spark: SparkSession, dir: String): DataFrame =
     pixelFeatures(jpegAssets(spark, dir), ImageIoDecoder)
       .selectExpr("asset_id", "w", "h",

@@ -135,6 +135,12 @@ object Similarity {
 
     private val cache = new graft.core.SessionCache[Index]()
 
+    /** Test/bench hook ([[DupClusters.evictSession]]'s contract): drop the
+      * session's memo so the next [[build]] exercises the durable load
+      * path instead of returning the in-process handle. */
+    private[graft] def evictSession(s: SparkSession): Unit =
+      cache.evictSession(s)
+
     private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
 
     /** One mutation lock per index (`<indexPath>.lock`, exclusive create):
@@ -259,6 +265,15 @@ object Similarity {
         .digest(parts.mkString(";").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     }
+
+    /** Retention sweep over this root: drop superseded fingerprint dirs
+      * (never `dir`'s live fingerprint, never a lock-held build) outside
+      * the newest `keepLastN` and older than `olderThanMs` — see
+      * [[IndexRetention]] and `CALL graft.system.expire_indexes`. */
+    def expireStale(dir: String, keepLastN: Option[Int],
+                    olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
+      IndexRetention.sweep(store, indexRoot, "ivf",
+        Set(corpusFingerprint(dir)), keepLastN, olderThanMs)
 
     /** Bump when the build algorithm or on-disk format changes — a stale
       * on-disk index from an older build must not be served for the same

@@ -466,9 +466,21 @@ object Streams {
     * lossless: a colliding store row shares the bk, hence the partition).
     * Pre-marker stores are adopted/migrated one-time at entry — see
     * [[resolveGateStore]]. Returns (admitted, rejected) counts for the
-    * batch. */
+    * batch.
+    *
+    * `advanceIndex = true` (with `corpusDir`) makes the gate the FULL
+    * ingestion sink: the admitted delta lands in `corpusDir`'s
+    * `documents.parquet` AND advances the durable
+    * [[graft.operators.DupClusters]] artifact, all under this batch's
+    * `_commits/<batchId>` marker — a `.corpus` sub-marker records the
+    * delta landing, so a crash at any point replays to a consistent
+    * (corpus, index) pair and the delta can never double-append. */
   def dedupGateBatch(spark: SparkSession, storeDir: String,
-      batch: DataFrame, batchId: Long): (Long, Long) = {
+      batch: DataFrame, batchId: Long, advanceIndex: Boolean = false,
+      corpusDir: Option[String] = None): (Long, Long) = {
+    require(!advanceIndex || corpusDir.nonEmpty,
+      "dedupGateBatch: advanceIndex = true needs the corpusDir the " +
+        "admitted delta lands in")
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
     healGateStore(storeDir) // finish any crashed compaction swap first
@@ -476,6 +488,21 @@ object Streams {
     val marker = s"$storeDir/_commits/$batchId"
     if (st.exists(marker)) return (0L, 0L) // replayed, already committed
     def commit(): Unit = { st.mkdirs(s"$storeDir/_commits"); st.writeString(marker, ""); () }
+    // sub-marker of the advanceIndex protocol: present = this batch's
+    // admitted delta has LANDED in the corpus but the final commit didn't
+    // happen — the index may or may not have advanced
+    val corpusMarker = s"$storeDir/_commits/$batchId.corpus"
+    if (advanceIndex && st.exists(corpusMarker)) {
+      // crash between corpus landing and final commit: gate decisions and
+      // corpus delta are durable. Re-deriving the index for the CURRENT
+      // corpus state replays to consistency — fingerprint-keyed publish
+      // means a completed append warm-loads and a lost one rebuilds
+      // (spec-pinned equal to the append), so the delta can never
+      // double-append and the reconciliation refusal never fires
+      graft.operators.DupClusters.build(spark, corpusDir.get)
+      commit()
+      return (0L, 0L)
+    }
     val n = batch.count()
     if (n == 0) { commit(); return (0L, 0L) }
     val bands = batch.selectExpr("doc_id", "minhash_sig(text, 3) AS ms")
@@ -518,6 +545,23 @@ object Streams {
     admitted.write.mode("append").parquet(s"$storeDir/docs")
     bands.join(rejected, Seq("doc_id"), "left_anti")
       .write.mode("append").partitionBy("bp").parquet(bandsPath)
+    if (advanceIndex && nAdmit > 0) {
+      // VERDICT r10 task 7: the gate's admission AND the dup-cluster
+      // index's advance run under the SAME _commits/<batchId> marker —
+      // the two-call sequence the operator previously had to order is now
+      // one crash-safe protocol. prior is resolved BEFORE the delta lands
+      // (warm memo/durable load), the delta is written to the corpus, the
+      // sub-marker makes the landing detectable, and the append publishes
+      // by fingerprint-keyed atomic rename (its own idempotency)
+      val dir = corpusDir.get
+      val prior = graft.operators.DupClusters.build(spark, dir)
+      val adm = admitted.select("doc_id", "text")
+      adm.write.mode("append").parquet(
+        new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString)
+      st.mkdirs(s"$storeDir/_commits"); st.writeString(corpusMarker, "")
+      graft.operators.DupClusters.append(spark, dir, prior, adm)
+      ()
+    }
     commit()
     // upkeep AFTER the commit marker: every micro-batch appends one parquet
     // write to bands/ and docs/ — unbounded small-file accumulation, the

@@ -209,6 +209,66 @@ class DupClustersSpec extends AnyFunSuite {
     assert(idx.nDocs == graft.core.Tables.documents(spark, root).count())
   }
 
+  test("advanceIndex gate: corpus + index advance under one marker; crash between landing and commit replays consistent") {
+    // VERDICT r10 task 7: dedupGateBatch(advanceIndex = true) replaces the
+    // gate-then-append two-call sequence with one crash-safe protocol
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-adv").toString
+    val root = Files.createTempDirectory("graft-advcorpus").toString
+    val corpus = s"$root/documents.parquet"
+    val st = graft.core.Storage.hadoop
+    val all = graft.core.Tables.documents(spark, sf)
+    all.where(col("doc_id") < 400).write.parquet(corpus)
+    DupClusters.build(spark, root)
+    graft.functions.GraftFunctions.register(spark)
+    def batchOf(lo: Int, hi: Int) =
+      all.where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+    // happy path: one call lands the delta AND advances the index — the
+    // reconciliation refusal must never fire here
+    val (a0, r0) = graft.streaming.Streams.dedupGateBatch(
+      spark, store, batchOf(400, 450), 0L,
+      advanceIndex = true, corpusDir = Some(root))
+    assert(a0 + r0 == 50)
+    val idx0 = DupClusters.build(spark, root) // warm: the appended index
+    assert(idx0.nDocs == graft.core.Tables.documents(spark, root).count())
+    // replay of the committed batch is a no-op (corpus not re-appended)
+    val before = graft.core.Tables.documents(spark, root).count()
+    assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+      batchOf(400, 450), 0L, advanceIndex = true,
+      corpusDir = Some(root)) == (0L, 0L))
+    assert(graft.core.Tables.documents(spark, root).count() == before)
+    // CRASH between the corpus landing and the final commit: simulate by
+    // running the gate WITHOUT the index advance, landing the admitted
+    // delta + the .corpus sub-marker by hand, and dying before the final
+    // marker (delete it — the plain gate wrote it)
+    val (a1, r1) = graft.streaming.Streams.dedupGateBatch(
+      spark, store, batchOf(450, 500), 1L)
+    assert(a1 + r1 == 50)
+    val adm = spark.read.parquet(s"$store/docs")
+      .where(col("doc_id") >= 450 && col("doc_id") < 500)
+      .select("doc_id", "text")
+    adm.write.mode("append").parquet(corpus)
+    st.writeString(s"$store/_commits/1.corpus", "")
+    assert(st.delete(s"$store/_commits/1"))
+    // the replay must rebuild/load a CONSISTENT index for the current
+    // corpus state and commit — never double-append, never refuse
+    assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+      batchOf(450, 500), 1L, advanceIndex = true,
+      corpusDir = Some(root)) == (0L, 0L))
+    assert(st.exists(s"$store/_commits/1"), "replay must finish the commit")
+    val idx1 = DupClusters.build(spark, root)
+    assert(idx1.nDocs == graft.core.Tables.documents(spark, root).count())
+    assert(pairSet(idx1.pairs) == pairSet(Dedup.qD6(spark, root)),
+      "post-crash index must equal from-scratch mining")
+    // and the NEXT happy-path batch still reconciles (nothing drifted)
+    val batch3 = spark.range(1).selectExpr("CAST(900000 AS BIGINT) AS doc_id",
+      "'a completely novel document about nothing else in the corpus' AS text")
+    assert(graft.streaming.Streams.dedupGateBatch(spark, store, batch3, 2L,
+      advanceIndex = true, corpusDir = Some(root)) == (1L, 0L))
+    assert(DupClusters.build(spark, root).nDocs ==
+      graft.core.Tables.documents(spark, root).count())
+  }
+
   test("append refuses a delta that does not reconcile with the corpus") {
     val root = Files.createTempDirectory("graft-dupref").toString
     val corpus = s"$root/documents.parquet"

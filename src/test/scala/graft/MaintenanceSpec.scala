@@ -455,4 +455,87 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r.getLong(2) == idx.pairs.count() &&
       r.getLong(3) == idx.clusters.count(), s"$r")
   }
+
+  test("expire_indexes: stale fingerprints swept, live + lock-held survive, bounds compose") {
+    val dir = "/root/testdata/sf0.001"
+    val st = graft.core.Storage.hadoop
+    val lexRoot = Files.createTempDirectory(Paths.get("target"), "lex-exp")
+      .toAbsolutePath.toString
+    // all three roots isolated: the 'all' sweep below must not reach the
+    // default roots other suites share
+    val rootProps = Seq("graft.lexindex.root", "graft.ivf.root",
+      "graft.dupindex.root")
+    val prevProps = rootProps.map(k => k -> sys.props.get(k)).toMap
+    sys.props("graft.lexindex.root") = lexRoot
+    sys.props("graft.ivf.root") = Files
+      .createTempDirectory(Paths.get("target"), "ivf-exp").toString
+    sys.props("graft.dupindex.root") = Files
+      .createTempDirectory(Paths.get("target"), "dup-exp").toString
+    try {
+      // live index for the CURRENT corpus fingerprint
+      graft.operators.LexIndex.build(spark, dir)
+      val live = st.listDirNames(lexRoot)
+      assert(live.size == 1, s"one live dir expected: $live")
+      // three superseded fingerprints (fabricated: the sweeper keys on dir
+      // names + mtimes, exactly what a dead corpus state leaves behind),
+      // with distinct publish times for the keep_last_n ordering, plus one
+      // whose build lock is held (an in-flight JVM)
+      def fakeIdx(name: String, ageMs: Long): Unit = {
+        st.mkdirs(s"$lexRoot/$name")
+        st.writeString(s"$lexRoot/$name/meta.tsv", "nDocsAll\t1\n")
+        val t = java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - ageMs)
+        Files.setLastModifiedTime(Paths.get(lexRoot, name, "meta.tsv"), t)
+      }
+      fakeIdx("v1-aaaa0001-b64", 3 * 3600L * 1000L)
+      fakeIdx("v1-aaaa0002-b64", 2 * 3600L * 1000L)
+      fakeIdx("v1-aaaa0003-b64", 1 * 3600L * 1000L)
+      fakeIdx("v1-cccc0001-b64", 4 * 3600L * 1000L)
+      st.writeString(s"$lexRoot/v1-cccc0001-b64.lock", "held")
+      spark.conf.set("spark.sql.catalog.graftei",
+        classOf[graft.core.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftei.root",
+        Files.createTempDirectory(Paths.get("target"), "ei-acc").toString)
+      // both bounds: outside newest 1 AND older than 90 minutes — only the
+      // two oldest unlocked stale dirs qualify
+      val cutoff = System.currentTimeMillis() - 90L * 60L * 1000L
+      val swept = spark.sql(
+        s"CALL graftei.system.expire_indexes(kind => 'lex', " +
+          s"corpus_dir => '$dir', keep_last_n => 1, " +
+          s"older_than_ms => ${cutoff}L)").collect()
+      assert(swept.map(_.getString(1)).toSet ==
+        Set("v1-aaaa0001-b64", "v1-aaaa0002-b64"), swept.mkString(", "))
+      assert(swept.forall(r => r.getString(0) == "lex" && r.getLong(3) >= 1L))
+      // keep_last_n alone finishes the sweep; live + locked never touched
+      val rest = spark.sql(
+        s"CALL graftei.system.expire_indexes('lex', '$dir', 0)").collect()
+      assert(rest.map(_.getString(1)).toSeq == Seq("v1-aaaa0003-b64"))
+      val remaining = st.listDirNames(lexRoot).toSet
+      assert(remaining == live.toSet + "v1-cccc0001-b64",
+        s"live + lock-held must survive: $remaining")
+      // the live index still serves after the sweep (fresh session: the
+      // durable load path, not the memo)
+      val s2 = spark.newSession()
+      assert(graft.operators.LexIndex.build(s2, dir).nDocsAll == 500L)
+      // no bounds set → loud refusal, nothing swept
+      val err = intercept[Exception](spark.sql(
+        s"CALL graftei.system.expire_indexes('lex', '$dir')")).getMessage
+      assert(err.contains("keep_last_n"), err)
+      // unknown kind → loud refusal
+      val err2 = intercept[Exception](spark.sql(
+        s"CALL graftei.system.expire_indexes('nope', '$dir', 0)")).getMessage
+      assert(err2.contains("unknown kind"), err2)
+      // 'all' over the other (empty) roots composes without error
+      assert(spark.sql(
+        s"CALL graftei.system.expire_indexes('all', '$dir', 0)").collect()
+        .isEmpty)
+    } finally {
+      rootProps.foreach { k =>
+        prevProps(k) match {
+          case Some(p) => sys.props(k) = p
+          case None    => sys.props.remove(k)
+        }
+      }
+    }
+  }
 }

@@ -828,6 +828,55 @@ class PlanAuditSpec extends AnyFunSuite {
       "recovered levels must replay the closed form")
   }
 
+  test("q_mm13 adversarial boundary canvas: fold direction deterministic, error contract holds at the level edge") {
+    import graft.operators.Multimodal
+    // production canvases sit at g = lvl*16 + 24 — the MIDPOINT between
+    // decision boundaries (…32, 48…), 8 gray units of margin each way.
+    // This canvas sits ON the boundary (g = 32, the lvl 0/1 edge): the
+    // worst case a drifted JDK decoder would hit first. Pinned here:
+    // (a) the ±4 mean-error contract holds even at the edge, (b) decode
+    // is bit-deterministic (same blob → same samples), and (c) the fold
+    // of the integer formula is floor-division's — computed from the
+    // DECODED sum, with no rounding ambiguity the engine could introduce.
+    // A JDK upgrade that grows decode error past the contract fails THIS
+    // spec loudly instead of silently flipping a production oracle level.
+    val side = 8
+    val g = 32 // exact decision boundary between lvl 0 and lvl 1
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until side; x <- 0 until side)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); out.close() }
+    val blob = bos.toByteArray
+    val d1 = Multimodal.ImageIoDecoder.decode(blob).get
+    val d2 = Multimodal.ImageIoDecoder.decode(blob).get
+    assert(java.util.Arrays.equals(d1.samples, d2.samples),
+      "decoding the same blob twice must be bit-identical")
+    val n = d1.width * d1.height * d1.channels
+    val sum = d1.samples.map(_.toLong).sum
+    val mean = sum.toDouble / n
+    assert(math.abs(mean - g) <= 4.0,
+      s"boundary canvas decoded mean $mean vs encoded $g exceeds the " +
+        "error contract — the JDK decoder drifted; re-audit qMm13's oracle")
+    // the fold: floor division of the decoded integer mean — exact
+    // boundary folds UP (mean 32.0 → lvl 1), anything below folds DOWN.
+    // Restated from first principles so an engine-side rounding change
+    // (e.g. DIV → round-half-up) would diverge here
+    val lvl = ((sum / n) - 16) / 16
+    val expected = if (sum / n >= 32) 1L else 0L
+    assert(lvl == expected,
+      s"fold direction changed: decoded integer mean ${sum / n} → lvl $lvl")
+  }
+
   test("q_t28 BPE pairs: vocabulary-sized pair stage, map-side combine, TakeOrdered top-20") {
     val q = graft.operators.TextAnalysis.qT28(spark, sf)
     q.collect()

@@ -183,14 +183,22 @@ class RecallSpec extends AnyFunSuite {
     // isolated pair 30-31 (peels in round 1)
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 20L), (20L, 21L), (30L, 31L)).toDF("u", "v")
-    def rows(maxDriver: Int) =
-      graft.operators.Dedup.kcorePeel(spark, e, 3, maxDriver)
+    def rows(maxDriver: Int, k: Int = 2) =
+      graft.operators.Dedup.kcorePeel(spark, e, 3, maxDriver, k)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val fast = rows(100000)
     val dist = rows(0)
     assert(fast == dist, s"hybrid paths diverge: $fast vs $dist")
     // structure: the chain and pair peel, the clique alone survives
     assert(fast.head == ((0L, 8L, 9L)) && fast.last == ((3L, 4L, 6L)), s"$fast")
+    // k = 3 (q_g8): same hybrid parity; node 4's pendant edge now peels in
+    // round 1 (its degree inside the clique is 3, but 20 has degree 2),
+    // leaving exactly the 4-clique — every member has the 3 neighbors the
+    // stricter bound demands
+    val fast3 = rows(100000, k = 3)
+    assert(fast3 == rows(0, k = 3), "k=3 hybrid paths diverge")
+    assert(fast3.last == ((3L, 4L, 6L)) && fast3(1) == ((1L, 4L, 6L)),
+      s"3-core must reduce to the clique in one round: $fast3")
   }
 
   test("full-signature LSH (qSim2 family): recall measured, monotone in width") {
