@@ -168,6 +168,7 @@ object SparkEntry {
     "q_sim12_range_search" -> (Similarity.qSim12 _),
     "q_sim13_pq_adc"       -> (Similarity.qSim13 _),
     "q_sim14_ivfpq"        -> (Similarity.qSim14 _),
+    "q_sim16_pq_rerank"    -> (Similarity.qSim16 _),
     "q_sim15_hybrid_rrf"   -> (Similarity.qSim15 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
@@ -1242,34 +1243,29 @@ object SparkEntry {
       // candidates = members of the 4 probed cells, scored by the integer
       // ADC (per-probe 8x16 LUT, 8 lookups per candidate) — the Faiss
       // IVFPQ shape, integer end-to-end after the one deterministic floor
-      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
-        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
-        "p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
-        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
-        cosineSumSql +
-        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
-        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
-        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
-        "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 10 AND rn <= 4), " +
-        "cb AS (SELECT vec_id AS code, qv AS cq FROM qz WHERE vec_id < 16), " +
-        "ms AS (SELECT unnest(generate_series(0, 7)) AS m), " +
-        "js AS (SELECT unnest(generate_series(1, 8)) AS j), " +
-        "cd AS (SELECT v.vec_id, ms.m, cb.code, " +
-        "sum((v.qv[ms.m*8+js.j] - cb.cq[ms.m*8+js.j]) * (v.qv[ms.m*8+js.j] - cb.cq[ms.m*8+js.j])) AS d " +
-        "FROM qz v, ms, cb, js GROUP BY 1, 2, 3), " +
-        "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +
-        "row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn FROM cd) t WHERE rn = 1), " +
-        "lu AS (SELECT q.vec_id AS q_id, ms.m, cb.code, CAST(sum(q.qv[ms.m*8+js.j] * cb.cq[ms.m*8+js.j]) AS BIGINT) AS lt " +
-        "FROM qz q, ms, cb, js WHERE q.vec_id < 10 GROUP BY 1, 2, 3), " +
-        "cand AS (SELECT pr.q_id, t.vec_id AS n_id FROM probe pr " +
-        "JOIN cell t ON t.cid = pr.cid AND t.vec_id <> pr.q_id), " +
-        "ad AS (SELECT c.q_id, c.n_id, CAST(sum(l.lt) AS BIGINT) AS adot " +
-        "FROM cand c JOIN codes k ON k.vec_id = c.n_id " +
-        "JOIN lu l ON l.q_id = c.q_id AND l.m = k.m AND l.code = k.code " +
-        "GROUP BY 1, 2), " +
-        "r AS (SELECT q_id, n_id, adot, row_number() OVER " +
+      ivfPqAdcSql +
+        ", r AS (SELECT q_id, n_id, adot, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY adot DESC, n_id) AS rank FROM ad) " +
         "SELECT q_id, n_id, adot, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    "q_sim16_pq_rerank" -> (
+      // two-stage refine: the q_sim14 ADC chain shortlists top-100 per
+      // probe, then ONLY the shortlist is re-scored with the exact float
+      // cosine (q_sim1's kernel shape) and re-ranked to a top-10 carrying
+      // the stage-1 rank
+      ivfPqAdcSql +
+        ", r AS (SELECT q_id, n_id, adot, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY adot DESC, n_id) AS rank FROM ad), " +
+        "sl AS (SELECT q_id, n_id, rank AS r_adc FROM r WHERE rank <= 100), " +
+        "ru AS (SELECT sl.q_id, sl.n_id, sl.r_adc, unnest(generate_series(1, 64)) AS i, " +
+        "qa.embedding AS ea, nb.embedding AS eb FROM sl " +
+        "JOIN embeddings qa ON qa.vec_id = sl.q_id " +
+        "JOIN embeddings nb ON nb.vec_id = sl.n_id), " +
+        "rs AS (SELECT q_id, n_id, r_adc, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+        "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb " +
+        "FROM ru GROUP BY 1, 2, 3), " +
+        "fin AS (SELECT q_id, n_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim, r_adc, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, n_id) AS rank FROM rs) " +
+        "SELECT q_id, n_id, sim, r_adc, rank FROM fin WHERE rank <= 10 ORDER BY q_id, rank"),
     "q_sim13_pq_adc" -> (
       // PQ replay: q_sim9's int8 lane, codebook = the vec_id<16 int8
       // seeds sliced into 8 sub-spaces × 16 codes; codes argmin exact
@@ -1767,6 +1763,38 @@ object SparkEntry {
         s"(SELECT count(1) FROM e$i) AS n_edges"
     }.mkString(" UNION ALL ") +
     " ORDER BY iter"
+
+  /** The IVF-PQ asymmetric-distance chain shared by q_sim14 / q_sim16:
+    * int8 quantize → seeded cells + 4-probe assignment → codebook =
+    * vec_id<16 int8 seeds sliced 8×16 → exact-BIGINT argmin codes →
+    * per-probe LUT → CTE `ad` (q_id, n_id, adot) over the probed-cell
+    * candidates. Integer end-to-end after the one deterministic floor. */
+  private def ivfPqAdcSql: String =
+    "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+      "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+      "p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+      "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+      cosineSumSql +
+      ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+      "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+      "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+      "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 10 AND rn <= 4), " +
+      "cb AS (SELECT vec_id AS code, qv AS cq FROM qz WHERE vec_id < 16), " +
+      "ms AS (SELECT unnest(generate_series(0, 7)) AS m), " +
+      "js AS (SELECT unnest(generate_series(1, 8)) AS j), " +
+      "cd AS (SELECT v.vec_id, ms.m, cb.code, " +
+      "sum((v.qv[ms.m*8+js.j] - cb.cq[ms.m*8+js.j]) * (v.qv[ms.m*8+js.j] - cb.cq[ms.m*8+js.j])) AS d " +
+      "FROM qz v, ms, cb, js GROUP BY 1, 2, 3), " +
+      "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +
+      "row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn FROM cd) t WHERE rn = 1), " +
+      "lu AS (SELECT q.vec_id AS q_id, ms.m, cb.code, CAST(sum(q.qv[ms.m*8+js.j] * cb.cq[ms.m*8+js.j]) AS BIGINT) AS lt " +
+      "FROM qz q, ms, cb, js WHERE q.vec_id < 10 GROUP BY 1, 2, 3), " +
+      "cand AS (SELECT pr.q_id, t.vec_id AS n_id FROM probe pr " +
+      "JOIN cell t ON t.cid = pr.cid AND t.vec_id <> pr.q_id), " +
+      "ad AS (SELECT c.q_id, c.n_id, CAST(sum(l.lt) AS BIGINT) AS adot " +
+      "FROM cand c JOIN codes k ON k.vec_id = c.n_id " +
+      "JOIN lu l ON l.q_id = c.q_id AND l.m = k.m AND l.code = k.code " +
+      "GROUP BY 1, 2)"
 
   /** CTEs `u`,`s`: explicit index-order double-precision cosine terms for the
     * pair set defined by `p` — must match CosineSimilarity's accumulation

@@ -30,7 +30,7 @@ private[core] object GraftProcedures {
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
       "expire_snapshots", "expire_indexes", "diff", "distinct",
-      "dupclusters")
+      "dupclusters", "lexindex")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -40,6 +40,7 @@ private[core] object GraftProcedures {
     case "rebucket" => new RebucketProcedure(account)
     case "distinct" => new DistinctProcedure(account)
     case "dupclusters" => new DupClustersProcedure(account)
+    case "lexindex"    => new LexIndexProcedure
     case "snapshot"      => new SnapshotProcedure(account)
     case "snapshots"     => new ListSnapshotsProcedure(account)
     case "restore"       => new RestoreProcedure(account)
@@ -302,6 +303,44 @@ private[core] final class DupClustersProcedure(account: FileAccount)
     val row = new GenericInternalRow(Array[Any](
       GraftProcedures.utf8(idx.path), idx.nDocs,
       idx.pairs.count(), idx.clusters.count()))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.lexindex(dir)` — build (or warm-load) the durable
+  * inverted index over a documents corpus directory
+  * ([[graft.operators.LexIndex]]) and report its shape: docs covered,
+  * distinct terms, postings rows, and the frozen bucket count. SQL parity
+  * with `dupclusters`: the doorway to the artifact the BM25 / hybrid-RRF
+  * lexical lanes serve from — a warm call reads sidecar metadata plus
+  * index-sized counts, never a corpus pass. */
+private[core] final class LexIndexProcedure
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "lexindex"
+  override def description(): String =
+    "build or warm-load the durable inverted index for a corpus dir"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("dir", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = input.getUTF8String(0).toString
+    val idx = graft.operators.LexIndex.build(SparkSession.active, dir)
+    val schema = StructType(Seq(
+      StructField("index_path", StringType, nullable = false),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("n_terms", LongType, nullable = false),
+      StructField("n_postings", LongType, nullable = false),
+      StructField("buckets", LongType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      GraftProcedures.utf8(idx.path), idx.nDocsAll,
+      idx.terms.count(), idx.postings.count(), idx.buckets.toLong))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

@@ -676,6 +676,42 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Q-SIM16 — PQ SHORTLIST + EXACT RERANK: the two-stage serving
+    * pattern production ANN actually runs (Faiss/ScaNN "refine" stage):
+    * stage 1 ranks candidates by the 8-byte PQ codes
+    * ([[IvfIndex.probePq]], top-100 shortlist — memory-bandwidth-cheap
+    * but lossy), stage 2 re-scores ONLY the shortlist with exact float
+    * cosine over the full vectors and emits the top-10. Recall recovers
+    * toward the exact lane at PQ scan cost, because stage 2 touches 100
+    * vectors per probe no matter the corpus size. Output carries each
+    * hit's stage-1 rank (`r_adc`) so a consumer sees how far the exact
+    * order moved it — the number that justifies (or kills) the refine
+    * stage for a workload.
+    *
+    * Scale: the shortlist is probe-count × 100 rows and BROADCASTS into
+    * the full-vector fetch, so the rescore reads a bounded set of rows
+    * from the assignment — never a corpus pass; the ranking window
+    * partitions on q_id over ≤ 100-row partitions. RecallSpec measures
+    * the recovery against both the pure-ADC lane and float truth;
+    * the oracle replays shortlist + rescore exactly. */
+  def qSim16(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = IvfIndex.build(s, dir, lloydIters = 0)
+    val sl = IvfIndex.probePq(s, dir, idx, topK = 100)
+      .select(col("q_id"), col("n_id"), col("rank").as("r_adc"))
+    val e = Tables.embeddings(s, dir)
+    val w = Window.partitionBy("q_id").orderBy(desc("sim_raw"), col("n_id"))
+    broadcast(sl)
+      .join(e.selectExpr("vec_id AS n_id", "embedding AS en"), "n_id")
+      .join(broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq")
+        .where(col("q_id") < 10)), "q_id")
+      .withColumn("sim_raw", expr("cosine_sim(eq, en)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim", "r_adc", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   /** The index-free lexical lane of [[qSim15]] (re-tokenizes the corpus
     * per run) — retained as the equality oracle for the
     * [[LexIndex.jaccardTopDocs]] served form. */

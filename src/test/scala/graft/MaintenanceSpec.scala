@@ -456,6 +456,21 @@ class MaintenanceSpec extends AnyFunSuite {
       r.getLong(3) == idx.clusters.count(), s"$r")
   }
 
+  test("SQL surface: CALL graft.system.lexindex builds/loads the inverted index and reports its shape") {
+    val acc = newAccount("calllex")
+    spark.conf.set("spark.sql.catalog.graftlx",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftlx.root", acc.root)
+    val dir = "/root/testdata/sf0.001"
+    val r = spark.sql(s"CALL graftlx.system.lexindex('$dir')").head()
+    assert(r.getString(0).contains("lex-index"), s"$r")
+    assert(r.getLong(1) == 500L, s"n_docs: $r")
+    val idx = graft.operators.LexIndex.build(spark, dir)
+    assert(r.getLong(2) == idx.terms.count() &&
+      r.getLong(3) == idx.postings.count(), s"$r")
+    assert(r.getLong(4) == idx.buckets.toLong, s"buckets: $r")
+  }
+
   test("expire_indexes: stale fingerprints swept, live + lock-held survive, bounds compose") {
     val dir = "/root/testdata/sf0.001"
     val st = graft.core.Storage.hadoop

@@ -907,6 +907,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the probe-side scan may touch parquet:\n${scans.mkString("\n")}")
   }
 
+  test("q_sim16 rerank: shortlist broadcasts into the vector fetch, no corpus shuffle join") {
+    val q = graft.operators.Similarity.qSim16(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // stage 2 must be: bounded shortlist BROADCAST into one corpus vector
+    // fetch — a shuffle join or a re-ranking of the whole corpus would
+    // throw away the refine stage's entire point
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shortlist must broadcast into the embedding fetch:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"rerank must never shuffle-join or cross the corpus:\n$plan")
+    // the ranking window partitions on q_id — bounded 100-row partitions
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(!_.contains("SinglePartition")),
+      s"rerank window must stay partitioned:\n${windows.mkString("\n")}")
+  }
+
   test("q_x9 retention: distinct-then-window, no self-join, metadata rollup") {
     val q = graft.operators.Windows.qX9(spark, sf)
     q.collect()

@@ -262,4 +262,42 @@ class RecallSpec extends AnyFunSuite {
     assert(overlaps.sum >= pq.size * 3,
       s"ADC ranking no better than noise: $overlaps")
   }
+
+  test("PQ rerank (q_sim16): exact restriction of the shortlist, per-probe recall >= pure ADC") {
+    // the refine-stage guarantee, checked as math, not luck: (a) every
+    // reranked hit comes from the ADC shortlist; (b) any TRUE top-10
+    // member that reached the shortlist must survive the exact rescore
+    // (if 10 shortlist members beat it on exact cosine they'd also beat
+    // it globally), so per-probe recall vs float truth can only improve
+    // over the pure-ADC top-10
+    graft.functions.GraftFunctions.register(spark)
+    val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("sim"), col("n_id"))
+    val truth = topSets(
+      broadcast(e.selectExpr("vec_id AS q_id", "embedding AS eq")
+          .where(col("q_id") < 10))
+        .join(e.selectExpr("vec_id AS n_id", "embedding AS en"),
+          col("q_id") =!= col("n_id"))
+        .withColumn("sim", expr("cosine_sim(eq, en)"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 10))
+    val sl = topSets(Similarity.IvfIndex.probePq(spark, sf, idx, topK = 100))
+    val rr = topSets(Similarity.qSim16(spark, sf))
+    rr.foreach { case (q, ns) =>
+      assert(ns.subsetOf(sl(q)), s"probe $q reranked outside the shortlist") }
+    val adc = topSets(Similarity.IvfIndex.probePq(spark, sf, idx, topK = 10))
+    val qs = rr.keys.toSeq.sorted
+    val recRR = qs.map(q => (rr(q) intersect truth(q)).size)
+    val recADC = qs.map(q => (adc(q) intersect truth(q)).size)
+    info(s"recall@10 vs float truth — reranked: ${recRR.mkString(",")}; " +
+      s"pure ADC: ${recADC.mkString(",")}")
+    qs.indices.foreach { i =>
+      assert(recRR(i) >= recADC(i),
+        s"probe ${qs(i)}: rerank lost recall (${recRR(i)} < ${recADC(i)})") }
+  }
 }
