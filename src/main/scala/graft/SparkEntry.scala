@@ -118,6 +118,7 @@ object SparkEntry {
     "q_t27_temperature_mix" -> (TextAnalysis.qT27 _),
     "q_t28_bpe_merges"     -> (TextAnalysis.qT28 _),
     "q_t20_unigram_ll"     -> (TextAnalysis.qT20 _),
+    "q_t29_bigram_ll"      -> (TextAnalysis.qT29 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -772,6 +773,21 @@ object SparkEntry {
         "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, " +
         "CAST((sum(tf.tf * uni.bits) * 1000) // sum(tf.tf) AS BIGINT) AS ll_pm " +
         "FROM tf JOIN uni USING (w) GROUP BY tf.doc_id ORDER BY doc_id"),
+    "q_t29_bigram_ll" -> (
+      // bigram-LM score: adjacency over the ""-filtered token list, bits
+      // = floor-log2((c12*1024) DIV c1) with c1 = w1's left-element count
+      // (sums CAST to BIGINT for DuckDB's HUGEINT widening)
+      "WITH tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks FROM documents), " +
+        "bgu AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM tk WHERE len(toks) >= 2), " +
+        "bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, count(1) AS tf FROM bgu GROUP BY 1, 2, 3), " +
+        "big AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2), " +
+        "unil AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1), " +
+        "bits AS (SELECT b.w1, b.w2, length(bin((b.c12 * 1024) // u.c1)) - 1 AS bits " +
+        "FROM big b JOIN unil u USING (w1)) " +
+        "SELECT bg.doc_id, CAST(sum(bg.tf) AS BIGINT) AS n_pairs, " +
+        "CAST((sum(bg.tf * bits.bits) * 1000) // sum(bg.tf) AS BIGINT) AS bll_pm " +
+        "FROM bg JOIN bits ON bg.w1 = bits.w1 AND bg.w2 = bits.w2 " +
+        "GROUP BY bg.doc_id ORDER BY doc_id"),
     "q_t25_token_spectrum" -> (
       // frequency spectrum binned by floor-log2(tf) — the q_t20
       // length(bin(c))-1 idiom; shares integer per-mille vs 1-row totals

@@ -981,4 +981,54 @@ object TextAnalysis {
       .orderBy(desc("n_occ"), col("pair"))
       .limit(20)
   }
+
+  /** Q-T29 — BIGRAM-LM QUALITY SCORE, the second-order companion to
+    * [[qT20]]'s unigram model (the CCNet/KenLM idea one order up): score
+    * each document by the mean predictability of its adjacent token pairs
+    * under a corpus-trained bigram model. A document can pass the unigram
+    * filter with perfectly common words in an ORDER no natural text uses
+    * (shuffled scrapes, keyword stuffing, table dumps) — the bigram score
+    * is what catches it, because p(w2|w1) collapses on unnatural
+    * transitions.
+    *
+    * Integer surrogate (engine-exact, the [[qT20]] floor-log2 idiom):
+    * per pair occurrence, bits = floor-log2((c12 · 1024) DIV c1) via
+    * `length(bin(x)) − 1` — ≈ 10 + log2(p(w2|w1)) clamped at 0 — with
+    * c12 the corpus count of the pair and c1 the count of w1 as a LEFT
+    * element (so Σ_w2 p(w2|w1) = 1 by construction). The doc score is the
+    * tf-weighted mean in per-mille, over docs with ≥ 1 pair. Adjacency is
+    * over the ""-filtered token sequence (deterministic in both engines).
+    *
+    * Scale: one tokenize-explode pass builds the (doc, bigram) tf frame
+    * with map-side combine; the corpus bigram table reduces FROM that
+    * frame and the left-unigram table from the bigram table (both
+    * vocabulary-shaped, far below the token stream); scoring joins the
+    * doc-bigram frame against the bits table bigram-keyed — at 100 TB the
+    * join groups by the pair's 128-bit hash so shuffle rows stay
+    * fixed-width, exactly the q_d16/q_d18 posture. */
+  def qT29(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t <> '')").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, CAST(i AS INT)) AS w1,
+          |              element_at(toks, CAST(i AS INT) + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val big = bg.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val unil = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val bits = big.join(unil, "w1")
+      .select(col("w1"), col("w2"),
+        (length(expr("bin((c12 * 1024) DIV c1)")) - 1).cast("long").as("bits"))
+    bg.join(bits, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_pairs"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("(sum_bits * 1000) DIV n_pairs").as("bll_pm"))
+      .orderBy("doc_id")
+  }
 }

@@ -474,13 +474,24 @@ object Streams {
     * [[graft.operators.DupClusters]] artifact, all under this batch's
     * `_commits/<batchId>` marker — a `.corpus` sub-marker records the
     * delta landing, so a crash at any point replays to a consistent
-    * (corpus, index) pair and the delta can never double-append. */
+    * (corpus, index) pair and the delta can never double-append.
+    * `advanceLex = true` (implies `advanceIndex`) additionally advances
+    * the durable inverted index ([[graft.operators.LexIndex]]) under the
+    * SAME marker — both artifacts' priors resolve before the delta lands,
+    * both appends publish by their own fingerprint-keyed rename, and the
+    * replay path re-derives BOTH for the current corpus state, so the
+    * lexical serving lanes (BM25 / hybrid-RRF) stay consistent with a
+    * streaming-ingested corpus at the same crash points. */
   def dedupGateBatch(spark: SparkSession, storeDir: String,
       batch: DataFrame, batchId: Long, advanceIndex: Boolean = false,
-      corpusDir: Option[String] = None): (Long, Long) = {
+      corpusDir: Option[String] = None,
+      advanceLex: Boolean = false): (Long, Long) = {
     require(!advanceIndex || corpusDir.nonEmpty,
       "dedupGateBatch: advanceIndex = true needs the corpusDir the " +
         "admitted delta lands in")
+    require(!advanceLex || advanceIndex,
+      "dedupGateBatch: advanceLex rides the advanceIndex corpus-landing " +
+        "protocol — set advanceIndex = true as well")
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
     healGateStore(storeDir) // finish any crashed compaction swap first
@@ -500,6 +511,7 @@ object Streams {
       // (spec-pinned equal to the append), so the delta can never
       // double-append and the reconciliation refusal never fires
       graft.operators.DupClusters.build(spark, corpusDir.get)
+      if (advanceLex) graft.operators.LexIndex.build(spark, corpusDir.get)
       commit()
       return (0L, 0L)
     }
@@ -555,11 +567,18 @@ object Streams {
       // by fingerprint-keyed atomic rename (its own idempotency)
       val dir = corpusDir.get
       val prior = graft.operators.DupClusters.build(spark, dir)
+      // the lex prior must ALSO resolve before the delta lands (builds on
+      // first use — the operator opting into lex maintenance pays the
+      // one-time build here, every later batch is a delta-sized append)
+      val priorLex =
+        if (advanceLex) Some(graft.operators.LexIndex.build(spark, dir))
+        else None
       val adm = admitted.select("doc_id", "text")
       adm.write.mode("append").parquet(
         new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString)
       st.mkdirs(s"$storeDir/_commits"); st.writeString(corpusMarker, "")
       graft.operators.DupClusters.append(spark, dir, prior, adm)
+      priorLex.foreach(p => graft.operators.LexIndex.append(spark, dir, p, adm))
       ()
     }
     commit()

@@ -269,6 +269,62 @@ class DupClustersSpec extends AnyFunSuite {
       graft.core.Tables.documents(spark, root).count())
   }
 
+  test("advanceLex gate: the inverted index advances under the same marker; crash replay re-derives both") {
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-lex").toString
+    val root = Files.createTempDirectory("graft-lexcorpus").toString
+    val corpus = s"$root/documents.parquet"
+    val st = graft.core.Storage.hadoop
+    val all = graft.core.Tables.documents(spark, sf)
+    all.where(col("doc_id") < 400).write.parquet(corpus)
+    graft.functions.GraftFunctions.register(spark)
+    def batchOf(lo: Int, hi: Int) =
+      all.where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+    def lexServedEqualsDirect(): Unit = {
+      // end-to-end: the index-served Jaccard lane over the POST-APPEND
+      // corpus equals the index-free formulation — the consistency the
+      // lexical consumers (BM25/hybrid) actually need
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(rows(graft.operators.LexIndex.jaccardTopDocs(spark, root, 5, 100))
+        == rows(graft.operators.Similarity.lexLaneDirect(spark, root)),
+        "served lexical lane diverged from the corpus after the gate advance")
+    }
+    // happy path: one call lands the delta and advances BOTH artifacts
+    val (a0, r0) = graft.streaming.Streams.dedupGateBatch(
+      spark, store, batchOf(400, 450), 0L,
+      advanceIndex = true, corpusDir = Some(root), advanceLex = true)
+    assert(a0 + r0 == 50)
+    val nNow = graft.core.Tables.documents(spark, root).count()
+    assert(graft.operators.LexIndex.build(spark, root).nDocsAll == nNow)
+    assert(DupClusters.build(spark, root).nDocs == nNow)
+    lexServedEqualsDirect()
+    // replay of the committed batch is a no-op
+    assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+      batchOf(400, 450), 0L, advanceIndex = true, corpusDir = Some(root),
+      advanceLex = true) == (0L, 0L))
+    assert(graft.core.Tables.documents(spark, root).count() == nNow)
+    // crash between the corpus landing and the final commit (the delta is
+    // durable, neither append may have published): the replay must
+    // re-derive BOTH artifacts for the current corpus state and commit
+    val (a1, r1) = graft.streaming.Streams.dedupGateBatch(
+      spark, store, batchOf(450, 500), 1L)
+    assert(a1 + r1 == 50)
+    val adm = spark.read.parquet(s"$store/docs")
+      .where(col("doc_id") >= 450 && col("doc_id") < 500)
+      .select("doc_id", "text")
+    adm.write.mode("append").parquet(corpus)
+    st.writeString(s"$store/_commits/1.corpus", "")
+    assert(st.delete(s"$store/_commits/1"))
+    assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+      batchOf(450, 500), 1L, advanceIndex = true, corpusDir = Some(root),
+      advanceLex = true) == (0L, 0L))
+    assert(st.exists(s"$store/_commits/1"), "replay must finish the commit")
+    val nAfter = graft.core.Tables.documents(spark, root).count()
+    assert(graft.operators.LexIndex.build(spark, root).nDocsAll == nAfter)
+    lexServedEqualsDirect()
+  }
+
   test("append refuses a delta that does not reconcile with the corpus") {
     val root = Files.createTempDirectory("graft-dupref").toString
     val corpus = s"$root/documents.parquet"

@@ -892,6 +892,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"both stages must map-side combine:\n${aggs.mkString("\n")}")
   }
 
+  test("q_t29 bigram LM: map-combined token reduce, bigram-keyed score join, no window") {
+    val q = graft.operators.TextAnalysis.qT29(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"bigram scoring is joins + aggs only:\n$plan")
+    // the (doc, bigram) tf frame, the bigram table, the left-unigram table
+    // and the per-doc rollup must all partial-aggregate before exchanging —
+    // the token stream reduces map-side everywhere
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.count(_.contains("partial")) >= 3,
+      s"bigram stages must map-side combine:\n${aggs.mkString("\n")}")
+  }
+
   test("q_sim14 IVF-PQ: probes broadcast, candidates from the cached int8 lane, no corpus shuffle-join") {
     val q = graft.operators.Similarity.qSim14(spark, sf)
     q.collect()
