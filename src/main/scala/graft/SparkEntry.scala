@@ -199,6 +199,7 @@ object SparkEntry {
     "q_mm9_image_hash_dups" -> (Multimodal.qMm9 _),
     "q_mm10_png_meta"       -> (Multimodal.qMm10 _),
     "q_mm11_tile_stats"     -> (Multimodal.qMm11 _),
+    "q_mm14_img_entropy"    -> (Multimodal.qMm14 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -1567,6 +1568,19 @@ object SparkEntry {
         "CAST(3 * sum(CASE WHEN x < 4 AND y >= 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t10, " +
         "CAST(3 * sum(CASE WHEN x >= 4 AND y >= 4 THEN (doc_id * 31 + x * 7 + y * 13) % 256 ELSE 0 END) AS BIGINT) AS t11 " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm14_img_entropy" -> (
+      // 16-bin gray histogram entropy surrogate over the closed-form
+      // canvas: bin = g DIV 16, h_cb = sum c*(6 - floorlog2(c)) with the
+      // length(bin(c))-1 idiom — PNG decode is lossless so counts replay
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, ((doc_id * 31 + x.i * 7 + y.i * 13) % 256) // 16 AS b FROM d, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y), " +
+        "hc AS (SELECT doc_id, b, CAST(count(1) AS BIGINT) AS c FROM g GROUP BY 1, 2) " +
+        "SELECT doc_id AS asset_id, CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
+        "CAST(count(1) AS BIGINT) AS n_levels, " +
+        "CAST(sum(c * (6 - (length(bin(c)) - 1))) AS BIGINT) AS h_cb " +
+        "FROM hc GROUP BY doc_id ORDER BY asset_id"),
     "q_mm13_jpeg_decode" -> (
       // real JPEG encode+decode on the Spark side; JPEG is LOSSY, so the
       // oracle checks the recovered decision LEVEL (constant-gray canvases

@@ -877,4 +877,47 @@ object Multimodal {
         "CAST(conv(hex(substring(bytes, 25, 1)), 16, 10) AS BIGINT) AS bit_depth",
         "CAST(conv(hex(substring(bytes, 26, 1)), 16, 10) AS BIGINT) AS color_type")
       .orderBy("asset_id")
+
+  /** Q-MM14 — IMAGE HISTOGRAM-ENTROPY AUDIT: per image, the 16-bin gray
+    * histogram's level spread (`n_levels`) and an integer entropy
+    * surrogate (`h_cb`) — the curation signal that flags FLAT and
+    * LOW-INFORMATION images (solid fills, letterboxed black frames,
+    * synthetic gradients, single-color thumbnails) before they enter a
+    * training mix, where they'd teach a vision model nothing while
+    * costing full decode+train compute. h_cb = Σ over occupied bins of
+    * c·(log2(n_px) − floor-log2(c)) — the `length(bin(c))−1` idiom
+    * ([[graft.operators.TextAnalysis.qT20]]) applied to pixel counts, so
+    * a constant canvas scores exactly 0 and a spread histogram scores
+    * high, with NO float log on either engine. First channel only (the
+    * gray plane — r=g=b on these canvases), binned `g DIV 16`.
+    *
+    * Decode is the REAL PNG path (lossless — counts replay the closed
+    * form exactly); the histogram reduces to 16 longs per asset inside
+    * the batched decode kernel, so only fixed-width rows leave the
+    * executor — blobs never cross an exchange (the family invariant). */
+  def qMm14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngAssets(spark, dir).select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            ImageIoDecoder.decode(a.bytes).map { d =>
+              val counts = new Array[Long](16)
+              var i = 0
+              while (i < d.samples.length) {
+                counts((d.samples(i) & 0xff) >> 4) += 1
+                i += d.channels
+              }
+              (a.asset_id, d.width, d.height, counts.toSeq)
+            }
+          }
+        }
+      }.toDF("asset_id", "w", "h", "bins")
+      .select(col("asset_id"), col("w"), col("h"),
+        expr("CAST(size(filter(bins, c -> c > 0)) AS BIGINT)").as("n_levels"),
+        expr("aggregate(bins, 0L, (acc, c) -> acc + " +
+          "CASE WHEN c > 0 THEN c * (6 - (length(bin(c)) - 1)) ELSE 0L END)")
+          .as("h_cb"))
+      .orderBy("asset_id")
+  }
 }

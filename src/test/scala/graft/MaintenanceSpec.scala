@@ -456,6 +456,34 @@ class MaintenanceSpec extends AnyFunSuite {
       r.getLong(3) == idx.clusters.count(), s"$r")
   }
 
+  test("expire_indexes: ivf kind — live IVF index survives a sweep and still probes from a fresh session") {
+    val dir = "/root/testdata/sf0.001"
+    val st = graft.core.Storage.hadoop
+    val ivfRoot = Files.createTempDirectory(Paths.get("target"), "ivf-live")
+      .toAbsolutePath.toString
+    val prev = sys.props.get("graft.ivf.root")
+    sys.props("graft.ivf.root") = ivfRoot
+    try {
+      graft.operators.Similarity.IvfIndex.build(spark, dir, lloydIters = 0)
+      // a stale fingerprint (name does NOT contain the live corpus fp)
+      st.mkdirs(s"$ivfRoot/v2-deadbeef00-l0-c16")
+      st.writeString(s"$ivfRoot/v2-deadbeef00-l0-c16/centroids.tsv", "x\n")
+      val swept = graft.operators.Similarity.IvfIndex
+        .expireStale(dir, Some(0), None)
+      assert(swept.map(_.name) == Seq("v2-deadbeef00-l0-c16"),
+        swept.mkString(", "))
+      // the REAL index survived and serves the probe lane from a fresh
+      // session (durable-load path, not the memo)
+      val s2 = spark.newSession()
+      assert(graft.operators.Similarity.qSim3(s2, dir).count() == 30)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.ivf.root") = p
+        case None    => sys.props.remove("graft.ivf.root"); ()
+      }
+    }
+  }
+
   test("SQL surface: CALL graft.system.lexindex builds/loads the inverted index and reports its shape") {
     val acc = newAccount("calllex")
     spark.conf.set("spark.sql.catalog.graftlx",
