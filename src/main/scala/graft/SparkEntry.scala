@@ -153,6 +153,7 @@ object SparkEntry {
     "q_g7_kcore"           -> (Dedup.qG7 _),
     "q_g8_kcore3"          -> (Dedup.qG8 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
+    "q_d19_substr_clean"   -> (Dedup.qD19 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -659,6 +660,25 @@ object SparkEntry {
         "CAST(coalesce(covered, 0) AS BIGINT) AS covered, " +
         "CAST(((n - coalesce(covered, 0)) * 1000) // n AS BIGINT) AS kept_pm " +
         "FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id ORDER BY tk.doc_id"),
+    "q_d19_substr_clean" -> (
+      // the q_d18 coverage machinery APPLIED: kept positions (not covered
+      // by any duplicated 8-gram occurrence) re-joined in order
+      "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "tk AS (SELECT doc_id, len(w) AS n, w FROM t), " +
+        "g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram " +
+        "FROM tk, unnest(generate_series(1, greatest(n - 7, 0))) AS s(i)), " +
+        "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(1) >= 2), " +
+        "cp AS (SELECT DISTINCT doc_id, p FROM " +
+        "(SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS p " +
+        "FROM g JOIN dup USING (gram)) q), " +
+        "pos AS (SELECT doc_id, n, w, unnest(generate_series(1, n)) AS i FROM tk), " +
+        "kept AS (SELECT pos.doc_id, pos.i, pos.w[pos.i] AS tok FROM pos " +
+        "LEFT JOIN cp ON cp.doc_id = pos.doc_id AND cp.p = pos.i WHERE cp.p IS NULL), " +
+        "agg AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS cnt, " +
+        "string_agg(tok, ' ' ORDER BY i) AS txt FROM kept GROUP BY doc_id) " +
+        "SELECT tk.doc_id, CAST(tk.n AS BIGINT) AS n_tokens, " +
+        "coalesce(agg.cnt, 0) AS n_kept, coalesce(agg.txt, '') AS clean_text " +
+        "FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id ORDER BY tk.doc_id"),
     "q_g6_label_prop" -> (simhashPairsSql +
       // fixed-round synchronous label propagation: label(i+1) = the neighbor
       // label maximizing (count, −label) — chained CTEs, one per round,

@@ -1368,4 +1368,47 @@ object Dedup {
         expr("((n - coalesce(cov, 0L)) * 1000) DIV n").as("kept_pm"))
       .orderBy("doc_id")
   }
+
+  /** Q-D19 — SUBSTRING-DEDUP REMOVAL, APPLIED: [[qD18]] ACCOUNTS what an
+    * ExactSubstr pass (Lee et al. 2022) would remove; this one RUNS it —
+    * per document, the cleaned text with every token covered by a
+    * duplicated 8-gram occurrence (corpus count ≥ 2) removed, plus the
+    * kept-token count. The output is what actually feeds the tokenizer
+    * after dedup, so boilerplate masses (license headers, navigation
+    * chrome) vanish from the training stream instead of merely being
+    * priced.
+    *
+    * Reconstruction is deterministic both engines: kept positions in
+    * ascending order re-joined with single spaces (split's "" tokens
+    * survive as empty segments on both sides, so the round trip of an
+    * untouched doc is exact). Scale: identical gram machinery to qD18 —
+    * the ×8 coverage explode runs on the duplicated subset only, the
+    * per-doc covered-position list is doc-sized (collected per doc, never
+    * corpus-wide), and the rebuild is one map-side projection over the
+    * (tokens ⨝ covered-list) doc-keyed join. */
+  def qD19(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+    val grams = toks.select(col("doc_id"), explode(when(col("n") >= 8,
+        expr("transform(sequence(1, n - 7), i -> " +
+          "named_struct('i', i, 'gram', array_join(slice(w, i, 8), ' ')))"))
+      .otherwise(expr("CAST(array() AS array<struct<i:int,gram:string>>)")))
+      .as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("gram")
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_list("p").as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("cv", expr("coalesce(cov, CAST(array() AS array<int>))"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        (col("n") - size(col("cv"))).cast("long").as("n_kept"),
+        expr("array_join(transform(" +
+          "filter(sequence(1, n), i -> NOT array_contains(cv, i)), " +
+          "i -> element_at(w, CAST(i AS INT))), ' ')").as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

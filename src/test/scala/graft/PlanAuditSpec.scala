@@ -1121,6 +1121,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_d19 substring clean: keyed joins only, every doc rebuilt, untouched docs round-trip") {
+    val q = graft.operators.Dedup.qD19(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"coverage and rebuild must be keyed joins, never all-pairs:\n$plan")
+    val docs = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lower(text) AS lt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "every document gets a cleaned form")
+    rows.foreach { r =>
+      val (n, kept, txt) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(kept >= 0 && kept <= n, s"kept within [0, n]: $r")
+      // the rebuild's content contract: an UNTOUCHED doc (kept == n)
+      // round-trips to its lowercased text exactly; a cleaned one is a
+      // subsequence with kept-1 joining spaces (empty when kept == 0)
+      if (kept == n) assert(txt == docs(r.getLong(0)),
+        s"untouched doc ${r.getLong(0)} must round-trip")
+      else if (kept == 0L) assert(txt.isEmpty)
+    }
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "fixture corpus must exercise actual removal")
+  }
+
   test("q_t16 leakage audit: test grams broadcast, train gram stream never builds a hash side") {
     val q = graft.operators.TextAnalysis.qT16(spark, sf)
     q.collect()
