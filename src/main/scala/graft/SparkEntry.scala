@@ -152,6 +152,7 @@ object SparkEntry {
     "q_g6_label_prop"      -> (Dedup.qG6 _),
     "q_g7_kcore"           -> (Dedup.qG7 _),
     "q_g8_kcore3"          -> (Dedup.qG8 _),
+    "q_g9_ktruss"          -> (Dedup.qG9 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
     "q_d19_substr_clean"   -> (Dedup.qD19 _),
     // similarity search
@@ -695,6 +696,7 @@ object SparkEntry {
       s"FROM l${graft.operators.Dedup.LabelPropIters} ORDER BY doc_id"),
     "q_g7_kcore" -> kcoreOracleSql(2),
     "q_g8_kcore3" -> kcoreOracleSql(3),
+    "q_g9_ktruss" -> ktrussOracleSql(3),
     // DuckDB needs RECURSIVE on the WITH clause for the reach() CTE
     "q_t18_cluster_split" -> (simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
       // components over the simhash pair graph (recursive min-reachable,
@@ -1811,6 +1813,29 @@ object SparkEntry {
         s"(SELECT count(DISTINCT id) FROM (SELECT u AS id FROM e$i " +
         s"UNION ALL SELECT v FROM e$i) t) AS n_nodes, " +
         s"(SELECT count(1) FROM e$i) AS n_edges"
+    }.mkString(" UNION ALL ") +
+    " ORDER BY iter"
+
+  /** Fixed-round k-truss peel oracle ([[kcoreOracleSql]]'s edge-level
+    * sibling): per round, per-edge triangle support via two adjacency
+    * joins, then the `sup >= k - 2` survival filter — replaying
+    * [[graft.operators.Dedup.ktrussPeel]]'s recurrence exactly. */
+  private def ktrussOracleSql(k: Int): String = simhashPairsSql +
+    ", f0 AS (SELECT a_id AS u, b_id AS v FROM sp)" +
+    (1 to graft.operators.Dedup.KCoreIters).map { i =>
+      s", fd$i AS (SELECT u, v FROM f${i - 1} UNION ALL SELECT v, u FROM f${i - 1}), " +
+        s"fs$i AS (SELECT e.u, e.v, count(1) AS sup FROM f${i - 1} e " +
+        s"JOIN fd$i a ON a.u = e.u AND a.v <> e.v " +
+        s"JOIN fd$i b ON b.u = e.v AND b.v = a.v GROUP BY e.u, e.v), " +
+        s"f$i AS (SELECT e.u, e.v FROM f${i - 1} e JOIN fs$i s " +
+        s"ON s.u = e.u AND s.v = e.v WHERE s.sup >= ${k - 2})"
+    }.mkString +
+    " " +
+    (0 to graft.operators.Dedup.KCoreIters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, " +
+        s"(SELECT count(DISTINCT id) FROM (SELECT u AS id FROM f$i " +
+        s"UNION ALL SELECT v FROM f$i) t) AS n_nodes, " +
+        s"(SELECT count(1) FROM f$i) AS n_edges"
     }.mkString(" UNION ALL ") +
     " ORDER BY iter"
 

@@ -800,6 +800,107 @@ object Dedup {
       .select(col("a_id").as("u"), col("b_id").as("v")), KCoreIters,
       MaxDriverPairs, k = 3)
 
+  /** Q-G9 — 3-TRUSS decomposition: iteratively remove every EDGE
+    * supported by fewer than one triangle (k-truss support ≥ k−2), fixed
+    * synchronous rounds, per-round (nodes, edges). The truss is the
+    * EDGE-level sibling of [[qG8]]'s 3-core and strictly stronger: a
+    * node-level core keeps any node with 3 neighbors even when those
+    * neighbors are unrelated (a hub stitching three separate families
+    * survives the 3-core), but an edge survives the 3-truss only if its
+    * endpoints share a common neighbor — cohesion, not popularity. On a
+    * dup graph that difference is exactly "boilerplate hub" vs "duplicate
+    * family": hub spokes carry no triangles and peel in round 1, cliques
+    * are all-triangles and never peel. The per-round edge-count collapse
+    * is therefore the cleanest noise-vs-families verdict in the g-family.
+    *
+    * Scale: each round is the [[qG2]] triangle-enumeration shape — the
+    * edge frame joins the symmetrized adjacency twice (both equi-joins,
+    * O(Σ deg²) candidate rows), reduces to per-edge support with
+    * map-side combine, and peels with one left-semi join; rounds truncate
+    * lineage like the other BSP loops (shrink-only, peak ≤ 2 edge
+    * frames). HYBRID by declared bound: under [[MaxDriverPairs]] edges
+    * the peel replays on the driver with hash-set intersections,
+    * spec-pinned bit-equal to the distributed path. */
+  def qG9(s: SparkSession, dir: String): DataFrame =
+    ktrussPeel(s, DupClusters.build(s, dir).pairs
+      .select(col("a_id").as("u"), col("b_id").as("v")), KCoreIters,
+      MaxDriverPairs, k = 3)
+
+  /** The [[qG9]] peel over any canonical (u < v) edge frame — k-truss
+    * with survival bound support ≥ k−2, k ≥ 3 (k = 2 never peels). */
+  private[graft] def ktrussPeel(s: SparkSession, e0: DataFrame, iters: Int,
+                                maxDriverPairs: Int, k: Int = 3): DataFrame = {
+    import s.implicits._
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    boundedEdges(e0, maxDriverPairs) match {
+      case Some(es0) =>
+        import scala.collection.mutable
+        def statOf(es: Array[(Long, Long)]): (Long, Long) = {
+          val nodes = mutable.LongMap.empty[Boolean]
+          es.foreach { case (u, v) => nodes(u) = true; nodes(v) = true }
+          (nodes.size.toLong, es.length.toLong)
+        }
+        var es = es0
+        val rounds = mutable.ArrayBuffer[(Long, Long, Long)]()
+        val (n0, m0) = statOf(es); rounds += ((0L, n0, m0))
+        for (i <- 1 to iters) {
+          val adj = mutable.LongMap.empty[mutable.HashSet[Long]]
+          es.foreach { case (u, v) =>
+            adj.getOrElseUpdate(u, mutable.HashSet.empty[Long]) += v
+            adj.getOrElseUpdate(v, mutable.HashSet.empty[Long]) += u
+          }
+          es = es.filter { case (u, v) =>
+            val (a, b) = (adj(u), adj(v))
+            val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+            small.count(large.contains) >= k - 2
+          }
+          val (n, m) = statOf(es); rounds += ((i.toLong, n, m))
+        }
+        rounds.toSeq.toDF("iter", "n_nodes", "n_edges").orderBy("iter")
+      case None => distributedKtruss(s, e0, iters, k)
+    }
+  }
+
+  private def distributedKtruss(s: SparkSession, e0: DataFrame,
+                                iters: Int, k: Int): DataFrame = {
+    import s.implicits._
+    def edFrame(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    def statOf(e: DataFrame): (Long, Long) = {
+      val r = edFrame(e)
+        .agg(countDistinct(col("u")).as("n"), count(lit(1)).as("m2"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1) / 2)
+    }
+    var e = e0
+    var prevCkpt: DataFrame = null
+    val rounds = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val (n0, m0) = statOf(e); rounds += ((0L, n0, m0))
+    for (i <- 1 to iters) {
+      val ed = edFrame(e)
+      // per-edge triangle support: common neighbors w of (u, v) — two
+      // equi-joins against the symmetrized adjacency, map-combined count
+      val sup = e.join(ed.select(col("u"), col("v").as("w")), "u")
+        .where(col("w") =!= col("v"))
+        .join(ed.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      val next = truncate(e.join(
+        sup.where(col("sup") >= k - 2).select("u", "v"),
+        Seq("u", "v"), "left_semi"))
+      if (prevCkpt ne null) {
+        prevCkpt.unpersist(); dropCheckpointFiles(prevCkpt); ()
+      }
+      prevCkpt = if (e ne e0) e else null
+      e = next
+      val (n, m) = statOf(e); rounds += ((i.toLong, n, m))
+    }
+    if (prevCkpt ne null) {
+      prevCkpt.unpersist(); dropCheckpointFiles(prevCkpt); ()
+    }
+    if (e ne e0) { e.unpersist(); dropCheckpointFiles(e); () }
+    rounds.toSeq.toDF("iter", "n_nodes", "n_edges").orderBy("iter")
+  }
+
   /** The [[qG7]]/[[qG8]] peel over any (u, v) edge frame, generalized to
     * k-core(k) (survival bound `deg >= k`, default the 2-core) — HYBRID by
     * declared bound ([[componentsOfPairs]]' discipline): under

@@ -201,6 +201,26 @@ class RecallSpec extends AnyFunSuite {
       s"3-core must reduce to the clique in one round: $fast3")
   }
 
+  test("k-truss peel (q_g9): hybrid driver/distributed paths agree; trussness beats coreness on hubs") {
+    import spark.implicits._
+    // 4-clique 1-2-3-4 + a HUB 50 with three spokes into otherwise-
+    // unrelated nodes (60, 61, 62): the hub has degree 3 — it SURVIVES a
+    // 3-core-style node bound — but its spoke edges carry zero triangles,
+    // so the 3-truss peels the whole star in round 1 and only the clique
+    // remains. Exactly the boilerplate-hub-vs-dup-family distinction the
+    // operator exists to draw.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (50L, 60L), (50L, 61L), (50L, 62L)).toDF("u", "v")
+    def rows(maxDriver: Int) =
+      graft.operators.Dedup.ktrussPeel(spark, e, 3, maxDriver, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = rows(100000)
+    assert(fast == rows(0), s"hybrid paths diverge: $fast vs ${rows(0)}")
+    assert(fast.head == ((0L, 8L, 9L)) && fast(1) == ((1L, 4L, 6L)) &&
+      fast.last == ((3L, 4L, 6L)),
+      s"star must peel in round 1, clique must be stable: $fast")
+  }
+
   test("full-signature LSH (qSim2 family): recall measured, monotone in width") {
     val p8 = pairs(Similarity.qSim2(spark, sf))
     val p4 = pairs(Similarity.lshPairs(spark, sf, planes = 4))
