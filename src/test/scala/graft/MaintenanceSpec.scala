@@ -484,6 +484,33 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("expire_indexes: dup kind — live dup-cluster index survives a sweep and serves the graph family") {
+    val dir = "/root/testdata/sf0.001"
+    val st = graft.core.Storage.hadoop
+    val dupRoot = Files.createTempDirectory(Paths.get("target"), "dup-live")
+      .toAbsolutePath.toString
+    val prev = sys.props.get("graft.dupindex.root")
+    sys.props("graft.dupindex.root") = dupRoot
+    try {
+      val idx = graft.operators.DupClusters.build(spark, dir)
+      st.mkdirs(s"$dupRoot/v2-feedface00")
+      st.writeString(s"$dupRoot/v2-feedface00/meta.tsv", "nDocs\t1\n")
+      val swept = graft.operators.DupClusters.expireStale(dir, Some(0), None)
+      assert(swept.map(_.name) == Seq("v2-feedface00"), swept.mkString(", "))
+      // the real index survived; a fresh session warm-loads it and the
+      // graph family still serves (q_g3 reads only artifact frames)
+      val s2 = spark.newSession()
+      val idx2 = graft.operators.DupClusters.build(s2, dir)
+      assert(idx2.path == idx.path && idx2.nDocs == idx.nDocs)
+      assert(graft.operators.Dedup.qG3(s2, dir).count() >= 1)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.dupindex.root") = p
+        case None    => sys.props.remove("graft.dupindex.root"); ()
+      }
+    }
+  }
+
   test("SQL surface: CALL graft.system.lexindex builds/loads the inverted index and reports its shape") {
     val acc = newAccount("calllex")
     spark.conf.set("spark.sql.catalog.graftlx",
