@@ -118,6 +118,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs.head, shingleN(exprs)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_bigrams", exprs => WordBigrams(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "canonical_json", exprs => CanonicalJson(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "json_pk", exprs => JsonPk(exprs.head, litString(exprs(1))), "built-in")

@@ -80,3 +80,68 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `word_bigrams(text)` — adjacent word pairs of a document WITH
+  * MULTIPLICITY, as space-joined "w1 w2" strings over the ""-FILTERED
+  * token sequence of `split(lower(text), ' ')`. The input signature for
+  * the bigram language model ([[graft.operators.TextAnalysis.qT29]]):
+  * unlike [[WordShingles]] (distinct shingles over the unfiltered
+  * sequence — MinHash's set semantics) a language model needs every
+  * occurrence and natural adjacency across collapsed whitespace, so the
+  * two kernels are deliberately different functions.
+  *
+  * Exists for the same reason as [[WordShingles]]: the composable form is
+  * a `transform(sequence(...), i -> struct(...))` lambda that evaluates
+  * INTERPRETED per element and drags its Project out of whole-stage
+  * codegen; this is one virtual call per row inside the generated code
+  * (spec-pinned bit-equal to the HOF form, and asserted in-codegen).
+  * Tokens contain no spaces, so `substring_index(gram, ' ', 1)` recovers
+  * w1 exactly — consumers never need to re-split.
+  *
+  * Documents with fewer than 2 non-empty tokens yield an empty array.
+  * Null in → null out. */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType && child.dataType != NullType)
+      TypeCheckResult.TypeCheckFailure(
+        s"word_bigrams expects a string column, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** One-pass pairing; called once per row from both eval paths. */
+  def bigrams(text: UTF8String): ArrayData = {
+    val raw = text.toString.toLowerCase.split(" ", -1)
+    val words = new Array[String](raw.length)
+    var n = 0
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) { words(n) = raw(i); n += 1 }
+      i += 1
+    }
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < n - 1) {
+      sb.setLength(0)
+      sb.append(words(j)).append(' ').append(words(j + 1))
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordBigrams", this, classOf[WordBigrams].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $self.bigrams($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

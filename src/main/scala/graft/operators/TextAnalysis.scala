@@ -1000,13 +1000,42 @@ object TextAnalysis {
     * over the ""-filtered token sequence (deterministic in both engines).
     *
     * Scale: one tokenize-explode pass builds the (doc, bigram) tf frame
-    * with map-side combine; the corpus bigram table reduces FROM that
-    * frame and the left-unigram table from the bigram table (both
-    * vocabulary-shaped, far below the token stream); scoring joins the
-    * doc-bigram frame against the bits table bigram-keyed — at 100 TB the
-    * join groups by the pair's 128-bit hash so shuffle rows stay
-    * fixed-width, exactly the q_d16/q_d18 posture. */
+    * with map-side combine — the pairing runs in the codegen'd
+    * [[graft.functions.WordBigrams]] kernel (`word_bigrams`), not an
+    * interpreted HOF, so the scan stays inside whole-stage codegen
+    * ([[qT29Hof]] keeps the composable form, spec-pinned bit-equal); the
+    * corpus bigram table reduces FROM that frame and the left-unigram
+    * table from the bigram table (both vocabulary-shaped, far below the
+    * token stream; w1 recovers via `substring_index` — tokens contain no
+    * spaces); scoring joins the doc-bigram frame against the bits table
+    * bigram-keyed — at 100 TB the join groups by the gram's 128-bit hash
+    * so shuffle rows stay fixed-width, exactly the q_d16/q_d18 posture. */
   def qT29(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bg = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(word_bigrams(text)) AS gram")
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val big = bg.groupBy("gram").agg(sum("tf").as("c12"))
+    val unil = big
+      .groupBy(expr("substring_index(gram, ' ', 1)").as("w1"))
+      .agg(sum("c12").as("c1"))
+    val bits = big
+      .withColumn("w1", expr("substring_index(gram, ' ', 1)"))
+      .join(unil, "w1")
+      .select(col("gram"),
+        (length(expr("bin((c12 * 1024) DIV c1)")) - 1).cast("long").as("bits"))
+    bg.join(bits, "gram")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_pairs"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("(sum_bits * 1000) DIV n_pairs").as("bll_pm"))
+      .orderBy("doc_id")
+  }
+
+  /** The composable-HOF [[qT29]] formulation (interpreted lambda pairing)
+    * — retained as the equality oracle for the `word_bigrams` kernel. */
+  private[graft] def qT29Hof(s: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(s, dir)
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), t -> t <> '')").as("toks"))

@@ -892,7 +892,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"both stages must map-side combine:\n${aggs.mkString("\n")}")
   }
 
-  test("q_t29 bigram LM: map-combined token reduce, bigram-keyed score join, no window") {
+  test("q_t29 bigram LM: native pairing kernel in codegen, map-combined reduce, equal to the HOF form") {
     val q = graft.operators.TextAnalysis.qT29(spark, sf)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
@@ -904,6 +904,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
     assert(aggs.count(_.contains("partial")) >= 3,
       s"bigram stages must map-side combine:\n${aggs.mkString("\n")}")
+    // the pairing runs in the WordBigrams kernel INSIDE a codegen span —
+    // the interpreted-HOF formulation de-codegens the scan projection
+    assert(plan.linesIterator.exists(l =>
+        l.contains("wordbigrams") && l.contains("*(")),
+      s"word_bigrams fell out of codegen:\n$plan")
+    // and the kernel is bit-equal to the composable HOF form
+    val hof = graft.operators.TextAnalysis.qT29Hof(spark, sf)
+    assert(q.collect().map(_.toString).toSeq ==
+      hof.collect().map(_.toString).toSeq,
+      "word_bigrams kernel must replay the HOF bigram scoring exactly")
   }
 
   test("q_sim14 IVF-PQ: probes broadcast, candidates from the cached int8 lane, no corpus shuffle-join") {
