@@ -112,9 +112,10 @@ object BenchSlope {
     def buildAndWarm(name: String, dir: String, roots: Seq[String],
                      tag: String): (Double, Double) = {
       val prev = roots.map(r => r -> sys.props.get(r)).toMap
-      roots.foreach { r =>
-        sys.props(r) = java.nio.file.Files
-          .createTempDirectory(s"slope-$tag-").toString
+      val tempDirs = roots.map { r =>
+        val d = java.nio.file.Files.createTempDirectory(s"slope-$tag-")
+        sys.props(r) = d.toString
+        d
       }
       try {
         evictAll(spark)
@@ -131,7 +132,14 @@ object BenchSlope {
             case None    => sys.props.remove(r); ()
           }
         }
-        evictAll(spark) // handles bound to the temp roots must not leak
+        // handles bound to the temp roots must not leak (evictSession also
+        // unpersists their frames via the caches' release callbacks), and
+        // the per-query throwaway indexes must not accumulate on disk
+        evictAll(spark)
+        tempDirs.foreach { d =>
+          try graft.core.Storage.hadoop.deleteRecursive(d.toString)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
     }
 

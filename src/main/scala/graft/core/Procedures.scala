@@ -558,12 +558,15 @@ private[core] final class ExpireSnapshotsProcedure(account: FileAccount)
   }
 }
 
-/** `CALL graft.system.expire_indexes(kind, corpus_dir[, keep_last_n]
+/** `CALL graft.system.expire_indexes(kind, corpus_dirs[, keep_last_n]
   * [, older_than_ms])` — retention sweep over the durable index artifacts
   * ([[graft.operators.IndexRetention]]): drops SUPERSEDED corpus-fingerprint
   * dirs under the ivf / dup / lex index roots, never the live fingerprint
-  * of `corpus_dir`'s current files and never a lock-held in-flight build.
-  * `kind` is `ivf`, `dup`, `lex`, or `all`; bound semantics mirror
+  * of any listed corpus's current files and never a lock-held in-flight
+  * build. `corpus_dirs` is comma-separated and must list EVERY corpus
+  * served from the swept roots — on a shared root, an unlisted corpus's
+  * LIVE index is indistinguishable from a superseded one and would be
+  * swept. `kind` is `ivf`, `dup`, `lex`, or `all`; bound semantics mirror
   * `expire_snapshots` (drop outside the newest `keep_last_n` AND older
   * than `older_than_ms`; -1 = unset; at least one must be set). Returns
   * one row per swept dir. */
@@ -579,8 +582,9 @@ private[core] final class ExpireIndexesProcedure
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("kind", StringType)
       .comment("ivf | dup | lex | all").build(),
-    ProcedureParameter.in("corpus_dir", StringType)
-      .comment("corpus whose CURRENT fingerprint is protected").build(),
+    ProcedureParameter.in("corpus_dirs", StringType)
+      .comment("comma-separated corpora whose CURRENT fingerprints are " +
+        "protected — list EVERY corpus served from the swept roots").build(),
     ProcedureParameter.in("keep_last_n", IntegerType).defaultValue("-1")
       .comment("always retain the newest N superseded dirs (-1 = unset)")
       .build(),
@@ -592,18 +596,19 @@ private[core] final class ExpireIndexesProcedure
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val kind = input.getUTF8String(0).toString
-    val dir = input.getUTF8String(1).toString
+    val dirs = input.getUTF8String(1).toString
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val keepN = Some(input.getInt(2)).filter(_ >= 0)
     val olderMs = Some(input.getLong(3)).filter(_ >= 0)
     val swept = kind match {
       case "ivf" => graft.operators.Similarity.IvfIndex
-        .expireStale(dir, keepN, olderMs)
-      case "dup" => graft.operators.DupClusters.expireStale(dir, keepN, olderMs)
-      case "lex" => graft.operators.LexIndex.expireStale(dir, keepN, olderMs)
+        .expireStale(dirs, keepN, olderMs)
+      case "dup" => graft.operators.DupClusters.expireStale(dirs, keepN, olderMs)
+      case "lex" => graft.operators.LexIndex.expireStale(dirs, keepN, olderMs)
       case "all" =>
-        graft.operators.Similarity.IvfIndex.expireStale(dir, keepN, olderMs) ++
-          graft.operators.DupClusters.expireStale(dir, keepN, olderMs) ++
-          graft.operators.LexIndex.expireStale(dir, keepN, olderMs)
+        graft.operators.Similarity.IvfIndex.expireStale(dirs, keepN, olderMs) ++
+          graft.operators.DupClusters.expireStale(dirs, keepN, olderMs) ++
+          graft.operators.LexIndex.expireStale(dirs, keepN, olderMs)
       case other => throw new IllegalArgumentException(
         s"expire_indexes: unknown kind '$other' (ivf | dup | lex | all)")
     }

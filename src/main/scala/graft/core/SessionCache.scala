@@ -9,17 +9,23 @@ import org.apache.spark.sql.SparkSession
   * bound to a stopped SparkContext). Entries live in a
   * [[java.util.WeakHashMap]] keyed by the session OBJECT (SparkSession
   * doesn't override equals, so WeakHashMap's equals-based lookup is
-  * identity — collision-proof), so a session's whole sub-map becomes
-  * unreachable the moment the session object does, and a new session can
-  * never alias an old one's entries.
+  * identity — collision-proof), so a new session can never alias an old
+  * one's entries.
   *
-  * Persisted frames inside evicted values are reclaimed by the block
-  * manager when their (stopped) context goes away; until the session object
-  * is GC'd its live frames stay valid — exactly the lifetime a memo wants.
-  * Compute runs inside the inner map's `computeIfAbsent`, so two threads of
-  * one session racing the same key build once (same contract as before).
-  */
-final class SessionCache[V] {
+  * Lifecycle honesty: cached values hold DataFrames, every Dataset holds
+  * its SparkSession, and WeakHashMap references VALUES strongly — so an
+  * entry's value pins its own weak key and GC alone does NOT reclaim a
+  * stopped session's sub-map (the WeakHashMap javadoc's value→key
+  * warning). Reclamation is therefore EXPLICIT: [[evictSession]] removes
+  * the sub-map and runs the cache owner's `release` callback on every
+  * evicted value (unpersisting its frames out of the shared CacheManager,
+  * which would otherwise pin them until context stop). Long-lived drivers
+  * cycling many sessions should evict each session when done with it;
+  * everything is reclaimed at the latest when the SparkContext stops.
+  * Compute runs inside the inner map's `computeIfAbsent`, so two threads
+  * of one session racing the same key build once (same contract as
+  * before). */
+final class SessionCache[V](release: V => Unit = (_: V) => ()) {
 
   private val maps =
     new java.util.WeakHashMap[SparkSession,
@@ -43,8 +49,16 @@ final class SessionCache[V] {
     mapFor(s).put(key, v); ()
   }
 
-  /** Test/maintenance hook: drop one session's memo so a fresh build
-    * exercises the durable load path. */
-  def evictSession(s: SparkSession): Unit =
-    maps.synchronized { maps.remove(s); () }
+  /** Test/maintenance hook: drop one session's memo — running `release`
+    * on every evicted value so their persisted frames leave the shared
+    * CacheManager — so a fresh build exercises the durable load path. */
+  def evictSession(s: SparkSession): Unit = {
+    val evicted = maps.synchronized(Option(maps.remove(s)))
+    evicted.foreach { m =>
+      m.values().forEach { v =>
+        try release(v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
 }

@@ -43,8 +43,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   /** One-pass shingler; called once per row from both eval paths. */
   def shingle(text: UTF8String): ArrayData = {
     // Match Spark's split(lower(text), ' ') exactly: regex single-space,
-    // limit -1 (trailing empty tokens preserved).
-    val words = text.toString.toLowerCase.split(" ", -1)
+    // limit -1 (trailing empty tokens preserved). Locale.ROOT, not the JVM
+    // default: under a Turkish default locale String.toLowerCase maps
+    // ASCII 'I' to dotless ı and the kernel would diverge from Spark's
+    // locale-independent lower().
+    val words = text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder
@@ -112,7 +115,8 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
 
   /** One-pass pairing; called once per row from both eval paths. */
   def bigrams(text: UTF8String): ArrayData = {
-    val raw = text.toString.toLowerCase.split(" ", -1)
+    // Locale.ROOT for the same reason as [[WordShingles.shingle]]
+    val raw = text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     val words = new Array[String](raw.length)
     var n = 0
     var i = 0

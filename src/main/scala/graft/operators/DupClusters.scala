@@ -53,7 +53,9 @@ object DupClusters {
   final case class DupIndex(path: String, nDocs: Long, sigs: DataFrame,
                             pairs: DataFrame, clusters: DataFrame)
 
-  private val cache = new graft.core.SessionCache[DupIndex]()
+  private val cache = new graft.core.SessionCache[DupIndex](i => {
+    i.pairs.unpersist(); i.clusters.unpersist(); ()
+  })
 
   private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
 
@@ -87,13 +89,15 @@ object DupClusters {
     Tables.documents(s, dir).count()
 
   /** Retention sweep over this root: drop superseded fingerprint dirs
-    * (never `dir`'s live fingerprint, never a lock-held build) outside the
-    * newest `keepLastN` and older than `olderThanMs` — see
+    * (never a listed corpus's live fingerprint, never a lock-held build)
+    * outside the newest `keepLastN` and older than `olderThanMs`. `dirs`
+    * must list EVERY corpus served from this root — an unlisted corpus's
+    * live index is indistinguishable from a superseded one. See
     * [[IndexRetention]] and `CALL graft.system.expire_indexes`. */
-  def expireStale(dir: String, keepLastN: Option[Int],
+  def expireStale(dirs: Seq[String], keepLastN: Option[Int],
                   olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
     IndexRetention.sweep(store, indexRoot, "dup",
-      Set(Similarity.IvfIndex.fileFingerprint(corpusPath(dir))),
+      dirs.map(d => Similarity.IvfIndex.fileFingerprint(corpusPath(d))).toSet,
       keepLastN, olderThanMs)
 
   /** Build (or fetch) the index for `dir`: in-process memo, then the

@@ -10,10 +10,19 @@ package graft.operators
   * AND older than `older_than_ms` (each bound alone only retains more; at
   * least one must be set), while
   *
-  *  - the LIVE fingerprint — whatever the current corpus files hash to —
-  *    is never dropped, at any format version or parameterization;
+  *  - the LIVE fingerprints — whatever the CURRENT files of every corpus
+  *    served from this root hash to — are never dropped, at any format
+  *    version or parameterization. A root shared by several corpora must
+  *    have ALL of them passed to the sweep (the `expire_indexes` procedure
+  *    takes a comma-separated list): the sweeper cannot enumerate corpora
+  *    on its own, and an unlisted corpus's live index looks exactly like a
+  *    superseded one;
   *  - a dir whose build lock is held (in-flight build, or a racing JVM's
   *    staging `<path>.tmp-*`) is never touched;
+  *  - abandoned unlocked `.tmp-*` STAGING dirs (a build that crashed after
+  *    its lock was reaped) are swept like any candidate but never consume
+  *    `keep_last_n` slots — retention slots are for servable indexes, not
+  *    staging garbage that would otherwise shadow the newest real one;
   *  - sweeping is per-dir and idempotent — a crash mid-sweep just leaves
   *    fewer dirs for the next call.
   *
@@ -22,7 +31,7 @@ package graft.operators
   * lose spilled blocks' backing files — pick retention longer than the
   * longest consumer session, or run the sweep at a quiet moment.
   *
-  * SQL surface: `CALL graft.system.expire_indexes(kind, corpus_dir[,
+  * SQL surface: `CALL graft.system.expire_indexes(kind, corpus_dirs[,
   * keep_last_n][, older_than_ms])` ([[graft.core.GraftCatalog]]). */
 private[graft] object IndexRetention {
 
@@ -32,7 +41,7 @@ private[graft] object IndexRetention {
                         files: Long, bytes: Long)
 
   /** Sweep one index root. `liveFingerprints` are substrings that mark a
-    * dir as live (the current corpus fingerprint — dir names embed it
+    * dir as live (the current corpus fingerprints — dir names embed them
     * between the version prefix and the parameter suffix). */
   def sweep(store: graft.core.Storage, root: String, kind: String,
             liveFingerprints: Set[String], keepLastN: Option[Int],
@@ -41,7 +50,8 @@ private[graft] object IndexRetention {
       "expire_indexes: set keep_last_n and/or older_than_ms")
     require(keepLastN.forall(_ >= 0) && olderThanMs.forall(_ >= 0),
       "expire_indexes: retention bounds must be non-negative")
-    require(liveFingerprints.forall(_.nonEmpty),
+    require(liveFingerprints.nonEmpty &&
+        liveFingerprints.forall(_.nonEmpty),
       "expire_indexes: empty live fingerprint would protect nothing")
     if (!store.exists(root)) return Seq.empty
     def path(n: String) = new org.apache.hadoop.fs.Path(root, n).toString
@@ -62,7 +72,11 @@ private[graft] object IndexRetention {
         Swept(kind, n, created, files.size.toLong, files.map(_.size).sum)
       }
       .sortBy(-_.createdMs)
-    val outsideN = keepLastN.map(cands.drop).getOrElse(cands)
+    // staging garbage never occupies a keep slot: keep_last_n retains the
+    // newest N REAL superseded indexes; unlocked .tmp- dirs qualify on the
+    // age bound alone (with only keep_last_n set they are always swept)
+    val (staging, real) = cands.partition(_.name.contains(".tmp-"))
+    val outsideN = keepLastN.map(real.drop).getOrElse(real) ++ staging
     val toDrop = olderThanMs.map(t => outsideN.filter(_.createdMs < t))
       .getOrElse(outsideN)
     toDrop.filter(s => store.deleteRecursive(path(s.name)))

@@ -63,7 +63,9 @@ object LexIndex {
                          tTok: Long, buckets: Int, postings: DataFrame,
                          terms: DataFrame, doclen: DataFrame)
 
-  private val cache = new graft.core.SessionCache[Index]()
+  private val cache = new graft.core.SessionCache[Index](i => {
+    i.terms.unpersist(); i.doclen.unpersist(); ()
+  })
 
   private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
 
@@ -90,19 +92,29 @@ object LexIndex {
     new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString
 
   private def indexPath(dir: String): String =
+    indexPathWith(dir, configuredBuckets)
+
+  /** [[append]] names the successor with the PRIOR's frozen bucket count
+    * (the layout it actually writes), not the session's configured one — a
+    * `-b4096`-named dir holding a 64-bucket layout would mislead every
+    * later session into a duplicate rebuild or coarser-than-requested
+    * pruning. */
+  private def indexPathWith(dir: String, buckets: Int): String =
     new org.apache.hadoop.fs.Path(indexRoot,
       s"v$FormatVersion-" +
         Similarity.IvfIndex.fileFingerprint(corpusPath(dir)) +
-        s"-b$configuredBuckets").toString
+        s"-b$buckets").toString
 
   /** Retention sweep over this root: drop superseded fingerprint dirs
-    * (never `dir`'s live fingerprint, never a lock-held build) outside the
-    * newest `keepLastN` and older than `olderThanMs` — see
+    * (never a listed corpus's live fingerprint, never a lock-held build)
+    * outside the newest `keepLastN` and older than `olderThanMs`. `dirs`
+    * must list EVERY corpus served from this root — an unlisted corpus's
+    * live index is indistinguishable from a superseded one. See
     * [[IndexRetention]] and `CALL graft.system.expire_indexes`. */
-  def expireStale(dir: String, keepLastN: Option[Int],
+  def expireStale(dirs: Seq[String], keepLastN: Option[Int],
                   olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
     IndexRetention.sweep(store, indexRoot, "lex",
-      Set(Similarity.IvfIndex.fileFingerprint(corpusPath(dir))),
+      dirs.map(d => Similarity.IvfIndex.fileFingerprint(corpusPath(d))).toSet,
       keepLastN, olderThanMs)
 
   /** The corpus file listing serialized for `corpus_files.tsv` — one
@@ -267,7 +279,7 @@ object LexIndex {
     * corpus. `newDocs` needs (doc_id, text) with genuinely new ids. */
   def append(s: SparkSession, dir: String, prior: Index,
              newDocs: DataFrame): Index = {
-    val newPath = indexPath(dir)
+    val newPath = indexPathWith(dir, prior.buckets)
     require(newPath != prior.path,
       "lex index append: corpus fingerprint unchanged — the delta is not " +
         "in the corpus yet (append AFTER the new files land)")

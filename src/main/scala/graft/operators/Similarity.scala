@@ -133,7 +133,9 @@ object Similarity {
                            cents: Array[Array[Double]], assigned: DataFrame,
                            scale: Double, qassigned: DataFrame)
 
-    private val cache = new graft.core.SessionCache[Index]()
+    private val cache = new graft.core.SessionCache[Index](i => {
+      i.assigned.unpersist(); i.qassigned.unpersist(); ()
+    })
 
     /** Test/bench hook ([[DupClusters.evictSession]]'s contract): drop the
       * session's memo so the next [[build]] exercises the durable load
@@ -267,13 +269,15 @@ object Similarity {
     }
 
     /** Retention sweep over this root: drop superseded fingerprint dirs
-      * (never `dir`'s live fingerprint, never a lock-held build) outside
-      * the newest `keepLastN` and older than `olderThanMs` — see
+      * (never a listed corpus's live fingerprint, never a lock-held build)
+      * outside the newest `keepLastN` and older than `olderThanMs`. `dirs`
+      * must list EVERY corpus served from this root — an unlisted corpus's
+      * live index is indistinguishable from a superseded one. See
       * [[IndexRetention]] and `CALL graft.system.expire_indexes`. */
-    def expireStale(dir: String, keepLastN: Option[Int],
+    def expireStale(dirs: Seq[String], keepLastN: Option[Int],
                     olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
       IndexRetention.sweep(store, indexRoot, "ivf",
-        Set(corpusFingerprint(dir)), keepLastN, olderThanMs)
+        dirs.map(corpusFingerprint).toSet, keepLastN, olderThanMs)
 
     /** Bump when the build algorithm or on-disk format changes — a stale
       * on-disk index from an older build must not be served for the same

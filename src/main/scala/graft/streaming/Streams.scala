@@ -472,15 +472,35 @@ object Streams {
     * ingestion sink: the admitted delta lands in `corpusDir`'s
     * `documents.parquet` AND advances the durable
     * [[graft.operators.DupClusters]] artifact, all under this batch's
-    * `_commits/<batchId>` marker — a `.corpus` sub-marker records the
-    * delta landing, so a crash at any point replays to a consistent
-    * (corpus, index) pair and the delta can never double-append.
+    * `_commits/<batchId>` marker. The landing is a STAGED-DELTA protocol
+    * (the append-then-marker ordering had a double-append window — a
+    * crash after the corpus append but before its marker replayed the
+    * append):
+    *
+    *   1. the admitted delta is written to `_commits/<batchId>.delta.tmp`
+    *      and published by ONE rename to `_commits/<batchId>.delta` —
+    *      from this point the delta and the decisions it encodes are
+    *      durable and replay-detectable;
+    *   2. each staged file MOVES into the corpus under a deterministic
+    *      `gate-b<batchId>-<name>` target — idempotent: a replay skips
+    *      targets that already exist, so the delta lands EXACTLY ONCE at
+    *      every crash point;
+    *   3. the index appends publish by their own fingerprint-keyed
+    *      atomic renames (self-idempotent), then the batch marker
+    *      commits and the staging dir is swept.
+    *
+    * A replay that finds the staged delta finishes steps 2–3 and derives
+    * the indexes for the resulting corpus state; a replay from BEFORE the
+    * staging rename recomputes decisions (bit-identical — the store's
+    * copy of this batch's bands self-matches away) and restages. A crash
+    * inside the gate-store appends can duplicate rows in `docs/`/`bands/`
+    * (pre-existing, decision-neutral: duplicates carry the same doc_id
+    * and band keys), but never in the corpus.
     * `advanceLex = true` (implies `advanceIndex`) additionally advances
     * the durable inverted index ([[graft.operators.LexIndex]]) under the
     * SAME marker — both artifacts' priors resolve before the delta lands,
-    * both appends publish by their own fingerprint-keyed rename, and the
-    * replay path re-derives BOTH for the current corpus state, so the
-    * lexical serving lanes (BM25 / hybrid-RRF) stay consistent with a
+    * and the replay path re-derives BOTH for the current corpus state, so
+    * the lexical serving lanes (BM25 / hybrid-RRF) stay consistent with a
     * streaming-ingested corpus at the same crash points. */
   def dedupGateBatch(spark: SparkSession, storeDir: String,
       batch: DataFrame, batchId: Long, advanceIndex: Boolean = false,
@@ -497,22 +517,26 @@ object Streams {
     healGateStore(storeDir) // finish any crashed compaction swap first
     val meta = resolveGateStore(spark, storeDir) // layout marker + migration
     val marker = s"$storeDir/_commits/$batchId"
-    if (st.exists(marker)) return (0L, 0L) // replayed, already committed
+    val deltaDir = s"$storeDir/_commits/$batchId.delta"
+    if (st.exists(marker)) { // replayed, already committed
+      st.deleteRecursive(deltaDir) // sweep a crash-between-commit-and-clean
+      return (0L, 0L)
+    }
     def commit(): Unit = { st.mkdirs(s"$storeDir/_commits"); st.writeString(marker, ""); () }
-    // sub-marker of the advanceIndex protocol: present = this batch's
-    // admitted delta has LANDED in the corpus but the final commit didn't
-    // happen — the index may or may not have advanced
-    val corpusMarker = s"$storeDir/_commits/$batchId.corpus"
-    if (advanceIndex && st.exists(corpusMarker)) {
-      // crash between corpus landing and final commit: gate decisions and
-      // corpus delta are durable. Re-deriving the index for the CURRENT
-      // corpus state replays to consistency — fingerprint-keyed publish
-      // means a completed append warm-loads and a lost one rebuilds
-      // (spec-pinned equal to the append), so the delta can never
-      // double-append and the reconciliation refusal never fires
+    if (advanceIndex && st.exists(deltaDir)) {
+      // crash between the staging rename and the final commit: the
+      // decisions and the admitted delta are durable. Finish the landing
+      // (idempotent deterministic-name moves — files already moved are
+      // skipped, so the delta can never double-append) and derive the
+      // indexes for the RESULTING corpus state — fingerprint-keyed
+      // publish means a completed append warm-loads and a lost one
+      // rebuilds (spec-pinned equal to the append), so the
+      // reconciliation refusal never fires
+      publishDelta(st, deltaDir, corpusDir.get, batchId)
       graft.operators.DupClusters.build(spark, corpusDir.get)
       if (advanceLex) graft.operators.LexIndex.build(spark, corpusDir.get)
       commit()
+      st.deleteRecursive(deltaDir)
       return (0L, 0L)
     }
     val n = batch.count()
@@ -558,30 +582,31 @@ object Streams {
     bands.join(rejected, Seq("doc_id"), "left_anti")
       .write.mode("append").partitionBy("bp").parquet(bandsPath)
     if (advanceIndex && nAdmit > 0) {
-      // VERDICT r10 task 7: the gate's admission AND the dup-cluster
-      // index's advance run under the SAME _commits/<batchId> marker —
-      // the two-call sequence the operator previously had to order is now
-      // one crash-safe protocol. prior is resolved BEFORE the delta lands
-      // (warm memo/durable load), the delta is written to the corpus, the
-      // sub-marker makes the landing detectable, and the append publishes
-      // by fingerprint-keyed atomic rename (its own idempotency)
+      // VERDICT r10 task 7: the gate's admission AND the index advances
+      // run under the SAME _commits/<batchId> marker — the two-call
+      // sequence the operator previously had to order is now one
+      // crash-safe protocol (staged-delta landing; see the method
+      // scaladoc). Priors resolve BEFORE the delta lands (warm
+      // memo/durable load; the lex build on first use is the one-time
+      // cost of opting into lex maintenance).
       val dir = corpusDir.get
       val prior = graft.operators.DupClusters.build(spark, dir)
-      // the lex prior must ALSO resolve before the delta lands (builds on
-      // first use — the operator opting into lex maintenance pays the
-      // one-time build here, every later batch is a delta-sized append)
       val priorLex =
         if (advanceLex) Some(graft.operators.LexIndex.build(spark, dir))
         else None
       val adm = admitted.select("doc_id", "text")
-      adm.write.mode("append").parquet(
-        new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString)
-      st.mkdirs(s"$storeDir/_commits"); st.writeString(corpusMarker, "")
+      st.deleteRecursive(deltaDir + ".tmp") // a crashed attempt's leftover
+      adm.write.mode("overwrite").parquet(deltaDir + ".tmp")
+      if (!st.rename(deltaDir + ".tmp", deltaDir))
+        throw new IllegalStateException(
+          s"dedup gate: staging the batch-$batchId delta failed")
+      publishDelta(st, deltaDir, dir, batchId)
       graft.operators.DupClusters.append(spark, dir, prior, adm)
       priorLex.foreach(p => graft.operators.LexIndex.append(spark, dir, p, adm))
       ()
     }
     commit()
+    if (advanceIndex) { st.deleteRecursive(deltaDir); () } // staging is dead
     // upkeep AFTER the commit marker: every micro-batch appends one parquet
     // write to bands/ and docs/ — unbounded small-file accumulation, the
     // exact disease FileAccount.compactContainer cures for containers. The
@@ -589,6 +614,35 @@ object Streams {
     // ~GateCompactThreshold batches, each reading only store-sized data).
     compactGateStore(spark, storeDir)
     (nAdmit, n - nAdmit)
+  }
+
+  /** Step 2 of [[dedupGateBatch]]'s staged-delta landing: MOVE every data
+    * file of the published staging dir into the corpus under a
+    * deterministic `gate-b<batchId>-<name>` target. Idempotent at every
+    * crash point — a file whose target already exists was moved by a
+    * previous attempt (rename removed the source atomically; a source
+    * lingering beside an existing target can only be a non-atomic store's
+    * partial, and is dropped rather than landed twice). Hidden files
+    * (`_SUCCESS`, checksum sidecars) never move — corpus readers ignore
+    * them by convention and [[graft.operators.LexIndex.corpusEntries]]
+    * excludes them from fingerprints. */
+  private def publishDelta(st: graft.core.Storage, deltaDir: String,
+                           corpusDir: String, batchId: Long): Unit = {
+    val corpus =
+      new org.apache.hadoop.fs.Path(corpusDir, "documents.parquet").toString
+    def hidden(rel: String): Boolean = {
+      val base = rel.substring(rel.lastIndexOf('/') + 1)
+      base.startsWith("_") || base.startsWith(".")
+    }
+    st.walk(deltaDir).map(_.relPath).filterNot(hidden).sorted.foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(deltaDir, rel).toString
+      val dst = new org.apache.hadoop.fs.Path(corpus,
+        s"gate-b$batchId-${rel.replace('/', '-')}").toString
+      if (st.exists(dst)) { st.delete(src); () }
+      else if (!st.rename(src, dst))
+        throw new IllegalStateException(
+          s"dedup gate: landing $src -> $dst failed")
+    }
   }
 
   /** File-count bound for [[dedupGateBatch]]'s store: a sub-store whose

@@ -237,33 +237,61 @@ class DupClustersSpec extends AnyFunSuite {
       batchOf(400, 450), 0L, advanceIndex = true,
       corpusDir = Some(root)) == (0L, 0L))
     assert(graft.core.Tables.documents(spark, root).count() == before)
-    // CRASH between the corpus landing and the final commit: simulate by
-    // running the gate WITHOUT the index advance, landing the admitted
-    // delta + the .corpus sub-marker by hand, and dying before the final
-    // marker (delete it — the plain gate wrote it)
+    // CRASH between the staging rename and the final commit: simulate by
+    // running the gate WITHOUT the index advance, publishing the staged
+    // delta by hand (what step 1 leaves behind), and dying before the
+    // final marker (delete it — the plain gate wrote it)
     val (a1, r1) = graft.streaming.Streams.dedupGateBatch(
       spark, store, batchOf(450, 500), 1L)
     assert(a1 + r1 == 50)
     val adm = spark.read.parquet(s"$store/docs")
       .where(col("doc_id") >= 450 && col("doc_id") < 500)
       .select("doc_id", "text")
-    adm.write.mode("append").parquet(corpus)
-    st.writeString(s"$store/_commits/1.corpus", "")
+    adm.write.mode("overwrite").parquet(s"$store/_commits/1.delta")
     assert(st.delete(s"$store/_commits/1"))
-    // the replay must rebuild/load a CONSISTENT index for the current
-    // corpus state and commit — never double-append, never refuse
+    val nStaged = adm.count()
+    val nPre = graft.core.Tables.documents(spark, root).count()
+    // the replay must FINISH the landing (exactly once), derive a
+    // consistent index for the resulting corpus state, and commit —
+    // never double-append, never refuse
     assert(graft.streaming.Streams.dedupGateBatch(spark, store,
       batchOf(450, 500), 1L, advanceIndex = true,
       corpusDir = Some(root)) == (0L, 0L))
     assert(st.exists(s"$store/_commits/1"), "replay must finish the commit")
+    assert(!st.exists(s"$store/_commits/1.delta"), "staging must be swept")
+    val n1 = graft.core.Tables.documents(spark, root).count()
+    assert(n1 == nPre + nStaged,
+      s"delta must land exactly once: $nPre + $nStaged != $n1")
     val idx1 = DupClusters.build(spark, root)
-    assert(idx1.nDocs == graft.core.Tables.documents(spark, root).count())
+    assert(idx1.nDocs == n1)
     assert(pairSet(idx1.pairs) == pairSet(Dedup.qD6(spark, root)),
       "post-crash index must equal from-scratch mining")
+    // CRASH BEFORE the staging rename (the double-append window the
+    // staged-delta protocol closes): the gate-store appends ran and the
+    // marker is gone, but no delta was staged and nothing reached the
+    // corpus. The replay recomputes bit-identical decisions (the store's
+    // copy of the batch self-matches away) and lands the delta ONCE.
+    // every 3-shingle must carry a varying token or the batch in-dedups
+    // itself (near-identical texts band-collide by construction)
+    val novel = spark.range(20).selectExpr(
+      "CAST(910000 + id AS BIGINT) AS doc_id",
+      "concat('novel', id, ' alpha', id * 7, ' beta', id * 13, " +
+        "' gamma', id * 29, ' delta', id * 31, ' eps', id * 37) AS text")
+    val (a2, r2) = graft.streaming.Streams.dedupGateBatch(
+      spark, store, novel, 2L)
+    assert(a2 == 20 && r2 == 0)
+    assert(st.delete(s"$store/_commits/2")) // died before any staging
+    val (a2r, r2r) = graft.streaming.Streams.dedupGateBatch(spark, store,
+      novel, 2L, advanceIndex = true, corpusDir = Some(root))
+    assert(a2r + r2r == 20, s"replay re-decides the batch: $a2r/$r2r")
+    val n2 = graft.core.Tables.documents(spark, root).count()
+    assert(n2 == n1 + a2r, s"pre-staging crash must land the delta once, " +
+      s"corpus went $n1 -> $n2 with $a2r admitted")
+    assert(DupClusters.build(spark, root).nDocs == n2)
     // and the NEXT happy-path batch still reconciles (nothing drifted)
     val batch3 = spark.range(1).selectExpr("CAST(900000 AS BIGINT) AS doc_id",
       "'a completely novel document about nothing else in the corpus' AS text")
-    assert(graft.streaming.Streams.dedupGateBatch(spark, store, batch3, 2L,
+    assert(graft.streaming.Streams.dedupGateBatch(spark, store, batch3, 3L,
       advanceIndex = true, corpusDir = Some(root)) == (1L, 0L))
     assert(DupClusters.build(spark, root).nDocs ==
       graft.core.Tables.documents(spark, root).count())
@@ -304,23 +332,27 @@ class DupClustersSpec extends AnyFunSuite {
       batchOf(400, 450), 0L, advanceIndex = true, corpusDir = Some(root),
       advanceLex = true) == (0L, 0L))
     assert(graft.core.Tables.documents(spark, root).count() == nNow)
-    // crash between the corpus landing and the final commit (the delta is
-    // durable, neither append may have published): the replay must
-    // re-derive BOTH artifacts for the current corpus state and commit
+    // crash between the staging rename and the final commit (the staged
+    // delta is durable, neither append may have published): the replay
+    // must finish the landing exactly once, re-derive BOTH artifacts for
+    // the resulting corpus state, and commit
     val (a1, r1) = graft.streaming.Streams.dedupGateBatch(
       spark, store, batchOf(450, 500), 1L)
     assert(a1 + r1 == 50)
     val adm = spark.read.parquet(s"$store/docs")
       .where(col("doc_id") >= 450 && col("doc_id") < 500)
       .select("doc_id", "text")
-    adm.write.mode("append").parquet(corpus)
-    st.writeString(s"$store/_commits/1.corpus", "")
+    adm.write.mode("overwrite").parquet(s"$store/_commits/1.delta")
     assert(st.delete(s"$store/_commits/1"))
+    val nStaged = adm.count()
+    val nPre = graft.core.Tables.documents(spark, root).count()
     assert(graft.streaming.Streams.dedupGateBatch(spark, store,
       batchOf(450, 500), 1L, advanceIndex = true, corpusDir = Some(root),
       advanceLex = true) == (0L, 0L))
     assert(st.exists(s"$store/_commits/1"), "replay must finish the commit")
     val nAfter = graft.core.Tables.documents(spark, root).count()
+    assert(nAfter == nPre + nStaged,
+      s"delta must land exactly once: $nPre + $nStaged != $nAfter")
     assert(graft.operators.LexIndex.build(spark, root).nDocsAll == nAfter)
     lexServedEqualsDirect()
   }

@@ -469,7 +469,7 @@ class MaintenanceSpec extends AnyFunSuite {
       st.mkdirs(s"$ivfRoot/v2-deadbeef00-l0-c16")
       st.writeString(s"$ivfRoot/v2-deadbeef00-l0-c16/centroids.tsv", "x\n")
       val swept = graft.operators.Similarity.IvfIndex
-        .expireStale(dir, Some(0), None)
+        .expireStale(Seq(dir), Some(0), None)
       assert(swept.map(_.name) == Seq("v2-deadbeef00-l0-c16"),
         swept.mkString(", "))
       // the REAL index survived and serves the probe lane from a fresh
@@ -495,7 +495,7 @@ class MaintenanceSpec extends AnyFunSuite {
       val idx = graft.operators.DupClusters.build(spark, dir)
       st.mkdirs(s"$dupRoot/v2-feedface00")
       st.writeString(s"$dupRoot/v2-feedface00/meta.tsv", "nDocs\t1\n")
-      val swept = graft.operators.DupClusters.expireStale(dir, Some(0), None)
+      val swept = graft.operators.DupClusters.expireStale(Seq(dir), Some(0), None)
       assert(swept.map(_.name) == Seq("v2-feedface00"), swept.mkString(", "))
       // the real index survived; a fresh session warm-loads it and the
       // graph family still serves (q_g3 reads only artifact frames)
@@ -566,27 +566,52 @@ class MaintenanceSpec extends AnyFunSuite {
         classOf[graft.core.GraftCatalog].getName)
       spark.conf.set("spark.sql.catalog.graftei.root",
         Files.createTempDirectory(Paths.get("target"), "ei-acc").toString)
+      // a SECOND corpus sharing this root: its live index must survive any
+      // sweep that lists it in corpus_dirs (the multi-corpus contract)
+      val rootB = Files.createTempDirectory("graft-lexexp-b").toString
+      graft.core.Tables.documents(spark, dir).where(col("doc_id") < 100)
+        .write.parquet(s"$rootB/documents.parquet")
+      graft.operators.LexIndex.build(spark, rootB)
+      val liveB = (st.listDirNames(lexRoot).toSet -- live.toSet)
+        .filterNot(n => n.startsWith("v1-aaaa") || n.startsWith("v1-cccc"))
+      assert(liveB.size == 1, s"corpus B must have one live dir: $liveB")
       // both bounds: outside newest 1 AND older than 90 minutes — only the
       // two oldest unlocked stale dirs qualify
       val cutoff = System.currentTimeMillis() - 90L * 60L * 1000L
       val swept = spark.sql(
         s"CALL graftei.system.expire_indexes(kind => 'lex', " +
-          s"corpus_dir => '$dir', keep_last_n => 1, " +
+          s"corpus_dirs => '$dir,$rootB', keep_last_n => 1, " +
           s"older_than_ms => ${cutoff}L)").collect()
       assert(swept.map(_.getString(1)).toSet ==
         Set("v1-aaaa0001-b64", "v1-aaaa0002-b64"), swept.mkString(", "))
       assert(swept.forall(r => r.getString(0) == "lex" && r.getLong(3) >= 1L))
-      // keep_last_n alone finishes the sweep; live + locked never touched
+      // an abandoned UNLOCKED staging dir (newest mtime) must never occupy
+      // a keep_last_n slot: with keep 1 the newest REAL superseded dir
+      // survives and only the staging garbage sweeps
+      fakeIdx("v1-aaaa0009-b64.tmp-dead1234", 0L)
+      val keep1 = spark.sql(
+        s"CALL graftei.system.expire_indexes('lex', '$dir,$rootB', 1)")
+        .collect()
+      assert(keep1.map(_.getString(1)).toSeq ==
+        Seq("v1-aaaa0009-b64.tmp-dead1234"),
+        s"staging garbage must sweep without costing the keep slot: " +
+          keep1.mkString(", "))
+      assert(st.listDirNames(lexRoot).contains("v1-aaaa0003-b64"),
+        "the newest real superseded dir must hold the keep slot")
+      // keep_last_n 0 finishes the sweep; live (BOTH corpora) + locked
+      // never touched
       val rest = spark.sql(
-        s"CALL graftei.system.expire_indexes('lex', '$dir', 0)").collect()
+        s"CALL graftei.system.expire_indexes('lex', '$dir,$rootB', 0)")
+        .collect()
       assert(rest.map(_.getString(1)).toSeq == Seq("v1-aaaa0003-b64"))
       val remaining = st.listDirNames(lexRoot).toSet
-      assert(remaining == live.toSet + "v1-cccc0001-b64",
-        s"live + lock-held must survive: $remaining")
-      // the live index still serves after the sweep (fresh session: the
+      assert(remaining == live.toSet ++ liveB + "v1-cccc0001-b64",
+        s"live (both corpora) + lock-held must survive: $remaining")
+      // the live indexes still serve after the sweep (fresh session: the
       // durable load path, not the memo)
       val s2 = spark.newSession()
       assert(graft.operators.LexIndex.build(s2, dir).nDocsAll == 500L)
+      assert(graft.operators.LexIndex.build(s2, rootB).nDocsAll == 100L)
       // no bounds set → loud refusal, nothing swept
       val err = intercept[Exception](spark.sql(
         s"CALL graftei.system.expire_indexes('lex', '$dir')")).getMessage
@@ -595,10 +620,11 @@ class MaintenanceSpec extends AnyFunSuite {
       val err2 = intercept[Exception](spark.sql(
         s"CALL graftei.system.expire_indexes('nope', '$dir', 0)")).getMessage
       assert(err2.contains("unknown kind"), err2)
-      // 'all' over the other (empty) roots composes without error
+      // 'all' over the other (empty) roots composes without error — both
+      // corpora listed, or the sweep would rightly take B's live index
       assert(spark.sql(
-        s"CALL graftei.system.expire_indexes('all', '$dir', 0)").collect()
-        .isEmpty)
+        s"CALL graftei.system.expire_indexes('all', '$dir,$rootB', 0)")
+        .collect().isEmpty)
     } finally {
       rootProps.foreach { k =>
         prevProps(k) match {
