@@ -30,7 +30,7 @@ private[core] object GraftProcedures {
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
       "expire_snapshots", "expire_indexes", "diff", "distinct",
-      "dupclusters", "lexindex")
+      "dupclusters", "lexindex", "ivfindex")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -41,6 +41,7 @@ private[core] object GraftProcedures {
     case "distinct" => new DistinctProcedure(account)
     case "dupclusters" => new DupClustersProcedure(account)
     case "lexindex"    => new LexIndexProcedure
+    case "ivfindex"    => new IvfIndexProcedure
     case "snapshot"      => new SnapshotProcedure(account)
     case "snapshots"     => new ListSnapshotsProcedure(account)
     case "restore"       => new RestoreProcedure(account)
@@ -341,6 +342,45 @@ private[core] final class LexIndexProcedure
     val row = new GenericInternalRow(Array[Any](
       GraftProcedures.utf8(idx.path), idx.nDocsAll,
       idx.terms.count(), idx.postings.count(), idx.buckets.toLong))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.ivfindex(dir[, lloyd_iters])` — build (or
+  * warm-load) the durable IVF ANN index over an embeddings corpus
+  * directory ([[graft.operators.Similarity.IvfIndex]]) and report its
+  * shape: coarse cells, indexed vectors, and the frozen int8 quantizer
+  * scale. Completes the artifact-doorway trio with `dupclusters` and
+  * `lexindex` — a warm call reads sidecars plus one index-sized count,
+  * never a corpus pass. */
+private[core] final class IvfIndexProcedure
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "ivfindex"
+  override def description(): String =
+    "build or warm-load the durable IVF ANN index for a corpus dir"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("dir", StringType).build(),
+    ProcedureParameter.in("lloyd_iters", IntegerType).defaultValue("0")
+      .comment("quantizer training rounds (0 = seeded)").build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = input.getUTF8String(0).toString
+    val iters = input.getInt(1)
+    val idx = graft.operators.Similarity.IvfIndex
+      .build(SparkSession.active, dir, lloydIters = iters)
+    val schema = StructType(Seq(
+      StructField("n_cells", LongType, nullable = false),
+      StructField("n_vectors", LongType, nullable = false),
+      StructField("quant_scale", DoubleType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      idx.cellIds.length.toLong, idx.assigned.count(), idx.scale))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

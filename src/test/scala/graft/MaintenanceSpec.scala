@@ -526,6 +526,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r.getLong(4) == idx.buckets.toLong, s"buckets: $r")
   }
 
+  test("SQL surface: CALL graft.system.ivfindex builds/loads the ANN index and reports its shape") {
+    val acc = newAccount("callivf")
+    spark.conf.set("spark.sql.catalog.graftiv",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftiv.root", acc.root)
+    val dir = "/root/testdata/sf0.001"
+    val r = spark.sql(s"CALL graftiv.system.ivfindex('$dir')").head()
+    assert(r.getLong(0) == graft.operators.Similarity.IvfCells.toLong, s"$r")
+    assert(r.getLong(1) == 500L, s"n_vectors: $r")
+    val idx = graft.operators.Similarity.IvfIndex.build(spark, dir, lloydIters = 0)
+    assert(r.getDouble(2) == idx.scale, s"scale: $r")
+    // named lloyd_iters spelling resolves too (the trained quantizer)
+    val r1 = spark.sql(
+      s"CALL graftiv.system.ivfindex(dir => '$dir', lloyd_iters => 1)").head()
+    assert(r1.getLong(1) == 500L, s"$r1")
+  }
+
   test("expire_indexes: stale fingerprints swept, live + lock-held survive, bounds compose") {
     val dir = "/root/testdata/sf0.001"
     val st = graft.core.Storage.hadoop
