@@ -43,11 +43,9 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   /** One-pass shingler; called once per row from both eval paths. */
   def shingle(text: UTF8String): ArrayData = {
     // Match Spark's split(lower(text), ' ') exactly: regex single-space,
-    // limit -1 (trailing empty tokens preserved). Locale.ROOT, not the JVM
-    // default: under a Turkish default locale String.toLowerCase maps
-    // ASCII 'I' to dotless ı and the kernel would diverge from Spark's
-    // locale-independent lower().
-    val words = text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    // limit -1 (trailing empty tokens preserved); lowering via
+    // [[SparkLower]], the byte-exact mirror of the engine's lower().
+    val words = SparkLower(text.toString).split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder
@@ -115,8 +113,7 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
 
   /** One-pass pairing; called once per row from both eval paths. */
   def bigrams(text: UTF8String): ArrayData = {
-    // Locale.ROOT for the same reason as [[WordShingles.shingle]]
-    val raw = text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    val raw = SparkLower(text.toString).split(" ", -1)
     val words = new Array[String](raw.length)
     var n = 0
     var i = 0
@@ -148,4 +145,22 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Byte-exact mirror of the engine's `lower()` (UTF8String.toLowerCase,
+  * Spark 4.1): a full-ASCII string lowers A–Z only (locale-independent);
+  * anything else takes `String.toLowerCase()` with the JVM DEFAULT locale
+  * — Spark's actual slow path. Kernels claiming "bit-equal to
+  * split(lower(text), ' ')" must reproduce BOTH branches: plain
+  * default-locale lowering diverges on ASCII 'I' under Turkish locales,
+  * and plain Locale.ROOT lowering diverges from Spark's slow path on
+  * non-ASCII input under those same locales. */
+private[functions] object SparkLower {
+  def apply(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) s.toLowerCase(java.util.Locale.ROOT) // A–Z only on ASCII
+    else s.toLowerCase // Spark's toLowerCaseSlow: JVM default locale
+  }
 }

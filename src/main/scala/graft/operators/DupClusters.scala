@@ -97,7 +97,9 @@ object DupClusters {
   def expireStale(dirs: Seq[String], keepLastN: Option[Int],
                   olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
     IndexRetention.sweep(store, indexRoot, "dup",
-      dirs.map(d => Similarity.IvfIndex.fileFingerprint(corpusPath(d))).toSet,
+      dirs.flatMap(d =>
+        IndexRetention.liveCorpusFile(store, d, corpusPath(d))
+          .map(Similarity.IvfIndex.fileFingerprint)).toSet,
       keepLastN, olderThanMs)
 
   /** Build (or fetch) the index for `dir`: in-process memo, then the
@@ -258,6 +260,11 @@ object DupClusters {
         } finally { pairs.unpersist(); () }
       } finally { allSigs.unpersist(); () }
     } finally { dSigs.unpersist(); () }
+    // the superseded handle's persisted frames must not pin the
+    // CacheManager until context stop — a long-running advanceIndex gate
+    // appends every micro-batch (the IvfIndex.append discipline; review
+    // r11: evictSession's release never fires on this production path)
+    prior.pairs.unpersist(); prior.clusters.unpersist()
     cache.getOrCompute(s, newPath)(load(s, newPath))
   }
 

@@ -40,6 +40,21 @@ private[graft] object IndexRetention {
   final case class Swept(kind: String, name: String, createdMs: Long,
                         files: Long, bytes: Long)
 
+  /** A corpus DIR handed to the sweep must exist — fingerprinting a
+    * mistyped path silently yields the constant empty-listing hash,
+    * protecting nothing, and the sweep would then delete that corpus's
+    * LIVE index. A dir that exists but lacks THIS KIND's corpus file
+    * (e.g. a text-only corpus with no `embeddings.parquet` under an
+    * `all` sweep) is skipped (None): no index of this kind can exist for
+    * it, so there is nothing to protect. */
+  def liveCorpusFile(store: graft.core.Storage, dir: String,
+                     corpusFile: String): Option[String] = {
+    require(store.exists(dir),
+      s"expire_indexes: corpus not found: $dir — a missing path would " +
+        "fingerprint as empty and protect nothing; fix the corpus_dirs list")
+    Some(corpusFile).filter(store.exists)
+  }
+
   /** Sweep one index root. `liveFingerprints` are substrings that mark a
     * dir as live (the current corpus fingerprints — dir names embed them
     * between the version prefix and the parameter suffix). */
@@ -50,19 +65,32 @@ private[graft] object IndexRetention {
       "expire_indexes: set keep_last_n and/or older_than_ms")
     require(keepLastN.forall(_ >= 0) && olderThanMs.forall(_ >= 0),
       "expire_indexes: retention bounds must be non-negative")
-    require(liveFingerprints.nonEmpty &&
-        liveFingerprints.forall(_.nonEmpty),
+    require(liveFingerprints.forall(_.nonEmpty),
       "expire_indexes: empty live fingerprint would protect nothing")
-    if (!store.exists(root)) return Seq.empty
+    if (!store.exists(root) || store.listDirNames(root).isEmpty)
+      return Seq.empty // nothing to sweep, nothing at risk
+    // a NON-empty root with zero protections means no listed corpus has
+    // this kind's data — every index here belongs to an UNLISTED corpus,
+    // and sweeping with nothing protected would take live indexes
+    require(liveFingerprints.nonEmpty,
+      s"expire_indexes: no listed corpus has $kind data, but the $kind " +
+        s"root $root is not empty — its indexes belong to corpora missing " +
+        "from corpus_dirs; list them or sweep another kind")
     def path(n: String) = new org.apache.hadoop.fs.Path(root, n).toString
     def lockHeld(n: String): Boolean = {
       // a staging dir `<base>.tmp-xxxx` is guarded by its BASE's lock
       val base = n.split("\\.tmp-")(0)
       store.exists(path(base) + ".lock")
     }
-    val cands = store.listDirNames(root)
-      .filterNot(n => liveFingerprints.exists(n.contains))
-      .filterNot(lockHeld)
+    // live protection applies to REAL dirs only: an UNLOCKED `.tmp-`
+    // staging dir is dead even when its name embeds the live fingerprint
+    // (publish is a rename — a completed build never leaves its staging
+    // name behind), so a crashed live-corpus build's leftovers are
+    // sweepable instead of accumulating behind the live filter
+    val names = store.listDirNames(root).filterNot(lockHeld)
+    val (stagingNames, realNames) = names.partition(_.contains(".tmp-"))
+    val cands = (realNames.filterNot(n =>
+        liveFingerprints.exists(n.contains)) ++ stagingNames)
       .map { n =>
         val p = path(n)
         val files = store.walk(p)

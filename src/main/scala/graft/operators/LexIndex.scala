@@ -114,7 +114,9 @@ object LexIndex {
   def expireStale(dirs: Seq[String], keepLastN: Option[Int],
                   olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
     IndexRetention.sweep(store, indexRoot, "lex",
-      dirs.map(d => Similarity.IvfIndex.fileFingerprint(corpusPath(d))).toSet,
+      dirs.flatMap(d =>
+        IndexRetention.liveCorpusFile(store, d, corpusPath(d))
+          .map(Similarity.IvfIndex.fileFingerprint)).toSet,
       keepLastN, olderThanMs)
 
   /** The corpus file listing serialized for `corpus_files.tsv` — one
@@ -323,6 +325,11 @@ object LexIndex {
         }
       } finally { allDlen.unpersist(); () }
     } finally { tok.unpersist(); () }
+    // release the superseded handle's persisted sidecars (the
+    // DupClusters.append / IvfIndex.append discipline) — the streaming
+    // gate appends every micro-batch and would otherwise pin 2 frames per
+    // batch until context stop
+    prior.terms.unpersist(); prior.doclen.unpersist()
     cache.getOrCompute(s, newPath)(load(s, newPath))
   }
 

@@ -277,7 +277,11 @@ object Similarity {
     def expireStale(dirs: Seq[String], keepLastN: Option[Int],
                     olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
       IndexRetention.sweep(store, indexRoot, "ivf",
-        dirs.map(corpusFingerprint).toSet, keepLastN, olderThanMs)
+        dirs.flatMap { d =>
+          IndexRetention.liveCorpusFile(store, d,
+              new org.apache.hadoop.fs.Path(d, "embeddings.parquet").toString)
+            .map(_ => corpusFingerprint(d))
+        }.toSet, keepLastN, olderThanMs)
 
     /** Bump when the build algorithm or on-disk format changes — a stale
       * on-disk index from an older build must not be served for the same

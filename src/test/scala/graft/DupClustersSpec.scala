@@ -95,6 +95,14 @@ class DupClustersSpec extends AnyFunSuite {
     }
     assert(clusterSet(idx1.clusters) == scratch,
       "appended clusters must equal from-scratch components ⋈ PageRank")
+    // the superseded handle's frames are RELEASED by the append (review
+    // r11: a long-running gate appends every micro-batch — prior frames
+    // must not pin the CacheManager until context stop)
+    assert(idx0.pairs.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE &&
+      idx0.clusters.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+      "append must unpersist the superseded index's frames")
     delta.unpersist()
   }
 

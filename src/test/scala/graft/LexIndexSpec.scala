@@ -131,6 +131,12 @@ class LexIndexSpec extends AnyFunSuite {
       // and the served query answers identically on the appended index
       assert(rows(TextAnalysis.qT21(spark, root)) ==
         rows(TextAnalysis.qT21(spark, sf)))
+      // the superseded handle's sidecars are RELEASED by the append
+      assert(idx0.terms.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE &&
+        idx0.doclen.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE,
+        "append must unpersist the superseded index's frames")
     } finally { delta.unpersist(); () }
   }
 

@@ -615,6 +615,21 @@ class MaintenanceSpec extends AnyFunSuite {
           keep1.mkString(", "))
       assert(st.listDirNames(lexRoot).contains("v1-aaaa0003-b64"),
         "the newest real superseded dir must hold the keep slot")
+      // a crashed LIVE-corpus build's unlocked staging dir is dead garbage
+      // (publish is a rename — a completed build never keeps its staging
+      // name), so the live-fingerprint filter must not shelter it
+      fakeIdx(s"${live.head}.tmp-beef5678", 0L)
+      val liveTmp = spark.sql(
+        s"CALL graftei.system.expire_indexes('lex', '$dir,$rootB', 1)")
+        .collect()
+      assert(liveTmp.map(_.getString(1)).toSeq ==
+        Seq(s"${live.head}.tmp-beef5678"), liveTmp.mkString(", "))
+      // a nonexistent corpus path would fingerprint as the constant
+      // empty hash and protect nothing — it must refuse loudly instead
+      val errNx = intercept[Exception](spark.sql(
+        s"CALL graftei.system.expire_indexes('lex', " +
+          s"'$dir,$lexRoot/no-such-corpus', 0)")).getMessage
+      assert(errNx.contains("corpus not found"), errNx)
       // keep_last_n 0 finishes the sweep; live (BOTH corpora) + locked
       // never touched
       val rest = spark.sql(
