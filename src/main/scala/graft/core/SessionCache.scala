@@ -51,7 +51,15 @@ final class SessionCache[V](release: V => Unit = (_: V) => ()) {
 
   /** Test/maintenance hook: drop one session's memo — running `release`
     * on every evicted value so their persisted frames leave the shared
-    * CacheManager — so a fresh build exercises the durable load path. */
+    * CacheManager — so a fresh build exercises the durable load path.
+    *
+    * Known race (accepted): a `getOrCompute` whose compute is in flight
+    * when eviction runs inserts its value into the now-orphaned inner
+    * map, and `release` never sees it. All eviction callers are
+    * sequential test/bench hooks on an otherwise-idle session; the
+    * production supersede path releases through the append methods
+    * instead (DupClusters/LexIndex/IvfIndex `append` unpersist the prior
+    * handle directly). */
   def evictSession(s: SparkSession): Unit = {
     val evicted = maps.synchronized(Option(maps.remove(s)))
     evicted.foreach { m =>
