@@ -155,7 +155,7 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
   * default-locale lowering diverges on ASCII 'I' under Turkish locales,
   * and plain Locale.ROOT lowering diverges from Spark's slow path on
   * non-ASCII input under those same locales. */
-private[functions] object SparkLower {
+private[graft] object SparkLower {
   def apply(s: String): String = {
     var i = 0
     var ascii = true

@@ -140,4 +140,25 @@ class PropertySpec extends AnyFunSuite {
     assert(counts.getOrElse("insert", 0L) == 0L && counts.getOrElse("update", 0L) == 0L,
       s"second run must write nothing: $counts")
   }
+
+  test("SparkLower mirrors the engine's lower() byte-exactly on adversarial and random strings") {
+    import spark.implicits._
+    // the unicode corners where lowering implementations diverge: Turkish
+    // I/İ, Greek final sigma (context-sensitive), German ß, titlecase ǅ,
+    // supplementary-plane Deseret 𐐨, combining marks, and the full-ASCII
+    // fast path SparkLower must also reproduce
+    val adversarial = Seq(
+      "I AM ASCII", "İstanbul", "ΣΙΣΥΦΟΣ", "STRASSE ß", "ǅungla",
+      "𐐀ESERET", "ÁCCENT", "mixed İI ı Σς", "")
+    val rnd = new scala.util.Random(42)
+    val random = Seq.fill(500)(new String(Array.fill(rnd.nextInt(12) + 1)(
+      rnd.nextInt(0x2FF).toChar)))
+    val rows = (adversarial ++ random).toDF("v")
+      .selectExpr("v", "lower(v) AS engine").collect()
+    rows.foreach { r =>
+      val (v, engine) = (r.getString(0), r.getString(1))
+      assert(graft.functions.SparkLower(v) == engine,
+        s"SparkLower diverges from lower() on ${v.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
 }
