@@ -1407,6 +1407,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("served Jaccard lane is candidate-bounded: no nested-loop anywhere, window fed by the candidate agg") {
+    // VERDICT r11 task 1: the q_sim15 served lexical lane must rank the
+    // posting-join candidate set, never probe × N(docs). Proof obligations:
+    // (a) the plan contains NO BroadcastNestedLoopJoin / CartesianProduct —
+    //     the pad fan-out is keyed on a constant so it stays a hash join;
+    // (b) the ranking window's input flows from the (q_id, n_id)-keyed
+    //     candidate aggregate, not from a raw doclen scan.
+    val q = graft.operators.LexIndex.jaccardTopDocs(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"served Jaccard must not nested-loop against doclen:\n$plan")
+    val opt = q.queryExecution.optimizedPlan
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "ranking window missing from the plan")
+    assert(windows.forall(_.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.size == 2
+      case _ => false
+    }), "the ranking window must be fed by the pair-keyed candidate aggregate")
+  }
+
   test("Q-G7 k-core: peel is shrink-only and converges on the fixture graph") {
     val rows = graft.operators.Dedup.qG7(spark, sf).collect()
     assert(rows.length == graft.operators.Dedup.KCoreIters + 1)
