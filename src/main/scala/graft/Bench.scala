@@ -64,13 +64,17 @@ object Bench {
     * measured, so this pass cannot launder one — it only removes the
     * measurement-window false positives. Re-measured names are recorded in
     * the artifact ("remeasured") so the grader sees which numbers came from
-    * this pass. Returns (updated results, re-measured names). */
+    * this pass. An erroring re-run is NOT a measurement: its exception-path
+    * elapsed never enters the spread vector (a fast crash would otherwise
+    * become the spread minimum) and its error is returned for the artifact's
+    * errors map. Returns (updated results, re-measured names, errors). */
   private[graft] def remeasure(
       results: Seq[(String, Double, Vector[Double])],
       rows: Map[String, Double],
       extraRuns: Int)(time: String => (Double, Option[String]))
-      : (Seq[(String, Double, Vector[Double])], Seq[String]) = {
+      : (Seq[(String, Double, Vector[Double])], Seq[String], Map[String, String]) = {
     val touched = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val updated = results.map { case (name, recorded, spread) =>
       if (!overBudget(recorded, rows.get(name))) (name, recorded, spread)
       else {
@@ -81,15 +85,18 @@ object Bench {
         // stop early once back within budget — the point is to escape the
         // window, not to farm minima
         while (i < extraRuns && overBudget(best, rows.get(name))) {
-          val (t, err) = time(name)
-          runs :+= t
-          if (err.isEmpty && t < best) best = t
+          time(name) match {
+            case (t, None) =>
+              runs :+= t
+              if (t < best) best = t
+            case (_, Some(e)) => errs.getOrElseUpdate(name, e); ()
+          }
           i += 1
         }
         (name, best, runs)
       }
     }
-    (updated, touched.toSeq)
+    (updated, touched.toSeq, errs.toMap)
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -201,8 +208,10 @@ object Bench {
         System.err.println(
           s"bench: cannot read baseline $baselinePath ($e); skipping re-measure")
         Map.empty[String, Double] }
-    val (finalResults, remeasured) =
+    val (finalResults, remeasured, remeasureErrs) =
       remeasure(results, rows, extraRuns = 3)(name => time(selected(name)))
+    // re-measure errors join the artifact like main-loop errors (first wins)
+    remeasureErrs.foreach { case (k, e) => errors.getOrElseUpdate(k, e); () }
 
     val qs = finalResults.map { case (k, v, _) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")

@@ -173,6 +173,7 @@ object SparkEntry {
     "q_sim14_ivfpq"        -> (Similarity.qSim14 _),
     "q_sim16_pq_rerank"    -> (Similarity.qSim16 _),
     "q_sim15_hybrid_rrf"   -> (Similarity.qSim15 _),
+    "q_sim17_hybrid_served" -> (Similarity.qSim17 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -1262,6 +1263,41 @@ object SparkEntry {
         ", v AS (SELECT q_id, n_id, r_v FROM (SELECT a_id AS q_id, b_id AS n_id, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS r_v FROM s) t " +
         "WHERE r_v <= 100), " +
+        "ws AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "lx AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, " +
+        "(len(list_intersect(a.w, b.w)) * 10000) // len(list_distinct(list_concat(a.w, b.w))) AS jac4 " +
+        "FROM ws a JOIN ws b ON a.doc_id < 5 AND a.doc_id <> b.doc_id), " +
+        "l AS (SELECT q_id, n_id, r_l FROM (SELECT q_id, n_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY jac4 DESC, n_id) AS r_l FROM lx) t " +
+        "WHERE r_l <= 100), " +
+        "f AS (SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id, " +
+        "CAST(coalesce(v.r_v, 0) AS BIGINT) AS r_v, CAST(coalesce(l.r_l, 0) AS BIGINT) AS r_l, " +
+        "CAST(coalesce(1000000 // (60 + v.r_v), 0) + coalesce(1000000 // (60 + l.r_l), 0) AS BIGINT) AS rrf_s " +
+        "FROM v FULL OUTER JOIN l ON v.q_id = l.q_id AND v.n_id = l.n_id), " +
+        "r AS (SELECT q_id, n_id, r_v, r_l, rrf_s, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY rrf_s DESC, n_id) AS rank FROM f) " +
+        "SELECT q_id, n_id, r_v, r_l, rrf_s, CAST(rank AS BIGINT) AS rank " +
+        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    "q_sim17_hybrid_served" -> (
+      // served hybrid: the q_sim11 int8-IVF chain (5 probes, top-100
+      // shortlist) as the vector lane + q_sim15's lexical and fusion CTEs
+      // verbatim — both lanes replayed integer-exactly
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+        "p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 5 AND rn <= 4), " +
+        "cand AS (SELECT pr.q_id, t.vec_id AS n_id FROM probe pr " +
+        "JOIN cell t ON t.cid = pr.cid AND t.vec_id <> pr.q_id), " +
+        "iu AS (SELECT c.q_id, c.n_id, unnest(generate_series(1, 64)) AS i, a.qv AS qa, b.qv AS qb " +
+        "FROM cand c JOIN qz a ON a.vec_id = c.q_id JOIN qz b ON b.vec_id = c.n_id), " +
+        "idot AS (SELECT q_id, n_id, CAST(sum(qa[i] * qb[i]) AS BIGINT) AS qdot FROM iu GROUP BY q_id, n_id), " +
+        "v AS (SELECT q_id, n_id, r_v FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY qdot DESC, n_id) AS r_v FROM idot) t WHERE r_v <= 100), " +
         "ws AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w FROM documents), " +
         "lx AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, " +
         "(len(list_intersect(a.w, b.w)) * 10000) // len(list_distinct(list_concat(a.w, b.w))) AS jac4 " +

@@ -531,10 +531,11 @@ object Similarity {
       * ranking is engine-exact; no float summation anywhere downstream of
       * the one deterministic floor). */
     def probeInt8(s: SparkSession, dir: String, idx: Index,
-                  nprobe: Int = IvfProbe, topK: Int = 3): DataFrame = {
+                  nprobe: Int = IvfProbe, topK: Int = 3,
+                  probeLimit: Int = 10): DataFrame = {
       GraftFunctions.register(s)
       graft.functions.IvfRankCells.register(s, idx.fn, idx.cellIds, idx.cents)
-      val probes = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+      val probes = Tables.embeddings(s, dir).where(col("vec_id") < probeLimit)
         .selectExpr("vec_id AS q_id",
           quantizeExpr("embedding", idx.scale) + " AS qq",
           s"explode(${idx.fn}(embedding, $nprobe)) AS cell")
@@ -670,6 +671,16 @@ object Similarity {
       .withColumn("r_v", row_number().over(w.orderBy(col("sim").desc, col("n_id"))))
       .where(col("r_v") <= 100).select("q_id", "n_id", "r_v")
     val l = LexIndex.jaccardTopDocs(s, dir, nProbes = 5, topR = 100)
+    rrfFuse(v, l)
+  }
+
+  /** The hybrid fusion stage, shared verbatim by [[qSim15]] (exact vector
+    * lane) and [[qSim17]] (served vector lane): integer RRF (k=60, absent
+    * rank contributes 0 — the qT23 contract) over two per-probe candidate
+    * lists (q_id, n_id, r_v) / (q_id, n_id, r_l), top-10 per probe with
+    * both source ranks. One function = structurally identical contract. */
+  private def rrfFuse(v: DataFrame, l: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id")
     v.join(l, Seq("q_id", "n_id"), "full_outer")
       .withColumn("rrf_s",
         (coalesce(expr("1000000 DIV (60 + r_v)"), lit(0L)) +
@@ -682,6 +693,33 @@ object Similarity {
       .where(col("rank") <= 10)
       .selectExpr("q_id", "n_id", "r_v", "r_l", "rrf_s", "CAST(rank AS BIGINT) AS rank")
       .orderBy("q_id", "rank")
+  }
+
+  /** Q-SIM17 — SERVED HYBRID RETRIEVAL: [[qSim15]] with BOTH lanes on warm
+    * durable indexes — the shape a 100 TB deployment actually runs (the
+    * half [[qSim15]]'s own scaladoc promised and round 11 only delivered
+    * for the lexical lane). The vector lane is the int8 IVF serving lane
+    * ([[IvfIndex.probeInt8]], top-100 shortlist: cell-pruned candidates,
+    * exact BIGINT rescoring, 1/4 the candidate IO of float); the lexical
+    * lane is the candidate-bounded inverted-index Jaccard
+    * ([[LexIndex.jaccardTopDocs]]); fusion is [[rrfFuse]] — the SAME
+    * function [[qSim15]] calls, so the fusion contract is identical by
+    * construction, and it only ever sees two <= 100-row-per-probe
+    * candidate lists.
+    *
+    * Scale: warm runs read zero corpus text/vectors outside the pushed
+    * vec_id < 5 probe fetch — the vector candidates come from the cached
+    * int8 assignment, the lexical candidates from posting files
+    * (PlanAuditSpec pins the scan set). Recall vs the exact-lane fusion is
+    * measured in RecallSpec, not assumed; the oracle replays both lanes
+    * and the fusion integer-exactly. */
+  def qSim17(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = IvfIndex.build(s, dir, lloydIters = 0)
+    val v = IvfIndex.probeInt8(s, dir, idx, topK = 100, probeLimit = 5)
+      .select(col("q_id"), col("n_id"), col("rank").as("r_v"))
+    val l = LexIndex.jaccardTopDocs(s, dir, nProbes = 5, topR = 100)
+    rrfFuse(v, l)
   }
 
   /** Q-SIM16 — PQ SHORTLIST + EXACT RERANK: the two-stage serving

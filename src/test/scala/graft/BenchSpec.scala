@@ -39,7 +39,7 @@ class BenchSpec extends AnyFunSuite with Matchers {
       ("q_slow", 2.27, Vector(2.27, 2.31, 2.40)))
     val rows = Map("q_fast" -> 0.09, "q_slow" -> 0.17)
     var calls = List.empty[String]
-    val (updated, remeasured) = Bench.remeasure(results, rows, extraRuns = 3) {
+    val (updated, remeasured, _) = Bench.remeasure(results, rows, extraRuns = 3) {
       name => calls ::= name; (0.15, None)
     }
     remeasured shouldBe Seq("q_slow")
@@ -53,7 +53,7 @@ class BenchSpec extends AnyFunSuite with Matchers {
   test("a real regression survives all extra runs and stays visible") {
     val results = Seq(("q_reg", 1.0, Vector(1.0, 1.1, 1.05)))
     var n = 0
-    val (updated, remeasured) =
+    val (updated, remeasured, _) =
       Bench.remeasure(results, Map("q_reg" -> 0.2), extraRuns = 3) { _ =>
         n += 1; (0.95, None) // faster, but still 4.75x the row
       }
@@ -64,18 +64,22 @@ class BenchSpec extends AnyFunSuite with Matchers {
 
   test("erroring re-runs never improve the recorded min") {
     val results = Seq(("q_slow", 2.0, Vector(2.0, 2.1, 2.2)))
-    val (updated, _) =
+    val (updated, _, errs) =
       Bench.remeasure(results, Map("q_slow" -> 0.1), extraRuns = 2) { _ =>
         (0.01, Some("boom")) // fast because it crashed — not a measurement
       }
     updated.head._2 shouldBe 2.0 +- 1e-9
+    // the crash's elapsed must not pollute the spread (it would otherwise
+    // become the spread minimum) and the error must surface in the artifact
+    updated.head._3 shouldBe Vector(2.0, 2.1, 2.2)
+    errs shouldBe Map("q_slow" -> "boom")
   }
 
   test("row-less and in-budget queries are never re-measured") {
     val results = Seq(
       ("q_norow", 9.0, Vector(9.0)),
       ("q_ok", 0.3, Vector(0.3)))
-    val (updated, remeasured) =
+    val (updated, remeasured, _) =
       Bench.remeasure(results, Map("q_ok" -> 0.2), extraRuns = 3) { _ =>
         fail("timer must not be invoked")
       }

@@ -1432,6 +1432,48 @@ class PlanAuditSpec extends AnyFunSuite {
     }), "the ranking window must be fed by the pair-keyed candidate aggregate")
   }
 
+  // walk the EXECUTED plan including AQE wrappers and materialized stages
+  // (QueryStageExec is a leaf — plain collect won't descend); cached
+  // relations (InMemoryTableScan) are leaves and correctly NOT descended —
+  // their stored build plans never execute
+  private def executedScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
+    }
+    here ++ kids.flatMap(executedScans)
+  }
+
+  test("served hybrid (q_sim17) warm: every executed scan is an index file or a pushed probe fetch") {
+    // VERDICT r11 task 2: with both lanes on warm durable indexes, the
+    // only parquet the query may touch is (a) lex-index files and (b) the
+    // vec_id < 5 probe fetches (pushed down) — vector candidates come from
+    // the cached int8 assignment, never a corpus-wide embedding scan
+    graft.operators.Similarity.qSim17(spark, sf).collect() // warm indexes
+    val q = graft.operators.Similarity.qSim17(spark, sf)
+    q.collect()
+    val scans = executedScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected executed file scans in the plan")
+    for (sc <- scans) {
+      val files = sc.relation.location.inputFiles.toSeq
+      val isLex = files.forall(_.contains("lex-index"))
+      val isProbe = files.forall(_.contains("embeddings.parquet")) &&
+        sc.metadata.getOrElse("PushedFilters", "").contains("LessThan(vec_id,5)")
+      assert(isLex || isProbe,
+        s"corpus-wide scan in the served hybrid: ${files.take(2)} " +
+          s"pushed=${sc.metadata.get("PushedFilters")}")
+    }
+  }
+
   test("Q-G7 k-core: peel is shrink-only and converges on the fixture graph") {
     val rows = graft.operators.Dedup.qG7(spark, sf).collect()
     assert(rows.length == graft.operators.Dedup.KCoreIters + 1)

@@ -283,6 +283,32 @@ class RecallSpec extends AnyFunSuite {
       s"ADC ranking no better than noise: $overlaps")
   }
 
+  test("served hybrid (q_sim17): fusion contract identical, overlap vs exact-lane fusion measured") {
+    // both hybrids call the SAME rrfFuse — the contract check is on the
+    // OUTPUT (schema + per-probe list shape); the measured number is how
+    // much the int8-IVF vector lane moves the fused top-10 vs the exact
+    // cosine lane (the lexical lane is byte-identical between the two)
+    val exact = Similarity.qSim15(spark, sf).collect()
+    val served = Similarity.qSim17(spark, sf).collect()
+    assert(served.nonEmpty &&
+      served.head.schema.fieldNames.toSeq == exact.head.schema.fieldNames.toSeq,
+      "served fusion must emit the exact-lane contract")
+    def tops(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val e = tops(exact)
+    val sv = tops(served)
+    assert(e.keySet == sv.keySet, "both hybrids must answer every probe")
+    assert(served.groupBy(_.getLong(0)).values.forall(_.length == 10),
+      "served fusion must emit a full top-10 per probe")
+    val overlaps = e.keys.toSeq.sorted.map(q => (e(q) intersect sv(q)).size)
+    info(s"served-hybrid top-10 overlap vs exact fusion per probe: ${overlaps.mkString(",")}")
+    // half the fused signal (the lexical lane) is identical by
+    // construction, so require a non-trivial floor, not a tuned value
+    assert(overlaps.sum >= e.size * 4,
+      s"served hybrid lost too much of the exact fusion: $overlaps")
+  }
+
   test("PQ rerank (q_sim16): exact restriction of the shortlist, per-probe recall >= pure ADC") {
     // the refine-stage guarantee, checked as math, not luck: (a) every
     // reranked hit comes from the ADC shortlist; (b) any TRUE top-10
