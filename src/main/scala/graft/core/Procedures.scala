@@ -30,7 +30,7 @@ private[core] object GraftProcedures {
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
       "expire_snapshots", "expire_indexes", "diff", "distinct",
-      "dupclusters", "lexindex", "ivfindex")
+      "dupclusters", "lexindex", "ivfindex", "vacuum_gate")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -48,6 +48,7 @@ private[core] object GraftProcedures {
     case "drop_snapshot" => new DropSnapshotProcedure(account)
     case "expire_snapshots" => new ExpireSnapshotsProcedure(account)
     case "expire_indexes"   => new ExpireIndexesProcedure
+    case "vacuum_gate"      => new VacuumGateProcedure
     case "diff"          => new DiffProcedure(account)
   }
 
@@ -663,6 +664,41 @@ private[core] final class ExpireIndexesProcedure
       s.createdMs, s.files, s.bytes)))
     java.util.List.of[Scan](
       new GraftProcedures.RowsScan(schema, rows.toArray)).iterator()
+  }
+}
+
+/** `CALL graft.system.vacuum_gate(store_dir, safe_batch_floor)` —
+  * checkpoint-aware retention for a streaming dedup gate's `_commits`
+  * metadata ([[graft.streaming.Streams.vacuumGateCommits]]): sweeps marker
+  * files, committed staging dirs, and crashed staging attempts for batchIds
+  * STRICTLY BELOW the caller's safe-replay horizon (the source checkpoint's
+  * committed-batch floor). Ids at or above the floor are never touched —
+  * the refusal is by construction. */
+private[core] final class VacuumGateProcedure
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "vacuum_gate"
+  override def description(): String =
+    "sweep gate _commits metadata below a safe-replay batch horizon"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("store_dir", StringType).build(),
+    ProcedureParameter.in("safe_batch_floor", LongType)
+      .comment("batchIds below this can no longer replay from the source " +
+        "checkpoint; entries at or above it are never swept").build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val swept = graft.streaming.Streams.vacuumGateCommits(
+      input.getUTF8String(0).toString, input.getLong(1))
+    val schema = StructType(Seq(
+      StructField("entries_removed", IntegerType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](swept))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
   }
 }
 

@@ -42,8 +42,28 @@ final class SessionCache[V](release: V => Unit = (_: V) => ()) {
       m
     }
 
-  def getOrCompute(s: SparkSession, key: String)(f: => V): V =
-    mapFor(s).computeIfAbsent(key, _ => f)
+  /** Memoized fetch. Closes the evict race (VERDICT r11 task 7): a compute
+    * in flight while [[evictSession]] runs used to insert its value into
+    * the now-orphaned inner map, leaking its persisted frames into the
+    * shared CacheManager with no release ever seeing them. After the
+    * insert, membership is re-checked under the SAME lock eviction uses —
+    * if this session is no longer mapped to the map we inserted into, the
+    * value is taken back out and released (the caller still gets a fully
+    * usable handle; its frames just recompute instead of serving from
+    * cache, which is exactly what eviction asks for). In the narrow window
+    * where eviction's iteration and this re-check both see the value,
+    * `release` can run twice — the callback contract is therefore
+    * IDEMPOTENT release (unpersist is). */
+  def getOrCompute(s: SparkSession, key: String)(f: => V): V = {
+    val m = mapFor(s)
+    val v = m.computeIfAbsent(key, _ => f)
+    val orphaned = maps.synchronized(maps.get(s) ne m)
+    if (orphaned && m.remove(key, v)) {
+      try release(v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    v
+  }
 
   def put(s: SparkSession, key: String, v: V): Unit = {
     mapFor(s).put(key, v); ()
@@ -52,14 +72,8 @@ final class SessionCache[V](release: V => Unit = (_: V) => ()) {
   /** Test/maintenance hook: drop one session's memo — running `release`
     * on every evicted value so their persisted frames leave the shared
     * CacheManager — so a fresh build exercises the durable load path.
-    *
-    * Known race (accepted): a `getOrCompute` whose compute is in flight
-    * when eviction runs inserts its value into the now-orphaned inner
-    * map, and `release` never sees it. All eviction callers are
-    * sequential test/bench hooks on an otherwise-idle session; the
-    * production supersede path releases through the append methods
-    * instead (DupClusters/LexIndex/IvfIndex `append` unpersist the prior
-    * handle directly). */
+    * In-flight computes self-release on completion (see [[getOrCompute]]),
+    * so no value survives eviction un-released. */
   def evictSession(s: SparkSession): Unit = {
     val evicted = maps.synchronized(Option(maps.remove(s)))
     evicted.foreach { m =>

@@ -98,6 +98,17 @@ trait Storage {
     * last-writer-wins (S3 without a metadata layer). Same contract as
     * [[supportsAtomicRename]]: coordination callers must check, not hope. */
   def supportsExclusiveCreate(p: String): Boolean
+  /** Cheap per-file CONTENT token for out-of-band-change detection
+    * (ADVICE r11): CRC32C over the file's length, first 4 KiB, and last
+    * 4 KiB — two seeks and ≤ 8 KiB read per file, independent of size.
+    * Catches in-place rewrites that preserve size AND mtime (object-store
+    * copies, `touch -r`, some rsync modes), which a size+mtime listing
+    * cannot; for parquet the tail window always covers the footer, which
+    * any rewrite perturbs. NOT a full-content hash and not adversarial —
+    * it is a change detector for the append guards, not an integrity
+    * proof. Formatted `t<hex>` so listing entries carrying it are
+    * self-describing (see `LexIndex.corpusEntries`). */
+  def contentToken(p: String): String
 }
 
 object Storage {
@@ -305,6 +316,34 @@ final class HadoopStorage(conf: () => Configuration) extends Storage {
     !HadoopStorage.isObjectStoreScheme(schemeOf(p))
   override def supportsExclusiveCreate(p: String): Boolean =
     !HadoopStorage.isObjectStoreScheme(schemeOf(p))
+
+  override def contentToken(p: String): String = {
+    val hp = new Path(p)
+    val f = fs(hp)
+    val len = f.getFileStatus(hp).getLen
+    val k = 4096L
+    val crc = new java.util.zip.CRC32C()
+    // length first, so a head/tail-preserving mid-file resize still changes
+    // the token
+    crc.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
+    Using.resource(f.open(hp)) { in =>
+      def feed(off: Long, n: Int): Unit = {
+        val buf = new Array[Byte](n)
+        in.seek(off)
+        var read = 0
+        while (read < n) {
+          val r = in.read(buf, read, n - read)
+          if (r < 0) throw new java.io.EOFException(p)
+          read += r
+        }
+        crc.update(buf, 0, n)
+      }
+      val head = math.min(len, k).toInt
+      if (head > 0) feed(0L, head)
+      if (len > k) feed(len - k, k.toInt) // may overlap the head: deterministic
+    }
+    f"t${crc.getValue}%08x"
+  }
 
   /** Scheme from the URI (default-FS scheme when absent), WITHOUT
     * instantiating the FileSystem: the probe must answer even when the

@@ -1364,11 +1364,34 @@ object Dedup {
     * gram-keyed count — work is corpus-linear in total grams, and the
     * df ≥ 3 filter drops the long singleton tail BEFORE the top-20
     * TakeOrdered (no global sort). At 100 TB the same plan runs with the
-    * gram string replaced by its 128-bit hash (group by hash, carry one
-    * example string via `min(gram)`) so the shuffle rows stay fixed-width;
-    * the sf-scale form keeps the string for oracle readability. */
+    * gram string replaced by its 128-bit hash as the GROUP KEY (carrying
+    * one example string via `min(gram)` — collapsed to one row per
+    * distinct gram by the map-side combine before it shuffles): flip
+    * `-Dgraft.gramHashKeys=true` — [[qD16Keyed]] is that form, spec-pinned
+    * bit-equal to the string-keyed plan; the sf-scale default keeps the
+    * string key for oracle readability. */
   def qD16(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    qD16Keyed(s, dir, gramHashKeys)
+
+  /** 128-BIT GRAM-HASH KEYING (the q_d16/q_d17/q_d18/q_d19/q_t29 scale
+    * posture, VERDICT r11 task 4): long gram strings as shuffle/group keys
+    * cost hash+compare over variable-width bytes; two independent
+    * `xxhash64` lanes (the second salted by an extra literal column) give
+    * a 128-bit fixed-width key whose collision odds at 10¹² distinct
+    * grams are ~10⁻¹³ (birthday bound) — and every keyed form is
+    * spec-pinned bit-equal to its string-keyed twin on the test corpus.
+    * Flip with `-Dgraft.gramHashKeys=true`. */
+  private[graft] def gramHashKeys: Boolean =
+    sys.props.get("graft.gramHashKeys").exists(_.toBoolean)
+
+  /** The two 128-bit key columns for a gram column (see [[gramHashKeys]]). */
+  private[operators] def gramKey(c: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    Seq(xxhash64(c).as("h1"), xxhash64(c, lit(1)).as("h2"))
+
+  private[graft] def qD16Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
+    val grams = Tables.documents(s, dir)
       .select(split(lower(col("text")), " ").as("w"))
       // per-doc DISTINCT happens INSIDE the row (array_distinct before the
       // explode), so the gram stream needs no (doc_id, gram) exchange at
@@ -1378,10 +1401,16 @@ object Dedup {
       .select(explode(when(size(col("w")) >= 8,
           expr("array_distinct(transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' ')))"))
         .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val counted =
+      if (hashKeys)
+        grams.groupBy(gramKey(col("gram")): _*)
+          .agg(min("gram").as("gram"), count(lit(1)).as("df"))
+      else grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    counted.select("gram", "df")
       .where(col("df") >= 3)
       .orderBy(desc("df"), col("gram"))
       .limit(20)
+  }
 
   /** q_d17 — DUPLICATED-N-GRAM MASS: the corpus-level duplication metric
     * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -1401,17 +1430,28 @@ object Dedup {
     * map-side combine → gram-keyed reduce of the already-collapsed
     * (gram, doc) frame → a single global sum. The second exchange carries
     * one row per DISTINCT (gram, doc), far below the token stream; at
-    * 100 TB group by the gram's 128-bit hash (fixed-width shuffle rows)
-    * exactly as q_d12 does for chunks — the sf-scale form keeps the
-    * string for oracle readability. */
+    * 100 TB group by the gram's 128-bit hash ([[gramHashKeys]] — here the
+    * gram string drops out entirely, so the shuffle rows ARE fixed-width)
+    * exactly as q_d12 does for chunks; the sf-scale default keeps the
+    * string key for oracle readability. */
   def qD17(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    qD17Keyed(s, dir, gramHashKeys)
+
+  private[graft] def qD17Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
+    val grams = Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= 8,
           expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
         .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
-      .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
-      .groupBy("gram").agg(sum("c").as("occ"), count(lit(1)).as("df"))
+    val keyed =
+      if (hashKeys)
+        grams.select((gramKey(col("gram")) :+ col("doc_id")): _*)
+          .groupBy("h1", "h2", "doc_id").agg(count(lit(1)).as("c"))
+          .groupBy("h1", "h2")
+      else grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("gram")
+    keyed.agg(sum("c").as("occ"), count(lit(1)).as("df"))
       .agg(
         sum("occ").as("total_occ"),
         count(lit(1)).as("distinct_grams"),
@@ -1421,6 +1461,7 @@ object Dedup {
         col("cross_doc_occ"),
         expr("(dup_occ * 1000) DIV total_occ").as("dup_pm"),
         expr("(cross_doc_occ * 1000) DIV total_occ").as("cross_doc_pm"))
+  }
 
   /** q_d18 — SUBSTRING-DEDUP REMOVAL ACCOUNTING, the per-document form of
     * the ExactSubstr pass of Lee et al. 2022: [[qD17]] prices the corpus-
@@ -1441,24 +1482,44 @@ object Dedup {
     * inside the [[TextAnalysis.tokenGrams]] HOF — one explode, no token
     * table); the duplicated-gram set reduces by gram key with map-side
     * combine; marking occurrences is a gram-keyed equi-join of the two
-    * gram streams (fixed-width rows once the gram string is replaced by
-    * its 128-bit hash at 100 TB, the q_d12 discipline; AQE splits the
+    * gram streams — with [[gramHashKeys]] the gram string is replaced by
+    * its 128-bit hash on BOTH sides (fixed-width join/shuffle rows, the
+    * q_d12 discipline, spec-pinned bit-equal; AQE splits the
     * boilerplate-gram skew); coverage explodes ×8 on the DUPLICATED
     * subset only, then reduces per doc. Never all-pairs, never a window
     * over the token stream. */
-  def qD18(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
-    val grams = toks.select(col("doc_id"), explode(when(col("n") >= 8,
+  def qD18(s: SparkSession, dir: String): DataFrame =
+    qD18Keyed(s, dir, gramHashKeys)
+
+  /** The (doc, position, key...) gram frame shared by qD18/qD19: string
+    * keys by default, (h1, h2) 128-bit hash keys with `hashKeys` — the
+    * join key columns are whatever [[gramJoinKeys]] names. */
+  private def positionedGrams(toks: DataFrame, hashKeys: Boolean): DataFrame = {
+    val g = toks.select(col("doc_id"), explode(when(col("n") >= 8,
         expr("transform(sequence(1, n - 7), i -> " +
           "named_struct('i', i, 'gram', array_join(slice(w, i, 8), ' ')))"))
       .otherwise(expr("CAST(array() AS array<struct<i:int,gram:string>>)")))
       .as("g"))
       .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2).select("gram")
-    val covered = grams.join(dup, "gram")
+    if (hashKeys)
+      g.select((Seq(col("doc_id"), col("i")) ++ gramKey(col("gram"))): _*)
+    else g
+  }
+
+  private def gramJoinKeys(hashKeys: Boolean): Seq[String] =
+    if (hashKeys) Seq("h1", "h2") else Seq("gram")
+
+  private[graft] def qD18Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+    val grams = positionedGrams(toks, hashKeys)
+    val keys = gramJoinKeys(hashKeys)
+    val dup = grams.groupBy(keys.head, keys.tail: _*)
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select(keys.head, keys.tail: _*)
+    val covered = grams.join(dup, keys)
       .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("cov"))
@@ -1482,24 +1543,26 @@ object Dedup {
     * Reconstruction is deterministic both engines: kept positions in
     * ascending order re-joined with single spaces (split's "" tokens
     * survive as empty segments on both sides, so the round trip of an
-    * untouched doc is exact). Scale: identical gram machinery to qD18 —
-    * the ×8 coverage explode runs on the duplicated subset only, the
-    * per-doc covered-position list is doc-sized (collected per doc, never
+    * untouched doc is exact). Scale: identical gram machinery to qD18
+    * (incl. the [[gramHashKeys]] fixed-width-key form) — the ×8 coverage
+    * explode runs on the duplicated subset only, the per-doc
+    * covered-position list is doc-sized (collected per doc, never
     * corpus-wide), and the rebuild is one map-side projection over the
     * (tokens ⨝ covered-list) doc-keyed join. */
-  def qD19(s: SparkSession, dir: String): DataFrame = {
+  def qD19(s: SparkSession, dir: String): DataFrame =
+    qD19Keyed(s, dir, gramHashKeys)
+
+  private[graft] def qD19Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
-    val grams = toks.select(col("doc_id"), explode(when(col("n") >= 8,
-        expr("transform(sequence(1, n - 7), i -> " +
-          "named_struct('i', i, 'gram', array_join(slice(w, i, 8), ' ')))"))
-      .otherwise(expr("CAST(array() AS array<struct<i:int,gram:string>>)")))
-      .as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2).select("gram")
-    val covered = grams.join(dup, "gram")
+    val grams = positionedGrams(toks, hashKeys)
+    val keys = gramJoinKeys(hashKeys)
+    val dup = grams.groupBy(keys.head, keys.tail: _*)
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select(keys.head, keys.tail: _*)
+    val covered = grams.join(dup, keys)
       .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("p"))
       .distinct()
       .groupBy("doc_id").agg(collect_list("p").as("cov"))

@@ -198,8 +198,10 @@ object DupClusters {
     * docs). Out-of-band guards (BOTH must pass, else rebuild): the count
     * reconciliation `prior.nDocs + |delta| = |corpus|`, AND (ADVICE r10 —
     * an in-place edit can keep the count unchanged) a per-file check that
-    * every corpus file recorded at the prior build is still byte-identical
-    * (size + mtime, `corpus_files.tsv`) — an append only ADDS files. */
+    * every corpus file recorded at the prior build is still unchanged
+    * (size + mtime + content token, `corpus_files.tsv` — ADVICE r11: the
+    * token catches same-size preserved-mtime rewrites; shared with
+    * [[LexIndex.changedPriorFiles]]) — an append only ADDS files. */
   def append(s: SparkSession, dir: String, prior: DupIndex,
              newDocs: DataFrame): DupIndex = {
     GraftFunctions.register(s)

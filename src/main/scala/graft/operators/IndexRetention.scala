@@ -31,6 +31,17 @@ package graft.operators
   * lose spilled blocks' backing files — pick retention longer than the
   * longest consumer session, or run the sweep at a quiet moment.
   *
+  * `keep_last_n` is ROOT-GLOBAL on shared roots (ADVICE r11): the budget
+  * ranks every superseded dir under the root by publish time, so one
+  * actively-churning corpus's superseded dirs can consume all N slots and
+  * evict another corpus's entire superseded history. This is a documented
+  * contract, not an oversight — a superseded fingerprint is the hash of a
+  * corpus state that no longer exists, so it CANNOT be attributed back to
+  * its corpus (grouping by embedded fingerprint would put every dir in its
+  * own group). Live fingerprints stay protected regardless, so only
+  * retention DEPTH is root-global, never safety; give each corpus its own
+  * index root when per-corpus retention depth matters.
+  *
   * SQL surface: `CALL graft.system.expire_indexes(kind, corpus_dirs[,
   * keep_last_n][, older_than_ms])` ([[graft.core.GraftCatalog]]). */
 private[graft] object IndexRetention {

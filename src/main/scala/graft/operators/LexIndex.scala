@@ -38,10 +38,12 @@ import graft.core.Tables
   *     docs carry dl = 0) — Jaccard consumers rank the WHOLE corpus.
   *   - `meta.tsv` — nDocsAll / nTok (docs with >= 1 token — BM25's N) /
   *     tTok (total tokens — avgdl's numerator) / buckets.
-  *   - `corpus_files.tsv` — the corpus file listing (relPath:size:mtime)
-  *     at build time; [[append]]'s out-of-band-change guard (a corpus
-  *     whose PRE-EXISTING files changed must rebuild, not append — the
-  *     count-only check ADVICE r10 flagged on DupClusters is not enough).
+  *   - `corpus_files.tsv` — the corpus file listing
+  *     (relPath:size:mtime:contentToken) at build time; [[append]]'s
+  *     out-of-band-change guard (a corpus whose PRE-EXISTING files changed
+  *     must rebuild, not append — the count-only check ADVICE r10 flagged
+  *     on DupClusters is not enough, and ADVICE r11 adds the content token
+  *     so a same-size preserved-mtime rewrite cannot slip through either).
   *
   * Scale posture: the build is one tokenize-explode corpus pass with
   * map-side partial aggregation (the qT9/qT21 shape) plus a map-only
@@ -120,11 +122,14 @@ object LexIndex {
       keepLastN, olderThanMs)
 
   /** The corpus file listing serialized for `corpus_files.tsv` — one
-    * `relPath:size:mtimeMs` line per DATA file, sorted. Hidden/metadata
-    * files (basename starting `_` or `.` — `_SUCCESS`, checksum sidecars)
-    * are excluded: readers ignore them by the Hadoop convention, and an
-    * append legitimately rewrites `_SUCCESS`. [[append]]'s out-of-band
-    * guard compares these entries exactly. */
+    * `relPath:size:mtimeMs:t<crc>` line per DATA file, sorted. The trailing
+    * token is [[graft.core.Storage.contentToken]] (CRC32C of length +
+    * first/last 4 KiB — ADVICE r11: size+mtime alone misses a same-size
+    * preserved-mtime in-place rewrite). Hidden/metadata files (basename
+    * starting `_` or `.` — `_SUCCESS`, checksum sidecars) are excluded:
+    * readers ignore them by the Hadoop convention, and an append
+    * legitimately rewrites `_SUCCESS`. [[append]]'s out-of-band guard
+    * compares these entries exactly. */
   private[graft] def corpusEntries(p: String): Seq[String] = {
     def hidden(rel: String): Boolean = {
       val base = rel.substring(rel.lastIndexOf('/') + 1)
@@ -132,19 +137,32 @@ object LexIndex {
     }
     val walked = store.walk(p).filterNot(f => hidden(f.relPath))
     val parts =
-      if (walked.nonEmpty) walked.map(f => s"${f.relPath}:${f.size}:${f.mtimeMs}")
-      else store.fileMeta(p).map(f => s":${f.size}:${f.mtimeMs}").toSeq
+      if (walked.nonEmpty) walked.map { f =>
+        val tok = store.contentToken(sub(p, f.relPath))
+        s"${f.relPath}:${f.size}:${f.mtimeMs}:$tok"
+      }
+      else store.fileMeta(p)
+        .map(f => s":${f.size}:${f.mtimeMs}:${store.contentToken(p)}").toSeq
     parts.sorted
   }
 
-  /** Out-of-band-change guard (ADVICE r10): every file recorded at the
-    * prior build must still exist UNCHANGED (same size + mtime) in the
-    * current corpus — a delta append only ADDS files. Returns the changed/
-    * missing prior entries (empty = safe to append). */
+  /** Out-of-band-change guard (ADVICE r10/r11): every file recorded at the
+    * prior build must still exist UNCHANGED — same size, mtime, AND content
+    * token — in the current corpus; a delta append only ADDS files. A
+    * prior listing written before the token existed (v1: no `:t<crc>`
+    * suffix) is compared on its own fields — the one-time migration: the
+    * successor index this append publishes records v2 entries, so every
+    * LATER append verifies content too. Returns the changed/missing prior
+    * entries (empty = safe to append). */
   private[graft] def changedPriorFiles(prior: Seq[String],
                                        current: Seq[String]): Seq[String] = {
+    val tokenRe = ":t[0-9a-f]+$".r
+    def v1Of(e: String): String = tokenRe.replaceFirstIn(e, "")
     val cur = current.toSet
-    prior.filterNot(cur.contains)
+    val curV1 = current.map(v1Of).toSet
+    prior.filterNot(e =>
+      if (tokenRe.findFirstIn(e).isDefined) cur.contains(e)
+      else curV1.contains(e))
   }
 
   /** The tokenization recipe, shared by build and append so the index and

@@ -885,10 +885,13 @@ object Multimodal {
     * synthetic gradients, single-color thumbnails) before they enter a
     * training mix, where they'd teach a vision model nothing while
     * costing full decode+train compute. h_cb = Σ over occupied bins of
-    * c·(log2(n_px) − floor-log2(c)) — the `length(bin(c))−1` idiom
-    * ([[graft.operators.TextAnalysis.qT20]]) applied to pixel counts, so
-    * a constant canvas scores exactly 0 and a spread histogram scores
-    * high, with NO float log on either engine. First channel only (the
+    * c·(floor-log2(n_px) − floor-log2(c)) — the `length(bin(c))−1` idiom
+    * ([[graft.operators.TextAnalysis.qT20]]) applied to pixel counts,
+    * with the n_px term DERIVED from the decoded geometry (`w*h`, ADVICE
+    * r11 — a hardcoded log2(64)=6 was only valid for 8×8 canvases), so a
+    * constant canvas scores exactly 0 at ANY size (its one bin holds
+    * c = n_px) and a spread histogram scores high, with NO float log on
+    * either engine. First channel only (the
     * gray plane — r=g=b on these canvases), binned `g DIV 16`.
     *
     * Decode is the REAL PNG path (lossless — counts replay the closed
@@ -916,7 +919,9 @@ object Multimodal {
       .select(col("asset_id"), col("w"), col("h"),
         expr("CAST(size(filter(bins, c -> c > 0)) AS BIGINT)").as("n_levels"),
         expr("aggregate(bins, 0L, (acc, c) -> acc + " +
-          "CASE WHEN c > 0 THEN c * (6 - (length(bin(c)) - 1)) ELSE 0L END)")
+          // floor-log2 of the decoded pixel count, not a canvas-size literal
+          "CASE WHEN c > 0 THEN c * ((length(bin(CAST(w AS BIGINT) * h)) - 1) " +
+          "- (length(bin(c)) - 1)) ELSE 0L END)")
           .as("h_cb"))
       .orderBy("asset_id")
   }

@@ -1008,23 +1008,40 @@ object TextAnalysis {
     * table from the bigram table (both vocabulary-shaped, far below the
     * token stream; w1 recovers via `substring_index` — tokens contain no
     * spaces); scoring joins the doc-bigram frame against the bits table
-    * bigram-keyed — at 100 TB the join groups by the gram's 128-bit hash
-    * so shuffle rows stay fixed-width, exactly the q_d16/q_d18 posture. */
-  def qT29(s: SparkSession, dir: String): DataFrame = {
+    * bigram-keyed — at 100 TB flip [[Dedup.gramHashKeys]] and the join
+    * keys on the gram's 128-bit hash so the join/shuffle keys stay
+    * fixed-width (the bits side then carries only (h1, h2, bits) rows —
+    * fully fixed-width), exactly the q_d16/q_d18 posture; [[qT29Keyed]]
+    * is spec-pinned bit-equal to the string-keyed form. */
+  def qT29(s: SparkSession, dir: String): DataFrame =
+    qT29Keyed(s, dir, Dedup.gramHashKeys)
+
+  private[graft] def qT29Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
     GraftFunctions.register(s)
-    val bg = Tables.documents(s, dir)
+    val bg0 = Tables.documents(s, dir)
       .selectExpr("doc_id", "explode(word_bigrams(text)) AS gram")
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
-    val big = bg.groupBy("gram").agg(sum("tf").as("c12"))
+    val bg =
+      if (hashKeys)
+        bg0.select((Seq(col("doc_id")) ++ Dedup.gramKey(col("gram")) :+
+            col("gram")): _*)
+          .groupBy("doc_id", "h1", "h2")
+          .agg(min("gram").as("gram"), count(lit(1)).as("tf"))
+      else bg0.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val keys = if (hashKeys) Seq("h1", "h2") else Seq("gram")
+    val big =
+      if (hashKeys) bg.groupBy("h1", "h2")
+        .agg(min("gram").as("gram"), sum("tf").as("c12"))
+      else bg.groupBy("gram").agg(sum("tf").as("c12"))
     val unil = big
       .groupBy(expr("substring_index(gram, ' ', 1)").as("w1"))
       .agg(sum("c12").as("c1"))
     val bits = big
       .withColumn("w1", expr("substring_index(gram, ' ', 1)"))
       .join(unil, "w1")
-      .select(col("gram"),
-        (length(expr("bin((c12 * 1024) DIV c1)")) - 1).cast("long").as("bits"))
-    bg.join(bits, "gram")
+      .select((keys.map(col) :+
+        (length(expr("bin((c12 * 1024) DIV c1)")) - 1).cast("long").as("bits")): _*)
+    bg.join(bits, keys)
       .groupBy("doc_id")
       .agg(sum("tf").as("n_pairs"),
         sum(col("tf") * col("bits")).as("sum_bits"))

@@ -501,11 +501,26 @@ object Streams {
     * SAME marker — both artifacts' priors resolve before the delta lands,
     * and the replay path re-derives BOTH for the current corpus state, so
     * the lexical serving lanes (BM25 / hybrid-RRF) stay consistent with a
-    * streaming-ingested corpus at the same crash points. */
+    * streaming-ingested corpus at the same crash points.
+    *
+    * Maintenance opt-ins, both AFTER the commit marker (so a crash
+    * mid-upkeep replays as a committed no-op):
+    *  - `autoExpireKeepLast = Some(n)`: every admitted batch publishes a
+    *    new corpus fingerprint, superseding the prior DupClusters (and lex)
+    *    dir — under a busy gate that is one superseded dir per micro-batch.
+    *    This runs the `expire_indexes` sweep (keep the newest n superseded
+    *    dirs; live fingerprints are never touched) for the advanced
+    *    artifact kinds, mirroring [[compactGateStore]]'s posture.
+    *  - `vacuumCommitsBelow = Some(floor)`: sweep `_commits` metadata for
+    *    batchIds the source checkpoint can no longer replay — see
+    *    [[vacuumGateCommits]] for the horizon contract (for a live query,
+    *    the current batchId is a safe floor). */
   def dedupGateBatch(spark: SparkSession, storeDir: String,
       batch: DataFrame, batchId: Long, advanceIndex: Boolean = false,
       corpusDir: Option[String] = None,
-      advanceLex: Boolean = false): (Long, Long) = {
+      advanceLex: Boolean = false,
+      autoExpireKeepLast: Option[Int] = None,
+      vacuumCommitsBelow: Option[Long] = None): (Long, Long) = {
     require(!advanceIndex || corpusDir.nonEmpty,
       "dedupGateBatch: advanceIndex = true needs the corpusDir the " +
         "admitted delta lands in")
@@ -523,6 +538,18 @@ object Streams {
       return (0L, 0L)
     }
     def commit(): Unit = { st.mkdirs(s"$storeDir/_commits"); st.writeString(marker, ""); () }
+    // post-commit maintenance (see the scaladoc's opt-ins) — runs at every
+    // commit site so a gate that only ever replays/admits-zero still keeps
+    // its metadata bounded
+    def upkeep(): Unit = {
+      for (n <- autoExpireKeepLast; d <- corpusDir if advanceIndex) {
+        graft.operators.DupClusters.expireStale(Seq(d), Some(n), None)
+        if (advanceLex) {
+          graft.operators.LexIndex.expireStale(Seq(d), Some(n), None); ()
+        }
+      }
+      vacuumCommitsBelow.foreach(f => vacuumGateCommits(storeDir, f))
+    }
     if (advanceIndex && st.exists(deltaDir)) {
       // crash between the staging rename and the final commit: the
       // decisions and the admitted delta are durable. Finish the landing
@@ -537,10 +564,11 @@ object Streams {
       if (advanceLex) graft.operators.LexIndex.build(spark, corpusDir.get)
       commit()
       st.deleteRecursive(deltaDir)
+      upkeep()
       return (0L, 0L)
     }
     val n = batch.count()
-    if (n == 0) { commit(); return (0L, 0L) }
+    if (n == 0) { commit(); upkeep(); return (0L, 0L) }
     val bands = batch.selectExpr("doc_id", "minhash_sig(text, 3) AS ms")
       .where(col("ms").isNotNull)
       .selectExpr("doc_id",
@@ -607,6 +635,7 @@ object Streams {
     }
     commit()
     if (advanceIndex) { st.deleteRecursive(deltaDir); () } // staging is dead
+    upkeep()
     // upkeep AFTER the commit marker: every micro-batch appends one parquet
     // write to bands/ and docs/ — unbounded small-file accumulation, the
     // exact disease FileAccount.compactContainer cures for containers. The
@@ -638,11 +667,92 @@ object Streams {
       val src = new org.apache.hadoop.fs.Path(deltaDir, rel).toString
       val dst = new org.apache.hadoop.fs.Path(corpus,
         s"gate-b$batchId-${rel.replace('/', '-')}").toString
-      if (st.exists(dst)) { st.delete(src); () }
+      if (st.exists(dst)) {
+        // a source lingering beside an existing target (ADVICE r11): on an
+        // atomic-rename store this state is unreachable (a completed move
+        // removed its source atomically, and replays reuse the SAME staged
+        // files), so it can only be a copy-then-delete store's crash
+        // mid-move — and there the DESTINATION may be the partial, not the
+        // source. Verify sizes before dropping the source; on mismatch
+        // redo the move over a clean destination.
+        val same =
+          (st.fileMeta(src).map(_.size), st.fileMeta(dst).map(_.size)) match {
+            case (Some(a), Some(b)) => a == b
+            case _ => false
+          }
+        if (same) { st.delete(src); () }
+        else {
+          st.delete(dst)
+          if (!st.rename(src, dst))
+            throw new IllegalStateException(
+              s"dedup gate: re-landing $src -> $dst failed")
+        }
+      }
       else if (!st.rename(src, dst))
         throw new IllegalStateException(
           s"dedup gate: landing $src -> $dst failed")
     }
+  }
+
+  /** Checkpoint-aware retention for the gate's `_commits` metadata (VERDICT
+    * r11 task 3): every micro-batch leaves one marker file forever — the
+    * same unbounded-metadata shape `expire_indexes` closed for index
+    * fingerprints; years of streaming would be millions of tiny files in
+    * one directory. A marker is REPLAY PROTECTION, so it may only be swept
+    * once the source checkpoint can no longer re-deliver its batchId: the
+    * caller supplies that horizon (`safeBatchFloor` — for a live
+    * foreachBatch query the current batchId is safe, because the engine
+    * replays at most the one batch whose checkpoint commit did not land,
+    * never an earlier one; the same store-outlives-checkpoint caveat as
+    * the markers themselves applies — resetting the checkpoint while
+    * keeping the store already breaks marker semantics, vacuumed or not).
+    *
+    * Sweeps, for every id STRICTLY BELOW the floor:
+    *   - the `_commits/<id>` marker file;
+    *   - a `<id>.delta` staging dir whose marker is present (crash between
+    *     commit and clean — exactly what the replay path would sweep);
+    *   - any `<id>.delta.tmp` (a crashed staging attempt: its batch either
+    *     committed or can no longer replay).
+    * Ids AT or ABOVE the floor are never touched — replay safety is the
+    * point, so the refusal is by construction, not by flag. A staged
+    * `.delta` WITHOUT its marker below the floor is admitted data that
+    * never landed and never will (the engine does not advance the
+    * checkpoint past an uncommitted batch): that is corruption, left in
+    * place for inspection rather than silently deleted. Returns the number
+    * of entries removed.
+    *
+    * SQL doorway: `CALL graft.system.vacuum_gate(store_dir,
+    * safe_batch_floor)`. */
+  def vacuumGateCommits(storeDir: String, safeBatchFloor: Long): Int = {
+    require(safeBatchFloor >= 0,
+      "vacuumGateCommits: the safe-replay horizon must be >= 0")
+    val st = graft.core.Storage.hadoop
+    val dir = s"$storeDir/_commits"
+    if (!st.exists(dir)) return 0
+    def idOf(name: String, suffix: String): Option[Long] =
+      Option(name).filter(_.endsWith(suffix))
+        .map(_.dropRight(suffix.length))
+        .filter(s => s.nonEmpty && s.forall(_.isDigit))
+        .map(_.toLong)
+    val markerIds = st.listFilePaths(dir)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .flatMap(idOf(_, "")).toSet
+    var swept = 0
+    // crashed staging attempts: always dead below the floor
+    for (n <- st.listDirNames(dir); id <- idOf(n, ".delta.tmp")
+         if id < safeBatchFloor) {
+      if (st.deleteRecursive(s"$dir/$n")) swept += 1
+    }
+    // committed-but-unswept staging dirs: the marker proves the landing
+    // finished; an unmarked .delta below the floor is corruption — keep it
+    for (n <- st.listDirNames(dir); id <- idOf(n, ".delta")
+         if id < safeBatchFloor && markerIds.contains(id)) {
+      if (st.deleteRecursive(s"$dir/$n")) swept += 1
+    }
+    for (id <- markerIds if id < safeBatchFloor) {
+      if (st.delete(s"$dir/$id")) swept += 1
+    }
+    swept
   }
 
   /** File-count bound for [[dedupGateBatch]]'s store: a sub-store whose

@@ -365,6 +365,62 @@ class DupClustersSpec extends AnyFunSuite {
     lexServedEqualsDirect()
   }
 
+  test("gate auto-expire: superseded fingerprints bounded under streaming appends; warm serving unaffected") {
+    // VERDICT r11 task 8: advanceLex publishes one superseded lex (and dup)
+    // fingerprint per admitted micro-batch — autoExpireKeepLast wires the
+    // expire_indexes sweep into the gate's post-commit upkeep, mirroring
+    // auto-compaction's posture. Isolated roots so the count is exact.
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-exp").toString
+    val root = Files.createTempDirectory("graft-expcorpus").toString
+    val corpus = s"$root/documents.parquet"
+    val prevLex = sys.props.get("graft.lexindex.root")
+    val prevDup = sys.props.get("graft.dupindex.root")
+    sys.props("graft.lexindex.root") =
+      Files.createTempDirectory(Paths.get("target"), "lex-exp").toString
+    sys.props("graft.dupindex.root") =
+      Files.createTempDirectory(Paths.get("target"), "dup-exp").toString
+    try {
+      val st = graft.core.Storage.hadoop
+      val all = graft.core.Tables.documents(spark, sf)
+      all.where(col("doc_id") < 400).write.parquet(corpus)
+      graft.functions.GraftFunctions.register(spark)
+      val keep = 1
+      for (i <- 0 until 5) {
+        val lo = 400 + i * 10
+        val batch = all.where(col("doc_id") >= lo && col("doc_id") < lo + 10)
+          .select("doc_id", "text")
+        graft.streaming.Streams.dedupGateBatch(spark, store, batch, i.toLong,
+          advanceIndex = true, corpusDir = Some(root), advanceLex = true,
+          autoExpireKeepLast = Some(keep))
+      }
+      // live fingerprint + at most keep_last_n superseded per root
+      val lexDirs = st.listDirNames(sys.props("graft.lexindex.root"))
+      val dupDirs = st.listDirNames(sys.props("graft.dupindex.root"))
+      assert(lexDirs.size <= keep + 1,
+        s"lex fingerprints unbounded under auto-expire: $lexDirs")
+      assert(dupDirs.size <= keep + 1,
+        s"dup fingerprints unbounded under auto-expire: $dupDirs")
+      // warm serving unaffected mid-sweep: both live artifacts answer for
+      // the CURRENT corpus state, and the served lexical lane still equals
+      // the index-free formulation
+      val nNow = graft.core.Tables.documents(spark, root).count()
+      assert(graft.operators.LexIndex.build(spark, root).nDocsAll == nNow)
+      assert(DupClusters.build(spark, root).nDocs == nNow)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(rows(graft.operators.LexIndex.jaccardTopDocs(spark, root, 5, 100))
+        == rows(graft.operators.Similarity.lexLaneDirect(spark, root)),
+        "served lexical lane diverged after auto-expire")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(p) => sys.props(k) = p; ()
+        case None    => sys.props.remove(k); ()
+      }
+      restore("graft.lexindex.root", prevLex)
+      restore("graft.dupindex.root", prevDup)
+    }
+  }
+
   test("append refuses a delta that does not reconcile with the corpus") {
     val root = Files.createTempDirectory("graft-dupref").toString
     val corpus = s"$root/documents.parquet"

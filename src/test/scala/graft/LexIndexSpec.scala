@@ -165,12 +165,55 @@ class LexIndexSpec extends AnyFunSuite {
   }
 
   test("changedPriorFiles flags edited and removed files, ignores additions") {
-    val prior = Seq("a.parquet:100:1", "b.parquet:200:2")
+    val prior = Seq("a.parquet:100:1:tdeadbeef", "b.parquet:200:2:tcafe0001")
     assert(LexIndex.changedPriorFiles(prior,
-      Seq("a.parquet:100:1", "b.parquet:200:2", "c.parquet:50:3")).isEmpty)
+      Seq("a.parquet:100:1:tdeadbeef", "b.parquet:200:2:tcafe0001",
+        "c.parquet:50:3:t00000001")).isEmpty)
+    // same size+mtime, different CONTENT token (the ADVICE r11 case)
     assert(LexIndex.changedPriorFiles(prior,
-      Seq("a.parquet:100:9", "b.parquet:200:2")) == Seq("a.parquet:100:1"))
+      Seq("a.parquet:100:1:t12345678", "b.parquet:200:2:tcafe0001")) ==
+      Seq("a.parquet:100:1:tdeadbeef"))
     assert(LexIndex.changedPriorFiles(prior,
-      Seq("b.parquet:200:2")) == Seq("a.parquet:100:1"))
+      Seq("b.parquet:200:2:tcafe0001")) == Seq("a.parquet:100:1:tdeadbeef"))
+    // v1 prior listings (pre-token) compare on their own fields — the
+    // one-time migration path: never refused by the token they lack
+    val v1 = Seq("a.parquet:100:1", "b.parquet:200:2")
+    assert(LexIndex.changedPriorFiles(v1,
+      Seq("a.parquet:100:1:tdeadbeef", "b.parquet:200:2:tcafe0001")).isEmpty)
+    assert(LexIndex.changedPriorFiles(v1,
+      Seq("a.parquet:100:9:tdeadbeef", "b.parquet:200:2:tcafe0001")) ==
+      Seq("a.parquet:100:1"))
+  }
+
+  test("append refuses an in-place same-size edit with preserved mtime (content token)") {
+    val root = Files.createTempDirectory("graft-lextok").toString
+    val corpus = s"$root/documents.parquet"
+    val all = graft.core.Tables.documents(spark, sf)
+    all.where(col("doc_id") < 450).coalesce(1).write.parquet(corpus)
+    val idx0 = LexIndex.build(spark, root)
+    // in-place edit of a corpus data file: same size, mtime restored — the
+    // size+mtime guard ADVICE r11 flagged would pass; the content token
+    // must refuse. (Stale .crc sidecars from the external edit are removed
+    // — Hadoop's checksum wrapper would otherwise fail the read itself.)
+    val dataFile = new java.io.File(corpus).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    val mtime = java.nio.file.Files.getLastModifiedTime(dataFile.toPath)
+    val bytes = java.nio.file.Files.readAllBytes(dataFile.toPath)
+    // flip a byte inside the token's tail window (a real rewrite perturbs
+    // the parquet footer, which always sits there)
+    val off = bytes.length - 16
+    bytes(off) = (bytes(off) ^ 0x5a).toByte
+    java.nio.file.Files.write(dataFile.toPath, bytes)
+    java.nio.file.Files.setLastModifiedTime(dataFile.toPath, mtime)
+    new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val delta = all.where(col("doc_id") >= 450)
+    delta.write.mode("append").parquet(corpus)
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.append(spark, root, idx0, delta.select("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("out-of-band"),
+      s"content token must catch the preserved-mtime rewrite: ${e.getMessage}")
   }
 }

@@ -304,6 +304,70 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(vr.getAs[Int]("vouched_buckets") == vr.getAs[Int]("buckets"))
   }
 
+  test("gate _commits retention: metadata bounded under 50 batches; horizon refusals; decisions unchanged") {
+    // VERDICT r11 task 3: one marker per micro-batch forever is the same
+    // unbounded-metadata bug class expire_indexes fixed for fingerprints.
+    // The harness NEVER replays an id below the floor it passes (the floor
+    // is the current batchId — exactly the live-query contract, where the
+    // engine re-delivers at most the one uncommitted batch), so sweeping
+    // below it cannot meet a replay by construction.
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-vac").toString
+    val st = graft.core.Storage.hadoop
+    graft.functions.GraftFunctions.register(spark)
+    val firstText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    def batchDf(docId: Long, text: String) = spark.range(1)
+      .selectExpr(s"CAST($docId AS BIGINT) AS doc_id", s"'$text' AS text")
+    for (i <- 0 until 50) {
+      val text = if (i == 0) firstText
+        else s"doc number$i topic$i subject$i matter$i uniquely distinct"
+      val r = graft.streaming.Streams.dedupGateBatch(spark, store,
+        batchDf(100L + i, text), i.toLong,
+        vacuumCommitsBelow = Some(i.toLong))
+      assert(r == (1L, 0L))
+    }
+    def commitEntries(): Seq[String] =
+      st.listFilePaths(s"$store/_commits")
+        .map(p => p.substring(p.lastIndexOf('/') + 1)) ++
+        st.listDirNames(s"$store/_commits")
+    assert(commitEntries().size <= 2,
+      s"_commits metadata unbounded after 50 batches: ${commitEntries()}")
+    // the surviving marker is the newest batch's: a replay AT the horizon
+    // is still a committed no-op — replay protection is intact
+    assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+      batchDf(149L, "doc number49 topic49 subject49 matter49 uniquely distinct"),
+      49L) == (0L, 0L))
+    // decisions unchanged: a near-dup of batch 0's admitted doc still rejects
+    assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+      batchDf(999L, firstText), 1000L) == (0L, 1L))
+    // refusal by construction: floor == id never sweeps that id — the
+    // below-floor marker 49 goes, the at-floor marker 1000 survives
+    assert(graft.streaming.Streams.vacuumGateCommits(store, 1000L) == 1)
+    assert(!st.exists(s"$store/_commits/49"), "below-floor marker swept")
+    assert(st.exists(s"$store/_commits/1000"), "marker at the floor must survive")
+    // an unmarked staged delta below the floor is corruption — left in
+    // place for inspection; a crashed .delta.tmp below the floor is swept
+    st.mkdirs(s"$store/_commits/5.delta")
+    st.mkdirs(s"$store/_commits/6.delta.tmp")
+    val swept = graft.streaming.Streams.vacuumGateCommits(store, 2000L)
+    assert(st.exists(s"$store/_commits/5.delta"),
+      "unmarked staged delta must be preserved for inspection")
+    assert(!st.exists(s"$store/_commits/6.delta.tmp"),
+      "crashed staging attempt below the floor must be swept")
+    assert(!st.exists(s"$store/_commits/1000"), "marker below the new floor swept")
+    assert(swept >= 2, s"expected the tmp dir + markers swept, got $swept")
+    // SQL doorway returns the swept count
+    spark.conf.set("spark.sql.catalog.graftvg",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftvg.root",
+      Files.createTempDirectory(Paths.get("target"), "vg-root").toString)
+    st.writeString(s"$store/_commits/7", "")
+    val r = spark.sql(
+      s"CALL graftvg.system.vacuum_gate(store_dir => '$store', " +
+        "safe_batch_floor => 3000)").head()
+    assert(r.getAs[Int]("entries_removed") >= 1)
+    assert(!st.exists(s"$store/_commits/7"))
+  }
+
   test("rebucket: full rewrite into a new layout, contents/sidecar/point-reads intact") {
     val acc = newAccount("rebucket")
     spark.conf.set("spark.sql.catalog.graftrb",
