@@ -119,6 +119,8 @@ object SparkEntry {
     "q_t28_bpe_merges"     -> (TextAnalysis.qT28 _),
     "q_t20_unigram_ll"     -> (TextAnalysis.qT20 _),
     "q_t29_bigram_ll"      -> (TextAnalysis.qT29 _),
+    "q_t30_bpe_apply"      -> (TextAnalysis.qT30 _),
+    "q_t31_eval_contam"    -> (TextAnalysis.qT31 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -174,6 +176,7 @@ object SparkEntry {
     "q_sim16_pq_rerank"    -> (Similarity.qSim16 _),
     "q_sim15_hybrid_rrf"   -> (Similarity.qSim15 _),
     "q_sim17_hybrid_served" -> (Similarity.qSim17 _),
+    "q_sim18_mmr_diverse"  -> (Similarity.qSim18 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -867,6 +870,47 @@ object SparkEntry {
         "SELECT lang, tokens, share_pm, tshare_pm, " +
         "(tshare_pm * 1000) // NULLIF(share_pm, 0) AS boost_pm " +
         "FROM sh2 ORDER BY lang"),
+    "q_t31_eval_contam" -> (
+      // eval-side dirtiness: per eval doc (doc_id < 20), distinct 8-grams,
+      // grams found anywhere in training (doc_id >= 20), integer per-mille
+      "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+        "FROM tok WHERE len(w) >= 8), " +
+        "g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM ix), " +
+        "ev AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id < 20), " +
+        "hit AS (SELECT DISTINCT g.gram FROM g WHERE g.doc_id >= 20 " +
+        "AND g.gram IN (SELECT gram FROM ev)) " +
+        "SELECT ev.doc_id, CAST(count(1) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN hit.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+        "CAST(sum(CASE WHEN hit.gram IS NOT NULL THEN 1 ELSE 0 END) * 1000 // count(1) AS BIGINT) AS contam_pm " +
+        "FROM ev LEFT JOIN hit ON ev.gram = hit.gram " +
+        "GROUP BY ev.doc_id ORDER BY ev.doc_id"),
+    "q_t30_bpe_apply" -> (
+      // q_t28's top-20 merge table applied in rank order: words become
+      // " c1 c2 ... cn "; rule "ab" rewrites " a b " -> " ab " via plain
+      // literal replace run TWICE (one left-to-right pass leaves only
+      // non-adjacent survivors; the second takes them all) — folded over
+      // ranks with a recursive CTE, then symbol counts weigh by tf
+      "WITH RECURSIVE t AS (SELECT unnest(string_split(lower(text), ' ')) AS w, doc_id FROM documents), " +
+        "wf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf FROM t WHERE w <> '' GROUP BY 1, 2), " +
+        "cw AS (SELECT w, CAST(count(1) AS BIGINT) AS n FROM t WHERE w <> '' GROUP BY w), " +
+        "px AS (SELECT n, w, unnest(generate_series(1, length(w) - 1)) AS i FROM cw WHERE length(w) >= 2), " +
+        "mt AS (SELECT pair, row_number() OVER (ORDER BY n_occ DESC, pair) AS rk FROM " +
+        "(SELECT substring(w, i, 2) AS pair, CAST(sum(n) AS BIGINT) AS n_occ FROM px GROUP BY 1 " +
+        "ORDER BY n_occ DESC, pair LIMIT 20) tt), " +
+        "vocab AS (SELECT DISTINCT w FROM wf), " +
+        "seg(w, s, k) AS (" +
+        "SELECT w, ' ' || regexp_replace(w, '(?s)(.)', '\\1 ', 'g'), 0 FROM vocab " +
+        "UNION ALL " +
+        "SELECT seg.w, replace(replace(seg.s, " +
+        "' ' || substring(mt.pair, 1, 1) || ' ' || substring(mt.pair, 2, 1) || ' ', ' ' || mt.pair || ' '), " +
+        "' ' || substring(mt.pair, 1, 1) || ' ' || substring(mt.pair, 2, 1) || ' ', ' ' || mt.pair || ' '), seg.k + 1 " +
+        "FROM seg JOIN mt ON mt.rk = seg.k + 1), " +
+        "sw AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym FROM seg WHERE k = 20) " +
+        "SELECT wf.doc_id, CAST(sum(wf.tf) AS BIGINT) AS n_words, " +
+        "CAST(sum(wf.tf * sw.n_sym) AS BIGINT) AS n_bpe, " +
+        "CAST(sum(wf.tf * sw.n_sym) * 1000 // sum(wf.tf) AS BIGINT) AS bpe_pm " +
+        "FROM wf JOIN sw USING (w) GROUP BY wf.doc_id ORDER BY doc_id"),
     "q_t28_bpe_merges" -> (
       // one BPE merge round over the word-frequency table: adjacent char
       // pairs weighted by word count, top-20 by (mass desc, pair asc);
@@ -1278,6 +1322,7 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY q_id ORDER BY rrf_s DESC, n_id) AS rank FROM f) " +
         "SELECT q_id, n_id, r_v, r_l, rrf_s, CAST(rank AS BIGINT) AS rank " +
         "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    "q_sim18_mmr_diverse" -> mmrOracleSql(5),
     "q_sim17_hybrid_served" -> (
       // served hybrid: the q_sim11 int8-IVF chain (5 probes, top-100
       // shortlist) as the vector lane + q_sim15's lexical and fusion CTEs
@@ -1910,6 +1955,51 @@ object SparkEntry {
   /** CTEs `u`,`s`: explicit index-order double-precision cosine terms for the
     * pair set defined by `p` — must match CosineSimilarity's accumulation
     * order so ROUND(.,4) is bit-stable across engines. */
+  /** q_sim18's oracle: the q_sim11 int8-IVF chain (5 probes, top-20
+    * shortlist `sl` + pairwise BIGINT dots `pp`), then the greedy MMR
+    * rounds statically unrolled (round 1 = argmax rel; round k = argmax
+    * rel − max-sim-to-selected over the not-yet-selected, tiebreak n_id).
+    * Integer end-to-end, so the replay is exact. */
+  private def mmrOracleSql(rounds: Int): String = {
+    val base =
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+        "p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 5 AND rn <= 4), " +
+        "cand AS (SELECT pr.q_id, t.vec_id AS n_id FROM probe pr " +
+        "JOIN cell t ON t.cid = pr.cid AND t.vec_id <> pr.q_id), " +
+        "iu AS (SELECT c.q_id, c.n_id, unnest(generate_series(1, 64)) AS i, a.qv AS qa, b.qv AS qb " +
+        "FROM cand c JOIN qz a ON a.vec_id = c.q_id JOIN qz b ON b.vec_id = c.n_id), " +
+        "idot AS (SELECT q_id, n_id, CAST(sum(qa[i] * qb[i]) AS BIGINT) AS qdot FROM iu GROUP BY q_id, n_id), " +
+        "sl AS (SELECT q_id, n_id, qdot AS rel FROM (SELECT q_id, n_id, qdot, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rk FROM idot) t WHERE rk <= 20), " +
+        "pv AS (SELECT sl.q_id, sl.n_id, qz.qv FROM sl JOIN qz ON qz.vec_id = sl.n_id), " +
+        "pu AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id, unnest(generate_series(1, 64)) AS i, " +
+        "a.qv AS va, b.qv AS vb FROM pv a JOIN pv b ON a.q_id = b.q_id AND a.n_id <> b.n_id), " +
+        "pp AS (SELECT q_id, a_id, b_id, CAST(sum(va[i] * vb[i]) AS BIGINT) AS psim FROM pu GROUP BY 1, 2, 3), " +
+        "sel1 AS (SELECT q_id, n_id, rel, CAST(1 AS BIGINT) AS mmr_rank FROM " +
+        "(SELECT q_id, n_id, rel, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS r FROM sl) t WHERE r = 1), " +
+        "acc1 AS (SELECT * FROM sel1)"
+    val steps = (2 to rounds).map { k =>
+      s", pen$k AS (SELECT s.q_id, s.n_id, s.rel, max(p.psim) AS pen " +
+        s"FROM sl s JOIN pp p ON p.q_id = s.q_id AND p.a_id = s.n_id " +
+        s"JOIN acc${k - 1} t ON t.q_id = s.q_id AND t.n_id = p.b_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM acc${k - 1} x WHERE x.q_id = s.q_id AND x.n_id = s.n_id) " +
+        "GROUP BY 1, 2, 3), " +
+        s"sel$k AS (SELECT q_id, n_id, rel, CAST($k AS BIGINT) AS mmr_rank FROM " +
+        "(SELECT q_id, n_id, rel, row_number() OVER " +
+        s"(PARTITION BY q_id ORDER BY rel - pen DESC, n_id) AS r FROM pen$k) t WHERE r = 1), " +
+        s"acc$k AS (SELECT * FROM acc${k - 1} UNION ALL SELECT * FROM sel$k)"
+    }.mkString
+    base + steps +
+      s" SELECT q_id, n_id, rel, mmr_rank FROM acc$rounds ORDER BY q_id, mmr_rank"
+  }
+
   private val cosineSumSql: String =
     "u AS (SELECT a_id, b_id, unnest(generate_series(1, 64)) AS i, ea, eb FROM p), " +
       "s AS (SELECT a_id, b_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +

@@ -758,6 +758,72 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Q-SIM18 — MMR DIVERSIFIED RE-RANK (Carbonell & Goldstein 1998), the
+    * serving step between retrieval and the consumer: a plain top-k is
+    * often k near-copies of one answer (this corpus is BUILT of near-dup
+    * families — q_d*'s whole subject), so production retrieval re-ranks
+    * the shortlist by Maximal Marginal Relevance — greedily pick the
+    * candidate maximizing relevance MINUS its worst redundancy against
+    * what is already picked. λ = 1/2, so the argmax of
+    * λ·rel − (1−λ)·max_sel(sim) is the argmax of the INTEGER rel − pen —
+    * no float anywhere: relevance is the int8 lane's exact BIGINT dot
+    * ([[IvfIndex.probeInt8]], top-20 shortlist), redundancy the same dot
+    * between candidates, so the greedy ranking is engine-exact and the
+    * oracle replays it round by round (statically unrolled CTEs).
+    *
+    * Scale: the shortlist is probe×20 rows; the pairwise-redundancy frame
+    * is probe×20×19 — both BOUNDED by serving parameters, independent of
+    * corpus size (the corpus was left behind at the shortlist stage, the
+    * q_sim16 posture). Each of the 4 greedy rounds is an equi-join +
+    * per-probe argmax window over those bounded frames; selection depth
+    * is the output size (5), never data-sized. Output carries rel and
+    * mmr_rank so a consumer sees what diversity cost in relevance. */
+  def qSim18(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = IvfIndex.build(s, dir, lloydIters = 0)
+    // lineage TRUNCATED at the shortlist: the greedy below references it
+    // once per round, and without the checkpoint each reference re-runs
+    // the whole probe chain (the frame is probes × 20 rows — free to pin)
+    val sl = IvfIndex.probeInt8(s, dir, idx, topK = 20, probeLimit = 5)
+      .select(col("q_id"), col("n_id"), col("qdot").as("rel"))
+      .localCheckpoint(eager = true)
+    val vecs = idx.qassigned.select(col("vec_id"), col("qv"))
+    val withV = sl.join(vecs, sl("n_id") === vecs("vec_id"))
+      .select(col("q_id"), col("n_id"), col("qv"))
+    val pairs = withV.select(col("q_id"), col("n_id").as("a_id"), col("qv").as("va"))
+      .join(withV.select(col("q_id"), col("n_id").as("b_id"), col("qv").as("vb")),
+        Seq("q_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .selectExpr("q_id", "a_id", "b_id",
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
+          "0L, (a, b) -> a + b) AS psim")
+      .localCheckpoint(eager = true) // bounded: probes × 20 × 19 rows
+    val w = Window.partitionBy("q_id")
+    var selected = sl
+      .withColumn("r", row_number().over(w.orderBy(desc("rel"), col("n_id"))))
+      .where(col("r") === 1)
+      .select(col("q_id"), col("n_id"), col("rel"),
+        lit(1).cast("long").as("mmr_rank"))
+    for (k <- 2 to 5) {
+      val next = sl
+        .join(selected.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+        .join(pairs.withColumnRenamed("q_id", "pq"),
+          col("n_id") === col("a_id") && col("q_id") === col("pq"))
+        .join(selected.select(col("q_id"), col("n_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy("q_id", "n_id", "rel").agg(max("psim").as("pen"))
+        .withColumn("r", row_number().over(
+          w.orderBy((col("rel") - col("pen")).desc, col("n_id"))))
+        .where(col("r") === 1)
+        .select(col("q_id"), col("n_id"), col("rel"),
+          lit(k).cast("long").as("mmr_rank"))
+      // selection-depth frames (<= probes × k rows): truncate per round or
+      // round k's plan nests every earlier round's joins
+      selected = selected.unionByName(next).localCheckpoint(eager = true)
+    }
+    selected.orderBy("q_id", "mmr_rank")
+  }
+
   /** The index-free lexical lane of [[qSim15]] (re-tokenizes the corpus
     * per run) — retained as the equality oracle for the
     * [[LexIndex.jaccardTopDocs]] served form. */

@@ -1050,6 +1050,96 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Q-T31 — EVAL-SIDE CONTAMINATION MASS: [[qT11]] flags TRAINING docs
+    * that leak an eval gram; this reports the number decontamination
+    * actually publishes — per EVAL document, how much of it the training
+    * corpus already contains: distinct 8-gram count, grams found anywhere
+    * in training, and `contam_pm` (the GPT-3-appendix "dirtiness"
+    * fraction a benchmark run thresholds on before trusting its scores —
+    * an eval example that is 80% present in training measures memory, not
+    * generalization). Same declared eval bound as qT11 (doc_id < 20).
+    *
+    * Scale: the eval side is benchmark-sized — its per-doc distinct gram
+    * frame broadcasts; the training corpus streams MAP-ONLY through one
+    * hash join (no corpus shuffle at all: the hit-set distinct and the
+    * final per-eval-doc count are bounded by eval gram counts, not corpus
+    * size). Work is corpus-linear, never corpus × eval — and at 100 TB
+    * the same [[Dedup.gramHashKeys]] fixed-width-key form applies. */
+  def qT31(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalG = tokenGrams(docs.where(col("doc_id") < 20)).distinct()
+    val hit = tokenGrams(docs.where(col("doc_id") >= 20))
+      .join(broadcast(evalG.select("gram").distinct()), "gram")
+      .select("gram").distinct() // bounded by the eval gram count
+    evalG.join(broadcast(hit.withColumn("h", lit(1))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        expr("(n_hit * 1000) DIV n_grams").as("contam_pm"))
+      .orderBy("doc_id")
+  }
+
+  /** Q-T30 — BPE APPLY: [[qT28]] LEARNS one round of merge candidates;
+    * this one TOKENIZES with them — the missing last step of the
+    * tokenizer story (q_t25 prices the raw token spectrum, q_t28 learns
+    * the merge table, this applies it and reports what the corpus costs
+    * in BPE tokens). Per document: whitespace-word count, BPE-symbol
+    * count after applying the top-20 merges in rank order, and
+    * `bpe_pm` = symbols per word ×1000 — the tokenizer-cost number a mix
+    * planner multiplies against token budgets.
+    *
+    * Apply semantics (deterministic, engine-exact): a word becomes the
+    * symbol string `" c1 c2 … cn "` (one space around every symbol —
+    * symbols never contain spaces, split() guarantees it); merge rank k
+    * `"ab"` rewrites `" a b "` → `" ab "` with plain literal `replace`,
+    * run TWICE — one left-to-right non-overlapping pass leaves an
+    * unmerged pair only where its leading space was consumed by the
+    * previous match, and every such survivor then has a merged symbol on
+    * its left, so no two survivors are adjacent and the second pass takes
+    * them all. Both engines' `replace` scan the source left-to-right
+    * non-overlapping, so the fold replays exactly. Ranks are [[qT28]]'s
+    * static counts (the documented BPE-ish simplification — no
+    * re-counting between merges), applied lowest-rank-first.
+    *
+    * Scale: the merge table is 20 rows of driver metadata ([[qT28]]'s
+    * TakeOrdered output — bounded collect); segmentation runs MAP-ONLY
+    * over the DISTINCT-WORD vocabulary (megabytes where the token stream
+    * is petabytes, the qT28 argument) as 40 codegen'd string replaces,
+    * and rejoins the (doc, word, tf) frame by word — one
+    * vocabulary-keyed equi-join, no explode beyond the qT9 tokenize
+    * pass, no window. */
+  def qT30(s: SparkSession, dir: String): DataFrame = {
+    // bounded collect: exactly the top-20 TakeOrdered rows (rank order)
+    val rules = qT28(s, dir).collect().map(_.getString(0)).toSeq
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val vocab = words.select("w").distinct()
+    // " c1 c2 … cn " — (?s) so a newline inside a token is a symbol too
+    var seg = concat(lit(" "),
+      regexp_replace(col("w"), lit("(?s)(.)"), lit("$1 ")))
+    for (r <- rules; _ <- 1 to 2) {
+      // split the pair at the CODE-POINT boundary (qT28's substring
+      // semantics), not the UTF-16 one
+      val cps = r.codePoints().toArray
+      val a = new String(Character.toChars(cps(0)))
+      val b = new String(Character.toChars(cps(1)))
+      seg = org.apache.spark.sql.functions.replace(
+        seg, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val segWords = vocab.select(col("w"),
+      size(split(trim(seg), " ")).cast("long").as("n_sym"))
+    words.join(segWords, "w")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_words"),
+        sum(col("tf") * col("n_sym")).as("n_bpe"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe"),
+        expr("(n_bpe * 1000) DIV n_words").as("bpe_pm"))
+      .orderBy("doc_id")
+  }
+
   /** The composable-HOF [[qT29]] formulation (interpreted lambda pairing)
     * — retained as the equality oracle for the `word_bigrams` kernel. */
   private[graft] def qT29Hof(s: SparkSession, dir: String): DataFrame = {

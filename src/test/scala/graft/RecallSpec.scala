@@ -283,6 +283,45 @@ class RecallSpec extends AnyFunSuite {
       s"ADC ranking no better than noise: $overlaps")
   }
 
+  test("MMR diversify (q_sim18): exact greedy — driver replay bit-equal, picks from the shortlist") {
+    // the greedy is integer-exact, so the strongest pin is a full replay:
+    // collect the shortlist + pairwise dots (both serving-bounded) and run
+    // the same argmax(rel - maxSimToSelected) in plain Scala
+    val idx = Similarity.IvfIndex.build(spark, sf, lloydIters = 0)
+    val sl = Similarity.IvfIndex.probeInt8(spark, sf, idx, topK = 20, probeLimit = 5)
+      .select("q_id", "n_id", "qdot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byProbe = sl.groupBy(_._1)
+    val vecs = idx.qassigned.select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).map(_.toLong).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val expected = byProbe.toSeq.flatMap { case (q, cands0) =>
+      val cands = cands0.map { case (_, n, rel) => (n, rel) }
+      var selected = Vector.empty[(Long, Long, Long)] // (n_id, rel, rank)
+      for (k <- 1 to 5) {
+        val remaining = cands.filterNot(c => selected.exists(_._1 == c._1))
+        if (remaining.nonEmpty) {
+          val pick =
+            if (k == 1) remaining.minBy { case (n, rel) => (-rel, n) }
+            else remaining.minBy { case (n, rel) =>
+              val pen = selected.map(s => dot(vecs(n), vecs(s._1))).max
+              (-(rel - pen), n)
+            }
+          selected :+= ((pick._1, pick._2, k.toLong))
+        }
+      }
+      selected.map { case (n, rel, k) => (q, n, rel, k) }
+    }.sortBy(t => (t._1, t._4))
+    val got = Similarity.qSim18(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "distributed greedy must equal the driver replay")
+    // every pick comes from the shortlist, 5 per probe, ranks 1..5
+    val slSet = sl.map(t => (t._1, t._2)).toSet
+    assert(got.forall(t => slSet((t._1, t._2))), "picks must come from the shortlist")
+    assert(got.groupBy(_._1).values.forall(_.map(_._4).sorted == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("served hybrid (q_sim17): fusion contract identical, overlap vs exact-lane fusion measured") {
     // both hybrids call the SAME rrfFuse — the contract check is on the
     // OUTPUT (schema + per-probe list shape); the measured number is how
