@@ -62,8 +62,10 @@ object BenchSlope {
       "q_sim11_ivf_int8"     -> ivf,
       "q_sim14_ivfpq"        -> ivf,
       "q_sim16_pq_rerank"    -> ivf,
+      "q_sim18_mmr_diverse"  -> ivf,
       "q_t21_bm25"           -> lex,
-      "q_sim15_hybrid_rrf"   -> lex)
+      "q_sim15_hybrid_rrf"   -> lex,
+      "q_sim17_hybrid_served" -> (ivf ++ lex))
   }
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3

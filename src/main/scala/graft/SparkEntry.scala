@@ -193,6 +193,7 @@ object SparkEntry {
     "q_st4_dedup_count"    -> (graft.streaming.Streams.qSt4 _),
     "q_st5_incremental_merge" -> (graft.streaming.Streams.qSt5 _),
     "q_st7_funnel_join"    -> (graft.streaming.Streams.qSt7 _),
+    "q_st10_abandoned"     -> (graft.streaming.Streams.qSt10 _),
     // multimodal binary-column pipeline
     "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
@@ -1612,6 +1613,13 @@ object SparkEntry {
         "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"),
     "q_st4_dedup_count" -> (
       "SELECT count(DISTINCT event_id) AS n FROM events"),
+    "q_st10_abandoned" -> (
+      // clicks with NO purchase by the same user inside [c_ts, c_ts+30m)
+      "WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events WHERE event_type = 'click') " +
+        "SELECT c.c_id, c.user_id FROM c WHERE NOT EXISTS (" +
+        "SELECT 1 FROM events p WHERE p.event_type = 'purchase' " +
+        "AND p.user_id = c.user_id AND p.ts >= c.c_ts " +
+        "AND p.ts < c.c_ts + INTERVAL 30 MINUTE) ORDER BY c_id"),
     "q_st7_funnel_join" -> (
       "WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase') " +

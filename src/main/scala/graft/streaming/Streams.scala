@@ -69,6 +69,28 @@ object Streams {
       col("p_ts") < col("c_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  /** ST-10 — FUNNEL ABANDONMENT via stream-stream LEFT OUTER join: the
+    * other half of [[funnelPairs]] — the clicks that did NOT convert
+    * within the +30 min window, the rows a re-engagement pipeline actually
+    * consumes. Inner stream-stream joins emit on match; the OUTER side is
+    * the hard part of Structured Streaming — a null-extended row may only
+    * emit once the watermark proves no matching purchase can still arrive,
+    * so the click buffers in join state until its +30 min bound passes the
+    * watermark and then emits exactly once (Spark's watermarked
+    * left-outer semantics). Same state-boundedness contract as the inner
+    * form: the time bounds expire both sides' buffers as event time
+    * advances. In batch the identical expression is a plain left-outer
+    * interval join. */
+  def funnelAbandoned(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("event_id").as("p_id"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") < col("c_ts") + expr("INTERVAL 30 MINUTES"), "left_outer")
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
                         s_end: java.sql.Timestamp, n: Long)
@@ -407,6 +429,19 @@ object Streams {
         ev.filter(col("event_type") === "purchase"))
       .select("c_id", "p_id")
       .orderBy("c_id", "p_id")
+  }
+
+  /** ST-10 (batch form): abandoned clicks — no purchase by the same user
+    * within the +30 min funnel window ([[funnelAbandoned]] filtered to the
+    * null-extended rows). The StreamingSpec twin runs the same expression
+    * as a live watermarked stream-stream left-outer join. */
+  def qSt10(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    funnelAbandoned(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .where(col("p_id").isNull)
+      .select(col("c_id"), col("c_user").as("user_id"))
+      .orderBy("c_id")
   }
 
   /** ST-5 (batch form): incremental MERGE equivalence — applying the merge

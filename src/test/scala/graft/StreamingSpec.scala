@@ -633,6 +633,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == 4, s"fixture must exercise multi-match + window edge: $want")
   }
 
+  test("ST-10 stream-stream LEFT OUTER join: unmatched clicks emit exactly once == batch abandonment") {
+    // the OUTER side is the hard part: a null-extended row may only emit
+    // once the watermark proves no matching purchase can still arrive, so
+    // emission needs event time to ADVANCE past each click's +30m bound —
+    // the late sentinel rows below exist to push the watermark, and are
+    // excluded from the comparison (their own bounds never close)
+    val funnel = Seq(
+      Ev(11, ts(5), 1, "click", 0, "{}"),
+      Ev(12, ts(20), 1, "purchase", 0, "{}"),  // converts click 11
+      Ev(13, ts(40), 2, "click", 0, "{}"),     // abandoned (next purchase 50m later)
+      Ev(14, ts(90), 2, "purchase", 0, "{}"),
+      Ev(15, ts(100), 3, "click", 0, "{}"),    // abandoned (no user-3 purchase)
+      Ev(16, ts(110), 1, "purchase", 0, "{}"))
+    val clickSentinel = Ev(99, ts(600), 99, "click", 0, "{}")
+    val purchaseSentinel = Ev(98, ts(660), 98, "purchase", 0, "{}")
+    val clicks = funnel.filter(_.event_type == "click")
+    val purchases = funnel.filter(_.event_type == "purchase")
+    val cs = MemoryStream[Ev](spark)
+    val ps = MemoryStream[Ev](spark)
+    val abandoned = Streams.funnelAbandoned(
+        cs.toDF().withWatermark("ts", "10 minutes"),
+        ps.toDF().withWatermark("ts", "10 minutes"))
+      .where(col("p_id").isNull)
+      .select("c_id")
+    val q = abandoned.writeStream.format("memory").queryName("st10")
+      .outputMode(OutputMode.Append()).start()
+    cs.addData(clicks); ps.addData(purchases); q.processAllAvailable()
+    cs.addData(Seq(clickSentinel)); q.processAllAvailable()   // wm -> 590
+    ps.addData(Seq(purchaseSentinel)); q.processAllAvailable() // flush batch
+    q.stop()
+    val got = canon(spark.table("st10"))
+    val want = canon(Streams.funnelAbandoned(
+        clicks.toDF(), purchases.toDF())
+      .where(col("p_id").isNull).select("c_id"))
+    assert(got == want, s"stream got $got, batch wants $want")
+    assert(want.size == 2, s"fixture must exercise converted + abandoned: $want")
+  }
+
   test("ST-6 rate shaping: maxFilesPerTrigger makes catch-up a bounded multi-batch drain") {
     import java.nio.file.{Files, Paths}
     import graft.core.{ContainerProps, FileAccount}
