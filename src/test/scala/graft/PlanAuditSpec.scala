@@ -1474,6 +1474,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_t30 BPE apply: segmentation is vocabulary-map-only, rejoin is an equi-join, codegen holds") {
+    val q = graft.operators.TextAnalysis.qT30(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"BPE rejoin must be an equi-join:\n$plan")
+    // the 40-replace fold is ordinary string expressions — never a UDF
+    assert(!plan.contains("ScalaUDF"), "segmentation must stay in codegen'd expressions")
+  }
+
+  test("q_t31 eval contamination: the eval side broadcasts, training streams map-only") {
+    val q = graft.operators.TextAnalysis.qT31(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval gram set must broadcast into the training stream")
+    // no corpus-sized shuffle: every non-broadcast exchange keys on the
+    // bounded eval frames (gram hit-set distinct / per-eval-doc count)
+    val shuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.forall(l => l.contains("hashpartitioning(gram") ||
+      l.contains("hashpartitioning(doc_id") || l.contains("rangepartitioning")),
+      s"unexpected corpus-side shuffle:\n${shuffles.mkString("\n")}")
+  }
+
   test("Q-G7 k-core: peel is shrink-only and converges on the fixture graph") {
     val rows = graft.operators.Dedup.qG7(spark, sf).collect()
     assert(rows.length == graft.operators.Dedup.KCoreIters + 1)

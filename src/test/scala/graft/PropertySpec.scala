@@ -161,4 +161,44 @@ class PropertySpec extends AnyFunSuite {
         s"SparkLower diverges from lower() on ${v.map(c => f"\\u${c.toInt}%04x").mkString}")
     }
   }
+
+  test("contentToken: stable across copies, sensitive to head/tail/length edits") {
+    // the corpus_files.tsv guard's change detector (ADVICE r11): it must
+    // be a pure function of (length, first 4 KiB, last 4 KiB) — identical
+    // for byte-identical copies regardless of path/mtime, different for
+    // any edit inside its windows or any resize
+    val st = graft.core.Storage.hadoop
+    val dir = java.nio.file.Files.createTempDirectory("graft-token")
+    def write(name: String, bytes: Array[Byte]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, bytes)
+      p.toString
+    }
+    val rnd = new scala.util.Random(7)
+    for (size <- Seq(0, 1, 100, 4096, 4097, 8192, 20000)) {
+      val base = Array.fill(size)(rnd.nextInt().toByte)
+      val t0 = st.contentToken(write(s"a-$size", base))
+      assert(t0.matches("t[0-9a-f]+"), s"token format: $t0")
+      // copy at another path and mtime: same token
+      val copyPath = write(s"b-$size", base)
+      java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(copyPath),
+        java.nio.file.attribute.FileTime.fromMillis(12345678L))
+      assert(st.contentToken(copyPath) == t0, s"copy must share the token (size $size)")
+      if (size > 0) {
+        // head edit
+        val h = base.clone(); h(0) = (h(0) ^ 0x11).toByte
+        assert(st.contentToken(write(s"h-$size", h)) != t0, s"head edit undetected (size $size)")
+        // tail edit
+        val t = base.clone(); t(size - 1) = (t(size - 1) ^ 0x11).toByte
+        assert(st.contentToken(write(s"t-$size", t)) != t0, s"tail edit undetected (size $size)")
+      }
+      // pure resize with identical head+tail windows: length is folded in
+      if (size > 8192) {
+        val grown = base.take(4096) ++ Array.fill(size - 8192 + 64)(0.toByte) ++
+          base.takeRight(4096)
+        assert(st.contentToken(write(s"g-$size", grown)) != t0,
+          s"window-preserving resize undetected (size $size)")
+      }
+    }
+  }
 }
