@@ -121,6 +121,7 @@ object SparkEntry {
     "q_t29_bigram_ll"      -> (TextAnalysis.qT29 _),
     "q_t30_bpe_apply"      -> (TextAnalysis.qT30 _),
     "q_t31_eval_contam"    -> (TextAnalysis.qT31 _),
+    "q_t32_curation_funnel" -> (TextAnalysis.qT32 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -871,6 +872,51 @@ object SparkEntry {
         "SELECT lang, tokens, share_pm, tshare_pm, " +
         "(tshare_pm * 1000) // NULLIF(share_pm, 0) AS boost_pm " +
         "FROM sh2 ORDER BY lang"),
+    "q_t32_curation_funnel" -> (
+      // sequential-stage attrition: quality -> lang -> dedup-among-
+      // survivors (min-doc-id per hash over p2 rows) -> decontam vs the
+      // doc_id < 20 eval set; counts unpivoted to one row per stage
+      "WITH t AS (SELECT doc_id, text, md5(lower(text)) AS chash, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS w, " +
+        "CAST(n_chars AS BIGINT) AS nc, string_split(lower(text), ' ') AS toks " +
+        "FROM documents WHERE doc_id >= 20), " +
+        "h AS (SELECT doc_id, text, chash, w, nc, " +
+        "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS en_hits, " +
+        "len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un'))) AS es_hits, " +
+        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS de_hits, " +
+        "len(list_filter(toks, x -> x IN ('le','la','de','et','un','une','est'))) AS fr_hits FROM t), " +
+        "s AS (SELECT doc_id, chash, " +
+        "(20000 * (5 * least(w, 100) * w + 300 * en_hits + 20 * least(nc, 10 * w)) + 1000 * w) " +
+        "// (2000 * w) AS q10k, " +
+        "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' " +
+        "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
+        "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
+        "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM h), " +
+        "p AS (SELECT doc_id, chash, (q10k >= 5000) AS p1, " +
+        "(q10k >= 5000 AND lang_pred <> 'und') AS p2 FROM s), " +
+        "k AS (SELECT doc_id, p1, p2, (p2 AND doc_id = " +
+        "min(CASE WHEN p2 THEN doc_id END) OVER (PARTITION BY chash)) AS p3 FROM p), " +
+        "tok2 AS (SELECT doc_id, string_split(lower(text), ' ') AS wt FROM documents), " +
+        "ix AS (SELECT doc_id, wt, unnest(generate_series(1, len(wt) - 7)) AS i " +
+        "FROM tok2 WHERE len(wt) >= 8), " +
+        "g AS (SELECT doc_id, array_to_string(wt[i:i+7], ' ') AS gram FROM ix), " +
+        "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20), " +
+        "bad AS (SELECT DISTINCT g.doc_id FROM g " +
+        "JOIN k ON k.doc_id = g.doc_id AND k.p3 " +
+        "WHERE g.gram IN (SELECT gram FROM ev)), " +
+        "f AS (SELECT k.*, (k.p3 AND k.doc_id NOT IN (SELECT doc_id FROM bad)) AS p4 FROM k), " +
+        "c AS (SELECT CAST(count(1) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3, " +
+        "CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4 FROM f), " +
+        "u AS (SELECT CAST(1 AS BIGINT) AS stage_id, 'quality' AS stage, n0 AS n_in, n1 AS n_out FROM c " +
+        "UNION ALL SELECT 2, 'lang_id', n1, n2 FROM c " +
+        "UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM c " +
+        "UNION ALL SELECT 4, 'decontam', n3, n4 FROM c) " +
+        "SELECT stage_id, stage, n_in, n_out, " +
+        "CAST((n_in - n_out) * 1000 // n_in AS BIGINT) AS drop_pm " +
+        "FROM u ORDER BY stage_id"),
     "q_t31_eval_contam" -> (
       // eval-side dirtiness: per eval doc (doc_id < 20), distinct 8-grams,
       // grams found anywhere in training (doc_id >= 20), integer per-mille

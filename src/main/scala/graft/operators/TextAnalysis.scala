@@ -1050,6 +1050,74 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Q-T32 — CURATION FUNNEL: the per-stage attrition report of the whole
+    * pipeline — [[qT5]] composes the filters into one keep/drop gate and
+    * reports what SURVIVES; this reports what each stage COSTS, which is
+    * the number a pipeline review actually reads ("decontam dropped 4‰,
+    * dedup dropped 31%"). Stages run SEQUENTIALLY (each stage's input is
+    * the previous stage's survivors — funnel semantics, deliberately
+    * different from qT5's filter-conjunction accounting):
+    *   1. quality  — the qT2/qT5 integer composite, q10k >= 5000;
+    *   2. lang_id  — a confident language prediction (not 'und');
+    *   3. exact_dedup — min-doc-id-wins per content hash AMONG the stage-2
+    *      survivors (a dropped low-quality doc must not shadow its
+    *      surviving duplicate);
+    *   4. decontam — drop survivors sharing an 8-token gram with the eval
+    *      set (doc_id < 20, the qT11/qT31 declared bound; the corpus side
+    *      of the funnel is doc_id >= 20 for the same reason).
+    * Output: one row per stage — (stage_id, stage, n_in, n_out, drop_pm).
+    *
+    * Scale: ONE corpus pass computes every per-row signal; the dedup
+    * keeper is a min-over-hash-partition window (hash-keyed shuffle, the
+    * qD1 key); contamination is the qT31 broadcast semi-join; the final
+    * counts are one aggregate row unpivoted driver-free with `stack`. No
+    * stage materializes an intermediate corpus. */
+  def qT32(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = Tables.documents(s, dir).where(col("doc_id") >= 20)
+      .selectExpr("doc_id", "text", "md5(lower(text)) AS chash",
+        "CAST(n_chars AS BIGINT) AS nc", "lang_hits(text) AS lh")
+      .selectExpr("doc_id", "text", "chash", "nc", "lh.n AS w",
+        "lh.en AS en_hits", "lh.es AS es_hits",
+        "lh.de AS de_hits", "lh.fr AS fr_hits")
+      .selectExpr("doc_id", "text", "chash",
+        "(20000 * (5 * least(w, 100) * w + 300 * en_hits + 20 * least(nc, 10 * w)) + 1000 * w) " +
+          "DIV (2000 * w) AS q10k",
+        """CASE
+          |  WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+          |  WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+          |  WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+          |  WHEN fr_hits > 0 THEN 'fr'
+          |  ELSE 'und'
+          |END AS lang_pred""".stripMargin)
+      .withColumn("p1", col("q10k") >= 5000)
+      .withColumn("p2", col("p1") && col("lang_pred") =!= "und")
+    val keeper = min(when(col("p2"), col("doc_id")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("chash"))
+    val deduped = base.withColumn("p3", col("p2") && col("doc_id") === keeper)
+    val evalGrams = tokenGrams(Tables.documents(s, dir)
+      .where(col("doc_id") < 20)).select("gram").distinct()
+    val contaminated = tokenGrams(deduped.where(col("p3"))
+        .select("doc_id", "text"))
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct()
+    deduped
+      .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")
+      .withColumn("p4", col("p3") && col("bad").isNull)
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("p4"), 1L).otherwise(0L)).as("n4"))
+      .selectExpr("stack(4, " +
+        "1L, 'quality', n0, n1, " +
+        "2L, 'lang_id', n1, n2, " +
+        "3L, 'exact_dedup', n2, n3, " +
+        "4L, 'decontam', n3, n4) AS (stage_id, stage, n_in, n_out)")
+      .withColumn("drop_pm", expr("((n_in - n_out) * 1000) DIV n_in"))
+      .orderBy("stage_id")
+  }
+
   /** Q-T31 — EVAL-SIDE CONTAMINATION MASS: [[qT11]] flags TRAINING docs
     * that leak an eval gram; this reports the number decontamination
     * actually publishes — per EVAL document, how much of it the training
