@@ -208,6 +208,7 @@ object SparkEntry {
     "q_mm10_png_meta"       -> (Multimodal.qMm10 _),
     "q_mm11_tile_stats"     -> (Multimodal.qMm11 _),
     "q_mm14_img_entropy"    -> (Multimodal.qMm14 _),
+    "q_mm15_flip_dups"      -> (Multimodal.qMm15 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -1777,6 +1778,36 @@ object SparkEntry {
         "SELECT doc_id AS asset_id, CAST(64 AS INT) AS w, CAST(1 AS INT) AS h, " +
         "CAST(sum((doc_id * 37 + k * 11) % 2048 - 1024) AS BIGINT) AS px_sum " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm15_flip_dups" -> (
+      // replay the closed-form canvas through all 8 dihedral orientations:
+      // target (x,y) of orientation t reads source (sx,sy); bit k=y*8+x
+      // set iff g_src*64 >= total; canonical = min of the 8 hex encodings
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "tot AS (SELECT doc_id, sum((doc_id * 31 + x.i * 7 + y.i * 13) % 256) AS t " +
+        "FROM d, (SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y GROUP BY doc_id), " +
+        "tx AS (SELECT d.doc_id, tr.t AS o, y.i * 8 + x.i AS k, " +
+        "CASE tr.t WHEN 0 THEN x.i WHEN 1 THEN 7 - x.i WHEN 2 THEN x.i WHEN 3 THEN 7 - x.i " +
+        "WHEN 4 THEN y.i WHEN 5 THEN 7 - y.i WHEN 6 THEN y.i ELSE 7 - y.i END AS sx, " +
+        "CASE tr.t WHEN 0 THEN y.i WHEN 1 THEN y.i WHEN 2 THEN 7 - y.i WHEN 3 THEN 7 - y.i " +
+        "WHEN 4 THEN x.i WHEN 5 THEN x.i WHEN 6 THEN 7 - x.i ELSE 7 - x.i END AS sy " +
+        "FROM d, (SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y, " +
+        "(SELECT unnest(generate_series(0, 7)) AS t) tr), " +
+        "bts AS (SELECT tx.doc_id, tx.o, tx.k, " +
+        "CASE WHEN ((tx.doc_id * 31 + tx.sx * 7 + tx.sy * 13) % 256) * 64 >= tot.t " +
+        "THEN 1::BIGINT ELSE 0::BIGINT END AS b FROM tx JOIN tot USING (doc_id)), " +
+        "h AS (SELECT doc_id, o, " +
+        "CAST(sum(CASE WHEN k < 16 THEN b << k ELSE 0 END) AS BIGINT) AS b0, " +
+        "CAST(sum(CASE WHEN k BETWEEN 16 AND 31 THEN b << (k - 16) ELSE 0 END) AS BIGINT) AS b1, " +
+        "CAST(sum(CASE WHEN k BETWEEN 32 AND 47 THEN b << (k - 32) ELSE 0 END) AS BIGINT) AS b2, " +
+        "CAST(sum(CASE WHEN k >= 48 THEN b << (k - 48) ELSE 0 END) AS BIGINT) AS b3 " +
+        "FROM bts GROUP BY doc_id, o), " +
+        "c AS (SELECT doc_id, min(printf('%04x%04x%04x%04x', b0, b1, b2, b3)) AS chash " +
+        "FROM h GROUP BY doc_id) " +
+        "SELECT chash, CAST(count(1) AS BIGINT) AS n_assets, " +
+        "CAST(min(doc_id) AS BIGINT) AS keeper FROM c " +
+        "GROUP BY chash HAVING count(1) >= 2 ORDER BY chash"),
     "q_mm9_image_hash_dups" -> (
       // the oracle replays the pixel function arithmetically, builds the
       // same integer average-hash (bit k set iff g*64 >= sum), and runs

@@ -878,6 +878,96 @@ object Multimodal {
         "CAST(conv(hex(substring(bytes, 26, 1)), 16, 10) AS BIGINT) AS color_type")
       .orderBy("asset_id")
 
+  case class CanonHash(asset_id: Long, chash: String)
+
+  /** Canonical (dihedral-invariant) average-hash per image: the 64-bit
+    * [[imageHashes]] hash computed for all 8 orientations of the top-left
+    * m×m window (m = min(8, w, h) — rotations need a square window) and
+    * reduced to the lexicographic MIN of the 16-hex-char encodings. Two
+    * images that are flips/rotations of one another share the canonical
+    * hash by construction — the identity orientation reproduces q_mm9's
+    * exact bit layout, so canonical(img) <= plain(img) always. Pure
+    * integer threshold math inside the batched decode kernel; only
+    * (asset_id, 16-char hash) leaves the executor. */
+  def canonicalImageHashes(assets: DataFrame, decoder: AssetDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decode(a.bytes).map { d =>
+              val n = d.width * d.height
+              var total = 0L
+              var k = 0
+              while (k < n) { total += d.samples(k * d.channels); k += 1 }
+              val m = math.min(8, math.min(d.width, d.height))
+              def sample(x: Int, y: Int): Long =
+                (d.samples((y * d.width + x) * d.channels) & 0xff).toLong
+              // target (x, y) of orientation t reads this source pixel
+              def srcX(t: Int, x: Int, y: Int): Int = t match {
+                case 0 => x; case 1 => m - 1 - x; case 2 => x
+                case 3 => m - 1 - x; case 4 => y; case 5 => m - 1 - y
+                case 6 => y; case _ => m - 1 - y
+              }
+              def srcY(t: Int, x: Int, y: Int): Int = t match {
+                case 0 => y; case 1 => y; case 2 => m - 1 - y
+                case 3 => m - 1 - y; case 4 => x; case 5 => x
+                case 6 => m - 1 - x; case _ => m - 1 - x
+              }
+              var best: String = null
+              var t = 0
+              while (t < 8) {
+                val bands = new Array[Long](4)
+                var yy = 0
+                while (yy < m) {
+                  var xx = 0
+                  while (xx < m) {
+                    if (sample(srcX(t, xx, yy), srcY(t, xx, yy)) * n >= total) {
+                      val k2 = yy * 8 + xx
+                      bands(k2 / 16) |= 1L << (k2 % 16)
+                    }
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                val hstr =
+                  f"${bands(0)}%04x${bands(1)}%04x${bands(2)}%04x${bands(3)}%04x"
+                if (best == null || hstr < best) best = hstr
+                t += 1
+              }
+              CanonHash(a.asset_id, best)
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Q-MM15 — FLIP/ROTATION-INVARIANT image dedup: [[qMm9]]'s perceptual
+    * dedup hardened against the transform evasions real image dups carry
+    * (mirrored reposts, EXIF-rotation variants) — assets grouped by their
+    * CANONICAL dihedral hash ([[canonicalImageHashes]]). A mirrored copy
+    * has a different plain average-hash but the identical canonical hash
+    * by construction (spec-pinned by re-encoding a flipped canvas).
+    * Output is CLUSTER accounting, not pairs — (chash, n_assets, keeper =
+    * min asset id) per group with >= 2 members, the keep-one-per-cluster
+    * decision frame — because pair output is quadratic within a group
+    * while the groups themselves are corpus-linear (the q_d1 lesson
+    * applied at the image layer).
+    *
+    * Scale: the hash frame is 2 scalars per asset; clustering is one
+    * hash-keyed aggregation with map-side combine, never a self-join.
+    * The oracle replays the closed-form canvases through all 8
+    * orientations arithmetically, so only a correct decode + transform
+    * indexing reproduces the clusters. */
+  def qMm15(spark: SparkSession, dir: String): DataFrame = {
+    canonicalImageHashes(pngAssets(spark, dir), ImageIoDecoder)
+      .groupBy("chash")
+      .agg(count(lit(1)).as("n_assets"), min("asset_id").as("keeper"))
+      .where(col("n_assets") >= 2)
+      .orderBy("chash")
+  }
+
   /** Q-MM14 — IMAGE HISTOGRAM-ENTROPY AUDIT: per image, the 16-bin gray
     * histogram's level spread (`n_levels`) and an integer entropy
     * surrogate (`h_cb`) — the curation signal that flags FLAT and
