@@ -1132,14 +1132,25 @@ object TextAnalysis {
     * hash join (no corpus shuffle at all: the hit-set distinct and the
     * final per-eval-doc count are bounded by eval gram counts, not corpus
     * size). Work is corpus-linear, never corpus × eval — and at 100 TB
-    * the same [[Dedup.gramHashKeys]] fixed-width-key form applies. */
-  def qT31(s: SparkSession, dir: String): DataFrame = {
+    * the same [[Dedup.gramHashKeys]] fixed-width-key form applies (the
+    * gram string drops out entirely: every join/group key becomes the
+    * 128-bit hash; [[qT31Keyed]] is spec-pinned bit-equal). */
+  def qT31(s: SparkSession, dir: String): DataFrame =
+    qT31Keyed(s, dir, Dedup.gramHashKeys)
+
+  private[graft] def qT31Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val evalG = tokenGrams(docs.where(col("doc_id") < 20)).distinct()
-    val hit = tokenGrams(docs.where(col("doc_id") >= 20))
-      .join(broadcast(evalG.select("gram").distinct()), "gram")
-      .select("gram").distinct() // bounded by the eval gram count
-    evalG.join(broadcast(hit.withColumn("h", lit(1))), Seq("gram"), "left")
+    def keyed(g: DataFrame): DataFrame =
+      if (hashKeys)
+        g.select((Seq(col("doc_id")) ++ Dedup.gramKey(col("gram"))): _*)
+      else g
+    val keys = if (hashKeys) Seq("h1", "h2") else Seq("gram")
+    val evalG = keyed(tokenGrams(docs.where(col("doc_id") < 20))).distinct()
+    val hit = keyed(tokenGrams(docs.where(col("doc_id") >= 20)))
+      .join(broadcast(evalG.select(keys.head, keys.tail: _*).distinct()), keys)
+      .select(keys.head, keys.tail: _*).distinct() // bounded by eval grams
+    evalG.join(broadcast(hit.withColumn("h", lit(1))), keys, "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("n_hit"))
