@@ -30,7 +30,7 @@ private[core] object GraftProcedures {
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
       "expire_snapshots", "expire_indexes", "diff", "distinct",
-      "dupclusters", "lexindex", "ivfindex", "vacuum_gate")
+      "dupclusters", "lexindex", "ivfindex", "vacuum_gate", "gate_stats")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -49,6 +49,7 @@ private[core] object GraftProcedures {
     case "expire_snapshots" => new ExpireSnapshotsProcedure(account)
     case "expire_indexes"   => new ExpireIndexesProcedure
     case "vacuum_gate"      => new VacuumGateProcedure
+    case "gate_stats"       => new GateStatsProcedure
     case "diff"          => new DiffProcedure(account)
   }
 
@@ -697,6 +698,48 @@ private[core] final class VacuumGateProcedure
     val schema = StructType(Seq(
       StructField("entries_removed", IntegerType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](swept))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
+/** `CALL graft.system.gate_stats(store_dir)` — metadata-only
+  * observability for a streaming dedup gate's store
+  * ([[graft.streaming.Streams.gateStats]]): sub-store file counts/bytes,
+  * committed markers and the highest committed batchId (the floor feed
+  * for `vacuum_gate`), pending staged deltas, crashed staging attempts.
+  * No data file is opened — O(metadata) at any store size. */
+private[core] final class GateStatsProcedure
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "gate_stats"
+  override def description(): String =
+    "metadata-only shape of a dedup-gate store (files/bytes/commits/staging)"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("store_dir", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val g = graft.streaming.Streams.gateStats(input.getUTF8String(0).toString)
+    val schema = StructType(Seq(
+      StructField("layout_version", IntegerType, nullable = false),
+      StructField("band_buckets", IntegerType, nullable = false),
+      StructField("band_files", LongType, nullable = false),
+      StructField("band_bytes", LongType, nullable = false),
+      StructField("doc_files", LongType, nullable = false),
+      StructField("doc_bytes", LongType, nullable = false),
+      StructField("commits", LongType, nullable = false),
+      StructField("max_batch_id", LongType, nullable = false),
+      StructField("pending_deltas", LongType, nullable = false),
+      StructField("crashed_staging", LongType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      g.layoutVersion, g.bandBuckets, g.bandFiles, g.bandBytes,
+      g.docFiles, g.docBytes, g.commits, g.maxBatchId,
+      g.pendingDeltas, g.crashedStaging))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

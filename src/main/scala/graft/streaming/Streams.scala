@@ -790,6 +790,48 @@ object Streams {
     swept
   }
 
+  /** One gate store's metadata-only shape — what `CALL
+    * graft.system.gate_stats` returns. Everything here comes from listings
+    * and the meta marker: no data file is ever opened, so the call is
+    * O(metadata) at any store size (the `stats` procedure's posture
+    * applied to ingestion state). */
+  final case class GateStats(layoutVersion: Int, bandBuckets: Int,
+      bandFiles: Long, bandBytes: Long, docFiles: Long, docBytes: Long,
+      commits: Long, maxBatchId: Long, pendingDeltas: Long,
+      crashedStaging: Long)
+
+  /** Metadata-only observability for a gate store (see [[GateStats]]):
+    * sub-store file counts/bytes, committed-batch markers and the highest
+    * committed batchId (the floor feed for [[vacuumGateCommits]]), plus
+    * any staged-but-unswept deltas and crashed `.delta.tmp` attempts —
+    * the numbers a maintenance runbook reads before vacuuming/compacting. */
+  def gateStats(storeDir: String): GateStats = {
+    val st = graft.core.Storage.hadoop
+    def files(sub: String): (Long, Long) = {
+      val fs = st.walk(s"$storeDir/$sub").filterNot { f =>
+        val n = f.relPath.split('/').last
+        n.startsWith("_") || n.startsWith(".")
+      }
+      (fs.size.toLong, fs.map(_.size).sum)
+    }
+    val meta = readGateMeta(storeDir)
+    val commitsDir = s"$storeDir/_commits"
+    val markers = st.listFilePaths(commitsDir)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    val dirs = st.listDirNames(commitsDir)
+    val (bf, bb) = files("bands")
+    val (df, db) = files("docs")
+    GateStats(
+      meta.map(_.layoutVersion).getOrElse(0),
+      meta.map(_.bandBuckets).getOrElse(0),
+      bf, bb, df, db,
+      markers.size.toLong,
+      if (markers.nonEmpty) markers.max else -1L,
+      dirs.count(n => n.endsWith(".delta")).toLong,
+      dirs.count(n => n.endsWith(".delta.tmp")).toLong)
+  }
+
   /** File-count bound for [[dedupGateBatch]]'s store: a sub-store whose
     * data-file count (beyond one file per live band partition, for the
     * partitioned band store) exceeds this compacts on the next batch. */

@@ -361,6 +361,19 @@ class MaintenanceSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.graftvg.root",
       Files.createTempDirectory(Paths.get("target"), "vg-root").toString)
     st.writeString(s"$store/_commits/7", "")
+    // observability first: gate_stats reads the same facts vacuuming acts
+    // on, metadata-only — markers, highest committed id, pending/crashed
+    // staging — plus the frozen layout and sub-store shapes
+    val g = spark.sql(
+      s"CALL graftvg.system.gate_stats(store_dir => '$store')").head()
+    assert(g.getAs[Int]("layout_version") == graft.streaming.Streams.GateLayoutVersion)
+    assert(g.getAs[Int]("band_buckets") > 0)
+    assert(g.getAs[Long]("band_files") > 0 && g.getAs[Long]("band_bytes") > 0)
+    assert(g.getAs[Long]("doc_files") > 0 && g.getAs[Long]("doc_bytes") > 0)
+    assert(g.getAs[Long]("commits") == 1L, s"only marker 7 survives: $g")
+    assert(g.getAs[Long]("max_batch_id") == 7L)
+    assert(g.getAs[Long]("pending_deltas") == 1L, "the preserved unmarked delta")
+    assert(g.getAs[Long]("crashed_staging") == 0L)
     val r = spark.sql(
       s"CALL graftvg.system.vacuum_gate(store_dir => '$store', " +
         "safe_batch_floor => 3000)").head()
