@@ -158,6 +158,7 @@ object SparkEntry {
     "q_g9_ktruss"          -> (Dedup.qG9 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
     "q_d19_substr_clean"   -> (Dedup.qD19 _),
+    "q_d20_lsh_plan"       -> (Dedup.qD20 _),
     // similarity search
     "q_x2_cosine_topk"     -> (Similarity.qX2 _),
     "q_sim1_knn_brute"     -> (Similarity.qSim1 _),
@@ -668,6 +669,34 @@ object SparkEntry {
         "CAST(coalesce(covered, 0) AS BIGINT) AS covered, " +
         "CAST(((n - coalesce(covered, 0)) * 1000) // n AS BIGINT) AS kept_pm " +
         "FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id ORDER BY tk.doc_id"),
+    "q_d20_lsh_plan" -> (
+      // the S-curve 1-(1-s^r)^b as explicit left-assoc multiplications
+      // (no pow), floored to ppm per pair, integers summed after that
+      "WITH ws AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w " +
+        "FROM documents WHERE doc_id < 100), " +
+        "pj AS (SELECT (len(list_intersect(a.w, b.w)) * 10000) // " +
+        "len(list_distinct(list_concat(a.w, b.w))) AS jac4 " +
+        "FROM ws a JOIN ws b ON a.doc_id < b.doc_id), " +
+        "pv AS (SELECT jac4, CAST(jac4 AS DOUBLE) / 10000.0 AS s FROM pj), " +
+        "pp AS (SELECT jac4, " +
+        "CAST(FLOOR((1.0 - ((1.0 - (s * s * s * s)))) * 1000000.0) AS BIGINT) AS p14, " +
+        "CAST(FLOOR((1.0 - ((1.0 - (s * s)) * (1.0 - (s * s)))) * 1000000.0) AS BIGINT) AS p22, " +
+        "CAST(FLOOR((1.0 - ((1.0 - (s)) * (1.0 - (s)) * (1.0 - (s)) * (1.0 - (s)))) * 1000000.0) AS BIGINT) AS p41 " +
+        "FROM pv), " +
+        "c AS (SELECT CAST(sum(CASE WHEN jac4 >= 7000 THEN 1 ELSE 0 END) AS BIGINT) AS nt, " +
+        "CAST(sum(CASE WHEN jac4 < 7000 THEN 1 ELSE 0 END) AS BIGINT) AS nf, " +
+        "CAST(sum(CASE WHEN jac4 >= 7000 THEN p14 ELSE 0 END) AS BIGINT) AS t14, " +
+        "CAST(sum(CASE WHEN jac4 < 7000 THEN p14 ELSE 0 END) AS BIGINT) AS f14, " +
+        "CAST(sum(CASE WHEN jac4 >= 7000 THEN p22 ELSE 0 END) AS BIGINT) AS t22, " +
+        "CAST(sum(CASE WHEN jac4 < 7000 THEN p22 ELSE 0 END) AS BIGINT) AS f22, " +
+        "CAST(sum(CASE WHEN jac4 >= 7000 THEN p41 ELSE 0 END) AS BIGINT) AS t41, " +
+        "CAST(sum(CASE WHEN jac4 < 7000 THEN p41 ELSE 0 END) AS BIGINT) AS f41 FROM pp) " +
+        "SELECT * FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band, nt AS n_target, nf AS n_other, " +
+        "t14 // nt AS recall_ppm, f14 // nf AS false_cand_ppm FROM c " +
+        "UNION ALL SELECT 2, 2, nt, nf, t22 // nt, f22 // nf FROM c " +
+        "UNION ALL SELECT 4, 1, nt, nf, t41 // nt, f41 // nf FROM c) " +
+        "ORDER BY bands"),
     "q_d19_substr_clean" -> (
       // the q_d18 coverage machinery APPLIED: kept positions (not covered
       // by any duplicated 8-gram occurrence) re-joined in order

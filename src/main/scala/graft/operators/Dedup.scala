@@ -57,6 +57,62 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Q-D20 — LSH BAND PLANNING: choose (bands, rows-per-band) for a
+    * 4-row MinHash signature FROM MEASUREMENT, not folklore — for each
+    * admissible split (1×4, 2×2, 4×1), evaluate the S-curve
+    * P(candidate) = 1 − (1 − s^r)^b against the CORPUS'S OWN pair-Jaccard
+    * distribution and report measured recall on the target pairs
+    * (jac ≥ 0.7) and the false-candidate rate on the rest — the two
+    * numbers that price a banding choice (q_d4 hard-codes 2×2; this is
+    * the evidence for or against it on a given corpus).
+    *
+    * Exactness discipline: s = jac4/10000.0 is an exact IEEE division of
+    * a small integer; the S-curve is evaluated as explicit left-assoc
+    * multiplications (no pow() — library pow may differ in the last ulp
+    * between engines), floored to integer ppm PER PAIR, and only integers
+    * are summed/divided after that — order-independent, hash-exact.
+    *
+    * Scale: the pair distribution comes from the declared bounded sample
+    * (doc_id < 100, the qD2 baseline bound); a production planner feeds
+    * the same math a pair reservoir (e.g. qD13's estimated Jaccards), and
+    * everything downstream of the sample is sample-sized — one projection
+    * computing all three splits' curves, one aggregate row, a 3-row
+    * unpivot. */
+  def qD20(s: SparkSession, dir: String): DataFrame = {
+    val ws = wordSets(s, dir).where(col("doc_id") < 100)
+    val pairs = ws.select(col("doc_id").as("a_id"), col("w").as("wa"))
+      .join(ws.select(col("doc_id").as("b_id"), col("w").as("wb")),
+        col("a_id") < col("b_id"))
+      .selectExpr("(size(array_intersect(wa, wb)) * 10000) DIV " +
+        "size(array_union(wa, wb)) AS jac4")
+      .selectExpr("jac4", "CAST(jac4 AS DOUBLE) / 10000.0 AS s")
+    def curvePpm(b: Int, r: Int): String = {
+      val sr = Seq.fill(r)("s").mkString(" * ")
+      val miss = Seq.fill(b)(s"(1.0 - ($sr))").mkString(" * ")
+      s"CAST(FLOOR((1.0 - ($miss)) * 1000000.0) AS BIGINT)"
+    }
+    pairs
+      .selectExpr("jac4",
+        curvePpm(1, 4) + " AS p14",
+        curvePpm(2, 2) + " AS p22",
+        curvePpm(4, 1) + " AS p41")
+      .agg(
+        sum(when(col("jac4") >= 7000, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("jac4") < 7000, 1L).otherwise(0L)).as("nf"),
+        sum(when(col("jac4") >= 7000, col("p14")).otherwise(0L)).as("t14"),
+        sum(when(col("jac4") < 7000, col("p14")).otherwise(0L)).as("f14"),
+        sum(when(col("jac4") >= 7000, col("p22")).otherwise(0L)).as("t22"),
+        sum(when(col("jac4") < 7000, col("p22")).otherwise(0L)).as("f22"),
+        sum(when(col("jac4") >= 7000, col("p41")).otherwise(0L)).as("t41"),
+        sum(when(col("jac4") < 7000, col("p41")).otherwise(0L)).as("f41"))
+      .selectExpr("stack(3, " +
+        "1L, 4L, nt, nf, t14 DIV nt, f14 DIV nf, " +
+        "2L, 2L, nt, nf, t22 DIV nt, f22 DIV nf, " +
+        "4L, 1L, nt, nf, t41 DIV nt, f41 DIV nf" +
+        ") AS (bands, rows_per_band, n_target, n_other, recall_ppm, false_cand_ppm)")
+      .orderBy("bands")
+  }
+
   /** Distinct word-3-gram shingle set per document, via the codegen'd
     * [[graft.functions.WordShingles]] expression (one virtual call per row
     * inside the whole-stage span). Semantically identical to the composable
