@@ -693,9 +693,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN jac4 < 7000 THEN p41 ELSE 0 END) AS BIGINT) AS f41 FROM pp) " +
         "SELECT * FROM (" +
         "SELECT CAST(1 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band, nt AS n_target, nf AS n_other, " +
-        "t14 // nt AS recall_ppm, f14 // nf AS false_cand_ppm FROM c " +
-        "UNION ALL SELECT 2, 2, nt, nf, t22 // nt, f22 // nf FROM c " +
-        "UNION ALL SELECT 4, 1, nt, nf, t41 // nt, f41 // nf FROM c) " +
+        "t14 // NULLIF(nt, 0) AS recall_ppm, f14 // NULLIF(nf, 0) AS false_cand_ppm FROM c " +
+        "UNION ALL SELECT 2, 2, nt, nf, t22 // NULLIF(nt, 0), f22 // NULLIF(nf, 0) FROM c " +
+        "UNION ALL SELECT 4, 1, nt, nf, t41 // NULLIF(nt, 0), f41 // NULLIF(nf, 0) FROM c) " +
         "ORDER BY bands"),
     "q_d19_substr_clean" -> (
       // the q_d18 coverage machinery APPLIED: kept positions (not covered

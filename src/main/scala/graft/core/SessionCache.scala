@@ -24,7 +24,15 @@ import org.apache.spark.sql.SparkSession
   * everything is reclaimed at the latest when the SparkContext stops.
   * Compute runs inside the inner map's `computeIfAbsent`, so two threads
   * of one session racing the same key build once (same contract as
-  * before). */
+  * before).
+  *
+  * @param release eviction callback, run on every value leaving the cache.
+  *   CONTRACT: MUST be idempotent (ADVICE r12) — in the narrow window
+  *   where [[evictSession]]'s iteration and [[getOrCompute]]'s
+  *   post-insert orphan re-check both see the same value, `release` runs
+  *   twice on it by design. `Dataset.unpersist` (the only callback in the
+  *   tree today) is; a future owner wiring a non-idempotent reclaim
+  *   (close(), free()) must dedupe inside its own callback. */
 final class SessionCache[V](release: V => Unit = (_: V) => ()) {
 
   private val maps =

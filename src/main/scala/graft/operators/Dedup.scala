@@ -105,10 +105,14 @@ object Dedup {
         sum(when(col("jac4") < 7000, col("p22")).otherwise(0L)).as("f22"),
         sum(when(col("jac4") >= 7000, col("p41")).otherwise(0L)).as("t41"),
         sum(when(col("jac4") < 7000, col("p41")).otherwise(0L)).as("f41"))
+      // NULLIF (ADVICE r12): a bounded sample can legitimately hold zero
+      // pairs at/above (or below) the 0.7 target — the NULL row is then a
+      // DELIBERATE "no evidence for this class" signal (and ANSI-safe),
+      // not an accidental divide-by-zero artifact.
       .selectExpr("stack(3, " +
-        "1L, 4L, nt, nf, t14 DIV nt, f14 DIV nf, " +
-        "2L, 2L, nt, nf, t22 DIV nt, f22 DIV nf, " +
-        "4L, 1L, nt, nf, t41 DIV nt, f41 DIV nf" +
+        "1L, 4L, nt, nf, t14 DIV NULLIF(nt, 0L), f14 DIV NULLIF(nf, 0L), " +
+        "2L, 2L, nt, nf, t22 DIV NULLIF(nt, 0L), f22 DIV NULLIF(nf, 0L), " +
+        "4L, 1L, nt, nf, t41 DIV NULLIF(nt, 0L), f41 DIV NULLIF(nf, 0L)" +
         ") AS (bands, rows_per_band, n_target, n_other, recall_ppm, false_cand_ppm)")
       .orderBy("bands")
   }

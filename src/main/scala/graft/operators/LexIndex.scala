@@ -154,15 +154,32 @@ object LexIndex {
     * successor index this append publishes records v2 entries, so every
     * LATER append verifies content too. Returns the changed/missing prior
     * entries (empty = safe to append). */
+  /** Classify one listing entry by FIELD COUNT from the right (ADVICE
+    * r12): a v2 entry is `relPath:size:mtimeMs:t<crc>` — size/mtime are
+    * digit-only and the token starts `t`, so the three trailing `:`-fields
+    * identify the version unambiguously even when relPath itself contains
+    * `:` (or ends in `:t<hex>`, which the pre-r13 suffix regex could
+    * mis-strip). A v1 entry's last field is the digit-only mtime, so it
+    * can never be misread as v2. Returns (v1 form, hadToken). */
+  private def splitEntry(e: String): (String, Boolean) = {
+    val parts = e.split(":", -1)
+    def digits(x: String) = x.nonEmpty && x.forall(_.isDigit)
+    def tok(x: String) = x.length > 1 && x.head == 't' &&
+      x.drop(1).forall(c => c.isDigit || (c >= 'a' && c <= 'f'))
+    if (parts.length >= 4 && tok(parts.last) &&
+        digits(parts(parts.length - 2)) && digits(parts(parts.length - 3)))
+      (e.substring(0, e.lastIndexOf(':')), true)
+    else (e, false)
+  }
+
   private[graft] def changedPriorFiles(prior: Seq[String],
                                        current: Seq[String]): Seq[String] = {
-    val tokenRe = ":t[0-9a-f]+$".r
-    def v1Of(e: String): String = tokenRe.replaceFirstIn(e, "")
     val cur = current.toSet
-    val curV1 = current.map(v1Of).toSet
-    prior.filterNot(e =>
-      if (tokenRe.findFirstIn(e).isDefined) cur.contains(e)
-      else curV1.contains(e))
+    val curV1 = current.map(e => splitEntry(e)._1).toSet
+    prior.filterNot { e =>
+      val (v1, hadToken) = splitEntry(e)
+      if (hadToken) cur.contains(e) else curV1.contains(v1)
+    }
   }
 
   /** The tokenization recipe, shared by build and append so the index and

@@ -708,13 +708,13 @@ object Streams {
         // removed its source atomically, and replays reuse the SAME staged
         // files), so it can only be a copy-then-delete store's crash
         // mid-move — and there the DESTINATION may be the partial, not the
-        // source. Verify sizes before dropping the source; on mismatch
-        // redo the move over a clean destination.
+        // source. Compare CONTENT tokens (length + head/tail CRC32C, ADVICE
+        // r12) before dropping the source — a same-size but
+        // content-divergent destination must lose to the staged source; on
+        // mismatch redo the move over a clean destination.
         val same =
-          (st.fileMeta(src).map(_.size), st.fileMeta(dst).map(_.size)) match {
-            case (Some(a), Some(b)) => a == b
-            case _ => false
-          }
+          try st.contentToken(src) == st.contentToken(dst)
+          catch { case scala.util.control.NonFatal(_) => false }
         if (same) { st.delete(src); () }
         else {
           st.delete(dst)
@@ -785,7 +785,12 @@ object Streams {
       if (st.deleteRecursive(s"$dir/$n")) swept += 1
     }
     for (id <- markerIds if id < safeBatchFloor) {
-      if (st.delete(s"$dir/$id")) swept += 1
+      // ADVICE r12: never drop a marker whose committed .delta dir is still
+      // present (its deleteRecursive above just failed) — an orphaned dir
+      // without its marker reads as UNMARKED staged data to every later
+      // vacuum (i.e. corruption, preserved forever). Keeping the marker
+      // lets the next vacuum retry the pair in the right order.
+      if (!st.exists(s"$dir/$id.delta") && st.delete(s"$dir/$id")) swept += 1
     }
     swept
   }
