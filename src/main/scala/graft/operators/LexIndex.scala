@@ -405,27 +405,72 @@ object LexIndex {
       .limit(topN)
   }
 
+  /** Declared df bound for [[jaccardTopDocs]] candidate generation (the
+    * [[Dedup.MaxDriverPairs]] pattern): tokens with document frequency at
+    * most this participate in the candidate join; more frequent
+    * (stopword-class) tokens are priced separately — they contribute to
+    * candidate SCORES through a candidate-bounded rescore, and can only
+    * SELECT candidates through the per-probe exactness fallback. Candidate
+    * pair rows are therefore <= (probe tokens) × DfCandCap per probe, by
+    * construction, whatever the corpus df distribution. */
+  val DfCandCap = 100000L
+
+  /** Test seam (ScaleShapeSpec): the probe ids the LAST [[jaccardTopDocs]]
+    * call on this JVM routed through the exactness fallback — lets a spec
+    * distinguish "bounded path verified exact" from "everything fell back
+    * and the bounded path went untested". Driver-side only. */
+  @volatile private[graft] var lastFallbackProbes: Seq[Long] = Nil
+
   /** [[Similarity.qSim15]]'s lexical lane served from the index: per-probe
     * distinct-token Jaccard rank reconstructed from postings ∩ + the
     * node-sized set-size sidecar — set identities make it bit-equal to
     * intersecting the raw token arrays, with zero corpus passes when warm.
     * Returns (q_id, n_id, r_l <= topR).
     *
-    * CANDIDATE-BOUNDED (VERDICT r11 task 1): only docs sharing >= 1 token
-    * with a probe are scored and ranked. The "" token split() produces
-    * around doubled/leading spaces is re-added from `has_empty` as its own
-    * join key (postings never post it, so "" cannot collide with a real
-    * term), which folds the he_q∧he_n correction into the same equi-join —
-    * `inter` is directly |set intersection incl. ""|. Every non-candidate
-    * pair has jac4 = 0 and, in the exact ordering (jac4 desc, n_id), the
-    * jac4 = 0 region is simply ascending n_id — so when a probe has fewer
-    * than topR positive-jac4 candidates the tail is padded from the
-    * `topR + 1` globally-smallest doc ids (TakeOrdered, bounded): per
-    * padding probe at most n_pos + 1 pool entries are occluded (its own id
-    * plus its positives), and n_pos < topR there, so topR + 1 always
-    * covers the (topR - n_pos)-row deficit. A max-jac4 dedup keeps a pair
-    * that is both a positive candidate and a pool row single; positive
-    * jac4 then outranks every pad exactly as the full ordering would.
+    * CANDIDATE-BOUNDED IN df (VERDICT r12 task 2, the PPJoin prefix idea
+    * adapted to exact top-R): the candidate join keys only on probe tokens
+    * with df <= `dfCap` — pair rows <= Σ_{t ∈ probe, df(t) <= dfCap} df(t)
+    * <= |probe| × dfCap per probe, so a stopword-bearing probe can no
+    * longer make the posting join corpus-sized. Exactness is preserved in
+    * three steps, all decisions made through BOUNDED driver collects:
+    *   1. RESCORE — candidates found via sub-cap tokens get their frequent
+    *      (df > dfCap) intersections added back by streaming postings
+    *      through a broadcast filter on the candidate doc ids, so every
+    *      scored jac4 is the full-set value (rows <= candidate-doc tokens
+    *      matching frequent probe terms — candidate-bounded, never df-
+    *      bounded).
+    *   2. UPPER BOUND — a doc sharing ONLY frequent tokens with probe q
+    *      has inter <= f_q (q's frequent-token count) and ssn >=
+    *      max(ssnMin, inter), so jac4 <= f_q·10⁴ DIV (ssq +
+    *      max(ssnMin, f_q) − f_q) =: UB_q (the bound is attained at
+    *      inter = f_q; for inter < f_q the expression is dominated —
+    *      monotone in inter for feasible ssn).
+    *   3. FALLBACK — iff UB_q >= jac4 of q's rank-topR row (kth_q, read
+    *      from an nProbes-row bounded collect) a frequent-only doc could
+    *      enter q's top-R (ties break by n_id, so >= not >), and ONLY
+    *      then does that probe re-run the full-token lane. The fallback
+    *      is the price of exact top-R when the rank-topR neighborhood is
+    *      stopword-noise; corpora with real near-dup structure have
+    *      kth >> UB and never pay it.
+    * When no token anywhere exceeds dfCap (one in-memory agg over the
+    * persisted term sidecar decides) the plan is EXACTLY the pre-cap
+    * candidate-bounded plan — same frames, same hashes, no new work.
+    *
+    * The "" token split() produces around doubled/leading spaces is
+    * re-added from `has_empty` as its own join key (postings never post
+    * it, so "" cannot collide with a real term) and df-classified like any
+    * term (df("") = corpus has_empty count, from the same bounded scalar
+    * job as ssnMin); `inter` is directly |set intersection incl. ""|.
+    * Every non-candidate pair has jac4 = 0 and, in the exact ordering
+    * (jac4 desc, n_id), the jac4 = 0 region is simply ascending n_id — so
+    * when a probe has fewer than topR positive-jac4 candidates the tail is
+    * padded from the `topR + 1` globally-smallest doc ids (TakeOrdered,
+    * bounded): per padding probe at most n_pos + 1 pool entries are
+    * occluded (its own id plus its positives), and n_pos < topR there, so
+    * topR + 1 always covers the (topR - n_pos)-row deficit. A max-jac4
+    * dedup keeps a pair that is both a positive candidate and a pool row
+    * single; positive jac4 then outranks every pad exactly as the full
+    * ordering would.
     *
     * Shape: the probe side (its postings rows + sidecar row) is tiny and
     * broadcast; postings stream map-only into a (q, n)-keyed partial-agg
@@ -434,7 +479,7 @@ object LexIndex {
     * ranking window partitions are candidate-sized, never corpus-sized —
     * no nested-loop against doclen anywhere (PlanAuditSpec pins it). */
   def jaccardTopDocs(s: SparkSession, dir: String, nProbes: Int = 5,
-                     topR: Int = 100): DataFrame = {
+                     topR: Int = 100, dfCap: Long = DfCandCap): DataFrame = {
     val idx = build(s, dir)
     val probeIds = idx.doclen.where(col("doc_id") < nProbes)
       .select(col("doc_id").as("q_id"),
@@ -448,7 +493,109 @@ object LexIndex {
     val corpusTok = idx.postings.select(col("doc_id").as("n_id"), col("w"))
       .unionByName(idx.doclen.where(col("has_empty"))
         .select(col("doc_id").as("n_id"), lit("").as("w")))
-    val pos = broadcast(probeTok)
+
+    def finish(ranked: DataFrame): DataFrame =
+      ranked.select("q_id", "n_id", "r_l")
+    lastFallbackProbes = Nil
+
+    // fast path: the whole vocabulary is sub-cap (one agg over the
+    // PERSISTED term sidecar, a 1-row bounded collect) — "" included via
+    // its df below only when some term exceeds the cap
+    val maxDf = idx.terms.agg(coalesce(max("df"), lit(0L))).head().getLong(0)
+    if (maxDf <= dfCap) {
+      val pos = exactPos(idx, probeTok, probeIds, corpusTok)
+      return finish(rankedTop(idx, pos, probeIds, topR))
+    }
+
+    // bounded scalar job: corpus-min set size (UB's ssn floor) + df("")
+    val scal = idx.doclen.agg(
+      coalesce(min(col("nterms") + when(col("has_empty"), 1L).otherwise(0L)),
+        lit(0L)).as("ssn_min"),
+      coalesce(sum(when(col("has_empty"), 1L).otherwise(0L)), lit(0L))
+        .as("df_empty")).head()
+    val ssnMin = scal.getLong(0)
+    val dfEmpty = scal.getLong(1)
+
+    // per-probe-token df: every REAL probe token is in the term sidecar
+    // (the probe is an indexed doc), so an inner join with the probe side
+    // broadcast recovers the left join without ever building on the
+    // term-sized side; "" (never posted) gets df_empty explicitly
+    val probeTokDf = idx.terms.join(broadcast(probeTok.where(col("w") =!= "")), "w")
+      .select(col("q_id"), col("w"), col("df").as("dfw"))
+      .unionByName(probeTok.where(col("w") === "")
+        .select(col("q_id"), col("w"), lit(dfEmpty).as("dfw")))
+    // bounded collect: nProbes rows — frequent-token count per probe
+    val fCounts: Map[Long, Long] = probeTokDf.groupBy("q_id")
+      .agg(coalesce(sum(when(col("dfw") > dfCap, 1L).otherwise(0L)), lit(0L))
+        .as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (fCounts.values.forall(_ == 0L)) {
+      // frequent terms exist in the corpus but none in the probes — the
+      // probe-token join is already sub-cap-bounded as-is
+      val pos = exactPos(idx, probeTok, probeIds, corpusTok)
+      return finish(rankedTop(idx, pos, probeIds, topR))
+    }
+
+    val probeTokRare = probeTokDf.where(col("dfw") <= dfCap)
+      .select("q_id", "w")
+    val probeTokFreq = probeTokDf.where(col("dfw") > dfCap)
+      .select("q_id", "w")
+    // candidate pairs: df-bounded by construction; checkpointed because
+    // three consumers (ids, rescore filter, score base) reuse it
+    val candPairs = broadcast(probeTokRare).join(corpusTok, "w")
+      .where(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id").agg(count(lit(1)).as("inter_r"))
+      .localCheckpoint()
+    // exact rescore: frequent-token intersections for candidate docs only
+    // — postings stream through a broadcast doc-id filter, so this is
+    // candidate-bounded, never df-bounded
+    val candIds = candPairs.select("n_id").distinct()
+    val interF = broadcast(probeTokFreq)
+      .join(corpusTok.join(broadcast(candIds), "n_id"), "w")
+      .join(broadcast(candPairs.select("q_id", "n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id", "n_id").agg(count(lit(1)).as("inter_f"))
+    val pos = candPairs.join(interF, Seq("q_id", "n_id"), "left")
+      .withColumn("inter", col("inter_r") + coalesce(col("inter_f"), lit(0L)))
+      .join(idx.doclen.select(col("doc_id").as("n_id"),
+        (col("nterms") + when(col("has_empty"), 1L).otherwise(0L)).as("ssn")),
+        "n_id")
+      .join(broadcast(probeIds), "q_id")
+      .withColumn("jac4", expr("(inter * 10000) DIV (ssq + ssn - inter)"))
+      .where(col("jac4") > 0)
+      .select("q_id", "n_id", "jac4")
+    val ranked = rankedTop(idx, pos, probeIds, topR).localCheckpoint()
+    // bounded collects: nProbes rows each — rank-topR score and set size
+    val kth: Map[Long, Long] = ranked.where(col("r_l") === topR)
+      .select("q_id", "jac4")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ssqs: Map[Long, Long] = probeIds
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fallback: Seq[Long] = fCounts.collect {
+      case (q, f) if f > 0L &&
+          f * 10000L / (ssqs(q) + math.max(ssnMin, f) - f) >=
+            kth.getOrElse(q, 0L) => q
+    }.toSeq.sorted
+    lastFallbackProbes = fallback
+    if (fallback.isEmpty) return finish(ranked)
+    // exactness demands the full-token lane for these probes — rare at
+    // scale (kth >> UB whenever real near-dup structure exists), and
+    // scoped to exactly the probes that need it
+    val fbIds = probeIds.where(col("q_id").isin(fallback: _*))
+    val fbTok = probeTok.where(col("q_id").isin(fallback: _*))
+    val posFull = exactPos(idx, fbTok, fbIds, corpusTok)
+    val fullRanked = rankedTop(idx, posFull, fbIds, topR)
+    finish(ranked.where(!col("q_id").isin(fallback: _*))
+      .unionByName(fullRanked))
+  }
+
+  /** The full-token candidate score: every doc sharing >= 1 probe token,
+    * jac4 from the posting intersection + node-sized set sizes. Exact but
+    * df-UNBOUNDED — [[jaccardTopDocs]] routes through it only when every
+    * token is sub-cap or a probe's exactness fallback fires. */
+  private def exactPos(idx: Index, probeTok: DataFrame, probeIds: DataFrame,
+                       corpusTok: DataFrame): DataFrame =
+    broadcast(probeTok)
       .join(corpusTok, "w")
       .where(col("n_id") =!= col("q_id"))
       .groupBy("q_id", "n_id").agg(count(lit(1)).as("inter"))
@@ -459,6 +606,13 @@ object LexIndex {
       .withColumn("jac4", expr("(inter * 10000) DIV (ssq + ssn - inter)"))
       .where(col("jac4") > 0)
       .select("q_id", "n_id", "jac4")
+
+  /** Shared ranking tail: pad each probe to topR rows from the bounded
+    * pool, dedup pair/pool overlap by max-jac4, rank (jac4 desc, n_id).
+    * Keeps jac4 in the output (the fallback decision reads the rank-topR
+    * score); [[jaccardTopDocs]] projects it away. */
+  private def rankedTop(idx: Index, pos: DataFrame, probeIds: DataFrame,
+                        topR: Int): DataFrame = {
     // bounded pad pool: the topR+1 smallest doc ids (a TakeOrdered, never
     // a corpus-wide window), keyed on a column-derived constant (pmod(id,1)
     // is 0 for every row but not foldable — a literal key would be
@@ -478,7 +632,33 @@ object LexIndex {
       .withColumn("r_l", row_number().over(
         w.orderBy(desc("jac4"), col("n_id"))))
       .where(col("r_l") <= topR)
-      .select("q_id", "n_id", "r_l")
+  }
+
+  /** Test hook (ScaleShapeSpec): the df-bounded candidate pair frame for
+    * the given cap — the frame whose row count [[DfCandCap]] prices. */
+  private[graft] def rareCandidates(s: SparkSession, dir: String,
+                                    nProbes: Int, dfCap: Long): DataFrame = {
+    val idx = build(s, dir)
+    val probeTok = idx.postings.where(col("doc_id") < nProbes)
+        .select(col("doc_id").as("q_id"), col("w"))
+      .unionByName(idx.doclen
+        .where(col("doc_id") < nProbes && col("has_empty"))
+        .select(col("doc_id").as("q_id"), lit("").as("w")))
+    val corpusTok = idx.postings.select(col("doc_id").as("n_id"), col("w"))
+      .unionByName(idx.doclen.where(col("has_empty"))
+        .select(col("doc_id").as("n_id"), lit("").as("w")))
+    val dfEmpty = idx.doclen.agg(
+      coalesce(sum(when(col("has_empty"), 1L).otherwise(0L)), lit(0L)))
+      .head().getLong(0)
+    val probeTokDf = idx.terms
+      .join(broadcast(probeTok.where(col("w") =!= "")), "w")
+      .select(col("q_id"), col("w"), col("df").as("dfw"))
+      .unionByName(probeTok.where(col("w") === "")
+        .select(col("q_id"), col("w"), lit(dfEmpty).as("dfw")))
+    broadcast(probeTokDf.where(col("dfw") <= dfCap).select("q_id", "w"))
+      .join(corpusTok, "w")
+      .where(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id").agg(count(lit(1)).as("inter_r"))
   }
 
   /** Test/maintenance hook: drop this session's memoized frames so a fresh

@@ -162,4 +162,70 @@ class ScaleShapeSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(hashed.contains("xxhash64"), "hash form must key on xxhash64")
   }
+
+  test("served Jaccard candidate generation is df-bounded: a df=N token never fans out; exactness survives via rescore + UB-checked fallback") {
+    // VERDICT r12 task 2: jaccardTopDocs' candidate join must stay bounded
+    // under a stopword-bearing probe. Synthetic corpus: 300 docs, one
+    // universal token 'the' (df = 300 = N), five parity tokens (df = 150),
+    // one unique token per doc (df = 1). Every doc: |set| = 7.
+    import graft.operators.LexIndex
+    val root = Files.createTempDirectory(Paths.get("target"), "dfcap-corpus")
+      .toString
+    val idxRoot = Files.createTempDirectory(Paths.get("target"), "dfcap-idx")
+      .toString
+    val prevRoot = sys.props.get("graft.lexindex.root")
+    sys.props("graft.lexindex.root") = idxRoot
+    try {
+      spark.range(300).selectExpr("id AS doc_id",
+        "concat('the x', id % 2, ' y', id % 2, ' z', id % 2, ' w', id % 2," +
+          " ' v', id % 2, ' r', id) AS text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/documents.parquet")
+      LexIndex.evictSession(spark)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // default cap: maxDf = 300 <= 100000 → the pre-cap exact plan; pin
+      // it against the index-free formulation first
+      val exact = rows(LexIndex.jaccardTopDocs(spark, root, 5, 100))
+      assert(LexIndex.lastFallbackProbes.isEmpty)
+      assert(exact ==
+        rows(graft.operators.Similarity.lexLaneDirect(spark, root)),
+        "served lane diverged from the index-free oracle")
+      // cap = 200 classifies ONLY 'the' as frequent. Each probe then has
+      // 149 same-parity candidates (5 shared parity tokens, jac4 =
+      // 5*10^4 DIV 9 = 5555) >= topR, so kth = 5555; UB = 1*10^4 DIV
+      // (7 + 7 - 1) = 769 < kth → the bounded path must serve WITHOUT
+      // fallback and still match bit-for-bit (rescore adds 'the' back
+      // into candidate scores)
+      val capped = rows(LexIndex.jaccardTopDocs(spark, root, 5, 100,
+        dfCap = 200L))
+      assert(capped == exact, "df-capped serving diverged")
+      assert(LexIndex.lastFallbackProbes.isEmpty,
+        "cap=200 must be served by the bounded path, not the fallback")
+      // the priced frame: candidate pairs exclude the df=N token entirely —
+      // 5 probes x 149 same-parity docs, never 5 x 299
+      val cand = LexIndex.rareCandidates(spark, root, 5, dfCap = 200L)
+      assert(cand.count() == 5L * 149,
+        "candidate pairs must come from sub-cap tokens only")
+      assert(cand.where(expr("q_id % 2 <> n_id % 2")).count() == 0,
+        "a cross-parity pair can only arise via the df=N token")
+      // cap = 10: every SHARED token is frequent → zero candidates → kth
+      // from pads = 0 <= UB → the exactness fallback must fire for every
+      // probe and reproduce the exact result
+      val tiny = rows(LexIndex.jaccardTopDocs(spark, root, 5, 100,
+        dfCap = 10L))
+      assert(tiny == exact, "fallback serving diverged")
+      assert(LexIndex.lastFallbackProbes == Seq(0L, 1L, 2L, 3L, 4L),
+        "cap=10 must route every probe through the fallback")
+      // degenerate cap = 0: everything frequent, still exact
+      assert(rows(LexIndex.jaccardTopDocs(spark, root, 5, 100,
+        dfCap = 0L)) == exact, "cap=0 serving diverged")
+    } finally {
+      prevRoot match {
+        case Some(v) => sys.props("graft.lexindex.root") = v
+        case None    => sys.props.remove("graft.lexindex.root"); ()
+      }
+      LexIndex.evictSession(spark)
+    }
+  }
 }
