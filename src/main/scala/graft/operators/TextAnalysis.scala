@@ -1067,12 +1067,27 @@ object TextAnalysis {
     *      of the funnel is doc_id >= 20 for the same reason).
     * Output: one row per stage — (stage_id, stage, n_in, n_out, drop_pm).
     *
-    * Scale: ONE corpus pass computes every per-row signal; the dedup
-    * keeper is a min-over-hash-partition window (hash-keyed shuffle, the
-    * qD1 key); contamination is the qT31 broadcast semi-join; the final
-    * counts are one aggregate row unpivoted driver-free with `stack`. No
-    * stage materializes an intermediate corpus. */
-  def qT32(s: SparkSession, dir: String): DataFrame = {
+    * Scale (plan-audited, PlanAuditSpec): TWO corpus scans, and corpus
+    * text NEVER crosses an exchange — columnar re-scan is cheaper at
+    * 100 TB than caching text or dragging it through a shuffle. Scan 1
+    * computes every per-row signal map-side and DROPS text before the
+    * dedup keeper's min-over-hash-partition window (the chash exchange
+    * carries only ids + flags). Scan 2 is the contamination lane: since
+    * the eval side broadcasts, "shares an eval gram" is DOC-INTRINSIC —
+    * flagging every corpus doc map-only and AND-ing with p3 is exactly
+    * "decontam among the dedup survivors", so the gram lane needs neither
+    * the window nor the survivor set (its only shuffle is the
+    * eval-bounded hit-id distinct). Like qT31 it has a
+    * [[Dedup.gramHashKeys]] fixed-width-key twin ([[qT32Keyed]],
+    * spec-pinned bit-equal) so at 100 TB the gram string drops out of the
+    * join entirely. The final counts are one aggregate row unpivoted
+    * driver-free with `stack`; no stage materializes an intermediate
+    * corpus. */
+  def qT32(s: SparkSession, dir: String): DataFrame =
+    qT32Keyed(s, dir, Dedup.gramHashKeys)
+
+  private[graft] def qT32Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
     GraftFunctions.register(s)
     val base = Tables.documents(s, dir).where(col("doc_id") >= 20)
       .selectExpr("doc_id", "text", "md5(lower(text)) AS chash",
@@ -1094,12 +1109,23 @@ object TextAnalysis {
       .withColumn("p2", col("p1") && col("lang_pred") =!= "und")
     val keeper = min(when(col("p2"), col("doc_id")))
       .over(org.apache.spark.sql.expressions.Window.partitionBy("chash"))
-    val deduped = base.withColumn("p3", col("p2") && col("doc_id") === keeper)
-    val evalGrams = tokenGrams(Tables.documents(s, dir)
-      .where(col("doc_id") < 20)).select("gram").distinct()
-    val contaminated = tokenGrams(deduped.where(col("p3"))
-        .select("doc_id", "text"))
-      .join(broadcast(evalGrams), "gram")
+    // text is DROPPED before the window so the chash exchange ships only
+    // ids + flags (see scaladoc — the 100 TB invariant the plan audit pins)
+    val deduped = base.drop("text")
+      .withColumn("p3", col("p2") && col("doc_id") === keeper)
+    def keyed(g: DataFrame): DataFrame =
+      if (hashKeys)
+        g.select((Seq(col("doc_id")) ++ Dedup.gramKey(col("gram"))): _*)
+      else g
+    val keys = if (hashKeys) Seq("h1", "h2") else Seq("gram")
+    val evalGrams = keyed(tokenGrams(Tables.documents(s, dir)
+      .where(col("doc_id") < 20))).select(keys.head, keys.tail: _*).distinct()
+    // doc-intrinsic contamination flag over the WHOLE corpus side (map-only
+    // against the broadcast eval grams); p4 = p3 AND NOT bad is identical
+    // to flagging only the dedup survivors
+    val contaminated = keyed(tokenGrams(Tables.documents(s, dir)
+        .where(col("doc_id") >= 20).select("doc_id", "text")))
+      .join(broadcast(evalGrams), keys)
       .select("doc_id").distinct()
     deduped
       .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")

@@ -1499,6 +1499,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected corpus-side shuffle:\n${shuffles.mkString("\n")}")
   }
 
+  test("q_t32 curation funnel: one window, text never crosses an exchange (VERDICT r12 task 6)") {
+    val q = graft.operators.TextAnalysis.qT32(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    // the scaladoc's scan accounting, pinned: two corpus passes (signals,
+    // doc-intrinsic gram flag) + the bounded eval side — never more
+    val docScans = executedScans(plan).filter(
+      _.relation.location.rootPaths.mkString.contains("documents"))
+    assert(docScans.size == 3,
+      s"expected signals + gram + eval scans, got ${docScans.size}")
+    // the dedup keeper's window runs ONCE (the gram lane must not
+    // re-derive the survivor set)
+    def walkAll(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(walkAll)
+    }
+    val nodes = walkAll(plan)
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) == 1,
+      "the chash keeper window must execute exactly once")
+    // the 100 TB invariant: corpus text is consumed map-side only — no
+    // shuffle exchange ships the text column
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(!_.output.exists(_.name == "text")),
+      s"corpus text crossed an exchange: ${exchanges.map(_.output.map(_.name))}")
+  }
+
   test("Q-G7 k-core: peel is shrink-only and converges on the fixture graph") {
     val rows = graft.operators.Dedup.qG7(spark, sf).collect()
     assert(rows.length == graft.operators.Dedup.KCoreIters + 1)
