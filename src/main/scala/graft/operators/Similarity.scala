@@ -416,6 +416,73 @@ object Similarity {
       updated
     }
 
+    /** Corpus-advance append (VERDICT r12 task 3 — the gate's ANN lane):
+      * unlike [[append]], which grows the CURRENT fingerprint's directory
+      * in place (ST-8: vectors stream into an index that outgrows its
+      * corpus file), this publishes a NEW fingerprint-keyed directory for
+      * a corpus whose `embeddings.parquet` JUST advanced — the
+      * [[graft.operators.LexIndex.append]] discipline, so warm consumers
+      * ([[qSim17]]'s vector lane) resolve the post-delta corpus with zero
+      * corpus passes. Call it AFTER the delta lands: `prior` is the
+      * pre-delta index (resolve it BEFORE landing), `newVecs` the landed
+      * delta (`vec_id`, `embedding`; ids must be new — the gate dedupes).
+      * Work is index-sized (the prior assignment, already persisted,
+      * re-lays out cell-by-cell) plus delta-sized (new vectors assigned
+      * with the FROZEN prior quantizer — centroids and int8 scale copy
+      * verbatim, standard IVF practice: retrain-on-drift is a rebuild).
+      * With lloydIters = 0 and a delta within the frozen scale a
+      * from-scratch rebuild derives the IDENTICAL index (seeds are the
+      * unchanged vec_id < k vectors), which is what makes the gate's
+      * crash-replay rebuild fallback exact (spec-pinned); a delta
+      * component beyond the scale saturates in the int8 lane exactly as
+      * [[append]] prices. NO corpus pass, ever. Idempotent: an
+      * already-published target loads instead of re-publishing (the
+      * crash-replay shape). */
+    def appendFor(s: SparkSession, dir: String, lloydIters: Int,
+                  prior: Index, newVecs: DataFrame,
+                  cells: Int = IvfCells): Index = {
+      GraftFunctions.register(s)
+      val path = indexPath(dir, lloydIters, cells) // POST-delta fingerprint
+      val marker = sub(path, "centroids.tsv")
+      if (!store.exists(marker)) {
+        store.mkdirs(indexRoot)
+        withIndexLock(path + ".lock") {
+          if (!store.exists(marker)) {
+            if (store.exists(path)) store.deleteRecursive(path)
+            graft.functions.IvfRankCells.register(s, prior.fn,
+              prior.cellIds, prior.cents)
+            val staging = path + ".tmp-" +
+              java.util.UUID.randomUUID().toString.take(8)
+            prior.assigned.select("vec_id", "embedding", "cell")
+              .unionByName(newVecs.selectExpr("vec_id", "embedding",
+                s"element_at(${prior.fn}(embedding, 1), 1) AS cell"))
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(sub(staging, "assignment"))
+            prior.qassigned.select("vec_id", "qv", "cell")
+              .unionByName(newVecs.selectExpr("vec_id",
+                quantizeExpr("embedding", prior.scale) + " AS qv",
+                s"element_at(${prior.fn}(embedding, 1), 1) AS cell"))
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(sub(staging, "assignment_int8"))
+            store.writeString(sub(staging, "scale.txt"),
+              java.lang.Double.toString(prior.scale) + "\n")
+            store.writeString(sub(staging, "centroids.tsv"),
+              fmtCents(prior.cellIds, prior.cents))
+            val published = store.rename(staging, path) && store.exists(marker)
+            if (!published) {
+              store.deleteRecursive(staging)
+              throw new IllegalStateException(
+                s"IVF appendFor: publishing $staging -> $path failed")
+            }
+          }
+        }
+      }
+      // release the superseded handle's persisted frames (the
+      // DupClusters/LexIndex append discipline), then load the new state
+      prior.assigned.unpersist(); prior.qassigned.unpersist()
+      cache.getOrCompute(s, path)(loadOrBuild(s, dir, lloydIters, cells))
+    }
+
     private def loadOrBuild(s: SparkSession, dir: String, lloydIters: Int,
                             k: Int): Index = {
       val path = indexPath(dir, lloydIters, k)

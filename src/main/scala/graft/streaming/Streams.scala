@@ -537,6 +537,15 @@ object Streams {
     * and the replay path re-derives BOTH for the current corpus state, so
     * the lexical serving lanes (BM25 / hybrid-RRF) stay consistent with a
     * streaming-ingested corpus at the same crash points.
+    * `advanceAnn = true` (implies `advanceIndex`; batch must carry an
+    * `embedding` column) additionally lands the admitted vectors in
+    * `corpusDir`'s `embeddings.parquet` and advances the durable ANN
+    * index ([[graft.operators.Similarity.IvfIndex.appendFor]], the gate's
+    * serving config lloydIters = 0) under the SAME marker: both deltas
+    * stage under ONE `_commits/<batchId>.delta` rename (docs/ + embs/
+    * subtrees; [[publishDelta]] routes by prefix), so the vector lane of
+    * [[graft.operators.Similarity.qSim17]] serves a streaming-ingested
+    * corpus O(delta)-warm — never a rebuild — at every crash point.
     *
     * Maintenance opt-ins, both AFTER the commit marker (so a crash
     * mid-upkeep replays as a committed no-op):
@@ -554,6 +563,7 @@ object Streams {
       batch: DataFrame, batchId: Long, advanceIndex: Boolean = false,
       corpusDir: Option[String] = None,
       advanceLex: Boolean = false,
+      advanceAnn: Boolean = false,
       autoExpireKeepLast: Option[Int] = None,
       vacuumCommitsBelow: Option[Long] = None): (Long, Long) = {
     require(!advanceIndex || corpusDir.nonEmpty,
@@ -562,6 +572,12 @@ object Streams {
     require(!advanceLex || advanceIndex,
       "dedupGateBatch: advanceLex rides the advanceIndex corpus-landing " +
         "protocol — set advanceIndex = true as well")
+    require(!advanceAnn || advanceIndex,
+      "dedupGateBatch: advanceAnn rides the advanceIndex corpus-landing " +
+        "protocol — set advanceIndex = true as well")
+    require(!advanceAnn || batch.columns.contains("embedding"),
+      "dedupGateBatch: advanceAnn = true needs an `embedding` column on " +
+        "the batch (the admitted delta lands in embeddings.parquet)")
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
     healGateStore(storeDir) // finish any crashed compaction swap first
@@ -582,6 +598,10 @@ object Streams {
         if (advanceLex) {
           graft.operators.LexIndex.expireStale(Seq(d), Some(n), None); ()
         }
+        if (advanceAnn) {
+          graft.operators.Similarity.IvfIndex
+            .expireStale(Seq(d), Some(n), None); ()
+        }
       }
       vacuumCommitsBelow.foreach(f => vacuumGateCommits(storeDir, f))
     }
@@ -597,6 +617,12 @@ object Streams {
       publishDelta(st, deltaDir, corpusDir.get, batchId)
       graft.operators.DupClusters.build(spark, corpusDir.get)
       if (advanceLex) graft.operators.LexIndex.build(spark, corpusDir.get)
+      // the ANN rebuild-on-lost-append: with the gate's serving config
+      // (lloydIters = 0) and a delta within the frozen scale this derives
+      // the index appendFor would have published (spec-pinned)
+      if (advanceAnn)
+        graft.operators.Similarity.IvfIndex.build(spark, corpusDir.get,
+          lloydIters = 0)
       commit()
       st.deleteRecursive(deltaDir)
       upkeep()
@@ -657,15 +683,32 @@ object Streams {
       val priorLex =
         if (advanceLex) Some(graft.operators.LexIndex.build(spark, dir))
         else None
+      val priorAnn =
+        if (advanceAnn) Some(graft.operators.Similarity.IvfIndex
+          .build(spark, dir, lloydIters = 0))
+        else None
       val adm = admitted.select("doc_id", "text")
       st.deleteRecursive(deltaDir + ".tmp") // a crashed attempt's leftover
-      adm.write.mode("overwrite").parquet(deltaDir + ".tmp")
+      if (advanceAnn) {
+        // BOTH corpus files' deltas under ONE staging rename (the ANN lane
+        // must be durable at the same instant as the decisions — a crash
+        // between two renames would lose the vectors); publishDelta routes
+        // by the docs/ vs embs/ prefix
+        adm.write.mode("overwrite").parquet(deltaDir + ".tmp/docs")
+        admitted.selectExpr("doc_id AS vec_id", "embedding")
+          .write.mode("overwrite").parquet(deltaDir + ".tmp/embs")
+      } else {
+        adm.write.mode("overwrite").parquet(deltaDir + ".tmp")
+      }
       if (!st.rename(deltaDir + ".tmp", deltaDir))
         throw new IllegalStateException(
           s"dedup gate: staging the batch-$batchId delta failed")
       publishDelta(st, deltaDir, dir, batchId)
       graft.operators.DupClusters.append(spark, dir, prior, adm)
       priorLex.foreach(p => graft.operators.LexIndex.append(spark, dir, p, adm))
+      priorAnn.foreach(p => graft.operators.Similarity.IvfIndex.appendFor(
+        spark, dir, 0, p,
+        admitted.selectExpr("doc_id AS vec_id", "embedding")))
       ()
     }
     commit()
@@ -692,14 +735,21 @@ object Streams {
     * excludes them from fingerprints. */
   private def publishDelta(st: graft.core.Storage, deltaDir: String,
                            corpusDir: String, batchId: Long): Unit = {
-    val corpus =
+    val docCorpus =
       new org.apache.hadoop.fs.Path(corpusDir, "documents.parquet").toString
+    val embCorpus =
+      new org.apache.hadoop.fs.Path(corpusDir, "embeddings.parquet").toString
     def hidden(rel: String): Boolean = {
       val base = rel.substring(rel.lastIndexOf('/') + 1)
       base.startsWith("_") || base.startsWith(".")
     }
     st.walk(deltaDir).map(_.relPath).filterNot(hidden).sorted.foreach { rel =>
       val src = new org.apache.hadoop.fs.Path(deltaDir, rel).toString
+      // routing is self-describing from the staged layout: an advanceAnn
+      // batch stages docs/ + embs/ subtrees; a docs-only batch stages at
+      // the root (and any pre-subtree staging from older versions lands as
+      // documents — the only kind those versions ever staged)
+      val corpus = if (rel.startsWith("embs/")) embCorpus else docCorpus
       val dst = new org.apache.hadoop.fs.Path(corpus,
         s"gate-b$batchId-${rel.replace('/', '-')}").toString
       if (st.exists(dst)) {

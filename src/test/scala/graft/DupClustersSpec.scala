@@ -365,6 +365,105 @@ class DupClustersSpec extends AnyFunSuite {
     lexServedEqualsDirect()
   }
 
+  test("advanceAnn gate: the ANN index advances under the same marker; crash replays land it exactly once, equal to a from-scratch build") {
+    // VERDICT r12 task 3: the gated corpus's embeddings land with the
+    // documents under ONE staged-delta rename, and the IVF index follows
+    // via the fingerprint-republishing appendFor — so the vector serving
+    // lane resolves the post-delta corpus warm, never via a corpus pass.
+    import graft.operators.Similarity
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-ann").toString
+    val root = Files.createTempDirectory("graft-anncorpus").toString
+    val st = graft.core.Storage.hadoop
+    val prevIvf = sys.props.get("graft.ivf.root")
+    val gateIvfRoot =
+      Files.createTempDirectory(Paths.get("target"), "ivf-gate").toString
+    sys.props("graft.ivf.root") = gateIvfRoot
+    try {
+      val all = graft.core.Tables.documents(spark, sf)
+      val allE = graft.core.Tables.embeddings(spark, sf)
+      all.where(col("doc_id") < 400).write.parquet(s"$root/documents.parquet")
+      allE.where(col("vec_id") < 400).write.parquet(s"$root/embeddings.parquet")
+      graft.functions.GraftFunctions.register(spark)
+      // the append == rebuild equality holds for deltas WITHIN the frozen
+      // int8 scale (appendFor's documented contract; a scale-raising delta
+      // saturates in the appended lane while a rebuild would retrain the
+      // scale) — halve the delta vectors so the corpus max stays in the
+      // base. Cell assignment is cosine-based, so halving is rank-neutral.
+      def batchOf(lo: Int, hi: Int) =
+        all.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id", "text")
+          .join(allE.selectExpr("vec_id AS doc_id",
+            "transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT))" +
+              " AS embedding"), "doc_id")
+      def annState(idx: Similarity.IvfIndex.Index) = (
+        idx.assigned.collect().map(_.toString).toSet,
+        idx.qassigned.collect().map(_.toString).toSet,
+        idx.scale,
+        idx.cellIds.toSeq,
+        idx.cents.map(_.toSeq).toSeq)
+      // happy path: one call lands BOTH deltas and advances the ANN index
+      val (a0, r0) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batchOf(400, 450), 0L,
+        advanceIndex = true, corpusDir = Some(root), advanceAnn = true)
+      assert(a0 + r0 == 50)
+      val nDocs = graft.core.Tables.documents(spark, root).count()
+      val nEmbs = graft.core.Tables.embeddings(spark, root).count()
+      assert(nDocs == nEmbs, "both corpus files must advance together")
+      val served = Similarity.IvfIndex.build(spark, root, lloydIters = 0)
+      assert(served.assigned.count() == nEmbs,
+        "every landed vector must be in the served assignment")
+      // the append-published index is BIT-EQUAL to a from-scratch build of
+      // the same corpus state (lloydIters = 0: seeds are the unchanged
+      // vec_id < k vectors; delta within the frozen scale)
+      val servedState = annState(served)
+      val rebuildRoot = Files
+        .createTempDirectory(Paths.get("target"), "ivf-rebuild").toString
+      sys.props("graft.ivf.root") = rebuildRoot
+      Similarity.IvfIndex.evictSession(spark)
+      val rebuilt = Similarity.IvfIndex.build(spark, root, lloydIters = 0)
+      assert(annState(rebuilt) == servedState,
+        "gate-appended index must equal the from-scratch build")
+      sys.props("graft.ivf.root") = gateIvfRoot
+      Similarity.IvfIndex.evictSession(spark)
+      // replay of the committed batch is a no-op for BOTH corpus files
+      assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+        batchOf(400, 450), 0L, advanceIndex = true, corpusDir = Some(root),
+        advanceAnn = true) == (0L, 0L))
+      assert(graft.core.Tables.embeddings(spark, root).count() == nEmbs)
+      // crash between the staging rename and the final commit: the staged
+      // docs/ + embs/ subtrees are durable; the replay must land both
+      // exactly once and derive the ANN index for the resulting state
+      val (a1, r1) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batchOf(450, 500), 1L)
+      assert(a1 + r1 == 50)
+      val adm = spark.read.parquet(s"$store/docs")
+        .where(col("doc_id") >= 450 && col("doc_id") < 500)
+      adm.select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$store/_commits/1.delta/docs")
+      adm.selectExpr("doc_id AS vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$store/_commits/1.delta/embs")
+      assert(st.delete(s"$store/_commits/1"))
+      val nStaged = adm.count()
+      assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+        batchOf(450, 500), 1L, advanceIndex = true, corpusDir = Some(root),
+        advanceAnn = true) == (0L, 0L))
+      assert(st.exists(s"$store/_commits/1"), "replay must finish the commit")
+      val nEmbsAfter = graft.core.Tables.embeddings(spark, root).count()
+      assert(nEmbsAfter == nEmbs + nStaged,
+        s"embeddings delta must land exactly once: $nEmbs + $nStaged != $nEmbsAfter")
+      assert(graft.core.Tables.documents(spark, root).count() == nEmbsAfter)
+      val replayed = Similarity.IvfIndex.build(spark, root, lloydIters = 0)
+      assert(replayed.assigned.count() == nEmbsAfter,
+        "the replay-derived index must cover the resulting corpus state")
+    } finally {
+      prevIvf match {
+        case Some(p) => sys.props("graft.ivf.root") = p
+        case None    => sys.props.remove("graft.ivf.root")
+      }
+      Similarity.IvfIndex.evictSession(spark)
+    }
+  }
+
   test("gate auto-expire: superseded fingerprints bounded under streaming appends; warm serving unaffected") {
     // VERDICT r11 task 8: advanceLex publishes one superseded lex (and dup)
     // fingerprint per admitted micro-batch — autoExpireKeepLast wires the

@@ -1474,6 +1474,63 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim17 warm after a gated advanceAnn batch: index files + pushed probe fetch only (VERDICT r12 task 3)") {
+    // a streaming-ingested corpus (docs + embeddings landed through the
+    // gate, all three artifacts advanced under the batch marker) must
+    // serve the hybrid exactly like a statically-indexed one: zero corpus
+    // passes warm — the ANN lane resolves the post-delta fingerprint from
+    // appendFor's published dir, never a rebuild
+    import java.nio.file.{Files, Paths}
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-s17").toString
+    val root = Files.createTempDirectory("graft-s17corpus").toString
+    val props = Seq("graft.ivf.root", "graft.lexindex.root", "graft.dupindex.root")
+    val prev = props.map(p => p -> sys.props.get(p)).toMap
+    props.foreach(p => sys.props(p) =
+      Files.createTempDirectory(Paths.get("target"), "s17-idx").toString)
+    try {
+      val all = graft.core.Tables.documents(spark, sf)
+      val allE = graft.core.Tables.embeddings(spark, sf)
+      all.where(org.apache.spark.sql.functions.col("doc_id") < 400).write.parquet(s"$root/documents.parquet")
+      allE.where(org.apache.spark.sql.functions.col("vec_id") < 400).write.parquet(s"$root/embeddings.parquet")
+      graft.functions.GraftFunctions.register(spark)
+      val batch = all.where(org.apache.spark.sql.functions.col("doc_id") >= 400 &&
+        org.apache.spark.sql.functions.col("doc_id") < 450)
+        .select("doc_id", "text")
+        .join(allE.selectExpr("vec_id AS doc_id", "embedding"), "doc_id")
+      val (a, r) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batch, 0L, advanceIndex = true, corpusDir = Some(root),
+        advanceLex = true, advanceAnn = true)
+      assert(a + r == 50)
+      // fresh-session shape: drop the memos so the query goes through the
+      // durable-load path (what a consumer session would do)
+      graft.operators.Similarity.IvfIndex.evictSession(spark)
+      graft.operators.LexIndex.evictSession(spark)
+      graft.operators.Similarity.qSim17(spark, root).collect() // warm load
+      val q = graft.operators.Similarity.qSim17(spark, root)
+      q.collect()
+      val scans = executedScans(q.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "expected executed file scans in the plan")
+      for (sc <- scans) {
+        val files = sc.relation.location.inputFiles.toSeq
+        val isIdx = files.forall(f =>
+          f.contains("s17-idx") || f.contains("lex-index") || f.contains("ivf-index"))
+        val isProbe = files.forall(_.contains("embeddings.parquet")) &&
+          sc.metadata.getOrElse("PushedFilters", "").contains("LessThan(vec_id,5)")
+        assert(isIdx || isProbe,
+          s"corpus-wide scan after gated ingestion: ${files.take(2)} " +
+            s"pushed=${sc.metadata.get("PushedFilters")}")
+      }
+    } finally {
+      props.foreach(p => prev(p) match {
+        case Some(v) => sys.props(p) = v
+        case None    => sys.props.remove(p); ()
+      })
+      graft.operators.Similarity.IvfIndex.evictSession(spark)
+      graft.operators.LexIndex.evictSession(spark)
+      graft.operators.DupClusters.evictSession(spark)
+    }
+  }
+
   test("q_t30 BPE apply: segmentation is vocabulary-map-only, rejoin is an equi-join, codegen holds") {
     val q = graft.operators.TextAnalysis.qT30(spark, sf)
     q.collect()
