@@ -170,25 +170,48 @@ object BenchSlope {
           Row(name, ts, tl, slope, slope > dataRatio * Margin, None)
       }
     }
-    val qs = rows.map { r =>
-      val base = s""""${r.name}":{"t_small":${fmt(r.ts)},""" +
+    val newBodies: Seq[(String, String)] = rows.map { r =>
+      val base = s""""t_small":${fmt(r.ts)},""" +
         s""""t_large":${fmt(r.tl)},"slope":${fmt(r.slope)},""" +
         s""""super_linear":${r.flagged}"""
-      r.build match {
+      r.name -> (r.build match {
         case Some((bS, bL, bSl)) => base +
           s""","t_build_small":${fmt(bS)},"t_build_large":${fmt(bL)},""" +
-          s""""build_slope":${fmt(bSl)}}"""
-        case None => base + "}"
+          s""""build_slope":${fmt(bSl)}"""
+        case None => base
+      })
+    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_SLOPE_OUT", "SCALING_SLOPE.json")
+    // SPARK_GRAFT_SLOPE_MERGE=true: fold this run's rows into the existing
+    // artifact instead of replacing it — the incremental path for NEW
+    // registry entries (run with SPARK_GRAFT_SLOPE_ONLY=<new queries>), so
+    // the slope-gate invariant (BenchSpec: slope rows == registry, the
+    // round-12 164 != 172 drift) stays green without a full re-sweep.
+    // Rows for queries measured in THIS run always win; rows whose query
+    // left the registry are dropped by the same gate at test time.
+    val merge = sys.env.get("SPARK_GRAFT_SLOPE_MERGE").exists(_.toBoolean)
+    val priorBodies: Seq[(String, String)] =
+      if (!merge) Seq.empty
+      else {
+        val f = java.nio.file.Paths.get(out)
+        if (!java.nio.file.Files.exists(f)) Seq.empty
+        else """"(q_\w+)":\{([^}]*)\}""".r
+          .findAllMatchIn(java.nio.file.Files.readString(f))
+          .map(m => m.group(1) -> m.group(2)).toSeq
       }
-    }.mkString("{", ",", "}")
-    val flaggedNames = rows.filter(_.flagged).map("\"" + _.name + "\"")
-      .mkString("[", ",", "]")
+    val newNames = newBodies.map(_._1).toSet
+    val merged = (priorBodies.filterNot(p => newNames.contains(p._1)) ++
+      newBodies).sortBy(_._1)
+    val qs = merged.map { case (n, b) => s""""$n":{$b}""" }
+      .mkString("{", ",", "}")
+    val flaggedNames = merged
+      .filter(_._2.contains(""""super_linear":true"""))
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"scaling_slope","data_ratio":$dataRatio,""" +
-      s""""margin":$Margin,"n_queries":${rows.length},"queries":$qs,""" +
+      s""""margin":$Margin,"n_queries":${merged.length},"queries":$qs,""" +
       s""""flagged":$flaggedNames,""" +
       s""""sf_small":"$small","sf_large":"$large"}"""
     println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SLOPE_OUT", "SCALING_SLOPE.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench-slope: failed to write $out: $e") }

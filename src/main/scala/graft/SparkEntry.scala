@@ -122,6 +122,7 @@ object SparkEntry {
     "q_t30_bpe_apply"      -> (TextAnalysis.qT30 _),
     "q_t31_eval_contam"    -> (TextAnalysis.qT31 _),
     "q_t32_curation_funnel" -> (TextAnalysis.qT32 _),
+    "q_t33_dsir_weights"   -> (TextAnalysis.qT33 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q_st5_incremental_merge" -> (graft.streaming.Streams.qSt5 _),
     "q_st7_funnel_join"    -> (graft.streaming.Streams.qSt7 _),
     "q_st10_abandoned"     -> (graft.streaming.Streams.qSt10 _),
+    "q_st11_drift"         -> (graft.streaming.Streams.qSt11 _),
     // multimodal binary-column pipeline
     "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
@@ -210,6 +212,7 @@ object SparkEntry {
     "q_mm11_tile_stats"     -> (Multimodal.qMm11 _),
     "q_mm14_img_entropy"    -> (Multimodal.qMm14 _),
     "q_mm15_flip_dups"      -> (Multimodal.qMm15 _),
+    "q_mm16_keyframes"      -> (Multimodal.qMm16 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -947,6 +950,27 @@ object SparkEntry {
         "SELECT stage_id, stage, n_in, n_out, " +
         "CAST((n_in - n_out) * 1000 // n_in AS BIGINT) AS drop_pm " +
         "FROM u ORDER BY stage_id"),
+    "q_t33_dsir_weights" -> (
+      // DSIR importance weights with the integer floor-log2 llr: b10 =
+      // len(bin(1024-scaled Laplace ratio)) - 1 stays NON-NEGATIVE through
+      // every division (DuckDB // floors, Spark DIV truncates — they only
+      // agree >= 0); re-centering by -10 bits is plain subtraction after
+      "WITH tf AS (SELECT doc_id, w, count(1) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t " +
+        "WHERE w <> '' GROUP BY doc_id, w), " +
+        "ct AS (SELECT w, CAST(sum(tf) AS BIGINT) AS ct FROM tf WHERE doc_id < 20 GROUP BY w), " +
+        "cr AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cr FROM tf WHERE doc_id >= 20 GROUP BY w), " +
+        "j AS (SELECT coalesce(ct.w, cr.w) AS w, coalesce(ct.ct, 0) AS ct, " +
+        "coalesce(cr.cr, 0) AS cr FROM ct FULL JOIN cr ON ct.w = cr.w), " +
+        "tot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt, " +
+        "CAST(coalesce(sum(cr), 0) AS BIGINT) AS nr, count(1) AS v FROM j), " +
+        "llr AS (SELECT w, CAST(length(bin(((ct + 1) * (nr + v) * 1024) // ((cr + 1) * (nt + v)))) - 1 AS BIGINT) AS b10 " +
+        "FROM j, tot) " +
+        "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(tf.tf * llr.b10) - 10 * sum(tf.tf) AS BIGINT) AS dsir_bits, " +
+        "CAST((sum(tf.tf * llr.b10) * 1000) // sum(tf.tf) - 10000 AS BIGINT) AS dsir_pm " +
+        "FROM tf JOIN llr USING (w) WHERE tf.doc_id >= 20 " +
+        "GROUP BY tf.doc_id ORDER BY doc_id"),
     "q_t31_eval_contam" -> (
       // eval-side dirtiness: per eval doc (doc_id < 20), distinct 8-grams,
       // grams found anywhere in training (doc_id >= 20), integer per-mille
@@ -1696,6 +1720,23 @@ object SparkEntry {
         "SELECT 1 FROM events p WHERE p.event_type = 'purchase' " +
         "AND p.user_id = c.user_id AND p.ts >= c.c_ts " +
         "AND p.ts < c.c_ts + INTERVAL 30 MINUTE) ORDER BY c_id"),
+    "q_st11_drift" -> (
+      // total-variation drift between consecutive event-time hours,
+      // cleared of denominators: tv4 = (1e4 * sum|c1*n2 - c2*n1|) DIV
+      // (2*n1*n2) — non-negative numerator, so // and DIV agree
+      "WITH c AS (SELECT date_trunc('hour', ts) AS w, event_type AS t, " +
+        "CAST(count(1) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "n AS (SELECT w, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY w), " +
+        "p AS (SELECT coalesce(a.w1, b.w1) AS w1, coalesce(a.t, b.t) AS t, " +
+        "coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2 FROM " +
+        "(SELECT w AS w1, t, c AS c1 FROM c) a FULL JOIN " +
+        "(SELECT w - INTERVAL 1 HOUR AS w1, t, c AS c2 FROM c) b " +
+        "ON a.w1 = b.w1 AND a.t = b.t) " +
+        "SELECT p.w1 AS w_start, n1.n AS n1, n2.n AS n2, " +
+        "CAST((10000 * sum(abs(p.c1 * n2.n - p.c2 * n1.n))) // (2 * n1.n * n2.n) AS BIGINT) AS tv4 " +
+        "FROM p JOIN n n1 ON n1.w = p.w1 " +
+        "JOIN n n2 ON n2.w = p.w1 + INTERVAL 1 HOUR " +
+        "GROUP BY p.w1, n1.n, n2.n ORDER BY w_start"),
     "q_st7_funnel_join" -> (
       "WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase') " +
@@ -1897,6 +1938,24 @@ object SparkEntry {
         "CAST(sum(abs((doc_id * 31 + f * 17 + x * 7 + y * 13) % 256 - " +
         "(doc_id * 31 + (f - 1) * 17 + x * 7 + y * 13) % 256)) AS BIGINT) AS motion " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm16_keyframes" -> (
+      // keyframes: per-pair deltas from the gifGray closed form, a frame
+      // keys iff delta * n_pairs > total (strictly above average); frame 0
+      // always keys (bit 0 of the mask)
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, f.i AS f, x.i AS x, y.i AS y FROM d, " +
+        "(SELECT unnest(generate_series(1, 3)) AS i) f, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y), " +
+        "df AS (SELECT doc_id, f, " +
+        "CAST(sum(abs((doc_id * 31 + f * 17 + x * 7 + y * 13) % 256 - " +
+        "(doc_id * 31 + (f - 1) * 17 + x * 7 + y * 13) % 256)) AS BIGINT) AS dlt " +
+        "FROM g GROUP BY doc_id, f), " +
+        "t AS (SELECT doc_id, CAST(sum(dlt) AS BIGINT) AS total FROM df GROUP BY doc_id) " +
+        "SELECT df.doc_id AS asset_id, CAST(4 AS INT) AS n_frames, " +
+        "CAST(1 + sum(CASE WHEN df.dlt * 3 > t.total THEN 1 ELSE 0 END) AS INT) AS n_key, " +
+        "CAST(1 + sum(CASE WHEN df.dlt * 3 > t.total THEN CAST(1 AS BIGINT) << df.f ELSE 0 END) AS BIGINT) AS key_mask " +
+        "FROM df JOIN t USING (doc_id) GROUP BY df.doc_id ORDER BY asset_id"),
     "q_u4_flatten" -> (
       "SELECT doc_id, path, value FROM (" +
         "SELECT doc_id, 'lang' AS path, lang AS value FROM documents " +

@@ -717,6 +717,65 @@ object Multimodal {
   def qMm7(spark: SparkSession, dir: String): DataFrame =
     frameMotion(gifAssets(spark, dir), GifFrameDecoder).orderBy("asset_id")
 
+  case class Keyframes(asset_id: Long, n_frames: Int, n_key: Int,
+                       key_mask: Long)
+
+  /** Per-asset KEYFRAME SELECTION over decoded frames: a frame is a
+    * keyframe iff its inter-frame motion (the [[frameMotion]] per-pair
+    * pixel-delta sum) is STRICTLY above the clip's average pair delta —
+    * the standard cheap shot-change heuristic a video curation pipeline
+    * runs to pick representative frames for captioning/embedding; frame 0
+    * always keys. Integer-exact: `delta_f · (n_frames − 1) > total` avoids
+    * the division entirely. `key_mask` bit f marks frame f (bit 0 always
+    * set), so a downstream frame-sampler selects without re-decoding.
+    * Same batched mapPartitions shape as [[frameMotion]]: whole clips
+    * reduce to one row executor-side, blobs never cross an exchange. */
+  def keyframes(assets: DataFrame, decoder: FrameDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decodeFrames(a.bytes).map { frames =>
+              val nPairs = frames.length - 1
+              val deltas = new Array[Long](math.max(nPairs, 0))
+              var total = 0L
+              var f = 1
+              while (f < frames.length) {
+                val prev = frames(f - 1).samples
+                val cur = frames(f).samples
+                val n = math.min(prev.length, cur.length)
+                var k = 0
+                var d = 0L
+                while (k < n) { d += math.abs(cur(k) - prev(k)); k += 1 }
+                deltas(f - 1) = d
+                total += d
+                f += 1
+              }
+              var mask = 1L
+              var nKey = 1
+              f = 1
+              while (f < frames.length) {
+                if (deltas(f - 1) * nPairs > total) {
+                  mask |= 1L << f
+                  nKey += 1
+                }
+                f += 1
+              }
+              Keyframes(a.asset_id, frames.length, nKey, mask)
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Q-MM16: keyframe detection through the real GIF decode; the oracle
+    * replays the closed-form pixel math ([[gifGray]]) — per-pair deltas,
+    * the strictly-above-average test, and the bit mask arithmetically. */
+  def qMm16(spark: SparkSession, dir: String): DataFrame =
+    keyframes(gifAssets(spark, dir), GifFrameDecoder).orderBy("asset_id")
+
   case class AudioBands(asset_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
 
   /** Q-MM8: audio FEATURE EXTRACTION through the real WAV decode — energy

@@ -1185,6 +1185,78 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Q-T33 — DSIR-STYLE IMPORTANCE WEIGHTS: rank the raw pool by how
+    * target-like each document's token distribution is — the data-selection
+    * step (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling") a domain-targeted pretraining mix runs before
+    * sampling. Target = `doc_id < 20` (the qT11/qT31 declared benchmark
+    * bound standing in for the domain sample), raw pool = the rest. Per
+    * raw document: importance weight = Σ_w tf_w · llr(w), where llr is the
+    * Laplace-smoothed log-likelihood ratio of the target vs raw unigram
+    * models. DSIR hashes n-grams into buckets; here the feature is the
+    * token itself (exactly [[qT20]]'s vocabulary), which keeps the oracle
+    * replayable and admits the [[Dedup.gramHashKeys]] fixed-width twin for
+    * the 100 TB join ([[qT33Keyed]], spec-pinned bit-equal).
+    *
+    * Exactness: transcendental log() is not bit-stable across engines
+    * ([[qT20]]'s lesson), so llr uses the integer floor-log2 idiom on the
+    * 1024-scaled ratio: b10(w) = length(bin(((ct+1)(Nr+V)·1024) DIV
+    * ((cr+1)(Nt+V)))) − 1 ∈ [0, ~60] — llr_bits = b10 − 10, saturating at
+    * −10 when the ratio falls below 2⁻¹⁰ (bin(0) = "0"). Scores keep the
+    * NON-NEGATIVE b10 through every division (Spark's DIV truncates toward
+    * zero, DuckDB's // floors — they only agree on non-negative
+    * numerators) and re-center by plain subtraction afterwards. BIGINT
+    * width: the scaled ratio's numerator is (ct+1)(Nr+V)·1024 ≤ ~2⁶³ up to
+    * ~10⁹-token models per side; beyond that the product needs DECIMAL —
+    * a declared bound of this formulation, not of the plan.
+    *
+    * Scale: the target side is benchmark-sized; the raw side is ONE
+    * explode-shuffle into per-(doc, term) tf with map-side combine
+    * ([[qT20]]'s shape). The model join (full outer target×raw counts) and
+    * the scoring join are vocab-keyed — term-sized frames, never the token
+    * stream — and the totals arrive by a broadcast-one-row crossJoin. */
+  def qT33(s: SparkSession, dir: String): DataFrame =
+    qT33Keyed(s, dir, Dedup.gramHashKeys)
+
+  private[graft] def qT33Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def tfOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    def keyed(g: DataFrame): DataFrame =
+      if (hashKeys)
+        g.select((g.columns.filterNot(_ == "w").map(col).toSeq ++
+          Dedup.gramKey(col("w"))): _*)
+      else g
+    val keys = if (hashKeys) Seq("h1", "h2") else Seq("w")
+    val tgt = keyed(tfOf(docs.where(col("doc_id") < 20)))
+    val raw = keyed(tfOf(docs.where(col("doc_id") >= 20)))
+    val joint = tgt.groupBy(keys.head, keys.tail: _*)
+      .agg(sum("tf").as("ct"))
+      .join(raw.groupBy(keys.head, keys.tail: _*).agg(sum("tf").as("cr")),
+        keys, "full")
+      .select((keys.map(col) :+ coalesce(col("ct"), lit(0L)).as("ct") :+
+        coalesce(col("cr"), lit(0L)).as("cr")): _*)
+    val tot = joint.agg(
+      coalesce(sum("ct"), lit(0L)).as("nt"),
+      coalesce(sum("cr"), lit(0L)).as("nr"),
+      count(lit(1)).as("v"))
+    val llr = joint.crossJoin(broadcast(tot))
+      .select((keys.map(col) :+
+        (length(expr("bin(((ct + 1) * (nr + v) * 1024) DIV ((cr + 1) * (nt + v)))"))
+          - 1).cast("long").as("b10")): _*)
+    raw.join(llr, keys)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("b10")).as("sum_plus"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_plus") - lit(10L) * col("n_tokens")).as("dsir_bits"),
+        (expr("(sum_plus * 1000) DIV n_tokens") - 10000L).as("dsir_pm"))
+      .orderBy("doc_id")
+  }
+
   /** Q-T30 — BPE APPLY: [[qT28]] LEARNS one round of merge candidates;
     * this one TOKENIZES with them — the missing last step of the
     * tokenizer story (q_t25 prices the raw token spectrum, q_t28 learns

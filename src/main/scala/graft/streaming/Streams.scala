@@ -444,6 +444,48 @@ object Streams {
       .orderBy("c_id")
   }
 
+  /** ST-11 (batch form): WINDOWED DISTRIBUTION DRIFT — the data-quality
+    * monitor a production ingestion pipeline runs next to its sinks: per
+    * consecutive pair of event-time hours, the total-variation distance
+    * between the two hours' event-type distributions, in permyriad. A
+    * schema-stable feed whose CONTENT shifts (a client update changes the
+    * click/view mix, an outage spikes errors) moves tv4 long before any
+    * hard failure; the monitor thresholds it.
+    *
+    * Exactness: TV = ½·Σ_t |p₁(t) − p₂(t)| is rational once cleared of
+    * denominators — tv4 = (10⁴ · Σ_t |c₁ᵗ·n₂ − c₂ᵗ·n₁|) DIV (2·n₁·n₂),
+    * BIGINT throughout (the numerator stays non-negative, so DuckDB's
+    * floor-// and Spark's truncating DIV agree). Hours with zero events
+    * form no pair (n₁, n₂ >= 1 by construction — no zero guard needed).
+    *
+    * Scale: the counting core IS [[tumblingCounts]] (ST-1) — ONE
+    * map-side-combined aggregate reduces the event stream to (hour, type,
+    * count), metadata-sized, and its streaming form (watermarked tumbling
+    * window) is already spec-pinned equal to the batch form, so the drift
+    * monitor runs live by putting this derivation in the foreachBatch
+    * consumer of that aggregate. The pair join and the per-pair reduce
+    * run on the counts frame, never on events. */
+  def qSt11(spark: SparkSession, dir: String): DataFrame = {
+    val c = tumblingCounts(Tables.events(spark, dir))
+      .select(col("w_start").as("w"), col("event_type").as("t"), col("c"))
+    val n = c.groupBy("w").agg(sum("c").as("n"))
+    val a = c.select(col("w").as("w1"), col("t"), col("c").as("c1"))
+    val b = c.select((col("w") - expr("INTERVAL 1 HOUR")).as("w1"),
+      col("t"), col("c").as("c2"))
+    a.join(b, Seq("w1", "t"), "full") // USING-join coalesces the keys
+      .select(col("w1"), col("t"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .join(n.select(col("w").as("w1"), col("n").as("n1")), "w1")
+      .join(n.select((col("w") - expr("INTERVAL 1 HOUR")).as("w1"),
+        col("n").as("n2")), "w1")
+      .groupBy("w1", "n1", "n2")
+      .agg(sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d"))
+      .select(col("w1").as("w_start"), col("n1"), col("n2"),
+        expr("(10000 * d) DIV (2 * n1 * n2)").as("tv4"))
+      .orderBy("w_start")
+  }
+
   /** ST-5 (batch form): incremental MERGE equivalence — applying the merge
     * in two half-batches (foreachBatch style) must land on the same final
     * state as one full-refresh merge; the oracle pins the final state's

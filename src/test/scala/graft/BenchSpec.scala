@@ -96,4 +96,25 @@ class BenchSpec extends AnyFunSuite with Matchers {
       missing shouldBe empty
     }
   }
+
+  test("the shipped SCALING_SLOPE.json covers every registered query and " +
+    "nothing else (VERDICT r12 task 8: the slope-gate)") {
+    // the round-12 drift this refuses: 8 new queries shipped without a
+    // slope row (164 != 172) and no other artifact check noticed — the
+    // scaling-slope sweep is the instrument that catches a super-linear
+    // plan, so a registry entry without a row is a coverage hole
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SCALING_SLOPE.json"))
+    val slopeNames = """"(q_\w+)":\{"t_small"""".r
+      .findAllMatchIn(json).map(_.group(1)).toSet
+    val registry = SparkEntry.queries.keySet
+    withClue(s"registry entries without a slope row: ${registry.diff(slopeNames)}") {
+      registry.diff(slopeNames) shouldBe empty
+    }
+    withClue(s"slope rows for unregistered queries: ${slopeNames.diff(registry)}") {
+      slopeNames.diff(registry) shouldBe empty
+    }
+    val n = """"n_queries":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    n shouldBe Some(registry.size)
+  }
 }

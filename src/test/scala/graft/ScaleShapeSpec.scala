@@ -134,7 +134,7 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(stateHash(tgt) == stateHash(tgtFull), "modes must land identical state")
   }
 
-  test("128-bit gram-hash keying is bit-equal to string keying (q_d16/17/18/19, q_t29, q_t31, q_t32)") {
+  test("128-bit gram-hash keying is bit-equal to string keying (q_d16/17/18/19, q_t29, q_t31, q_t32, q_t33)") {
     // VERDICT r11 task 4: the scaladocs' "at 100 TB the join groups by the
     // gram's 128-bit hash" claim, made true: every gram-keyed query has a
     // hash-keyed twin behind -Dgraft.gramHashKeys, pinned here on the test
@@ -158,6 +158,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       rows(TextAnalysis.qT31Keyed(spark, dir, hashKeys = false)), "q_t31 diverged")
     assert(rows(TextAnalysis.qT32Keyed(spark, dir, hashKeys = true)) ==
       rows(TextAnalysis.qT32Keyed(spark, dir, hashKeys = false)), "q_t32 diverged")
+    assert(rows(TextAnalysis.qT33Keyed(spark, dir, hashKeys = true)) ==
+      rows(TextAnalysis.qT33Keyed(spark, dir, hashKeys = false)), "q_t33 diverged")
     // and the switch actually selects the hash form: its plan groups on
     // xxhash64-derived keys, the string form's does not
     val hashed = Dedup.qD16Keyed(spark, dir, hashKeys = true)
