@@ -180,6 +180,7 @@ object SparkEntry {
     "q_sim15_hybrid_rrf"   -> (Similarity.qSim15 _),
     "q_sim17_hybrid_served" -> (Similarity.qSim17 _),
     "q_sim18_mmr_diverse"  -> (Similarity.qSim18 _),
+    "q_sim19_cell_balance" -> (Similarity.qSim19 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -1424,6 +1425,20 @@ object SparkEntry {
         "SELECT q_id, n_id, r_v, r_l, rrf_s, CAST(rank AS BIGINT) AS rank " +
         "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
     "q_sim18_mmr_diverse" -> mmrOracleSql(5),
+    "q_sim19_cell_balance" -> (
+      // replay the seeded quantizer assignment (the q_sim3 CTE), count per
+      // cell, hot = occupancy > 2x the uniform mean over k = 16 cells
+      "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "c2 AS (SELECT cid, CAST(count(1) AS BIGINT) AS n FROM cell GROUP BY cid), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c2) " +
+        "SELECT cid, n, CAST((n * 1000) // t AS BIGINT) AS share_pm, " +
+        "CAST(CASE WHEN n * 16 > 2 * t THEN 1 ELSE 0 END AS BIGINT) AS hot " +
+        "FROM c2, t ORDER BY cid"),
     "q_sim17_hybrid_served" -> (
       // served hybrid: the q_sim11 int8-IVF chain (5 probes, top-100
       // shortlist) as the vector lane + q_sim15's lexical and fusion CTEs

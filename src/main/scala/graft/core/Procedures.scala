@@ -377,12 +377,23 @@ private[core] final class IvfIndexProcedure
     val iters = input.getInt(1)
     val idx = graft.operators.Similarity.IvfIndex
       .build(SparkSession.active, dir, lloydIters = iters)
+    // balance verdict (round 13 — the qSim19 numbers, CALL-shaped): the
+    // retrain-on-drift signal for the frozen-quantizer append paths. One
+    // aggregate over the CACHED assignment; k-row collect, k = n_cells.
+    val counts = idx.assigned.groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    val total = counts.sum
+    val maxSharePm =
+      if (total == 0L) 0L else counts.max * 1000L / total
+    val nHot = counts.count(c => c * idx.cellIds.length > 2L * total).toLong
     val schema = StructType(Seq(
       StructField("n_cells", LongType, nullable = false),
       StructField("n_vectors", LongType, nullable = false),
-      StructField("quant_scale", DoubleType, nullable = false)))
+      StructField("quant_scale", DoubleType, nullable = false),
+      StructField("max_share_pm", LongType, nullable = false),
+      StructField("n_hot_cells", LongType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
-      idx.cellIds.length.toLong, idx.assigned.count(), idx.scale))
+      idx.cellIds.length.toLong, total, idx.scale, maxSharePm, nHot))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

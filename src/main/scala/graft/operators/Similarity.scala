@@ -371,17 +371,28 @@ object Similarity {
         loadOrBuild(s, dir, lloydIters, cells))
 
     /** Incremental index maintenance: assign NEW vectors (`vec_id`,
-      * `embedding`; ids must be new — dedupe upstream) with the stored
-      * quantizer — a map-only, delta-sized job, no corpus pass — and append
-      * them cell-partitioned into the durable assignment. The index is the
-      * growing entity, the analogue of the reference's container doubling as
-      * its own point-read index and absorbing every merge delta. Appends do
-      * NOT retrain the quantizer (standard IVF practice: retrain on drift,
-      * not per insert); a drift-driven rebuild is a new index directory.
+      * `embedding`) with the stored quantizer — a map-only, delta-sized
+      * job, no corpus pass — and append them cell-partitioned into the
+      * durable assignment. The index is the growing entity, the analogue
+      * of the reference's container doubling as its own point-read index
+      * and absorbing every merge delta. Appends do NOT retrain the
+      * quantizer (standard IVF practice: retrain on drift, not per
+      * insert); a drift-driven rebuild is a new index directory.
       * The read-modify-write on the shared assignment directory is guarded
       * by an exclusive lock file (`_append.lock`, atomic create), so two
       * processes cannot interleave partition files. Returns the refreshed
-      * Index; the previous in-memory assignment is unpersisted. */
+      * Index; the previous in-memory assignment is unpersisted.
+      *
+      * IDEMPOTENT per vec_id (round 13 — closes ST-8's replay gap): each
+      * lane filters the delta against the ids it ALREADY holds before
+      * writing, and the membership probe runs per lane, so a foreachBatch
+      * replay after a crash — including one that landed the float lane
+      * but not the int8 lane — appends each vector to each lane exactly
+      * once and self-heals the half-landed state. The probe is two
+      * delta-bounded joins against the PERSISTED lane frames (a broadcast
+      * semi to find collisions, a broadcast anti to drop them), never an
+      * index-sized shuffle. Same-id-different-vector replays are the
+      * caller's contract violation, as before. */
     def append(s: SparkSession, dir: String, lloydIters: Int,
                newVecs: DataFrame, cells: Int = IvfCells): Index = {
       val prior = build(s, dir, lloydIters, cells)
@@ -390,13 +401,20 @@ object Similarity {
       val path = indexPath(dir, lloydIters, cells)
       val asgPath = sub(path, "assignment")
       val qasgPath = sub(path, "assignment_int8")
+      val newIds = newVecs.select("vec_id")
+      def freshFor(lane: DataFrame): DataFrame = {
+        // delta-bounded: collisions <= |delta| rows, then broadcast anti
+        val already = lane.join(broadcast(newIds), Seq("vec_id"), "left_semi")
+          .select("vec_id").distinct()
+        newVecs.join(broadcast(already), Seq("vec_id"), "left_anti")
+      }
       withIndexLock(path + ".lock") {
-        newVecs.selectExpr("vec_id", "embedding",
+        freshFor(prior.assigned).selectExpr("vec_id", "embedding",
             s"element_at(${prior.fn}(embedding, 1), 1) AS cell")
           .write.mode("append").partitionBy("cell").parquet(asgPath)
         // int8 lane follows: quantized with the FROZEN build-time scale
         // (saturating — see quantizeExpr), so both lanes stay row-aligned
-        newVecs.selectExpr("vec_id",
+        freshFor(prior.qassigned).selectExpr("vec_id",
             quantizeExpr("embedding", prior.scale) + " AS qv",
             s"element_at(${prior.fn}(embedding, 1), 1) AS cell")
           .write.mode("append").partitionBy("cell").parquet(qasgPath)
@@ -787,6 +805,36 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank").as("r_v"))
     val l = LexIndex.jaccardTopDocs(s, dir, nProbes = 5, topR = 100)
     rrfFuse(v, l)
+  }
+
+  /** Q-SIM19 — IVF CELL-BALANCE AUDIT: the index-health number that
+    * decides WHEN the frozen-quantizer appends ([[IvfIndex.append]] /
+    * [[IvfIndex.appendFor]] — both deliberately never retrain) have
+    * drifted the corpus far enough that a rebuild is due. Per cell of the
+    * served assignment: member count, share in per-mille, and a hot flag
+    * (occupancy > 2× the uniform mean — a hot cell is exactly what
+    * degrades probe cost, since cell-pruned candidate work tracks
+    * occupancy; standard IVF re-train trigger). Emitting per-cell rows
+    * (not one verdict) lets an operator see WHERE the skew lives before
+    * deciding between retrain and nlist change.
+    *
+    * Scale: one aggregate over the CACHED cell-partitioned assignment —
+    * cell-count-sized output, zero corpus passes warm; the total arrives
+    * by the broadcast-one-row crossJoin. The oracle replays the seeded
+    * quantizer assignment arithmetically (the qSim3 CTE) and counts. */
+  def qSim19(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = IvfIndex.build(s, dir, lloydIters = 0)
+    val k = idx.cellIds.length.toLong
+    val counts = idx.assigned.groupBy(col("cell").as("cid"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(coalesce(sum("n"), lit(0L)).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n"),
+        expr("(n * 1000) DIV t").as("share_pm"),
+        when(col("n") * lit(k) > lit(2L) * col("t"), 1L).otherwise(0L)
+          .as("hot"))
+      .orderBy("cid")
   }
 
   /** Q-SIM16 — PQ SHORTLIST + EXACT RERANK: the two-stage serving

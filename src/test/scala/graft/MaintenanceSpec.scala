@@ -614,6 +614,11 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r.getLong(1) == 500L, s"n_vectors: $r")
     val idx = graft.operators.Similarity.IvfIndex.build(spark, dir, lloydIters = 0)
     assert(r.getDouble(2) == idx.scale, s"scale: $r")
+    // balance verdict columns (the qSim19 numbers, CALL-shaped) agree with
+    // the oracle-checked query form
+    val bal = graft.operators.Similarity.qSim19(spark, dir).collect()
+    assert(r.getLong(3) == bal.map(_.getLong(2)).max, s"max_share_pm: $r")
+    assert(r.getLong(4) == bal.map(_.getLong(3)).sum, s"n_hot_cells: $r")
     // named lloyd_iters spelling resolves too (the trained quantizer)
     val r1 = spark.sql(
       s"CALL graftiv.system.ivfindex(dir => '$dir', lloyd_iters => 1)").head()

@@ -388,6 +388,18 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
       assert(top(3L) == (910003L, 1.0) && top(7L) == (910007L, 1.0),
         s"streamed twins must be exact top-1 neighbors: $top")
+      // crash-replay shape (round 13): re-appending an already-landed
+      // batch must be a per-id no-op in BOTH lanes — the foreachBatch
+      // engine replays the one batch whose checkpoint commit did not land
+      val replayBatch = {
+        import spark.implicits._
+        twin(3, 910003L).toDF("vec_id", "embedding")
+      }
+      val replayed = Similarity.IvfIndex.append(spark, sf, lloydIters = 0,
+        replayBatch, cells = 8)
+      assert(replayed.assigned.count() == baseCount + 2 &&
+        replayed.qassigned.count() == baseCount + 2,
+        "a replayed append must land zero new rows in either lane")
     } finally {
       prevRoot match {
         case Some(p) => sys.props("graft.ivf.root") = p
