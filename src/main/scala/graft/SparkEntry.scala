@@ -123,6 +123,7 @@ object SparkEntry {
     "q_t31_eval_contam"    -> (TextAnalysis.qT31 _),
     "q_t32_curation_funnel" -> (TextAnalysis.qT32 _),
     "q_t33_dsir_weights"   -> (TextAnalysis.qT33 _),
+    "q_t34_fertility"      -> (TextAnalysis.qT34 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -214,6 +215,7 @@ object SparkEntry {
     "q_mm14_img_entropy"    -> (Multimodal.qMm14 _),
     "q_mm15_flip_dups"      -> (Multimodal.qMm15 _),
     "q_mm16_keyframes"      -> (Multimodal.qMm16 _),
+    "q_mm17_vad"            -> (Multimodal.qMm17 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -567,6 +569,22 @@ object SparkEntry {
         "CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN s * s ELSE 0 END) AS BIGINT) AS b2, " +
         "CAST(sum(CASE WHEN k >= 48 THEN s * s ELSE 0 END) AS BIGINT) AS b3 " +
         "FROM sm GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm17_vad" -> (
+      // energy-gate VAD: 8 frames of 8 samples from the wavSample closed
+      // form; speech iff 2*e_f*8 >= total (half the mean frame energy,
+      // division-free); segments = maximal speech runs via lag()
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "k AS (SELECT doc_id, unnest(generate_series(0, 63)) AS k FROM d), " +
+        "sm AS (SELECT doc_id, k, ((doc_id * 37 + k * 11) % 2048 - 1024) AS s FROM k), " +
+        "f AS (SELECT doc_id, k // 8 AS f, CAST(sum(s * s) AS BIGINT) AS e FROM sm GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total FROM f GROUP BY 1), " +
+        "sp AS (SELECT f.doc_id, f.f, (2 * f.e * 8 >= t.total) AS s FROM f JOIN t USING (doc_id)), " +
+        "g AS (SELECT doc_id, f, s, lag(s, 1, false) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM sp) " +
+        "SELECT doc_id AS asset_id, CAST(8 AS INT) AS n_frames, " +
+        "CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS INT) AS n_speech, " +
+        "CAST(sum(CASE WHEN s THEN CAST(1 AS BIGINT) << f ELSE 0 END) AS BIGINT) AS speech_mask, " +
+        "CAST(sum(CASE WHEN s AND NOT prev THEN 1 ELSE 0 END) AS INT) AS n_segs " +
+        "FROM g GROUP BY doc_id ORDER BY asset_id"),
     "q_x7_event_paths" -> (
       "WITH s AS (SELECT user_id, event_type, " +
         "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
@@ -1013,6 +1031,42 @@ object SparkEntry {
         "CAST(sum(wf.tf * sw.n_sym) AS BIGINT) AS n_bpe, " +
         "CAST(sum(wf.tf * sw.n_sym) * 1000 // sum(wf.tf) AS BIGINT) AS bpe_pm " +
         "FROM wf JOIN sw USING (w) GROUP BY wf.doc_id ORDER BY doc_id"),
+    "q_t34_fertility" -> (
+      // q_t30's BPE segmentation (recursive-CTE merge fold) rolled up by
+      // q_t1's predicted language: fertility = BPE symbols per word x1000
+      "WITH RECURSIVE t AS (SELECT unnest(string_split(lower(text), ' ')) AS w, doc_id FROM documents), " +
+        "wf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf FROM t WHERE w <> '' GROUP BY 1, 2), " +
+        "cw AS (SELECT w, CAST(count(1) AS BIGINT) AS n FROM t WHERE w <> '' GROUP BY w), " +
+        "px AS (SELECT n, w, unnest(generate_series(1, length(w) - 1)) AS i FROM cw WHERE length(w) >= 2), " +
+        "mt AS (SELECT pair, row_number() OVER (ORDER BY n_occ DESC, pair) AS rk FROM " +
+        "(SELECT substring(w, i, 2) AS pair, CAST(sum(n) AS BIGINT) AS n_occ FROM px GROUP BY 1 " +
+        "ORDER BY n_occ DESC, pair LIMIT 20) tt), " +
+        "vocab AS (SELECT DISTINCT w FROM wf), " +
+        "seg(w, s, k) AS (" +
+        "SELECT w, ' ' || regexp_replace(w, '(?s)(.)', '\\1 ', 'g'), 0 FROM vocab " +
+        "UNION ALL " +
+        "SELECT seg.w, replace(replace(seg.s, " +
+        "' ' || substring(mt.pair, 1, 1) || ' ' || substring(mt.pair, 2, 1) || ' ', ' ' || mt.pair || ' '), " +
+        "' ' || substring(mt.pair, 1, 1) || ' ' || substring(mt.pair, 2, 1) || ' ', ' ' || mt.pair || ' '), seg.k + 1 " +
+        "FROM seg JOIN mt ON mt.rk = seg.k + 1), " +
+        "sw AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym FROM seg WHERE k = 20), " +
+        "pd AS (SELECT wf.doc_id, CAST(sum(wf.tf) AS BIGINT) AS nw, " +
+        "CAST(sum(wf.tf * sw.n_sym) AS BIGINT) AS nb FROM wf JOIN sw USING (w) GROUP BY wf.doc_id), " +
+        "hh AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "l AS (SELECT doc_id, CASE " +
+        "WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' " +
+        "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
+        "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
+        "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM " +
+        "(SELECT doc_id, " +
+        "len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it'))) AS en_hits, " +
+        "len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un'))) AS es_hits, " +
+        "len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein'))) AS de_hits, " +
+        "len(list_filter(toks, w -> w IN ('le','la','de','et','un','une','est'))) AS fr_hits FROM hh) x) " +
+        "SELECT l.lang_pred, CAST(count(1) AS BIGINT) AS n_docs, " +
+        "CAST(sum(pd.nw) AS BIGINT) AS n_words, CAST(sum(pd.nb) AS BIGINT) AS n_bpe, " +
+        "CAST(sum(pd.nb) * 1000 // sum(pd.nw) AS BIGINT) AS fert_pm " +
+        "FROM pd JOIN l USING (doc_id) GROUP BY 1 ORDER BY lang_pred"),
     "q_t28_bpe_merges" -> (
       // one BPE merge round over the word-frequency table: adjacent char
       // pairs weighted by word count, top-20 by (mass desc, pair asc);

@@ -776,6 +776,66 @@ object Multimodal {
   def qMm16(spark: SparkSession, dir: String): DataFrame =
     keyframes(gifAssets(spark, dir), GifFrameDecoder).orderBy("asset_id")
 
+  case class Vad(asset_id: Long, n_frames: Int, n_speech: Int,
+                 speech_mask: Long, n_segs: Int)
+
+  /** Per-clip energy-gate VOICE-ACTIVITY segmentation over the real WAV
+    * decode: the clip splits into 8 equal time frames ([[audioBands]]'
+    * banding, twice as fine); a frame is SPEECH iff its energy (exact
+    * integer Σs²) is at least HALF the clip's mean frame energy
+    * (2·e_f·F >= total — the classic energy-gate VAD threshold, division-
+    * free), and maximal speech runs are counted as segments — the
+    * trim-silence / segment-for-ASR pass a speech-data curation pipeline
+    * runs right after decode. `speech_mask` bit f marks frame f so a
+    * downstream splitter cuts without re-decoding. Same batched
+    * mapPartitions shape as [[audioBands]]: one row per clip executor-side,
+    * blobs never cross an exchange. */
+  def audioVad(assets: DataFrame, decoder: AssetDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val F = 8
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            decoder.decode(a.bytes).map { d =>
+              val e = new Array[Long](F)
+              val n = d.samples.length
+              var k = 0
+              while (k < n) {
+                val s = d.samples(k).toLong
+                e(math.min(k * F / math.max(n, 1), F - 1)) += s * s
+                k += 1
+              }
+              val total = e.sum
+              var mask = 0L
+              var nSpeech = 0
+              var nSegs = 0
+              var prev = false
+              var f = 0
+              while (f < F) {
+                val sp = 2L * e(f) * F >= total
+                if (sp) {
+                  mask |= 1L << f
+                  nSpeech += 1
+                  if (!prev) nSegs += 1
+                }
+                prev = sp
+                f += 1
+              }
+              Vad(a.asset_id, F, nSpeech, mask, nSegs)
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Q-MM17: VAD segmentation through the real WAV decode; the oracle
+    * replays the closed-form sample function ([[wavSample]]), the
+    * half-mean energy gate, and the run count arithmetically. */
+  def qMm17(spark: SparkSession, dir: String): DataFrame =
+    audioVad(wavAssets(spark, dir), WavDecoder).orderBy("asset_id")
+
   case class AudioBands(asset_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
 
   /** Q-MM8: audio FEATURE EXTRACTION through the real WAV decode — energy

@@ -153,7 +153,13 @@ object TextAnalysis {
     * four interpreted filter lambdas per row), then classify as the max-hit
     * language with a fixed priority-order tiebreak, 'und' when nothing
     * hits. */
-  def qT1(s: SparkSession, dir: String): DataFrame = {
+  def qT1(s: SparkSession, dir: String): DataFrame =
+    langPredicted(s, dir).orderBy("doc_id")
+
+  /** [[qT1]] without the presentation sort — the map-only form other
+    * operators ([[qT34]]) join against (a Sort below a join would be a
+    * corpus-wide exchange for nothing at scale). */
+  private def langPredicted(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id", "lang_hits(text) AS lh")
@@ -169,7 +175,6 @@ object TextAnalysis {
           |  WHEN fr_hits > 0 THEN 'fr'
           |  ELSE 'und'
           |END AS lang_pred""".stripMargin)
-      .orderBy("doc_id")
   }
 
   /** q_t13 — language-ID CONFUSION MATRIX: [[qT1]]'s n-gram classifier
@@ -1287,13 +1292,33 @@ object TextAnalysis {
     * vocabulary-keyed equi-join, no explode beyond the qT9 tokenize
     * pass, no window. */
   def qT30(s: SparkSession, dir: String): DataFrame = {
-    // bounded collect: exactly the top-20 TakeOrdered rows (rank order)
-    val rules = qT28(s, dir).collect().map(_.getString(0)).toSeq
-    val words = Tables.documents(s, dir)
+    val words = docWordTf(s, dir)
+    words.join(bpeSegWords(s, dir, words.select("w").distinct()), "w")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_words"),
+        sum(col("tf") * col("n_sym")).as("n_bpe"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe"),
+        expr("(n_bpe * 1000) DIV n_words").as("bpe_pm"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-(doc, word) term frequency over the ""-filtered token stream —
+    * the shared base of the BPE-apply consumers. */
+  private def docWordTf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val vocab = words.select("w").distinct()
+
+  /** [[qT30]]'s segmentation core, shared with [[qT34]]: apply the
+    * [[qT28]] top-20 merges in rank order over the DISTINCT-WORD
+    * vocabulary and return each word's BPE symbol count. The fold is 40
+    * codegen'd literal replaces — map-only where the token stream is
+    * petabytes (the vocabulary is the small frame). */
+  private def bpeSegWords(s: SparkSession, dir: String,
+                          vocab: DataFrame): DataFrame = {
+    // bounded collect: exactly the top-20 TakeOrdered rows (rank order)
+    val rules = qT28(s, dir).collect().map(_.getString(0)).toSeq
     // " c1 c2 … cn " — (?s) so a newline inside a token is a symbol too
     var seg = concat(lit(" "),
       regexp_replace(col("w"), lit("(?s)(.)"), lit("$1 ")))
@@ -1306,15 +1331,35 @@ object TextAnalysis {
       seg = org.apache.spark.sql.functions.replace(
         seg, lit(s" $a $b "), lit(s" $a$b "))
     }
-    val segWords = vocab.select(col("w"),
+    vocab.select(col("w"),
       size(split(trim(seg), " ")).cast("long").as("n_sym"))
-    words.join(segWords, "w")
+  }
+
+  /** Q-T34 — TOKENIZER FERTILITY BY LANGUAGE: BPE symbols per word,
+    * rolled up by [[qT1]]'s predicted language — the number a mix planner
+    * multiplies against per-language token budgets (a language whose
+    * fertility is 1.4× pays 1.4× the compute per word; fertility skew is
+    * the standard argument for tokenizer retraining or per-language
+    * sampling corrections). Per language: doc count, word count, BPE
+    * symbol count, fertility in per-mille (symbols per word × 1000).
+    *
+    * Scale: reuses [[qT30]]'s vocabulary-sized segmentation (the fold
+    * never touches the token stream) and [[qT1]]'s map-only lang kernel;
+    * the rollup is languages-sized. Integer-exact end to end. */
+  def qT34(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val words = docWordTf(s, dir)
+    val perDoc = words
+      .join(bpeSegWords(s, dir, words.select("w").distinct()), "w")
       .groupBy("doc_id")
-      .agg(sum("tf").as("n_words"),
-        sum(col("tf") * col("n_sym")).as("n_bpe"))
-      .select(col("doc_id"), col("n_words"), col("n_bpe"),
-        expr("(n_bpe * 1000) DIV n_words").as("bpe_pm"))
-      .orderBy("doc_id")
+      .agg(sum("tf").as("nw"), sum(col("tf") * col("n_sym")).as("nb"))
+    perDoc.join(langPredicted(s, dir).select("doc_id", "lang_pred"), "doc_id")
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"), sum("nb").as("n_bpe"))
+      .select(col("lang_pred"), col("n_docs"), col("n_words"), col("n_bpe"),
+        expr("(n_bpe * 1000) DIV n_words").as("fert_pm"))
+      .orderBy("lang_pred")
   }
 
   /** The composable-HOF [[qT29]] formulation (interpreted lambda pairing)
