@@ -640,7 +640,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "decodeFeatures" -> Multimodal.decodeFeatures(Multimodal.assets(spark, sf)),
       "sampleFrames" -> Multimodal.sampleFrames(Multimodal.assets(spark, sf)),
       "frameFeatures" -> Multimodal.frameFeatures(
-        Multimodal.gifAssets(spark, sf), Multimodal.GifFrameDecoder))) {
+        Multimodal.gifAssets(spark, sf), Multimodal.GifFrameDecoder),
+      "keyframes" -> Multimodal.keyframes(
+        Multimodal.gifAssets(spark, sf), Multimodal.GifFrameDecoder),
+      "audioVad" -> Multimodal.audioVad(
+        Multimodal.wavAssets(spark, sf), Multimodal.WavDecoder))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),
@@ -1554,6 +1558,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles.forall(l => l.contains("hashpartitioning(gram") ||
       l.contains("hashpartitioning(doc_id") || l.contains("rangepartitioning")),
       s"unexpected corpus-side shuffle:\n${shuffles.mkString("\n")}")
+  }
+
+  test("q_t33 DSIR weights: every shuffle is vocab- or doc-keyed; corpus text stays map-side") {
+    val q = graft.operators.TextAnalysis.qT33(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the token stream reduces ONCE per side into (doc, w) tf frames; the
+    // model/full-outer/scoring joins and the final per-doc reduce key on
+    // the term or the doc id — no exchange ever carries text, and the only
+    // nested-loop is the broadcast-one-row totals crossJoin
+    val shuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("InMemory")).toSeq
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(l => l.contains("hashpartitioning(w") ||
+      l.contains("hashpartitioning(doc_id") || l.contains("rangepartitioning") ||
+      l.contains("SinglePartition")),
+      s"unexpected shuffle key in q_t33:\n${shuffles.mkString("\n")}")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")),
+      "corpus text crossed an exchange in q_t33")
+  }
+
+  test("q_st11 drift: events reduce once to the hourly counts frame; no exchange carries event payloads") {
+    val q = graft.streaming.Streams.qSt11(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(l => !l.contains("props#") && !l.contains("event_id#")
+      && !l.contains("user_id#")),
+      s"event payloads crossed an exchange in q_st11:\n${exchanges.mkString("\n")}")
   }
 
   test("q_t32 curation funnel: one window, text never crosses an exchange (VERDICT r12 task 6)") {
