@@ -383,8 +383,8 @@ private[core] final class IvfIndexProcedure
     val counts = idx.assigned.groupBy("cell").count()
       .collect().map(_.getLong(1))
     val total = counts.sum
-    val maxSharePm =
-      if (total == 0L) 0L else counts.max * 1000L / total
+    val maxSharePm = // empty index (no assigned vectors) reports 0, not a throw
+      if (counts.isEmpty || total == 0L) 0L else counts.max * 1000L / total
     val nHot = counts.count(c => c * idx.cellIds.length > 2L * total).toLong
     val schema = StructType(Seq(
       StructField("n_cells", LongType, nullable = false),
