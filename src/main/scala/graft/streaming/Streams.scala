@@ -465,8 +465,16 @@ object Streams {
     * monitor runs live by putting this derivation in the foreachBatch
     * consumer of that aggregate. The pair join and the per-pair reduce
     * run on the counts frame, never on events. */
-  def qSt11(spark: SparkSession, dir: String): DataFrame = {
-    val c = tumblingCounts(Tables.events(spark, dir))
+  def qSt11(spark: SparkSession, dir: String): DataFrame =
+    driftOf(tumblingCounts(Tables.events(spark, dir)))
+
+  /** The drift derivation over ANY (w_start, event_type, c) counts frame —
+    * in batch that frame is [[tumblingCounts]] of the events table; live,
+    * it is the SAME aggregate's streaming output (StreamingSpec pins the
+    * equality end to end), so the monitor is this function applied in the
+    * foreachBatch consumer. */
+  private[graft] def driftOf(counts: DataFrame): DataFrame = {
+    val c = counts
       .select(col("w_start").as("w"), col("event_type").as("t"), col("c"))
     val n = c.groupBy("w").agg(sum("c").as("n"))
     val a = c.select(col("w").as("w1"), col("t"), col("c").as("c1"))
@@ -622,6 +630,13 @@ object Streams {
         "the batch (the admitted delta lands in embeddings.parquet)")
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
+    // fail fast with a clear message: the ANN lane fingerprints and appends
+    // against the corpus's embeddings file, so it must exist (seed it with
+    // the initial corpus) before the first gated batch
+    require(!advanceAnn || corpusDir.forall(d => st.exists(
+      new org.apache.hadoop.fs.Path(d, "embeddings.parquet").toString)),
+      "dedupGateBatch: advanceAnn = true needs an existing " +
+        "embeddings.parquet in corpusDir (seed the corpus before streaming)")
     healGateStore(storeDir) // finish any crashed compaction swap first
     val meta = resolveGateStore(spark, storeDir) // layout marker + migration
     val marker = s"$storeDir/_commits/$batchId"

@@ -85,6 +85,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("st4").count() == rows.size)
   }
 
+  test("ST-11 drift monitor: the derivation over the STREAMED counts equals the batch query") {
+    // the live form of q_st11: the watermarked tumbling aggregate streams,
+    // and the drift derivation runs over its output table (the foreachBatch
+    // consumer shape the scaladoc describes) — per-pair TV distances must
+    // equal the batch form over the same rows
+    val got = runStream("st11", OutputMode.Complete())(Streams.tumblingCounts)
+    assert(canon(Streams.driftOf(got)) ==
+      canon(Streams.driftOf(Streams.tumblingCounts(rows.toDF()))),
+      "streamed drift diverged from the batch derivation")
+  }
+
   test("ST-1 with watermark drops too-late rows from open windows") {
     val src = MemoryStream[Ev](spark)
     val q = src.toDF()
