@@ -64,6 +64,7 @@ object BenchSlope {
       "q_sim16_pq_rerank"    -> ivf,
       "q_sim18_mmr_diverse"  -> ivf,
       "q_sim19_cell_balance" -> ivf,
+      "q_sim20_topic_mix"    -> ivf,
       "q_t21_bm25"           -> lex,
       "q_sim15_hybrid_rrf"   -> lex,
       "q_sim17_hybrid_served" -> (ivf ++ lex))

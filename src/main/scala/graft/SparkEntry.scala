@@ -182,6 +182,7 @@ object SparkEntry {
     "q_sim17_hybrid_served" -> (Similarity.qSim17 _),
     "q_sim18_mmr_diverse"  -> (Similarity.qSim18 _),
     "q_sim19_cell_balance" -> (Similarity.qSim19 _),
+    "q_sim20_topic_mix"    -> (Similarity.qSim20 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -1493,6 +1494,32 @@ object SparkEntry {
         "SELECT cid, n, CAST((n * 1000) // t AS BIGINT) AS share_pm, " +
         "CAST(CASE WHEN n * 16 > 2 * t THEN 1 ELSE 0 END AS BIGINT) AS hot " +
         "FROM c2, t ORDER BY cid"),
+    "q_sim20_topic_mix" -> (
+      // seeded-quantizer cell assignment (the q_sim3 CTE) joined to the
+      // q_t1 lang CASE; per-cell language shares in per-mille
+      "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "hh AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "l AS (SELECT doc_id, CASE " +
+        "WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' " +
+        "WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es' " +
+        "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' " +
+        "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM " +
+        "(SELECT doc_id, " +
+        "len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it'))) AS en_hits, " +
+        "len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un'))) AS es_hits, " +
+        "len(list_filter(toks, w -> w IN ('der','die','das','und','ist','ein'))) AS de_hits, " +
+        "len(list_filter(toks, w -> w IN ('le','la','de','et','un','une','est'))) AS fr_hits FROM hh) x), " +
+        "j AS (SELECT cell.cid, l.lang_pred FROM cell JOIN l ON l.doc_id = cell.vec_id), " +
+        "c2 AS (SELECT cid, lang_pred, CAST(count(1) AS BIGINT) AS n_docs FROM j GROUP BY 1, 2), " +
+        "ct AS (SELECT cid, CAST(sum(n_docs) AS BIGINT) AS cn FROM c2 GROUP BY 1) " +
+        "SELECT c2.cid, c2.lang_pred, c2.n_docs, " +
+        "CAST(c2.n_docs * 1000 // ct.cn AS BIGINT) AS share_pm " +
+        "FROM c2 JOIN ct USING (cid) ORDER BY cid, lang_pred"),
     "q_sim17_hybrid_served" -> (
       // served hybrid: the q_sim11 int8-IVF chain (5 probes, top-100
       // shortlist) as the vector lane + q_sim15's lexical and fusion CTEs

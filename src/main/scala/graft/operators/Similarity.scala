@@ -837,6 +837,34 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Q-SIM20 — TOPIC × LANGUAGE MIX AUDIT: the diversity table a mix
+    * planner reads before sampling — per IVF cell (the cheap topic proxy
+    * the index already maintains) and predicted language, document count
+    * and the language's share of the cell in per-mille. A cell whose mass
+    * is one language flags a topic the other languages under-cover; a
+    * language concentrated in few cells flags narrow domain coverage —
+    * both drive per-(topic, language) sampling corrections.
+    *
+    * Scale: the cell side is the CACHED assignment (no corpus vector
+    * pass warm); the language side is [[TextAnalysis.qT1]]'s map-only
+    * kernel over the documents scan; they meet in one doc-keyed join of
+    * two slim (id, small-col) frames and reduce to a cells × languages
+    * table. The oracle replays the seeded quantizer assignment and the
+    * lang CASE arithmetically. */
+  def qSim20(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = IvfIndex.build(s, dir, lloydIters = 0)
+    val c2 = idx.assigned
+      .select(col("vec_id").as("doc_id"), col("cell").as("cid"))
+      .join(TextAnalysis.langPredicted(s, dir).select("doc_id", "lang_pred"),
+        "doc_id")
+      .groupBy("cid", "lang_pred").agg(count(lit(1)).as("n_docs"))
+    c2.join(c2.groupBy("cid").agg(sum("n_docs").as("cn")), "cid")
+      .select(col("cid"), col("lang_pred"), col("n_docs"),
+        expr("(n_docs * 1000) DIV cn").as("share_pm"))
+      .orderBy("cid", "lang_pred")
+  }
+
   /** Q-SIM16 — PQ SHORTLIST + EXACT RERANK: the two-stage serving
     * pattern production ANN actually runs (Faiss/ScaNN "refine" stage):
     * stage 1 ranks candidates by the 8-byte PQ codes

@@ -159,7 +159,7 @@ object TextAnalysis {
   /** [[qT1]] without the presentation sort — the map-only form other
     * operators ([[qT34]]) join against (a Sort below a join would be a
     * corpus-wide exchange for nothing at scale). */
-  private def langPredicted(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def langPredicted(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id", "lang_hits(text) AS lh")
