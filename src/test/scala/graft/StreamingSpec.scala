@@ -419,6 +419,74 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ST-9 full sink, live: a real stream advances corpus + dup/lex/ANN indexes under batch markers") {
+    // the whole ingestion story under the actual engine: each micro-batch
+    // dedups at the door, lands docs AND vectors exactly once, and
+    // advances all three durable indexes — after which the served hybrid
+    // resolves the streamed corpus warm
+    import graft.operators.Similarity
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "gate-full").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-fullcorpus").toString
+    val props = Seq("graft.ivf.root", "graft.lexindex.root", "graft.dupindex.root")
+    val prev = props.map(p => p -> sys.props.get(p)).toMap
+    props.foreach(p => sys.props(p) = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "full-idx").toString)
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val docs = graft.core.Tables.documents(spark, sf)
+      val embs = graft.core.Tables.embeddings(spark, sf)
+      docs.where(col("doc_id") < 100).write.parquet(s"$root/documents.parquet")
+      embs.where(col("vec_id") < 100).write.parquet(s"$root/embeddings.parquet")
+      graft.functions.GraftFunctions.register(spark)
+      // bounded driver rows for the MemoryStream fixture (40 + 1 docs)
+      def slice(lo: Long, hi: Long): Seq[(Long, String, Seq[Float])] =
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .join(embs.selectExpr("vec_id AS doc_id", "embedding"), "doc_id")
+          .select("doc_id", "text", "embedding")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2))).toSeq
+      val counts = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      val src = MemoryStream[(Long, String, Seq[Float])](spark)
+      val q = src.toDF().toDF("doc_id", "text", "embedding").writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          counts(id) = Streams.dedupGateBatch(b.sparkSession, store, b, id,
+            advanceIndex = true, corpusDir = Some(root),
+            advanceLex = true, advanceAnn = true); ()
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get("target"), "full-cp").toString)
+        .start()
+      src.addData(slice(100, 120): _*); q.processAllAvailable()
+      // batch 1 carries a near-dup of an admitted batch-0 doc under a new
+      // id: the gate must reject it, and its VECTOR must not land either
+      val dupText = slice(100, 101).head._2
+      src.addData(slice(120, 140) :+ ((900L, dupText,
+        slice(100, 101).head._3)): _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(counts(0L) == (20L, 0L) && counts(1L) == (20L, 1L),
+        s"per-batch (admitted, rejected): $counts")
+      val nDocs = graft.core.Tables.documents(spark, root).count()
+      val nEmbs = graft.core.Tables.embeddings(spark, root).count()
+      assert(nDocs == 140L && nEmbs == 140L,
+        s"corpus files must advance together: docs=$nDocs embs=$nEmbs")
+      assert(Similarity.IvfIndex.build(spark, root, lloydIters = 0)
+        .assigned.count() == nEmbs, "ANN index must cover the streamed corpus")
+      assert(graft.operators.LexIndex.build(spark, root).nDocsAll == nDocs)
+      assert(graft.operators.DupClusters.build(spark, root).nDocs == nDocs)
+      // the served hybrid resolves the streamed corpus (smoke: ranked rows)
+      assert(Similarity.qSim17(spark, root).count() > 0)
+    } finally {
+      props.foreach(p => prev(p) match {
+        case Some(v) => sys.props(p) = v
+        case None    => sys.props.remove(p); ()
+      })
+      Similarity.IvfIndex.evictSession(spark)
+      graft.operators.LexIndex.evictSession(spark)
+      graft.operators.DupClusters.evictSession(spark)
+    }
+  }
+
   test("ST-9 dedup-gated ingestion: near-dups rejected at the door, replay is a no-op") {
     val store = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "dedup-gate").toString
