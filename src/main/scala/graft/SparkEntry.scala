@@ -124,6 +124,7 @@ object SparkEntry {
     "q_t32_curation_funnel" -> (TextAnalysis.qT32 _),
     "q_t33_dsir_weights"   -> (TextAnalysis.qT33 _),
     "q_t34_fertility"      -> (TextAnalysis.qT34 _),
+    "q_t35_semantic_contam" -> (TextAnalysis.qT35 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -1396,6 +1397,17 @@ object SparkEntry {
         ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_t35_semantic_contam" -> (
+      // directional eval->train exact-cosine top-1 (the q_sim1 kernel with
+      // disjoint sides); the flag thresholds the ROUNDED sim
+      "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id >= 20), " +
+        cosineSumSql +
+        ", r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s) " +
+        "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, " +
+        "CAST(CASE WHEN ROUND(sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
+        "FROM r WHERE rank = 1 ORDER BY q_id"),
     "q_sim12_range_search" -> (
       // q_sim1's pair/cosine kernel with a radius filter instead of top-k
       "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +

@@ -1190,6 +1190,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Q-T35 — SEMANTIC DECONTAMINATION: the third leg of the decontam
+    * battery ([[qT11]] exact grams, [[qT24]] fuzzy edit-verified; this one
+    * catches PARAPHRASED leakage that shares no verbatim or near-verbatim
+    * span): per eval document (vec_id < 20, the declared benchmark bound),
+    * its nearest TRAINING-side embedding by exact cosine, and a
+    * contamination flag at sim >= 0.995 — the directional eval→train pass
+    * a pretraining team runs with the embedding model it trusts.
+    *
+    * Scale: the eval side is benchmark-sized and BROADCASTS; the training
+    * corpus streams map-only through the codegen'd cosine kernel into a
+    * per-eval argmax — exact by construction (this is the decision that
+    * wants exactness; the IVF-served lane of [[graft.operators.Similarity
+    * .qSim17]] / the [[graft.operators.Dedup]] q_d15 machinery is the
+    * approximate scale path when even one corpus stream per eval batch is
+    * too much). Ties break on the lower training id, the sim-family
+    * convention. */
+  def qT35(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.selectExpr("vec_id AS q_id", "embedding AS eq")
+      .where(col("q_id") < 20)
+    val c = e.selectExpr("vec_id AS n_id", "embedding AS en")
+      .where(col("n_id") >= 20)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(desc("sim_raw"), col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("sim_raw", expr("cosine_sim(eq, en)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      // the flag thresholds the ROUNDED sim — the family's cross-engine
+      // equalizer (raw doubles differ in ulps between engines' sum orders)
+      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim",
+        "CAST(CASE WHEN ROUND(sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated")
+      .orderBy("q_id")
+  }
+
   /** Q-T33 — DSIR-STYLE IMPORTANCE WEIGHTS: rank the raw pool by how
     * target-like each document's token distribution is — the data-selection
     * step (Xie et al. 2023, "Data Selection for Language Models via
