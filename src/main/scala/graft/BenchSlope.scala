@@ -197,9 +197,36 @@ object BenchSlope {
       else {
         val f = java.nio.file.Paths.get(out)
         if (!java.nio.file.Files.exists(f)) Seq.empty
-        else """"(q_\w+)":\{([^}]*)\}""".r
-          .findAllMatchIn(java.nio.file.Files.readString(f))
-          .map(m => m.group(1) -> m.group(2)).toSeq
+        else {
+          val txt = java.nio.file.Files.readString(f)
+          // retained rows were measured under the prior artifact's scale
+          // pair, and their super_linear flags were judged against its
+          // dataRatio*Margin threshold — merging across a DIFFERENT
+          // configuration silently mixes incomparable measurements.
+          // Refuse: the caller either re-sweeps fully or points
+          // SPARK_GRAFT_SLOPE_OUT elsewhere.
+          def field(k: String): Option[String] =
+            (s""""$k":"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
+          val mismatches = Seq(
+            "sf_small" -> small, "sf_large" -> large,
+            "data_ratio" -> dataRatio.toString, "margin" -> Margin.toString
+          ).flatMap { case (k, cur) =>
+            field(k).filter(prev =>
+              prev != cur &&
+                // numeric fields: compare as doubles ("10.0" == "10")
+                scala.util.Try(prev.toDouble != cur.toDouble).getOrElse(true))
+              .map(prev => s"$k: artifact=$prev run=$cur")
+          }
+          if (mismatches.nonEmpty)
+            throw new IllegalStateException(
+              "bench-slope: SPARK_GRAFT_SLOPE_MERGE refused — existing " +
+                s"artifact $out was measured under a different " +
+                s"configuration (${mismatches.mkString("; ")}); re-sweep " +
+                "fully or write to a fresh SPARK_GRAFT_SLOPE_OUT")
+          """"(q_\w+)":\{([^}]*)\}""".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).toSeq
+        }
       }
     val newNames = newBodies.map(_._1).toSet
     val merged = (priorBodies.filterNot(p => newNames.contains(p._1)) ++

@@ -498,23 +498,27 @@ object LexIndex {
       ranked.select("q_id", "n_id", "r_l")
     lastFallbackProbes = Nil
 
-    // fast path: the whole vocabulary is sub-cap (one agg over the
-    // PERSISTED term sidecar, a 1-row bounded collect) — "" included via
-    // its df below only when some term exceeds the cap
+    // fast path: the whole vocabulary INCLUDING the empty token is
+    // sub-cap (one agg over the PERSISTED term sidecar + one over the
+    // node-sized doclen, two 1-row bounded collects). The "" token never
+    // posts, so its df — the corpus has_empty count — must enter the gate
+    // explicitly: a corpus where every real term is sub-cap but many docs
+    // carry has_empty would otherwise take the exact plan and fan the ""
+    // join key out nProbes × df("") ≈ corpus-sized, violating the
+    // DfCandCap bound the cap exists to guarantee.
     val maxDf = idx.terms.agg(coalesce(max("df"), lit(0L))).head().getLong(0)
-    if (maxDf <= dfCap) {
+    val dfEmpty = idx.doclen
+      .agg(coalesce(sum(when(col("has_empty"), 1L).otherwise(0L)), lit(0L)))
+      .head().getLong(0)
+    if (math.max(maxDf, dfEmpty) <= dfCap) {
       val pos = exactPos(idx, probeTok, probeIds, corpusTok)
       return finish(rankedTop(idx, pos, probeIds, topR))
     }
 
-    // bounded scalar job: corpus-min set size (UB's ssn floor) + df("")
-    val scal = idx.doclen.agg(
+    // bounded scalar job: corpus-min set size (UB's ssn floor)
+    val ssnMin = idx.doclen.agg(
       coalesce(min(col("nterms") + when(col("has_empty"), 1L).otherwise(0L)),
-        lit(0L)).as("ssn_min"),
-      coalesce(sum(when(col("has_empty"), 1L).otherwise(0L)), lit(0L))
-        .as("df_empty")).head()
-    val ssnMin = scal.getLong(0)
-    val dfEmpty = scal.getLong(1)
+        lit(0L))).head().getLong(0)
 
     // per-probe-token df: every REAL probe token is in the term sidecar
     // (the probe is an indexed doc), so an inner join with the probe side

@@ -804,7 +804,9 @@ object Multimodal {
               var k = 0
               while (k < n) {
                 val s = d.samples(k).toLong
-                e(math.min(k * F / math.max(n, 1), F - 1)) += s * s
+                // Long bucket index: k * F overflows Int past ~268M samples
+                // (~1.7h at 44.1kHz) and would throw on the executor
+                e(math.min((k.toLong * F / math.max(n, 1)).toInt, F - 1)) += s * s
                 k += 1
               }
               val total = e.sum
