@@ -451,18 +451,43 @@ object Similarity {
       * With lloydIters = 0 and a delta within the frozen scale a
       * from-scratch rebuild derives the IDENTICAL index (seeds are the
       * unchanged vec_id < k vectors), which is what makes the gate's
-      * crash-replay rebuild fallback exact (spec-pinned); a delta
-      * component beyond the scale saturates in the int8 lane exactly as
-      * [[append]] prices. NO corpus pass, ever. Idempotent: an
-      * already-published target loads instead of re-publishing (the
-      * crash-replay shape). */
+      * crash-replay rebuild fallback exact (spec-pinned). A delta
+      * component beyond the frozen scale is the one case where append and
+      * crash-replay rebuild would publish DIFFERENT content under the same
+      * fingerprint (the rebuild recomputes the scale from the post-delta
+      * max); that delta is detected by a delta-sized max-|component| agg
+      * and ROUTED to the same corpus rebuild the replay path takes —
+      * crash and non-crash histories converge bit-for-bit, at the price
+      * of one corpus pass exactly when the quantizer has drifted (which
+      * is the retrain signal anyway). Every in-scale delta stays NO
+      * corpus pass. Idempotent: an already-published target loads instead
+      * of re-publishing (the crash-replay shape). */
     def appendFor(s: SparkSession, dir: String, lloydIters: Int,
                   prior: Index, newVecs: DataFrame,
                   cells: Int = IvfCells): Index = {
       GraftFunctions.register(s)
       val path = indexPath(dir, lloydIters, cells) // POST-delta fingerprint
       val marker = sub(path, "centroids.tsv")
-      if (!store.exists(marker)) {
+      // delta-sized agg, only on the publish path: a component beyond the
+      // frozen scale means the append-published int8 lane (saturating at
+      // prior.scale) and a crash-replay rebuild (fresh scale) would
+      // diverge under the same fingerprint — route to the rebuild instead
+      // (the `if` below then falls through to loadOrBuild's corpus build,
+      // outside this method's lock scope)
+      val scaleRaising = !store.exists(marker) && {
+        val r = newVecs.selectExpr(
+          "max(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))) AS mx").head()
+        val deltaMax = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        val raising = deltaMax > prior.scale
+        if (raising) System.err.println(
+          s"IVF appendFor: delta max |component| $deltaMax exceeds the " +
+            s"frozen int8 scale ${prior.scale} — quantizer drift; routing " +
+            "to a full rebuild so crash and non-crash histories publish " +
+            "identical content (consider retraining with lloydIters > 0)")
+        raising
+      }
+      if (!store.exists(marker) && !scaleRaising) {
         store.mkdirs(indexRoot)
         withIndexLock(path + ".lock") {
           if (!store.exists(marker)) {
@@ -579,7 +604,7 @@ object Similarity {
       * arithmetic (no HALF_UP ambiguity — qSim9's contract), clamped to
       * [-127, 127] so an APPENDED vector exceeding the frozen build-time
       * scale saturates instead of wrapping in the TINYINT cast. */
-    private def quantizeExpr(c: String, scale: Double): String = {
+    private[operators] def quantizeExpr(c: String, scale: Double): String = {
       val sc = java.lang.Double.toString(scale)
       s"transform($c, x -> CAST(greatest(CAST(-127 AS DOUBLE), " +
         s"least(CAST(127 AS DOUBLE), " +
@@ -820,20 +845,27 @@ object Similarity {
     *
     * Scale: one aggregate over the CACHED cell-partitioned assignment —
     * cell-count-sized output, zero corpus passes warm; the total arrives
-    * by the broadcast-one-row crossJoin. The oracle replays the seeded
-    * quantizer assignment arithmetically (the qSim3 CTE) and counts. */
+    * by the broadcast-one-row crossJoin. EMPTY cells are emitted too
+    * (occupancy 0, hot 0), left-joined from the driver-held cell-id list
+    * (k rows): a dead cell is retrain evidence exactly like a hot one —
+    * it wastes nprobe budget and signals a drifted quantizer (VERDICT r13
+    * task 5). The oracle replays the seeded quantizer assignment
+    * arithmetically (the qSim3 CTE) and counts. */
   def qSim19(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val idx = IvfIndex.build(s, dir, lloydIters = 0)
     val k = idx.cellIds.length.toLong
+    import s.implicits._
+    val cells = idx.cellIds.toSeq.toDF("cid") // driver-held: k rows
     val counts = idx.assigned.groupBy(col("cell").as("cid"))
       .agg(count(lit(1)).as("n"))
     val tot = counts.agg(coalesce(sum("n"), lit(0L)).as("t"))
-    counts.crossJoin(broadcast(tot))
-      .select(col("cid"), col("n"),
-        expr("(n * 1000) DIV t").as("share_pm"),
-        when(col("n") * lit(k) > lit(2L) * col("t"), 1L).otherwise(0L)
-          .as("hot"))
+    cells.join(broadcast(counts), Seq("cid"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("(coalesce(n, 0L) * 1000) DIV t").as("share_pm"),
+        when(coalesce(col("n"), lit(0L)) * lit(k) > lit(2L) * col("t"), 1L)
+          .otherwise(0L).as("hot"))
       .orderBy("cid")
   }
 

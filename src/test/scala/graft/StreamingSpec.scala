@@ -96,6 +96,52 @@ class StreamingSpec extends AnyFunSuite {
       "streamed drift diverged from the batch derivation")
   }
 
+  test("CALL graft.system.drift: the ops doorway over a LIVE-streamed container equals the batch derivation (VERDICT r13 task 6)") {
+    import java.nio.file.{Files, Paths}
+    import graft.core.{ContainerProps, FileAccount}
+    val root = Files.createTempDirectory(Paths.get("target"), "drift-proc")
+    val acc = FileAccount(root.resolve("acct").toString)
+    Files.createDirectories(Paths.get(acc.root))
+    acc.createDatabaseIfAbsent("db")
+    acc.createContainerIfAbsent("db", "c",
+      ContainerProps(Seq("/pk"), buckets = 4))
+    // LIVE ingestion through the real foreachBatch upsert sink (the ST-5
+    // e2e shape): events land as ordinary JSON documents carrying the
+    // monitored fields; the doorway then reads the CONTAINER, not the
+    // stream — the after-every-gate-batch operator workflow
+    val src = MemoryStream[Ev](spark)
+    val q = src.toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val docs = batch.selectExpr(
+          "to_json(named_struct('id', CAST(event_id AS STRING), " +
+            "'pk', event_type, " +
+            "'ts', date_format(ts, 'yyyy-MM-dd HH:mm:ss'), " +
+            "'event_type', event_type)) AS raw")
+          .selectExpr("raw", "json_pk(raw, 'id') AS __id",
+            "json_pk(raw, 'pk') AS __pk0")
+        acc.upsertRaw(s, "db", "c", docs, Seq("__id", "__pk0"), Seq("/pk"))
+        ()
+      }.start()
+    src.addData(rows.take(3)); q.processAllAvailable()
+    src.addData(rows.drop(3)); q.processAllAvailable()
+    q.stop()
+    spark.conf.set("spark.sql.catalog.graftdr",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdr.root", acc.root)
+    val got = spark.sql(
+      "CALL graftdr.system.drift(db => 'db', container => 'c')")
+    assert(got.count() >= 2, "fixture spans hours; drift must emit windows")
+    val want = Streams.driftOf(Streams.tumblingCounts(
+      rows.toDF().select(col("ts"), col("event_type"))))
+    assert(canon(got) == canon(want),
+      "doorway must equal the q_st11 derivation over the same rows")
+    // a field that never parses yields zero monitored rows, not a throw
+    assert(spark.sql("CALL graftdr.system.drift(db => 'db', " +
+      "container => 'c', ts_field => 'nope')").count() == 0)
+  }
+
   test("ST-1 with watermark drops too-late rows from open windows") {
     val src = MemoryStream[Ev](spark)
     val q = src.toDF()
