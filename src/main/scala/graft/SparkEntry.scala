@@ -125,6 +125,7 @@ object SparkEntry {
     "q_t33_dsir_weights"   -> (TextAnalysis.qT33 _),
     "q_t34_fertility"      -> (TextAnalysis.qT34 _),
     "q_t35_semantic_contam" -> (TextAnalysis.qT35 _),
+    "q_t36_decontam_served" -> (TextAnalysis.qT36 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -1408,6 +1409,40 @@ object SparkEntry {
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, " +
         "CAST(CASE WHEN ROUND(sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
         "FROM r WHERE rank = 1 ORDER BY q_id"),
+    "q_t36_decontam_served" -> (
+      // the IVF-SERVED decontam lane: q_sim11's int8 shortlist machinery
+      // (seeded cells, frozen-scale quantization, exact BIGINT dots) with
+      // eval probes (vec_id < 20), TRAIN-side candidates (vec_id >= 20),
+      // top-10 shortlist, then q_sim16's exact-cosine rerank reduced to
+      // the q_t35 argmax + rounded-sim flag
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+        "p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "probe AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 20 AND rn <= 4), " +
+        "cand AS (SELECT pr.q_id, t.vec_id AS n_id FROM probe pr " +
+        "JOIN cell t ON t.cid = pr.cid AND t.vec_id >= 20), " +
+        "iu AS (SELECT c.q_id, c.n_id, unnest(generate_series(1, 64)) AS i, a.qv AS qa, b.qv AS qb " +
+        "FROM cand c JOIN qz a ON a.vec_id = c.q_id JOIN qz b ON b.vec_id = c.n_id), " +
+        "idot AS (SELECT q_id, n_id, CAST(sum(qa[i] * qb[i]) AS BIGINT) AS qdot FROM iu GROUP BY q_id, n_id), " +
+        "sl AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rnk FROM idot) t WHERE rnk <= 10), " +
+        "ru AS (SELECT sl.q_id, sl.n_id, unnest(generate_series(1, 64)) AS i, " +
+        "qa.embedding AS ea, nb.embedding AS eb FROM sl " +
+        "JOIN embeddings qa ON qa.vec_id = sl.q_id " +
+        "JOIN embeddings nb ON nb.vec_id = sl.n_id), " +
+        "rs AS (SELECT q_id, n_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+        "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb " +
+        "FROM ru GROUP BY 1, 2), " +
+        "am AS (SELECT q_id, n_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 4) AS sim, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, n_id) AS rnk FROM rs) " +
+        "SELECT q_id, n_id, sim, " +
+        "CAST(CASE WHEN sim >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
+        "FROM am WHERE rnk = 1 ORDER BY q_id"),
     "q_sim12_range_search" -> (
       // q_sim1's pair/cosine kernel with a radius filter instead of top-k
       "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
@@ -1494,18 +1529,22 @@ object SparkEntry {
     "q_sim18_mmr_diverse" -> mmrOracleSql(5),
     "q_sim19_cell_balance" -> (
       // replay the seeded quantizer assignment (the q_sim3 CTE), count per
-      // cell, hot = occupancy > 2x the uniform mean over k = 16 cells
+      // cell, hot = occupancy > 2x the uniform mean over k = 16 cells;
+      // EMPTY cells surface with n = 0 (left join from the seed list) —
+      // dead cells are retrain evidence exactly like hot ones
       "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
         "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
         cosineSumSql +
         ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
         "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "cells AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id < 16), " +
         "c2 AS (SELECT cid, CAST(count(1) AS BIGINT) AS n FROM cell GROUP BY cid), " +
         "t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c2) " +
-        "SELECT cid, n, CAST((n * 1000) // t AS BIGINT) AS share_pm, " +
-        "CAST(CASE WHEN n * 16 > 2 * t THEN 1 ELSE 0 END AS BIGINT) AS hot " +
-        "FROM c2, t ORDER BY cid"),
+        "SELECT cells.cid, CAST(coalesce(c2.n, 0) AS BIGINT) AS n, " +
+        "CAST((coalesce(c2.n, 0) * 1000) // t AS BIGINT) AS share_pm, " +
+        "CAST(CASE WHEN coalesce(c2.n, 0) * 16 > 2 * t THEN 1 ELSE 0 END AS BIGINT) AS hot " +
+        "FROM cells LEFT JOIN c2 ON c2.cid = cells.cid, t ORDER BY cells.cid"),
     "q_sim20_topic_mix" -> (
       // seeded-quantizer cell assignment (the q_sim3 CTE) joined to the
       // q_t1 lang CASE; per-cell language shares in per-mille

@@ -1213,16 +1213,83 @@ object TextAnalysis {
       .where(col("q_id") < 20)
     val c = e.selectExpr("vec_id AS n_id", "embedding AS en")
       .where(col("n_id") >= 20)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-      .orderBy(desc("sim_raw"), col("n_id"))
+    // the per-eval argmax is a PARTIAL-AGGREGABLE max_by, never a window:
+    // a rank-everything window would shuffle all |eval| x N joined rows
+    // into <= |eval| partitions and SORT each partition's corpus-sized
+    // candidate list — parallelism capped at the eval-doc count at 100x.
+    // max_by combines map-side, shuffles <= |eval| rows per partition,
+    // and never sorts; tie-break on the LOWER training id via the
+    // negated-id second comparator field (sim-family convention).
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .withColumn("sim_raw", expr("cosine_sim(eq, en)"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") === 1)
+      .groupBy("q_id")
+      .agg(expr("max_by(named_struct('n_id', n_id, 'sim_raw', sim_raw), " +
+        "named_struct('s', sim_raw, 'ni', -n_id))").as("best"))
       // the flag thresholds the ROUNDED sim — the family's cross-engine
       // equalizer (raw doubles differ in ulps between engines' sum orders)
-      .selectExpr("q_id", "n_id", "ROUND(sim_raw, 4) AS sim",
-        "CAST(CASE WHEN ROUND(sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated")
+      .selectExpr("q_id", "best.n_id AS n_id", "ROUND(best.sim_raw, 4) AS sim",
+        "CAST(CASE WHEN ROUND(best.sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated")
+      .orderBy("q_id")
+  }
+
+  /** Q-T36 — SERVED SEMANTIC DECONTAMINATION: [[qT35]]'s scale lane, made
+    * real (VERDICT r13 task 2 — the path q_t35's scaladoc promised in
+    * prose). The nightly decontam a pretraining team runs against a
+    * 100 TB corpus cannot stream the corpus once per eval batch; it
+    * probes the DURABLE int8 IVF index instead:
+    *
+    *  - stage 1: each eval doc (vec_id < 20) quantizes with the index's
+    *    FROZEN scale, ranks its `nprobe` = 4 nearest cells with the
+    *    registered centroid expression, and shortlists the top-10
+    *    TRAINING-side members (vec_id >= 20 — the directional eval→train
+    *    restriction [[qT35]] makes by construction) of those cells by the
+    *    exact BIGINT int8 dot — the [[graft.operators.Similarity.IvfIndex
+    *    .probeInt8]] serving lane with the train-side filter inside the
+    *    ranking, so the shortlist is never diluted by other eval docs;
+    *  - stage 2: ONLY the <= 10-per-eval shortlist fetches float vectors
+    *    (an equi-join against the cached assignment — index files, no
+    *    corpus pass) and re-scores with exact cosine; the per-eval argmax
+    *    is the same partial-aggregable max_by as [[qT35]], and the flag
+    *    thresholds the same ROUND(sim, 4) >= 0.995.
+    *
+    * Approximate by construction (candidates ⊆ probed cells), so its flag
+    * can only MISS vs [[qT35]], never false-positive: the subset argmax is
+    * <= the exact argmax and rounding is monotone — RecallSpec measures
+    * the agreement on the warm index instead of assuming it. Warm scale
+    * shape: probes broadcast; candidate work is Σ|probed cells| int8 rows
+    * (1/4 the float bytes); the only corpus-sized frames are the cached
+    * index lanes. Oracle replays quantization, cell ranking, the int8
+    * shortlist, and the rerank arithmetically. */
+  def qT36(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = Similarity.IvfIndex.build(s, dir, lloydIters = 0)
+    val nprobe = Similarity.IvfProbe
+    val shortR = 10
+    val probes = Tables.embeddings(s, dir).where(col("vec_id") < 20)
+      .selectExpr("vec_id AS q_id", "embedding AS eq",
+        Similarity.IvfIndex.quantizeExpr("embedding", idx.scale) + " AS qq",
+        s"explode(${idx.fn}(embedding, $nprobe)) AS cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("qdot"), col("n_id"))
+    val short = broadcast(probes).join(idx.qassigned, "cell")
+      .where(col("vec_id") >= 20) // directional: train side only
+      .selectExpr("q_id", "eq", "vec_id AS n_id",
+        "aggregate(zip_with(qq, qv, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
+          "0L, (a, b) -> a + b) AS qdot")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= shortR)
+      .select("q_id", "eq", "n_id")
+    // stage 2: the shortlist BROADCASTS into the float-lane fetch
+    // (q_sim16's refine shape) — <= |eval| x 10 vector reads, then the
+    // qT35 argmax/flag contract verbatim
+    idx.assigned.select(col("vec_id").as("n_id"), col("embedding").as("en"))
+      .join(broadcast(short), "n_id")
+      .withColumn("sim_raw", expr("cosine_sim(eq, en)"))
+      .groupBy("q_id")
+      .agg(expr("max_by(named_struct('n_id', n_id, 'sim_raw', sim_raw), " +
+        "named_struct('s', sim_raw, 'ni', -n_id))").as("best"))
+      .selectExpr("q_id", "best.n_id AS n_id", "ROUND(best.sim_raw, 4) AS sim",
+        "CAST(CASE WHEN ROUND(best.sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated")
       .orderBy("q_id")
   }
 

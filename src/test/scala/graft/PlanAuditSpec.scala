@@ -1524,6 +1524,41 @@ class PlanAuditSpec extends AnyFunSuite {
           s"corpus-wide scan after gated ingestion: ${files.take(2)} " +
             s"pushed=${sc.metadata.get("PushedFilters")}")
       }
+      // VERDICT r13 task 8: the index-health audits round 13 added answer
+      // from the ADVANCED index too — the consistency story applied to the
+      // queries that monitor it. q_sim19 may touch index files only (its
+      // cell counts come from the cached assignment); q_sim20 adds exactly
+      // the documents scan its lang kernel defines; NEITHER re-reads the
+      // embeddings corpus.
+      val q19 = graft.operators.Similarity.qSim19(spark, root)
+      q19.collect()
+      for (sc <- executedScans(q19.queryExecution.executedPlan)) {
+        val files = sc.relation.location.inputFiles.toSeq
+        assert(files.forall(f => f.contains("s17-idx") || f.contains("ivf-index")),
+          s"q_sim19 warm must read ONLY index files: ${files.take(2)}")
+      }
+      val q20 = graft.operators.Similarity.qSim20(spark, root)
+      q20.collect()
+      for (sc <- executedScans(q20.queryExecution.executedPlan)) {
+        val files = sc.relation.location.inputFiles.toSeq
+        assert(files.forall(f => f.contains("s17-idx") ||
+          f.contains("ivf-index") || f.contains("documents.parquet")),
+          s"q_sim20 warm reads index files + its documents lang scan only: ${files.take(2)}")
+      }
+      // the round-14 served decontam lane rides the same advanced index:
+      // index files + the pushed eval probe fetch, zero training passes
+      val q36 = graft.operators.TextAnalysis.qT36(spark, root)
+      q36.collect()
+      for (sc <- executedScans(q36.queryExecution.executedPlan)) {
+        val files = sc.relation.location.inputFiles.toSeq
+        val isIdx = files.forall(f =>
+          f.contains("s17-idx") || f.contains("ivf-index"))
+        val isProbe = files.forall(_.contains("embeddings.parquet")) &&
+          sc.metadata.getOrElse("PushedFilters", "").contains("LessThan(vec_id,20)")
+        assert(isIdx || isProbe,
+          s"q_t36 warm must read index files + the pushed eval fetch only: " +
+            s"${files.take(2)} pushed=${sc.metadata.get("PushedFilters")}")
+      }
     } finally {
       props.foreach(p => prev(p) match {
         case Some(v) => sys.props(p) = v
@@ -1580,6 +1615,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.linesIterator.exists(l =>
       l.contains("Exchange") && l.contains("text#")),
       "corpus text crossed an exchange in q_t33")
+  }
+
+  test("q_t35 semantic decontam: per-eval argmax is a partial max_by — no window, no sort over the joined frame (VERDICT r13 task 1)") {
+    val q = graft.operators.TextAnalysis.qT35(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the round-13 defect this pins: a rank-everything window shuffled all
+    // |eval| x N joined rows into <= |eval| partitions and SORTED each
+    // partition's corpus-sized candidate list — parallelism capped at the
+    // eval-doc count. The argmax must be a partial-aggregable max_by.
+    assert(!plan.contains("Window"),
+      s"q_t35 must not rank with a window:\n$plan")
+    assert(plan.contains("max_by"), "q_t35's argmax must be max_by")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Aggregate") && l.contains("partial_max_by")),
+      s"q_t35's argmax must combine map-side (partial aggregate):\n$plan")
+    // nothing may sort the joined frame: the only Sort is the final
+    // |eval|-row presentation orderBy on q_id — never on the similarity
+    val sorts = plan.linesIterator.filter(_.contains("Sort ")).toSeq
+    assert(sorts.forall(l => !l.contains("sim_raw") && !l.contains("sim#")),
+      s"q_t35 sorted the candidate frame:\n${sorts.mkString("\n")}")
+    // every non-broadcast exchange keys on the bounded eval frame
+    val shuffles = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.forall(l => l.contains("hashpartitioning(q_id") ||
+      l.contains("rangepartitioning") || l.contains("SinglePartition")),
+      s"unexpected shuffle in q_t35:\n${shuffles.mkString("\n")}")
   }
 
   test("q_st11 drift: events reduce once to the hourly counts frame; no exchange carries event payloads") {

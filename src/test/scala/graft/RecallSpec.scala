@@ -385,4 +385,90 @@ class RecallSpec extends AnyFunSuite {
       assert(recRR(i) >= recADC(i),
         s"probe ${qs(i)}: rerank lost recall (${recRR(i)} < ${recADC(i)})") }
   }
+
+  test("served decontam (q_t36): flag agreement vs the exact q_t35 lane measured on the warm index (VERDICT r13 task 2)") {
+    import graft.operators.TextAnalysis
+    // warm the durable index first (the lane this query exists to serve)
+    Similarity.IvfIndex.build(spark, sf, lloydIters = 0)
+    def byQ(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double, Long)] =
+      df.collect().map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_id"), r.getAs[Double]("sim"),
+          r.getAs[Long]("contaminated")))).toMap
+    val exactL = byQ(TextAnalysis.qT35(spark, sf))
+    val served = byQ(TextAnalysis.qT36(spark, sf))
+    // every served eval doc is also in the exact lane (both probe
+    // vec_id < 20; served may drop an eval doc only if its probed cells
+    // hold zero training candidates)
+    assert(served.keySet.subsetOf(exactL.keySet))
+    assert(served.nonEmpty)
+    // structural one-sidedness: candidates ⊆ probed cells, so the served
+    // argmax is <= the exact argmax (rounding is monotone) — the served
+    // flag can MISS but never false-positive vs exact
+    served.foreach { case (q, (_, sim, flag)) =>
+      val (_, exSim, exFlag) = exactL(q)
+      assert(sim <= exSim, s"probe $q: served sim $sim above exact $exSim")
+      assert(flag <= exFlag,
+        s"probe $q: served lane flagged what the exact lane did not")
+    }
+    val nnAgree = served.count { case (q, (n, _, _)) => exactL(q)._1 == n }
+    val flagAgree = served.count { case (q, (_, _, f)) => exactL(q)._3 == f }
+    info(s"q_t36 vs q_t35 on ${served.size} eval docs: " +
+      s"nearest-neighbor agreement $nnAgree/${served.size}, " +
+      s"flag agreement $flagAgree/${served.size}")
+    // the flag is the lane's DECISION output: require full agreement on
+    // this corpus (a miss here would mean the probed cells lost a
+    // >= 0.995 twin — with nprobe = 4 of 16 cells, a near-identical pair
+    // lands in the same cell, so the flags should coincide)
+    assert(flagAgree == served.size,
+      s"served lane changed a contamination verdict: $served vs $exactL")
+  }
+
+  test("q_sim19 emits EMPTY cells: a duplicated seed's dead cell appears with n = 0 (VERDICT r13 task 5)") {
+    // fixture: seed 1 made PARALLEL to seed 0 (exact 2x scaling — binary
+    // scaling commutes with IEEE rounding, so every cosine against the two
+    // seeds ties EXACTLY and the tie-break assigns to the lower cell id).
+    // Cell 1 then captures nothing, not even its own seed — the dead-cell
+    // case the balance audit must surface, since it wastes nprobe budget
+    // and is retrain evidence exactly like a hot cell.
+    val root = java.nio.file.Files.createTempDirectory("graft-emptycell").toString
+    val prevIvf = sys.props.get("graft.ivf.root")
+    sys.props("graft.ivf.root") = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivf-empty").toString
+    try {
+      val e = graft.core.Tables.embeddings(spark, sf).where(col("vec_id") < 40)
+      val seed0x2 = e.where(col("vec_id") === 0).selectExpr(
+        "transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS emb2")
+      e.where(col("vec_id") =!= 1)
+        .unionByName(e.where(col("vec_id") === 1).crossJoin(broadcast(seed0x2))
+          .select(col("vec_id"), col("emb2").as("embedding"), col("label")))
+        .write.parquet(s"$root/embeddings.parquet")
+      val rows = Similarity.qSim19(spark, root).collect()
+      assert(rows.length == 16, "every cell emits a row, dead ones included")
+      assert(rows.map(_.getAs[Long]("cid")).toSeq == (0L until 16L),
+        "rows cover exactly the k seed cell ids in order")
+      val dead = rows.find(_.getAs[Long]("cid") == 1L).get
+      assert(dead.getAs[Long]("n") == 0L && dead.getAs[Long]("share_pm") == 0L
+        && dead.getAs[Long]("hot") == 0L,
+        s"cell 1 must be the dead cell: $dead")
+      assert(rows.map(_.getAs[Long]("n")).sum == 40L,
+        "occupancy still accounts for every vector")
+      // the ops doorway surfaces the same verdict (VERDICT r13 task 5:
+      // n_empty_cells on CALL graft.system.ivfindex)
+      spark.conf.set("spark.sql.catalog.graftec",
+        "graft.core.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftec.root",
+        java.nio.file.Files.createTempDirectory("graft-ec-cat").toString)
+      val proc = spark.sql(
+        s"CALL graftec.system.ivfindex(dir => '$root')").head()
+      assert(proc.getAs[Long]("n_cells") == 16L)
+      assert(proc.getAs[Long]("n_empty_cells") == 1L,
+        s"procedure must count the dead cell: $proc")
+    } finally {
+      prevIvf match {
+        case Some(v) => sys.props("graft.ivf.root") = v
+        case None => sys.props.remove("graft.ivf.root")
+      }
+      Similarity.IvfIndex.evictSession(spark)
+    }
+  }
 }
