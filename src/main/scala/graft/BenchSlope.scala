@@ -66,6 +66,7 @@ object BenchSlope {
       "q_sim19_cell_balance" -> ivf,
       "q_sim20_topic_mix"    -> ivf,
       "q_t21_bm25"           -> lex,
+      "q_t36_decontam_served" -> ivf,
       "q_sim15_hybrid_rrf"   -> lex,
       "q_sim17_hybrid_served" -> (ivf ++ lex))
   }
