@@ -126,6 +126,7 @@ object SparkEntry {
     "q_t34_fertility"      -> (TextAnalysis.qT34 _),
     "q_t35_semantic_contam" -> (TextAnalysis.qT35 _),
     "q_t36_decontam_served" -> (TextAnalysis.qT36 _),
+    "q_t37_intradoc_rep"    -> (TextAnalysis.qT37 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -219,6 +220,7 @@ object SparkEntry {
     "q_mm15_flip_dups"      -> (Multimodal.qMm15 _),
     "q_mm16_keyframes"      -> (Multimodal.qMm16 _),
     "q_mm17_vad"            -> (Multimodal.qMm17 _),
+    "q_mm18_sharpness"      -> (Multimodal.qMm18 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -588,6 +590,23 @@ object SparkEntry {
         "CAST(sum(CASE WHEN s THEN CAST(1 AS BIGINT) << f ELSE 0 END) AS BIGINT) AS speech_mask, " +
         "CAST(sum(CASE WHEN s AND NOT prev THEN 1 ELSE 0 END) AS INT) AS n_segs " +
         "FROM g GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm18_sharpness" -> (
+      // interior 4-neighbor |Laplacian| over the closed-form canvas
+      // (pngGray = (id*31 + 7x + 13y) mod 256): telescopes to 0 except at
+      // mod wrap seams; sharp_c = centi-mean over the (w-2)(h-2) interior
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "l AS (SELECT doc_id, abs(4 * ((doc_id*31 + x.i*7 + y.i*13) % 256) " +
+        "- ((doc_id*31 + (x.i-1)*7 + y.i*13) % 256) " +
+        "- ((doc_id*31 + (x.i+1)*7 + y.i*13) % 256) " +
+        "- ((doc_id*31 + x.i*7 + (y.i-1)*13) % 256) " +
+        "- ((doc_id*31 + x.i*7 + (y.i+1)*13) % 256)) AS v FROM d, " +
+        "(SELECT unnest(generate_series(1, 6)) AS i) x, " +
+        "(SELECT unnest(generate_series(1, 6)) AS i) y) " +
+        "SELECT doc_id AS asset_id, CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
+        "CAST(sum(v) AS BIGINT) AS lap_sum, " +
+        "CAST((sum(v) * 100) // 36 AS BIGINT) AS sharp_c, " +
+        "CAST(CASE WHEN (sum(v) * 100) // 36 < 2000 THEN 1 ELSE 0 END AS BIGINT) AS blur " +
+        "FROM l GROUP BY doc_id ORDER BY asset_id"),
     "q_x7_event_paths" -> (
       "WITH s AS (SELECT user_id, event_type, " +
         "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
@@ -1443,6 +1462,29 @@ object SparkEntry {
         "SELECT q_id, n_id, sim, " +
         "CAST(CASE WHEN sim >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
         "FROM am WHERE rnk = 1 ORDER BY q_id"),
+    "q_t37_intradoc_rep" -> (
+      // per-doc duplicate 2-/3-gram occurrence mass (Gopher-style rep-n);
+      // keep flag at 200/180 pm; zero-guarded pm for too-short docs
+      "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram FROM " +
+        "(SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM tok WHERE len(w) >= 2) t), " +
+        "c2 AS (SELECT doc_id, gram, count(1) AS c FROM g2 GROUP BY 1, 2), " +
+        "m2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS occ2, " +
+        "CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup2 FROM c2 GROUP BY 1), " +
+        "g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram FROM " +
+        "(SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM tok WHERE len(w) >= 3) t), " +
+        "c3 AS (SELECT doc_id, gram, count(1) AS c FROM g3 GROUP BY 1, 2), " +
+        "m3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS occ3, " +
+        "CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3 FROM c3 GROUP BY 1), " +
+        "j AS (SELECT coalesce(m2.doc_id, m3.doc_id) AS doc_id, " +
+        "coalesce(occ2, 0) AS occ2, coalesce(occ3, 0) AS occ3, " +
+        "CASE WHEN coalesce(occ2, 0) = 0 THEN 0 ELSE (coalesce(dup2, 0) * 1000) // occ2 END AS dup2_pm, " +
+        "CASE WHEN coalesce(occ3, 0) = 0 THEN 0 ELSE (coalesce(dup3, 0) * 1000) // occ3 END AS dup3_pm " +
+        "FROM m2 FULL OUTER JOIN m3 ON m2.doc_id = m3.doc_id) " +
+        "SELECT doc_id, occ2, occ3, CAST(dup2_pm AS BIGINT) AS dup2_pm, " +
+        "CAST(dup3_pm AS BIGINT) AS dup3_pm, " +
+        "CAST(CASE WHEN dup2_pm <= 200 AND dup3_pm <= 180 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        "FROM j ORDER BY doc_id"),
     "q_sim12_range_search" -> (
       // q_sim1's pair/cosine kernel with a radius filter instead of top-k
       "WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +

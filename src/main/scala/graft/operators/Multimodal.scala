@@ -1089,6 +1089,63 @@ object Multimodal {
       .orderBy("chash")
   }
 
+  case class Sharpness(asset_id: Long, w: Int, h: Int, lap_sum: Long,
+                       sharp_c: Long, blur: Long)
+
+  /** Q-MM18 — IMAGE SHARPNESS / BLUR-DETECTION AUDIT: per image, the
+    * integer 4-neighbor Laplacian energy over the real PNG decode —
+    * lap_sum = Σ over INTERIOR pixels of |4·g(x,y) − g(x−1,y) − g(x+1,y)
+    * − g(x,y−1) − g(x,y+1)| (first channel, the gray plane), sharp_c its
+    * per-interior-pixel mean in centi-units, and a `blur` flag at
+    * sharp_c < 2000 — the variance-of-Laplacian idea (the classic OpenCV
+    * blur gate) in an integer, engine-exact form. The curation signal
+    * that drops out-of-focus/smooth-gradient images before they cost
+    * vision-training compute: [[qMm14]] catches LOW-SPREAD histograms (a
+    * blurry image can still have full spread), this catches LOW-GRADIENT
+    * structure — the two are complementary gates.
+    *
+    * Exactness: pure integer sums; the interior-pixel count derives from
+    * the DECODED geometry ((w−2)·(h−2), the qMm14 ADVICE-r11 lesson — no
+    * canvas-size literal), with sub-3×3 images zero-guarded. On the
+    * closed-form gradient canvases the Laplacian telescopes to 0 except
+    * at mod-256 wrap seams, so the number is exactly the wrap count × 256
+    * pattern the oracle replays — any decode defect (channel order, row
+    * order, edge handling) breaks the hash.
+    *
+    * Scale: the Laplacian reduces to ONE fixed-width row per asset inside
+    * the batched decode kernel — blobs never cross an exchange (the
+    * family invariant); the only shuffle is the presentation sort. */
+  def qMm18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngAssets(spark, dir).select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            ImageIoDecoder.decode(a.bytes).map { d =>
+              val w = d.width; val h = d.height; val ch = d.channels
+              def g(x: Int, y: Int): Long =
+                (d.samples((y * w + x) * ch) & 0xff).toLong
+              var s = 0L
+              var y = 1
+              while (y < h - 1) {
+                var x = 1
+                while (x < w - 1) {
+                  s += math.abs(4 * g(x, y) - g(x - 1, y) - g(x + 1, y) -
+                    g(x, y - 1) - g(x, y + 1))
+                  x += 1
+                }
+                y += 1
+              }
+              val nInt = math.max((w - 2).toLong * (h - 2).toLong, 0L)
+              val sharpC = if (nInt == 0) 0L else s * 100 / nInt
+              Sharpness(a.asset_id, w, h, s, sharpC,
+                if (sharpC < 2000) 1L else 0L)
+            }
+          }
+        }
+      }.toDF().orderBy("asset_id")
+  }
+
   /** Q-MM14 — IMAGE HISTOGRAM-ENTROPY AUDIT: per image, the 16-bin gray
     * histogram's level spread (`n_levels`) and an integer entropy
     * surrogate (`h_cb`) — the curation signal that flags FLAT and

@@ -1293,6 +1293,65 @@ object TextAnalysis {
       .orderBy("q_id")
   }
 
+  /** Q-T37 — INTRA-DOCUMENT REPETITION (the Gopher dup-n-gram family,
+    * Rae et al. 2021 §A1.1): per document, what fraction of its 2-gram
+    * and 3-gram OCCURRENCES belong to an n-gram repeated WITHIN the
+    * document — the signal that catches template spam, keyword stuffing,
+    * and looping generation that sails through [[qT12]]'s top-TOKEN mass
+    * (rep-1) and is invisible to [[graft.operators.Dedup.qD17]]'s
+    * corpus-level duplication (a doc can be 90% self-repetition while
+    * every gram is corpus-unique). `keep` applies Gopher-inspired
+    * thresholds on the occurrence mass (<= 200 pm for 2-grams, <= 180 pm
+    * for 3-grams — Gopher's 0.20/0.18, stated there over character mass;
+    * occurrence mass keeps the metric integer-exact and tokenizer-free).
+    *
+    * Exactness: pure integer counts and per-mille integer DIV; a doc too
+    * short for 3-grams reports occ3 = 0 / dup3_pm = 0 via the zero guard
+    * (never a divide-by-zero on either engine).
+    *
+    * Scale: per n, ONE explode-shuffle into (doc, gram)-keyed counts with
+    * map-side combine (the [[qT12]]/[[graft.operators.Dedup.qD17]]
+    * shape), reduced doc-keyed; the two n-lanes meet in a doc-keyed
+    * full-outer join of doc-sized frames. At 100 TB the gram string drops
+    * out of the shuffle entirely via [[graft.operators.Dedup.gramHashKeys]]
+    * (fixed-width 128-bit keys, spec-pinned bit-equal); the sf-scale
+    * default keeps the string for oracle readability. */
+  def qT37(s: SparkSession, dir: String): DataFrame =
+    qT37Keyed(s, dir, Dedup.gramHashKeys)
+
+  private[graft] def qT37Keyed(s: SparkSession, dir: String,
+                               hashKeys: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def mass(n: Int, occ: String, dup: String): DataFrame = {
+      val grams = docs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), explode(when(size(col("w")) >= n,
+            expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+              s"i -> array_join(slice(w, i, $n), ' '))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+      val perGram =
+        if (hashKeys)
+          grams.select((Dedup.gramKey(col("gram")) :+ col("doc_id")): _*)
+            .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("c"))
+        else grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      perGram.groupBy("doc_id").agg(
+        sum("c").as(occ),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(dup))
+    }
+    mass(2, "occ2", "dup2")
+      .join(mass(3, "occ3", "dup3"), Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("occ2"), lit(0L)).as("occ2"),
+        coalesce(col("occ3"), lit(0L)).as("occ3"),
+        expr("CASE WHEN coalesce(occ2, 0L) = 0 THEN 0L " +
+          "ELSE (coalesce(dup2, 0L) * 1000) DIV occ2 END").as("dup2_pm"),
+        expr("CASE WHEN coalesce(occ3, 0L) = 0 THEN 0L " +
+          "ELSE (coalesce(dup3, 0L) * 1000) DIV occ3 END").as("dup3_pm"))
+      .withColumn("keep",
+        when(col("dup2_pm") <= 200 && col("dup3_pm") <= 180, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** Q-T33 — DSIR-STYLE IMPORTANCE WEIGHTS: rank the raw pool by how
     * target-like each document's token distribution is — the data-selection
     * step (Xie et al. 2023, "Data Selection for Language Models via

@@ -160,6 +160,8 @@ class ScaleShapeSpec extends AnyFunSuite {
       rows(TextAnalysis.qT32Keyed(spark, dir, hashKeys = false)), "q_t32 diverged")
     assert(rows(TextAnalysis.qT33Keyed(spark, dir, hashKeys = true)) ==
       rows(TextAnalysis.qT33Keyed(spark, dir, hashKeys = false)), "q_t33 diverged")
+    assert(rows(TextAnalysis.qT37Keyed(spark, dir, hashKeys = true)) ==
+      rows(TextAnalysis.qT37Keyed(spark, dir, hashKeys = false)), "q_t37 diverged")
     // and the switch actually selects the hash form: its plan groups on
     // xxhash64-derived keys, the string form's does not
     val hashed = Dedup.qD16Keyed(spark, dir, hashKeys = true)

@@ -42,6 +42,29 @@ class SmokeSpec extends AnyFunSuite {
       graft.core.Tables.documents(spark, sf).count())
   }
 
+  test("q_t37: intra-doc repetition — a looping doc flags, a repeat-free doc keeps, short docs zero-guard") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-t37").toString
+    Seq(
+      (1L, "a b a b a b", "en", "s", 11L),   // every 2-gram and 3-gram repeats
+      (2L, "u v w x y z", "en", "s", 11L),   // no repetition at all
+      (3L, "p q", "en", "s", 3L))            // too short for 3-grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$root/documents.parquet")
+    val r = graft.operators.TextAnalysis.qT37(spark, root).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("occ2"), x.getAs[Long]("occ3"),
+          x.getAs[Long]("dup2_pm"), x.getAs[Long]("dup3_pm"),
+          x.getAs[Long]("keep")))).toMap
+    // "a b a b a b": 5 bigram occurrences, all of repeated grams ("a b"x3,
+    // "b a"x2); 4 trigram occurrences, all repeated ("a b a"x2, "b a b"x2)
+    assert(r(1L) == ((5L, 4L, 1000L, 1000L, 0L)), s"looping doc: ${r(1L)}")
+    assert(r(2L) == ((5L, 4L, 0L, 0L, 1L)), s"clean doc: ${r(2L)}")
+    // 1 bigram, zero trigrams: the zero guard reports 0 pm, keep stands
+    assert(r(3L) == ((1L, 0L, 0L, 0L, 1L)), s"short doc: ${r(3L)}")
+  }
+
   test("q_j11: NOT IN is null-aware — null-keyed probe rows drop, unlike LEFT ANTI") {
     import org.apache.spark.sql.functions.{col, expr}
     val nulledKey = expr("CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END")
