@@ -204,6 +204,7 @@ object SparkEntry {
     "q_st7_funnel_join"    -> (graft.streaming.Streams.qSt7 _),
     "q_st10_abandoned"     -> (graft.streaming.Streams.qSt10 _),
     "q_st11_drift"         -> (graft.streaming.Streams.qSt11 _),
+    "q_st12_drift_alert"   -> (graft.streaming.Streams.qSt12 _),
     // multimodal binary-column pipeline
     "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
@@ -1913,19 +1914,21 @@ object SparkEntry {
       // total-variation drift between consecutive event-time hours,
       // cleared of denominators: tv4 = (1e4 * sum|c1*n2 - c2*n1|) DIV
       // (2*n1*n2) — non-negative numerator, so // and DIV agree
-      "WITH c AS (SELECT date_trunc('hour', ts) AS w, event_type AS t, " +
-        "CAST(count(1) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
-        "n AS (SELECT w, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY w), " +
-        "p AS (SELECT coalesce(a.w1, b.w1) AS w1, coalesce(a.t, b.t) AS t, " +
-        "coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2 FROM " +
-        "(SELECT w AS w1, t, c AS c1 FROM c) a FULL JOIN " +
-        "(SELECT w - INTERVAL 1 HOUR AS w1, t, c AS c2 FROM c) b " +
-        "ON a.w1 = b.w1 AND a.t = b.t) " +
-        "SELECT p.w1 AS w_start, n1.n AS n1, n2.n AS n2, " +
-        "CAST((10000 * sum(abs(p.c1 * n2.n - p.c2 * n1.n))) // (2 * n1.n * n2.n) AS BIGINT) AS tv4 " +
-        "FROM p JOIN n n1 ON n1.w = p.w1 " +
-        "JOIN n n2 ON n2.w = p.w1 + INTERVAL 1 HOUR " +
-        "GROUP BY p.w1, n1.n, n2.n ORDER BY w_start"),
+      "WITH " + driftCtes +
+        " SELECT w_start, n1, n2, tv4 FROM dr ORDER BY w_start"),
+    "q_st12_drift_alert" -> (
+      // the k=2 consecutive debounce over the q_st11 frame: alert iff this
+      // pair AND the pair one hour earlier both read tv4 >= 3000; an hour
+      // gap (no comparable preceding pair) reports prev_tv4 = -1
+      "WITH " + driftCtes +
+        ", lg AS (SELECT w_start, tv4, " +
+        "lag(w_start) OVER (ORDER BY w_start) AS pw, " +
+        "lag(tv4) OVER (ORDER BY w_start) AS ptv FROM dr), " +
+        "al AS (SELECT w_start, tv4, CAST(CASE WHEN pw = w_start - INTERVAL 1 HOUR " +
+        "THEN ptv ELSE -1 END AS BIGINT) AS prev_tv4 FROM lg) " +
+        "SELECT w_start, tv4, prev_tv4, " +
+        "CAST(CASE WHEN tv4 >= 3000 AND prev_tv4 >= 3000 THEN 1 ELSE 0 END AS BIGINT) AS alert " +
+        "FROM al ORDER BY w_start"),
     "q_st7_funnel_join" -> (
       "WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase') " +
@@ -2361,6 +2364,24 @@ object SparkEntry {
     base + steps +
       s" SELECT q_id, n_id, rel, mmr_rank FROM acc$rounds ORDER BY q_id, mmr_rank"
   }
+
+  /** The q_st11 drift derivation as reusable CTEs ending in `dr`
+    * (w_start, n1, n2, tv4) — q_st12's debounce layers on the same chain
+    * so the two oracles can never diverge on the monitor's core. */
+  private val driftCtes: String =
+    "c AS (SELECT date_trunc('hour', ts) AS w, event_type AS t, " +
+      "CAST(count(1) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+      "n AS (SELECT w, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY w), " +
+      "p AS (SELECT coalesce(a.w1, b.w1) AS w1, coalesce(a.t, b.t) AS t, " +
+      "coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2 FROM " +
+      "(SELECT w AS w1, t, c AS c1 FROM c) a FULL JOIN " +
+      "(SELECT w - INTERVAL 1 HOUR AS w1, t, c AS c2 FROM c) b " +
+      "ON a.w1 = b.w1 AND a.t = b.t), " +
+      "dr AS (SELECT p.w1 AS w_start, n1.n AS n1, n2.n AS n2, " +
+      "CAST((10000 * sum(abs(p.c1 * n2.n - p.c2 * n1.n))) // (2 * n1.n * n2.n) AS BIGINT) AS tv4 " +
+      "FROM p JOIN n n1 ON n1.w = p.w1 " +
+      "JOIN n n2 ON n2.w = p.w1 + INTERVAL 1 HOUR " +
+      "GROUP BY p.w1, n1.n, n2.n)"
 
   private val cosineSumSql: String =
     "u AS (SELECT a_id, b_id, unnest(generate_series(1, 64)) AS i, ea, eb FROM p), " +

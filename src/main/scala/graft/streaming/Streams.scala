@@ -494,6 +494,41 @@ object Streams {
       .orderBy("w_start")
   }
 
+  /** Q-ST12 — DRIFT ALERT DEBOUNCE: the decision layer on top of
+    * [[qSt11]]'s monitor — a window-pair ALERTS iff its TV distance is
+    * >= 3000 permyriad AND the immediately preceding comparable pair
+    * (w_start exactly one hour earlier) was too. One spiky hour is noise;
+    * two consecutive hot pairs is a regime change — the classic
+    * k-consecutive alert debounce at k = 2, the rule an operator actually
+    * pages on. Live, the same rule is [[alertOf]] applied to the
+    * foreachBatch drift frame (batch == stream because the whole chain
+    * below [[driftOf]] is streamed-pinned, and StreamingSpec pins this
+    * derivation end to end as well).
+    *
+    * Scale: the drift frame is CALENDAR-sized (one row per event-hour —
+    * [[qSt11]]'s reduction already left the event stream behind), so the
+    * unpartitioned lag window is bounded by wall-clock hours, never by
+    * data volume (the q_w8 family precedent). A GAP in the hours (no
+    * comparable preceding pair) reports prev_tv4 = -1 and never alerts. */
+  def qSt12(spark: SparkSession, dir: String): DataFrame =
+    alertOf(driftOf(tumblingCounts(Tables.events(spark, dir))))
+
+  /** The debounce derivation over ANY (w_start, n1, n2, tv4) drift frame —
+    * see [[qSt12]]; shared by the batch query and the live consumer. */
+  private[graft] def alertOf(drift: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("w_start")
+    drift.select(col("w_start"), col("tv4"),
+        lag("w_start", 1).over(w).as("pw"),
+        lag("tv4", 1).over(w).as("ptv"))
+      .select(col("w_start"), col("tv4"),
+        when(col("pw") === col("w_start") - expr("INTERVAL 1 HOUR"),
+          col("ptv")).otherwise(lit(-1L)).as("prev_tv4"))
+      .withColumn("alert",
+        when(col("tv4") >= 3000 && col("prev_tv4") >= 3000, 1L)
+          .otherwise(0L))
+      .orderBy("w_start")
+  }
+
   /** ST-5 (batch form): incremental MERGE equivalence — applying the merge
     * in two half-batches (foreachBatch style) must land on the same final
     * state as one full-refresh merge; the oracle pins the final state's

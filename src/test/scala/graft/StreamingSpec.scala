@@ -96,6 +96,16 @@ class StreamingSpec extends AnyFunSuite {
       "streamed drift diverged from the batch derivation")
   }
 
+  test("ST-12 drift alert debounce: the derivation over the STREAMED counts equals the batch query") {
+    // the alert layer composes on the same streamed counts frame as ST-11
+    // — the foreachBatch consumer pages on alertOf(driftOf(counts)), and
+    // that chain must equal the batch q_st12 form over the same rows
+    val got = runStream("st12", OutputMode.Complete())(Streams.tumblingCounts)
+    assert(canon(Streams.alertOf(Streams.driftOf(got))) ==
+      canon(Streams.alertOf(Streams.driftOf(Streams.tumblingCounts(rows.toDF())))),
+      "streamed alert chain diverged from the batch derivation")
+  }
+
   test("CALL graft.system.drift: the ops doorway over a LIVE-streamed container equals the batch derivation (VERDICT r13 task 6)") {
     import java.nio.file.{Files, Paths}
     import graft.core.{ContainerProps, FileAccount}
