@@ -163,6 +163,23 @@ class PlanGateSpec extends AnyFunSuite {
         "n_docs broadcast"),
   )
 
+  private val calendarBounded =
+    "unpartitioned window over a CALENDAR-sized frame: the upstream " +
+      "aggregate reduced the data stream to one row per time bucket, so " +
+      "the single window partition is bounded by wall-clock, not volume"
+  private val candidateBounded =
+    "unpartitioned window over a candidate/top-N-bounded frame (<= 100 " +
+      "rows per signal by construction before the window runs)"
+  private val allowGlobalWindow: Map[String, String] = Map(
+    "q_st12_drift_alert" -> calendarBounded,
+    "q_w7_cumulative_users" -> calendarBounded,
+    "q_t23_rrf_fusion" -> (candidateBounded +
+      " — both signal lanes .limit(100) before their rank windows"),
+    "q_t18_cluster_split" ->
+      ("unpartitioned total over the per-SPLIT base frame: exactly " +
+        "|splits| = 3 rows by construction (train/val/test)"),
+  )
+
   private val mergePayload =
     "the merge sink's payload must co-locate with its merge key: ONE " +
       "key-hash exchange of the incoming batch (delta-sized, never the " +
@@ -202,6 +219,18 @@ class PlanGateSpec extends AnyFunSuite {
     gate("window-over-join", allowWindowOverJoin,
       planNodes.collect { case (n, ps)
         if ps.exists { case w: WindowExec => windowOverRawJoin(w); case _ => false }
+        => n }.toSeq.sorted)
+  }
+
+  test("plan gate rule 5: no unpartitioned window outside calendar- or candidate-bounded frames") {
+    // the q_o2 class: a Window with an EMPTY partition spec funnels its
+    // whole input through one task — fine only when the input is bounded
+    // by construction (a calendar of hours, a top-100 candidate list),
+    // never for corpus-sized frames
+    gate("global-window", allowGlobalWindow,
+      planNodes.collect { case (n, ps)
+        if ps.exists { case w: WindowExec => w.partitionSpec.isEmpty
+                       case _ => false }
         => n }.toSeq.sorted)
   }
 
