@@ -127,6 +127,7 @@ object SparkEntry {
     "q_t35_semantic_contam" -> (TextAnalysis.qT35 _),
     "q_t36_decontam_served" -> (TextAnalysis.qT36 _),
     "q_t37_intradoc_rep"    -> (TextAnalysis.qT37 _),
+    "q_t38_eval_report"     -> (TextAnalysis.qT38 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
@@ -1140,6 +1141,49 @@ object SparkEntry {
       "SELECT doc_id, CAST(count(1) AS BIGINT) AS n_eval_hits, CAST(max(jac_e4) AS BIGINT) AS max_jac_e4, " +
       "CAST(CASE WHEN max(jac_e4) >= 2000 THEN 1 ELSE 0 END AS BIGINT) AS flagged " +
       "FROM j GROUP BY doc_id ORDER BY doc_id"),
+    "q_t38_eval_report" -> (
+      // all three decontam legs per EVAL doc: t31's exact grams, t24's
+      // fuzzy chain rolled up by e_id, t35's semantic cosine — composed
+      // from the SAME CTE chains as the single-leg oracles
+      minhashSigSql +
+        ", sig AS (SELECT doc_id, " + minhashMinsSql + " FROM h GROUP BY doc_id), " +
+        "bands AS (SELECT doc_id, 1 AS band, m1 || '_' || m2 AS bk FROM sig " +
+        "UNION ALL SELECT doc_id, 2, m3 || '_' || m4 FROM sig), " +
+        "cand AS (SELECT DISTINCT b.doc_id AS c_id, a.doc_id AS e_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < 20 AND b.doc_id >= 20), " +
+        "gs AS (SELECT doc_id, list_distinct(list(g)) AS gl FROM grams GROUP BY doc_id), " +
+        "j AS (SELECT c.c_id AS doc_id, c.e_id, " +
+        "(CAST(len(list_intersect(x.gl, y.gl)) AS BIGINT) * 10000) // len(list_distinct(list_concat(x.gl, y.gl))) AS jac_e4 " +
+        "FROM cand c JOIN gs x ON c.c_id = x.doc_id JOIN gs y ON c.e_id = y.doc_id), " +
+        "fz AS (SELECT e_id AS q_id, CAST(count(1) AS BIGINT) AS n_fuzzy, " +
+        "CAST(max(jac_e4) AS BIGINT) AS max_jac_e4 FROM j GROUP BY e_id), " +
+        "tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+        "FROM tok WHERE len(w) >= 8), " +
+        "gg AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM ix), " +
+        "ev AS (SELECT DISTINCT doc_id, gram FROM gg WHERE doc_id < 20), " +
+        "hit AS (SELECT DISTINCT gg.gram FROM gg WHERE gg.doc_id >= 20 " +
+        "AND gg.gram IN (SELECT gram FROM ev)), " +
+        "ex AS (SELECT ev.doc_id AS q_id, " +
+        "CAST(sum(CASE WHEN hit.gram IS NOT NULL THEN 1 ELSE 0 END) * 1000 // count(1) AS BIGINT) AS exact_pm " +
+        "FROM ev LEFT JOIN hit ON ev.gram = hit.gram GROUP BY ev.doc_id), " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND b.vec_id >= 20), " +
+        cosineSumSql +
+        ", r AS (SELECT a_id AS q_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s), " +
+        "sm AS (SELECT q_id, ROUND(sim_raw, 4) AS sem_sim, " +
+        "CAST(CASE WHEN ROUND(sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS semantic " +
+        "FROM r WHERE rank = 1) " +
+        "SELECT sm.q_id, CAST(coalesce(ex.exact_pm, 0) AS BIGINT) AS exact_pm, " +
+        "CAST(coalesce(fz.n_fuzzy, 0) AS BIGINT) AS n_fuzzy, " +
+        "CAST(coalesce(fz.max_jac_e4, 0) AS BIGINT) AS max_jac_e4, " +
+        "CAST(CASE WHEN coalesce(fz.max_jac_e4, 0) >= 2000 THEN 1 ELSE 0 END AS BIGINT) AS fuzzy, " +
+        "sm.sem_sim, sm.semantic, " +
+        "CAST(CASE WHEN coalesce(ex.exact_pm, 0) = 0 AND coalesce(fz.max_jac_e4, 0) < 2000 " +
+        "AND sm.semantic = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean " +
+        "FROM sm LEFT JOIN ex ON ex.q_id = sm.q_id " +
+        "LEFT JOIN fz ON fz.q_id = sm.q_id ORDER BY sm.q_id"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +

@@ -790,7 +790,18 @@ object TextAnalysis {
     * corpus — unlike [[Dedup.qD4]] this doesn't even need the band
     * self-join shuffle). Verification tokenizes candidates only, with the
     * bounded eval shingle side broadcast. */
-  def qT24(s: SparkSession, dir: String): DataFrame = {
+  def qT24(s: SparkSession, dir: String): DataFrame =
+    fuzzyEvalPairs(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("jac_e4").as("max_jac_e4"))
+      .withColumn("flagged", (col("max_jac_e4") >= 2000).cast("long"))
+      .orderBy("doc_id")
+
+  /** [[qT24]]'s verified (corpus doc, eval doc, exact shingle-Jaccard)
+    * candidate frame — the shared core of both rollup directions: qT24
+    * reports per CORPUS doc (which training docs to drop), [[qT38]]'s
+    * fuzzy leg per EVAL doc (which benchmark rows are dirty). */
+  private[graft] def fuzzyEvalPairs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val bands = Dedup.minhashSig(s, dir).selectExpr("doc_id",
       """explode(array(
@@ -812,10 +823,7 @@ object TextAnalysis {
     cand.join(gc, "doc_id").join(broadcast(ge), "e_id")
       .withColumn("jac_e4",
         expr("(CAST(size(array_intersect(gc, ge)) AS BIGINT) * 10000) DIV size(array_union(gc, ge))"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_eval_hits"), max("jac_e4").as("max_jac_e4"))
-      .withColumn("flagged", (col("max_jac_e4") >= 2000).cast("long"))
-      .orderBy("doc_id")
+      .select("doc_id", "e_id", "jac_e4")
   }
 
   /** Q-T25 — TOKEN FREQUENCY SPECTRUM (Zipf/Heaps audit): group the
@@ -1290,6 +1298,48 @@ object TextAnalysis {
         "named_struct('s', sim_raw, 'ni', -n_id))").as("best"))
       .selectExpr("q_id", "best.n_id AS n_id", "ROUND(best.sim_raw, 4) AS sim",
         "CAST(CASE WHEN ROUND(best.sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS contaminated")
+      .orderBy("q_id")
+  }
+
+  /** Q-T38 — EVAL DECONTAMINATION REPORT: the one table a benchmark owner
+    * actually reads — per EVAL doc (doc_id/vec_id < 20, the family's
+    * declared benchmark bound), all three decontam legs side by side and
+    * a combined verdict:
+    *
+    *  - `exact_pm` — [[qT31]]'s verbatim-8-gram dirtiness per-mille;
+    *  - `n_fuzzy` / `max_jac_e4` / `fuzzy` — [[qT24]]'s MinHash-LSH +
+    *    edit-verified lane rolled up in the EVAL direction (which
+    *    benchmark rows are dirty, vs qT24's which training docs to drop)
+    *    from the SAME [[fuzzyEvalPairs]] frame, flag at >= 0.2 Jaccard;
+    *  - `sem_sim` / `semantic` — [[qT35]]'s paraphrase leg (exact cosine
+    *    vs the nearest training embedding, flag at rounded >= 0.995);
+    *  - `clean` = 1 iff every leg is clear — the row a leaderboard run
+    *    cites when it claims its eval set is uncontaminated.
+    *
+    * Scale: pure COMPOSITION — each leg keeps its own audited plan (eval
+    * sides broadcast, training streams map-only / served lanes); the
+    * report joins three <= |eval|-row frames, all broadcast. The base is
+    * the semantic leg (every eval doc with an embedding appears); legs
+    * that drop a doc (too short for grams, no band collision) coalesce to
+    * their clean value, which is exactly what absence means there. */
+  def qT38(s: SparkSession, dir: String): DataFrame = {
+    val exact = qT31(s, dir).selectExpr("doc_id AS q_id", "contam_pm AS exact_pm")
+    val fuzzy = fuzzyEvalPairs(s, dir)
+      .groupBy(col("e_id").as("q_id"))
+      .agg(count(lit(1)).as("n_fuzzy"), max("jac_e4").as("max_jac_e4"))
+      .withColumn("fuzzy", (col("max_jac_e4") >= 2000).cast("long"))
+    qT35(s, dir).selectExpr("q_id", "sim AS sem_sim", "contaminated AS semantic")
+      .join(broadcast(exact), Seq("q_id"), "left")
+      .join(broadcast(fuzzy), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("exact_pm"), lit(0L)).as("exact_pm"),
+        coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
+        coalesce(col("max_jac_e4"), lit(0L)).as("max_jac_e4"),
+        coalesce(col("fuzzy"), lit(0L)).as("fuzzy"),
+        col("sem_sim"), col("semantic"))
+      .withColumn("clean",
+        when(col("exact_pm") === 0 && col("fuzzy") === 0 &&
+          col("semantic") === 0, 1L).otherwise(0L))
       .orderBy("q_id")
   }
 

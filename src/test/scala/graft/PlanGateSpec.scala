@@ -124,6 +124,9 @@ class PlanGateSpec extends AnyFunSuite {
     "q_sim15_hybrid_rrf" -> probeBounded,
     "q_x2_cosine_topk" -> probeBounded,
     "q_t35_semantic_contam" -> probeBounded,
+    "q_t38_eval_report" -> (probeBounded +
+      " — the composed q_t35 semantic leg; the other legs broadcast " +
+      "band/gram hit-sets the same way"),
     "q_d2_jaccard_pairs" ->
       ("DECLARED bounded all-pairs baseline (the exact frame the LSH " +
         "lanes are audited against); the scale path is q_d4/q_d8"),
