@@ -59,6 +59,7 @@ object SparkEntry {
     "q_x7_event_paths"     -> (Windows.qX7 _),
     "q_x8_sessionize"      -> (Windows.qX8 _),
     "q_x9_retention"       -> (Windows.qX9 _),
+    "q_x10_mix_lift"       -> (Relational.qX10 _),
     "q_w7_cumulative_users" -> (Windows.qW7 _),
     "q_w8_spike_detect"    -> (Windows.qW8 _),
     "q_w9_robust_spike"    -> (Windows.qW9 _),
@@ -536,6 +537,20 @@ object SparkEntry {
         "FROM act a JOIN fd f ON a.user_id = f.user_id " +
         "WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7 " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_x10_mix_lift" -> (
+      // contingency lift per (lang, source): n*N*1000 // (n_lang*n_source)
+      // in per-mille; skew flags 1.5x over / 2/3 under independence
+      "WITH c AS (SELECT lang, source, CAST(count(1) AS BIGINT) AS n " +
+        "FROM documents GROUP BY 1, 2), " +
+        "l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1), " +
+        "s2 AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c) " +
+        "SELECT c.lang, c.source, c.n, " +
+        "CAST((c.n * nn * 1000) // (nl * ns) AS BIGINT) AS lift_pm, " +
+        "CAST(CASE WHEN (c.n * nn * 1000) // (nl * ns) >= 1500 THEN 1 " +
+        "WHEN (c.n * nn * 1000) // (nl * ns) <= 667 THEN -1 ELSE 0 END AS BIGINT) AS skew " +
+        "FROM c JOIN l USING (lang) JOIN s2 USING (source), t " +
+        "ORDER BY lang, source"),
     "q_t10_quota_sample" -> (
       "WITH n AS (SELECT count(1) AS n_docs FROM documents), " +
         "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +

@@ -509,6 +509,43 @@ object Relational {
       last_day(col("o_orderdate").cast("date")).cast("string").as("ld"))
       .orderBy("o_orderkey")
 
+  /** Q-X10 — MIX INDEPENDENCE / LIFT AUDIT: per (lang, source) cell of
+    * the corpus, observed document count and the LIFT versus independence
+    * in per-mille — lift_pm = (n · N · 1000) DIV (n_lang · n_source), the
+    * contingency-table ratio a mix planner reads before trusting
+    * per-language quotas: lift ≈ 1000 means language and source are
+    * independent (a per-language quota also balances sources); a cell at
+    * 1500+ means this source over-contributes that language 1.5× (its
+    * removal would crater the language), one under 667 the reverse — the
+    * `skew` column flags both directions at those thresholds. The
+    * chi-square test's cell ratio, kept as an exact rational instead of a
+    * float statistic.
+    *
+    * Exactness: integer end-to-end; numerator n·N·1000 and denominator
+    * n_lang·n_source stay in BIGINT up to ~10⁹-document corpora — the
+    * [[graft.operators.TextAnalysis.qT33]] declared-bound convention
+    * (beyond that the products need DECIMAL; the plan is unchanged).
+    *
+    * Scale: ONE (lang, source)-keyed count with map-side combine — the
+    * corpus reduces to a langs×sources frame; both marginals re-aggregate
+    * THAT frame (never the corpus) and broadcast back; the total arrives
+    * by the one-row crossJoin. */
+  def qX10(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val byLang = cells.groupBy("lang").agg(sum("n").as("nl"))
+    val bySrc = cells.groupBy("source").agg(sum("n").as("ns"))
+    val tot = cells.agg(sum("n").as("nn"))
+    cells.join(broadcast(byLang), "lang").join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"),
+        expr("(n * nn * 1000) DIV (nl * ns)").as("lift_pm"))
+      .withColumn("skew",
+        when(col("lift_pm") >= 1500, 1L)
+          .when(col("lift_pm") <= 667, -1L).otherwise(0L))
+      .orderBy("lang", "source")
+  }
+
   /** Q-O1 — global top-k: planned as TakeOrderedAndProject (per-partition
     * heap + single merge), not a global sort. */
   def qO1(s: SparkSession, d: String): DataFrame =

@@ -116,6 +116,7 @@ class PlanGateSpec extends AnyFunSuite {
     "q_v10_quality_checks" -> oneRowTotals,
     "q_v11_kmv_overlap" -> oneRowTotals,
     "q_sim19_cell_balance" -> oneRowTotals,
+    "q_x10_mix_lift" -> oneRowTotals,
     "q_sim1_knn_brute" -> probeBounded,
     "q_sim9_int8_recall" -> probeBounded,
     "q_sim10_mrl_recall" -> probeBounded,
@@ -235,6 +236,16 @@ class PlanGateSpec extends AnyFunSuite {
         if ps.exists { case w: WindowExec => w.partitionSpec.isEmpty
                        case _ => false }
         => n }.toSeq.sorted)
+  }
+
+  test("plan gate rule 6: no interpreted ScalaUDF anywhere in the registry") {
+    // UDFs run interpreted and, via projection collapse, drag neighboring
+    // expressions out of whole-stage codegen — the codebase's contract is
+    // native Expressions (PqEncode/IntDot/...) or built-in functions; an
+    // empty allowlist is the point
+    gate("scala-udf", Map.empty,
+      planNodes.collect { case (n, ps)
+        if ps.exists(_.toString.contains("ScalaUDF")) => n }.toSeq.sorted)
   }
 
   test("plan gate rule 4: no shuffle exchange carries raw text/bytes outside declared output sorts") {

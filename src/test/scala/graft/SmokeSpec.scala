@@ -65,6 +65,29 @@ class SmokeSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 0L, 0L, 0L, 1L)), s"short doc: ${r(3L)}")
   }
 
+  test("q_x10: mix lift flags both directions on a skewed fixture; independent corpus stays unflagged") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the shipped corpus is near-independent (sf0.1 lifts 683-1301, zero
+    // flags) — the flag semantics need a fixture that actually skews:
+    // en comes almost entirely from source A, fr entirely from B
+    val root = java.nio.file.Files.createTempDirectory("graft-x10").toString
+    ((1 to 10).map(i => (i.toLong, "t", "en", "A", 1L)) ++
+      (11 to 20).map(i => (i.toLong, "t", "fr", "B", 1L)) ++
+      Seq((21L, "t", "en", "B", 1L), (22L, "t", "en", "B", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$root/documents.parquet")
+    val r = graft.operators.Relational.qX10(spark, root).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getAs[Long]("lift_pm"), x.getAs[Long]("skew")))).toMap
+    // (en,A): 10*22*1000/(12*10) = 1833 -> over; (en,B): 2*22*1000/(12*12)
+    // = 305 -> under; (fr,B): 10*22*1000/(10*12) = 1833 -> over
+    assert(r(("en", "A")) == ((1833L, 1L)), s"en/A: ${r(("en", "A"))}")
+    assert(r(("en", "B")) == ((305L, -1L)), s"en/B: ${r(("en", "B"))}")
+    assert(r(("fr", "B")) == ((1833L, 1L)), s"fr/B: ${r(("fr", "B"))}")
+    assert(r.size == 3, "only occupied cells emit")
+  }
+
   test("q_j11: NOT IN is null-aware — null-keyed probe rows drop, unlike LEFT ANTI") {
     import org.apache.spark.sql.functions.{col, expr}
     val nulledKey = expr("CASE WHEN user_id % 97 = 0 THEN NULL ELSE user_id END")
