@@ -1321,7 +1321,12 @@ object TextAnalysis {
     * report joins three <= |eval|-row frames, all broadcast. The base is
     * the semantic leg (every eval doc with an embedding appears); legs
     * that drop a doc (too short for grams, no band collision) coalesce to
-    * their clean value, which is exactly what absence means there. */
+    * their clean value, which is exactly what absence means there. At
+    * 100 TB the semantic leg swaps to the IVF-served [[qT36]] (same
+    * output contract; flag agreement vs the exact lane measured in
+    * RecallSpec) — a one-line substitution, kept exact here because the
+    * REPORT is the artifact a leaderboard cites and the oracle pins the
+    * exact form. */
   def qT38(s: SparkSession, dir: String): DataFrame = {
     val exact = qT31(s, dir).selectExpr("doc_id AS q_id", "contam_pm AS exact_pm")
     val fuzzy = fuzzyEvalPairs(s, dir)
