@@ -150,6 +150,12 @@ class StreamingSpec extends AnyFunSuite {
     // a field that never parses yields zero monitored rows, not a throw
     assert(spark.sql("CALL graftdr.system.drift(db => 'db', " +
       "container => 'c', ts_field => 'nope')").count() == 0)
+    // field names splice into a JSON path: anything beyond a simple key
+    // must REFUSE, not reach the expression parser
+    val inj = intercept[Exception](spark.sql("CALL graftdr.system.drift(" +
+      "db => 'db', container => 'c', ts_field => \"a')) FROM x; --\")").count())
+    assert(inj.getMessage.contains("simple JSON key"),
+      s"injectable field name must be refused: ${inj.getMessage}")
   }
 
   test("ST-1 with watermark drops too-late rows from open windows") {
