@@ -423,6 +423,55 @@ class RecallSpec extends AnyFunSuite {
       s"served lane changed a contamination verdict: $served vs $exactL")
   }
 
+  test("appendFor routes a SCALE-RAISING delta to the rebuild: published content equals a from-scratch build, scale retrains") {
+    // the round-14 consistency fix: an in-scale delta appends with the
+    // frozen quantizer (zero corpus passes), but a delta whose max
+    // |component| exceeds the frozen int8 scale would make append and
+    // crash-replay-rebuild publish DIFFERENT content under the same
+    // fingerprint — appendFor must detect it (delta-sized agg) and take
+    // the same corpus rebuild the replay path takes
+    val root = java.nio.file.Files.createTempDirectory("graft-scaleraise").toString
+    val prevIvf = sys.props.get("graft.ivf.root")
+    val ivfA = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivf-sra").toString
+    val ivfB = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivf-srb").toString
+    def annState(idx: Similarity.IvfIndex.Index) = (
+      idx.assigned.collect().map(_.toString).toSet,
+      idx.qassigned.collect().map(_.toString).toSet,
+      idx.scale, idx.cellIds.toSeq, idx.cents.map(_.toSeq).toSeq)
+    try {
+      sys.props("graft.ivf.root") = ivfA
+      val e = graft.core.Tables.embeddings(spark, sf)
+      e.where(col("vec_id") < 40).write.parquet(s"$root/embeddings.parquet")
+      val prior = Similarity.IvfIndex.build(spark, root, lloydIters = 0)
+      val s0 = prior.scale
+      // the delta DOUBLES its components: max |component| > frozen scale
+      val delta = e.where(col("vec_id") >= 40 && col("vec_id") < 50)
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding")
+      delta.write.mode("append").parquet(s"$root/embeddings.parquet")
+      val appended = Similarity.IvfIndex.appendFor(spark, root,
+        lloydIters = 0, prior, delta.selectExpr("vec_id", "embedding"))
+      assert(appended.scale > s0,
+        s"scale-raising delta must retrain the scale: ${appended.scale} vs $s0")
+      val appendedState = annState(appended)
+      // a from-scratch build of the same corpus state (fresh root) must be
+      // bit-equal — the crash-replay history converges with the live one
+      sys.props("graft.ivf.root") = ivfB
+      Similarity.IvfIndex.evictSession(spark)
+      val rebuilt = Similarity.IvfIndex.build(spark, root, lloydIters = 0)
+      assert(annState(rebuilt) == appendedState,
+        "scale-raising append must publish the rebuild's exact content")
+    } finally {
+      prevIvf match {
+        case Some(v) => sys.props("graft.ivf.root") = v
+        case None => sys.props.remove("graft.ivf.root")
+      }
+      Similarity.IvfIndex.evictSession(spark)
+    }
+  }
+
   test("q_sim19 emits EMPTY cells: a duplicated seed's dead cell appears with n = 0 (VERDICT r13 task 5)") {
     // fixture: seed 1 made PARALLEL to seed 0 (exact 2x scaling — binary
     // scaling commutes with IEEE rounding, so every cosine against the two
