@@ -60,6 +60,7 @@ object SparkEntry {
     "q_x8_sessionize"      -> (Windows.qX8 _),
     "q_x9_retention"       -> (Windows.qX9 _),
     "q_x10_mix_lift"       -> (Relational.qX10 _),
+    "q_x11_transitions"    -> (Windows.qX11 _),
     "q_w7_cumulative_users" -> (Windows.qW7 _),
     "q_w8_spike_detect"    -> (Windows.qW8 _),
     "q_w9_robust_spike"    -> (Windows.qW9 _),
@@ -551,6 +552,17 @@ object SparkEntry {
         "WHEN (c.n * nn * 1000) // (nl * ns) <= 667 THEN -1 ELSE 0 END AS BIGINT) AS skew " +
         "FROM c JOIN l USING (lang) JOIN s2 USING (source), t " +
         "ORDER BY lang, source"),
+    "q_x11_transitions" -> (
+      // first-order Markov matrix: per-user lead(), pair counts, per-mille
+      // row shares of transitions leaving each source type
+      "WITH s AS (SELECT user_id, event_type, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2 " +
+        "FROM events), " +
+        "c AS (SELECT event_type AS src, e2 AS dst, CAST(count(1) AS BIGINT) AS n " +
+        "FROM s WHERE e2 IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT src, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1) " +
+        "SELECT c.src, c.dst, c.n, CAST((c.n * 1000) // ns AS BIGINT) AS share_pm " +
+        "FROM c JOIN t USING (src) ORDER BY src, dst"),
     "q_t10_quota_sample" -> (
       "WITH n AS (SELECT count(1) AS n_docs FROM documents), " +
         "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +

@@ -173,6 +173,36 @@ object Windows {
       .limit(20)
   }
 
+  /** Q-X11 — EVENT-TYPE TRANSITION MATRIX: per (event_type → next
+    * event_type within the same user's timeline) pair, the transition
+    * count and its per-mille share of all transitions LEAVING that source
+    * type — the first-order Markov table behind funnel design, anomaly
+    * detection (a transition whose share collapses release-over-release),
+    * and behavioral simulation; [[qX7]] reports the top 3-step PATHS,
+    * this the complete normalized 1-step matrix.
+    *
+    * Exactness: integer counts and per-mille integer DIV (row shares
+    * re-derive from the pair frame itself, so Σshare_pm per source is
+    * 1000 minus rounding).
+    *
+    * Scale: ONE user-keyed exchange feeds the lead() window (qX7's
+    * shape — per-user partitions, never global); the pair frame then
+    * reduces with map-side combine to a types² table and the per-source
+    * totals re-aggregate THAT table (types-sized, broadcast back). */
+  def qX11(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .where(col("e2").isNotNull)
+      .groupBy(col("event_type").as("src"), col("e2").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs.join(broadcast(pairs.groupBy("src").agg(sum("n").as("ns"))), "src")
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 1000) DIV ns").as("share_pm"))
+      .orderBy("src", "dst")
+  }
+
   /** q_x8 — BATCH sessionization (the historical-reprocessing twin of the
     * ST-3 streaming session windows): per-user 30-minute-idle-gap sessions
     * via the classic lag → break-flag → running-sum-of-breaks assignment,
