@@ -774,9 +774,11 @@ private[core] final class GateStatsProcedure
   * is the SAME derivation (StreamingSpec pins streamed == batch), so an
   * operator alternates freely between this CALL after a gate batch and the
   * identical derivation inside `foreachBatch` on
-  * `spark.readStream.table("graft.db.c")`. One distributed pass over the
-  * container; the result (and the driver collect) is window-count-bounded
-  * — hours of data, never rows. */
+  * `spark.readStream.table("graft.db.c")`. Each row carries the q_st11
+  * monitor numbers (n1/n2/tv4) AND the q_st12 k=2 debounced `alert` flag
+  * (with its prev_tv4 evidence) — the page/no-page decision in the same
+  * result. One distributed pass over the container; the result (and the
+  * driver collect) is window-count-bounded — hours of data, never rows. */
 private[core] final class DriftProcedure(account: FileAccount)
     extends UnboundProcedure with BoundProcedure {
 
@@ -816,16 +818,24 @@ private[core] final class DriftProcedure(account: FileAccount)
       .where(col("ts").isNotNull && col("event_type").isNotNull)
     val drift = graft.streaming.Streams
       .driftOf(graft.streaming.Streams.tumblingCounts(ev))
+    // the full monitor + decision stack in one row: the q_st11 numbers
+    // plus the q_st12 k=2 debounce (the flag an operator pages on)
+    val out = drift.join(graft.streaming.Streams.alertOf(drift)
+        .select(col("w_start"), col("prev_tv4"), col("alert")), "w_start")
+      .orderBy("w_start")
     val schema = StructType(Seq(
       StructField("w_start", TimestampType, nullable = false),
       StructField("n1", LongType, nullable = false),
       StructField("n2", LongType, nullable = false),
-      StructField("tv4", LongType, nullable = false)))
-    val rs = drift.collect().map { r => // window-count-bounded
+      StructField("tv4", LongType, nullable = false),
+      StructField("prev_tv4", LongType, nullable = false),
+      StructField("alert", LongType, nullable = false)))
+    val rs = out.collect().map { r => // window-count-bounded
       new GenericInternalRow(Array[Any](
         org.apache.spark.sql.catalyst.util.DateTimeUtils
           .fromJavaTimestamp(r.getTimestamp(0)),
-        r.getLong(1), r.getLong(2), r.getLong(3))): InternalRow
+        r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))): InternalRow
     }
     java.util.List.of[Scan](new GraftProcedures.RowsScan(schema, rs))
       .iterator()

@@ -143,10 +143,15 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.sql(
       "CALL graftdr.system.drift(db => 'db', container => 'c')")
     assert(got.count() >= 2, "fixture spans hours; drift must emit windows")
-    val want = Streams.driftOf(Streams.tumblingCounts(
+    // the doorway returns the monitor (q_st11) AND the debounced alert
+    // (q_st12) in one row — compare against the same composition
+    val drift = Streams.driftOf(Streams.tumblingCounts(
       rows.toDF().select(col("ts"), col("event_type"))))
+    val want = drift.join(Streams.alertOf(drift)
+        .select(col("w_start"), col("prev_tv4"), col("alert")), "w_start")
+      .orderBy("w_start")
     assert(canon(got) == canon(want),
-      "doorway must equal the q_st11 derivation over the same rows")
+      "doorway must equal the q_st11 + q_st12 derivation over the same rows")
     // a field that never parses yields zero monitored rows, not a throw
     assert(spark.sql("CALL graftdr.system.drift(db => 'db', " +
       "container => 'c', ts_field => 'nope')").count() == 0)
