@@ -164,6 +164,7 @@ object SparkEntry {
     "q_g7_kcore"           -> (Dedup.qG7 _),
     "q_g8_kcore3"          -> (Dedup.qG8 _),
     "q_g9_ktruss"          -> (Dedup.qG9 _),
+    "q_g10_cohesion"       -> (Dedup.qG10 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
     "q_d19_substr_clean"   -> (Dedup.qD19 _),
     "q_d20_lsh_plan"       -> (Dedup.qD20 _),
@@ -702,6 +703,24 @@ object SparkEntry {
       " SELECT CAST(count(1) AS BIGINT) AS triangles FROM sp e1 " +
       "JOIN sp e2 ON e1.b_id = e2.a_id " +
       "JOIN sp e3 ON e1.a_id = e3.a_id AND e2.b_id = e3.b_id"),
+    "q_g10_cohesion" -> (simhashPairsSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // components over the simhash graph (the oracleSqlD9 reach pattern),
+      // then per-component edge density and mean verified Hamming
+      ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      "m AS (SELECT component, CAST(count(1) AS BIGINT) AS n_members FROM comp GROUP BY 1), " +
+      "eh AS (SELECT c.component, CAST(count(1) AS BIGINT) AS n_edges, " +
+      "CAST(sum(bit_count(xor(x.simhash, y.simhash))) AS BIGINT) AS hs, " +
+      "CAST(sum(CASE WHEN bit_count(xor(x.simhash, y.simhash)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_edges " +
+      "FROM sp JOIN comp c ON c.id = sp.a_id " +
+      "JOIN sh x ON x.doc_id = sp.a_id JOIN sh y ON y.doc_id = sp.b_id GROUP BY 1) " +
+      "SELECT eh.component, m.n_members, eh.n_edges, eh.exact_edges, " +
+      "CAST((2 * n_edges * 1000) // (n_members * (n_members - 1)) AS BIGINT) AS density_pm, " +
+      "CAST((hs * 100) // n_edges AS BIGINT) AS mean_ham_c " +
+      "FROM eh JOIN m USING (component) ORDER BY component"),
     "q_g5_clustering_coeff" -> (simhashPairsSql +
       // 3·triangles / Σ deg·(deg−1)/2 in integer e4: (6T·10000) DIV t2
       ", dg AS (SELECT id, count(1) AS deg FROM " +

@@ -886,6 +886,42 @@ object Dedup {
       .select(col("a_id").as("u"), col("b_id").as("v")), KCoreIters,
       MaxDriverPairs, k = 3)
 
+  /** Q-G10 — DUP-CLUSTER COHESION AUDIT: per near-dup family (component
+    * of the durable [[DupClusters]] graph), the TRIAGE numbers a dedup
+    * operator reads before trusting keep-one-per-cluster on it — member /
+    * edge counts, edge DENSITY in per-mille (2·E·1000 DIV n·(n−1)), the
+    * mean verified simhash Hamming distance in centi (Σham·100 DIV E),
+    * and the exact-duplicate edge count (ham = 0). A dense ham-0 family
+    * is exact reposts (keep-one is safe); a sparse high-ham family is a
+    * CHAIN of pairwise near-dups whose endpoints may be unrelated — the
+    * transitive-closure artifact every banded-dedup pipeline must audit
+    * before dropping (the reason Lee et al. 2022 report cluster
+    * diameters). Completes the q_g battery: sizes (q_g3) say how big,
+    * this says how TIGHT.
+    *
+    * Scale: artifact-served — every frame is graph-sized (the cached
+    * pairs and clusters lanes), zero corpus passes warm; the oracle
+    * replays pairs, components (recursive CTE), and the per-component
+    * Hamming stats arithmetically. */
+  def qG10(s: SparkSession, dir: String): DataFrame = {
+    val idx = DupClusters.build(s, dir)
+    val comp = idx.clusters.select(col("id").as("a_id"), col("component"))
+    val members = idx.clusters.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    idx.pairs.join(comp, "a_id") // an edge's endpoints share a component
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("ham").cast("long")).as("hs"),
+        sum(when(col("ham") === 0, 1L).otherwise(0L)).as("exact_edges"))
+      .join(members, "component")
+      .select(col("component"), col("n_members"), col("n_edges"),
+        col("exact_edges"),
+        expr("(2 * n_edges * 1000) DIV (n_members * (n_members - 1))")
+          .as("density_pm"),
+        expr("(hs * 100) DIV n_edges").as("mean_ham_c"))
+      .orderBy("component")
+  }
+
   /** The [[qG9]] peel over any canonical (u < v) edge frame — k-truss
     * with survival bound support ≥ k−2, k ≥ 3 (k = 2 never peels). */
   private[graft] def ktrussPeel(s: SparkSession, e0: DataFrame, iters: Int,
