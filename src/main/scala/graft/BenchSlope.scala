@@ -53,6 +53,7 @@ object BenchSlope {
       "q_g7_kcore"           -> dup,
       "q_g8_kcore3"          -> dup,
       "q_g9_ktruss"          -> dup,
+      "q_g10_cohesion"       -> dup,
       "q_t18_cluster_split"  -> dup,
       "q_t19_keep_canonical" -> dup,
       "q_t26_dedup_mix"      -> dup,
