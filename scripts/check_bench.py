@@ -10,7 +10,9 @@ Reads the per-query rows out of BASELINE.md and a bench artifact
   - a query that recorded -1 (all bench runs errored);
   - a baseline row whose query no longer exists in the artifact.
 
-Usage: python3 scripts/check_bench.py <bench_json> [baseline_md]
+Usage: python3 scripts/check_bench.py [bench_json] [baseline_md]
+       (defaults: BENCH_RESULTS.json, BASELINE.md — the committed artifacts,
+       so a bare run audits the repo as-is)
 """
 import json
 import re
@@ -26,7 +28,9 @@ def baseline_rows(path: str) -> dict:
     return rows
 
 
-def main(bench_path: str, baseline_path: str = "BASELINE.md") -> int:
+def main(bench_path: str = "BENCH_RESULTS.json",
+         baseline_path: str = "BASELINE.md") -> int:
+    print(f"auditing {bench_path} vs {baseline_path}")
     bench = json.load(open(bench_path))
     if "queries" not in bench:
         # driver wrapper (BENCH_r*.json): the Bench JSON line is in "tail",

@@ -6,10 +6,40 @@ executed in DuckDB over the same testdata parquet tables, and compares
 values column-by-column (columns sorted by name, rows in result order).
 
 Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
+       python3 scripts/check_oracle.py            (bare: summarize the
+       newest committed CORRECTNESS_r*.json instead of re-running DuckDB)
 """
+import glob
 import json
 import math
+import os
+import re
 import sys
+
+
+def summarize_committed() -> int:
+    """Bare-invocation fallback: report the newest CORRECTNESS_r*.json."""
+    arts = glob.glob("CORRECTNESS_r*.json")
+    if not arts:
+        print(__doc__)
+        print("no CORRECTNESS_r*.json found; run with <verify_out_dir> <sf_dir>")
+        return 1
+    path = max(arts, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    data = json.load(open(path))
+    rows = data.get("queries", data)
+    n_ok = n_bad = 0
+    for name, r in sorted(rows.items()):
+        ok = isinstance(r, dict) and not r.get("err") and \
+            all(r.get(k) in (True, None) for k in ("rows_match", "schema_match",
+                                                   "hash_match"))
+        if ok:
+            n_ok += 1
+        else:
+            n_bad += 1
+            print(f"FAIL {name}: {r}")
+    print(f"{os.path.basename(path)}: {n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
 
 import duckdb
 
@@ -66,4 +96,6 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(summarize_committed())
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -213,11 +213,19 @@ object BenchSlope {
             "sf_small" -> small, "sf_large" -> large,
             "data_ratio" -> dataRatio.toString, "margin" -> Margin.toString
           ).flatMap { case (k, cur) =>
-            field(k).filter(prev =>
-              prev != cur &&
-                // numeric fields: compare as doubles ("10.0" == "10")
-                scala.util.Try(prev.toDouble != cur.toDouble).getOrElse(true))
-              .map(prev => s"$k: artifact=$prev run=$cur")
+            field(k) match {
+              // a prior artifact MISSING a config field is a legacy format
+              // whose measurement conditions are unknowable — treat as a
+              // mismatch (refuse), not a silent pass (ADVICE r14)
+              case None => Some(s"$k: artifact=<absent> run=$cur")
+              case Some(prev)
+                if prev != cur &&
+                  // numeric fields: compare as doubles ("10.0" == "10")
+                  scala.util.Try(prev.toDouble != cur.toDouble)
+                    .getOrElse(true) =>
+                Some(s"$k: artifact=$prev run=$cur")
+              case _ => None
+            }
           }
           if (mismatches.nonEmpty)
             throw new IllegalStateException(

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_t17_pack_stats"     -> (TextAnalysis.qT17 _),
     "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
+    "q_t39_safe_keep"      -> (TextAnalysis.qT39 _),
     "q_t26_dedup_mix"      -> (TextAnalysis.qT26 _),
     "q_t27_temperature_mix" -> (TextAnalysis.qT27 _),
     "q_t28_bpe_merges"     -> (TextAnalysis.qT28 _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q_t37_intradoc_rep"    -> (TextAnalysis.qT37 _),
     "q_t38_eval_report"     -> (TextAnalysis.qT38 _),
     "q_t21_bm25"           -> (TextAnalysis.qT21 _),
+    "q_t41_bm25_query"     -> (TextAnalysis.qT41 _),
     "q_t22_mix_weights"    -> (TextAnalysis.qT22 _),
     "q_t23_rrf_fusion"     -> (TextAnalysis.qT23 _),
     "q_t24_fuzzy_decontam" -> (TextAnalysis.qT24 _),
@@ -190,6 +192,7 @@ object SparkEntry {
     "q_sim18_mmr_diverse"  -> (Similarity.qSim18 _),
     "q_sim19_cell_balance" -> (Similarity.qSim19 _),
     "q_sim20_topic_mix"    -> (Similarity.qSim20 _),
+    "q_sim21_hybrid_query" -> (Similarity.qSim21 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -226,6 +229,7 @@ object SparkEntry {
     "q_mm16_keyframes"      -> (Multimodal.qMm16 _),
     "q_mm17_vad"            -> (Multimodal.qMm17 _),
     "q_mm18_sharpness"      -> (Multimodal.qMm18 _),
+    "q_mm19_img_ivf"        -> (MmIvf.qMm19 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -678,7 +682,12 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, " +
         "substr(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 12) AS blk, " +
         "list_distinct(string_split(lower(text), ' ')) AS w FROM documents), " +
-        "dd AS (SELECT * FROM d WHERE length(blk) > 0) " +
+        "d0 AS (SELECT * FROM d WHERE length(blk) > 0), " +
+        // supersized blocks (> MaxBlockSide members) are skipped — the
+        // declared linear-candidates cap; no-op at sf scale (max block 13)
+        "ob AS (SELECT blk FROM d0 GROUP BY blk " +
+        s"HAVING count(1) > ${graft.operators.Dedup.MaxBlockSide}), " +
+        "dd AS (SELECT * FROM d0 WHERE blk NOT IN (SELECT blk FROM ob)) " +
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
         "ROUND(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(list_distinct(list_concat(a.w, b.w))), 4) AS jac " +
         "FROM dd a JOIN dd b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
@@ -880,25 +889,19 @@ object SparkEntry {
       "(PARTITION BY component ORDER BY rank_e6 DESC, id) AS rn FROM mem) " +
       "SELECT component, id AS survivor_id, CAST(csize AS BIGINT) AS csize, " +
       "CAST(rank_e6 AS BIGINT) AS rank_e6 FROM pick WHERE rn = 1 ORDER BY component"),
-    "q_t26_dedup_mix" -> (simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      // q_t19's survivor pick inverted: DROPPED = non-canonical component
-      // members; per-language doc/token mass before vs after exclusion
-      ", ed AS (SELECT a_id AS s, b_id AS t FROM sp UNION ALL SELECT b_id, a_id FROM sp), " +
-      "dg AS (SELECT s, count(1) AS deg FROM ed GROUP BY s), " +
-      "r0 AS (SELECT s AS id, CAST(1000000 AS BIGINT) AS r FROM dg)" +
-      (1 to graft.operators.Dedup.PageRankIters).map { i =>
-        s", r$i AS (SELECT e.t AS id, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r " +
-          s"FROM ed e JOIN r${i - 1} r ON e.s = r.id JOIN dg d ON d.s = e.s GROUP BY e.t)"
-      }.mkString +
-      ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
-      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
-      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
-      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
-      "mem AS (SELECT c.id, c.component, rr.r AS rank_e6 FROM comp c " +
-      s"JOIN r${graft.operators.Dedup.PageRankIters} rr ON rr.id = c.id), " +
-      "pick AS (SELECT id, row_number() OVER (PARTITION BY component " +
-      "ORDER BY rank_e6 DESC, id) AS rn FROM mem), " +
-      "dropd AS (SELECT id FROM pick WHERE rn > 1), " +
+    "q_t39_safe_keep" -> (gatedPickSql +
+      // the gated keeper's survivors: one row per (component, group) with
+      // the collapse mode and group size — replays qT39 exactly
+      ", gs AS (SELECT component, group_id, count(1) AS gsize FROM grp GROUP BY 1, 2) " +
+      "SELECT p.component, p.mode, CAST(p.group_id AS BIGINT) AS group_id, " +
+      "p.id AS survivor_id, CAST(gs.gsize AS BIGINT) AS gsize, " +
+      "CAST(p.rank_e6 AS BIGINT) AS rank_e6 " +
+      "FROM pick p JOIN gs USING (component, group_id) WHERE p.rn = 1 " +
+      "ORDER BY p.component, p.group_id"),
+    "q_t26_dedup_mix" -> (gatedPickSql +
+      // the gated keeper inverted: DROPPED = non-survivors per collapse
+      // group; per-language doc/token mass before vs after exclusion
+      ", dropd AS (SELECT id FROM pick WHERE rn > 1), " +
       "d AS (SELECT doc_id, lang, " +
       "len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS ntok FROM documents), " +
       "bef AS (SELECT lang, count(1) AS docs_before, sum(ntok) AS tokens_before FROM d GROUP BY lang), " +
@@ -970,6 +973,32 @@ object SparkEntry {
         "SELECT doc_id, CAST(count(1) AS BIGINT) AS n_hit, " +
         "CAST(sum(idf_s * tfpart) AS BIGINT) AS bm25_s " +
         "FROM sc GROUP BY doc_id ORDER BY bm25_s DESC, doc_id LIMIT 20"),
+    "q_t41_bm25_query" -> (
+      // user-supplied-query BM25: the q_t21 integer formula scored for
+      // each FIXTURE query's distinct in-vocabulary terms (OOV terms match
+      // no tf rows and drop out — the skip path); per-query top-20 with
+      // rank by (bm25_s desc, doc_id)
+      "WITH q AS (SELECT * FROM (VALUES " +
+      graft.operators.TextAnalysis.Bm25FixtureQueries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ") +
+      ") t(query_id, qw)), " +
+        "qt AS (SELECT query_id, unnest(list_distinct(string_split(qw, ' '))) AS w FROM q), " +
+        "tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf FROM tok WHERE w <> '' GROUP BY doc_id, w), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
+        "tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(1) AS BIGINT) AS n FROM dl), " +
+        "dfreq AS (SELECT w, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY w), " +
+        "sc AS (SELECT qt.query_id, tf.doc_id, " +
+        "((2 * (n - df) + 1) * 1000) // (2 * df + 1) AS idf_s, " +
+        "(22000 * tf * t) // (10 * tf * t + 3 * t + 9 * dl.dl * n) AS tfpart " +
+        "FROM tf JOIN dfreq USING (w) JOIN qt USING (w) JOIN dl USING (doc_id), tot), " +
+        "ag AS (SELECT query_id, doc_id, CAST(count(1) AS BIGINT) AS n_hit, " +
+        "CAST(sum(idf_s * tfpart) AS BIGINT) AS bm25_s FROM sc GROUP BY 1, 2), " +
+        "rk AS (SELECT query_id, doc_id, n_hit, bm25_s, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY bm25_s DESC, doc_id) AS rank FROM ag) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_hit, bm25_s, " +
+        "CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 20 " +
+        "ORDER BY query_id, rank"),
     "q_t22_mix_weights" -> (
       "WITH pl AS (SELECT lang, CAST(count(1) AS BIGINT) AS n_docs, " +
         "CAST(sum(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS tokens " +
@@ -1220,16 +1249,21 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s), " +
         "sm AS (SELECT q_id, ROUND(sim_raw, 4) AS sem_sim, " +
         "CAST(CASE WHEN ROUND(sim_raw, 4) >= 0.995 THEN 1 ELSE 0 END AS BIGINT) AS semantic " +
-        "FROM r WHERE rank = 1) " +
-        "SELECT sm.q_id, CAST(coalesce(ex.exact_pm, 0) AS BIGINT) AS exact_pm, " +
+        "FROM r WHERE rank = 1), " +
+        // base = the EVAL DOCUMENT SET (not the semantic leg): an eval doc
+        // without an embeddings row still reports, sem leg coalesced clean
+        "eb AS (SELECT doc_id AS q_id FROM documents WHERE doc_id < 20) " +
+        "SELECT eb.q_id, CAST(coalesce(ex.exact_pm, 0) AS BIGINT) AS exact_pm, " +
         "CAST(coalesce(fz.n_fuzzy, 0) AS BIGINT) AS n_fuzzy, " +
         "CAST(coalesce(fz.max_jac_e4, 0) AS BIGINT) AS max_jac_e4, " +
         "CAST(CASE WHEN coalesce(fz.max_jac_e4, 0) >= 2000 THEN 1 ELSE 0 END AS BIGINT) AS fuzzy, " +
-        "sm.sem_sim, sm.semantic, " +
+        "coalesce(sm.sem_sim, 0.0) AS sem_sim, " +
+        "CAST(coalesce(sm.semantic, 0) AS BIGINT) AS semantic, " +
         "CAST(CASE WHEN coalesce(ex.exact_pm, 0) = 0 AND coalesce(fz.max_jac_e4, 0) < 2000 " +
-        "AND sm.semantic = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean " +
-        "FROM sm LEFT JOIN ex ON ex.q_id = sm.q_id " +
-        "LEFT JOIN fz ON fz.q_id = sm.q_id ORDER BY sm.q_id"),
+        "AND coalesce(sm.semantic, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean " +
+        "FROM eb LEFT JOIN sm ON sm.q_id = eb.q_id " +
+        "LEFT JOIN ex ON ex.q_id = eb.q_id " +
+        "LEFT JOIN fz ON fz.q_id = eb.q_id ORDER BY eb.q_id"),
     "q_t6_stratified_sample" -> (
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, " +
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
@@ -1476,7 +1510,10 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, " +
         "substr(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 12) AS blk, " +
         "list_distinct(string_split(lower(text), ' ')) AS w FROM documents), " +
-        "dd AS (SELECT * FROM d WHERE length(blk) > 0), " +
+        "d0 AS (SELECT * FROM d WHERE length(blk) > 0), " +
+        "ob AS (SELECT blk FROM d0 GROUP BY blk " +
+        s"HAVING count(1) > ${graft.operators.Dedup.MaxBlockSide}), " +
+        "dd AS (SELECT * FROM d0 WHERE blk NOT IN (SELECT blk FROM ob)), " +
         "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
         "len(list_intersect(a.w, b.w)) AS inter, " +
         "least(len(a.w), len(b.w)) AS mn, " +
@@ -1555,7 +1592,8 @@ object SparkEntry {
         "FROM am WHERE rnk = 1 ORDER BY q_id"),
     "q_t37_intradoc_rep" -> (
       // per-doc duplicate 2-/3-gram occurrence mass (Gopher-style rep-n);
-      // keep flag at 200/180 pm; zero-guarded pm for too-short docs
+      // keep flag at 200/180 pm; zero-guarded pm for too-short docs, which
+      // anchor on the documents frame (occ2=occ3=0, keep=1 — total result)
       "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
         "g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram FROM " +
         "(SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM tok WHERE len(w) >= 2) t), " +
@@ -1567,11 +1605,12 @@ object SparkEntry {
         "c3 AS (SELECT doc_id, gram, count(1) AS c FROM g3 GROUP BY 1, 2), " +
         "m3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS occ3, " +
         "CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3 FROM c3 GROUP BY 1), " +
-        "j AS (SELECT coalesce(m2.doc_id, m3.doc_id) AS doc_id, " +
+        "j AS (SELECT tok.doc_id, " +
         "coalesce(occ2, 0) AS occ2, coalesce(occ3, 0) AS occ3, " +
         "CASE WHEN coalesce(occ2, 0) = 0 THEN 0 ELSE (coalesce(dup2, 0) * 1000) // occ2 END AS dup2_pm, " +
         "CASE WHEN coalesce(occ3, 0) = 0 THEN 0 ELSE (coalesce(dup3, 0) * 1000) // occ3 END AS dup3_pm " +
-        "FROM m2 FULL OUTER JOIN m3 ON m2.doc_id = m3.doc_id) " +
+        "FROM tok LEFT JOIN m2 ON tok.doc_id = m2.doc_id " +
+        "LEFT JOIN m3 ON tok.doc_id = m3.doc_id) " +
         "SELECT doc_id, occ2, occ3, CAST(dup2_pm AS BIGINT) AS dup2_pm, " +
         "CAST(dup3_pm AS BIGINT) AS dup3_pm, " +
         "CAST(CASE WHEN dup2_pm <= 200 AND dup3_pm <= 180 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
@@ -1650,6 +1689,50 @@ object SparkEntry {
         "FROM ws a JOIN ws b ON a.doc_id < 5 AND a.doc_id <> b.doc_id), " +
         "l AS (SELECT q_id, n_id, r_l FROM (SELECT q_id, n_id, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY jac4 DESC, n_id) AS r_l FROM lx) t " +
+        "WHERE r_l <= 100), " +
+        "f AS (SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id, " +
+        "CAST(coalesce(v.r_v, 0) AS BIGINT) AS r_v, CAST(coalesce(l.r_l, 0) AS BIGINT) AS r_l, " +
+        "CAST(coalesce(1000000 // (60 + v.r_v), 0) + coalesce(1000000 // (60 + l.r_l), 0) AS BIGINT) AS rrf_s " +
+        "FROM v FULL OUTER JOIN l ON v.q_id = l.q_id AND v.n_id = l.n_id), " +
+        "r AS (SELECT q_id, n_id, r_v, r_l, rrf_s, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY rrf_s DESC, n_id) AS rank FROM f) " +
+        "SELECT q_id, n_id, r_v, r_l, rrf_s, CAST(rank AS BIGINT) AS rank " +
+        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    "q_sim21_hybrid_query" -> (
+      // user-supplied-query hybrid: int8 IVF vector lane probed with the
+      // fixture vector (= embedding vec_id 7, NO self-exclusion — a user
+      // query has no self), BM25 lexical lane for the fixture text, fused
+      // with integer RRF under q_id = 0
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx FROM embeddings), " +
+        "qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv FROM embeddings, mx), " +
+        "p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "probe AS (SELECT CAST(0 AS BIGINT) AS q_id, cid FROM cs WHERE vec_id = 7 AND rn <= 4), " +
+        "cand AS (SELECT pr.q_id, t.vec_id AS n_id FROM probe pr JOIN cell t ON t.cid = pr.cid), " +
+        "iu AS (SELECT c.q_id, c.n_id, unnest(generate_series(1, 64)) AS i, a.qv AS qa, b.qv AS qb " +
+        "FROM cand c JOIN qz a ON a.vec_id = 7 JOIN qz b ON b.vec_id = c.n_id), " +
+        "idot AS (SELECT q_id, n_id, CAST(sum(qa[i] * qb[i]) AS BIGINT) AS qdot FROM iu GROUP BY 1, 2), " +
+        "v AS (SELECT q_id, n_id, r_v FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY qdot DESC, n_id) AS r_v FROM idot) t WHERE r_v <= 100), " +
+        "tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf FROM tok WHERE w <> '' GROUP BY doc_id, w), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), " +
+        "tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(1) AS BIGINT) AS n FROM dl), " +
+        "dfreq AS (SELECT w, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY w), " +
+        "qt AS (SELECT unnest(list_distinct(string_split('" +
+        graft.operators.TextAnalysis.Bm25FixtureQueries.head._2 +
+        "', ' '))) AS w), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "((2 * (n - df) + 1) * 1000) // (2 * df + 1) AS idf_s, " +
+        "(22000 * tf * t) // (10 * tf * t + 3 * t + 9 * dl.dl * n) AS tfpart " +
+        "FROM tf JOIN dfreq USING (w) JOIN qt USING (w) JOIN dl USING (doc_id), tot), " +
+        "ag AS (SELECT doc_id, CAST(sum(idf_s * tfpart) AS BIGINT) AS bm25_s FROM sc GROUP BY 1), " +
+        "l AS (SELECT CAST(0 AS BIGINT) AS q_id, doc_id AS n_id, r_l FROM " +
+        "(SELECT doc_id, row_number() OVER (ORDER BY bm25_s DESC, doc_id) AS r_l FROM ag) t " +
         "WHERE r_l <= 100), " +
         "f AS (SELECT coalesce(v.q_id, l.q_id) AS q_id, coalesce(v.n_id, l.n_id) AS n_id, " +
         "CAST(coalesce(v.r_v, 0) AS BIGINT) AS r_v, CAST(coalesce(l.r_l, 0) AS BIGINT) AS r_l, " +
@@ -2091,6 +2174,50 @@ object SparkEntry {
         "CAST(count(1) AS BIGINT) AS n_levels, " +
         "CAST(sum(c * (6 - (length(bin(c)) - 1))) AS BIGINT) AS h_cb " +
         "FROM hc GROUP BY doc_id ORDER BY asset_id"),
+    "q_mm19_img_ivf" -> (
+      // served image ANN from the MmIvf feature index: 20-dim integer
+      // features (16 hist bins ++ 4 tile sums) replayed from the closed
+      // form; seeds = assets < 8; cells/probes ranked by cosine over
+      // EXACT integer-valued doubles (order-free — every accumulator is
+      // an integer < 2^53); serving distance = integer squared-L2
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "px AS (SELECT doc_id, x.i AS x, y.i AS y, (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS g " +
+        "FROM d, (SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y), " +
+        "hb AS (SELECT doc_id, g // 16 AS b, count(1) AS c FROM px GROUP BY 1, 2), " +
+        "bins AS (SELECT db.doc_id, db.b, coalesce(hb.c, 0) AS c FROM " +
+        "(SELECT d.doc_id, b.i AS b FROM d, " +
+        "(SELECT unnest(generate_series(0, 15)) AS i) b) db " +
+        "LEFT JOIN hb ON hb.doc_id = db.doc_id AND hb.b = db.b), " +
+        "hv AS (SELECT doc_id, list(c ORDER BY b) AS h FROM bins GROUP BY doc_id), " +
+        "tl AS (SELECT doc_id, " +
+        "3 * sum(CASE WHEN x < 4 AND y < 4 THEN g ELSE 0 END) AS t00, " +
+        "3 * sum(CASE WHEN x >= 4 AND y < 4 THEN g ELSE 0 END) AS t01, " +
+        "3 * sum(CASE WHEN x < 4 AND y >= 4 THEN g ELSE 0 END) AS t10, " +
+        "3 * sum(CASE WHEN x >= 4 AND y >= 4 THEN g ELSE 0 END) AS t11 FROM px GROUP BY doc_id), " +
+        "fv AS (SELECT hv.doc_id, list_concat(h, [t00, t01, t10, t11]) AS f " +
+        "FROM hv JOIN tl USING (doc_id)), " +
+        "sd AS (SELECT doc_id AS cid, f AS cf FROM fv WHERE doc_id < 8), " +
+        "pp AS (SELECT fv.doc_id AS id, sd.cid, fv.f AS fa, sd.cf AS fb FROM fv, sd), " +
+        "uu AS (SELECT id, cid, unnest(generate_series(1, 20)) AS i, fa, fb FROM pp), " +
+        "ss AS (SELECT id, cid, sum(fa[i]::DOUBLE * fb[i]::DOUBLE) AS dot, " +
+        "sum(fa[i]::DOUBLE * fa[i]::DOUBLE) AS na, " +
+        "sum(fb[i]::DOUBLE * fb[i]::DOUBLE) AS nb FROM uu GROUP BY 1, 2), " +
+        "rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id " +
+        "ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, cid) AS rn FROM ss), " +
+        "asg AS (SELECT id, cid AS cell FROM rk WHERE rn = 1), " +
+        "probe AS (SELECT id AS q_id, cid AS cell FROM rk WHERE id < 10 AND rn <= 2), " +
+        "cand AS (SELECT p.q_id, a.id AS n_id FROM probe p " +
+        "JOIN asg a ON a.cell = p.cell AND a.id <> p.q_id), " +
+        "dp AS (SELECT c.q_id, c.n_id, x.f AS fa, y.f AS fb FROM cand c " +
+        "JOIN fv x ON x.doc_id = c.q_id JOIN fv y ON y.doc_id = c.n_id), " +
+        "du AS (SELECT q_id, n_id, unnest(generate_series(1, 20)) AS i, fa, fb FROM dp), " +
+        "d2t AS (SELECT q_id, n_id, CAST(sum((fa[i] - fb[i]) * (fa[i] - fb[i])) AS BIGINT) AS d2 " +
+        "FROM du GROUP BY 1, 2), " +
+        "fin AS (SELECT q_id, n_id, d2, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY d2, n_id) AS rnk FROM d2t) " +
+        "SELECT q_id, n_id, d2, CAST(rnk AS BIGINT) AS rnk FROM fin " +
+        "WHERE rnk <= 5 ORDER BY q_id, rnk"),
     "q_mm13_jpeg_decode" -> (
       // real JPEG encode+decode on the Spark side; JPEG is LOSSY, so the
       // oracle checks the recovered decision LEVEL (constant-gray canvases
@@ -2374,6 +2501,52 @@ object SparkEntry {
         s"(SELECT count(1) FROM f$i) AS n_edges"
     }.mkString(" UNION ALL ") +
     " ORDER BY iter"
+
+  /** The cohesion-gated keeper chain shared by q_t39 / q_t26 — replays
+    * [[graft.operators.Dedup.gatedKeepMembers]] exactly: the q_g4 integer
+    * pagerank chain, the q_g6 fixed-round LPA chain, components, the
+    * q_g10 per-component cohesion stats, the declared gate
+    * ([[graft.operators.Dedup.SafeDensityPm]] /
+    * [[graft.operators.Dedup.SafeMeanHamC]]), and the windowed pick.
+    * Ends with CTE `pick` (id, component, rank_e6, mode, group_id, rn);
+    * consumers append their own projection. RECURSIVE is already applied
+    * (the reach() components CTE needs it). */
+  private def gatedPickSql: String =
+    simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", ed AS (SELECT a_id AS s, b_id AS t FROM sp UNION ALL SELECT b_id, a_id FROM sp), " +
+      "dg AS (SELECT s, count(1) AS deg FROM ed GROUP BY s), " +
+      "r0 AS (SELECT s AS id, CAST(1000000 AS BIGINT) AS r FROM dg)" +
+      (1 to graft.operators.Dedup.PageRankIters).map { i =>
+        s", r$i AS (SELECT e.t AS id, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r " +
+          s"FROM ed e JOIN r${i - 1} r ON e.s = r.id JOIN dg d ON d.s = e.s GROUP BY e.t)"
+      }.mkString +
+      ", l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM ed)" +
+      (1 to graft.operators.Dedup.LabelPropIters).map { i =>
+        s", lc$i AS (SELECT e.s AS id, l.lbl, count(1) AS c " +
+          s"FROM ed e JOIN l${i - 1} l ON e.t = l.id GROUP BY 1, 2), " +
+          s"l$i AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER " +
+          s"(PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM lc$i) t WHERE rn = 1)"
+      }.mkString +
+      ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      "cm AS (SELECT component, count(1) AS n_members FROM comp GROUP BY 1), " +
+      "ceh AS (SELECT c.component, count(1) AS n_edges, " +
+      "sum(bit_count(xor(x.simhash, y.simhash))) AS hs " +
+      "FROM sp JOIN comp c ON c.id = sp.a_id " +
+      "JOIN sh x ON x.doc_id = sp.a_id JOIN sh y ON y.doc_id = sp.b_id GROUP BY 1), " +
+      "safe AS (SELECT ceh.component FROM ceh JOIN cm USING (component) " +
+      s"WHERE (2 * n_edges * 1000) // (n_members * (n_members - 1)) >= ${graft.operators.Dedup.SafeDensityPm} " +
+      s"AND (hs * 100) // n_edges <= ${graft.operators.Dedup.SafeMeanHamC}), " +
+      "mem AS (SELECT c.id, c.component, rr.r AS rank_e6, ll.lbl AS community " +
+      s"FROM comp c JOIN r${graft.operators.Dedup.PageRankIters} rr ON rr.id = c.id " +
+      s"JOIN l${graft.operators.Dedup.LabelPropIters} ll ON ll.id = c.id), " +
+      "grp AS (SELECT id, component, rank_e6, " +
+      "CASE WHEN component IN (SELECT component FROM safe) THEN 'component' ELSE 'community' END AS mode, " +
+      "CASE WHEN component IN (SELECT component FROM safe) THEN component ELSE community END AS group_id FROM mem), " +
+      "pick AS (SELECT id, component, rank_e6, mode, group_id, row_number() OVER " +
+      "(PARTITION BY component, group_id ORDER BY rank_e6 DESC, id) AS rn FROM grp)"
 
   /** The IVF-PQ asymmetric-distance chain shared by q_sim14 / q_sim16:
     * int8 quantize → seeded cells + 4-probe assignment → codebook =

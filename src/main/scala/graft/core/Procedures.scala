@@ -26,6 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the caller's own reporting. */
 private[core] object GraftProcedures {
 
+  /** Hard cap on the hourly windows [[DriftProcedure]] collects to the
+    * driver: ~11 years of hourly data — far above any sane monitoring
+    * span, far below driver-OOM territory. Exceeding it means the ts
+    * field is corrupt (scattered epoch garbage), and the procedure
+    * refuses with that diagnosis instead of materializing the garbage. */
+  val MaxDriftWindows = 100000
+
   val names: Array[String] =
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
@@ -298,16 +305,38 @@ private[core] final class DupClustersProcedure(account: FileAccount)
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions._
     val dir = input.getUTF8String(0).toString
-    val idx = graft.operators.DupClusters.build(SparkSession.active, dir)
+    val s = SparkSession.active
+    val idx = graft.operators.DupClusters.build(s, dir)
+    // cohesion rollup (VERDICT r14 task 6): the q_g10 audit's verdict on
+    // the ops doorway — an operator sees the transitive-chain hazard
+    // (components failing the SafeDensityPm/SafeMeanHamC collapse gate)
+    // without running the registry query. One graph-sized aggregate over
+    // the cached lanes; MaintenanceSpec pins it equal to q_g10.
+    val unsafe = col("density_pm") < graft.operators.Dedup.SafeDensityPm ||
+      col("mean_ham_c") > graft.operators.Dedup.SafeMeanHamC
+    val coh = graft.operators.Dedup.qG10(s, dir)
+      .agg(count(lit(1)).as("n_components"),
+        coalesce(min("density_pm"), lit(0L)).as("min_density_pm"),
+        coalesce(sum(when(unsafe, 1L).otherwise(0L)), lit(0L))
+          .as("n_unsafe_components"),
+        coalesce(max(when(unsafe, col("n_members"))), lit(0L))
+          .as("max_unsafe_members"))
+      .head()
     val schema = StructType(Seq(
       StructField("index_path", StringType, nullable = false),
       StructField("n_docs", LongType, nullable = false),
       StructField("n_pairs", LongType, nullable = false),
-      StructField("n_clustered", LongType, nullable = false)))
+      StructField("n_clustered", LongType, nullable = false),
+      StructField("n_components", LongType, nullable = false),
+      StructField("min_density_pm", LongType, nullable = false),
+      StructField("n_unsafe_components", LongType, nullable = false),
+      StructField("max_unsafe_members", LongType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       GraftProcedures.utf8(idx.path), idx.nDocs,
-      idx.pairs.count(), idx.clusters.count()))
+      idx.pairs.count(), idx.clusters.count(),
+      coh.getLong(0), coh.getLong(1), coh.getLong(2), coh.getLong(3)))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }
@@ -830,12 +859,26 @@ private[core] final class DriftProcedure(account: FileAccount)
       StructField("tv4", LongType, nullable = false),
       StructField("prev_tv4", LongType, nullable = false),
       StructField("alert", LongType, nullable = false)))
-    val rs = out.collect().map { r => // window-count-bounded
-      new GenericInternalRow(Array[Any](
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .fromJavaTimestamp(r.getTimestamp(0)),
-        r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))): InternalRow
+    // "window-count-bounded" is only a real bound when the timestamps are
+    // sane: corrupt/adversarial ts values scattered over a wide range make
+    // one row PER DISTINCT HOUR — effectively row-bounded (ADVICE r14).
+    // Enforce the bound before collecting: limit(MaxDriftWindows + 1) keeps
+    // the probe itself bounded, and overflow is a hard error naming the
+    // likely cause rather than a driver OOM.
+    val rs = out.limit(GraftProcedures.MaxDriftWindows + 1).collect() match {
+      case rows if rows.length > GraftProcedures.MaxDriftWindows =>
+        throw new IllegalStateException(
+          s"drift: container '$db.$container' spans more than " +
+            s"${GraftProcedures.MaxDriftWindows} distinct hourly windows — " +
+            s"likely corrupt '$tsField' values; clean the field or narrow " +
+            "the container before monitoring")
+      case rows => rows.map { r =>
+        new GenericInternalRow(Array[Any](
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(r.getTimestamp(0)),
+          r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))): InternalRow
+      }
     }
     java.util.List.of[Scan](new GraftProcedures.RowsScan(schema, rs))
       .iterator()

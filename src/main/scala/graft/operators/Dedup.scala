@@ -252,6 +252,35 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Declared occupancy cap for the blocking-key candidate generators
+    * ([[qD10]] / [[qD14]]) — the [[graft.operators.LexIndex.DfCandCap]]
+    * analog for blocks: a block with MORE members than this is skipped
+    * entirely (standard record-linkage supersized-block practice — a
+    * 12-char prefix shared by 10⁵ documents is boilerplate, and its
+    * C(n,2) pairs would be the quadratic term that kills the run). With
+    * the cap, candidate pairs are ≤ docs × cap / 2 — LINEAR in corpus
+    * size with a declared constant, whatever the prefix distribution
+    * (ScaleShapeSpec pins both the skip and the bound; the observed sf
+    * max block is 13, so sf-scale results are unchanged and the oracle
+    * replays the same rule). */
+  val MaxBlockSide = 1000L
+
+  /** The shared [[qD10]]/[[qD14]] doc frame: normalized 12-char blocking
+    * key + distinct word set, with supersized blocks (> [[MaxBlockSide]])
+    * removed — one map-combined block-count agg (block-count-sized
+    * output) and a broadcast anti-join against the near-empty oversized
+    * set. */
+  private def blockedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "substring(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '')), 1, 12) AS blk",
+        "array_distinct(split(lower(text), ' ')) AS w")
+      .where(length(col("blk")) > 0)
+    val oversized = docs.groupBy("blk").agg(count(lit(1)).as("n"))
+      .where(col("n") > MaxBlockSide).select("blk")
+    docs.join(broadcast(oversized), Seq("blk"), "left_anti")
+  }
+
   /** Q-D10 — BLOCKING-KEY dedup, the third candidate-generation technique
     * next to MinHash-LSH (qD4) and SimHash bands (qD6): the block key is
     * the first 12 characters of the normalized text, candidates are pairs
@@ -259,14 +288,11 @@ object Dedup {
     * record-linkage blocking — cheaper than LSH (no signature pass; one
     * narrow key projection) but blind to edits inside the prefix, which is
     * why an engine carries BOTH. Scale: the candidate join shuffles on the
-    * block key — work is sum of per-block squares, never corpus², and the
-    * key distribution is auditable with qV4-style profiling before a run. */
+    * block key — work is Σ per-block C(n,2) with blocks capped at
+    * [[MaxBlockSide]] (supersized blocks skipped — see the cap's scaladoc),
+    * so candidates are ≤ docs × cap / 2: linear in corpus, never corpus². */
   def qD10(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).selectExpr(
-        "doc_id",
-        "substring(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '')), 1, 12) AS blk",
-        "array_distinct(split(lower(text), ' ')) AS w")
-      .where(length(col("blk")) > 0)
+    val docs = blockedDocs(s, dir)
     val a = docs.selectExpr("doc_id AS a_id", "blk", "w AS wa")
     val b = docs.selectExpr("doc_id AS b_id", "blk AS blkb", "w AS wb")
     a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
@@ -414,11 +440,7 @@ object Dedup {
     * per-block-squares work, never corpus²; the containment arithmetic is
     * per-matched-row codegen. */
   def qD14(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).selectExpr(
-        "doc_id",
-        "substring(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '')), 1, 12) AS blk",
-        "array_distinct(split(lower(text), ' ')) AS w")
-      .where(length(col("blk")) > 0)
+    val docs = blockedDocs(s, dir)
     val a = docs.selectExpr("doc_id AS a_id", "blk", "w AS wa")
     val b = docs.selectExpr("doc_id AS b_id", "blk AS blkb", "w AS wb")
     a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
@@ -920,6 +942,78 @@ object Dedup {
           .as("density_pm"),
         expr("(hs * 100) DIV n_edges").as("mean_ham_c"))
       .orderBy("component")
+  }
+
+  /** Collapse gate for [[gatedKeepMembers]]: a component may be collapsed
+    * to ONE survivor only when its verified-edge density is at least this
+    * per-mille of the complete graph. 500 pm admits any pair (always
+    * 1000), a 2-of-3-edge triangle (666) and a path-of-4 (500, the
+    * boundary), and rejects every longer chain — the q_g10 audit's
+    * 3226-member density-3 pm transitive-closure artifact fails by two
+    * orders of magnitude. */
+  val SafeDensityPm = 500L
+
+  /** Collapse gate, Hamming axis: mean verified simhash Hamming distance
+    * (centi-bits, [[qG10]]'s `mean_ham_c`) must not exceed this. With the
+    * banded miner's ham ≤ 2 verification bound the axis is non-binding on
+    * edges it emits (max possible = 200) — it is declared so a looser
+    * future miner (or caller-supplied pair frame) cannot silently collapse
+    * high-distance families. */
+  val SafeMeanHamC = 200L
+
+  /** The COHESION-GATED keeper core shared by [[graft.operators
+    * .TextAnalysis.qT39]] (survivors) and [[graft.operators.TextAnalysis
+    * .qT26]] (the drop set): every dup-family member with its collapse
+    * group and the in-group pick order. Components passing the [[qG10]]
+    * cohesion gate (density ≥ [[SafeDensityPm]] AND mean Hamming ≤
+    * [[SafeMeanHamC]]) collapse per COMPONENT exactly as [[graft.operators
+    * .TextAnalysis.qT19]] always did; failing components — the
+    * transitive-closure chains whose endpoints are likely NOT mutual
+    * duplicates (Lee et al. 2022's cluster-diameter caveat, the round-14
+    * q_g10 finding) — are routed through their [[labelProp]] communities,
+    * so keep-one operates per DENSE sub-family and a bridge-welded pair of
+    * cliques keeps TWO survivors (RecallSpec pins that fixture).
+    *
+    * Emits one row per clustered member: (id, component, rank_e6, mode
+    * 'component'|'community', group_id, rn) where rn is the deterministic
+    * pick order within (component, group_id) — max [[pageRank]] centrality,
+    * tiebreak min id, both total orders. rn = 1 is the survivor.
+    *
+    * Scale: every frame is GRAPH-sized — cohesion stats reduce the pairs
+    * lane, the safe-set is component-count-sized and broadcast, LPA is the
+    * [[labelProp]] O(iters×|E|) BSP loop, and the final window partitions
+    * by (component, group_id) over ≤ family-size rows. Zero corpus passes
+    * when served from the [[DupClusters]] artifact. */
+  private[graft] def gatedKeepMembers(s: SparkSession, pairs: DataFrame,
+                                      clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = clusters.select(col("id").as("a_id"), col("component"))
+    val members = clusters.groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+    val safe = pairs.join(comp, "a_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("ham").cast("long")).as("hs"))
+      .join(members, "component")
+      .where(
+        expr("(2 * n_edges * 1000) DIV (n_members * (n_members - 1))")
+          >= SafeDensityPm &&
+        expr("(hs * 100) DIV n_edges") <= SafeMeanHamC)
+      .select(col("component"), lit(1L).as("is_safe"))
+    val lpa = labelProp(pairs.select("a_id", "b_id"), LabelPropIters)
+      .selectExpr("id", "lbl AS community")
+    val gw = Window.partitionBy("component", "group_id")
+    clusters
+      .join(broadcast(safe), Seq("component"), "left")
+      .join(lpa, Seq("id"), "left") // every clustered node has >= 1 edge,
+      // so the left join is total; coalesce guards caller-supplied frames
+      .select(col("id"), col("component"), col("rank_e6"),
+        when(col("is_safe").isNotNull, lit("component"))
+          .otherwise(lit("community")).as("mode"),
+        when(col("is_safe").isNotNull, col("component"))
+          .otherwise(coalesce(col("community"), col("id"))).as("group_id"))
+      .withColumn("rn", row_number().over(
+        gw.orderBy(desc("rank_e6"), col("id"))))
   }
 
   /** The [[qG9]] peel over any canonical (u < v) edge frame — k-truss

@@ -521,10 +521,14 @@ object Relational {
     * chi-square test's cell ratio, kept as an exact rational instead of a
     * float statistic.
     *
-    * Exactness: integer end-to-end; numerator n·N·1000 and denominator
-    * n_lang·n_source stay in BIGINT up to ~10⁹-document corpora — the
-    * [[graft.operators.TextAnalysis.qT33]] declared-bound convention
-    * (beyond that the products need DECIMAL; the plan is unchanged).
+    * Exactness: integer end-to-end. Declared bound (worst case — one
+    * dominant cell with n ≈ N): the numerator n·N·1000 crosses Int64 near
+    * N ≈ 10⁸ documents (√(2⁶³/1000) ≈ 9.6·10⁷), and non-ANSI Spark would
+    * wrap silently — the [[graft.operators.TextAnalysis.qT33]]
+    * declared-bound convention. Beyond ~10⁸ docs widen the numerator to
+    * DECIMAL(38,0) (`CAST(n AS DECIMAL(38,0)) * nn * 1000`); the plan is
+    * unchanged. When no single cell dominates the safe corpus size is
+    * correspondingly larger (the bound is on max(n)·N·1000).
     *
     * Scale: ONE (lang, source)-keyed count with map-side combine — the
     * corpus reduces to a langs×sources frame; both marginals re-aggregate

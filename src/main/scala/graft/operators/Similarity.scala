@@ -832,6 +832,65 @@ object Similarity {
     rrfFuse(v, l)
   }
 
+  /** USER-SUPPLIED-QUERY HYBRID (VERDICT r14 task 3, the [[rrfFuse]]
+    * half): [[qSim15]]/[[qSim17]] run "more-like-this" probes drawn from
+    * the corpus; a RAG consumer arrives with a QUERY — text for the
+    * lexical lane, an encoder vector for the vector lane. This entry
+    * point serves that query from BOTH durable indexes: the vector lane
+    * quantizes `queryVec` with the index's frozen scale, ranks cells with
+    * the registered quantizer, and rescores ONLY the probed cells'
+    * int8 members by exact BIGINT dot ([[IvfIndex.probeInt8]]'s serving
+    * shape, sans self-exclusion — a user query has no self); the lexical
+    * lane is [[LexIndex.bm25ForQuery]]'s posting-pruned exact integer
+    * BM25 ranked by (score desc, doc_id); fusion is [[rrfFuse]] — the
+    * same function the fixture hybrids call, so the contract is identical
+    * by construction. Returns the fused top-10 with both source ranks
+    * under q_id = 0 (one query per call).
+    *
+    * Scale: the query side is ONE row; candidates are cell-pruned (vector)
+    * and posting-bucket-pruned (lexical); every window partitions over
+    * candidate-bounded rows. Zero corpus passes warm. */
+  def hybridForQuery(s: SparkSession, dir: String, queryText: String,
+                     queryVec: Array[Float],
+                     nprobe: Int = IvfProbe): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = IvfIndex.build(s, dir, lloydIters = 0)
+    graft.functions.IvfRankCells.register(s, idx.fn, idx.cellIds, idx.cents)
+    import s.implicits._
+    val probes = Seq((0L, queryVec.toSeq)).toDF("q_id", "embedding")
+      .selectExpr("q_id",
+        IvfIndex.quantizeExpr("embedding", idx.scale) + " AS qq",
+        s"explode(${idx.fn}(embedding, $nprobe)) AS cell")
+    val wv = Window.partitionBy("q_id").orderBy(desc("qdot"), col("n_id"))
+    val v = broadcast(probes).join(idx.qassigned, "cell")
+      .selectExpr("q_id", "vec_id AS n_id",
+        "aggregate(zip_with(qq, qv, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), " +
+          "0L, (a, b) -> a + b) AS qdot")
+      .withColumn("r_v", row_number().over(wv))
+      .where(col("r_v") <= 100).select("q_id", "n_id", "r_v")
+    val wl = Window.partitionBy("q_id").orderBy(desc("bm25_s"), col("doc_id"))
+    val l = LexIndex.bm25ForQuery(s, dir, queryText, topN = 100)
+      .withColumn("q_id", lit(0L))
+      .withColumn("r_l", row_number().over(wl))
+      .select(col("q_id"), col("doc_id").as("n_id"), col("r_l"))
+    rrfFuse(v, l)
+  }
+
+  /** Q-SIM21 — the [[hybridForQuery]] surface pinned by fixtures: query
+    * text = [[graft.operators.TextAnalysis.Bm25FixtureQueries]]' first
+    * entry, query vector = the embeddings row vec_id = 7 (a 1-row bounded
+    * read standing in for the user's encoder output). The doc_id↔vec_id
+    * fixture alignment makes the fused list interpretable: vec 7 itself
+    * ranks first in the vector lane (no self-exclusion — the user-query
+    * contract), and the oracle replays both lanes and the fusion
+    * integer-exactly. */
+  def qSim21(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir).where(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    hybridForQuery(s, dir,
+      graft.operators.TextAnalysis.Bm25FixtureQueries.head._2, qv)
+  }
+
   /** Q-SIM19 — IVF CELL-BALANCE AUDIT: the index-health number that
     * decides WHEN the frozen-quantizer appends ([[IvfIndex.append]] /
     * [[IvfIndex.appendFor]] — both deliberately never retrain) have

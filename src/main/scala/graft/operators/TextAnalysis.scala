@@ -615,6 +615,41 @@ object TextAnalysis {
       .orderBy("component")
   }
 
+  /** Q-T39 — COHESION-GATED keep-canonical, [[qT19]] made SAFE: the
+    * round-14 q_g10 audit ([[Dedup.qG10]]) proved keep-one-per-component
+    * is the wrong curation answer exactly where dedup matters most — a
+    * 3226-member component at edge density 3 per-mille is a transitive
+    * chain of pairwise near-dups whose endpoints are likely NOT mutual
+    * duplicates, and collapsing it destroys ~3225 non-duplicate documents.
+    * This query wires the audit INTO the action: components passing the
+    * declared cohesion gate (density ≥ [[Dedup.SafeDensityPm]] pm AND mean
+    * verified Hamming ≤ [[Dedup.SafeMeanHamC]] centi) collapse per
+    * component as before; failing components collapse per
+    * label-propagation community ([[Dedup.qG6]]'s recurrence over the
+    * SAME graph), so a bridge-welded pair of cliques keeps TWO survivors
+    * (RecallSpec pins that fixture) and the chain keeps one per dense
+    * sub-family. One row per surviving group: mode says which path
+    * ('component' = gate passed, 'community' = chain routed). The
+    * reference tie-in is its "safe deduplication" promise (README.md:3)
+    * at curation scale; [[qT26]] prices the drop set with the SAME keeper.
+    *
+    * Scale: the [[Dedup.gatedKeepMembers]] core — cohesion stats reduce
+    * the artifact's graph-sized pairs lane, the safe-set broadcast is
+    * component-count-sized, LPA is the O(iters×|E|) BSP loop, and the
+    * survivor window partitions per (component, group). Zero corpus
+    * passes warm. */
+  def qT39(s: SparkSession, dir: String): DataFrame = {
+    val idx = DupClusters.build(s, dir)
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy("component", "group_id")
+    Dedup.gatedKeepMembers(s, idx.pairs, idx.clusters)
+      .withColumn("gsize", count(lit(1)).over(gw))
+      .where(col("rn") === 1)
+      .select(col("component"), col("mode"), col("group_id"),
+        col("id").as("survivor_id"), col("gsize"), col("rank_e6"))
+      .orderBy("component", "group_id")
+  }
+
   /** Q-T20 — unigram language-model quality score, the CCNet-style
     * perplexity filter (Wenzek et al. 2020) with a SELF-TRAINED model: a
     * document built from corpus-frequent tokens scores high ("natural"
@@ -676,6 +711,41 @@ object TextAnalysis {
     * the two bit-equal. */
   def qT21(s: SparkSession, dir: String): DataFrame =
     LexIndex.bm25TopDocs(s, dir)
+
+  /** Fixture query strings for [[qT41]] — stand-ins for user-supplied RAG
+    * queries (deterministic so the oracle can replay; one carries an
+    * OUT-OF-VOCABULARY token to pin the skip path: OOV terms match no
+    * postings and silently contribute nothing, the [[LexIndex
+    * .bm25ForQuery]] contract). */
+  val Bm25FixtureQueries: Seq[(Long, String)] = Seq(
+    (1L, "fast vector join"),
+    (2L, "slow merge scan query"),
+    (3L, "spark zzzunseen stream"))
+
+  /** Q-T41 — BM25 with USER-SUPPLIED QUERY TEXT (VERDICT r14 task 3):
+    * [[qT21]]'s serving machinery behind the entry point a RAG consumer
+    * actually calls — query string in, tokenize with the index's own
+    * tokenizer, prune to the query terms' posting buckets, same exact
+    * integer BM25 out. Three fixture queries (one with an OOV token)
+    * exercise multi-term scoring, df spread, and the skip path; per-query
+    * ranks re-derive from (bm25_s desc, doc_id) — the same total order the
+    * per-query top-20 was cut by, so the window only re-labels.
+    *
+    * Scale: per query, [[LexIndex.bm25ForQuery]]'s shape — a ≤|terms|-row
+    * vocabulary lookup, posting-bucket-pruned scan, TakeOrdered top-20;
+    * the union is query-count-sized and the rank window partitions per
+    * query over ≤20 rows. Zero corpus passes warm. */
+  def qT41(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(desc("bm25_s"), col("doc_id"))
+    Bm25FixtureQueries.map { case (qid, q) =>
+      LexIndex.bm25ForQuery(s, dir, q)
+        .select(lit(qid).as("query_id"), col("doc_id"),
+          col("n_hit"), col("bm25_s"))
+    }.reduce(_.unionByName(_))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("query_id", "rank")
+  }
 
   /** The index-free [[qT21]] formulation (one tokenize-explode corpus
     * pass per run) — retained as the equality oracle for the served form. */
@@ -871,7 +941,15 @@ object TextAnalysis {
     * reweight on EFFECTIVE tokens — this is the query that prices that
     * correction, per language.
     *
-    * Scale: the drop set (non-canonical members of simhash components) is
+    * Round 15: the drop set is the COHESION-GATED keeper's
+    * ([[Dedup.gatedKeepMembers]], [[qT39]]'s core) — non-survivors per
+    * gate-passing component or, for chain components failing the q_g10
+    * gate, per LPA community. The mix this query prices is therefore the
+    * mix the SAFE dedup actually ships, not the one a cohesion-blind
+    * collapse would (which on this corpus would mis-drop ~3225 chain
+    * members and skew every per-language retention number below).
+    *
+    * Scale: the drop set (non-survivor members of simhash components) is
     * GRAPH-sized, never corpus-sized, so the doc-side exclusion is a
     * broadcast anti-join and the corpus streams once through tokenize +
     * per-language reduce (the qT22 plan plus one broadcast). The component
@@ -880,10 +958,8 @@ object TextAnalysis {
     * itself requires; the graph is never re-mined. */
   def qT26(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val cw = org.apache.spark.sql.expressions.Window.partitionBy("component")
-      .orderBy(desc("rank_e6"), col("id"))
-    val dropped = DupClusters.build(s, dir).clusters
-      .withColumn("rn", row_number().over(cw))
+    val idx = DupClusters.build(s, dir)
+    val dropped = Dedup.gatedKeepMembers(s, idx.pairs, idx.clusters)
       .where(col("rn") > 1)
       .select(col("id").as("drop_id"))
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
@@ -1319,9 +1395,13 @@ object TextAnalysis {
     * Scale: pure COMPOSITION — each leg keeps its own audited plan (eval
     * sides broadcast, training streams map-only / served lanes); the
     * report joins three <= |eval|-row frames, all broadcast. The base is
-    * the semantic leg (every eval doc with an embedding appears); legs
-    * that drop a doc (too short for grams, no band collision) coalesce to
-    * their clean value, which is exactly what absence means there. At
+    * the EVAL DOCUMENT SET itself (doc_id < 20 from the documents table,
+    * ADVICE r14) — an eval doc missing an embeddings row still appears,
+    * with its exact/fuzzy legs live and sem_sim coalesced to 0.0, instead
+    * of silently vanishing from the report on the strength of the
+    * dataset's doc↔embedding 1:1 invariant; legs that drop a doc (too
+    * short for grams, no band collision, no embedding) coalesce to their
+    * clean value, which is exactly what absence means there. At
     * 100 TB the semantic leg swaps to the IVF-served [[qT36]] (same
     * output contract; flag agreement vs the exact lane measured in
     * RecallSpec) — a one-line substitution, kept exact here because the
@@ -1333,15 +1413,20 @@ object TextAnalysis {
       .groupBy(col("e_id").as("q_id"))
       .agg(count(lit(1)).as("n_fuzzy"), max("jac_e4").as("max_jac_e4"))
       .withColumn("fuzzy", (col("max_jac_e4") >= 2000).cast("long"))
-    qT35(s, dir).selectExpr("q_id", "sim AS sem_sim", "contaminated AS semantic")
+    val sem = qT35(s, dir)
+      .selectExpr("q_id", "sim AS sem_sim", "contaminated AS semantic")
+    Tables.documents(s, dir).where(col("doc_id") < 20)
+      .select(col("doc_id").as("q_id"))
       .join(broadcast(exact), Seq("q_id"), "left")
       .join(broadcast(fuzzy), Seq("q_id"), "left")
+      .join(broadcast(sem), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("exact_pm"), lit(0L)).as("exact_pm"),
         coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
         coalesce(col("max_jac_e4"), lit(0L)).as("max_jac_e4"),
         coalesce(col("fuzzy"), lit(0L)).as("fuzzy"),
-        col("sem_sim"), col("semantic"))
+        coalesce(col("sem_sim"), lit(0.0)).as("sem_sim"),
+        coalesce(col("semantic"), lit(0L)).as("semantic"))
       .withColumn("clean",
         when(col("exact_pm") === 0 && col("fuzzy") === 0 &&
           col("semantic") === 0, 1L).otherwise(0L))
@@ -1362,7 +1447,11 @@ object TextAnalysis {
     *
     * Exactness: pure integer counts and per-mille integer DIV; a doc too
     * short for 3-grams reports occ3 = 0 / dup3_pm = 0 via the zero guard
-    * (never a divide-by-zero on either engine).
+    * (never a divide-by-zero on either engine). Round 15 (ADVICE r14):
+    * the result is TOTAL over the corpus — docs with fewer than 2 tokens
+    * (both gram lanes empty) anchor on the documents frame and emit
+    * occ2 = occ3 = 0 / keep = 1, so a consumer joining on the keep gate
+    * sees every document instead of silently losing the too-short ones.
     *
     * Scale: per n, ONE explode-shuffle into (doc, gram)-keyed counts with
     * map-side combine (the [[qT12]]/[[graft.operators.Dedup.qD17]]
@@ -1393,8 +1482,9 @@ object TextAnalysis {
         sum("c").as(occ),
         sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(dup))
     }
-    mass(2, "occ2", "dup2")
-      .join(mass(3, "occ3", "dup3"), Seq("doc_id"), "full")
+    docs.select(col("doc_id"))
+      .join(mass(2, "occ2", "dup2"), Seq("doc_id"), "left")
+      .join(mass(3, "occ3", "dup3"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("occ2"), lit(0L)).as("occ2"),
         coalesce(col("occ3"), lit(0L)).as("occ3"),

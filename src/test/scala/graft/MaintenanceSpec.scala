@@ -531,6 +531,19 @@ class MaintenanceSpec extends AnyFunSuite {
     val idx = graft.operators.DupClusters.build(spark, dir)
     assert(r.getLong(2) == idx.pairs.count() &&
       r.getLong(3) == idx.clusters.count(), s"$r")
+    // cohesion rollup (VERDICT r14 task 6): pinned EQUAL to q_g10 + the
+    // SafeDensityPm/SafeMeanHamC gate the keeper (q_t39) collapses under
+    val g = graft.operators.Dedup.qG10(spark, dir).collect()
+    val unsafe = g.filter(x =>
+      x.getAs[Long]("density_pm") < graft.operators.Dedup.SafeDensityPm ||
+        x.getAs[Long]("mean_ham_c") > graft.operators.Dedup.SafeMeanHamC)
+    assert(r.getAs[Long]("n_components") == g.length.toLong, s"$r")
+    assert(r.getAs[Long]("min_density_pm") ==
+      (if (g.isEmpty) 0L else g.map(_.getAs[Long]("density_pm")).min), s"$r")
+    assert(r.getAs[Long]("n_unsafe_components") == unsafe.length.toLong, s"$r")
+    assert(r.getAs[Long]("max_unsafe_members") ==
+      (if (unsafe.isEmpty) 0L
+       else unsafe.map(_.getAs[Long]("n_members")).max), s"$r")
   }
 
   test("expire_indexes: ivf kind — live IVF index survives a sweep and still probes from a fresh session") {

@@ -165,6 +165,21 @@ class PlanGateSpec extends AnyFunSuite {
         "tf frame joined to the term-sized df side: each partition is one " +
         "document's vocabulary; the join-side crossJoin is the one-row " +
         "n_docs broadcast"),
+    "q_mm19_img_ivf" -> (probeRank +
+      "; 10 image probes against the cell-partitioned MmIvf feature " +
+      "index — candidates <= the probed cells' members"),
+    "q_sim21_hybrid_query" -> (probeRank +
+      "; ONE user-query row against the cached int8 cell assignment"),
+    "q_t39_safe_keep" ->
+      ("the cohesion-gated keeper window: partitions are per dup-family " +
+        "collapse group over the GRAPH-sized clusters artifact joined to " +
+        "the component-count-sized safe-set broadcast and the graph-sized " +
+        "LPA label frame — every frame is dup-graph-sized, never corpus-" +
+        "sized, and the biggest partition is one family"),
+    "q_t26_dedup_mix" ->
+      ("the same gated-keeper window as q_t39 (shared " +
+        "Dedup.gatedKeepMembers core) feeding the drop-set anti-join; " +
+        "graph-sized by the same construction"),
   )
 
   private val calendarBounded =
@@ -182,6 +197,9 @@ class PlanGateSpec extends AnyFunSuite {
     "q_t18_cluster_split" ->
       ("unpartitioned total over the per-SPLIT base frame: exactly " +
         "|splits| = 3 rows by construction (train/val/test)"),
+    "q_sim21_hybrid_query" -> (candidateBounded +
+      " — the lexical lane ranks the bm25ForQuery top-100 (TakeOrdered " +
+      "upstream) under the constant q_id = 0 of a single user query"),
   )
 
   private val mergePayload =

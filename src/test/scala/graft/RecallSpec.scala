@@ -520,4 +520,39 @@ class RecallSpec extends AnyFunSuite {
       Similarity.IvfIndex.evictSession(spark)
     }
   }
+
+  test("cohesion-gated keeper: bridge-welded cliques keep TWO survivors, " +
+    "dense cliques still collapse to one (VERDICT r14 task 1)") {
+    import spark.implicits._
+    // two 4-cliques welded by ONE bridge edge — the transitive-closure
+    // artifact q_g10 exists to flag: density (2*13*1000)/(8*7) = 464 pm
+    // fails the SafeDensityPm=500 gate, so the keeper must route per LPA
+    // community and keep a survivor in EACH clique. A separate ham-0
+    // 3-clique (density 1000) passes the gate and collapses per component.
+    def clique(ids: Seq[Long]): Seq[(Long, Long, Int)] =
+      for { a <- ids; b <- ids if a < b } yield (a, b, 0)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L, 2)) ++ clique(Seq(10L, 11L, 12L))
+    val pairsDf = edges.toDF("a_id", "b_id", "ham")
+    val clustersDf = ((1L to 8L).map(id => (id, 1L, 1000000L)) ++
+      (10L to 12L).map(id => (id, 10L, 1000000L))).toDF("id", "component", "rank_e6")
+    val mem = Dedup.gatedKeepMembers(spark, pairsDf, clustersDf)
+    val survivors = mem.where(col("rn") === 1)
+      .select("component", "mode", "group_id", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // welded component: chain-routed, one survivor per clique (LPA floods
+    // min-id labels within cliques but not across the bridge), pick =
+    // equal ranks -> min id per group
+    assert(survivors.count(_._1 == 1L) == 2,
+      s"bridge-welded component must keep 2 survivors: $survivors")
+    assert(survivors.filter(_._1 == 1L).forall(_._2 == "community"))
+    assert(survivors.filter(_._1 == 1L).map(_._4) == Set(1L, 5L),
+      s"one survivor per clique expected: $survivors")
+    // dense clique: gate passes, classic keep-one-per-component
+    assert(survivors.filter(_._1 == 10L) == Set((10L, "component", 10L, 10L)),
+      s"dense clique must collapse to one: $survivors")
+    // non-survivors cover everything else exactly once
+    assert(mem.count() == 11L && mem.where(col("rn") > 1).count() == 8L)
+  }
 }

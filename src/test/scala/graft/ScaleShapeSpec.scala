@@ -234,4 +234,81 @@ class ScaleShapeSpec extends AnyFunSuite {
       LexIndex.evictSession(spark)
     }
   }
+
+  test("candidate generators hold their declared bounds over two decades " +
+    "(sf0.001 -> sf0.1): q_d16 / q_d14 / q_d10 / q_j6 (VERDICT r14 task 5)") {
+    // These four carried the worst 10x slopes in SCALING_SLOPE.json
+    // (3.0-3.4x at 10x data) — all documented as candidate-frame growth.
+    // This pins the documentation at the NEXT decade, per query's own
+    // declared bound. (The testdata decades are uneven: documents grow
+    // 10x over sf0.001 -> sf0.1, lineitem/events 100x.)
+    val small = "/root/testdata/sf0.001"
+    val large = "/root/testdata/sf0.1"
+    def docsOf(d: String) = graft.core.Tables.documents(spark, d)
+    // q_d16's candidate frame: the per-doc-distinct 8-gram stream (the
+    // explode feeding the df count) — linear in token mass by construction
+    def d16Cands(d: String): Long = docsOf(d)
+      .select(split(lower(col("text")), " ").as("w"))
+      .select(explode(when(size(col("w")) >= 8,
+          expr("array_distinct(transform(sequence(1, size(w) - 7), " +
+            "i -> array_join(slice(w, i, 8), ' ')))"))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+      .count()
+    // q_d10/q_d14's candidate frame: within-block pairs on the 12-char
+    // prefix key, supersized blocks (> MaxBlockSide) SKIPPED — so the
+    // declared bound is docs x cap / 2, linear in corpus whatever the
+    // prefix distribution. Raw (uncapped) pairs measured alongside: on
+    // this corpus they grow ~60x at 10x docs (occupancy-driven, the
+    // round-14 slope warning) — exactly why the cap exists.
+    def blockSizes(d: String) = docsOf(d)
+      .selectExpr("substring(trim(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '')), 1, 12) AS blk")
+      .where(length(col("blk")) > 0)
+      .groupBy("blk").agg(count(lit(1)).as("n"))
+    def cappedPairs(d: String): Long = blockSizes(d)
+      .where(col("n") <= graft.operators.Dedup.MaxBlockSide)
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L))).head().getLong(0)
+    // q_j6's joined row count IS its output scalar (unique composite key
+    // -> one match per row): read it from the query itself
+    def j6Rows(d: String): Long =
+      graft.operators.Joins.qJ6(spark, d).head().getLong(0)
+    val docsS = docsOf(small).count(); val docsL = docsOf(large).count()
+    val docRatio = docsL.toDouble / docsS
+    val liRatio = graft.core.Tables.lineitem(spark, large).count().toDouble /
+      graft.core.Tables.lineitem(spark, small).count()
+    val margin = 1.5
+    val d16r = d16Cands(large).toDouble / math.max(d16Cands(small), 1L)
+    val bpS = cappedPairs(small); val bpL = cappedPairs(large)
+    val j6r = j6Rows(large).toDouble / math.max(j6Rows(small), 1L)
+    info(f"ratios: docs $docRatio%.1f, lineitem $liRatio%.1f; d16 grams " +
+      f"$d16r%.1f; capped block pairs $bpS -> $bpL; j6 rows $j6r%.1f")
+    assert(d16r <= margin * docRatio,
+      f"q_d16 candidate stream super-linear: $d16r%.1f at $docRatio%.1fx")
+    // the declared LINEAR bound: capped pairs <= docs x cap / 2, both SFs
+    assert(bpS <= docsS * graft.operators.Dedup.MaxBlockSide / 2 &&
+      bpL <= docsL * graft.operators.Dedup.MaxBlockSide / 2,
+      s"q_d10/q_d14 capped pairs exceed docs x cap / 2: $bpS / $bpL")
+    assert(j6r <= margin * liRatio,
+      f"q_j6 join rows super-linear: $j6r%.1f at $liRatio%.1fx")
+    // and the cap itself WORKS: a synthetic corpus with one supersized
+    // block (shared 12-char prefix) yields zero candidates from it, while
+    // a small block still pairs — the skip is the linearity mechanism
+    val root = Files.createTempDirectory(Paths.get("target"), "blockcap")
+      .toString
+    spark.range(graft.operators.Dedup.MaxBlockSide + 40)
+      .selectExpr("id AS doc_id",
+        // oversized-block docs are IDENTICAL (containment 10000) — if the
+        // cap ever stopped skipping them, ~C(1001,2) verified pairs would
+        // appear and the forall below would fail loudly
+        s"CASE WHEN id < ${graft.operators.Dedup.MaxBlockSide + 1} " +
+          "THEN 'aaaabbbbcccc identical oversized block body' " +
+          "ELSE concat('ddddeeeeffff small block ', id % 2) END AS text",
+        "'en' AS lang", "'web' AS source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/documents.parquet")
+    val pairs = graft.operators.Dedup.qD14(spark, root).collect()
+    assert(pairs.nonEmpty, "small block must still produce verified pairs")
+    assert(pairs.forall(r => r.getLong(0) > graft.operators.Dedup.MaxBlockSide),
+      s"oversized block must be skipped entirely: ${pairs.take(3).toSeq}")
+  }
 }
