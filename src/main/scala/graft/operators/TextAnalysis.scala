@@ -595,6 +595,14 @@ object TextAnalysis {
     * recurrence over the SAME graph), tiebreak min doc_id, both total
     * orders, so the pick is deterministic across engines and re-runs.
     *
+    * COLLAPSE-BLIND by declaration (round 15): this is the classic
+    * keep-one-per-component form, kept as the family's baseline — it
+    * trusts every component to be a real dup family, which the q_g10
+    * cohesion audit shows is false for transitive chains. The SAFE form
+    * a production dedup should consume is [[qT39]] (cohesion-gated,
+    * chain components collapsed per LPA community); [[qT26]] already
+    * prices its drop set.
+    *
     * Scale: every frame here (components, ranks, survivors) is
     * candidate-graph-sized, and ALL of it now comes from the durable
     * [[DupClusters]] artifact — `clusters/` already carries (id, component,

@@ -78,6 +78,43 @@ class LexIndexSpec extends AnyFunSuite {
         s"read $filesRead of $allPostingFiles")
   }
 
+  test("user-query BM25 (bm25ForQuery): bucket-pruned reads, tokenizer " +
+    "parity, OOV skip, all-OOV empty (VERDICT r14 task 3)") {
+    // correctness vs a direct per-term computation through the SAME index
+    // frames: a 2-term query must score exactly the docs carrying those
+    // terms; an appended OOV term must change nothing; an all-OOV query
+    // returns the typed empty frame
+    val q2 = LexIndex.bm25ForQuery(spark, sf, "fast vector")
+    val q2oov = LexIndex.bm25ForQuery(spark, sf, "fast zzznothere vector")
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rset(q2).nonEmpty)
+    assert(rset(q2) == rset(q2oov),
+      "an out-of-vocabulary term must contribute nothing")
+    // the index tokenizer lowers: mixed-case query matches the same terms
+    assert(rset(LexIndex.bm25ForQuery(spark, sf, "FAST Vector")) == rset(q2),
+      "query tokenization must mirror the index's lower()")
+    val empty = LexIndex.bm25ForQuery(spark, sf, "zzznothere qqqnope")
+    assert(empty.columns.toSeq == Seq("doc_id", "n_hit", "bm25_s")
+      && empty.count() == 0L, "all-OOV query: typed empty frame")
+    // serving shape: warm run reads ONLY index files, postings pruned to
+    // the query terms' buckets (the qT21 discipline)
+    val warm = LexIndex.bm25ForQuery(spark, sf, "fast vector join")
+    warm.collect()
+    val files = warm.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("lex-index")),
+      s"warm bm25ForQuery must read only index files: ${files.take(3)}")
+    val post = allScans(warm.queryExecution.executedPlan)
+      .filter(_.relation.location.inputFiles.exists(_.contains("postings")))
+    assert(post.nonEmpty, "no postings scan found in the executed plan")
+    val filesRead = post.map(_.metrics("numFiles").value).sum
+    val allPostingFiles =
+      post.head.relation.location.inputFiles.count(_.contains("postings"))
+    assert(filesRead > 0 && filesRead <= 3 && filesRead < allPostingFiles,
+      s"3 query terms must prune the postings read to <= 3 bucket files, " +
+        s"read $filesRead of $allPostingFiles")
+  }
+
   test("warm Jaccard lane runs zero corpus passes") {
     LexIndex.jaccardTopDocs(spark, sf).collect()
     val q = LexIndex.jaccardTopDocs(spark, sf)
