@@ -69,7 +69,12 @@ object BenchSlope {
       "q_t21_bm25"           -> lex,
       "q_t36_decontam_served" -> ivf,
       "q_sim15_hybrid_rrf"   -> lex,
-      "q_sim17_hybrid_served" -> (ivf ++ lex))
+      "q_sim17_hybrid_served" -> (ivf ++ lex),
+      "q_t39_safe_keep"      -> dup,
+      "q_t41_bm25_query"     -> lex,
+      "q_sim21_hybrid_query" -> (ivf ++ lex),
+      "q_mm19_img_ivf"       -> Seq("graft.mmivf.root"),
+      "q_mm20_modal_consistency" -> Seq("graft.mmivf.root", "graft.dupindex.root"))
   }
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3
@@ -82,6 +87,7 @@ object BenchSlope {
     graft.operators.DupClusters.evictSession(s)
     graft.operators.LexIndex.evictSession(s)
     graft.operators.Similarity.IvfIndex.evictSession(s)
+    graft.operators.MmIvf.evictSession(s)
   }
 
   def main(args: Array[String]): Unit = {

@@ -230,6 +230,7 @@ object SparkEntry {
     "q_mm17_vad"            -> (Multimodal.qMm17 _),
     "q_mm18_sharpness"      -> (Multimodal.qMm18 _),
     "q_mm19_img_ivf"        -> (MmIvf.qMm19 _),
+    "q_mm20_modal_consistency" -> (MmIvf.qMm20 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2180,33 +2181,8 @@ object SparkEntry {
       // form; seeds = assets < 8; cells/probes ranked by cosine over
       // EXACT integer-valued doubles (order-free — every accumulator is
       // an integer < 2^53); serving distance = integer squared-L2
-      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
-        "px AS (SELECT doc_id, x.i AS x, y.i AS y, (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS g " +
-        "FROM d, (SELECT unnest(generate_series(0, 7)) AS i) x, " +
-        "(SELECT unnest(generate_series(0, 7)) AS i) y), " +
-        "hb AS (SELECT doc_id, g // 16 AS b, count(1) AS c FROM px GROUP BY 1, 2), " +
-        "bins AS (SELECT db.doc_id, db.b, coalesce(hb.c, 0) AS c FROM " +
-        "(SELECT d.doc_id, b.i AS b FROM d, " +
-        "(SELECT unnest(generate_series(0, 15)) AS i) b) db " +
-        "LEFT JOIN hb ON hb.doc_id = db.doc_id AND hb.b = db.b), " +
-        "hv AS (SELECT doc_id, list(c ORDER BY b) AS h FROM bins GROUP BY doc_id), " +
-        "tl AS (SELECT doc_id, " +
-        "3 * sum(CASE WHEN x < 4 AND y < 4 THEN g ELSE 0 END) AS t00, " +
-        "3 * sum(CASE WHEN x >= 4 AND y < 4 THEN g ELSE 0 END) AS t01, " +
-        "3 * sum(CASE WHEN x < 4 AND y >= 4 THEN g ELSE 0 END) AS t10, " +
-        "3 * sum(CASE WHEN x >= 4 AND y >= 4 THEN g ELSE 0 END) AS t11 FROM px GROUP BY doc_id), " +
-        "fv AS (SELECT hv.doc_id, list_concat(h, [t00, t01, t10, t11]) AS f " +
-        "FROM hv JOIN tl USING (doc_id)), " +
-        "sd AS (SELECT doc_id AS cid, f AS cf FROM fv WHERE doc_id < 8), " +
-        "pp AS (SELECT fv.doc_id AS id, sd.cid, fv.f AS fa, sd.cf AS fb FROM fv, sd), " +
-        "uu AS (SELECT id, cid, unnest(generate_series(1, 20)) AS i, fa, fb FROM pp), " +
-        "ss AS (SELECT id, cid, sum(fa[i]::DOUBLE * fb[i]::DOUBLE) AS dot, " +
-        "sum(fa[i]::DOUBLE * fa[i]::DOUBLE) AS na, " +
-        "sum(fb[i]::DOUBLE * fb[i]::DOUBLE) AS nb FROM uu GROUP BY 1, 2), " +
-        "rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id " +
-        "ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, cid) AS rn FROM ss), " +
-        "asg AS (SELECT id, cid AS cell FROM rk WHERE rn = 1), " +
-        "probe AS (SELECT id AS q_id, cid AS cell FROM rk WHERE id < 10 AND rn <= 2), " +
+      "WITH " + mmFeatureSql +
+        ", probe AS (SELECT id AS q_id, cid AS cell FROM rk WHERE id < 10 AND rn <= 2), " +
         "cand AS (SELECT p.q_id, a.id AS n_id FROM probe p " +
         "JOIN asg a ON a.cell = p.cell AND a.id <> p.q_id), " +
         "dp AS (SELECT c.q_id, c.n_id, x.f AS fa, y.f AS fb FROM cand c " +
@@ -2218,6 +2194,29 @@ object SparkEntry {
         "(PARTITION BY q_id ORDER BY d2, n_id) AS rnk FROM d2t) " +
         "SELECT q_id, n_id, d2, CAST(rnk AS BIGINT) AS rnk FROM fin " +
         "WHERE rnk <= 5 ORDER BY q_id, rnk"),
+    "q_mm20_modal_consistency" -> (
+      // cross-artifact audit: image near-dup pairs (within-cell, integer
+      // squared-L2 <= ImgDupD2) flagged with whether the two DOCUMENTS
+      // share a simhash dup component — both artifact chains replayed
+      simhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+        "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+        "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+        "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+        mmFeatureSql +
+        ", pr AS (SELECT a.id AS a_id, b.id AS b_id FROM asg a " +
+        "JOIN asg b ON a.cell = b.cell AND a.id < b.id), " +
+        "dp AS (SELECT pr.a_id, pr.b_id, x.f AS fa, y.f AS fb FROM pr " +
+        "JOIN fv x ON x.doc_id = pr.a_id JOIN fv y ON y.doc_id = pr.b_id), " +
+        "du AS (SELECT a_id, b_id, unnest(generate_series(1, 20)) AS i, fa, fb FROM dp), " +
+        "d2t AS (SELECT a_id, b_id, CAST(sum((fa[i] - fb[i]) * (fa[i] - fb[i])) AS BIGINT) AS d2 " +
+        "FROM du GROUP BY 1, 2), " +
+        s"flt AS (SELECT a_id, b_id, d2 FROM d2t WHERE d2 <= ${graft.operators.MmIvf.ImgDupD2}) " +
+        "SELECT f.a_id, f.b_id, f.d2, " +
+        "CAST(CASE WHEN coalesce(cx.component, f.a_id) = coalesce(cy.component, f.b_id) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS same_text_family " +
+        "FROM flt f LEFT JOIN comp cx ON cx.id = f.a_id " +
+        "LEFT JOIN comp cy ON cy.id = f.b_id ORDER BY f.a_id, f.b_id"),
     "q_mm13_jpeg_decode" -> (
       // real JPEG encode+decode on the Spark side; JPEG is LOSSY, so the
       // oracle checks the recovered decision LEVEL (constant-gray canvases
@@ -2501,6 +2500,40 @@ object SparkEntry {
         s"(SELECT count(1) FROM f$i) AS n_edges"
     }.mkString(" UNION ALL ") +
     " ORDER BY iter"
+
+  /** The MmIvf image-feature CTE chain shared by q_mm19 / q_mm20 (CTE
+    * bodies only — the consumer supplies `WITH `): closed-form canvas
+    * pixels → 16-bin first-channel histogram ++ 4 channel-summed quadrant
+    * tile sums (the 20-dim integer feature) → seed centroids (assets < 8)
+    * → cosine cell ranking over exactly-represented integer doubles. Ends
+    * with `fv` (doc_id, f), `rk` (ranked cells), `asg` (cell assignment). */
+  private def mmFeatureSql: String =
+    "d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+      "px AS (SELECT doc_id, x.i AS x, y.i AS y, (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS g " +
+      "FROM d, (SELECT unnest(generate_series(0, 7)) AS i) x, " +
+      "(SELECT unnest(generate_series(0, 7)) AS i) y), " +
+      "hb AS (SELECT doc_id, g // 16 AS b, count(1) AS c FROM px GROUP BY 1, 2), " +
+      "bins AS (SELECT db.doc_id, db.b, coalesce(hb.c, 0) AS c FROM " +
+      "(SELECT d.doc_id, b.i AS b FROM d, " +
+      "(SELECT unnest(generate_series(0, 15)) AS i) b) db " +
+      "LEFT JOIN hb ON hb.doc_id = db.doc_id AND hb.b = db.b), " +
+      "hv AS (SELECT doc_id, list(c ORDER BY b) AS h FROM bins GROUP BY doc_id), " +
+      "tl AS (SELECT doc_id, " +
+      "3 * sum(CASE WHEN x < 4 AND y < 4 THEN g ELSE 0 END) AS t00, " +
+      "3 * sum(CASE WHEN x >= 4 AND y < 4 THEN g ELSE 0 END) AS t01, " +
+      "3 * sum(CASE WHEN x < 4 AND y >= 4 THEN g ELSE 0 END) AS t10, " +
+      "3 * sum(CASE WHEN x >= 4 AND y >= 4 THEN g ELSE 0 END) AS t11 FROM px GROUP BY doc_id), " +
+      "fv AS (SELECT hv.doc_id, list_concat(h, [t00, t01, t10, t11]) AS f " +
+      "FROM hv JOIN tl USING (doc_id)), " +
+      "sd AS (SELECT doc_id AS cid, f AS cf FROM fv WHERE doc_id < 8), " +
+      "pp AS (SELECT fv.doc_id AS id, sd.cid, fv.f AS fa, sd.cf AS fb FROM fv, sd), " +
+      "uu AS (SELECT id, cid, unnest(generate_series(1, 20)) AS i, fa, fb FROM pp), " +
+      "ss AS (SELECT id, cid, sum(fa[i]::DOUBLE * fb[i]::DOUBLE) AS dot, " +
+      "sum(fa[i]::DOUBLE * fa[i]::DOUBLE) AS na, " +
+      "sum(fb[i]::DOUBLE * fb[i]::DOUBLE) AS nb FROM uu GROUP BY 1, 2), " +
+      "rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id " +
+      "ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, cid) AS rn FROM ss), " +
+      "asg AS (SELECT id, cid AS cell FROM rk WHERE rn = 1)"
 
   /** The cohesion-gated keeper chain shared by q_t39 / q_t26 — replays
     * [[graft.operators.Dedup.gatedKeepMembers]] exactly: the q_g4 integer

@@ -37,8 +37,8 @@ private[core] object GraftProcedures {
     Array("compact", "vacuum", "stats", "verify", "rebucket",
       "snapshot", "snapshots", "restore", "drop_snapshot",
       "expire_snapshots", "expire_indexes", "diff", "distinct",
-      "dupclusters", "lexindex", "ivfindex", "vacuum_gate", "gate_stats",
-      "drift")
+      "dupclusters", "lexindex", "ivfindex", "mmivf", "vacuum_gate",
+      "gate_stats", "drift")
 
   def apply(name: String, account: FileAccount): UnboundProcedure = name match {
     case "compact"  => new CompactProcedure(account)
@@ -50,6 +50,7 @@ private[core] object GraftProcedures {
     case "dupclusters" => new DupClustersProcedure(account)
     case "lexindex"    => new LexIndexProcedure
     case "ivfindex"    => new IvfIndexProcedure
+    case "mmivf"       => new MmIvfProcedure
     case "snapshot"      => new SnapshotProcedure(account)
     case "snapshots"     => new ListSnapshotsProcedure(account)
     case "restore"       => new RestoreProcedure(account)
@@ -434,6 +435,53 @@ private[core] final class IvfIndexProcedure
   }
 }
 
+/** `CALL graft.system.mmivf(dir)` — build (or warm-load) the durable
+  * MULTIMODAL feature IVF index ([[graft.operators.MmIvf]]: 20-dim
+  * integer image features computed in the decode kernel) and report its
+  * shape + occupancy health, completing the artifact-doorway quartet
+  * with `dupclusters` / `lexindex` / `ivfindex`. A warm call reads the
+  * centroid sidecar plus index-sized counts — never a decode pass. */
+private[core] final class MmIvfProcedure
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = "mmivf"
+  override def description(): String =
+    "build or warm-load the durable multimodal feature IVF index for a corpus dir"
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("dir", StringType).build())
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = input.getUTF8String(0).toString
+    val idx = graft.operators.MmIvf.build(SparkSession.active, dir)
+    // occupancy verdict, the ivfindex shape: hot cells degrade probe cost,
+    // empty cells waste nprobe budget — both are retrain/re-seed evidence
+    val counts = idx.feats.groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    val total = counts.sum
+    val maxSharePm =
+      if (counts.isEmpty || total == 0L) 0L else counts.max * 1000L / total
+    val nHot = counts.count(c => c * idx.cellIds.length > 2L * total).toLong
+    val nEmpty = (idx.cellIds.length - counts.length).toLong
+    val schema = StructType(Seq(
+      StructField("index_path", StringType, nullable = false),
+      StructField("n_cells", LongType, nullable = false),
+      StructField("n_assets", LongType, nullable = false),
+      StructField("max_share_pm", LongType, nullable = false),
+      StructField("n_hot_cells", LongType, nullable = false),
+      StructField("n_empty_cells", LongType, nullable = false)))
+    val row = new GenericInternalRow(Array[Any](
+      GraftProcedures.utf8(idx.path), idx.cellIds.length.toLong, total,
+      maxSharePm, nHot, nEmpty))
+    java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
+      .iterator()
+  }
+}
+
 /** `CALL graft.system.snapshot(db, container, tag)` — publish a named
   * snapshot of the container's current state
   * ([[FileAccount.snapshotContainer]]); readable afterwards via
@@ -669,7 +717,7 @@ private[core] final class ExpireIndexesProcedure
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("kind", StringType)
-      .comment("ivf | dup | lex | all").build(),
+      .comment("ivf | dup | lex | mm | all").build(),
     ProcedureParameter.in("corpus_dirs", StringType)
       .comment("comma-separated corpora whose CURRENT fingerprints are " +
         "protected — list EVERY corpus served from the swept roots").build(),
@@ -693,12 +741,14 @@ private[core] final class ExpireIndexesProcedure
         .expireStale(dirs, keepN, olderMs)
       case "dup" => graft.operators.DupClusters.expireStale(dirs, keepN, olderMs)
       case "lex" => graft.operators.LexIndex.expireStale(dirs, keepN, olderMs)
+      case "mm"  => graft.operators.MmIvf.expireStale(dirs, keepN, olderMs)
       case "all" =>
         graft.operators.Similarity.IvfIndex.expireStale(dirs, keepN, olderMs) ++
           graft.operators.DupClusters.expireStale(dirs, keepN, olderMs) ++
-          graft.operators.LexIndex.expireStale(dirs, keepN, olderMs)
+          graft.operators.LexIndex.expireStale(dirs, keepN, olderMs) ++
+          graft.operators.MmIvf.expireStale(dirs, keepN, olderMs)
       case other => throw new IllegalArgumentException(
-        s"expire_indexes: unknown kind '$other' (ivf | dup | lex | all)")
+        s"expire_indexes: unknown kind '$other' (ivf | dup | lex | mm | all)")
     }
     val schema = StructType(Seq(
       StructField("kind", StringType, nullable = false),

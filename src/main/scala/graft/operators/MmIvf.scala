@@ -58,7 +58,7 @@ object MmIvf {
   /** Cells each query probes ([[Similarity.IvfProbe]]'s role). */
   val Probe = 2
 
-  final case class Index(fn: String, cellIds: Array[Long],
+  final case class Index(path: String, fn: String, cellIds: Array[Long],
                          cents: Array[Array[Double]], feats: DataFrame)
 
   private val cache = new graft.core.SessionCache[Index](i => {
@@ -123,6 +123,20 @@ object MmIvf {
       }.toDF("asset_id", "f")
   }
 
+  /** Retention sweep over this root ([[Similarity.IvfIndex.expireStale]]'s
+    * contract, kind `mm`): drop superseded fingerprint dirs — never a
+    * listed corpus's live fingerprint, never a lock-held build. `dirs`
+    * must list EVERY corpus served from this root. */
+  def expireStale(dirs: Seq[String], keepLastN: Option[Int],
+                  olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
+    IndexRetention.sweep(store, indexRoot, "mm",
+      dirs.flatMap { d =>
+        val corpus =
+          new org.apache.hadoop.fs.Path(d, "documents.parquet").toString
+        IndexRetention.liveCorpusFile(store, d, corpus)
+          .map(_ => Similarity.IvfIndex.fileFingerprint(corpus))
+      }.toSet, keepLastN, olderThanMs)
+
   /** Build (or fetch) the index for `dir`: memo → durable copy → staged
     * one-pass build under the shared lock (the [[DupClusters]] recipe). */
   def build(s: SparkSession, dir: String): Index =
@@ -185,7 +199,7 @@ object MmIvf {
     val feats = s.read.parquet(sub(path, "features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     feats.count() // materialize once per session
-    Index(fn, lines.map(_._1), lines.map(_._2), feats)
+    Index(path, fn, lines.map(_._1), lines.map(_._2), feats)
   }
 
   /** Q-MM19 — SERVED IMAGE SIMILARITY SEARCH: top-5 nearest images per
@@ -203,6 +217,57 @@ object MmIvf {
     * probe side is 10 index rows, the candidate side reads ≤ nprobe cell
     * partitions; the only shuffle is the broadcast of the probe frame and
     * the per-probe top-k window over candidate-bounded partitions. */
+  /** Declared image near-dup radius for [[qMm20]]: integer squared-L2 over
+    * the 20-dim feature vectors. At the fixture canvases' scale this keeps
+    * ~10% of within-cell pairs — tight enough to mean "visually the same
+    * image", loose enough that the audit has material on both sides. */
+  val ImgDupD2 = 100000L
+
+  /** Q-MM20 — CROSS-ARTIFACT DUP-CONSISTENCY AUDIT: image near-dup pairs
+    * (within-cell, distance ≤ [[ImgDupD2]]) joined against the TEXT dedup
+    * graph ([[DupClusters]] simhash components over the same doc ids —
+    * the doc_id ↔ asset_id fixture alignment): per pair, are the two
+    * underlying documents in the same text dup family? The curation QA
+    * signal a multimodal pipeline reads before collapsing either side: a
+    * near-identical image pair whose texts are NOT text-dups is a
+    * re-caption/re-post (dropping one loses a caption); a text-dup pair
+    * whose images differ is a re-illustration. Neither single-modality
+    * dedup sees the distinction — this is the first operator consuming
+    * BOTH durable artifacts in one frame.
+    *
+    * Exactness: the image lane is [[qMm19]]'s integer machinery; the text
+    * side is the artifact's component labels; the flag is an integer
+    * equality — the oracle replays both chains and the join.
+    *
+    * Scale: candidate pairs are WITHIN-CELL only (the IVF partitioning is
+    * the blocking key — Σ|cell|², never corpus²), the component map is
+    * GRAPH-sized and broadcast twice, and everything upstream is served
+    * from the two warm artifacts: zero decode passes, zero corpus text
+    * passes. */
+  def qMm20(s: SparkSession, dir: String): DataFrame = {
+    val idx = build(s, dir)
+    val a = idx.feats.selectExpr("asset_id AS a_id", "f AS fa", "cell")
+    val b = idx.feats.selectExpr("asset_id AS b_id", "f AS fb",
+      "cell AS cellb")
+    val pairs = a.join(b,
+        col("cell") === col("cellb") && col("a_id") < col("b_id"))
+      .selectExpr("a_id", "b_id",
+        "aggregate(zip_with(fa, fb, (x, y) -> (x - y) * (x - y)), 0L, " +
+          "(acc, v) -> acc + v) AS d2")
+      .where(col("d2") <= ImgDupD2)
+    val comp = DupClusters.build(s, dir).clusters.select("id", "component")
+    pairs
+      .join(broadcast(comp.selectExpr("id AS a_id", "component AS ca")),
+        Seq("a_id"), "left")
+      .join(broadcast(comp.selectExpr("id AS b_id", "component AS cb")),
+        Seq("b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("d2"),
+        (coalesce(col("ca"), col("a_id")) ===
+          coalesce(col("cb"), col("b_id"))).cast("long")
+          .as("same_text_family"))
+      .orderBy("a_id", "b_id")
+  }
+
   def qMm19(s: SparkSession, dir: String): DataFrame = {
     val idx = build(s, dir)
     val probes = idx.feats.where(col("asset_id") < 10)

@@ -638,21 +638,65 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r1.getLong(1) == 500L, s"$r1")
   }
 
+  test("SQL surface: CALL graft.system.mmivf builds/loads the multimodal " +
+    "feature index and reports its shape + occupancy") {
+    val acc = newAccount("callmm")
+    spark.conf.set("spark.sql.catalog.graftmm",
+      classOf[graft.core.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmm.root", acc.root)
+    val dir = "/root/testdata/sf0.001"
+    // ISOLATED index root: the shared target/mm-index serves other SF
+    // corpora (bench/slope runs), and the keep-0 sweep below would reap
+    // their live-but-unlisted fingerprints — exactly the unlisted-corpus
+    // hazard expireStale's scaladoc warns about
+    val prevRoot = sys.props.get("graft.mmivf.root")
+    sys.props("graft.mmivf.root") = Files
+      .createTempDirectory(Paths.get("target"), "mm-call").toString
+    try {
+      graft.operators.MmIvf.evictSession(spark)
+      val r = spark.sql(s"CALL graftmm.system.mmivf('$dir')").head()
+      assert(r.getString(0).contains("mm-call"), s"$r")
+      assert(r.getAs[Long]("n_cells") == graft.operators.MmIvf.Cells.toLong, s"$r")
+      // pngAssets covers doc_id < 200: every asset decodes and is indexed
+      assert(r.getAs[Long]("n_assets") == 200L, s"$r")
+      // occupancy columns agree with the index frame the query form serves
+      val idx = graft.operators.MmIvf.build(spark, dir)
+      val counts = idx.feats.groupBy("cell").count().collect().map(_.getLong(1))
+      assert(r.getAs[Long]("max_share_pm") == counts.max * 1000L / counts.sum, s"$r")
+      assert(r.getAs[Long]("n_empty_cells") ==
+        graft.operators.MmIvf.Cells.toLong - counts.length, s"$r")
+      // and the mm kind participates in retention sweeps (bound semantics
+      // shared with ivf/dup/lex; live fingerprint protected)
+      val swept = graft.operators.MmIvf.expireStale(Seq(dir), Some(0), None)
+      assert(swept.isEmpty, s"live mm index must survive a keep-0 sweep: $swept")
+      assert(graft.operators.MmIvf.qMm19(spark, dir).count() > 0,
+        "index still serves after the sweep")
+    } finally {
+      prevRoot match {
+        case Some(v) => sys.props("graft.mmivf.root") = v
+        case None => sys.props.remove("graft.mmivf.root")
+      }
+      graft.operators.MmIvf.evictSession(spark)
+    }
+  }
+
   test("expire_indexes: stale fingerprints swept, live + lock-held survive, bounds compose") {
     val dir = "/root/testdata/sf0.001"
     val st = graft.core.Storage.hadoop
     val lexRoot = Files.createTempDirectory(Paths.get("target"), "lex-exp")
       .toAbsolutePath.toString
-    // all three roots isolated: the 'all' sweep below must not reach the
+    // all four roots isolated: the 'all' sweep below must not reach the
     // default roots other suites share
     val rootProps = Seq("graft.lexindex.root", "graft.ivf.root",
-      "graft.dupindex.root")
+      "graft.dupindex.root", "graft.mmivf.root")
     val prevProps = rootProps.map(k => k -> sys.props.get(k)).toMap
     sys.props("graft.lexindex.root") = lexRoot
     sys.props("graft.ivf.root") = Files
       .createTempDirectory(Paths.get("target"), "ivf-exp").toString
     sys.props("graft.dupindex.root") = Files
       .createTempDirectory(Paths.get("target"), "dup-exp").toString
+    sys.props("graft.mmivf.root") = Files
+      .createTempDirectory(Paths.get("target"), "mm-exp").toString
     try {
       // live index for the CURRENT corpus fingerprint
       graft.operators.LexIndex.build(spark, dir)

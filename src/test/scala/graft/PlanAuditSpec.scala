@@ -1411,6 +1411,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mm19/q_mm20 warm: zero decode passes — every file source is a " +
+    "durable index artifact (the mm family bridge, VERDICT r14 task 2)") {
+    graft.operators.MmIvf.build(spark, sf) // ensure built (idempotent)
+    graft.operators.DupClusters.build(spark, sf)
+    def sources(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation].location.inputFiles.toSeq
+      }.flatten
+    // image ANN: the feature index alone — no documents scan, no
+    // executor-side PNG encode/decode on the warm path
+    val f19 = sources(graft.operators.MmIvf.qMm19(spark, sf))
+    assert(f19.nonEmpty && f19.forall(_.contains("mm-index")),
+      s"qMm19 warm must read ONLY the mm index: ${f19.filterNot(_.contains("mm-index")).take(3)}")
+    // cross-artifact audit: the mm index + the dup-cluster artifact,
+    // nothing else (cached cluster frames may hide behind InMemoryScan —
+    // whatever file relations survive must be artifact files)
+    val f20 = sources(graft.operators.MmIvf.qMm20(spark, sf))
+    assert(f20.exists(_.contains("mm-index")), "qMm20 must consume the mm index")
+    assert(f20.forall(f => f.contains("mm-index") || f.contains("dup-index")),
+      s"qMm20 reads unexpected sources: ${f20.filterNot(f => f.contains("mm-index") || f.contains("dup-index")).take(3)}")
+  }
+
   test("served Jaccard lane is candidate-bounded: no nested-loop anywhere, window fed by the candidate agg") {
     // VERDICT r11 task 1: the q_sim15 served lexical lane must rank the
     // posting-join candidate set, never probe × N(docs). Proof obligations:
