@@ -83,6 +83,33 @@ object BenchSlope {
 
   private def fmt(d: Double): String = f"$d%.4f"
 
+  /** The merge-refusal gate, factored for spec-pinning (ADVICE r14): a
+    * prior artifact may only be merged into when every configuration
+    * field (scale pair, data ratio, margin) matches the current run —
+    * a MISSING field is a legacy-format artifact whose measurement
+    * conditions are unknowable and refuses exactly like a differing one.
+    * Returns the human-readable mismatch list (empty = mergeable). */
+  private[graft] def mergeConfigMismatches(priorText: String, small: String,
+                                           large: String,
+                                           dataRatio: Double): Seq[String] = {
+    def field(k: String): Option[String] =
+      (s""""$k":"?([^",}]+)"?""").r.findFirstMatchIn(priorText).map(_.group(1))
+    Seq(
+      "sf_small" -> small, "sf_large" -> large,
+      "data_ratio" -> dataRatio.toString, "margin" -> Margin.toString
+    ).flatMap { case (k, cur) =>
+      field(k) match {
+        case None => Some(s"$k: artifact=<absent> run=$cur")
+        case Some(prev)
+          if prev != cur &&
+            // numeric fields: compare as doubles ("10.0" == "10")
+            scala.util.Try(prev.toDouble != cur.toDouble).getOrElse(true) =>
+          Some(s"$k: artifact=$prev run=$cur")
+        case _ => None
+      }
+    }
+  }
+
   private def evictAll(s: SparkSession): Unit = {
     graft.operators.DupClusters.evictSession(s)
     graft.operators.LexIndex.evictSession(s)
@@ -213,26 +240,8 @@ object BenchSlope {
           // configuration silently mixes incomparable measurements.
           // Refuse: the caller either re-sweeps fully or points
           // SPARK_GRAFT_SLOPE_OUT elsewhere.
-          def field(k: String): Option[String] =
-            (s""""$k":"?([^",}]+)"?""").r.findFirstMatchIn(txt).map(_.group(1))
-          val mismatches = Seq(
-            "sf_small" -> small, "sf_large" -> large,
-            "data_ratio" -> dataRatio.toString, "margin" -> Margin.toString
-          ).flatMap { case (k, cur) =>
-            field(k) match {
-              // a prior artifact MISSING a config field is a legacy format
-              // whose measurement conditions are unknowable — treat as a
-              // mismatch (refuse), not a silent pass (ADVICE r14)
-              case None => Some(s"$k: artifact=<absent> run=$cur")
-              case Some(prev)
-                if prev != cur &&
-                  // numeric fields: compare as doubles ("10.0" == "10")
-                  scala.util.Try(prev.toDouble != cur.toDouble)
-                    .getOrElse(true) =>
-                Some(s"$k: artifact=$prev run=$cur")
-              case _ => None
-            }
-          }
+          val mismatches =
+            mergeConfigMismatches(txt, small, large, dataRatio)
           if (mismatches.nonEmpty)
             throw new IllegalStateException(
               "bench-slope: SPARK_GRAFT_SLOPE_MERGE refused — existing " +

@@ -30,8 +30,11 @@ private[core] object GraftProcedures {
     * driver: ~11 years of hourly data — far above any sane monitoring
     * span, far below driver-OOM territory. Exceeding it means the ts
     * field is corrupt (scattered epoch garbage), and the procedure
-    * refuses with that diagnosis instead of materializing the garbage. */
-  val MaxDriftWindows = 100000
+    * refuses with that diagnosis instead of materializing the garbage.
+    * The `graft.drift.maxWindows` property overrides (test seam — specs
+    * pin the refusal without fabricating 10⁵ distinct hours). */
+  def MaxDriftWindows: Int =
+    sys.props.get("graft.drift.maxWindows").map(_.toInt).getOrElse(100000)
 
   val names: Array[String] =
     Array("compact", "vacuum", "stats", "verify", "rebucket",

@@ -45,9 +45,20 @@ import graft.core.Tables
   * image enters an executor as bytes and leaves as 21 longs) plus a
   * map-only cell assignment; K seed centroids collect K bounded rows to
   * the driver ([[Similarity.IvfIndex.doBuild]]'s discipline). Warm
-  * consumers ([[qMm19]]) read ONLY probed-cell files — zero decode, zero
-  * corpus passes. K grows √N at posture; seeds-only quantization is the
-  * [[Similarity.qSim3]] lane (Lloyd refinement is a rebuild, as there).
+  * consumers ([[qMm19]], [[qMm20]]) read ONLY probed-cell files — zero
+  * decode, zero corpus passes. K grows √N at posture; seeds-only
+  * quantization is the [[Similarity.qSim3]] lane (Lloyd refinement is a
+  * rebuild, as there).
+  *
+  * MAINTENANCE: no delta-append lane (deliberate asymmetry vs the other
+  * three indexes) — the asset population is the declared doc_id < 200
+  * fixture subset, so a gate-admitted corpus append never adds assets;
+  * the changed corpus fingerprint routes the next consumer through a
+  * REBUILD whose decode pass is bounded by that same subset. A real
+  * deployment whose asset set grows with the corpus would add the
+  * [[Similarity.IvfIndex.append]] lane verbatim (frozen centroids,
+  * cell-partitioned append, per-lane idempotence); retention is already
+  * shared (`expire_indexes(kind => 'mm')`, [[expireStale]]).
   */
 object MmIvf {
 

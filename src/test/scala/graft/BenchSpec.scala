@@ -117,4 +117,27 @@ class BenchSpec extends AnyFunSuite with Matchers {
     val n = """"n_queries":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
     n shouldBe Some(registry.size)
   }
+
+  test("slope-merge refusal gate: differing AND missing config fields " +
+    "both refuse (ADVICE r14: legacy artifacts must not merge)") {
+    val cur = ("{\"metric\":\"scaling_slope\",\"data_ratio\":10.0," +
+      "\"margin\":1.3,\"sf_small\":\"/a/sf0.01\",\"sf_large\":\"/a/sf0.1\"}")
+    // identical configuration → mergeable
+    BenchSlope.mergeConfigMismatches(cur, "/a/sf0.01", "/a/sf0.1",
+      10.0) shouldBe empty
+    // numeric spelling differences are NOT mismatches ("10" == "10.0")
+    BenchSlope.mergeConfigMismatches(cur.replace("10.0,", "10,"),
+      "/a/sf0.01", "/a/sf0.1", 10.0) shouldBe empty
+    // a differing scale pair refuses
+    BenchSlope.mergeConfigMismatches(cur, "/a/sf0.001", "/a/sf0.1", 100.0)
+      .exists(_.contains("sf_small")) shouldBe true
+    // a LEGACY artifact missing config fields refuses too — field() used
+    // to return None and the check silently passed
+    val legacy = "{\"metric\":\"scaling_slope\",\"queries\":{}}"
+    val mm = BenchSlope.mergeConfigMismatches(legacy, "/a/sf0.01",
+      "/a/sf0.1", 10.0)
+    withClue(mm.mkString("; ")) {
+      mm.count(_.contains("artifact=<absent>")) shouldBe 4
+    }
+  }
 }

@@ -161,6 +161,26 @@ class StreamingSpec extends AnyFunSuite {
       "db => 'db', container => 'c', ts_field => \"a')) FROM x; --\")").count())
     assert(inj.getMessage.contains("simple JSON key"),
       s"injectable field name must be refused: ${inj.getMessage}")
+    // window-count bound (ADVICE r14): corrupt ts values scattered over a
+    // wide range make one row per distinct hour — the collect must REFUSE
+    // past the declared cap (seamed low here) with the corrupt-field
+    // diagnosis, never materialize the garbage. The fixture spans >= 2
+    // distinct hours, so a cap of 1 must trip; the passing calls above
+    // already pin the under-cap path at the default bound.
+    val prevCap = sys.props.get("graft.drift.maxWindows")
+    sys.props("graft.drift.maxWindows") = "1"
+    try {
+      val over = intercept[Exception](spark.sql(
+        "CALL graftdr.system.drift(db => 'db', container => 'c')").count())
+      assert(over.getMessage.contains("distinct hourly windows") &&
+        over.getMessage.contains("corrupt"),
+        s"over-cap drift must refuse with the diagnosis: ${over.getMessage}")
+    } finally {
+      prevCap match {
+        case Some(v) => sys.props("graft.drift.maxWindows") = v
+        case None => sys.props.remove("graft.drift.maxWindows")
+      }
+    }
   }
 
   test("ST-1 with watermark drops too-late rows from open windows") {
