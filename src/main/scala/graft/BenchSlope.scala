@@ -74,7 +74,9 @@ object BenchSlope {
       "q_t41_bm25_query"     -> lex,
       "q_sim21_hybrid_query" -> (ivf ++ lex),
       "q_mm19_img_ivf"       -> Seq("graft.mmivf.root"),
-      "q_mm20_modal_consistency" -> Seq("graft.mmivf.root", "graft.dupindex.root"))
+      "q_mm20_modal_consistency" -> Seq("graft.mmivf.root", "graft.dupindex.root"),
+      "q_d21_proto_prune"    -> ivf,
+      "q_g11_weak_links"     -> dup)
   }
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3

@@ -114,6 +114,7 @@ object SparkEntry {
     "q_t15_train_split"    -> (TextAnalysis.qT15 _),
     "q_t16_split_leakage"  -> (TextAnalysis.qT16 _),
     "q_t17_pack_stats"     -> (TextAnalysis.qT17 _),
+    "q_t42_shard_pack"     -> (TextAnalysis.qT42 _),
     "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
     "q_t39_safe_keep"      -> (TextAnalysis.qT39 _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "q_d13_minhash_est"    -> (Dedup.qD13 _),
     "q_d14_containment"    -> (Dedup.qD14 _),
     "q_d15_semantic_dedup" -> (Dedup.qD15 _),
+    "q_d21_proto_prune"    -> (Dedup.qD21 _),
     "q_d16_boilerplate"    -> (Dedup.qD16 _),
     "q_d17_dup_gram_mass"  -> (Dedup.qD17 _),
     // dup-graph structure diagnostics
@@ -167,6 +169,7 @@ object SparkEntry {
     "q_g8_kcore3"          -> (Dedup.qG8 _),
     "q_g9_ktruss"          -> (Dedup.qG9 _),
     "q_g10_cohesion"       -> (Dedup.qG10 _),
+    "q_g11_weak_links"     -> (Dedup.qG11 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
     "q_d19_substr_clean"   -> (Dedup.qD19 _),
     "q_d20_lsh_plan"       -> (Dedup.qD20 _),
@@ -1481,6 +1484,48 @@ object SparkEntry {
         "CAST(coalesce(ps.npr, 0) AS BIGINT) AS n_pruned, " +
         "CAST(((sz.n_vecs - coalesce(ps.npr, 0)) * 1000) // sz.n_vecs AS BIGINT) AS keep_pm " +
         "FROM sizes sz LEFT JOIN ps USING (cell) ORDER BY cell"),
+    "q_d21_proto_prune" -> (
+      // q_d15's seeded assignment CTE, then rank-to-own-centroid within
+      // each cell (sim DESC, vec_id tiebreak); pruned = top n DIV 5
+      "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        s"FROM embeddings e JOIN embeddings c ON c.vec_id < ${graft.operators.Similarity.IvfCells}), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cell, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "asg AS (SELECT vec_id, cell, sim_raw FROM cs WHERE rn = 1), " +
+        "r AS (SELECT vec_id, cell, sim_raw, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY sim_raw DESC, vec_id) AS rank, " +
+        "count(1) OVER (PARTITION BY cell) AS n_vecs FROM asg) " +
+        "SELECT vec_id, cell, ROUND(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS rank, " +
+        "CAST(n_vecs AS BIGINT) AS n_vecs, " +
+        s"CAST(CASE WHEN rank <= n_vecs // ${graft.operators.Dedup.ProtoPruneDiv} THEN 1 ELSE 0 END AS BIGINT) AS pruned " +
+        "FROM r ORDER BY cell, rank"),
+    "q_g11_weak_links" -> (simhashPairsSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // triangle-supported edges (common-neighbor probe), components (the
+      // oracleSqlD9 reach pattern), then the anti-joined weak remainder
+      ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+      "supp AS (SELECT DISTINCT t.a_id, t.b_id FROM sp t " +
+      "JOIN edges x ON x.a_id = t.a_id " +
+      "JOIN edges y ON y.a_id = t.b_id AND y.b_id = x.b_id), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id) " +
+      "SELECT w.a_id, w.b_id, CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS ham, c.component " +
+      "FROM sp w JOIN sh x ON x.doc_id = w.a_id JOIN sh y ON y.doc_id = w.b_id " +
+      "JOIN comp c ON c.id = w.a_id " +
+      "LEFT JOIN supp sx ON sx.a_id = w.a_id AND sx.b_id = w.b_id " +
+      "WHERE sx.a_id IS NULL ORDER BY w.a_id, w.b_id"),
+    "q_t42_shard_pack" -> (
+      // the boundary-cut packing as ONE sequential window (the engine's
+      // two-pass bucket prefix sum collapses to this at oracle scale)
+      "WITH t AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok FROM documents), " +
+        "pp AS (SELECT doc_id, tok, CAST(coalesce(sum(tok) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre FROM t) " +
+        s"SELECT CAST(pre // ${graft.operators.TextAnalysis.ShardTokenBudget} AS BIGINT) AS shard, " +
+        "CAST(count(1) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM pp GROUP BY 1 ORDER BY 1"),
     "q_d16_boilerplate" -> (
       // q_t11's 8-gram kernel, per-doc DISTINCT, shared-by->=3-docs filter
       "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +

@@ -1540,6 +1540,107 @@ object Dedup {
       .orderBy("cell")
   }
 
+  /** Fraction pruned by [[qD21]], in integer fifths: rank ≤ n DIV 5 —
+    * the top 20 % most-prototypical members of each cell. Declared here so
+    * the engine, the oracle comment, and the scaladoc quote one number. */
+  val ProtoPruneDiv = 5L
+
+  /** Q-D21 — PROTOTYPE PRUNING (D4 / SSL-prototypes): within each
+    * embedding cluster, rank members by cosine similarity TO THEIR OWN
+    * CENTROID and mark the top 20 % most-prototypical for pruning — the
+    * diversification half of the D4 recipe (Tirumala et al. 2023,
+    * arXiv:2308.12284; the pruning metric of Sorscher et al. 2022,
+    * arXiv:2206.14486). The complement of [[qD15]]: SemDeDup removes
+    * members too close to EACH OTHER, prototype pruning removes members
+    * too close to the CLUSTER CENTER — the most redundant, least
+    * informative examples for training once the cluster is represented.
+    * Both passes share the [[Similarity.IvfIndex]] cells (lloydIters = 0:
+    * the centroids ARE the [[Similarity.IvfCells]] lowest-id seed vectors,
+    * so the oracle replays assignment + scoring arithmetically).
+    *
+    * The per-member score is exactly the assignment's own argmax cosine
+    * (a member's similarity to its assigned seed), recomputed here against
+    * a 16-row broadcast of the seed vectors — double-precision sums over
+    * float inputs, the q_sim1 ordering-parity kernel. Rank ties break by
+    * vec_id; pruned ⇔ rank ≤ n_vecs DIV [[ProtoPruneDiv]], so a cell keeps
+    * at least 80 % and a 4-member cell keeps everything (integer DIV).
+    *
+    * Scale: one broadcast join of the cached cell-partitioned assignment
+    * against a K-row seed frame, then a rank window PARTITIONED BY cell —
+    * partitions are IVF cells (corpus/K, K ~ √N), the same in-cell
+    * bounding [[qD15]] declares, and strictly cheaper than its in-cell
+    * self-join (sort vs Σ|cell|² pairs). Per-member verdicts are written,
+    * never collected. */
+  def qD21(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val idx = Similarity.IvfIndex.build(s, dir, lloydIters = 0)
+    // lloydIters = 0 ⇒ cell ids are the seed vec_ids and the centroid of
+    // cell c is literally embeddings[vec_id = c] — a K-row pushed read
+    // (float-exact, vs re-casting the index's double centroid copies)
+    val seeds = Tables.embeddings(s, dir)
+      .where(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    val cw = Window.partitionBy("cell")
+    val rw = cw.orderBy(col("sim_raw").desc, col("vec_id"))
+    idx.assigned.join(broadcast(seeds), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("cosine_sim(embedding, ce)").as("sim_raw"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .withColumn("n_vecs", count(lit(1)).over(cw))
+      .select(col("vec_id"), col("cell"), round(col("sim_raw"), 4).as("sim"),
+        col("rank"), col("n_vecs"),
+        expr(s"CAST(rank <= n_vecs DIV $ProtoPruneDiv AS BIGINT)")
+          .as("pruned"))
+      .orderBy("cell", "rank")
+  }
+
+  /** Q-G11 — WEAK LINKS: the verified near-dup edges supported by ZERO
+    * triangles — no third document is a near-dup of both endpoints. In a
+    * genuine duplicate family every edge is triangle-supported (near-dup
+    * is near-transitive inside a clique); an unsupported edge is exactly
+    * the transitive-closure glue that welds unrelated families into the
+    * chain components [[qG10]] flags (its 3226-member density-3 pm
+    * finding). Where q_g10 SCORES components and the gated keeper
+    * ([[gatedKeepMembers]]) routes around them, this names the CUT-SET:
+    * the specific pairs a curation run re-verifies (or severs) to split a
+    * chain — the edge-level complement of the [[qG9]] 3-truss, whose
+    * survivors are by definition every edge this query does NOT emit.
+    *
+    * Emits (a_id, b_id, ham, component): the unsupported edge, its
+    * verified simhash Hamming distance, and the family it glues.
+    *
+    * Scale: artifact-served and graph-sized — one [[qG2]]-shaped triangle
+    * probe (pairs ⋈ adjacency ⋈ adjacency, O(Σ deg²) candidates, map-side
+    * combined) and a left-anti back to the pairs lane; zero corpus passes
+    * warm. */
+  def qG11(s: SparkSession, dir: String): DataFrame = {
+    val idx = DupClusters.build(s, dir)
+    val comp = idx.clusters.select(col("id").as("a_id"), col("component"))
+    weakEdges(idx.pairs.select("a_id", "b_id", "ham"))
+      .join(comp, "a_id")
+      .select(col("a_id"), col("b_id"), col("ham").cast("int").as("ham"),
+        col("component"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** [[qG11]]'s core on a caller-supplied (a_id < b_id) edge frame with a
+    * `ham` column: the edges supported by zero triangles. Factored so a
+    * fixture spec can pin the semantics (two cliques welded by one bridge
+    * ⇒ exactly the bridge) without mining a corpus. */
+  private[graft] def weakEdges(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    // an edge (a, b) is supported iff some w is adjacent to BOTH ends:
+    // attach a's neighbors, then semi-probe (b, w) against the adjacency
+    val supported = pairs.select("a_id", "b_id")
+      .join(sym.select(col("u").as("a_id"), col("v").as("w")), "a_id")
+      .join(sym.select(col("u").as("b_id"), col("v").as("w")),
+        Seq("b_id", "w"), "left_semi")
+      .select("a_id", "b_id").distinct()
+    pairs.join(supported, Seq("a_id", "b_id"), "left_anti")
+  }
+
   /** q_d16 — BOILERPLATE / TEMPLATE DETECTION: 8-token shingles shared by
     * ≥ 3 distinct documents, top-20 by document frequency (tiebreak
     * lexicographic). Cross-document repeated substrings are boilerplate —

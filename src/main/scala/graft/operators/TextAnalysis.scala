@@ -755,6 +755,78 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** [[qT42]]'s shard size: one output shard per this many tokens of the
+    * packed global stream. 4096 matches a common training sequence-batch
+    * granularity at spec SF; at 100 TB the same plan runs with a larger
+    * budget (the constant only scales the shard COUNT, never the shape). */
+  val ShardTokenBudget = 4096L
+
+  /** [[qT42]]'s prefix-sum bucket width (documents per range bucket).
+    * Buckets bound BOTH windows: the per-bucket window sorts ≤ this many
+    * rows, the offset window sorts corpus/width rows. At 100 TB pick the
+    * width so corpus/width stays ≤ ~10⁶ (one more recursion level of the
+    * same two-pass trick removes even that bound; one level suffices for
+    * any corpus this engine targets). */
+  val PackBucketWidth = 64L
+
+  /** Q-T42 — TOKEN-BUDGET SHARD PACKING: lay every document's tokens out
+    * in one deterministic global stream (doc_id order, the [[qT3]]
+    * whitespace tokenizer), cut the stream every [[ShardTokenBudget]]
+    * tokens, and assign each document to the shard its FIRST token falls
+    * in — the deterministic sharding step between curation and training
+    * (the T5/C4-style "pack into sequences" layout; [[qT17]] reports the
+    * pad/waste geometry of such packs, this query produces the actual
+    * assignment). A document may straddle a boundary (it belongs to its
+    * start shard); true close-when-full bin packing is a sequential
+    * recurrence by definition, while the boundary cut is pure prefix-sum
+    * arithmetic — same shard sizes ±1 document, and reruns, retries, and
+    * the oracle all produce the SAME layout (the masking lesson, SURVEY
+    * §7.3 item 2). Emits per shard: document count, token mass, and the
+    * [first_doc, last_doc] range (contiguous by construction, so a loader
+    * can seek a shard with two ids).
+    *
+    * Scale: the exclusive prefix sum is the textbook DISTRIBUTED two-pass
+    * — never a corpus-sized single-partition window. Pass 1 reduces to
+    * per-bucket token totals (corpus/[[PackBucketWidth]] rows, map-side
+    * combined off the scan that already projects text down to one
+    * BIGINT); the bucket offsets are a window over THAT aggregated frame;
+    * pass 2 broadcasts the offsets back and finishes with a window
+    * PARTITIONED BY bucket (≤ [[PackBucketWidth]] rows each). Raw text
+    * never reaches an exchange. */
+  def qT42(s: SparkSession, dir: String): DataFrame =
+    qT42Width(s, dir, PackBucketWidth)
+
+  /** [[qT42]] with the bucket width as a parameter: the packing is
+    * width-INVARIANT by construction (the width only re-cuts the prefix
+    * sum's two passes), and PropertySpec pins that invariance — the
+    * distributed two-pass result equals itself under different cuts,
+    * including the degenerate one-bucket cut that IS the oracle's single
+    * sequential window. */
+  private[graft] def qT42Width(s: SparkSession, dir: String,
+                               width: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("tok"),
+        expr(s"doc_id DIV $width").as("bucket"))
+    val offW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = toks.groupBy("bucket").agg(sum("tok").as("bt"))
+      .select(col("bucket"),
+        coalesce(sum("bt").over(offW), lit(0L)).as("boff"))
+    val preW = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(boff), "bucket")
+      .select(col("doc_id"), col("tok"),
+        (col("boff") + coalesce(sum("tok").over(preW), lit(0L))).as("pre"))
+      .select(col("doc_id"), col("tok"),
+        expr(s"pre DIV $ShardTokenBudget").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
   /** The index-free [[qT21]] formulation (one tokenize-explode corpus
     * pass per run) — retained as the equality oracle for the served form. */
   private[graft] def qT21Direct(s: SparkSession, dir: String): DataFrame = {

@@ -538,4 +538,32 @@ class DupClustersSpec extends AnyFunSuite {
         all.where(col("doc_id") >= 490).select("doc_id", "text")))
     assert(eCount.getMessage.contains("out-of-band"))
   }
+
+  test("weak links (q_g11): two cliques welded by one bridge emit exactly the bridge; chains emit every link") {
+    import spark.implicits._
+    // clique {1,2,3} + clique {4,5,6} welded by (3,4): every clique edge
+    // is triangle-supported, the bridge is not — it is the cut the gated
+    // keeper routes around and the pair a curation run re-verifies
+    val welded = Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 2),
+        (4L, 5L, 0), (4L, 6L, 1), (5L, 6L, 2), (3L, 4L, 2))
+      .toDF("a_id", "b_id", "ham")
+    assert(pairSet(Dedup.weakEdges(welded)) == Set((3L, 4L, 2)),
+      "exactly the bridge must be weak")
+    // a pure chain 7-8-9 has no triangles at all: every link is weak
+    val chain = Seq((7L, 8L, 1), (8L, 9L, 1)).toDF("a_id", "b_id", "ham")
+    assert(pairSet(Dedup.weakEdges(chain)) == Set((7L, 8L, 1), (8L, 9L, 1)),
+      "every chain link must be weak")
+    // corpus graph: the distributed anti-join equals an independent
+    // driver-side hash-set replay (the graph is MaxDriverPairs-bounded
+    // at spec SF, the qG9 hybrid's own bound)
+    val idx = DupClusters.build(spark, sf)
+    val edges = pairSet(idx.pairs.select("a_id", "b_id", "ham"))
+    val adj = edges.toSeq.flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = edges.filter { case (a, b, _) =>
+      (adj(a) & adj(b)).isEmpty }
+    assert(pairSet(Dedup.weakEdges(idx.pairs.select("a_id", "b_id", "ham")))
+      == expected, "distributed weak set must equal the driver replay")
+    assert(Dedup.qG11(spark, sf).count() == expected.size.toLong)
+  }
 }

@@ -180,6 +180,16 @@ class PlanGateSpec extends AnyFunSuite {
       ("the same gated-keeper window as q_t39 (shared " +
         "Dedup.gatedKeepMembers core) feeding the drop-set anti-join; " +
         "graph-sized by the same construction"),
+    "q_d21_proto_prune" ->
+      ("rank-to-centroid window PARTITIONED BY cell over the assignment " +
+        "joined to the K-row seed broadcast: partitions are IVF cells " +
+        "(corpus/K, K ~ sqrt(N)) — the q_d15 SemDeDup in-cell posture, " +
+        "and a sort is strictly cheaper than its in-cell self-join"),
+    "q_t42_shard_pack" ->
+      ("in-bucket prefix-sum window PARTITIONED BY the fixed-width " +
+        "doc_id bucket (<= PackBucketWidth rows per partition) over the " +
+        "token frame joined to the AGGREGATED bucket-offset broadcast " +
+        "(corpus/width rows) — the distributed two-pass prefix sum"),
   )
 
   private val calendarBounded =
@@ -200,6 +210,10 @@ class PlanGateSpec extends AnyFunSuite {
     "q_sim21_hybrid_query" -> (candidateBounded +
       " — the lexical lane ranks the bm25ForQuery top-100 (TakeOrdered " +
       "upstream) under the constant q_id = 0 of a single user query"),
+    "q_t42_shard_pack" ->
+      ("unpartitioned running sum over the AGGREGATED per-bucket totals " +
+        "frame (corpus/PackBucketWidth rows — pass 1 of the distributed " +
+        "prefix sum); the corpus-sized window is partitioned by bucket"),
   )
 
   private val mergePayload =

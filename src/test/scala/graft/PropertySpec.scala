@@ -201,4 +201,35 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("shard packing (q_t42) is bucket-width invariant and partitions the corpus") {
+    import graft.operators.TextAnalysis
+    val sf = "/root/testdata/sf0.001"
+    def packed(width: Long): Seq[(Long, Long, Long, Long, Long)] =
+      TextAnalysis.qT42Width(spark, sf, width)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    // the degenerate one-bucket cut IS the sequential reference; the
+    // distributed cuts (prime and default widths) must equal it exactly
+    val ref = packed(Long.MaxValue)
+    assert(packed(7L) == ref, "width 7 diverged from the sequential cut")
+    assert(packed(TextAnalysis.PackBucketWidth) == ref,
+      "default width diverged from the sequential cut")
+    // partition invariants: every document lands in exactly one shard,
+    // token mass is conserved, doc ranges are contiguous shard to shard
+    val docs = graft.core.Tables.documents(spark, sf)
+      .selectExpr("count(1) AS n",
+        "sum(size(split(lower(text), ' '))) AS tok")
+      .collect()(0)
+    assert(ref.map(_._2).sum == docs.getLong(0), "doc count not conserved")
+    assert(ref.map(_._3).sum == docs.getLong(1), "token mass not conserved")
+    ref.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 == a._5 + 1,
+        s"shard ${b._1} first_doc ${b._4} != shard ${a._1} last_doc + 1")
+    case _ => ()
+    }
+    assert(ref.map(_._1) == ref.indices.map(_.toLong),
+      "shard ids not dense from 0")
+  }
 }
