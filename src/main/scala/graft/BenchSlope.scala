@@ -76,7 +76,8 @@ object BenchSlope {
       "q_mm19_img_ivf"       -> Seq("graft.mmivf.root"),
       "q_mm20_modal_consistency" -> Seq("graft.mmivf.root", "graft.dupindex.root"),
       "q_d21_proto_prune"    -> ivf,
-      "q_g11_weak_links"     -> dup)
+      "q_g11_weak_links"     -> dup,
+      "q_sim22_nprobe_sweep" -> ivf)
   }
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3

@@ -115,6 +115,7 @@ object SparkEntry {
     "q_t16_split_leakage"  -> (TextAnalysis.qT16 _),
     "q_t17_pack_stats"     -> (TextAnalysis.qT17 _),
     "q_t42_shard_pack"     -> (TextAnalysis.qT42 _),
+    "q_t43_ppl_buckets"    -> (TextAnalysis.qT43 _),
     "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
     "q_t39_safe_keep"      -> (TextAnalysis.qT39 _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q_sim19_cell_balance" -> (Similarity.qSim19 _),
     "q_sim20_topic_mix"    -> (Similarity.qSim20 _),
     "q_sim21_hybrid_query" -> (Similarity.qSim21 _),
+    "q_sim22_nprobe_sweep" -> (Similarity.qSim22 _),
     // merge engine (the reference's core pipeline, A9-A12)
     "q_m1_merge_classify"  -> (Merge.qM1 _),
     "q_m2_merge_state"     -> (Merge.qM2 _),
@@ -1526,6 +1528,26 @@ object SparkEntry {
         "CAST(count(1) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM pp GROUP BY 1 ORDER BY 1"),
+    "q_t43_ppl_buckets" -> (
+      // q_t20's integer unigram-LL score -> bounded per-lang histogram ->
+      // tercile boundary bins -> per-doc bucket; integer end-to-end
+      "WITH tf AS (SELECT doc_id, w, count(1) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t " +
+        "WHERE w <> '' GROUP BY doc_id, w), " +
+        "uni AS (SELECT w, length(bin(CAST(sum(tf) AS BIGINT))) - 1 AS bits " +
+        "FROM tf GROUP BY w), " +
+        "ll AS (SELECT tf.doc_id, CAST((sum(tf * bits) * 1000) // sum(tf) AS BIGINT) AS ll_pm " +
+        "FROM tf JOIN uni USING (w) GROUP BY tf.doc_id), " +
+        "ld AS (SELECT d.doc_id, d.lang, ll_pm FROM ll JOIN documents d USING (doc_id)), " +
+        s"hist AS (SELECT lang, ll_pm // ${graft.operators.TextAnalysis.PplBinWidth} AS bin, count(1) AS cnt FROM ld GROUP BY 1, 2), " +
+        "cum AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY lang) AS n FROM hist), " +
+        "th AS (SELECT lang, min(CASE WHEN cum * 3 >= n THEN bin END) AS t1, " +
+        "min(CASE WHEN cum * 3 >= 2 * n THEN bin END) AS t2 FROM cum GROUP BY lang) " +
+        "SELECT doc_id, ld.lang, ll_pm, " +
+        s"CASE WHEN ll_pm // ${graft.operators.TextAnalysis.PplBinWidth} <= t1 THEN 'tail' " +
+        s"WHEN ll_pm // ${graft.operators.TextAnalysis.PplBinWidth} <= t2 THEN 'middle' ELSE 'head' END AS bucket " +
+        "FROM ld JOIN th USING (lang) ORDER BY doc_id"),
     "q_d16_boilerplate" -> (
       // q_t11's 8-gram kernel, per-doc DISTINCT, shared-by->=3-docs filter
       "WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
@@ -2014,6 +2036,39 @@ object SparkEntry {
         "r AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rank FROM s2) " +
         "SELECT q_id, n_id, ROUND(sim_raw, 4) AS sim, rank FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+    "q_sim22_nprobe_sweep" -> (
+      // q_sim3's assignment chain, probe-cell sets per nprobe in
+      // {1,2,4,8,16}, ONE exact-cosine pass filtered per sweep point, and
+      // integer recall/scan accounting (np=16 is the exact lane itself)
+      "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        "FROM embeddings e JOIN embeddings c ON c.vec_id < 16), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cid, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "cell AS (SELECT vec_id, cid FROM cs WHERE rn = 1), " +
+        "nps AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS np), " +
+        "pn AS (SELECT n.np, cs.vec_id AS q_id, cs.cid FROM nps n " +
+        "JOIN cs ON cs.vec_id < 10 AND cs.rn <= n.np), " +
+        "p2 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id), " +
+        "u2 AS (SELECT a_id, b_id, unnest(generate_series(1, 64)) AS i, ea, eb FROM p2), " +
+        "s2 AS (SELECT a_id, b_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+        "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb FROM u2 GROUP BY a_id, b_id), " +
+        "simf AS (SELECT a_id AS q_id, b_id AS n_id, dot/(sqrt(na)*sqrt(nb)) AS sim FROM s2), " +
+        "rk AS (SELECT pn.np, simf.q_id, simf.n_id, " +
+        "row_number() OVER (PARTITION BY pn.np, simf.q_id ORDER BY simf.sim DESC, simf.n_id) AS rank " +
+        "FROM simf JOIN cell tb ON tb.vec_id = simf.n_id " +
+        "JOIN pn ON pn.q_id = simf.q_id AND pn.cid = tb.cid), " +
+        "topk AS (SELECT np, q_id, n_id FROM rk WHERE rank <= 10), " +
+        "hits AS (SELECT r.np, CAST(count(1) AS BIGINT) AS hits FROM topk r " +
+        "JOIN topk e ON e.np = 16 AND e.q_id = r.q_id AND e.n_id = r.n_id GROUP BY r.np), " +
+        "sizes AS (SELECT cid, count(1) AS csz FROM cell GROUP BY cid), " +
+        "sc AS (SELECT np, CAST(sum(csz) - 10 AS BIGINT) AS n_candidates FROM pn " +
+        "JOIN sizes USING (cid) GROUP BY np), " +
+        "nn AS (SELECT count(1) AS n FROM embeddings) " +
+        "SELECT h.np AS nprobe, CAST(h.hits * 10 AS BIGINT) AS recall_pm, " +
+        "sc.n_candidates, CAST((sc.n_candidates * 1000) // (10 * (nn.n - 1)) AS BIGINT) AS scan_pm " +
+        "FROM hits h JOIN sc USING (np), nn ORDER BY nprobe"),
     "q_sim4_ivf_kmeans" -> (
       // one Lloyd iteration from the vec_id<16 seeds: assign on seed sims,
       // recompute centroids as ROUND(mean, 6) per (cell, dim), reassign +

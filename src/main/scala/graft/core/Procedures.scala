@@ -328,6 +328,11 @@ private[core] final class DupClustersProcedure(account: FileAccount)
         coalesce(max(when(unsafe, col("n_members"))), lit(0L))
           .as("max_unsafe_members"))
       .head()
+    // the q_g11 cut-set size alongside the q_g10 verdict: how many edges
+    // are transitive-closure glue (zero triangle support) — the re-verify
+    // queue an operator drains before trusting per-component collapse
+    val nWeak = graft.operators.Dedup
+      .weakEdges(idx.pairs.select("a_id", "b_id", "ham")).count()
     val schema = StructType(Seq(
       StructField("index_path", StringType, nullable = false),
       StructField("n_docs", LongType, nullable = false),
@@ -336,11 +341,13 @@ private[core] final class DupClustersProcedure(account: FileAccount)
       StructField("n_components", LongType, nullable = false),
       StructField("min_density_pm", LongType, nullable = false),
       StructField("n_unsafe_components", LongType, nullable = false),
-      StructField("max_unsafe_members", LongType, nullable = false)))
+      StructField("max_unsafe_members", LongType, nullable = false),
+      StructField("n_weak_edges", LongType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       GraftProcedures.utf8(idx.path), idx.nDocs,
       idx.pairs.count(), idx.clusters.count(),
-      coh.getLong(0), coh.getLong(1), coh.getLong(2), coh.getLong(3)))
+      coh.getLong(0), coh.getLong(1), coh.getLong(2), coh.getLong(3),
+      nWeak))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

@@ -956,6 +956,71 @@ object Similarity {
       .orderBy("cid", "lang_pred")
   }
 
+  /** [[qSim22]]'s sweep points. The last entry equals [[IvfCells]], so
+    * the sweep's top row doubles as a built-in self-check: probing every
+    * cell IS the exact scan and must read recall_pm = 1000. */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8, IvfCells)
+
+  /** Q-SIM22 — NPROBE PLANNING SWEEP: recall@10 versus scanned-corpus
+    * fraction at nprobe ∈ {1, 2, 4, 8, 16} over the same warm IVF index
+    * every probe lane serves from — the measured curve an operator reads
+    * to pick a serving nprobe, the IVF analogue of [[graft.operators
+    * .Dedup.qD20]]'s LSH band planning (parameters from measurement, not
+    * folklore). Per sweep point: recall_pm (top-10 overlap vs the exact
+    * scan, per-mille over 10 probes × k=10), the candidate rows the probe
+    * actually scores (Σ probed-cell sizes − the self matches), and
+    * scan_pm (candidates as per-mille of the full 10×(N−1) exact work).
+    * The nprobe = [[IvfCells]] row probes every cell — recall_pm = 1000
+    * by construction, the sweep's own calibration row.
+    *
+    * Engine-exact: rankings reuse [[IvfIndex.probe]] verbatim (float-
+    * cosine candidates, n_id tiebreak — the oracle replays assignment,
+    * per-np cell sets, and both rankings); the accounting is integer DIV.
+    *
+    * Scale: one warm index, 10 bounded probes; each sweep point is the
+    * qSim3 probe shape (broadcast probes ⋈ cell-partitioned assignment,
+    * per-probe rank window over probed-cell candidates); the exact lane
+    * is the nprobe=K point itself. Accounting frames are cell-count- and
+    * probe-count-sized. */
+  def qSim22(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = IvfIndex.build(s, dir, lloydIters = 0)
+    graft.functions.IvfRankCells.register(s, idx.fn, idx.cellIds, idx.cents)
+    val k = 10
+    def tops(np: Int): DataFrame =
+      IvfIndex.probe(s, dir, idx, nprobe = np, topK = k)
+        .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_id"))
+    // the exact lane IS the nprobe=K sweep point — computed once (the
+    // frame is probes × k = 100 rows, persisted, reused for both roles)
+    val topAll = tops(IvfCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sweep = NprobeSweep.filter(_ < IvfCells).map(tops)
+      .reduce(_.unionAll(_)).unionAll(topAll)
+    val exact = topAll.select("q_id", "n_id")
+    val hits = sweep.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    // candidate accounting: probed-cell sizes per sweep point (the rank
+    // order of cells is the probe function's own), minus the self match
+    // each of the 10 probes excludes
+    val sizes = idx.assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val ranked = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id",
+        s"posexplode(${idx.fn}(embedding, $IvfCells)) AS (pos, cell)")
+      .join(broadcast(sizes), "cell")
+    val n = Tables.embeddings(s, dir).count()
+    val scans = NprobeSweep.map { np =>
+      ranked.where(col("pos") < np)
+        .agg((sum("csz") - 10L).as("n_candidates"))
+        .select(lit(np.toLong).as("nprobe"), col("n_candidates"))
+    }.reduce(_.unionAll(_))
+    hits.join(scans, "nprobe")
+      .select(col("nprobe"),
+        (col("hits") * lit(1000L / (10L * k))).as("recall_pm"),
+        col("n_candidates"),
+        expr(s"(n_candidates * 1000) DIV (10 * ($n - 1))").as("scan_pm"))
+      .orderBy("nprobe")
+  }
+
   /** Q-SIM16 — PQ SHORTLIST + EXACT RERANK: the two-stage serving
     * pattern production ANN actually runs (Faiss/ScaNN "refine" stage):
     * stage 1 ranks candidates by the 8-byte PQ codes

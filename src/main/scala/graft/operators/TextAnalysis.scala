@@ -827,6 +827,68 @@ object TextAnalysis {
       .orderBy("shard")
   }
 
+  /** [[qT43]]'s histogram bin width in ll_pm units: scores quantize to
+    * `ll_pm DIV 100` before the threshold scan, so the per-language
+    * histogram is ≤ ~640 bins BY CONSTRUCTION (ll_pm ≤ 63 bits × 1000 —
+    * the bin count is bounded by the score arithmetic, not the corpus). */
+  val PplBinWidth = 100L
+
+  /** Q-T43 — PERPLEXITY BUCKETS (CCNet, Wenzek et al. 2020,
+    * arXiv:1911.00359): split each language's documents into head /
+    * middle / tail terciles by language-model score — the curation step
+    * CCNet-descended pipelines run right after lang-ID (keep head+middle,
+    * drop or down-weight tail). The score is [[qT20]]'s integer unigram
+    * log-likelihood surrogate (mean floor-log2 token frequency, per-mille
+    * — HIGH = common-word fluent text = LOW perplexity = head; LOW = rare-
+    * word noise = tail), so the verdict is engine-exact and the oracle
+    * replays score → histogram → thresholds → bucket arithmetically.
+    *
+    * The tercile thresholds are NOT a per-language rank window (the
+    * rank-everything shape the plan gate bans): scores quantize into a
+    * BOUNDED per-language histogram ([[PplBinWidth]]), the cumulative scan
+    * runs over that ≤640-bin frame, and the two boundary bins (first bin
+    * with 3·cum ≥ n, first with 3·cum ≥ 2n) broadcast back as a
+    * language-sized frame — the same two-pass trick as [[qT42]]'s prefix
+    * sum, trading exact-rank terciles for bin-resolution terciles (the
+    * declared quantization; CCNet itself buckets on binned perplexity).
+    *
+    * Emits one row per document: (doc_id, lang, ll_pm, bucket) with
+    * bucket ∈ head|middle|tail — tail is `bin ≤ t1` (rarest-word third,
+    * ties resolve whole bins into the lower bucket).
+    *
+    * Scale: one tokenize-explode pass into the (doc, term) tf frame, the
+    * term-sized unigram join, one doc-sized score agg; everything after
+    * is histogram-sized. No corpus-wide window, text never in an
+    * exchange. */
+  def qT43(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy("w").agg(sum("tf").as("c"))
+      .select(col("w"), (length(expr("bin(c)")) - 1).cast("long").as("bits"))
+    val ll = tf.join(uni, "w")
+      .groupBy("doc_id")
+      .agg(expr("(sum(tf * bits) * 1000) DIV sum(tf)").as("ll_pm"))
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+    val hist = ll.select(col("lang"), expr(s"ll_pm DIV $PplBinWidth").as("bin"))
+      .groupBy("lang", "bin").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy("lang").orderBy("bin")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+    val thresholds = cum.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("n"), col("bin"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("t2"))
+    ll.join(broadcast(thresholds), "lang")
+      .select(col("doc_id"), col("lang"), col("ll_pm"),
+        when(expr(s"ll_pm DIV $PplBinWidth") <= col("t1"), lit("tail"))
+          .when(expr(s"ll_pm DIV $PplBinWidth") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** The index-free [[qT21]] formulation (one tokenize-explode corpus
     * pass per run) — retained as the equality oracle for the served form. */
   private[graft] def qT21Direct(s: SparkSession, dir: String): DataFrame = {

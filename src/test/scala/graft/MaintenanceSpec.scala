@@ -544,6 +544,9 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_unsafe_members") ==
       (if (unsafe.isEmpty) 0L
        else unsafe.map(_.getAs[Long]("n_members")).max), s"$r")
+    // the q_g11 cut-set size rides the same doorway row
+    assert(r.getAs[Long]("n_weak_edges") ==
+      graft.operators.Dedup.qG11(spark, dir).count(), s"$r")
   }
 
   test("expire_indexes: ivf kind — live IVF index survives a sweep and still probes from a fresh session") {

@@ -168,6 +168,10 @@ class PlanGateSpec extends AnyFunSuite {
     "q_mm19_img_ivf" -> (probeRank +
       "; 10 image probes against the cell-partitioned MmIvf feature " +
       "index — candidates <= the probed cells' members"),
+    "q_sim22_nprobe_sweep" -> (probeRank +
+      "; one qSim3-shaped probe per sweep point (nprobe 1..16), all " +
+      "against the same warm index — the exact lane IS the nprobe=16 " +
+      "point"),
     "q_sim21_hybrid_query" -> (probeRank +
       "; ONE user-query row against the cached int8 cell assignment"),
     "q_t39_safe_keep" ->

@@ -583,4 +583,27 @@ class RecallSpec extends AnyFunSuite {
     // non-survivors cover everything else exactly once
     assert(mem.count() == 11L && mem.where(col("rn") > 1).count() == 8L)
   }
+
+  test("nprobe sweep (q_sim22): calibration row exact, recall and scan both monotone in nprobe") {
+    val rows = graft.operators.Similarity.qSim22(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      graft.operators.Similarity.NprobeSweep.map(_.toLong),
+      s"sweep points: ${rows.mkString(", ")}")
+    // probing every cell IS the exact scan: the nprobe=IvfCells row must
+    // read perfect recall over the full candidate set
+    val top = rows.last
+    assert(top._2 == 1000L && top._4 == 1000L, s"calibration row: $top")
+    // more cells probed can only add candidates (non-decreasing — equal
+    // only when every added cell is empty, the q_sim19 case) and can
+    // never LOSE a true neighbor (recall non-decreasing) — the one-sided
+    // serving contract the planning curve rests on
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall dropped: $a -> $b")
+      assert(b._3 >= a._3, s"candidates shrank: $a -> $b")
+    case _ => ()
+    }
+  }
 }
