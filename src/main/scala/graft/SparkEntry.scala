@@ -217,6 +217,7 @@ object SparkEntry {
     "q_st10_abandoned"     -> (graft.streaming.Streams.qSt10 _),
     "q_st11_drift"         -> (graft.streaming.Streams.qSt11 _),
     "q_st12_drift_alert"   -> (graft.streaming.Streams.qSt12 _),
+    "q_st13_gate_verdict"  -> (graft.streaming.Streams.qSt13 _),
     // multimodal binary-column pipeline
     "q_mm1_asset_features"  -> (Multimodal.qMm1 _),
     "q_mm2_frame_sample"    -> (Multimodal.qMm2 _),
@@ -2203,6 +2204,30 @@ object SparkEntry {
         "SELECT w_start, tv4, prev_tv4, " +
         "CAST(CASE WHEN tv4 >= 3000 AND prev_tv4 >= 3000 THEN 1 ELSE 0 END AS BIGINT) AS alert " +
         "FROM al ORDER BY w_start"),
+    "q_st13_gate_verdict" -> (minhashSigSql +
+      // the gate's two rejection lanes on a fixture batch (docs 100..249)
+      // vs the eval frame (doc_id < 20): contaminated = shares an 8-token
+      // gram (the q_t11 rule, precedence) > dup = band key shared with a
+      // smaller in-batch doc_id (q_d4 banding, min-id-wins) > admit
+      ", sig AS (SELECT doc_id, " + minhashMinsSql +
+      " FROM h WHERE doc_id >= 100 AND doc_id < 250 GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, 1 AS band, m1 || '_' || m2 AS bk FROM sig " +
+      "UNION ALL SELECT doc_id, 2, m3 || '_' || m4 FROM sig), " +
+      "dup AS (SELECT DISTINCT b.doc_id FROM bands b " +
+      "JOIN (SELECT band, bk, min(doc_id) AS first_id FROM bands GROUP BY band, bk) f " +
+      "ON f.band = b.band AND f.bk = b.bk AND b.doc_id > f.first_id), " +
+      "tok8 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+      "ix8 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+      "FROM tok8 WHERE len(w) >= 8), " +
+      "g8 AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM ix8), " +
+      "ev AS (SELECT DISTINCT gram FROM g8 WHERE doc_id < 20), " +
+      "ct AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN ev USING (gram) " +
+      "WHERE g8.doc_id >= 100 AND g8.doc_id < 250) " +
+      "SELECT d.doc_id, CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' " +
+      "WHEN dup.doc_id IS NOT NULL THEN 'dup' ELSE 'admit' END AS verdict " +
+      "FROM documents d LEFT JOIN ct ON ct.doc_id = d.doc_id " +
+      "LEFT JOIN dup ON dup.doc_id = d.doc_id " +
+      "WHERE d.doc_id >= 100 AND d.doc_id < 250 ORDER BY d.doc_id"),
     "q_st7_funnel_join" -> (
       "WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase') " +

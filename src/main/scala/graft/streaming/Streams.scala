@@ -529,6 +529,46 @@ object Streams {
       .orderBy("w_start")
   }
 
+  /** Q-ST13 — GATE ADMISSION VERDICT (batch form of the [[dedupGateBatch]]
+    * decision logic, minus the durable store): classify an incoming batch
+    * (docs 100 ≤ doc_id < 250, standing in for one micro-batch) against a
+    * held-out eval frame (doc_id < 20) with the gate's own two rejection
+    * lanes — `contaminated` (shares a verbatim 8-token gram with the eval
+    * set, the [[graft.operators.TextAnalysis.qT11]] rule the
+    * `decontamEval` opt-in runs at the door) taking precedence over `dup`
+    * (a band key shared with a smaller doc_id in the same batch — rule (b)
+    * min-id-wins, bands via [[bandKeys]] so the batch form and the live
+    * gate can never drift), else `admit`. The oracle replays both lanes
+    * (the q_t11 gram kernel + the q_d4 banding CTEs) and the precedence.
+    *
+    * Scale: the eval gram set broadcasts (eval-sized); the dup leg is one
+    * band-keyed agg over batch-sized bands — both lanes micro-batch-
+    * bounded exactly like the live gate. */
+  def qSt13(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val batch = docs.where(col("doc_id") >= 100 && col("doc_id") < 250)
+    val evalGrams = graft.operators.TextAnalysis
+      .tokenGrams(docs.where(col("doc_id") < 20)).select("gram").distinct()
+    val contam = graft.operators.TextAnalysis.tokenGrams(batch)
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct().withColumn("c", lit(1))
+    val bands = bandKeys(batch)
+    val dup = bands
+      .join(bands.groupBy("band", "bk").agg(min("doc_id").as("first_id")),
+        Seq("band", "bk"))
+      .where(col("doc_id") > col("first_id"))
+      .select("doc_id").distinct().withColumn("d", lit(1))
+    batch.select("doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("c") === 1, lit("contaminated"))
+          .when(col("d") === 1, lit("dup"))
+          .otherwise(lit("admit")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** ST-5 (batch form): incremental MERGE equivalence — applying the merge
     * in two half-batches (foreachBatch style) must land on the same final
     * state as one full-refresh merge; the oracle pins the final state's
@@ -643,14 +683,38 @@ object Streams {
     *  - `vacuumCommitsBelow = Some(floor)`: sweep `_commits` metadata for
     *    batchIds the source checkpoint can no longer replay — see
     *    [[vacuumGateCommits]] for the horizon contract (for a live query,
-    *    the current batchId is a safe floor). */
+    *    the current batchId is a safe floor).
+    *
+    * `decontamEval = Some(evalFrame)` adds a DECONTAMINATION lane ahead of
+    * the dup legs: batch docs sharing a verbatim 8-token gram with the
+    * eval frame (the [[graft.operators.TextAnalysis.qT11]] rule) are
+    * rejected and quarantined to the store's `_contam` channel
+    * (doc_id, text, batch_id) — eval leakage never enters the corpus, so
+    * the offline q_t11/q_t38 passes become audits instead of cleanups.
+    * [[qSt13]] is the oracle-checked batch form of the combined verdict. */
+  /** The gate's LSH band keys for a (doc_id, text) frame: [[graft
+    * .operators.Dedup.qD4]]'s 2×2 banding of the fused `minhash_sig`
+    * (3-token shingles, 4 mins, 2 bands). Docs too short to shingle emit
+    * no rows. Shared by [[dedupGateBatch]] (which adds the store's bp
+    * partition key) and the [[qSt13]] batch-form verdict, so the two can
+    * never drift. */
+  private[graft] def bandKeys(batch: DataFrame): DataFrame =
+    batch.selectExpr("doc_id", "minhash_sig(text, 3) AS ms")
+      .where(col("ms").isNotNull)
+      .selectExpr("doc_id",
+        """explode(array(
+          |  named_struct('band', 1, 'bk', concat(ms.m1, '_', ms.m2)),
+          |  named_struct('band', 2, 'bk', concat(ms.m3, '_', ms.m4)))) AS b""".stripMargin)
+      .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
+
   def dedupGateBatch(spark: SparkSession, storeDir: String,
       batch: DataFrame, batchId: Long, advanceIndex: Boolean = false,
       corpusDir: Option[String] = None,
       advanceLex: Boolean = false,
       advanceAnn: Boolean = false,
       autoExpireKeepLast: Option[Int] = None,
-      vacuumCommitsBelow: Option[Long] = None): (Long, Long) = {
+      vacuumCommitsBelow: Option[Long] = None,
+      decontamEval: Option[DataFrame] = None): (Long, Long) = {
     require(!advanceIndex || corpusDir.nonEmpty,
       "dedupGateBatch: advanceIndex = true needs the corpusDir the " +
         "admitted delta lands in")
@@ -722,17 +786,36 @@ object Streams {
     }
     val n = batch.count()
     if (n == 0) { commit(); upkeep(); return (0L, 0L) }
-    val bands = batch.selectExpr("doc_id", "minhash_sig(text, 3) AS ms")
-      .where(col("ms").isNotNull)
-      .selectExpr("doc_id",
-        """explode(array(
-          |  named_struct('band', 1, 'bk', concat(ms.m1, '_', ms.m2)),
-          |  named_struct('band', 2, 'bk', concat(ms.m3, '_', ms.m4)))) AS b""".stripMargin)
-      .selectExpr("doc_id", "b.band AS band", "b.bk AS bk",
+    val bands = bandKeys(batch)
+      .selectExpr("doc_id", "band", "bk",
         // the store's partition key: band keys hash into the store's FROZEN
         // bucket count, so a batch's store scan PRUNES to matching partitions
-        s"pmod(xxhash64(b.bk), ${meta.bandBuckets}) AS bp")
+        s"pmod(xxhash64(bk), ${meta.bandBuckets}) AS bp")
       .localCheckpoint(eager = true) // one signature pass, fanned 3 ways below
+    // DECONTAMINATION LANE (opt-in): a doc sharing a verbatim 8-token gram
+    // with the eval frame is rejected BEFORE the dup legs — the qT11 rule
+    // run AT THE DOOR, so eval leakage never enters the corpus and no
+    // offline decontam pass has to claw it back. The eval gram set is
+    // eval-sized and BROADCASTS into the batch's gram stream (the q_t38
+    // hit-set posture); rejected docs are quarantined to the `_contam`
+    // channel (doc_id, text, batch_id — the A4/A13 reject-with-channel
+    // pattern) for audit. Replay of an uncommitted crash can duplicate
+    // channel rows (decision-neutral, same ids — the docs/bands caveat);
+    // a committed batch short-circuits at the marker as always.
+    val contaminated = decontamEval match {
+      case Some(ev) =>
+        val evalGrams = graft.operators.TextAnalysis
+          .tokenGrams(ev.select("doc_id", "text")).select("gram").distinct()
+        graft.operators.TextAnalysis.tokenGrams(batch.select("doc_id", "text"))
+          .join(broadcast(evalGrams), "gram")
+          .select("doc_id").distinct()
+          .localCheckpoint(eager = true)
+      case None => batch.select("doc_id").limit(0)
+    }
+    if (decontamEval.nonEmpty)
+      batch.join(contaminated, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(s"$storeDir/_contam")
     val bandsPath = s"$storeDir/bands"
     val rejectedStore =
       if (st.exists(bandsPath)) {
@@ -754,7 +837,8 @@ object Streams {
         Seq("band", "bk"))
       .where(col("doc_id") > col("first_id"))
       .select("doc_id").distinct()
-    val rejected = rejectedStore.union(rejectedBatch).distinct()
+    val rejected = rejectedStore.union(rejectedBatch).union(contaminated)
+      .distinct()
       .localCheckpoint(eager = true)
     val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)

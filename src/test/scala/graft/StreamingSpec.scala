@@ -612,6 +612,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/docs").count() == 3)
   }
 
+  test("ST-9 decontam lane: eval-gram leaks rejected at the door, quarantined to _contam; dup lane unaffected; replay no-op") {
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "decontam-gate").toString
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val eval = spark.range(1)
+      .selectExpr("0L AS doc_id", s"'$evalText' AS text")
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val counts = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val src = MemoryStream[(Long, String)](spark)
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        counts(id) = Streams.dedupGateBatch(b.sparkSession, store, b, id,
+          decontamEval = Some(eval)); ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("target"), "decontam-cp").toString)
+      .start()
+    // doc 2 embeds the FULL eval sentence (an 8-gram leak) in fresh text;
+    // doc 3 is a within-batch near-dup of doc 1; doc 4 is clean
+    src.addData((1L, dup), (2L, s"intro words then $evalText trailing tail"),
+      (3L, dup),
+      (4L, "completely different words forming another shingle set entirely"))
+    q.processAllAvailable()
+    q.stop()
+    assert(counts(0L) == (2L, 2L), s"per-batch (admitted, rejected): $counts")
+    val docs = spark.read.parquet(s"$store/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docs == Set(1L, 4L), s"admitted corpus: $docs")
+    // the leak is quarantined with its batch id; the dup is NOT (it is a
+    // dup rejection, not a contamination)
+    val contam = spark.read.parquet(s"$store/_contam")
+      .select("doc_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contam == Set((2L, 0L)), s"_contam channel: $contam")
+    // a contaminated doc's bands never enter the store
+    val bandDocs = spark.read.parquet(s"$store/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bandDocs == Set(1L, 4L), s"band store docs: $bandDocs")
+    // committed replay stays a no-op and appends nothing to the channel
+    assert(Streams.dedupGateBatch(spark, store,
+      spark.range(1).selectExpr("91L AS doc_id",
+        s"'$evalText' AS text"), 0L, decontamEval = Some(eval)) == (0L, 0L))
+    assert(spark.read.parquet(s"$store/_contam").count() == 1L)
+  }
+
   test("ST-9 store maintenance: bounded files under many batches; decisions survive compaction; crashed swap heals") {
     val store = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "gate-compact").toString
