@@ -841,11 +841,13 @@ private[core] final class GateStatsProcedure
       StructField("commits", LongType, nullable = false),
       StructField("max_batch_id", LongType, nullable = false),
       StructField("pending_deltas", LongType, nullable = false),
-      StructField("crashed_staging", LongType, nullable = false)))
+      StructField("crashed_staging", LongType, nullable = false),
+      StructField("contam_files", LongType, nullable = false),
+      StructField("contam_bytes", LongType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       g.layoutVersion, g.bandBuckets, g.bandFiles, g.bandBytes,
       g.docFiles, g.docBytes, g.commits, g.maxBatchId,
-      g.pendingDeltas, g.crashedStaging))
+      g.pendingDeltas, g.crashedStaging, g.contamFiles, g.contamBytes))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

@@ -1029,7 +1029,7 @@ object Streams {
   final case class GateStats(layoutVersion: Int, bandBuckets: Int,
       bandFiles: Long, bandBytes: Long, docFiles: Long, docBytes: Long,
       commits: Long, maxBatchId: Long, pendingDeltas: Long,
-      crashedStaging: Long)
+      crashedStaging: Long, contamFiles: Long, contamBytes: Long)
 
   /** Metadata-only observability for a gate store (see [[GateStats]]):
     * sub-store file counts/bytes, committed-batch markers and the highest
@@ -1053,6 +1053,9 @@ object Streams {
     val dirs = st.listDirNames(commitsDir)
     val (bf, bb) = files("bands")
     val (df, db) = files("docs")
+    // the decontam lane's quarantine channel — zero when the opt-in never
+    // ran (the dir does not exist) OR when it ran and rejected nothing
+    val (cf, cb) = files("_contam")
     GateStats(
       meta.map(_.layoutVersion).getOrElse(0),
       meta.map(_.bandBuckets).getOrElse(0),
@@ -1060,7 +1063,8 @@ object Streams {
       markers.size.toLong,
       if (markers.nonEmpty) markers.max else -1L,
       dirs.count(n => n.endsWith(".delta")).toLong,
-      dirs.count(n => n.endsWith(".delta.tmp")).toLong)
+      dirs.count(n => n.endsWith(".delta.tmp")).toLong,
+      cf, cb)
   }
 
   /** File-count bound for [[dedupGateBatch]]'s store: a sub-store whose
@@ -1216,7 +1220,7 @@ object Streams {
   private[graft] def healGateStore(storeDir: String): Unit = {
     val st = graft.core.Storage.hadoop
     if (!st.exists(storeDir)) return
-    for (sub <- Seq("bands", "docs")) {
+    for (sub <- Seq("bands", "docs", "_contam")) {
       val live = s"$storeDir/$sub"
       val leftovers = st.listDirNames(storeDir)
         .filter(n => n.startsWith(s"$sub.compact-") || n.startsWith(s"$sub.trash-"))
@@ -1247,7 +1251,10 @@ object Streams {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val st = graft.core.Storage.hadoop
     var before = 0; var after = 0
-    for (sub <- Seq("bands", "docs")) {
+    // _contam compacts like docs: one parquet append per contaminated
+    // batch is the same unbounded-small-file disease, and a plain rewrite
+    // preserves the channel's (doc_id, text, batch_id) rows
+    for (sub <- Seq("bands", "docs", "_contam")) {
       val live = s"$storeDir/$sub"
       if (st.exists(live)) {
         val files = st.walk(live).filterNot { f =>

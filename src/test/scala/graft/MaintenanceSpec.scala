@@ -374,6 +374,9 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(g.getAs[Long]("max_batch_id") == 7L)
     assert(g.getAs[Long]("pending_deltas") == 1L, "the preserved unmarked delta")
     assert(g.getAs[Long]("crashed_staging") == 0L)
+    // decontam never opted in on this store: the channel reads empty
+    assert(g.getAs[Long]("contam_files") == 0L &&
+      g.getAs[Long]("contam_bytes") == 0L, s"$g")
     val r = spark.sql(
       s"CALL graftvg.system.vacuum_gate(store_dir => '$store', " +
         "safe_batch_floor => 3000)").head()

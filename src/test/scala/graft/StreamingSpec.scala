@@ -655,6 +655,17 @@ class StreamingSpec extends AnyFunSuite {
       spark.range(1).selectExpr("91L AS doc_id",
         s"'$evalText' AS text"), 0L, decontamEval = Some(eval)) == (0L, 0L))
     assert(spark.read.parquet(s"$store/_contam").count() == 1L)
+    // the channel is visible on the metadata-only doorway ...
+    val g = Streams.gateStats(store)
+    assert(g.contamFiles > 0L && g.contamBytes > 0L, s"$g")
+    // ... and compacts like the other sub-stores, rows intact
+    val (before, after) = Streams.compactGateStore(spark, store,
+      fileThreshold = 0)
+    assert(after <= before, s"compaction grew files: $before -> $after")
+    assert(spark.read.parquet(s"$store/_contam")
+      .select("doc_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 0L)),
+      "channel rows must survive compaction byte-identical")
   }
 
   test("ST-9 store maintenance: bounded files under many batches; decisions survive compaction; crashed swap heals") {
