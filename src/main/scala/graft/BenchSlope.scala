@@ -77,7 +77,9 @@ object BenchSlope {
       "q_mm20_modal_consistency" -> Seq("graft.mmivf.root", "graft.dupindex.root"),
       "q_d21_proto_prune"    -> ivf,
       "q_g11_weak_links"     -> dup,
-      "q_sim22_nprobe_sweep" -> ivf)
+      "q_sim22_nprobe_sweep" -> ivf,
+      "q_d22_d4_verdict"     -> ivf,
+      "q_mm21_audio_ivf"     -> Seq("graft.mmivf.root"))
   }
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3

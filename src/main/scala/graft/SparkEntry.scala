@@ -157,6 +157,7 @@ object SparkEntry {
     "q_d14_containment"    -> (Dedup.qD14 _),
     "q_d15_semantic_dedup" -> (Dedup.qD15 _),
     "q_d21_proto_prune"    -> (Dedup.qD21 _),
+    "q_d22_d4_verdict"     -> (Dedup.qD22 _),
     "q_d16_boilerplate"    -> (Dedup.qD16 _),
     "q_d17_dup_gram_mass"  -> (Dedup.qD17 _),
     // dup-graph structure diagnostics
@@ -237,6 +238,7 @@ object SparkEntry {
     "q_mm18_sharpness"      -> (Multimodal.qMm18 _),
     "q_mm19_img_ivf"        -> (MmIvf.qMm19 _),
     "q_mm20_modal_consistency" -> (MmIvf.qMm20 _),
+    "q_mm21_audio_ivf"      -> (MmIvf.qMm21 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -1503,6 +1505,32 @@ object SparkEntry {
         "CAST(n_vecs AS BIGINT) AS n_vecs, " +
         s"CAST(CASE WHEN rank <= n_vecs // ${graft.operators.Dedup.ProtoPruneDiv} THEN 1 ELSE 0 END AS BIGINT) AS pruned " +
         "FROM r ORDER BY cell, rank"),
+    "q_d22_d4_verdict" -> (
+      // D4 composed: q_d15's in-cell keep-first dup set, then q_d21's
+      // prototype rank RE-COMPUTED over the survivors, verdict precedence
+      "WITH p AS (SELECT e.vec_id AS a_id, c.vec_id AS b_id, e.embedding AS ea, c.embedding AS eb " +
+        s"FROM embeddings e JOIN embeddings c ON c.vec_id < ${graft.operators.Similarity.IvfCells}), " +
+        cosineSumSql +
+        ", cs AS (SELECT a_id AS vec_id, b_id AS cell, dot/(sqrt(na)*sqrt(nb)) AS sim_raw, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, b_id) AS rn FROM s), " +
+        "asg AS (SELECT vec_id, cell, sim_raw FROM cs WHERE rn = 1), " +
+        "p2 AS (SELECT x.cell, x.vec_id AS a_id, y.vec_id AS b_id, " +
+        "a.embedding AS ea, b.embedding AS eb " +
+        "FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id " +
+        "JOIN embeddings a ON a.vec_id = x.vec_id JOIN embeddings b ON b.vec_id = y.vec_id), " +
+        "u2 AS (SELECT a_id, b_id, unnest(generate_series(1, 64)) AS i, ea, eb FROM p2), " +
+        "s2 AS (SELECT a_id, b_id, sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot, " +
+        "sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na, sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb FROM u2 GROUP BY a_id, b_id), " +
+        "sdset AS (SELECT DISTINCT b_id AS vec_id FROM s2 WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4), " +
+        "surv AS (SELECT a.vec_id, a.cell, a.sim_raw FROM asg a " +
+        "LEFT JOIN sdset sx ON sx.vec_id = a.vec_id WHERE sx.vec_id IS NULL), " +
+        "pr AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell " +
+        "ORDER BY sim_raw DESC, vec_id) AS rank, count(1) OVER (PARTITION BY cell) AS n_surv FROM surv), " +
+        s"ppset AS (SELECT vec_id FROM pr WHERE rank <= n_surv // ${graft.operators.Dedup.ProtoPruneDiv}) " +
+        "SELECT a.vec_id, a.cell, CASE WHEN sd.vec_id IS NOT NULL THEN 'semdedup' " +
+        "WHEN pp.vec_id IS NOT NULL THEN 'proto' ELSE 'keep' END AS verdict " +
+        "FROM asg a LEFT JOIN sdset sd ON sd.vec_id = a.vec_id " +
+        "LEFT JOIN ppset pp ON pp.vec_id = a.vec_id ORDER BY a.vec_id"),
     "q_g11_weak_links" -> (simhashPairsSql
       .replaceFirst("WITH ", "WITH RECURSIVE ") +
       // triangle-supported edges (common-neighbor probe), components (the
@@ -2313,6 +2341,38 @@ object SparkEntry {
         "dp AS (SELECT c.q_id, c.n_id, x.f AS fa, y.f AS fb FROM cand c " +
         "JOIN fv x ON x.doc_id = c.q_id JOIN fv y ON y.doc_id = c.n_id), " +
         "du AS (SELECT q_id, n_id, unnest(generate_series(1, 20)) AS i, fa, fb FROM dp), " +
+        "d2t AS (SELECT q_id, n_id, CAST(sum((fa[i] - fb[i]) * (fa[i] - fb[i])) AS BIGINT) AS d2 " +
+        "FROM du GROUP BY 1, 2), " +
+        "fin AS (SELECT q_id, n_id, d2, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY d2, n_id) AS rnk FROM d2t) " +
+        "SELECT q_id, n_id, d2, CAST(rnk AS BIGINT) AS rnk FROM fin " +
+        "WHERE rnk <= 5 ORDER BY q_id, rnk"),
+    "q_mm21_audio_ivf" -> (
+      // served audio ANN from the MmIvf AUDIO lane: 8 frame energies per
+      // clip replayed from the closed-form PCM (the q_mm12 chain); seeds
+      // = assets < 8; cells ranked by cosine over exact integer-valued
+      // doubles; serving distance = integer squared-L2
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "sam AS (SELECT doc_id, k.i AS k, " +
+        "CAST((doc_id * 37 + k.i * 11) % 2048 - 1024 AS BIGINT) AS s FROM d, " +
+        "(SELECT unnest(generate_series(0, 63)) AS i) k), " +
+        "e AS (SELECT doc_id, k // 8 AS fr, CAST(sum(s * s) AS BIGINT) AS ef FROM sam GROUP BY 1, 2), " +
+        "fv AS (SELECT doc_id, list(ef ORDER BY fr) AS f FROM e GROUP BY doc_id), " +
+        "sd AS (SELECT doc_id AS cid, f AS cf FROM fv WHERE doc_id < 8), " +
+        "pp AS (SELECT fv.doc_id AS id, sd.cid, fv.f AS fa, sd.cf AS fb FROM fv, sd), " +
+        "uu AS (SELECT id, cid, unnest(generate_series(1, 8)) AS i, fa, fb FROM pp), " +
+        "ss AS (SELECT id, cid, sum(fa[i]::DOUBLE * fb[i]::DOUBLE) AS dot, " +
+        "sum(fa[i]::DOUBLE * fa[i]::DOUBLE) AS na, " +
+        "sum(fb[i]::DOUBLE * fb[i]::DOUBLE) AS nb FROM uu GROUP BY 1, 2), " +
+        "rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id " +
+        "ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, cid) AS rn FROM ss), " +
+        "asg AS (SELECT id, cid AS cell FROM rk WHERE rn = 1), " +
+        "probe AS (SELECT id AS q_id, cid AS cell FROM rk WHERE id < 10 AND rn <= 2), " +
+        "cand AS (SELECT p.q_id, a.id AS n_id FROM probe p " +
+        "JOIN asg a ON a.cell = p.cell AND a.id <> p.q_id), " +
+        "dp AS (SELECT c.q_id, c.n_id, x.f AS fa, y.f AS fb FROM cand c " +
+        "JOIN fv x ON x.doc_id = c.q_id JOIN fv y ON y.doc_id = c.n_id), " +
+        "du AS (SELECT q_id, n_id, unnest(generate_series(1, 8)) AS i, fa, fb FROM dp), " +
         "d2t AS (SELECT q_id, n_id, CAST(sum((fa[i] - fb[i]) * (fa[i] - fb[i])) AS BIGINT) AS d2 " +
         "FROM du GROUP BY 1, 2), " +
         "fin AS (SELECT q_id, n_id, d2, row_number() OVER " +

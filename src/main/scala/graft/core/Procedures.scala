@@ -461,13 +461,20 @@ private[core] final class MmIvfProcedure
   override def bind(inputType: StructType): BoundProcedure = this
 
   override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("dir", StringType).build())
+    ProcedureParameter.in("dir", StringType).build(),
+    ProcedureParameter.in("lane", StringType).defaultValue("'img'").build())
 
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = input.getUTF8String(0).toString
-    val idx = graft.operators.MmIvf.build(SparkSession.active, dir)
+    val lane = input.getUTF8String(1).toString
+    require(lane == "img" || lane == "aud",
+      s"mmivf: unknown lane '$lane' (one of: img, aud)")
+    val idx =
+      if (lane == "aud")
+        graft.operators.MmIvf.buildAudio(SparkSession.active, dir)
+      else graft.operators.MmIvf.build(SparkSession.active, dir)
     // occupancy verdict, the ivfindex shape: hot cells degrade probe cost,
     // empty cells waste nprobe budget — both are retrain/re-seed evidence
     val counts = idx.feats.groupBy("cell").count()

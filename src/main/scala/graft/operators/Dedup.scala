@@ -1595,6 +1595,59 @@ object Dedup {
       .orderBy("cell", "rank")
   }
 
+  /** Q-D22 — the full D4 CURATION VERDICT (Tirumala et al. 2023's
+    * pipeline composed): per embedding, SemDeDup first ([[qD15]]'s
+    * keep-first prune — dropped iff a lower-id cell-mate is cosine-≥-0.4
+    * similar), then prototype pruning ([[qD21]]'s rule) RE-RANKED OVER
+    * THE SURVIVORS — the paper's actual order, and materially different
+    * from running q_d21 standalone: removing near-dup clumps first means
+    * the prototype ranks are computed on the deduplicated cell, so a
+    * clump near the centroid costs ONE proto slot, not many. Emits one
+    * row per vector: (vec_id, cell, verdict ∈ semdedup|proto|keep) — the
+    * drop list a D4 curation run applies, with the reason attached.
+    *
+    * Composition exactness: both legs are the already-oracle-checked
+    * integer/double kernels; the oracle replays assignment → in-cell dup
+    * set → survivor re-rank → verdict precedence.
+    *
+    * Scale: [[qD15]]'s in-cell self-join + [[qD21]]'s in-cell rank
+    * window, both over the warm index's cell-partitioned assignment —
+    * nothing beyond the two component passes' declared Σ|cell|² /
+    * sort-per-cell cost. */
+  def qD22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val idx = Similarity.IvfIndex.build(s, dir, lloydIters = 0)
+    val a = idx.assigned.selectExpr("cell", "vec_id AS a_id", "embedding AS ea")
+    val b = idx.assigned.selectExpr("cell AS b_cell", "vec_id AS b_id",
+      "embedding AS eb")
+    val dupDropped = a.hint("merge")
+      .join(b, col("cell") === col("b_cell") && col("a_id") < col("b_id"))
+      .where(expr("cosine_sim(ea, eb)") >= 0.4)
+      .select(col("b_id").as("vec_id")).distinct()
+    val seeds = Tables.embeddings(s, dir)
+      .where(col("vec_id") < Similarity.IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+    val surv = idx.assigned.join(dupDropped, Seq("vec_id"), "left_anti")
+    val cw = Window.partitionBy("cell")
+    val rw = cw.orderBy(col("sim_raw").desc, col("vec_id"))
+    val proto = surv.join(broadcast(seeds), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("cosine_sim(embedding, ce)").as("sim_raw"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .withColumn("n_surv", count(lit(1)).over(cw))
+      .where(expr(s"rank <= n_surv DIV $ProtoPruneDiv"))
+      .select("vec_id")
+    idx.assigned.select("vec_id", "cell")
+      .join(dupDropped.withColumn("sd", lit(1)), Seq("vec_id"), "left")
+      .join(proto.withColumn("pp", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("sd") === 1, lit("semdedup"))
+          .when(col("pp") === 1, lit("proto"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy("vec_id")
+  }
+
   /** Q-G11 — WEAK LINKS: the verified near-dup edges supported by ZERO
     * triangles — no third document is a near-dup of both endpoints. In a
     * genuine duplicate family every edge is triangle-supported (near-dup

@@ -90,11 +90,14 @@ object MmIvf {
   private def sub(base: String, child: String): String =
     new org.apache.hadoop.fs.Path(base, child).toString
 
-  private def indexPath(dir: String): String = {
+  private def indexPath(dir: String, lane: String = "img"): String = {
     val fp = Similarity.IvfIndex.fileFingerprint(
       new org.apache.hadoop.fs.Path(dir, "documents.parquet").toString)
+    // the image lane keeps its original (unsuffixed) dir name, so an
+    // index published before the audio lane existed still warm-loads
+    val suffix = if (lane == "img") "" else s"-$lane"
     new org.apache.hadoop.fs.Path(indexRoot,
-      s"v$FormatVersion-$fp-k$Cells").toString
+      s"v$FormatVersion-$fp-k$Cells$suffix").toString
   }
 
   private def fnName(path: String): String =
@@ -148,20 +151,45 @@ object MmIvf {
           .map(_ => Similarity.IvfIndex.fileFingerprint(corpus))
       }.toSet, keepLastN, olderThanMs)
 
-  /** Build (or fetch) the index for `dir`: memo → durable copy → staged
-    * one-pass build under the shared lock (the [[DupClusters]] recipe). */
-  def build(s: SparkSession, dir: String): Index =
-    cache.getOrCompute(s, indexPath(dir))(loadOrBuild(s, dir))
+  /** Per-asset 8-component integer AUDIO feature vector — [[Multimodal
+    * .audioPrints]]'s frame energies as an array column: the same
+    * kernel-computed fixed-width posture as the image lane (real WAV
+    * decode in batched mapPartitions, bytes never cross an exchange),
+    * with the same exactness headroom (energies ≤ 8·1023², cosine
+    * accumulators over 8 dims stay < 2⁵³ — exact doubles). */
+  private[graft] def audioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioPrints(Multimodal.wavAssets(s, dir),
+        Multimodal.WavDecoder)
+      .selectExpr("asset_id",
+        "array(" + (0 to 7).map(f => s"e$f").mkString(", ") + ") AS f")
 
-  private def loadOrBuild(s: SparkSession, dir: String): Index = {
-    val path = indexPath(dir)
+  private def featuresOf(s: SparkSession, dir: String,
+                         lane: String): DataFrame =
+    if (lane == "aud") audioFeatures(s, dir) else features(s, dir)
+
+  /** Build (or fetch) the IMAGE index for `dir`: memo → durable copy →
+    * staged one-pass build under the shared lock (the [[DupClusters]]
+    * recipe). */
+  def build(s: SparkSession, dir: String): Index =
+    cache.getOrCompute(s, indexPath(dir))(loadOrBuild(s, dir, "img"))
+
+  /** The AUDIO lane of the same index family: frame-energy vectors under
+    * their own fingerprint-keyed dir (`…-aud`), same staging/lock/load
+    * machinery, swept by the same `mm` retention kind (the dir name
+    * carries the corpus fingerprint, which is what the sweep matches). */
+  def buildAudio(s: SparkSession, dir: String): Index =
+    cache.getOrCompute(s, indexPath(dir, "aud"))(loadOrBuild(s, dir, "aud"))
+
+  private def loadOrBuild(s: SparkSession, dir: String,
+                          lane: String): Index = {
+    val path = indexPath(dir, lane)
     val marker = sub(path, "centroids.tsv")
     if (!store.exists(marker)) {
       store.mkdirs(indexRoot)
       Similarity.IvfIndex.withIndexLock(path + ".lock") {
         if (!store.exists(marker)) {
           if (store.exists(path)) store.deleteRecursive(path)
-          stageAndPublish(s, dir, path)
+          stageAndPublish(s, dir, path, lane)
         }
       }
     }
@@ -169,9 +197,9 @@ object MmIvf {
   }
 
   private def stageAndPublish(s: SparkSession, dir: String,
-                              path: String): Unit = {
+                              path: String, lane: String = "img"): Unit = {
     val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    val fr = features(s, dir)
+    val fr = featuresOf(s, dir, lane)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // K bounded seed rows to the driver; integer features widen to
@@ -279,8 +307,31 @@ object MmIvf {
       .orderBy("a_id", "b_id")
   }
 
-  def qMm19(s: SparkSession, dir: String): DataFrame = {
-    val idx = build(s, dir)
+  def qMm19(s: SparkSession, dir: String): DataFrame =
+    servedTopK(build(s, dir))
+
+  /** Q-MM21 — SERVED AUDIO SIMILARITY SEARCH: [[qMm19]]'s serving shape
+    * on the AUDIO lane ([[buildAudio]] — 8 frame energies per clip, the
+    * [[Multimodal.qMm12]] fingerprint kernel's vectors): top-5 nearest
+    * clips per probe (asset_id < 10) by exact integer squared-L2, cells
+    * ranked by the audio quantizer, candidates = probed cells only. With
+    * it, BOTH decode modalities have the full arc: hash-band dedup
+    * (q_mm9/q_mm12) AND a served nearest-neighbor lane (q_mm19/here) —
+    * re-encoded clips that the ≤1-differing-code dedup band misses still
+    * surface as near neighbors. Same one-sided serving contract and
+    * closed-form oracle replay as the image lane.
+    *
+    * Scale: identical to [[qMm19]] — warm runs read ≤ [[Probe]] cell
+    * partitions of the 8-long feature rows, zero audio bytes, zero
+    * corpus passes. */
+  def qMm21(s: SparkSession, dir: String): DataFrame =
+    servedTopK(buildAudio(s, dir))
+
+  /** The shared served-ANN probe: top-5 per probe asset (asset_id < 10),
+    * cells ranked by the lane's registered quantizer, candidates from
+    * probed cells only, exact integer squared-L2, (d2, n_id) total
+    * order. */
+  private def servedTopK(idx: Index): DataFrame = {
     val probes = idx.feats.where(col("asset_id") < 10)
       .selectExpr("asset_id AS q_id", "f AS fq",
         s"explode(${idx.fn}(transform(f, x -> CAST(x AS DOUBLE)), $Probe)) AS cell")

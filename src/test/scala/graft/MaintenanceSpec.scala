@@ -673,10 +673,23 @@ class MaintenanceSpec extends AnyFunSuite {
         graft.operators.MmIvf.Cells.toLong - counts.length, s"$r")
       // and the mm kind participates in retention sweeps (bound semantics
       // shared with ivf/dup/lex; live fingerprint protected)
+      // the audio lane answers on the same doorway; its 8 cells carry the
+      // same 200 fixture assets under the -aud fingerprint dir
+      val ra = spark.sql(
+        s"CALL graftmm.system.mmivf(dir => '$dir', lane => 'aud')").head()
+      assert(ra.getString(0).endsWith("-aud"), s"$ra")
+      assert(ra.getAs[Long]("n_assets") == 200L, s"$ra")
+      val eBad = intercept[Exception](
+        spark.sql(s"CALL graftmm.system.mmivf(dir => '$dir', lane => 'x')")
+          .head())
+      assert(eBad.getMessage.contains("unknown lane"), eBad.getMessage)
+      // the mm kind's retention sweep protects BOTH lanes' live dirs
       val swept = graft.operators.MmIvf.expireStale(Seq(dir), Some(0), None)
       assert(swept.isEmpty, s"live mm index must survive a keep-0 sweep: $swept")
       assert(graft.operators.MmIvf.qMm19(spark, dir).count() > 0,
-        "index still serves after the sweep")
+        "image lane still serves after the sweep")
+      assert(graft.operators.MmIvf.qMm21(spark, dir).count() > 0,
+        "audio lane still serves after the sweep")
     } finally {
       prevRoot match {
         case Some(v) => sys.props("graft.mmivf.root") = v

@@ -172,6 +172,14 @@ class PlanGateSpec extends AnyFunSuite {
       "; one qSim3-shaped probe per sweep point (nprobe 1..16), all " +
       "against the same warm index — the exact lane IS the nprobe=16 " +
       "point"),
+    "q_mm21_audio_ivf" -> (probeRank +
+      "; 10 audio probes against the cell-partitioned MmIvf audio lane " +
+      "— candidates <= the probed cells' members"),
+    "q_d22_d4_verdict" ->
+      ("the q_d21 rank-to-centroid window re-run over the SemDeDup " +
+        "survivors: partitions are IVF cells (the q_d15/q_d21 in-cell " +
+        "posture), join sides are the cached assignment, the survivor " +
+        "anti-join, and the K-row seed broadcast"),
     "q_sim21_hybrid_query" -> (probeRank +
       "; ONE user-query row against the cached int8 cell assignment"),
     "q_t39_safe_keep" ->
