@@ -116,6 +116,7 @@ object SparkEntry {
     "q_t17_pack_stats"     -> (TextAnalysis.qT17 _),
     "q_t42_shard_pack"     -> (TextAnalysis.qT42 _),
     "q_t43_ppl_buckets"    -> (TextAnalysis.qT43 _),
+    "q_t44_gopher_rules"   -> (TextAnalysis.qT44 _),
     "q_t18_cluster_split"  -> (TextAnalysis.qT18 _),
     "q_t19_keep_canonical" -> (TextAnalysis.qT19 _),
     "q_t39_safe_keep"      -> (TextAnalysis.qT39 _),
@@ -1557,6 +1558,28 @@ object SparkEntry {
         "CAST(count(1) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM pp GROUP BY 1 ORDER BY 1"),
+    "q_t44_gopher_rules" -> (
+      // the five Gopher document rules, integer end-to-end; the rep leg
+      // is q_t12's top-token mass; rule bounds inline as in the engine
+      "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws FROM documents), " +
+        "base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS chars, " +
+        "CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, " +
+        "CAST(len(list_intersect(list_distinct(ws), " +
+        "['the', 'a'])) AS BIGINT) AS stop_hits FROM w), " +
+        "tf AS (SELECT doc_id, t, count(1) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) q " +
+        "WHERE t <> '' GROUP BY doc_id, t), " +
+        "rep AS (SELECT doc_id, CAST((max(c) * 1000) // sum(c) AS BIGINT) AS rep_pm FROM tf GROUP BY doc_id) " +
+        "SELECT base.doc_id, n_words, " +
+        "CAST((chars * 10) // n_words AS BIGINT) AS mwl_e1, " +
+        "CAST((n_alpha * 1000) // n_words AS BIGINT) AS alpha_pm, " +
+        "stop_hits, rep_pm, " +
+        "CAST(CASE WHEN n_words BETWEEN 50 AND 100000 " +
+        "AND (chars * 10) // n_words BETWEEN 30 AND 100 " +
+        "AND (n_alpha * 1000) // n_words >= 800 " +
+        "AND stop_hits >= 2 AND rep_pm <= 200 THEN 1 ELSE 0 END AS BIGINT) AS pass " +
+        "FROM base JOIN rep USING (doc_id) ORDER BY base.doc_id"),
     "q_t43_ppl_buckets" -> (
       // q_t20's integer unigram-LL score -> bounded per-lang histogram ->
       // tercile boundary bins -> per-doc bucket; integer end-to-end

@@ -889,6 +889,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[qT44]]'s stop-word presence list. Gopher's own list is eight
+    * English closed-class words (Rae et al. 2021 §A1.1.2: the, be, to,
+    * of, and, that, have, with) — on THIS corpus's synthetic vocabulary
+    * only two closed-class words exist at all, so the list is the
+    * corpus-appropriate instantiation of the same rule (a declared
+    * fixture adaptation, like q_t11's 8-gram vs GPT-3's 13): a document
+    * must contain every listed function word to read as natural text. */
+  val GopherStops: Seq[String] = Seq("the", "a")
+
+  /** Minimum distinct [[GopherStops]] hits for the stop-word rule. */
+  val GopherMinStopHits = 2L
+
+  /** Q-T44 — GOPHER QUALITY RULES (Rae et al. 2021 §A1.1.2, the rule
+    * battery Dolma/RefinedWeb descend from): the per-document
+    * keep/drop gate a curation run applies AFTER [[qT2]]'s shape score —
+    * five of the paper's document-level rules, each reported as its own
+    * integer column so an operator sees WHY a doc fails, plus the
+    * composed `pass` flag:
+    *   - word count in [50, 100000] (whitespace tokens, the qT3 lane);
+    *   - mean word length in [3, 10] characters (×10 fixed point,
+    *     integer DIV — engine-exact, no float mean);
+    *   - ≥ 80 % of words contain an alphabetic character (per-mille);
+    *   - ≥ [[GopherMinStopHits]] distinct [[GopherStops]] present;
+    *   - repetition: the qT12 top-token mass ≤ 20 % (the paper's
+    *     duplicated-line surrogate for a corpus without line structure —
+    *     declared adaptation, same intent: kill "buy buy buy").
+    * The line-shape rules (bullet/ellipsis starts) are omitted as
+    * structurally degenerate on this corpus (documents carry no
+    * newlines) — declared, not silently skipped.
+    *
+    * Scale: ONE tokenize pass feeds every rule — the per-word legs fold
+    * into HOF expressions inside the scan projection (no explode), the
+    * repetition leg is the qT12 (doc, token) map-side-combined agg, and
+    * the join back is doc-keyed. Integer end-to-end; the oracle replays
+    * each rule arithmetically. */
+  def qT44(s: SparkSession, dir: String): DataFrame = {
+    val stops = GopherStops.map(w => s"'$w'").mkString(", ")
+    val base = Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "filter(split(lower(text), ' '), x -> x <> '') AS ws")
+      .selectExpr("doc_id",
+        "CAST(size(ws) AS BIGINT) AS n_words",
+        "aggregate(ws, 0L, (a, x) -> a + length(x)) AS chars",
+        "CAST(size(filter(ws, x -> x rlike '[a-z]')) AS BIGINT) AS n_alpha",
+        s"CAST(size(array_intersect(array_distinct(ws), array($stops))) AS BIGINT) AS stop_hits")
+    val rep = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("tot"))
+      .select(col("doc_id"), expr("(top_c * 1000) DIV tot").as("rep_pm"))
+    base.join(rep, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        expr("(chars * 10) DIV n_words").as("mwl_e1"),
+        expr("(n_alpha * 1000) DIV n_words").as("alpha_pm"),
+        col("stop_hits"), col("rep_pm"),
+        expr(("CAST(n_words BETWEEN 50 AND 100000 " +
+          "AND (chars * 10) DIV n_words BETWEEN 30 AND 100 " +
+          "AND (n_alpha * 1000) DIV n_words >= 800 " +
+          s"AND stop_hits >= $GopherMinStopHits " +
+          "AND rep_pm <= 200 AS BIGINT)")).as("pass"))
+      .orderBy("doc_id")
+  }
+
   /** The index-free [[qT21]] formulation (one tokenize-explode corpus
     * pass per run) — retained as the equality oracle for the served form. */
   private[graft] def qT21Direct(s: SparkSession, dir: String): DataFrame = {
