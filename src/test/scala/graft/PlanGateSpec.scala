@@ -197,11 +197,6 @@ class PlanGateSpec extends AnyFunSuite {
         "joined to the K-row seed broadcast: partitions are IVF cells " +
         "(corpus/K, K ~ sqrt(N)) — the q_d15 SemDeDup in-cell posture, " +
         "and a sort is strictly cheaper than its in-cell self-join"),
-    "q_t42_shard_pack" ->
-      ("in-bucket prefix-sum window PARTITIONED BY the fixed-width " +
-        "doc_id bucket (<= PackBucketWidth rows per partition) over the " +
-        "token frame joined to the AGGREGATED bucket-offset broadcast " +
-        "(corpus/width rows) — the distributed two-pass prefix sum"),
   )
 
   private val calendarBounded =
@@ -222,10 +217,6 @@ class PlanGateSpec extends AnyFunSuite {
     "q_sim21_hybrid_query" -> (candidateBounded +
       " — the lexical lane ranks the bm25ForQuery top-100 (TakeOrdered " +
       "upstream) under the constant q_id = 0 of a single user query"),
-    "q_t42_shard_pack" ->
-      ("unpartitioned running sum over the AGGREGATED per-bucket totals " +
-        "frame (corpus/PackBucketWidth rows — pass 1 of the distributed " +
-        "prefix sum); the corpus-sized window is partitioned by bucket"),
   )
 
   private val mergePayload =
