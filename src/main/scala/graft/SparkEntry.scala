@@ -173,6 +173,7 @@ object SparkEntry {
     "q_g9_ktruss"          -> (Dedup.qG9 _),
     "q_g10_cohesion"       -> (Dedup.qG10 _),
     "q_g11_weak_links"     -> (Dedup.qG11 _),
+    "q_g12_severed_components" -> (Dedup.qG12 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
     "q_d19_substr_clean"   -> (Dedup.qD19 _),
     "q_d20_lsh_plan"       -> (Dedup.qD20 _),
@@ -1548,6 +1549,32 @@ object SparkEntry {
       "JOIN comp c ON c.id = w.a_id " +
       "LEFT JOIN supp sx ON sx.a_id = w.a_id AND sx.b_id = w.b_id " +
       "WHERE sx.a_id IS NULL ORDER BY w.a_id, w.b_id"),
+    "q_g12_severed_components" -> (simhashPairsSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // raw components, then the severing: weak (zero-triangle) edges
+      // refuted by levenshtein past the bound are dropped and components
+      // recompute over the survivors; isolated nodes self-label
+      ", ed AS (SELECT a_id AS s, b_id AS t FROM sp UNION ALL SELECT b_id, a_id FROM sp), " +
+      "edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      "wsupp AS (SELECT DISTINCT t.a_id, t.b_id FROM sp t " +
+      "JOIN ed x ON x.s = t.a_id JOIN ed y ON y.s = t.b_id AND y.t = x.t), " +
+      "wk AS (SELECT t.a_id, t.b_id FROM sp t LEFT JOIN wsupp s " +
+      "ON s.a_id = t.a_id AND s.b_id = t.b_id WHERE s.a_id IS NULL), " +
+      "ref AS (SELECT w.a_id, w.b_id FROM wk w " +
+      "JOIN documents da ON da.doc_id = w.a_id " +
+      "JOIN documents db ON db.doc_id = w.b_id " +
+      s"WHERE levenshtein(da.text, db.text) > ${graft.operators.Dedup.SeverEditBound}), " +
+      "sv AS (SELECT t.a_id, t.b_id FROM sp t LEFT JOIN ref r " +
+      "ON r.a_id = t.a_id AND r.b_id = t.b_id WHERE r.a_id IS NULL), " +
+      "sedges AS (SELECT a_id, b_id FROM sv UNION SELECT b_id, a_id FROM sv), " +
+      "sreach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM sedges " +
+      "UNION SELECT e.a_id, r.lbl FROM sedges e JOIN sreach r ON e.b_id = r.id), " +
+      "scomp AS (SELECT id, min(lbl) AS component FROM sreach GROUP BY id) " +
+      "SELECT c.id, c.component, coalesce(sc.component, c.id) AS component_sev " +
+      "FROM comp c LEFT JOIN scomp sc ON sc.id = c.id ORDER BY c.id"),
     "q_t42_shard_pack" -> (
       // the boundary-cut packing as ONE sequential window (the engine's
       // two-pass bucket prefix sum collapses to this at oracle scale)
@@ -2744,11 +2771,18 @@ object SparkEntry {
       "asg AS (SELECT id, cid AS cell FROM rk WHERE rn = 1)"
 
   /** The cohesion-gated keeper chain shared by q_t39 / q_t26 — replays
-    * [[graft.operators.Dedup.gatedKeepMembers]] exactly: the q_g4 integer
-    * pagerank chain, the q_g6 fixed-round LPA chain, components, the
-    * q_g10 per-component cohesion stats, the declared gate
+    * [[graft.operators.Dedup.gatedKeepMembers]] over the SEVERED graph
+    * (round 16): weak edges (zero triangle support, the q_g11 cut-set)
+    * refuted by endpoint edit distance beyond
+    * [[graft.operators.Dedup.SeverEditBound]] are dropped; the surviving
+    * edges drive the q_g6 fixed-round LPA chain, the severed components
+    * (isolated nodes become their own singleton family, trivially safe),
+    * the q_g10 cohesion stats, and the declared gate
     * ([[graft.operators.Dedup.SafeDensityPm]] /
-    * [[graft.operators.Dedup.SafeMeanHamC]]), and the windowed pick.
+    * [[graft.operators.Dedup.SafeMeanHamC]]). Rank centrality stays the
+    * q_g4 integer pagerank over the RAW graph — severing changes
+    * grouping, not the centrality definition (the engine's severed/ lane
+    * copies rank_e6 from clusters/).
     * Ends with CTE `pick` (id, component, rank_e6, mode, group_id, rn);
     * consumers append their own projection. RECURSIVE is already applied
     * (the reach() components CTE needs it). */
@@ -2761,31 +2795,47 @@ object SparkEntry {
         s", r$i AS (SELECT e.t AS id, 150000 + (85 * sum(r.r // d.deg)) // 100 AS r " +
           s"FROM ed e JOIN r${i - 1} r ON e.s = r.id JOIN dg d ON d.s = e.s GROUP BY e.t)"
       }.mkString +
-      ", l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM ed)" +
+      // SEVERING (the q_g12 chain): weak = zero-triangle edges, refuted =
+      // endpoint edit distance past the bound, sv = surviving edge set
+      ", wsupp AS (SELECT DISTINCT t.a_id, t.b_id FROM sp t " +
+      "JOIN ed x ON x.s = t.a_id JOIN ed y ON y.s = t.b_id AND y.t = x.t), " +
+      "wk AS (SELECT t.a_id, t.b_id FROM sp t LEFT JOIN wsupp s " +
+      "ON s.a_id = t.a_id AND s.b_id = t.b_id WHERE s.a_id IS NULL), " +
+      "ref AS (SELECT w.a_id, w.b_id FROM wk w " +
+      "JOIN documents da ON da.doc_id = w.a_id " +
+      "JOIN documents db ON db.doc_id = w.b_id " +
+      s"WHERE levenshtein(da.text, db.text) > ${graft.operators.Dedup.SeverEditBound}), " +
+      "sv AS (SELECT t.a_id, t.b_id FROM sp t LEFT JOIN ref r " +
+      "ON r.a_id = t.a_id AND r.b_id = t.b_id WHERE r.a_id IS NULL), " +
+      "sed AS (SELECT a_id AS s, b_id AS t FROM sv UNION ALL SELECT b_id, a_id FROM sv), " +
+      "l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM sed)" +
       (1 to graft.operators.Dedup.LabelPropIters).map { i =>
         s", lc$i AS (SELECT e.s AS id, l.lbl, count(1) AS c " +
-          s"FROM ed e JOIN l${i - 1} l ON e.t = l.id GROUP BY 1, 2), " +
+          s"FROM sed e JOIN l${i - 1} l ON e.t = l.id GROUP BY 1, 2), " +
           s"l$i AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER " +
           s"(PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM lc$i) t WHERE rn = 1)"
       }.mkString +
-      ", edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
-      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
-      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
-      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      ", sedges AS (SELECT a_id, b_id FROM sv UNION SELECT b_id, a_id FROM sv), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM sedges " +
+      "UNION SELECT e.a_id, r.lbl FROM sedges e JOIN reach r ON e.b_id = r.id), " +
+      "comp0 AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      "rawn AS (SELECT DISTINCT s AS id FROM ed), " +
+      "comp AS (SELECT rawn.id, coalesce(c.component, rawn.id) AS component " +
+      "FROM rawn LEFT JOIN comp0 c ON c.id = rawn.id), " +
       "cm AS (SELECT component, count(1) AS n_members FROM comp GROUP BY 1), " +
       "ceh AS (SELECT c.component, count(1) AS n_edges, " +
       "sum(bit_count(xor(x.simhash, y.simhash))) AS hs " +
-      "FROM sp JOIN comp c ON c.id = sp.a_id " +
-      "JOIN sh x ON x.doc_id = sp.a_id JOIN sh y ON y.doc_id = sp.b_id GROUP BY 1), " +
-      "safe AS (SELECT ceh.component FROM ceh JOIN cm USING (component) " +
-      s"WHERE (2 * n_edges * 1000) // (n_members * (n_members - 1)) >= ${graft.operators.Dedup.SafeDensityPm} " +
-      s"AND (hs * 100) // n_edges <= ${graft.operators.Dedup.SafeMeanHamC}), " +
+      "FROM sv JOIN comp c ON c.id = sv.a_id " +
+      "JOIN sh x ON x.doc_id = sv.a_id JOIN sh y ON y.doc_id = sv.b_id GROUP BY 1), " +
+      "safe AS (SELECT cm.component FROM cm LEFT JOIN ceh USING (component) " +
+      s"WHERE n_members = 1 OR ((2 * n_edges * 1000) // (n_members * (n_members - 1)) >= ${graft.operators.Dedup.SafeDensityPm} " +
+      s"AND (hs * 100) // n_edges <= ${graft.operators.Dedup.SafeMeanHamC})), " +
       "mem AS (SELECT c.id, c.component, rr.r AS rank_e6, ll.lbl AS community " +
       s"FROM comp c JOIN r${graft.operators.Dedup.PageRankIters} rr ON rr.id = c.id " +
-      s"JOIN l${graft.operators.Dedup.LabelPropIters} ll ON ll.id = c.id), " +
+      s"LEFT JOIN l${graft.operators.Dedup.LabelPropIters} ll ON ll.id = c.id), " +
       "grp AS (SELECT id, component, rank_e6, " +
       "CASE WHEN component IN (SELECT component FROM safe) THEN 'component' ELSE 'community' END AS mode, " +
-      "CASE WHEN component IN (SELECT component FROM safe) THEN component ELSE community END AS group_id FROM mem), " +
+      "CASE WHEN component IN (SELECT component FROM safe) THEN component ELSE coalesce(community, id) END AS group_id FROM mem), " +
       "pick AS (SELECT id, component, rank_e6, mode, group_id, row_number() OVER " +
       "(PARTITION BY component, group_id ORDER BY rank_e6 DESC, id) AS rn FROM grp)"
 

@@ -333,6 +333,11 @@ private[core] final class DupClustersProcedure(account: FileAccount)
     // queue an operator drains before trusting per-component collapse
     val nWeak = graft.operators.Dedup
       .weakEdges(idx.pairs.select("a_id", "b_id", "ham")).count()
+    // the severing outcome (round 16): how many welds the edit-distance
+    // re-verification refuted, and the family count after the artifact
+    // severs them — the q_g12 verdict on the ops doorway
+    val nRefuted = idx.refuted.count()
+    val nSevComponents = idx.severed.select("component").distinct().count()
     val schema = StructType(Seq(
       StructField("index_path", StringType, nullable = false),
       StructField("n_docs", LongType, nullable = false),
@@ -342,12 +347,14 @@ private[core] final class DupClustersProcedure(account: FileAccount)
       StructField("min_density_pm", LongType, nullable = false),
       StructField("n_unsafe_components", LongType, nullable = false),
       StructField("max_unsafe_members", LongType, nullable = false),
-      StructField("n_weak_edges", LongType, nullable = false)))
+      StructField("n_weak_edges", LongType, nullable = false),
+      StructField("n_refuted_edges", LongType, nullable = false),
+      StructField("n_severed_components", LongType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       GraftProcedures.utf8(idx.path), idx.nDocs,
       idx.pairs.count(), idx.clusters.count(),
       coh.getLong(0), coh.getLong(1), coh.getLong(2), coh.getLong(3),
-      nWeak))
+      nWeak, nRefuted, nSevComponents))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

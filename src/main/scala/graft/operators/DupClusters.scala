@@ -47,14 +47,21 @@ import graft.functions.GraftFunctions
   */
 object DupClusters {
 
-  /** A loaded index: `pairs` and `clusters` are persisted + materialized
-    * (MEMORY_AND_DISK); `sigs` stays a lazy reader — only [[append]] needs
-    * it, and only as the build side of a delta join. */
+  /** A loaded index: `pairs`, `clusters`, `severed`, and `refuted` are
+    * persisted + materialized (MEMORY_AND_DISK); `sigs` stays a lazy
+    * reader — only [[append]] needs it, and only as the build side of a
+    * delta join. `severed` is (id, component, rank_e6) over the SURVIVING
+    * edge set (refuted weld edges dropped, [[Dedup.refutedWeakEdges]]) —
+    * the graph the gated keeper consumes; `refuted` is the dropped
+    * cut-set (a_id, b_id), so warm consumers derive surviving pairs with
+    * one graph-sized anti-join and zero corpus passes. */
   final case class DupIndex(path: String, nDocs: Long, sigs: DataFrame,
-                            pairs: DataFrame, clusters: DataFrame)
+                            pairs: DataFrame, clusters: DataFrame,
+                            severed: DataFrame, refuted: DataFrame)
 
   private val cache = new graft.core.SessionCache[DupIndex](i => {
-    i.pairs.unpersist(); i.clusters.unpersist(); ()
+    i.pairs.unpersist(); i.clusters.unpersist()
+    i.severed.unpersist(); i.refuted.unpersist(); ()
   })
 
   private lazy val store: graft.core.Storage = graft.core.Storage.hadoop
@@ -68,8 +75,11 @@ object DupClusters {
   /** Bump when the graph recipe (banding, Hamming bound, iteration counts)
     * or the layout changes — an index built by an older recipe must not be
     * served for the same corpus. v2: + `corpus_files.tsv` (the corpus file
-    * listing at build time, [[append]]'s out-of-band-change guard). */
-  private val FormatVersion = 2
+    * listing at build time, [[append]]'s out-of-band-change guard).
+    * v3: + `severed/` (components over the surviving edge set after
+    * refuted weld edges are dropped) and `refuted/` (the dropped cut-set)
+    * — VERDICT r15 task 2. */
+  private val FormatVersion = 3
 
   private def sub(base: String, child: String): String =
     new org.apache.hadoop.fs.Path(base, child).toString
@@ -126,7 +136,7 @@ object DupClusters {
             val pairs = Dedup.pairsOfSigs(sigs)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try stageAndPublish(s, path, sigs, pairs, corpusCount(s, dir),
-              entries)
+              entries, Tables.documents(s, dir))
             finally { pairs.unpersist(); () }
           } finally { sigs.unpersist(); () }
         }
@@ -135,12 +145,16 @@ object DupClusters {
     load(s, path)
   }
 
-  /** Stage the three frames + marker into `<path>.tmp-*`, publish by ONE
+  /** Stage the five frames + marker into `<path>.tmp-*`, publish by ONE
     * atomic rename. `pairs` must be persisted by the caller — components,
-    * PageRank, and the parquet write all read it. */
+    * PageRank, the severing, and the parquet write all read it. `docs` is
+    * the post-state corpus reader — the severing's edit-distance
+    * re-verification ([[Dedup.refutedWeakEdges]]) fetches endpoint text
+    * for the weak cut-set through it: a map-only broadcast-pruned scan,
+    * the one place the build touches text beyond the signature pass. */
   private def stageAndPublish(s: SparkSession, path: String, sigs: DataFrame,
                               pairs: DataFrame, nDocs: Long,
-                              entries: Seq[String]): Unit = {
+                              entries: Seq[String], docs: DataFrame): Unit = {
     val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     val edges = pairs.select("a_id", "b_id")
     val comp = Dedup.componentsOfPairs(s, edges, Dedup.MaxDriverPairs)
@@ -151,6 +165,24 @@ object DupClusters {
     comp.join(ranks, col("id") === col("r_id"))
       .select("id", "component", "rank_e6")
       .write.mode("overwrite").parquet(sub(staging, "clusters"))
+    // severing (VERDICT r15 task 2): refute the weak cut-set by bounded
+    // edit distance, recompute components over the surviving edges, and
+    // keep severed-isolated nodes as their own singleton families — the
+    // graph the gated keeper ships against
+    val refuted = Dedup.refutedWeakEdges(docs, pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      refuted.write.mode("overwrite").parquet(sub(staging, "refuted"))
+      val surviving = pairs.select("a_id", "b_id")
+        .join(refuted, Seq("a_id", "b_id"), "left_anti")
+      val sevComp = Dedup.componentsOfPairs(s, surviving, Dedup.MaxDriverPairs)
+        .withColumnRenamed("component", "comp_sev")
+      comp.join(ranks, col("id") === col("r_id"))
+        .join(sevComp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp_sev"), col("id")).as("component"),
+          col("rank_e6"))
+        .write.mode("overwrite").parquet(sub(staging, "severed"))
+    } finally { refuted.unpersist(); () }
     store.writeString(sub(staging, "corpus_files.tsv"),
       entries.mkString("", "\n", "\n"))
     store.writeString(sub(staging, "meta.tsv"),
@@ -172,8 +204,14 @@ object DupClusters {
     val clusters = s.read.parquet(sub(path, "clusters"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clusters.count()
+    val severed = s.read.parquet(sub(path, "severed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    severed.count()
+    val refuted = s.read.parquet(sub(path, "refuted"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    refuted.count()
     DupIndex(path, meta("nDocs").toLong,
-      s.read.parquet(sub(path, "sigs")), pairs, clusters)
+      s.read.parquet(sub(path, "sigs")), pairs, clusters, severed, refuted)
   }
 
   /** Incremental maintenance — the ingestion-side contract that keeps the
@@ -186,8 +224,11 @@ object DupClusters {
     *   2. delta pairs — the new signatures band-join the stored node-sized
     *      `sigs/` (complete by the qD6 pigeonhole: every new pair has a
     *      delta endpoint, and prior-prior pairs are already stored);
-    *   3. components + PageRank recompute over the UNIFIED pair frame —
-    *      graph-sized BSP, zero corpus passes;
+    *   3. components + PageRank + the weld severing recompute over the
+    *      UNIFIED pair frame — graph-sized BSP; the only text touched is
+    *      the weak cut-set's endpoints (a map-only broadcast-pruned
+    *      fetch, [[Dedup.refutedWeakEdges]] — edit distances are
+    *      immutable, so replays agree with a from-scratch build);
     *   4. publish at the NEW corpus fingerprint's path (atomic rename).
     *
     * Spec-pinned equal to a from-scratch [[build]] on the post-append
@@ -256,7 +297,8 @@ object DupClusters {
           Similarity.IvfIndex.withIndexLock(newPath + ".lock") {
             if (!store.exists(sub(newPath, "meta.tsv"))) {
               if (store.exists(newPath)) store.deleteRecursive(newPath)
-              stageAndPublish(s, newPath, allSigs, pairs, now, nowEntries)
+              stageAndPublish(s, newPath, allSigs, pairs, now, nowEntries,
+                Tables.documents(s, dir))
             }
           }
         } finally { pairs.unpersist(); () }
@@ -267,6 +309,7 @@ object DupClusters {
     // appends every micro-batch (the IvfIndex.append discipline; review
     // r11: evictSession's release never fires on this production path)
     prior.pairs.unpersist(); prior.clusters.unpersist()
+    prior.severed.unpersist(); prior.refuted.unpersist()
     cache.getOrCompute(s, newPath)(load(s, newPath))
   }
 

@@ -650,7 +650,13 @@ object TextAnalysis {
     val idx = DupClusters.build(s, dir)
     val gw = org.apache.spark.sql.expressions.Window
       .partitionBy("component", "group_id")
-    Dedup.gatedKeepMembers(s, idx.pairs, idx.clusters)
+    // round 16: the keeper consumes the SEVERED graph (q_g12) — refuted
+    // weld edges dropped (one graph-sized anti-join on the artifact's
+    // refuted/ lane), components recomputed over the survivors — so the
+    // community-routing leg only handles chains the edit-distance
+    // severing could not refute
+    val surviving = idx.pairs.join(idx.refuted, Seq("a_id", "b_id"), "left_anti")
+    Dedup.gatedKeepMembers(s, surviving, idx.severed)
       .withColumn("gsize", count(lit(1)).over(gw))
       .where(col("rn") === 1)
       .select(col("component"), col("mode"), col("group_id"),
@@ -1209,7 +1215,10 @@ object TextAnalysis {
   def qT26(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val idx = DupClusters.build(s, dir)
-    val dropped = Dedup.gatedKeepMembers(s, idx.pairs, idx.clusters)
+    // same severed inputs as qT39 — the drop set this query prices is the
+    // one the SAFE dedup actually ships
+    val surviving = idx.pairs.join(idx.refuted, Seq("a_id", "b_id"), "left_anti")
+    val dropped = Dedup.gatedKeepMembers(s, surviving, idx.severed)
       .where(col("rn") > 1)
       .select(col("id").as("drop_id"))
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),

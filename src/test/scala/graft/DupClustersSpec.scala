@@ -43,6 +43,44 @@ class DupClustersSpec extends AnyFunSuite {
     assert(clusterSet(idx.clusters) == direct,
       "stored clusters must equal direct components ⋈ PageRank")
     assert(idx.nDocs == 500L)
+    // severed lanes (VERDICT r15 task 2): refuted/ is the edit-refuted
+    // weak cut-set, severed/ the components over the surviving edges with
+    // isolated nodes self-labelled and rank carried from clusters/
+    val docs = graft.core.Tables.documents(spark, sf)
+    val refDirect = Dedup.refutedWeakEdges(docs, idx.pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idx.refuted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == refDirect, "stored refuted must equal a direct re-verification")
+    assert(refDirect.nonEmpty,
+      "spec corpus must exercise the severing (no refuted welds mined)")
+    val sevDirect = {
+      val surviving = idx.pairs.select("a_id", "b_id")
+        .join(idx.refuted, Seq("a_id", "b_id"), "left_anti")
+      val comp = Dedup.componentsOfPairs(spark, surviving, Dedup.MaxDriverPairs)
+        .withColumnRenamed("component", "cs")
+      clusterSet(idx.clusters.join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cs"), col("id")).as("component"),
+          col("rank_e6")))
+    }
+    assert(clusterSet(idx.severed) == sevDirect,
+      "stored severed must equal components over the surviving edges")
+  }
+
+  test("severed graph: the gated keeper's community routing fires strictly less often than on the raw graph") {
+    // the VERDICT r15 task-2 acceptance: with refuted welds severed and
+    // components recomputed, fewer members need the LPA chain-routing
+    // fallback — the artifact is FIXED, not routed around
+    val idx = DupClusters.build(spark, sf)
+    def communityMembers(pairs: org.apache.spark.sql.DataFrame,
+                         clusters: org.apache.spark.sql.DataFrame): Long =
+      Dedup.gatedKeepMembers(spark, pairs, clusters)
+        .where(col("mode") === "community").count()
+    val raw = communityMembers(idx.pairs, idx.clusters)
+    val surviving = idx.pairs.join(idx.refuted, Seq("a_id", "b_id"), "left_anti")
+    val severed = communityMembers(surviving, idx.severed)
+    info(s"community-routed members: raw graph = $raw, severed graph = $severed")
+    assert(severed < raw,
+      s"severing must shrink the chain-routing leg: raw $raw vs severed $severed")
   }
 
   test("durable: a fresh session loads the artifact (zero corpus passes) and answers identically") {
@@ -56,7 +94,8 @@ class DupClustersSpec extends AnyFunSuite {
           l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
             .HadoopFsRelation].location.inputFiles.toSeq
       }.flatten
-    for ((df, what) <- Seq((idx.pairs, "pairs"), (idx.clusters, "clusters"))) {
+    for ((df, what) <- Seq((idx.pairs, "pairs"), (idx.clusters, "clusters"),
+      (idx.severed, "severed"), (idx.refuted, "refuted"))) {
       val files = backing(df)
       assert(files.nonEmpty && files.forall(_.contains("dup-index")),
         s"fresh-session $what must come from the durable artifact: ${files.take(3)}")
@@ -95,12 +134,35 @@ class DupClustersSpec extends AnyFunSuite {
     }
     assert(clusterSet(idx1.clusters) == scratch,
       "appended clusters must equal from-scratch components ⋈ PageRank")
+    // the severed lanes advance with the same consistency: edit distances
+    // are immutable, so the appended severing equals a from-scratch one
+    val scratchRef = Dedup.refutedWeakEdges(
+      graft.core.Tables.documents(spark, root), idx1.pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idx1.refuted.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == scratchRef,
+      "appended refuted lane must equal a from-scratch re-verification")
+    val scratchSev = {
+      val surviving = idx1.pairs.select("a_id", "b_id")
+        .join(idx1.refuted, Seq("a_id", "b_id"), "left_anti")
+      val comp = Dedup.componentsOfPairs(spark, surviving, Dedup.MaxDriverPairs)
+        .withColumnRenamed("component", "cs")
+      clusterSet(idx1.clusters.join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cs"), col("id")).as("component"),
+          col("rank_e6")))
+    }
+    assert(clusterSet(idx1.severed) == scratchSev,
+      "appended severed lane must equal from-scratch severed components")
     // the superseded handle's frames are RELEASED by the append (review
     // r11: a long-running gate appends every micro-batch — prior frames
     // must not pin the CacheManager until context stop)
     assert(idx0.pairs.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE &&
       idx0.clusters.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE &&
+      idx0.severed.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE &&
+      idx0.refuted.storageLevel ==
         org.apache.spark.storage.StorageLevel.NONE,
       "append must unpersist the superseded index's frames")
     delta.unpersist()

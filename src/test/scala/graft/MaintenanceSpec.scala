@@ -550,6 +550,11 @@ class MaintenanceSpec extends AnyFunSuite {
     // the q_g11 cut-set size rides the same doorway row
     assert(r.getAs[Long]("n_weak_edges") ==
       graft.operators.Dedup.qG11(spark, dir).count(), s"$r")
+    // the severing outcome (round 16) pinned equal to the q_g12 lanes
+    assert(r.getAs[Long]("n_refuted_edges") == idx.refuted.count(), s"$r")
+    assert(r.getAs[Long]("n_severed_components") ==
+      graft.operators.Dedup.qG12(spark, dir)
+        .select("component_sev").distinct().count(), s"$r")
   }
 
   test("expire_indexes: ivf kind — live IVF index survives a sweep and still probes from a fresh session") {

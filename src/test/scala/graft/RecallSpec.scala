@@ -584,6 +584,56 @@ class RecallSpec extends AnyFunSuite {
     assert(mem.count() == 11L && mem.where(col("rn") > 1).count() == 8L)
   }
 
+  test("weld severing (q_g12): a refuted bridge splits the cliques, a " +
+    "confirmed bridge keeps them joined (VERDICT r15 task 2)") {
+    import spark.implicits._
+    // two 3-cliques welded by ONE bridge (3)-(4): the bridge is the only
+    // weak (zero-triangle) edge, so it is the only edge the severing
+    // spends the edit-distance verifier on
+    def clique(ids: Seq[Long]): Seq[(Long, Long, Int)] =
+      for { a <- ids; b <- ids if a < b } yield (a, b, 0)
+    val pairsDf = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(4L, 5L, 6L)) ++
+      Seq((3L, 4L, 2))).toDF("a_id", "b_id", "ham")
+    val aText = "a" * 100
+    val bText = "b" * 100
+    def comps(refutedDf: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.componentsOfPairs(spark,
+        pairsDf.select("a_id", "b_id")
+          .join(refutedDf, Seq("a_id", "b_id"), "left_anti"),
+        Dedup.MaxDriverPairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // REFUTED bridge: endpoint texts 100 edits apart — the weld is cut
+    // and the two cliques split into two families
+    val docsFar = Seq((1L, aText), (2L, aText + "x"), (3L, aText + "yy"),
+      (4L, bText), (5L, bText + "x"), (6L, bText + "yy"))
+      .toDF("doc_id", "text")
+    val refFar = Dedup.refutedWeakEdges(docsFar, pairsDf)
+    assert(refFar.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((3L, 4L)), "exactly the bridge must be refuted")
+    val cFar = comps(refFar)
+    assert(Seq(1L, 2L, 3L).map(cFar).toSet == Set(1L) &&
+      Seq(4L, 5L, 6L).map(cFar).toSet == Set(4L),
+      s"severing must split the weld into two components: $cFar")
+    // CONFIRMED bridge: every text is an a-variant within the edit bound —
+    // the verifier CONFIRMS the weld and the families stay joined (the
+    // severing is verification-driven, never blind weak-edge dropping)
+    val docsNear = Seq((1L, aText), (2L, aText + "x"), (3L, aText + "yy"),
+      (4L, aText + "zzz"), (5L, aText + "xz"), (6L, aText + "yz"))
+      .toDF("doc_id", "text")
+    val refNear = Dedup.refutedWeakEdges(docsNear, pairsDf)
+    assert(refNear.isEmpty, "a confirmed bridge must not be refuted")
+    assert(comps(refNear).values.toSet == Set(1L),
+      "a confirmed weld keeps one family")
+    // LENGTH-GAP fast path: side b is 2x the length — the O(1) gap gate
+    // refutes without running the DP
+    val docsGap = Seq((1L, aText), (2L, aText + "x"), (3L, aText + "yy"),
+      (4L, aText * 2), (5L, aText * 2 + "x"), (6L, aText * 2 + "yy"))
+      .toDF("doc_id", "text")
+    assert(Dedup.refutedWeakEdges(docsGap, pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((3L, 4L)), "length gap past the bound must refute")
+  }
+
   test("nprobe sweep (q_sim22): calibration row exact, recall and scan both monotone in nprobe") {
     val rows = graft.operators.Similarity.qSim22(spark, sf)
       .collect()
