@@ -50,15 +50,16 @@ import graft.core.Tables
   * quantization is the [[Similarity.qSim3]] lane (Lloyd refinement is a
   * rebuild, as there).
   *
-  * MAINTENANCE: no delta-append lane (deliberate asymmetry vs the other
-  * three indexes) — the asset population is the declared doc_id < 200
-  * fixture subset, so a gate-admitted corpus append never adds assets;
-  * the changed corpus fingerprint routes the next consumer through a
-  * REBUILD whose decode pass is bounded by that same subset. A real
-  * deployment whose asset set grows with the corpus would add the
-  * [[Similarity.IvfIndex.append]] lane verbatim (frozen centroids,
-  * cell-partitioned append, per-lane idempotence); retention is already
-  * shared (`expire_indexes(kind => 'mm')`, [[expireStale]]).
+  * MAINTENANCE (round 16, VERDICT r15 task 3): [[append]] advances a lane
+  * with DELTA-sized work — frozen centroids, the decode kernel run on the
+  * admitted batch's assets only, the cell-partitioned union published at
+  * the post-delta fingerprint by one atomic rename (idempotent per lane).
+  * A SEED-RAISING delta (an asset id inside the seed range) routes to a
+  * rebuild, the [[Similarity.IvfIndex.appendFor]] scale-raising posture:
+  * a frozen-centroid append and a crash-replay rebuild must publish
+  * identical content under the same fingerprint. The ST-9 gate's
+  * `advanceMm` advances BOTH lanes under the batch's `_commits` marker;
+  * retention is shared (`expire_indexes(kind => 'mm')`, [[expireStale]]).
   */
 object MmIvf {
 
@@ -108,9 +109,15 @@ object MmIvf {
     * batched decode pass (16 histogram bins ++ 4 tile sums — the qMm14 and
     * qMm11 kernels fused). Fixed-width rows out; bytes never leave the
     * executor. */
-  private[graft] def features(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def features(s: SparkSession, dir: String): DataFrame =
+    imageFeaturesOf(s, Multimodal.pngAssets(s, dir))
+
+  /** The image feature kernel over ANY asset frame — the delta form
+    * [[append]] runs on a gate-admitted batch's assets only. */
+  private[graft] def imageFeaturesOf(s: SparkSession,
+                                     assets: DataFrame): DataFrame = {
     import s.implicits._
-    Multimodal.pngAssets(s, dir)
+    assets
       .select("asset_id", "kind", "bytes").as[Multimodal.AssetRow]
       .mapPartitions { it =>
         it.grouped(Multimodal.BatchSize).flatMap { batch =>
@@ -158,14 +165,30 @@ object MmIvf {
     * with the same exactness headroom (energies ≤ 8·1023², cosine
     * accumulators over 8 dims stay < 2⁵³ — exact doubles). */
   private[graft] def audioFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.audioPrints(Multimodal.wavAssets(s, dir),
-        Multimodal.WavDecoder)
+    audioFeaturesOf(Multimodal.wavAssets(s, dir))
+
+  /** The audio feature kernel over ANY asset frame ([[imageFeaturesOf]]'s
+    * audio twin). */
+  private[graft] def audioFeaturesOf(assets: DataFrame): DataFrame =
+    Multimodal.audioPrints(assets, Multimodal.WavDecoder)
       .selectExpr("asset_id",
         "array(" + (0 to 7).map(f => s"e$f").mkString(", ") + ") AS f")
 
   private def featuresOf(s: SparkSession, dir: String,
                          lane: String): DataFrame =
     if (lane == "aud") audioFeatures(s, dir) else features(s, dir)
+
+  /** A delta's asset rows for a lane: the admitted doc ids bounded by the
+    * declared asset-population rule ([[Multimodal.AssetDocBound]] — the
+    * SAME rule the full builds apply, so append ≡ rebuild), synthesized
+    * through the lane's real encoder. */
+  private def deltaAssets(s: SparkSession, ids: DataFrame,
+                          lane: String): DataFrame = {
+    val bounded = ids.select(col("asset_id"))
+      .where(col("asset_id") < Multimodal.AssetDocBound)
+    if (lane == "aud") Multimodal.wavAssetsOf(s, bounded)
+    else Multimodal.pngAssetsOf(s, bounded)
+  }
 
   /** Build (or fetch) the IMAGE index for `dir`: memo → durable copy →
     * staged one-pass build under the shared lock (the [[DupClusters]]
@@ -179,6 +202,79 @@ object MmIvf {
     * carries the corpus fingerprint, which is what the sweep matches). */
   def buildAudio(s: SparkSession, dir: String): Index =
     cache.getOrCompute(s, indexPath(dir, "aud"))(loadOrBuild(s, dir, "aud"))
+
+  /** Delta-append for a lane (VERDICT r15 task 3 — the [[Similarity
+    * .IvfIndex.appendFor]] discipline on the mm index): the admitted
+    * batch's asset ids (bounded by [[Multimodal.AssetDocBound]], the same
+    * population rule the full build applies) run the lane's real decode
+    * kernel, assign against the PRIOR index's frozen centroids, and the
+    * cell-partitioned union publishes at the POST-delta corpus
+    * fingerprint under one atomic rename — per-lane idempotent (a replay
+    * that finds the marker just warm-loads). A SEED-RAISING delta (an
+    * asset id inside the seed range `< Cells`) would make a from-scratch
+    * rebuild choose DIFFERENT centroids than this frozen-centroid append
+    * — it routes to the rebuild instead, so crash and non-crash histories
+    * publish identical content under the same fingerprint (the
+    * scale-raising posture, Similarity.scala appendFor).
+    *
+    * Scale: decode + feature extraction are DELTA-sized; the prior's
+    * cell-partitioned features are rewritten once per append (the same
+    * copy [[Similarity.IvfIndex.appendFor]] pays — graph of the corpus's
+    * ASSET subset, orders below the corpus). An empty asset delta still
+    * republishes at the new fingerprint, so warm consumers never fall
+    * back to a rebuild just because the corpus grew by asset-less docs. */
+  def append(s: SparkSession, dir: String, prior: Index,
+             newAssetIds: DataFrame, lane: String = "img"): Index = {
+    val path = indexPath(dir, lane)
+    val marker = sub(path, "centroids.tsv")
+    require(path != prior.path,
+      "mm-ivf append: corpus fingerprint unchanged — the delta is not in " +
+        "the corpus yet (append AFTER the new files land)")
+    val seedRaising = !store.exists(marker) &&
+      !newAssetIds.where(col("asset_id") < Cells).isEmpty
+    if (seedRaising) System.err.println(
+      s"mm-ivf append ($lane): delta contains seed-range asset ids " +
+        s"(< $Cells) — routing to a full rebuild so the published " +
+        "centroids match a from-scratch build")
+    if (!store.exists(marker) && !seedRaising) {
+      store.mkdirs(indexRoot)
+      Similarity.IvfIndex.withIndexLock(path + ".lock") {
+        if (!store.exists(marker)) {
+          if (store.exists(path)) store.deleteRecursive(path)
+          val staging = path + ".tmp-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val fn = fnName(staging)
+          graft.functions.IvfRankCells.register(s, fn,
+            prior.cellIds, prior.cents)
+          val dAssets = deltaAssets(s, newAssetIds, lane)
+          val dFeats =
+            if (lane == "aud") audioFeaturesOf(dAssets)
+            else imageFeaturesOf(s, dAssets)
+          prior.feats
+            .selectExpr("asset_id", "f", "CAST(cell AS BIGINT) AS cell")
+            .unionByName(dFeats.selectExpr("asset_id", "f",
+              s"CAST(element_at($fn(transform(f, x -> CAST(x AS DOUBLE)), " +
+                "1), 1) AS BIGINT) AS cell"))
+            .write.partitionBy("cell").parquet(sub(staging, "features"))
+          store.writeString(sub(staging, "centroids.tsv"),
+            prior.cellIds.zip(prior.cents)
+              .map { case (cid, c) => s"$cid\t${c.mkString(",")}" }
+              .mkString("", "\n", "\n"))
+          if (!(store.rename(staging, path) &&
+                store.exists(sub(path, "centroids.tsv")))) {
+            store.deleteRecursive(staging)
+            throw new IllegalStateException(
+              s"mm-ivf index: publishing $staging -> $path failed")
+          }
+        }
+      }
+    }
+    // the superseded handle's persisted frame must not pin the
+    // CacheManager under a long-running gate (the DupClusters.append
+    // discipline); the fresh load below re-persists the new state
+    prior.feats.unpersist()
+    cache.getOrCompute(s, path)(loadOrBuild(s, dir, lane))
+  }
 
   private def loadOrBuild(s: SparkSession, dir: String,
                           lane: String): Index = {

@@ -226,14 +226,28 @@ object Multimodal {
   def pngGray(id: Long, x: Int, y: Int): Int =
     ((id * 31 + x * 7 + y * 13) % 256).toInt
 
+  /** The asset-population rule: documents with doc_id below this bound
+    * carry one image and one audio asset (the declared fixture subset).
+    * [[graft.operators.MmIvf.append]] applies the SAME bound to a
+    * gate-admitted delta, so append and rebuild see one population. */
+  val AssetDocBound = 200L
+
   /** Real PNG assets, generated executor-side: an 8×8 gray canvas per
-    * document (doc_id < 200), ENCODED through the actual PNG writer. The
-    * blobs are genuine images — a broken decoder cannot reproduce the
-    * oracle's pixel sums from them. */
-  def pngAssets(spark: SparkSession, dir: String): DataFrame = {
+    * document (doc_id < [[AssetDocBound]]), ENCODED through the actual PNG
+    * writer. The blobs are genuine images — a broken decoder cannot
+    * reproduce the oracle's pixel sums from them. */
+  def pngAssets(spark: SparkSession, dir: String): DataFrame =
+    pngAssetsOf(spark, Tables.documents(spark, dir)
+      .where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id")))
+
+  /** [[pngAssets]] over a caller-supplied `asset_id` frame — the delta
+    * form [[graft.operators.MmIvf.append]] feeds with a gate-admitted
+    * batch's (bounded) asset ids. */
+  private[graft] def pngAssetsOf(spark: SparkSession,
+                                 ids: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).where(col("doc_id") < 200)
-      .select(col("doc_id").as("asset_id")).as[Long]
+    ids.select(col("asset_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
@@ -297,12 +311,20 @@ object Multimodal {
     ((id * 37 + k * 11) % 2048 - 1024).toInt
 
   /** Real WAV assets, generated executor-side: [[WavSamples]] PCM-16 mono
-    * samples per document (doc_id < 200), encoded through the actual JDK
-    * WAV writer — genuine audio containers, same posture as [[pngAssets]]. */
-  def wavAssets(spark: SparkSession, dir: String): DataFrame = {
+    * samples per document (doc_id < [[AssetDocBound]]), encoded through
+    * the actual JDK WAV writer — genuine audio containers, same posture
+    * as [[pngAssets]]. */
+  def wavAssets(spark: SparkSession, dir: String): DataFrame =
+    wavAssetsOf(spark, Tables.documents(spark, dir)
+      .where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id")))
+
+  /** [[wavAssets]] over a caller-supplied `asset_id` frame (the
+    * [[pngAssetsOf]] delta form, audio lane). */
+  private[graft] def wavAssetsOf(spark: SparkSession,
+                                 ids: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).where(col("doc_id") < 200)
-      .select(col("doc_id").as("asset_id")).as[Long]
+    ids.select(col("asset_id")).as[Long]
       .mapPartitions { it =>
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
         it.map { id =>

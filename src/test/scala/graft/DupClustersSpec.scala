@@ -526,6 +526,122 @@ class DupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("advanceMm gate: both mm lanes advance under the same marker; append equals rebuild; crash replay re-derives; seed-raising delta routes to rebuild") {
+    // VERDICT r15 task 3: the ingestion gate previously advanced corpus +
+    // DupClusters + LexIndex + text-IVF but left the multimodal index
+    // stale until a full rebuild. advanceMm closes that: both decode-kernel
+    // lanes append with frozen centroids under the batch marker.
+    import graft.operators.{MmIvf, Multimodal}
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-mm").toString
+    val root = Files.createTempDirectory("graft-mmcorpus").toString
+    val st = graft.core.Storage.hadoop
+    val prevMm = sys.props.get("graft.mmivf.root")
+    val gateMmRoot =
+      Files.createTempDirectory(Paths.get("target"), "mm-gate").toString
+    sys.props("graft.mmivf.root") = gateMmRoot
+    try {
+      val all = graft.core.Tables.documents(spark, sf)
+      // base corpus: docs < 100 WITHOUT doc 7 — the mm quantizer seeds are
+      // then {0..6}, leaving 7 as the seed-raising delta for the last leg
+      all.where(col("doc_id") < 100 && col("doc_id") =!= 7)
+        .write.parquet(s"$root/documents.parquet")
+      def mmState(idx: MmIvf.Index) = (
+        idx.feats.selectExpr("asset_id", "f", "CAST(cell AS BIGINT) AS cell")
+          .collect().map(_.toString).toSet,
+        idx.cellIds.toSeq, idx.cents.map(_.toSeq).toSeq)
+      def batchOf(lo: Int, hi: Int) =
+        all.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id", "text")
+      // happy path: one gated batch lands the delta and advances BOTH lanes
+      val (a0, r0) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batchOf(100, 150), 0L,
+        advanceIndex = true, corpusDir = Some(root), advanceMm = true)
+      assert(a0 + r0 == 50)
+      val nAssets = graft.core.Tables.documents(spark, root)
+        .where(col("doc_id") < Multimodal.AssetDocBound).count()
+      val served = MmIvf.build(spark, root) // warm-load of the appended index
+      val servedAud = MmIvf.buildAudio(spark, root)
+      assert(served.feats.count() == nAssets &&
+        servedAud.feats.count() == nAssets,
+        "every landed asset must be served by both lanes")
+      // gate-admitted assets appear in the served index EXACTLY ONCE
+      val admittedAssets = spark.read.parquet(s"$store/docs")
+        .where(col("doc_id") >= 100 &&
+          col("doc_id") < Multimodal.AssetDocBound)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val inIdx = served.feats.select("asset_id").collect().map(_.getLong(0))
+      assert(inIdx.length == inIdx.distinct.length,
+        "no asset may be indexed twice")
+      assert(admittedAssets.subsetOf(inIdx.toSet),
+        "every gate-admitted asset must be in the served image index")
+      assert(MmIvf.qMm19(spark, root)
+        .where(col("n_id").isin(admittedAssets.toSeq.map(Long.box): _*))
+        .count() > 0,
+        "admitted assets must surface in q_mm19's served results")
+      // append-published lanes are BIT-EQUAL to from-scratch builds of the
+      // same corpus state (frozen seeds {0..6} unchanged by the delta)
+      val servedState = mmState(served)
+      val servedAudState = mmState(servedAud)
+      val rebuildRoot = Files
+        .createTempDirectory(Paths.get("target"), "mm-rebuild").toString
+      sys.props("graft.mmivf.root") = rebuildRoot
+      MmIvf.evictSession(spark)
+      assert(mmState(MmIvf.build(spark, root)) == servedState,
+        "gate-appended image lane must equal the from-scratch build")
+      assert(mmState(MmIvf.buildAudio(spark, root)) == servedAudState,
+        "gate-appended audio lane must equal the from-scratch build")
+      sys.props("graft.mmivf.root") = gateMmRoot
+      MmIvf.evictSession(spark)
+      // replay of the committed batch is a no-op
+      assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+        batchOf(100, 150), 0L, advanceIndex = true, corpusDir = Some(root),
+        advanceMm = true) == (0L, 0L))
+      assert(graft.core.Tables.documents(spark, root)
+        .where(col("doc_id") < Multimodal.AssetDocBound).count() == nAssets)
+      // crash between the staging rename and the final commit: the replay
+      // must land the delta exactly once and re-derive BOTH mm lanes for
+      // the resulting corpus state
+      val (a1, r1) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batchOf(150, 220), 1L)
+      assert(a1 + r1 == 70)
+      val adm = spark.read.parquet(s"$store/docs")
+        .where(col("doc_id") >= 150 && col("doc_id") < 220)
+        .select("doc_id", "text")
+      adm.write.mode("overwrite").parquet(s"$store/_commits/1.delta")
+      assert(st.delete(s"$store/_commits/1"))
+      assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+        batchOf(150, 220), 1L, advanceIndex = true, corpusDir = Some(root),
+        advanceMm = true) == (0L, 0L))
+      assert(st.exists(s"$store/_commits/1"), "replay must finish the commit")
+      val nAssets2 = graft.core.Tables.documents(spark, root)
+        .where(col("doc_id") < Multimodal.AssetDocBound).count()
+      MmIvf.evictSession(spark)
+      assert(MmIvf.build(spark, root).feats.count() == nAssets2 &&
+        MmIvf.buildAudio(spark, root).feats.count() == nAssets2,
+        "crash replay must re-derive both lanes for the resulting state")
+      // SEED-RAISING delta: doc 7 lands (out-of-band append) — an asset id
+      // inside the seed range; the frozen-centroid append must route to a
+      // rebuild whose seeds now include 7
+      val prior = MmIvf.build(spark, root)
+      assert(prior.cellIds.toSeq == (0L to 6L),
+        s"pre-delta seeds must be {0..6}: ${prior.cellIds.toSeq}")
+      all.where(col("doc_id") === 7).select("doc_id", "text")
+        .write.mode("append").parquet(s"$root/documents.parquet")
+      import spark.implicits._
+      val after = MmIvf.append(spark, root, prior,
+        Seq(7L).toDF("asset_id"), "img")
+      assert(after.cellIds.toSeq == (0L to 7L),
+        s"seed-raising delta must rebuild with the new seed: ${after.cellIds.toSeq}")
+      assert(after.feats.count() == nAssets2 + 1)
+    } finally {
+      prevMm match {
+        case Some(p) => sys.props("graft.mmivf.root") = p
+        case None    => sys.props.remove("graft.mmivf.root")
+      }
+      graft.operators.MmIvf.evictSession(spark)
+    }
+  }
+
   test("gate auto-expire: superseded fingerprints bounded under streaming appends; warm serving unaffected") {
     // VERDICT r11 task 8: advanceLex publishes one superseded lex (and dup)
     // fingerprint per admitted micro-batch — autoExpireKeepLast wires the
