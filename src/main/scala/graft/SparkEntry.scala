@@ -241,6 +241,7 @@ object SparkEntry {
     "q_mm19_img_ivf"        -> (MmIvf.qMm19 _),
     "q_mm20_modal_consistency" -> (MmIvf.qMm20 _),
     "q_mm21_audio_ivf"      -> (MmIvf.qMm21 _),
+    "q_mm22_ext_ivf"        -> (MmIvf.qMm22 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2423,6 +2424,36 @@ object SparkEntry {
         "dp AS (SELECT c.q_id, c.n_id, x.f AS fa, y.f AS fb FROM cand c " +
         "JOIN fv x ON x.doc_id = c.q_id JOIN fv y ON y.doc_id = c.n_id), " +
         "du AS (SELECT q_id, n_id, unnest(generate_series(1, 8)) AS i, fa, fb FROM dp), " +
+        "d2t AS (SELECT q_id, n_id, CAST(sum((fa[i] - fb[i]) * (fa[i] - fb[i])) AS BIGINT) AS d2 " +
+        "FROM du GROUP BY 1, 2), " +
+        "fin AS (SELECT q_id, n_id, d2, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY d2, n_id) AS rnk FROM d2t) " +
+        "SELECT q_id, n_id, d2, CAST(rnk AS BIGINT) AS rnk FROM fin " +
+        "WHERE rnk <= 5 ORDER BY q_id, rnk"),
+    "q_mm22_ext_ivf" -> (
+      // served ANN over EXTERNAL encoder vectors: the embeddings column
+      // (asset-bounded, int8-quantized with the subset max as scale - the
+      // ivfPqAdcSql qz rule) through the same seed/cosine/probe/L2 chain
+      "WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS mx " +
+        "FROM embeddings WHERE vec_id < 200), " +
+        "fv AS (SELECT vec_id AS doc_id, list_transform(embedding, " +
+        "x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS f " +
+        "FROM embeddings, mx WHERE vec_id < 200), " +
+        "sd AS (SELECT doc_id AS cid, f AS cf FROM fv WHERE doc_id < 8), " +
+        "pp AS (SELECT fv.doc_id AS id, sd.cid, fv.f AS fa, sd.cf AS fb FROM fv, sd), " +
+        "uu AS (SELECT id, cid, unnest(generate_series(1, 64)) AS i, fa, fb FROM pp), " +
+        "ss AS (SELECT id, cid, sum(fa[i]::DOUBLE * fb[i]::DOUBLE) AS dot, " +
+        "sum(fa[i]::DOUBLE * fa[i]::DOUBLE) AS na, " +
+        "sum(fb[i]::DOUBLE * fb[i]::DOUBLE) AS nb FROM uu GROUP BY 1, 2), " +
+        "rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id " +
+        "ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, cid) AS rn FROM ss), " +
+        "asg AS (SELECT id, cid AS cell FROM rk WHERE rn = 1), " +
+        "probe AS (SELECT id AS q_id, cid AS cell FROM rk WHERE id < 10 AND rn <= 2), " +
+        "cand AS (SELECT p.q_id, a.id AS n_id FROM probe p " +
+        "JOIN asg a ON a.cell = p.cell AND a.id <> p.q_id), " +
+        "dp AS (SELECT c.q_id, c.n_id, x.f AS fa, y.f AS fb FROM cand c " +
+        "JOIN fv x ON x.doc_id = c.q_id JOIN fv y ON y.doc_id = c.n_id), " +
+        "du AS (SELECT q_id, n_id, unnest(generate_series(1, 64)) AS i, fa, fb FROM dp), " +
         "d2t AS (SELECT q_id, n_id, CAST(sum((fa[i] - fb[i]) * (fa[i] - fb[i])) AS BIGINT) AS d2 " +
         "FROM du GROUP BY 1, 2), " +
         "fin AS (SELECT q_id, n_id, d2, row_number() OVER " +

@@ -176,7 +176,31 @@ object MmIvf {
 
   private def featuresOf(s: SparkSession, dir: String,
                          lane: String): DataFrame =
-    if (lane == "aud") audioFeatures(s, dir) else features(s, dir)
+    if (lane == "aud") audioFeatures(s, dir)
+    else if (lane == "ext") externalVectors(s, dir)
+    else features(s, dir)
+
+  /** The DECLARED external-encoder fixture vectors (VERDICT r15 missing
+    * #3): the corpus's `embeddings` column restricted to the asset-id
+    * population, integer-quantized int8-style with the subset max as the
+    * scale (the [[Similarity.IvfIndex]] quantization rule, exactly the
+    * oracle's qz arithmetic) — standing where a CLIP-style per-asset
+    * embedding would. The quantization keeps the index's integer-exactness
+    * contract: 64 int8 components ⇒ every cosine/L2 accumulator is an
+    * exactly-represented integer double. The scale is a build-time driver
+    * scalar ([[Similarity.IvfIndex]]'s own posture — one delta-bounded agg
+    * per cold build, never per query). */
+  private[graft] def externalVectors(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+      .where(col("vec_id") < Multimodal.AssetDocBound)
+    val r = embs.selectExpr(
+      "max(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))) AS mx").head()
+    val sc = java.lang.Double.toString(if (r.isNullAt(0)) 1.0 else r.getDouble(0))
+    embs.selectExpr("vec_id AS asset_id",
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / " +
+        s"CAST($sc AS DOUBLE) + 0.5) AS BIGINT)) AS f")
+  }
 
   /** A delta's asset rows for a lane: the admitted doc ids bounded by the
     * declared asset-population rule ([[Multimodal.AssetDocBound]] — the
@@ -203,6 +227,25 @@ object MmIvf {
   def buildAudio(s: SparkSession, dir: String): Index =
     cache.getOrCompute(s, indexPath(dir, "aud"))(loadOrBuild(s, dir, "aud"))
 
+  /** The EXTERNAL-ENCODER lane (VERDICT r15 missing #3): when the assets
+    * carry learned per-asset embeddings, index THOSE through the same
+    * cell-partitioned layout, probe path, and retention — no fork.
+    * `vectors` is any (asset_id, f: array<bigint>) frame (a learned
+    * encoder's output, integer-quantized upstream so the exactness
+    * contract holds); it must be a pure function of the corpus state —
+    * the lane is keyed by the corpus fingerprint, which is what makes the
+    * durable cache safe. Defaults to [[externalVectors]], the declared
+    * fixture quantization of the corpus's embedding column. The
+    * decode-kernel lanes ([[build]]/[[buildAudio]]) are untouched when no
+    * external column exists. Rebuild-only: caller-supplied vectors cannot
+    * be re-derived by the index, so a changed corpus routes consumers
+    * through a rebuild (the pre-append mm posture, now confined to the
+    * one lane whose inputs the index does not own). */
+  def buildExternal(s: SparkSession, dir: String,
+                    vectors: Option[DataFrame] = None): Index =
+    cache.getOrCompute(s, indexPath(dir, "ext"))(
+      loadOrBuild(s, dir, "ext", vectors))
+
   /** Delta-append for a lane (VERDICT r15 task 3 — the [[Similarity
     * .IvfIndex.appendFor]] discipline on the mm index): the admitted
     * batch's asset ids (bounded by [[Multimodal.AssetDocBound]], the same
@@ -225,6 +268,9 @@ object MmIvf {
     * back to a rebuild just because the corpus grew by asset-less docs. */
   def append(s: SparkSession, dir: String, prior: Index,
              newAssetIds: DataFrame, lane: String = "img"): Index = {
+    require(lane == "img" || lane == "aud",
+      "mm-ivf append: only the decode-kernel lanes can re-derive a " +
+        "delta's vectors; the external lane rebuilds via buildExternal")
     val path = indexPath(dir, lane)
     val marker = sub(path, "centroids.tsv")
     require(path != prior.path,
@@ -276,8 +322,8 @@ object MmIvf {
     cache.getOrCompute(s, path)(loadOrBuild(s, dir, lane))
   }
 
-  private def loadOrBuild(s: SparkSession, dir: String,
-                          lane: String): Index = {
+  private def loadOrBuild(s: SparkSession, dir: String, lane: String,
+                          ext: Option[DataFrame] = None): Index = {
     val path = indexPath(dir, lane)
     val marker = sub(path, "centroids.tsv")
     if (!store.exists(marker)) {
@@ -285,7 +331,7 @@ object MmIvf {
       Similarity.IvfIndex.withIndexLock(path + ".lock") {
         if (!store.exists(marker)) {
           if (store.exists(path)) store.deleteRecursive(path)
-          stageAndPublish(s, dir, path, lane)
+          stageAndPublish(s, dir, path, lane, ext)
         }
       }
     }
@@ -293,9 +339,10 @@ object MmIvf {
   }
 
   private def stageAndPublish(s: SparkSession, dir: String,
-                              path: String, lane: String = "img"): Unit = {
+                              path: String, lane: String = "img",
+                              ext: Option[DataFrame] = None): Unit = {
     val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    val fr = featuresOf(s, dir, lane)
+    val fr = ext.getOrElse(featuresOf(s, dir, lane))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // K bounded seed rows to the driver; integer features widen to
@@ -422,6 +469,21 @@ object MmIvf {
     * corpus passes. */
   def qMm21(s: SparkSession, dir: String): DataFrame =
     servedTopK(buildAudio(s, dir))
+
+  /** Q-MM22 — SERVED ANN OVER EXTERNAL ENCODER VECTORS: [[qMm19]]'s
+    * serving shape on the [[buildExternal]] lane — the corpus's per-asset
+    * embedding column (int8-quantized, [[externalVectors]]) instead of the
+    * decode-kernel stub features, proving a learned encoder plugs into
+    * the SAME index machinery (cell layout, probe pruning, integer-L2
+    * serving, retention) without a fork. Top-5 per probe (asset_id < 10),
+    * cells ranked by the external quantizer, exact integer squared-L2.
+    *
+    * Scale: identical to [[qMm19]] — warm runs read ≤ [[Probe]] cell
+    * partitions of 64-long int8 rows, zero decode, zero corpus passes;
+    * the one-time build is a quantize projection over the asset-bounded
+    * embedding subset. */
+  def qMm22(s: SparkSession, dir: String): DataFrame =
+    servedTopK(buildExternal(s, dir))
 
   /** The shared served-ANN probe: top-5 per probe asset (asset_id < 10),
     * cells ranked by the lane's registered quantizer, candidates from

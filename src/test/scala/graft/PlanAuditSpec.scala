@@ -1433,6 +1433,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(f20.exists(_.contains("mm-index")), "qMm20 must consume the mm index")
     assert(f20.forall(f => f.contains("mm-index") || f.contains("dup-index")),
       s"qMm20 reads unexpected sources: ${f20.filterNot(f => f.contains("mm-index") || f.contains("dup-index")).take(3)}")
+    // external-vector lane (round 16): warm serving reads the index only —
+    // no embeddings scan, no quantize pass on the warm path
+    val f22 = sources(graft.operators.MmIvf.qMm22(spark, sf))
+    assert(f22.nonEmpty && f22.forall(_.contains("mm-index")),
+      s"qMm22 warm must read ONLY the mm index: ${f22.filterNot(_.contains("mm-index")).take(3)}")
   }
 
   test("served Jaccard lane is candidate-bounded: no nested-loop anywhere, window fed by the candidate agg") {

@@ -584,6 +584,43 @@ class RecallSpec extends AnyFunSuite {
     assert(mem.count() == 11L && mem.where(col("rn") > 1).count() == 8L)
   }
 
+  test("external mm lane accepts caller-supplied encoder vectors " +
+    "(VERDICT r15 task 4): same layout, probe path, and serving") {
+    import spark.implicits._
+    import graft.operators.MmIvf
+    val prev = sys.props.get("graft.mmivf.root")
+    sys.props("graft.mmivf.root") = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "mm-ext")
+      .toString
+    try {
+      // a stand-in learned encoder's output: any (asset_id, f) integer
+      // frame — the boundary indexes THIS, no fork of the machinery
+      val vecs = (0L until 32L)
+        .map(i => (i, Seq.tabulate(4)(d => ((i * 7 + d * 3) % 11).toLong)))
+        .toDF("asset_id", "f")
+      val idx = MmIvf.buildExternal(spark, sf, Some(vecs))
+      assert(idx.feats.count() == 32, "index must hold exactly the supplied vectors")
+      assert(idx.cellIds.toSeq == (0L to 7L),
+        s"seeds are the first K supplied assets: ${idx.cellIds.toSeq}")
+      // the served query now answers FROM the supplied vectors (the lane
+      // is fingerprint-keyed; provenance is the caller's contract)
+      val served = MmIvf.qMm22(spark, sf).collect()
+      assert(served.nonEmpty, "external lane must serve")
+      assert(served.forall(_.getLong(1) < 32),
+        "neighbors must come from the supplied population")
+      // decode-kernel invariant untouched: the image lane still builds
+      // from its own kernel features, independent of the external frame
+      assert(MmIvf.build(spark, sf).feats
+        .select("asset_id").count() > 32)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.mmivf.root") = p
+        case None    => sys.props.remove("graft.mmivf.root")
+      }
+      graft.operators.MmIvf.evictSession(spark)
+    }
+  }
+
   test("weld severing (q_g12): a refuted bridge splits the cliques, a " +
     "confirmed bridge keeps them joined (VERDICT r15 task 2)") {
     import spark.implicits._
