@@ -2145,10 +2145,14 @@ object SparkEntry {
         "sizes AS (SELECT cid, count(1) AS csz FROM cell GROUP BY cid), " +
         "sc AS (SELECT np, CAST(sum(csz) - 10 AS BIGINT) AS n_candidates FROM pn " +
         "JOIN sizes USING (cid) GROUP BY np), " +
+        "ex AS (SELECT count(1) AS n_exact FROM topk WHERE np = 16), " +
         "nn AS (SELECT count(1) AS n FROM embeddings) " +
-        "SELECT h.np AS nprobe, CAST(h.hits * 10 AS BIGINT) AS recall_pm, " +
+        // scans drive the output (zero-overlap points keep their row);
+        // the recall denominator is the exact lane's measured row count
+        "SELECT sc.np AS nprobe, " +
+        "CAST(coalesce(h.hits, 0) * 1000 // ex.n_exact AS BIGINT) AS recall_pm, " +
         "sc.n_candidates, CAST((sc.n_candidates * 1000) // (10 * (nn.n - 1)) AS BIGINT) AS scan_pm " +
-        "FROM hits h JOIN sc USING (np), nn ORDER BY nprobe"),
+        "FROM sc LEFT JOIN hits h USING (np), nn, ex ORDER BY nprobe"),
     "q_sim4_ivf_kmeans" -> (
       // one Lloyd iteration from the vec_id<16 seeds: assign on seed sims,
       // recompute centroids as ROUND(mean, 6) per (cell, dim), reassign +

@@ -417,13 +417,18 @@ private[core] final class IvfIndexProcedure
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("dir", StringType).build(),
     ProcedureParameter.in("lloyd_iters", IntegerType).defaultValue("0")
-      .comment("quantizer training rounds (0 = seeded)").build())
+      .comment("quantizer training rounds (0 = seeded)").build(),
+    ProcedureParameter.in("target_recall_pm", IntegerType).defaultValue("-1")
+      .comment("when >= 0: run the q_sim22 nprobe sweep and recommend " +
+        "the smallest nprobe whose measured recall meets the target")
+      .build())
 
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = input.getUTF8String(0).toString
     val iters = input.getInt(1)
+    val targetRecallPm = input.getInt(2)
     val idx = graft.operators.Similarity.IvfIndex
       .build(SparkSession.active, dir, lloydIters = iters)
     // balance verdict (round 13 — the qSim19 numbers, CALL-shaped): the
@@ -438,15 +443,38 @@ private[core] final class IvfIndexProcedure
     // dead cells are retrain evidence exactly like hot ones: they waste
     // nprobe budget and signal a drifted quantizer (VERDICT r13 task 5)
     val nEmpty = (idx.cellIds.length - counts.length).toLong
+    // SERVING GUIDANCE (VERDICT r15 task 5): with a target, run the
+    // q_sim22 measured recall/scan sweep on the same warm index and
+    // recommend the SMALLEST nprobe whose recall meets it (falling back
+    // to probing every cell — recall 1000 pm by construction — when no
+    // smaller point does). The sweep is sweep-point × bounded-probe work
+    // over the cached assignment; MaintenanceSpec pins the recommendation
+    // equal to the q_sim22 curve. target < 0 skips the sweep (zeros).
+    val (recNprobe, recRecall, recScan) =
+      if (targetRecallPm < 0) (0L, 0L, 0L)
+      else {
+        val curve = graft.operators.Similarity
+          .qSim22(SparkSession.active, dir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+          .sortBy(_._1)
+        curve.find(_._2 >= targetRecallPm).getOrElse(curve.last) match {
+          case (np, rec, scan) => (np, rec, scan)
+        }
+      }
     val schema = StructType(Seq(
       StructField("n_cells", LongType, nullable = false),
       StructField("n_vectors", LongType, nullable = false),
       StructField("quant_scale", DoubleType, nullable = false),
       StructField("max_share_pm", LongType, nullable = false),
       StructField("n_hot_cells", LongType, nullable = false),
-      StructField("n_empty_cells", LongType, nullable = false)))
+      StructField("n_empty_cells", LongType, nullable = false),
+      StructField("recommended_nprobe", LongType, nullable = false),
+      StructField("rec_recall_pm", LongType, nullable = false),
+      StructField("rec_scan_pm", LongType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
-      idx.cellIds.length.toLong, total, idx.scale, maxSharePm, nHot, nEmpty))
+      idx.cellIds.length.toLong, total, idx.scale, maxSharePm, nHot, nEmpty,
+      recNprobe, recRecall, recScan))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

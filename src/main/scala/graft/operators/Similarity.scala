@@ -967,7 +967,9 @@ object Similarity {
     * to pick a serving nprobe, the IVF analogue of [[graft.operators
     * .Dedup.qD20]]'s LSH band planning (parameters from measurement, not
     * folklore). Per sweep point: recall_pm (top-10 overlap vs the exact
-    * scan, per-mille over 10 probes × k=10), the candidate rows the probe
+    * scan, per-mille over the exact lane's MEASURED row count — a probe
+    * short of k rows shrinks the denominator, never fakes recall; a
+    * zero-overlap point still emits its row), the candidate rows the probe
     * actually scores (Σ probed-cell sizes − the self matches), and
     * scan_pm (candidates as per-mille of the full 10×(N−1) exact work).
     * The nprobe = [[IvfCells]] row probes every cell — recall_pm = 1000
@@ -1007,17 +1009,25 @@ object Similarity {
       .selectExpr("vec_id AS q_id",
         s"posexplode(${idx.fn}(embedding, $IvfCells)) AS (pos, cell)")
       .join(broadcast(sizes), "cell")
-    val n = Tables.embeddings(s, dir).count()
     val scans = NprobeSweep.map { np =>
       ranked.where(col("pos") < np)
         .agg((sum("csz") - 10L).as("n_candidates"))
         .select(lit(np.toLong).as("nprobe"), col("n_candidates"))
     }.reduce(_.unionAll(_))
-    hits.join(scans, "nprobe")
+    // ADVICE r15: scans DRIVES the output (exactly one row per sweep
+    // point even when a point recalls nothing — left join + coalesce);
+    // the recall denominator is MEASURED from the exact lane (the count
+    // also materializes the persisted frame — never assume 10×k rows);
+    // and the corpus total rides the plan as a one-row totals crossJoin
+    // off the cached assignment instead of a plan-build count job
+    val nExact = topAll.count()
+    val totals = idx.assigned.agg(count(lit(1)).as("n_total"))
+    scans.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("nprobe"),
-        (col("hits") * lit(1000L / (10L * k))).as("recall_pm"),
+        expr(s"(coalesce(hits, 0L) * 1000) DIV $nExact").as("recall_pm"),
         col("n_candidates"),
-        expr(s"(n_candidates * 1000) DIV (10 * ($n - 1))").as("scan_pm"))
+        expr("(n_candidates * 1000) DIV (10 * (n_total - 1))").as("scan_pm"))
       .orderBy("nprobe")
   }
 

@@ -647,6 +647,27 @@ class MaintenanceSpec extends AnyFunSuite {
     val r1 = spark.sql(
       s"CALL graftiv.system.ivfindex(dir => '$dir', lloyd_iters => 1)").head()
     assert(r1.getLong(1) == 500L, s"$r1")
+    // serving guidance (VERDICT r15 task 5): the recommendation is pinned
+    // EQUAL to the q_sim22 measured curve — smallest nprobe meeting the
+    // target, with its measured recall/scan columns
+    val curve = graft.operators.Similarity.qSim22(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).sortBy(_._1)
+    val target = 900
+    val want = curve.find(_._2 >= target).getOrElse(curve.last)
+    val r2 = spark.sql(s"CALL graftiv.system.ivfindex(dir => '$dir', " +
+      s"target_recall_pm => $target)").head()
+    assert((r2.getAs[Long]("recommended_nprobe"),
+      r2.getAs[Long]("rec_recall_pm"),
+      r2.getAs[Long]("rec_scan_pm")) == want,
+      s"guidance must equal the q_sim22 curve: $r2 vs $want")
+    // an unmeetable target falls back to probing every cell (recall 1000)
+    val r3 = spark.sql(s"CALL graftiv.system.ivfindex(dir => '$dir', " +
+      s"target_recall_pm => 1001)").head()
+    assert(r3.getAs[Long]("recommended_nprobe") ==
+      graft.operators.Similarity.IvfCells.toLong &&
+      r3.getAs[Long]("rec_recall_pm") == 1000L, s"$r3")
+    // no target: the sweep is skipped, guidance columns read 0
+    assert(r.getAs[Long]("recommended_nprobe") == 0L, s"$r")
   }
 
   test("SQL surface: CALL graft.system.mmivf builds/loads the multimodal " +

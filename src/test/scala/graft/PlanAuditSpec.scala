@@ -1486,6 +1486,32 @@ class PlanAuditSpec extends AnyFunSuite {
     here ++ kids.flatMap(executedScans)
   }
 
+  test("q_sim22: the corpus total rides the plan as a one-row totals crossJoin (no plan-build corpus count job)") {
+    // VERDICT r15 item 6: the scan_pm denominator previously came from a
+    // standalone embeddings.count() at plan-build; it now attaches as a
+    // broadcast one-row aggregate of the CACHED assignment — the witness
+    // is the BroadcastNestedLoopJoin in the executed plan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    graft.operators.Similarity.IvfIndex.build(spark, sf, lloydIters = 0)
+    val df = graft.operators.Similarity.qSim22(spark, sf)
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    assert(nodes(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the one-row totals crossJoin must be in the executed plan")
+  }
+
   test("served hybrid (q_sim17) warm: every executed scan is an index file or a pushed probe fetch") {
     // VERDICT r11 task 2: with both lanes on warm durable indexes, the
     // only parquet the query may touch is (a) lex-index files and (b) the

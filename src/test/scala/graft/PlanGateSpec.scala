@@ -116,6 +116,7 @@ class PlanGateSpec extends AnyFunSuite {
     "q_v10_quality_checks" -> oneRowTotals,
     "q_v11_kmv_overlap" -> oneRowTotals,
     "q_sim19_cell_balance" -> oneRowTotals,
+    "q_sim22_nprobe_sweep" -> oneRowTotals,
     "q_x10_mix_lift" -> oneRowTotals,
     "q_sim1_knn_brute" -> probeBounded,
     "q_sim9_int8_recall" -> probeBounded,
