@@ -1594,7 +1594,10 @@ object SparkEntry {
         "CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS chars, " +
         "CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha, " +
         "CAST(len(list_intersect(list_distinct(ws), " +
-        "['the', 'a'])) AS BIGINT) AS stop_hits FROM w), " +
+        // engine constants interpolated (ADVICE r15): editing GopherStops
+        // cannot silently desynchronize the pair
+        s"[${graft.operators.TextAnalysis.GopherStops.map(w => s"'$w'").mkString(", ")}])) " +
+        "AS BIGINT) AS stop_hits FROM w), " +
         "tf AS (SELECT doc_id, t, count(1) AS c FROM " +
         "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) q " +
         "WHERE t <> '' GROUP BY doc_id, t), " +
@@ -1606,7 +1609,8 @@ object SparkEntry {
         "CAST(CASE WHEN n_words BETWEEN 50 AND 100000 " +
         "AND (chars * 10) // n_words BETWEEN 30 AND 100 " +
         "AND (n_alpha * 1000) // n_words >= 800 " +
-        "AND stop_hits >= 2 AND rep_pm <= 200 THEN 1 ELSE 0 END AS BIGINT) AS pass " +
+        s"AND stop_hits >= ${graft.operators.TextAnalysis.GopherMinStopHits} " +
+        "AND rep_pm <= 200 THEN 1 ELSE 0 END AS BIGINT) AS pass " +
         "FROM base JOIN rep USING (doc_id) ORDER BY base.doc_id"),
     "q_t43_ppl_buckets" -> (
       // q_t20's integer unigram-LL score -> bounded per-lang histogram ->

@@ -31,16 +31,18 @@ package graft.operators
   * lose spilled blocks' backing files — pick retention longer than the
   * longest consumer session, or run the sweep at a quiet moment.
   *
-  * `keep_last_n` is ROOT-GLOBAL on shared roots (ADVICE r11): the budget
-  * ranks every superseded dir under the root by publish time, so one
-  * actively-churning corpus's superseded dirs can consume all N slots and
-  * evict another corpus's entire superseded history. This is a documented
-  * contract, not an oversight — a superseded fingerprint is the hash of a
-  * corpus state that no longer exists, so it CANNOT be attributed back to
-  * its corpus (grouping by embedded fingerprint would put every dir in its
-  * own group). Live fingerprints stay protected regardless, so only
-  * retention DEPTH is root-global, never safety; give each corpus its own
-  * index root when per-corpus retention depth matters.
+  * `keep_last_n` counts GENERATIONS, not dirs (ADVICE r15): dirs sharing
+  * one embedded `v<ver>-<fingerprint>` prefix — the multimodal index's
+  * img/aud/ext LANES of one corpus state — are one retention unit, ranked
+  * by the group's newest publish time and kept or dropped together, so
+  * keep_last_n = 1 retains a USABLE whole generation instead of whichever
+  * single lane dir is newest. Across corpora the budget stays ROOT-GLOBAL
+  * (ADVICE r11): a superseded fingerprint is the hash of a corpus state
+  * that no longer exists and cannot be attributed back to its corpus, so
+  * one actively-churning corpus's generations can consume all N slots.
+  * Live fingerprints stay protected regardless, so only retention DEPTH
+  * is root-global, never safety; give each corpus its own index root when
+  * per-corpus retention depth matters.
   *
   * SQL surface: `CALL graft.system.expire_indexes(kind, corpus_dirs[,
   * keep_last_n][, older_than_ms])` ([[graft.core.GraftCatalog]]). */
@@ -112,10 +114,23 @@ private[graft] object IndexRetention {
       }
       .sortBy(-_.createdMs)
     // staging garbage never occupies a keep slot: keep_last_n retains the
-    // newest N REAL superseded indexes; unlocked .tmp- dirs qualify on the
-    // age bound alone (with only keep_last_n set they are always swept)
+    // newest N REAL superseded GENERATIONS (dirs sharing one embedded
+    // v<ver>-<fingerprint> prefix — e.g. the mm index's img/aud/ext lanes
+    // of one corpus state — are one unit, ADVICE r15); unlocked .tmp-
+    // dirs qualify on the age bound alone (with only keep_last_n set they
+    // are always swept)
     val (staging, real) = cands.partition(_.name.contains(".tmp-"))
-    val outsideN = keepLastN.map(real.drop).getOrElse(real) ++ staging
+    val Generation = "^(v\\d+-[0-9a-f]{32})".r
+    def genOf(n: String): String =
+      Generation.findFirstIn(n).getOrElse(n) // unrecognized shape: own group
+    val keptGens = keepLastN.map { n =>
+      real.groupBy(s => genOf(s.name)).toSeq
+        .sortBy { case (_, ds) => -ds.map(_.createdMs).max }
+        .take(n).map(_._1).toSet
+    }.getOrElse(Set.empty[String])
+    val outsideN = keepLastN
+      .map(_ => real.filterNot(s => keptGens.contains(genOf(s.name))))
+      .getOrElse(real) ++ staging
     val toDrop = olderThanMs.map(t => outsideN.filter(_.createdMs < t))
       .getOrElse(outsideN)
     toDrop.filter(s => store.deleteRecursive(path(s.name)))

@@ -836,7 +836,11 @@ object Streams {
           .localCheckpoint(eager = true)
       case None => batch.select("doc_id").limit(0)
     }
-    if (decontamEval.nonEmpty)
+    // ADVICE r15: only launch the quarantine append when the batch
+    // actually rejected something — the count reads the eagerly
+    // checkpointed blocks, so a clean batch pays no write job and a
+    // never-rejecting store never grows a _contam dir
+    if (decontamEval.nonEmpty && contaminated.count() > 0)
       batch.join(contaminated, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"), lit(batchId).as("batch_id"))
         .write.mode("append").parquet(s"$storeDir/_contam")

@@ -725,6 +725,40 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("expire_indexes: keep_last_n retains whole GENERATIONS — every mm lane of a superseded corpus state (ADVICE r15)") {
+    // two superseded generations, each publishing an img + aud lane dir
+    // under one corpus fingerprint: a flat newest-N ranking with keep 1
+    // would retain only the single newest dir (one lane — unusable);
+    // generation grouping must keep the newest PAIR and sweep the old one
+    val root = Files.createTempDirectory(Paths.get("target"), "mm-gen")
+      .toAbsolutePath.toString
+    val st = graft.core.Storage.hadoop
+    def put(name: String, ageMs: Long): Unit = {
+      st.mkdirs(s"$root/$name")
+      st.writeString(s"$root/$name/centroids.tsv", "x\n")
+      Files.setLastModifiedTime(Paths.get(root, name, "centroids.tsv"),
+        java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    val fpLive = "f" * 32
+    val fpA = "a" * 32 // the older generation
+    val fpB = "b" * 32 // the newer generation
+    put(s"v1-$fpLive-k8", 0L)
+    put(s"v1-$fpA-k8", 4 * 3600L * 1000L)
+    put(s"v1-$fpA-k8-aud", 3 * 3600L * 1000L)
+    put(s"v1-$fpB-k8", 2 * 3600L * 1000L)
+    put(s"v1-$fpB-k8-aud", 1 * 3600L * 1000L)
+    val swept = graft.operators.IndexRetention
+      .sweep(st, root, "mm", Set(fpLive), Some(1), None)
+    assert(swept.map(_.name).toSet ==
+      Set(s"v1-$fpA-k8", s"v1-$fpA-k8-aud"),
+      s"the whole older generation must sweep: ${swept.map(_.name)}")
+    val remaining = st.listDirNames(root).toSet
+    assert(remaining ==
+      Set(s"v1-$fpLive-k8", s"v1-$fpB-k8", s"v1-$fpB-k8-aud"),
+      s"the kept generation must retain BOTH lanes: $remaining")
+  }
+
   test("expire_indexes: stale fingerprints swept, live + lock-held survive, bounds compose") {
     val dir = "/root/testdata/sf0.001"
     val st = graft.core.Storage.hadoop

@@ -666,6 +666,16 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "batch_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 0L)),
       "channel rows must survive compaction byte-identical")
+    // ADVICE r15: a store whose batches never reject anything never grows
+    // a _contam dir — the quarantine append is gated on a non-empty frame
+    val cleanStore = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "clean-gate").toString
+    assert(Streams.dedupGateBatch(spark, cleanStore,
+      spark.range(1).selectExpr("7L AS doc_id",
+        "'totally clean words with no overlap at all here now' AS text"),
+      0L, decontamEval = Some(eval)) == (1L, 0L))
+    assert(!graft.core.Storage.hadoop.exists(s"$cleanStore/_contam"),
+      "a clean batch must not create the quarantine channel")
   }
 
   test("ST-9 store maintenance: bounded files under many batches; decisions survive compaction; crashed swap heals") {
