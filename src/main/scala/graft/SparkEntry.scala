@@ -242,6 +242,7 @@ object SparkEntry {
     "q_mm20_modal_consistency" -> (MmIvf.qMm20 _),
     "q_mm21_audio_ivf"      -> (MmIvf.qMm21 _),
     "q_mm22_ext_ivf"        -> (MmIvf.qMm22 _),
+    "q_mm23_y4m_sample"     -> (Multimodal.qMm23 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2606,6 +2607,19 @@ object SparkEntry {
         "SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx, " +
         "CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
         "CAST(sum((doc_id * 31 + f * 17 + x * 7 + y * 13) % 256) AS BIGINT) AS px_sum " +
+        "FROM g GROUP BY doc_id, f ORDER BY asset_id, frame_idx"),
+    "q_mm23_y4m_sample" -> (
+      // real Y4M seek-sampled decode Spark-side (every 2nd frame of 4);
+      // the oracle replays the frame-pixel function (Multimodal.y4mGray)
+      // arithmetically — raw planes are lossless
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "g AS (SELECT doc_id, f.i AS f, x.i AS x, y.i AS y FROM d, " +
+        "(SELECT unnest([0, 2]) AS i) f, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) x, " +
+        "(SELECT unnest(generate_series(0, 7)) AS i) y) " +
+        "SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx, " +
+        "CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
+        "CAST(sum((doc_id * 23 + f * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS px_sum " +
         "FROM g GROUP BY doc_id, f ORDER BY asset_id, frame_idx"),
     "q_mm7_motion_energy" -> (
       // temporal motion energy through the real GIF decode Spark-side;

@@ -644,7 +644,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "keyframes" -> Multimodal.keyframes(
         Multimodal.gifAssets(spark, sf), Multimodal.GifFrameDecoder),
       "audioVad" -> Multimodal.audioVad(
-        Multimodal.wavAssets(spark, sf), Multimodal.WavDecoder))) {
+        Multimodal.wavAssets(spark, sf), Multimodal.WavDecoder),
+      "sampleY4mFrames" -> Multimodal.sampleY4mFrames(
+        Multimodal.y4mAssets(spark, sf), Multimodal.FrameSampleStride))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),

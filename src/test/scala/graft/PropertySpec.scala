@@ -202,6 +202,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Y4M lane (q_mm23): seek-sampled frames equal the full decode's selection; malformed containers drop, never throw") {
+    import graft.operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    // the O(1)-seek sampler must agree exactly with sequential full decode
+    // restricted to the same stride — the two paths share only the header
+    // parse, so an offset-arithmetic defect breaks this, not the oracle
+    val sampled = Multimodal
+      .sampleY4mFrames(Multimodal.y4mAssets(spark, sf), 2)
+      .collect().map(_.toString).toSet
+    val full = Multimodal
+      .frameFeatures(Multimodal.y4mAssets(spark, sf),
+        Multimodal.Y4mFrameDecoder)
+      .where(col("frame_idx") % 2 === 0)
+      .collect().map(_.toString).toSet
+    assert(sampled == full, "seek sampling must equal filtered full decode")
+    assert(sampled.nonEmpty)
+    // corrupt-input contract, never a throw: the FULL decode is
+    // all-or-nothing (any defect → zero rows); the seek sampler gates on
+    // the header (bad magic → clip dropped) and skips individually
+    // corrupt sampled frames while still serving intact ones — the
+    // behavior a production sampler wants on a partially-damaged clip
+    import spark.implicits._
+    val good = Multimodal.y4mAssets(spark, sf)
+      .where(col("asset_id") === 0L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    val badMagic = "JUNKMPEG2 W8 H8 Cmono\n".getBytes("US-ASCII")
+    val truncated = good.take(good.length - 3) // frame 3 loses its tail
+    val badMarker = good.clone() // frame 0's FRAME marker overwritten
+    badMarker(good.indexOf('\n'.toByte) + 1) = 'X'.toByte
+    val junk = Seq((1L, "video", badMagic), (2L, "video", truncated),
+      (3L, "video", badMarker)).toDF("asset_id", "kind", "bytes")
+    assert(Multimodal.frameFeatures(junk, Multimodal.Y4mFrameDecoder).isEmpty,
+      "malformed containers must full-decode to zero rows")
+    val partial = Multimodal.sampleY4mFrames(junk, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(partial == Set((2L, 0), (2L, 2), (3L, 2)),
+      s"the sampler must gate on the header and skip only corrupt " +
+        s"sampled frames: $partial")
+  }
+
   test("shard packing (q_t42) is bucket-width invariant and partitions the corpus") {
     import graft.operators.TextAnalysis
     val sf = "/root/testdata/sf0.001"
