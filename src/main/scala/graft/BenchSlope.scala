@@ -79,7 +79,9 @@ object BenchSlope {
       "q_g11_weak_links"     -> dup,
       "q_sim22_nprobe_sweep" -> ivf,
       "q_d22_d4_verdict"     -> ivf,
-      "q_mm21_audio_ivf"     -> Seq("graft.mmivf.root"))
+      "q_mm21_audio_ivf"     -> Seq("graft.mmivf.root"),
+      "q_g12_severed_components" -> dup,
+      "q_mm22_ext_ivf"       -> Seq("graft.mmivf.root"))
   }
 
   /** Linear-scaling margin: data grows 10×, so a ratio beyond 10 × 1.3

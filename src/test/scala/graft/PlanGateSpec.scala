@@ -185,10 +185,11 @@ class PlanGateSpec extends AnyFunSuite {
       "; ONE user-query row against the cached int8 cell assignment"),
     "q_t39_safe_keep" ->
       ("the cohesion-gated keeper window: partitions are per dup-family " +
-        "collapse group over the GRAPH-sized clusters artifact joined to " +
-        "the component-count-sized safe-set broadcast and the graph-sized " +
-        "LPA label frame — every frame is dup-graph-sized, never corpus-" +
-        "sized, and the biggest partition is one family"),
+        "collapse group over the GRAPH-sized severed-clusters lane " +
+        "(surviving pairs anti-join + severed components, round 16) " +
+        "joined to the component-count-sized safe-set broadcast and the " +
+        "graph-sized LPA label frame — every frame is dup-graph-sized, " +
+        "never corpus-sized, and the biggest partition is one family"),
     "q_t26_dedup_mix" ->
       ("the same gated-keeper window as q_t39 (shared " +
         "Dedup.gatedKeepMembers core) feeding the drop-set anti-join; " +
