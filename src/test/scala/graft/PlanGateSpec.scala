@@ -176,6 +176,10 @@ class PlanGateSpec extends AnyFunSuite {
     "q_mm21_audio_ivf" -> (probeRank +
       "; 10 audio probes against the cell-partitioned MmIvf audio lane " +
       "— candidates <= the probed cells' members"),
+    "q_mm22_ext_ivf" -> (probeRank +
+      "; 10 probes against the cell-partitioned external-vector lane " +
+      "(the same servedTopK probe shape as q_mm19/q_mm21) — candidates " +
+      "<= the probed cells' members"),
     "q_d22_d4_verdict" ->
       ("the q_d21 rank-to-centroid window re-run over the SemDeDup " +
         "survivors: partitions are IVF cells (the q_d15/q_d21 in-cell " +
