@@ -237,10 +237,11 @@ object MmIvf {
     * durable cache safe. Defaults to [[externalVectors]], the declared
     * fixture quantization of the corpus's embedding column. The
     * decode-kernel lanes ([[build]]/[[buildAudio]]) are untouched when no
-    * external column exists. Rebuild-only: caller-supplied vectors cannot
-    * be re-derived by the index, so a changed corpus routes consumers
-    * through a rebuild (the pre-append mm posture, now confined to the
-    * one lane whose inputs the index does not own). */
+    * external column exists. Maintenance: [[appendExternal]] advances the
+    * lane with caller-supplied DELTA vectors (same frozen-encoder
+    * generation); anything the index cannot attribute to that generation
+    * — a retrained encoder, a seed-raising delta — is a rebuild through
+    * here with the full frame. */
   def buildExternal(s: SparkSession, dir: String,
                     vectors: Option[DataFrame] = None): Index =
     cache.getOrCompute(s, indexPath(dir, "ext"))(
@@ -270,7 +271,8 @@ object MmIvf {
              newAssetIds: DataFrame, lane: String = "img"): Index = {
     require(lane == "img" || lane == "aud",
       "mm-ivf append: only the decode-kernel lanes can re-derive a " +
-        "delta's vectors; the external lane rebuilds via buildExternal")
+        "delta's vectors; the external lane appends caller-supplied " +
+        "delta vectors via appendExternal, or rebuilds via buildExternal")
     val path = indexPath(dir, lane)
     val marker = sub(path, "centroids.tsv")
     require(path != prior.path,
@@ -283,43 +285,81 @@ object MmIvf {
         s"(< $Cells) — routing to a full rebuild so the published " +
         "centroids match a from-scratch build")
     if (!store.exists(marker) && !seedRaising) {
-      store.mkdirs(indexRoot)
-      Similarity.IvfIndex.withIndexLock(path + ".lock") {
-        if (!store.exists(marker)) {
-          if (store.exists(path)) store.deleteRecursive(path)
-          val staging = path + ".tmp-" +
-            java.util.UUID.randomUUID().toString.take(8)
-          val fn = fnName(staging)
-          graft.functions.IvfRankCells.register(s, fn,
-            prior.cellIds, prior.cents)
-          val dAssets = deltaAssets(s, newAssetIds, lane)
-          val dFeats =
-            if (lane == "aud") audioFeaturesOf(dAssets)
-            else imageFeaturesOf(s, dAssets)
-          prior.feats
-            .selectExpr("asset_id", "f", "CAST(cell AS BIGINT) AS cell")
-            .unionByName(dFeats.selectExpr("asset_id", "f",
-              s"CAST(element_at($fn(transform(f, x -> CAST(x AS DOUBLE)), " +
-                "1), 1) AS BIGINT) AS cell"))
-            .write.partitionBy("cell").parquet(sub(staging, "features"))
-          store.writeString(sub(staging, "centroids.tsv"),
-            prior.cellIds.zip(prior.cents)
-              .map { case (cid, c) => s"$cid\t${c.mkString(",")}" }
-              .mkString("", "\n", "\n"))
-          if (!(store.rename(staging, path) &&
-                store.exists(sub(path, "centroids.tsv")))) {
-            store.deleteRecursive(staging)
-            throw new IllegalStateException(
-              s"mm-ivf index: publishing $staging -> $path failed")
-          }
-        }
-      }
+      val dAssets = deltaAssets(s, newAssetIds, lane)
+      publishAppended(s, path, prior,
+        if (lane == "aud") audioFeaturesOf(dAssets)
+        else imageFeaturesOf(s, dAssets))
     }
     // the superseded handle's persisted frame must not pin the
     // CacheManager under a long-running gate (the DupClusters.append
     // discipline); the fresh load below re-persists the new state
     prior.feats.unpersist()
     cache.getOrCompute(s, path)(loadOrBuild(s, dir, lane))
+  }
+
+  /** Delta-append for the EXTERNAL lane ([[buildExternal]]): the caller
+    * supplies the delta's (asset_id, f) integer vectors from the SAME
+    * frozen encoder generation that produced `prior` — one encoder = one
+    * lane history (mixing generations would silently mix vector spaces;
+    * a retrained encoder is a rebuild via [[buildExternal]] with the full
+    * frame). Frozen centroids, cell-partitioned union, post-delta
+    * fingerprint publish — the [[append]] protocol. A SEED-RAISING delta
+    * REFUSES loudly instead of silently rebuilding: unlike the decode
+    * lanes, a rebuild here needs the caller's full vector frame, which
+    * this method does not have. */
+  def appendExternal(s: SparkSession, dir: String, prior: Index,
+                     newVecs: DataFrame): Index = {
+    val path = indexPath(dir, "ext")
+    val marker = sub(path, "centroids.tsv")
+    require(path != prior.path,
+      "mm-ivf append: corpus fingerprint unchanged — the delta is not in " +
+        "the corpus yet (append AFTER the new files land)")
+    require(store.exists(marker) ||
+      newVecs.where(col("asset_id") < Cells).isEmpty,
+      s"mm-ivf external append: delta contains seed-range asset ids " +
+        s"(< $Cells) — a frozen-centroid append would diverge from a " +
+        "rebuild; rebuild via buildExternal with the full vector frame")
+    if (!store.exists(marker))
+      publishAppended(s, path, prior, newVecs.select("asset_id", "f"))
+    prior.feats.unpersist()
+    cache.getOrCompute(s, path)(loadOrBuild(s, dir, "ext",
+      // belt-and-braces: the publish above makes this a warm load; a
+      // racing JVM's publish also loads — the fixture fallback never runs
+      None))
+  }
+
+  /** The shared append publish: assign `dFeats` against the PRIOR's
+    * frozen centroids, union with the prior's cell-partitioned features,
+    * stage, and rename into the (post-delta-fingerprint) `path`. */
+  private def publishAppended(s: SparkSession, path: String, prior: Index,
+                              dFeats: DataFrame): Unit = {
+    store.mkdirs(indexRoot)
+    Similarity.IvfIndex.withIndexLock(path + ".lock") {
+      if (!store.exists(sub(path, "centroids.tsv"))) {
+        if (store.exists(path)) store.deleteRecursive(path)
+        val staging = path + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val fn = fnName(staging)
+        graft.functions.IvfRankCells.register(s, fn,
+          prior.cellIds, prior.cents)
+        prior.feats
+          .selectExpr("asset_id", "f", "CAST(cell AS BIGINT) AS cell")
+          .unionByName(dFeats.selectExpr("asset_id", "f",
+            s"CAST(element_at($fn(transform(f, x -> CAST(x AS DOUBLE)), " +
+              "1), 1) AS BIGINT) AS cell"))
+          .write.partitionBy("cell").parquet(sub(staging, "features"))
+        store.writeString(sub(staging, "centroids.tsv"),
+          prior.cellIds.zip(prior.cents)
+            .map { case (cid, c) => s"$cid\t${c.mkString(",")}" }
+            .mkString("", "\n", "\n"))
+        if (!(store.rename(staging, path) &&
+              store.exists(sub(path, "centroids.tsv")))) {
+          store.deleteRecursive(staging)
+          throw new IllegalStateException(
+            s"mm-ivf index: publishing $staging -> $path failed")
+        }
+      }
+    }
   }
 
   private def loadOrBuild(s: SparkSession, dir: String, lane: String,

@@ -621,6 +621,52 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("external mm lane append: caller delta vectors advance the lane " +
+    "with frozen centroids; a seed-raising delta refuses (the rebuild " +
+    "needs the caller's full frame)") {
+    import spark.implicits._
+    import graft.operators.MmIvf
+    val prev = sys.props.get("graft.mmivf.root")
+    sys.props("graft.mmivf.root") = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "mm-extapp")
+      .toString
+    val root = java.nio.file.Files.createTempDirectory("graft-mmext").toString
+    try {
+      val all = graft.core.Tables.documents(spark, sf)
+      all.where(col("doc_id") < 100).write.parquet(s"$root/documents.parquet")
+      def vecsOf(ids: Range) = ids
+        .map(i => (i.toLong, Seq.tabulate(4)(d => ((i * 7 + d * 3) % 11).toLong)))
+        .toDF("asset_id", "f")
+      val idx0 = MmIvf.buildExternal(spark, root, Some(vecsOf(0 until 32)))
+      assert(idx0.feats.count() == 32)
+      // the corpus advances; the caller hands the delta's vectors from
+      // the same frozen encoder generation
+      all.where(col("doc_id") >= 100 && col("doc_id") < 110)
+        .write.mode("append").parquet(s"$root/documents.parquet")
+      val idx1 = MmIvf.appendExternal(spark, root, idx0, vecsOf(32 until 41))
+      assert(idx1.feats.count() == 41, "prior + delta must both serve")
+      assert(idx1.cellIds.toSeq == idx0.cellIds.toSeq,
+        "centroids stay frozen across the append")
+      assert(idx1.feats.where(col("asset_id") >= 32).count() == 9)
+      // replay with the superseded handle is idempotent (marker hit)
+      assert(MmIvf.appendExternal(spark, root, idx0, vecsOf(32 until 41))
+        .feats.count() == 41)
+      // seed-raising delta: refuse loudly — unlike the decode lanes, the
+      // index cannot rebuild without the caller's full vector frame
+      all.where(col("doc_id") >= 110 && col("doc_id") < 115)
+        .write.mode("append").parquet(s"$root/documents.parquet")
+      val e = intercept[IllegalArgumentException](
+        MmIvf.appendExternal(spark, root, idx1, vecsOf(3 until 4)))
+      assert(e.getMessage.contains("seed-range"), e.getMessage)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.mmivf.root") = p
+        case None    => sys.props.remove("graft.mmivf.root")
+      }
+      graft.operators.MmIvf.evictSession(spark)
+    }
+  }
+
   test("weld severing (q_g12): a refuted bridge splits the cliques, a " +
     "confirmed bridge keeps them joined (VERDICT r15 task 2)") {
     import spark.implicits._
