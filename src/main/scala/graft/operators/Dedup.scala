@@ -1715,17 +1715,29 @@ object Dedup {
     * gap refutes without running the DP (a gap > bound lower-bounds the
     * edit distance past it), and survivors run the THRESHOLD Levenshtein
     * (O(len × bound) banded DP, −1 ⇔ distance > bound). */
-  private[graft] def refutedWeakEdges(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val weak = weakEdges(pairs).select("a_id", "b_id")
-    val withA = docs.join(broadcast(weak), col("doc_id") === col("a_id"))
+  private[graft] def refutedWeakEdges(docs: DataFrame, pairs: DataFrame): DataFrame =
+    verifyEdges(docs, weakEdges(pairs))
+      .where(col("refuted")).select("a_id", "b_id")
+
+  /** The edit-distance VERDICT for a caller-supplied edge frame: one row
+    * per (a_id, b_id) with `refuted` = endpoint texts more than
+    * [[SeverEditBound]] edits apart. Factored from [[refutedWeakEdges]]
+    * so [[DupClusters]] can verify ONLY the not-yet-verified weak edges
+    * on append (the `verdicts/` cache — edit distances are immutable, so
+    * a verdict never needs re-computing) while the fixture specs and the
+    * from-scratch build verify the whole weak set. Same chained-broadcast
+    * qD11 text fetch; the O(1) length gap refutes without the DP. */
+  private[graft] def verifyEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val keys = edges.select("a_id", "b_id")
+    val withA = docs.join(broadcast(keys), col("doc_id") === col("a_id"))
       .selectExpr("a_id", "b_id", "text AS ta")
     docs.join(broadcast(withA), col("doc_id") === col("b_id"))
       .selectExpr("a_id", "b_id", "ta", "text AS tb")
-      .where(when(
-        abs(length(col("ta")) - length(col("tb"))) > SeverEditBound,
-        lit(true))
-        .otherwise(levenshtein(col("ta"), col("tb"), SeverEditBound) < 0))
-      .select("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        when(abs(length(col("ta")) - length(col("tb"))) > SeverEditBound,
+          lit(true))
+          .otherwise(levenshtein(col("ta"), col("tb"), SeverEditBound) < 0)
+          .as("refuted"))
   }
 
   /** Q-G12 — SEVERED COMPONENTS: every clustered document with its raw

@@ -31,6 +31,14 @@ import graft.functions.GraftFunctions
   *                    reachable id, [[Dedup.componentsOfPairs]]) and
   *                    integer-micro PageRank ([[Dedup.pageRank]],
   *                    [[Dedup.PageRankIters]] rounds) per non-singleton node
+  *   - `severed/`  (id, component, rank_e6)     — components over the
+  *                    SURVIVING edges after refuted welds drop (q_g12;
+  *                    severing-isolated nodes self-label); what the gated
+  *                    keeper consumes
+  *   - `refuted/`  (a_id, b_id)                 — the dropped cut-set
+  *   - `verdicts/` (a_id, b_id, refuted)        — every weld verdict ever
+  *                    computed (monotone cache; append verifies only new
+  *                    weak edges)
   *   - `meta.tsv`                                — doc count + params;
   *                    its existence IS the published-index predicate
   *
@@ -54,10 +62,15 @@ object DupClusters {
     * edge set (refuted weld edges dropped, [[Dedup.refutedWeakEdges]]) —
     * the graph the gated keeper consumes; `refuted` is the dropped
     * cut-set (a_id, b_id), so warm consumers derive surviving pairs with
-    * one graph-sized anti-join and zero corpus passes. */
+    * one graph-sized anti-join and zero corpus passes. `verdicts` stays a
+    * lazy reader like `sigs` — the (a_id, b_id, refuted) cache of every
+    * weld verdict ever computed, consumed only by [[append]] (its content
+    * is append-history-dependent — a superset of the current weak set —
+    * so it is a CACHE, never compared by the consistency specs). */
   final case class DupIndex(path: String, nDocs: Long, sigs: DataFrame,
                             pairs: DataFrame, clusters: DataFrame,
-                            severed: DataFrame, refuted: DataFrame)
+                            severed: DataFrame, refuted: DataFrame,
+                            verdicts: DataFrame)
 
   private val cache = new graft.core.SessionCache[DupIndex](i => {
     i.pairs.unpersist(); i.clusters.unpersist()
@@ -78,8 +91,11 @@ object DupClusters {
     * listing at build time, [[append]]'s out-of-band-change guard).
     * v3: + `severed/` (components over the surviving edge set after
     * refuted weld edges are dropped) and `refuted/` (the dropped cut-set)
-    * — VERDICT r15 task 2. */
-  private val FormatVersion = 3
+    * — VERDICT r15 task 2. v4: + `verdicts/` (every weld verdict ever
+    * computed — the monotone cache that makes [[append]]'s text
+    * verification DELTA-bounded: edit distances are immutable, so only
+    * never-verified weak edges pay the fetch+DP). */
+  private val FormatVersion = 4
 
   private def sub(base: String, child: String): String =
     new org.apache.hadoop.fs.Path(base, child).toString
@@ -136,7 +152,7 @@ object DupClusters {
             val pairs = Dedup.pairsOfSigs(sigs)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try stageAndPublish(s, path, sigs, pairs, corpusCount(s, dir),
-              entries, Tables.documents(s, dir))
+              entries, Tables.documents(s, dir), None)
             finally { pairs.unpersist(); () }
           } finally { sigs.unpersist(); () }
         }
@@ -145,7 +161,7 @@ object DupClusters {
     load(s, path)
   }
 
-  /** Stage the five frames + marker into `<path>.tmp-*`, publish by ONE
+  /** Stage the six frames + marker into `<path>.tmp-*`, publish by ONE
     * atomic rename. `pairs` must be persisted by the caller — components,
     * PageRank, the severing, and the parquet write all read it. `docs` is
     * the post-state corpus reader — the severing's edit-distance
@@ -154,7 +170,9 @@ object DupClusters {
     * the one place the build touches text beyond the signature pass. */
   private def stageAndPublish(s: SparkSession, path: String, sigs: DataFrame,
                               pairs: DataFrame, nDocs: Long,
-                              entries: Seq[String], docs: DataFrame): Unit = {
+                              entries: Seq[String], docs: DataFrame,
+                              priorVerdicts: Option[DataFrame]): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val staging = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     val edges = pairs.select("a_id", "b_id")
     val comp = Dedup.componentsOfPairs(s, edges, Dedup.MaxDriverPairs)
@@ -168,21 +186,41 @@ object DupClusters {
     // severing (VERDICT r15 task 2): refute the weak cut-set by bounded
     // edit distance, recompute components over the surviving edges, and
     // keep severed-isolated nodes as their own singleton families — the
-    // graph the gated keeper ships against
-    val refuted = Dedup.refutedWeakEdges(docs, pairs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // graph the gated keeper ships against. Verification is CACHED in
+    // verdicts/ (edit distances are immutable): an append verifies only
+    // the weak edges its prior has never verified — delta-bounded text
+    // work — while a cold build verifies the whole weak set; both paths
+    // land the SAME refuted set (the weak-now ∩ refuted-ever semantics),
+    // which is what keeps append ≡ from-scratch build.
+    val prior = priorVerdicts.getOrElse(
+      pairs.select("a_id", "b_id").limit(0)
+        .withColumn("refuted", lit(false)))
+    val weak = Dedup.weakEdges(pairs).select("a_id", "b_id").persist(lvl)
     try {
-      refuted.write.mode("overwrite").parquet(sub(staging, "refuted"))
-      val surviving = pairs.select("a_id", "b_id")
-        .join(refuted, Seq("a_id", "b_id"), "left_anti")
-      val sevComp = Dedup.componentsOfPairs(s, surviving, Dedup.MaxDriverPairs)
-        .withColumnRenamed("component", "comp_sev")
-      comp.join(ranks, col("id") === col("r_id"))
-        .join(sevComp, Seq("id"), "left")
-        .select(col("id"), coalesce(col("comp_sev"), col("id")).as("component"),
-          col("rank_e6"))
-        .write.mode("overwrite").parquet(sub(staging, "severed"))
-    } finally { refuted.unpersist(); () }
+      val verdicts = prior.select("a_id", "b_id", "refuted")
+        .unionByName(Dedup.verifyEdges(docs,
+          weak.join(prior, Seq("a_id", "b_id"), "left_anti")))
+        .persist(lvl)
+      try {
+        verdicts.write.mode("overwrite").parquet(sub(staging, "verdicts"))
+        val refuted = weak.join(verdicts.where(col("refuted")),
+          Seq("a_id", "b_id"), "left_semi").persist(lvl)
+        try {
+          refuted.write.mode("overwrite").parquet(sub(staging, "refuted"))
+          val surviving = pairs.select("a_id", "b_id")
+            .join(refuted, Seq("a_id", "b_id"), "left_anti")
+          val sevComp = Dedup
+            .componentsOfPairs(s, surviving, Dedup.MaxDriverPairs)
+            .withColumnRenamed("component", "comp_sev")
+          comp.join(ranks, col("id") === col("r_id"))
+            .join(sevComp, Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("comp_sev"), col("id")).as("component"),
+              col("rank_e6"))
+            .write.mode("overwrite").parquet(sub(staging, "severed"))
+        } finally { refuted.unpersist(); () }
+      } finally { verdicts.unpersist(); () }
+    } finally { weak.unpersist(); () }
     store.writeString(sub(staging, "corpus_files.tsv"),
       entries.mkString("", "\n", "\n"))
     store.writeString(sub(staging, "meta.tsv"),
@@ -211,7 +249,8 @@ object DupClusters {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     refuted.count()
     DupIndex(path, meta("nDocs").toLong,
-      s.read.parquet(sub(path, "sigs")), pairs, clusters, severed, refuted)
+      s.read.parquet(sub(path, "sigs")), pairs, clusters, severed, refuted,
+      s.read.parquet(sub(path, "verdicts")))
   }
 
   /** Incremental maintenance — the ingestion-side contract that keeps the
@@ -226,9 +265,12 @@ object DupClusters {
     *      delta endpoint, and prior-prior pairs are already stored);
     *   3. components + PageRank + the weld severing recompute over the
     *      UNIFIED pair frame — graph-sized BSP; the only text touched is
-    *      the weak cut-set's endpoints (a map-only broadcast-pruned
-    *      fetch, [[Dedup.refutedWeakEdges]] — edit distances are
-    *      immutable, so replays agree with a from-scratch build);
+    *      the endpoints of weak edges the prior NEVER VERIFIED (the
+    *      `verdicts/` cache — a delta-bounded set, since an old weak
+    *      edge's verdict is already stored and adding edges never makes
+    *      a supported edge weak; edit distances are immutable, so the
+    *      cached verdicts agree with what a from-scratch build computes
+    *      and the published refuted/severed lanes are IDENTICAL);
     *   4. publish at the NEW corpus fingerprint's path (atomic rename).
     *
     * Spec-pinned equal to a from-scratch [[build]] on the post-append
@@ -298,7 +340,7 @@ object DupClusters {
             if (!store.exists(sub(newPath, "meta.tsv"))) {
               if (store.exists(newPath)) store.deleteRecursive(newPath)
               stageAndPublish(s, newPath, allSigs, pairs, now, nowEntries,
-                Tables.documents(s, dir))
+                Tables.documents(s, dir), Some(prior.verdicts))
             }
           }
         } finally { pairs.unpersist(); () }

@@ -64,6 +64,16 @@ class DupClustersSpec extends AnyFunSuite {
     }
     assert(clusterSet(idx.severed) == sevDirect,
       "stored severed must equal components over the surviving edges")
+    // verdicts/ cache: at a cold build it covers EXACTLY the weak set,
+    // and its refuted subset IS the refuted/ lane
+    val weak = Dedup.weakEdges(idx.pairs.select("a_id", "b_id", "ham"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verdicts = idx.verdicts.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(2))).toMap
+    assert(verdicts.keySet == weak,
+      "cold-build verdicts must cover exactly the weak set")
+    assert(verdicts.filter(_._2).keySet == refDirect,
+      "the verdicts' refuted subset must equal the refuted lane")
   }
 
   test("severed graph: the gated keeper's community routing fires strictly less often than on the raw graph") {
@@ -153,6 +163,17 @@ class DupClustersSpec extends AnyFunSuite {
     }
     assert(clusterSet(idx1.severed) == scratchSev,
       "appended severed lane must equal from-scratch severed components")
+    // the verdicts cache is MONOTONE (delta-bounded verification: only
+    // never-verified weak edges paid the text fetch) and covers every
+    // currently-weak edge
+    val keys = (df: org.apache.spark.sql.DataFrame) => df
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys(idx0.verdicts).subsetOf(keys(idx1.verdicts)),
+      "append must carry the prior verdicts forward, never re-verify")
+    assert(keys(Dedup.weakEdges(idx1.pairs.select("a_id", "b_id", "ham")))
+      .subsetOf(keys(idx1.verdicts)),
+      "every currently-weak edge must have a cached verdict")
     // the superseded handle's frames are RELEASED by the append (review
     // r11: a long-running gate appends every micro-batch — prior frames
     // must not pin the CacheManager until context stop)
