@@ -81,6 +81,7 @@ object BenchSlope {
       "q_d22_d4_verdict"     -> ivf,
       "q_mm21_audio_ivf"     -> Seq("graft.mmivf.root"),
       "q_g12_severed_components" -> dup,
+      "q_g13_family_depth"   -> dup,
       "q_mm22_ext_ivf"       -> Seq("graft.mmivf.root"))
   }
 

@@ -174,6 +174,7 @@ object SparkEntry {
     "q_g10_cohesion"       -> (Dedup.qG10 _),
     "q_g11_weak_links"     -> (Dedup.qG11 _),
     "q_g12_severed_components" -> (Dedup.qG12 _),
+    "q_g13_family_depth"   -> (Dedup.qG13 _),
     "q_d18_substr_removal" -> (Dedup.qD18 _),
     "q_d19_substr_clean"   -> (Dedup.qD19 _),
     "q_d20_lsh_plan"       -> (Dedup.qD20 _),
@@ -1577,6 +1578,52 @@ object SparkEntry {
       "scomp AS (SELECT id, min(lbl) AS component FROM sreach GROUP BY id) " +
       "SELECT c.id, c.component, coalesce(sc.component, c.id) AS component_sev " +
       "FROM comp c LEFT JOIN scomp sc ON sc.id = c.id ORDER BY c.id"),
+    "q_g13_family_depth" -> (simhashPairsSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // the q_g12 severing chain, then BOUNDED BFS from each family's
+      // min-id root over the raw and the surviving edge sets; nodes past
+      // the cap coalesce to exactly the cap (the declared truncation)
+      ", ed AS (SELECT a_id AS s, b_id AS t FROM sp UNION ALL SELECT b_id, a_id FROM sp), " +
+      "edges AS (SELECT a_id, b_id FROM sp UNION SELECT b_id, a_id FROM sp), " +
+      "reach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM edges " +
+      "UNION SELECT e.a_id, r.lbl FROM edges e JOIN reach r ON e.b_id = r.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id), " +
+      "wsupp AS (SELECT DISTINCT t.a_id, t.b_id FROM sp t " +
+      "JOIN ed x ON x.s = t.a_id JOIN ed y ON y.s = t.b_id AND y.t = x.t), " +
+      "wk AS (SELECT t.a_id, t.b_id FROM sp t LEFT JOIN wsupp s " +
+      "ON s.a_id = t.a_id AND s.b_id = t.b_id WHERE s.a_id IS NULL), " +
+      "ref AS (SELECT w.a_id, w.b_id FROM wk w " +
+      "JOIN documents da ON da.doc_id = w.a_id " +
+      "JOIN documents db ON db.doc_id = w.b_id " +
+      s"WHERE levenshtein(da.text, db.text) > ${graft.operators.Dedup.SeverEditBound}), " +
+      "sv AS (SELECT t.a_id, t.b_id FROM sp t LEFT JOIN ref r " +
+      "ON r.a_id = t.a_id AND r.b_id = t.b_id WHERE r.a_id IS NULL), " +
+      "sedges AS (SELECT a_id, b_id FROM sv UNION SELECT b_id, a_id FROM sv), " +
+      "sreach(id, lbl) AS (SELECT a_id AS id, a_id AS lbl FROM sedges " +
+      "UNION SELECT e.a_id, r.lbl FROM sedges e JOIN sreach r ON e.b_id = r.id), " +
+      "scomp0 AS (SELECT id, min(lbl) AS component FROM sreach GROUP BY id), " +
+      "rawn AS (SELECT DISTINCT s AS id FROM ed), " +
+      "scomp AS (SELECT rawn.id, coalesce(c.component, rawn.id) AS component " +
+      "FROM rawn LEFT JOIN scomp0 c ON c.id = rawn.id), " +
+      "rb(id, d) AS (SELECT DISTINCT component AS id, 0 AS d FROM comp " +
+      "UNION SELECT e.b_id, rb.d + 1 FROM edges e JOIN rb ON e.a_id = rb.id " +
+      s"WHERE rb.d < ${graft.operators.Dedup.DepthCap}), " +
+      "rmin AS (SELECT id, min(d) AS d FROM rb GROUP BY id), " +
+      "rdep AS (SELECT c.component, count(1) AS n_members, " +
+      s"max(coalesce(m.d, ${graft.operators.Dedup.DepthCap})) AS depth " +
+      "FROM comp c LEFT JOIN rmin m ON m.id = c.id GROUP BY 1), " +
+      "sb(id, d) AS (SELECT DISTINCT component AS id, 0 AS d FROM scomp " +
+      "UNION SELECT e.b_id, sb.d + 1 FROM sedges e JOIN sb ON e.a_id = sb.id " +
+      s"WHERE sb.d < ${graft.operators.Dedup.DepthCap}), " +
+      "smin AS (SELECT id, min(d) AS d FROM sb GROUP BY id), " +
+      "sdep AS (SELECT c.component, count(1) AS n_members, " +
+      s"max(coalesce(m.d, ${graft.operators.Dedup.DepthCap})) AS depth " +
+      "FROM scomp c LEFT JOIN smin m ON m.id = c.id GROUP BY 1) " +
+      "SELECT graph, component, CAST(n_members AS BIGINT) AS n_members, " +
+      "CAST(depth AS BIGINT) AS depth FROM (" +
+      "SELECT 'raw' AS graph, component, n_members, depth FROM rdep " +
+      "UNION ALL SELECT 'severed', component, n_members, depth FROM sdep) t " +
+      "ORDER BY graph, component"),
     "q_t42_shard_pack" -> (
       // the boundary-cut packing as ONE sequential window (the engine's
       // two-pass bucket prefix sum collapses to this at oracle scale)

@@ -338,6 +338,13 @@ private[core] final class DupClustersProcedure(account: FileAccount)
     // severs them — the q_g12 verdict on the ops doorway
     val nRefuted = idx.refuted.count()
     val nSevComponents = idx.severed.select("component").distinct().count()
+    // the q_g13 depth verdict: max family depth before/after severing —
+    // the cluster-diameter hazard (Lee et al. 2022) on one row
+    val depths = graft.operators.Dedup.qG13(s, dir)
+      .groupBy("graph").agg(max("depth").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxDepthRaw = depths.getOrElse("raw", 0L)
+    val maxDepthSev = depths.getOrElse("severed", 0L)
     val schema = StructType(Seq(
       StructField("index_path", StringType, nullable = false),
       StructField("n_docs", LongType, nullable = false),
@@ -349,12 +356,14 @@ private[core] final class DupClustersProcedure(account: FileAccount)
       StructField("max_unsafe_members", LongType, nullable = false),
       StructField("n_weak_edges", LongType, nullable = false),
       StructField("n_refuted_edges", LongType, nullable = false),
-      StructField("n_severed_components", LongType, nullable = false)))
+      StructField("n_severed_components", LongType, nullable = false),
+      StructField("max_depth_raw", LongType, nullable = false),
+      StructField("max_depth_severed", LongType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       GraftProcedures.utf8(idx.path), idx.nDocs,
       idx.pairs.count(), idx.clusters.count(),
       coh.getLong(0), coh.getLong(1), coh.getLong(2), coh.getLong(3),
-      nWeak, nRefuted, nSevComponents))
+      nWeak, nRefuted, nSevComponents, maxDepthRaw, maxDepthSev))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }

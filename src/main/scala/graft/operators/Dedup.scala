@@ -1770,6 +1770,118 @@ object Dedup {
       .orderBy("id")
   }
 
+  /** [[qG13]]'s BFS cap: per-node root distances are exact up to this
+    * many hops; a node further out reports exactly this value (declared
+    * truncation, mirrored by the oracle's bounded recursion). 32 hops of
+    * pairwise near-duplication is already far beyond any edit-chain a
+    * curation decision should trust — the VALUE of depth beyond the cap
+    * is not actionable, only the fact that it exceeds it. */
+  val DepthCap = 32L
+
+  /** Q-G13 — FAMILY DEPTH AUDIT, raw vs severed: per dup family, the max
+    * shortest-path distance from the family's canonical (min-id = label)
+    * member to any member, capped at [[DepthCap]] — the cluster-DIAMETER
+    * evidence Lee et al. 2022 report and the round-15/16 severing arc's
+    * closing measurement: a clique has depth 1, a transitive chain of n
+    * members depth n−1, and severing refuted welds ([[qG12]]) must
+    * collapse the depth distribution toward cliques. Emits one row per
+    * (graph ∈ raw|severed, component): member count and depth; singleton
+    * severed families report depth 0.
+    *
+    * Scale: artifact-served, graph-sized — both edge frames come from the
+    * cached pairs/refuted lanes and the BFS is the [[labelProp]]-class
+    * hybrid ([[rootDistances]]): a driver replay under [[MaxDriverPairs]]
+    * edges, else ≤ [[DepthCap]] BSP rounds of edge-sized join +
+    * node-sized min-agg with truncated lineage. Zero corpus passes warm. */
+  def qG13(s: SparkSession, dir: String): DataFrame = {
+    val idx = DupClusters.build(s, dir)
+    val rawEdges = idx.pairs.select("a_id", "b_id")
+    val sevEdges = rawEdges.join(idx.refuted, Seq("a_id", "b_id"), "left_anti")
+    def rollup(edges: DataFrame, clusters: DataFrame,
+               graph: String): DataFrame =
+      rootDistances(s, edges, clusters.select("id", "component"),
+        MaxDriverPairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("d").as("depth"))
+        .select(lit(graph).as("graph"), col("component"),
+          col("n_members"), col("depth"))
+    rollup(rawEdges, idx.clusters, "raw")
+      .unionByName(rollup(sevEdges, idx.severed, "severed"))
+      .orderBy("graph", "component")
+  }
+
+  /** Min distance from each component's ROOT (the min-id member — which
+    * IS the component label, [[componentsOfPairs]]' contract) to every
+    * member, exact up to [[DepthCap]] hops and reported as the cap
+    * beyond it. HYBRID by the declared bound: under `maxDriverPairs`
+    * edges a driver BFS replays the recurrence (bit-equal, spec-pinned);
+    * above it, ≤ [[DepthCap]] BSP rounds — each one edge-sized join +
+    * (id)-keyed min-agg, lineage truncated per round — with an
+    * early-exit when a round reaches no new node. */
+  private[graft] def rootDistances(s: SparkSession, edges: DataFrame,
+                                   clusters: DataFrame,
+                                   maxDriverPairs: Int): DataFrame = {
+    import s.implicits._
+    boundedEdges(edges, maxDriverPairs) match {
+      case Some(es) =>
+        import scala.collection.mutable
+        val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+        es.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+          adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+        }
+        val members = clusters.select("id", "component").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val dist = mutable.LongMap.empty[Long]
+        members.collect { case (id, c) if id == c => id }.foreach { root =>
+          var frontier = List(root)
+          dist(root) = 0L
+          var d = 0L
+          while (frontier.nonEmpty && d < DepthCap) {
+            d += 1
+            frontier = frontier.flatMap(n =>
+              adj.getOrElse(n, mutable.ArrayBuffer.empty)
+                .filter(!dist.contains(_)))
+              .distinct
+            frontier.foreach(dist(_) = d)
+          }
+        }
+        members.toSeq
+          .map { case (id, c) => (id, c, dist.getOrElse(id, DepthCap)) }
+          .toDF("id", "component", "d")
+      case None =>
+        val sym = edges
+          .select(col("a_id").as("u"), col("b_id").as("v"))
+          .unionAll(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var dist = truncate(clusters.where(col("id") === col("component"))
+          .select(col("id"), col("component"), lit(0L).as("d")))
+        var reached = dist.count()
+        var round = 0L
+        var grown = true
+        try {
+          while (grown && round < DepthCap) {
+            round += 1
+            val next = truncate(dist
+              .join(sym, dist("id") === sym("u"))
+              .select(col("v").as("id"), col("component"),
+                (col("d") + 1L).as("d"))
+              .unionByName(dist)
+              .groupBy("id", "component").agg(min("d").as("d")))
+            val n = next.count()
+            dist.unpersist(); dropCheckpointFiles(dist)
+            dist = next
+            grown = n > reached
+            reached = n
+          }
+          // beyond-cap (or cap-hit) members report exactly the cap
+          clusters.join(dist.select("id", "d"), Seq("id"), "left")
+            .select(col("id"), col("component"),
+              coalesce(col("d"), lit(DepthCap)).as("d"))
+        } finally { sym.unpersist(); () }
+    }
+  }
+
   /** [[qG11]]'s core on a caller-supplied (a_id < b_id) edge frame with a
     * `ham` column: the edges supported by zero triangles. Factored so a
     * fixture spec can pin the semantics (two cliques welded by one bridge

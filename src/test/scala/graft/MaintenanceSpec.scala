@@ -555,6 +555,14 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_severed_components") ==
       graft.operators.Dedup.qG12(spark, dir)
         .select("component_sev").distinct().count(), s"$r")
+    // the q_g13 depth verdict rides the same row, pinned to the query
+    val dep = graft.operators.Dedup.qG13(spark, dir)
+      .groupBy("graph").agg(max("depth").as("mx"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.getAs[Long]("max_depth_raw") == dep("raw") &&
+      r.getAs[Long]("max_depth_severed") == dep("severed"), s"$r vs $dep")
+    assert(r.getAs[Long]("max_depth_severed") <=
+      r.getAs[Long]("max_depth_raw"), s"$r")
   }
 
   test("expire_indexes: ivf kind — live IVF index survives a sweep and still probes from a fresh session") {

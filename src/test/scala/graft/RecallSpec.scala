@@ -667,6 +667,33 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("family depth (q_g13 core): chain depth = n-1, clique depth = 1, " +
+    "hybrid driver/distributed paths bit-equal, cap truncates exactly") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (root 1, depth 4) + 3-clique {10,11,12} (depth 1)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a_id", "b_id")
+    val c = ((1L to 5L).map(i => (i, 1L)) ++ (10L to 12L).map(i => (i, 10L)))
+      .toDF("id", "component")
+    def dists(maxDriver: Int): Map[Long, Long] =
+      Dedup.rootDistances(spark, e, c, maxDriver)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fast = dists(100000)
+    assert(fast == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      10L -> 0L, 11L -> 1L, 12L -> 1L), s"driver BFS: $fast")
+    assert(dists(0) == fast, "distributed BFS must equal the driver replay")
+    // cap: a chain longer than DepthCap reports exactly the cap past it
+    val n = (Dedup.DepthCap + 5).toInt
+    val longE = (1 until n).map(i => (i.toLong, i + 1L)).toDF("a_id", "b_id")
+    val longC = (1 to n).map(i => (i.toLong, 1L)).toDF("id", "component")
+    val capped = Dedup.rootDistances(spark, longE, longC, 100000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped(1L + Dedup.DepthCap) == Dedup.DepthCap &&
+      capped(n.toLong) == Dedup.DepthCap,
+      s"beyond-cap members must report exactly the cap: $capped")
+    assert(capped(Dedup.DepthCap) == Dedup.DepthCap - 1)
+  }
+
   test("weld severing (q_g12): a refuted bridge splits the cliques, a " +
     "confirmed bridge keeps them joined (VERDICT r15 task 2)") {
     import spark.implicits._
