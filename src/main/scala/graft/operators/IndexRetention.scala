@@ -120,9 +120,15 @@ private[graft] object IndexRetention {
     // dirs qualify on the age bound alone (with only keep_last_n set they
     // are always swept)
     val (staging, real) = cands.partition(_.name.contains(".tmp-"))
-    val Generation = "^(v\\d+-[0-9a-f]{32})".r
-    def genOf(n: String): String =
-      Generation.findFirstIn(n).getOrElse(n) // unrecognized shape: own group
+    // Generation key (ADVICE r16): one corpus state's LANE dirs — the mm
+    // index's trailing ALL-ALPHABETIC suffix (`-aud`/`-ext`; the bare
+    // name is the img lane) — are one keep_last_n unit, but QUANTIZER-
+    // VARIANT suffixes (`-i0`, `-k16`, `-p3` — letter+digits) stay
+    // DISTINCT generations: collapsing different quantizer configs of
+    // one fingerprint into a single keep slot would silently deepen the
+    // sweep beyond the lane grouping this key exists for.
+    val LaneSuffix = "-[a-z]+$".r
+    def genOf(n: String): String = LaneSuffix.replaceFirstIn(n, "")
     val keptGens = keepLastN.map { n =>
       real.groupBy(s => genOf(s.name)).toSeq
         .sortBy { case (_, ds) => -ds.map(_.createdMs).max }

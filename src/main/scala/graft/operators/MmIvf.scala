@@ -196,7 +196,12 @@ object MmIvf {
     val r = embs.selectExpr(
       "max(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
         "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))) AS mx").head()
-    val sc = java.lang.Double.toString(if (r.isNullAt(0)) 1.0 else r.getDouble(0))
+    // scale 1.0 when the subset is EMPTY (null max) *or all-zero* (max
+    // 0.0): dividing by a measured 0.0 would turn every component into
+    // NaN→null int8 downstream instead of the zero vectors the
+    // quantization contract implies (ADVICE r16).
+    val mx = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    val sc = java.lang.Double.toString(if (mx == 0.0) 1.0 else mx)
     embs.selectExpr("vec_id AS asset_id",
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / " +
         s"CAST($sc AS DOUBLE) + 0.5) AS BIGINT)) AS f")
@@ -246,6 +251,27 @@ object MmIvf {
                     vectors: Option[DataFrame] = None): Index =
     cache.getOrCompute(s, indexPath(dir, "ext"))(
       loadOrBuild(s, dir, "ext", vectors))
+
+  /** Is an external-lane index PUBLISHED at `dir`'s current corpus
+    * fingerprint? The ST-9 gate's extVectors opt-in requires it: a gate
+    * must never fixture-build the ext lane implicitly, because mixing the
+    * fixture quantization with a caller's encoder generation would
+    * silently mix vector spaces ([[appendExternal]]'s one-encoder-one-
+    * lane contract). Metadata-only probe — one marker existence check. */
+  private[graft] def hasExternal(dir: String): Boolean =
+    store.exists(sub(indexPath(dir, "ext"), "centroids.tsv"))
+
+  /** Warm-load an index by its PUBLISHED path — the gate's crash-replay
+    * hook: the staged `_extprior` pointer names the pre-delta ext index,
+    * and finishing the interrupted [[appendExternal]] needs that handle
+    * back without recomputing a fingerprint the corpus no longer has. */
+  private[graft] def loadAt(s: SparkSession, path: String): Index = {
+    require(store.exists(sub(path, "centroids.tsv")),
+      s"mm-ivf loadAt: no published index at $path (expired out from " +
+        "under a staged gate delta? expire_indexes must keep at least " +
+        "the latest superseded generation while a gate is live)")
+    cache.getOrCompute(s, path)(load(s, path))
+  }
 
   /** Delta-append for a lane (VERDICT r15 task 3 — the [[Similarity
     * .IvfIndex.appendFor]] discipline on the mm index): the admitted
@@ -342,9 +368,17 @@ object MmIvf {
         val fn = fnName(staging)
         graft.functions.IvfRankCells.register(s, fn,
           prior.cellIds, prior.cents)
+        // ids already indexed in the prior must not re-enter (ADVICE
+        // r16): the gate path is disjoint by the _commits marker, but an
+        // out-of-band caller replaying a delta against a STALE prior
+        // handle at a new fingerprint would otherwise publish duplicate
+        // feature rows. Anti-join is delta-sized against the id column
+        // of the cell-partitioned prior — one broadcast-able projection.
+        val fresh = dFeats.join(prior.feats.select("asset_id"),
+          Seq("asset_id"), "left_anti")
         prior.feats
           .selectExpr("asset_id", "f", "CAST(cell AS BIGINT) AS cell")
-          .unionByName(dFeats.selectExpr("asset_id", "f",
+          .unionByName(fresh.selectExpr("asset_id", "f",
             s"CAST(element_at($fn(transform(f, x -> CAST(x AS DOUBLE)), " +
               "1), 1) AS BIGINT) AS cell"))
           .write.partitionBy("cell").parquet(sub(staging, "features"))

@@ -730,8 +730,14 @@ object Multimodal {
       if (nl <= 0) return None
       val toks = new String(bytes, 0, nl, "US-ASCII").split(" ")
       if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
-      val w = toks.collectFirst { case t if t.startsWith("W") => t.tail.toInt }
-      val h = toks.collectFirst { case t if t.startsWith("H") => t.tail.toInt }
+      // toIntOption, not toInt: a malformed numeric token ("Wx", "H")
+      // must yield None — [[sampleY4mFrames]] calls header outside any
+      // try, so a throwing parse would fail the whole job instead of
+      // dropping the clip (ADVICE r16).
+      val w = toks.collectFirst { case t if t.startsWith("W") => t }
+        .flatMap(_.tail.toIntOption)
+      val h = toks.collectFirst { case t if t.startsWith("H") => t }
+        .flatMap(_.tail.toIntOption)
       val mono = toks.exists(_ == "Cmono")
       (w, h) match {
         case (Some(wv), Some(hv)) if mono && wv > 0 && hv > 0 =>

@@ -681,6 +681,22 @@ object Streams {
     * resulting corpus state, so q_mm19/q_mm21 serve a streaming-ingested
     * corpus without waiting for an offline rebuild (VERDICT r15 task 3 —
     * the gate previously left the mm index stale).
+    * `extVectors = Some(frame)` (requires `advanceMm`; frame is
+    * `(asset_id, f)` from the SAME frozen encoder generation that seeded
+    * the lane) additionally advances the EXTERNAL mm lane
+    * ([[graft.operators.MmIvf.appendExternal]]) under the SAME marker
+    * (VERDICT r16 task 2). The lane must be SEEDED before the first gated
+    * batch ([[graft.operators.MmIvf.buildExternal]] with the caller's
+    * vectors) — the gate refuses an unseeded lane rather than
+    * fixture-building it, which would silently mix vector spaces. Unlike
+    * the decode lanes a lost external append cannot rebuild from the
+    * corpus, so the admitted delta's vectors stage under `extv/` inside
+    * the SAME `_commits/<batchId>.delta` rename (never landed in the
+    * corpus — [[publishDelta]] skips the prefix) together with the
+    * pre-delta index path (`_extprior`); a crash replay finishes exactly
+    * the interrupted append from that staging. A seed-raising ext delta
+    * refuses loudly inside appendExternal — rebuilding needs the caller's
+    * full vector frame, which the gate does not hold.
     *
     * Maintenance opt-ins, both AFTER the commit marker (so a crash
     * mid-upkeep replays as a committed no-op):
@@ -725,7 +741,8 @@ object Streams {
       advanceMm: Boolean = false,
       autoExpireKeepLast: Option[Int] = None,
       vacuumCommitsBelow: Option[Long] = None,
-      decontamEval: Option[DataFrame] = None): (Long, Long) = {
+      decontamEval: Option[DataFrame] = None,
+      extVectors: Option[DataFrame] = None): (Long, Long) = {
     require(!advanceIndex || corpusDir.nonEmpty,
       "dedupGateBatch: advanceIndex = true needs the corpusDir the " +
         "admitted delta lands in")
@@ -741,6 +758,20 @@ object Streams {
     require(!advanceAnn || batch.columns.contains("embedding"),
       "dedupGateBatch: advanceAnn = true needs an `embedding` column on " +
         "the batch (the admitted delta lands in embeddings.parquet)")
+    // VERDICT r16 task 2: caller-supplied (asset_id, f) delta vectors for
+    // the EXTERNAL mm lane ride the same _commits marker as the decode
+    // lanes. The lane must be advanceMm-scoped (it is an mm lane) and
+    // SEEDED before the first gated batch — the gate never fixture-builds
+    // it implicitly, because the fixture quantization and a caller's
+    // encoder generation are different vector spaces.
+    require(extVectors.isEmpty || advanceMm,
+      "dedupGateBatch: extVectors ride the advanceMm lane protocol — " +
+        "set advanceMm = true (and advanceIndex) as well")
+    require(extVectors.isEmpty || corpusDir.forall(
+      graft.operators.MmIvf.hasExternal),
+      "dedupGateBatch: extVectors need a SEEDED external mm lane at the " +
+        "corpus's current fingerprint — build it once with " +
+        "MmIvf.buildExternal(corpusDir, Some(vectors)) before streaming")
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
     // fail fast with a clear message: the ANN lane fingerprints and appends
@@ -802,6 +833,19 @@ object Streams {
       if (advanceMm) {
         graft.operators.MmIvf.build(spark, corpusDir.get)
         graft.operators.MmIvf.buildAudio(spark, corpusDir.get); ()
+      }
+      // EXT lane (VERDICT r16 task 2), self-describing from the staging:
+      // unlike the decode lanes, a lost external append cannot rebuild
+      // from the corpus — so the staged delta KEEPS the vectors (extv/,
+      // never landed in the corpus) plus the pre-delta prior's path
+      // (_extprior), and replay finishes exactly the append the crash
+      // interrupted. Idempotent like every lane: an append that already
+      // published warm-loads at its marker inside appendExternal.
+      if (st.exists(s"$deltaDir/extv")) {
+        val prior = graft.operators.MmIvf.loadAt(spark,
+          st.readString(s"$deltaDir/_extprior").trim)
+        graft.operators.MmIvf.appendExternal(spark, corpusDir.get, prior,
+          spark.read.parquet(s"$deltaDir/extv")); ()
       }
       commit()
       st.deleteRecursive(deltaDir)
@@ -895,18 +939,38 @@ object Streams {
         if (advanceMm) Some((graft.operators.MmIvf.build(spark, dir),
           graft.operators.MmIvf.buildAudio(spark, dir)))
         else None
+      // the ext prior warm-loads by marker (hasExternal was required at
+      // entry), BEFORE the delta lands and moves the fingerprint
+      val priorExt =
+        if (extVectors.nonEmpty)
+          Some(graft.operators.MmIvf.buildExternal(spark, dir))
+        else None
       val adm = admitted.select("doc_id", "text")
       st.deleteRecursive(deltaDir + ".tmp") // a crashed attempt's leftover
-      if (advanceAnn) {
+      if (advanceAnn || extVectors.nonEmpty) {
         // BOTH corpus files' deltas under ONE staging rename (the ANN lane
         // must be durable at the same instant as the decisions — a crash
         // between two renames would lose the vectors); publishDelta routes
-        // by the docs/ vs embs/ prefix
+        // by the docs/ vs embs/ prefix. The EXT lane's delta vectors stage
+        // under extv/ in the SAME rename: they never land in the corpus
+        // (publishDelta skips them) but they make the external append
+        // replayable — the vectors exist nowhere else.
         adm.write.mode("overwrite").parquet(deltaDir + ".tmp/docs")
-        admitted.selectExpr("doc_id AS vec_id", "embedding")
-          .write.mode("overwrite").parquet(deltaDir + ".tmp/embs")
+        if (advanceAnn)
+          admitted.selectExpr("doc_id AS vec_id", "embedding")
+            .write.mode("overwrite").parquet(deltaDir + ".tmp/embs")
       } else {
         adm.write.mode("overwrite").parquet(deltaDir + ".tmp")
+      }
+      for (ev <- extVectors; pe <- priorExt) {
+        // admitted ids only: a rejected doc's vectors must not index
+        ev.select("asset_id", "f")
+          .join(admitted.selectExpr("doc_id AS asset_id"),
+            Seq("asset_id"), "left_semi")
+          .write.mode("overwrite").parquet(deltaDir + ".tmp/extv")
+        // hidden name: publishDelta's walk skips _-prefixed files, so the
+        // pointer stays with the staging for the crash branch
+        st.writeString(deltaDir + ".tmp/_extprior", pe.path)
       }
       if (!st.rename(deltaDir + ".tmp", deltaDir))
         throw new IllegalStateException(
@@ -924,6 +988,15 @@ object Streams {
         val admIds = admitted.selectExpr("doc_id AS asset_id")
         graft.operators.MmIvf.append(spark, dir, pi, admIds, "img")
         graft.operators.MmIvf.append(spark, dir, pa, admIds, "aud"); ()
+      }
+      // ext lane last, reading back the STAGED copy (the same frame a
+      // crash replay would finish from, so the two histories append
+      // byte-identical deltas). A seed-raising ext delta REFUSES inside
+      // appendExternal — the honest behavior: the gate cannot rebuild
+      // the lane without the caller's full vector frame.
+      priorExt.foreach { pe =>
+        graft.operators.MmIvf.appendExternal(spark, dir, pe,
+          spark.read.parquet(s"$deltaDir/extv")); ()
       }
       ()
     }
@@ -959,7 +1032,11 @@ object Streams {
       val base = rel.substring(rel.lastIndexOf('/') + 1)
       base.startsWith("_") || base.startsWith(".")
     }
-    st.walk(deltaDir).map(_.relPath).filterNot(hidden).sorted.foreach { rel =>
+    st.walk(deltaDir).map(_.relPath).filterNot(hidden)
+      // extv/ is NOT corpus data: the ext mm lane's staged delta vectors
+      // stay in the staging dir for the crash branch to finish the
+      // external append, and die with it at the post-commit sweep
+      .filterNot(_.startsWith("extv/")).sorted.foreach { rel =>
       val src = new org.apache.hadoop.fs.Path(deltaDir, rel).toString
       // routing is self-describing from the staged layout: an advanceAnn
       // batch stages docs/ + embs/ subtrees; a docs-only batch stages at

@@ -663,6 +663,104 @@ class DupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("extVectors gate (VERDICT r16 task 2): external encoder vectors " +
+    "ride the _commits marker exactly once; crash replay finishes the " +
+    "staged append; an unseeded lane refuses") {
+    import graft.operators.MmIvf
+    import spark.implicits._
+    val store = Files.createTempDirectory(Paths.get("target"), "gate-ext").toString
+    val root = Files.createTempDirectory("graft-extcorpus").toString
+    val st = graft.core.Storage.hadoop
+    val prevMm = sys.props.get("graft.mmivf.root")
+    sys.props("graft.mmivf.root") =
+      Files.createTempDirectory(Paths.get("target"), "mm-extgate").toString
+    try {
+      val all = graft.core.Tables.documents(spark, sf)
+      all.where(col("doc_id") < 100).write.parquet(s"$root/documents.parquet")
+      def vecsOf(ids: Seq[Long]) = ids
+        .map(i => (i, Seq.tabulate(4)(d => ((i * 7 + d * 3) % 11))))
+        .toDF("asset_id", "f")
+      def batchOf(lo: Int, hi: Int) =
+        all.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id", "text")
+      // an UNSEEDED ext lane refuses at the door — the gate must never
+      // fixture-build it implicitly (vector-space mixing)
+      val e = intercept[IllegalArgumentException](
+        graft.streaming.Streams.dedupGateBatch(spark, store,
+          batchOf(100, 150), 0L, advanceIndex = true,
+          corpusDir = Some(root), advanceMm = true,
+          extVectors = Some(vecsOf(100L until 150L))))
+      assert(e.getMessage.contains("SEEDED"), e.getMessage)
+      // seed with caller vectors, then one gated batch advances the lane
+      val seeded = MmIvf.buildExternal(spark, root,
+        Some(vecsOf(0L until 100L)))
+      val (a0, r0) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batchOf(100, 150), 0L, advanceIndex = true,
+        corpusDir = Some(root), advanceMm = true,
+        extVectors = Some(vecsOf(100L until 150L)))
+      assert(a0 > 0 && a0 + r0 == 50)
+      val admitted = spark.read.parquet(s"$store/docs")
+        .where(col("doc_id") >= 100).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val ext = MmIvf.buildExternal(spark, root) // warm: just published
+      val extIds = ext.feats.select("asset_id").collect().map(_.getLong(0))
+      assert(extIds.length == extIds.distinct.length,
+        "no asset may be indexed twice in the ext lane")
+      assert(admitted.subsetOf(extIds.toSet),
+        "every gate-admitted doc's external vector must serve")
+      assert(((100L until 150L).toSet -- admitted)
+        .forall(!extIds.contains(_)),
+        "a rejected doc's vector must NOT index")
+      assert(ext.cellIds.toSeq == seeded.cellIds.toSeq,
+        "centroids stay frozen across the gated append")
+      // the staged extv vectors are NOT corpus data
+      assert(graft.core.Tables.documents(spark, root).count() == 100 + a0,
+        "extv staging must never land in documents.parquet")
+      // replay of the committed batch: no-op, ext lane unchanged
+      assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+        batchOf(100, 150), 0L, advanceIndex = true, corpusDir = Some(root),
+        advanceMm = true,
+        extVectors = Some(vecsOf(100L until 150L))) == (0L, 0L))
+      MmIvf.evictSession(spark)
+      assert(MmIvf.buildExternal(spark, root).feats.count() ==
+        extIds.length.toLong, "replay must not grow the ext lane")
+      // CRASH between the staging rename and the final commit: the staged
+      // extv/ + _extprior are the ONLY copy of the delta's vectors — the
+      // replay must finish exactly the interrupted append
+      val (a1, r1) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batchOf(150, 200), 1L)
+      assert(a1 + r1 == 50)
+      val adm1 = spark.read.parquet(s"$store/docs")
+        .where(col("doc_id") >= 150 && col("doc_id") < 200)
+      val priorPath = MmIvf.buildExternal(spark, root).path
+      adm1.select("doc_id", "text")
+        .write.parquet(s"$store/_commits/1.delta/docs")
+      val adm1Ids = adm1.select("doc_id").collect().map(_.getLong(0)).toSeq
+      vecsOf(adm1Ids).write.parquet(s"$store/_commits/1.delta/extv")
+      st.writeString(s"$store/_commits/1.delta/_extprior", priorPath)
+      assert(st.delete(s"$store/_commits/1"))
+      assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+        batchOf(150, 200), 1L, advanceIndex = true, corpusDir = Some(root),
+        advanceMm = true,
+        extVectors = Some(vecsOf(adm1Ids))) == (0L, 0L))
+      assert(st.exists(s"$store/_commits/1"), "replay must finish the commit")
+      MmIvf.evictSession(spark)
+      val ext2 = MmIvf.buildExternal(spark, root)
+      val ext2Ids = ext2.feats.select("asset_id").collect().map(_.getLong(0))
+      assert(ext2Ids.length == ext2Ids.distinct.length,
+        "crash replay must not double-index")
+      assert(adm1Ids.toSet.subsetOf(ext2Ids.toSet),
+        "crash replay must finish the staged external append")
+      assert(ext2.cellIds.toSeq == seeded.cellIds.toSeq)
+    } finally {
+      prevMm match {
+        case Some(p) => sys.props("graft.mmivf.root") = p
+        case None    => sys.props.remove("graft.mmivf.root")
+      }
+      graft.operators.MmIvf.evictSession(spark)
+    }
+  }
+
   test("gate auto-expire: superseded fingerprints bounded under streaming appends; warm serving unaffected") {
     // VERDICT r11 task 8: advanceLex publishes one superseded lex (and dup)
     // fingerprint per admitted micro-batch — autoExpireKeepLast wires the

@@ -767,6 +767,38 @@ class MaintenanceSpec extends AnyFunSuite {
       s"the kept generation must retain BOTH lanes: $remaining")
   }
 
+  test("expire_indexes: quantizer-variant dirs of one fingerprint are " +
+    "DISTINCT generations (ADVICE r16)") {
+    // ivf root shape: v3-<fp>-i<iters>-k<cells>. Two variants of the
+    // older fingerprint + one of the newer: keep_last_n=2 must rank
+    // three UNITS (variants are letter+digit suffixes, not lanes) and
+    // sweep only the oldest variant — under the pre-fix `v<ver>-<fp>`
+    // key both fpA variants were one unit and nothing swept at keep 2.
+    val root = Files.createTempDirectory(Paths.get("target"), "ivf-gen")
+      .toAbsolutePath.toString
+    val st = graft.core.Storage.hadoop
+    def put(name: String, ageMs: Long): Unit = {
+      st.mkdirs(s"$root/$name")
+      st.writeString(s"$root/$name/centroids.tsv", "x\n")
+      Files.setLastModifiedTime(Paths.get(root, name, "centroids.tsv"),
+        java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    val fpLive = "f" * 32
+    val fpA = "a" * 32
+    val fpB = "b" * 32
+    put(s"v3-$fpLive-i1-k16", 0L)
+    put(s"v3-$fpA-i0-k16", 4 * 3600L * 1000L)
+    put(s"v3-$fpA-i0-k256", 3 * 3600L * 1000L)
+    put(s"v3-$fpB-i1-k16", 1 * 3600L * 1000L)
+    val swept = graft.operators.IndexRetention
+      .sweep(st, root, "ivf", Set(fpLive), Some(2), None)
+    assert(swept.map(_.name).toSet == Set(s"v3-$fpA-i0-k16"),
+      s"only the oldest quantizer variant sweeps: ${swept.map(_.name)}")
+    assert(st.listDirNames(root).toSet == Set(s"v3-$fpLive-i1-k16",
+      s"v3-$fpA-i0-k256", s"v3-$fpB-i1-k16"))
+  }
+
   test("expire_indexes: stale fingerprints swept, live + lock-held survive, bounds compose") {
     val dir = "/root/testdata/sf0.001"
     val st = graft.core.Storage.hadoop

@@ -231,8 +231,13 @@ class PropertySpec extends AnyFunSuite {
     val truncated = good.take(good.length - 3) // frame 3 loses its tail
     val badMarker = good.clone() // frame 0's FRAME marker overwritten
     badMarker(good.indexOf('\n'.toByte) + 1) = 'X'.toByte
+    // malformed NUMERIC token (ADVICE r16): good magic, junk W value —
+    // pre-fix this threw NumberFormatException out of the UNGUARDED
+    // header call in sampleY4mFrames and failed the whole job
+    val badNumber = "YUV4MPEG2 Wx H8 Cmono\nFRAME\n".getBytes("US-ASCII")
     val junk = Seq((1L, "video", badMagic), (2L, "video", truncated),
-      (3L, "video", badMarker)).toDF("asset_id", "kind", "bytes")
+      (3L, "video", badMarker), (4L, "video", badNumber))
+      .toDF("asset_id", "kind", "bytes")
     assert(Multimodal.frameFeatures(junk, Multimodal.Y4mFrameDecoder).isEmpty,
       "malformed containers must full-decode to zero rows")
     val partial = Multimodal.sampleY4mFrames(junk, 2)

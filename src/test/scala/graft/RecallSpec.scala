@@ -667,6 +667,56 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("external fixture quantizer survives an all-zero embedding " +
+    "subset (ADVICE r16): scale falls back to 1.0, never divides by 0") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "zero-emb")
+      .toString
+    Seq.tabulate(8)(i => (i.toLong, Seq.fill(4)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$root/embeddings.parquet")
+    val v = graft.operators.MmIvf.externalVectors(spark, root).collect()
+    assert(v.length == 8)
+    assert(v.forall(r => !r.isNullAt(1) &&
+      r.getSeq[Long](1).forall(_ == 0L)),
+      "an all-zero subset must quantize to zero vectors, not NaN->null")
+  }
+
+  test("external mm lane append drops delta ids already indexed " +
+    "(ADVICE r16): a stale-prior replay cannot publish duplicates") {
+    import spark.implicits._
+    import graft.operators.MmIvf
+    val prev = sys.props.get("graft.mmivf.root")
+    sys.props("graft.mmivf.root") = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "mm-dupapp")
+      .toString
+    val root = java.nio.file.Files.createTempDirectory("graft-mmdup").toString
+    try {
+      val all = graft.core.Tables.documents(spark, sf)
+      all.where(col("doc_id") < 100).write.parquet(s"$root/documents.parquet")
+      def vecsOf(ids: Range) = ids
+        .map(i => (i.toLong, Seq.tabulate(4)(d => ((i * 7 + d * 3) % 11).toLong)))
+        .toDF("asset_id", "f")
+      val idx0 = MmIvf.buildExternal(spark, root, Some(vecsOf(0 until 41)))
+      all.where(col("doc_id") >= 100 && col("doc_id") < 110)
+        .write.mode("append").parquet(s"$root/documents.parquet")
+      // the delta OVERLAPS the prior (35-40 already indexed): the
+      // publish must anti-join them away, keeping each id exactly once
+      val idx1 = MmIvf.appendExternal(spark, root, idx0, vecsOf(35 until 45))
+      assert(idx1.feats.count() == 45, "41 prior + 4 genuinely new")
+      assert(idx1.feats.groupBy("asset_id").count()
+        .where(col("count") > 1).isEmpty,
+        "no asset id may appear twice after an overlapping replay")
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.mmivf.root") = p
+        case None    => sys.props.remove("graft.mmivf.root")
+      }
+      graft.operators.MmIvf.evictSession(spark)
+    }
+  }
+
   test("family depth (q_g13 core): chain depth = n-1, clique depth = 1, " +
     "hybrid driver/distributed paths bit-equal, cap truncates exactly") {
     import spark.implicits._
@@ -692,6 +742,33 @@ class RecallSpec extends AnyFunSuite {
       capped(n.toLong) == Dedup.DepthCap,
       s"beyond-cap members must report exactly the cap: $capped")
     assert(capped(Dedup.DepthCap) == Dedup.DepthCap - 1)
+  }
+
+  test("family depth driver branch is EDGE-bounded (VERDICT r16 #1): " +
+    "membership far above maxDriverPairs stays off the driver") {
+    import spark.implicits._
+    // the adversarial severed shape: edges fit the driver bound (3 rows
+    // vs maxDriverPairs=10) while MEMBERSHIP is 5000 rows — 500x the
+    // bound. Pre-fix, rootDistances collect()ed the members frame here;
+    // now the only driver copy is the probed edge array, and the
+    // off-graph singletons (id == component) take depth 0 through the
+    // broadcast join. 5000 rows is small enough to run, large enough
+    // that a bound checked on the wrong frame is unambiguous.
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val c = (Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)) ++
+      (100L until 5095L).map(i => (i, i))).toDF("id", "component")
+    val got = Dedup.rootDistances(spark, e, c, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 5000)
+    val onGraph = got.filter(_._1 < 100L).toSet
+    assert(onGraph == Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (10L, 10L, 0L), (11L, 10L, 1L)), s"edge-graph depths: $onGraph")
+    assert(got.filter(_._1 >= 100L).forall(t => t._3 == 0L && t._1 == t._2),
+      "every off-graph singleton must self-label at depth 0")
+    // and the distributed path agrees on the same fixture
+    val bsp = Dedup.rootDistances(spark, e, c, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bsp == got.toSet, "BSP branch must equal the driver replay")
   }
 
   test("weld severing (q_g12): a refuted bridge splits the cliques, a " +
