@@ -244,6 +244,7 @@ object SparkEntry {
     "q_mm21_audio_ivf"      -> (MmIvf.qMm21 _),
     "q_mm22_ext_ivf"        -> (MmIvf.qMm22 _),
     "q_mm23_y4m_sample"     -> (Multimodal.qMm23 _),
+    "q_mm24_mp4_meta"       -> (Multimodal.qMm24 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2668,6 +2669,22 @@ object SparkEntry {
         "CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, " +
         "CAST(sum((doc_id * 23 + f * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS px_sum " +
         "FROM g GROUP BY doc_id, f ORDER BY asset_id, frame_idx"),
+    "q_mm24_mp4_meta" -> (
+      // real ISO-BMFF box walk Spark-side (ftyp/mdat/moov: mvhd, tkhd,
+      // stsd, stss, stsz); the oracle replays the closed forms the
+      // generator writes INTO the boxes — duration 2000+(id%7)*500 ms
+      // (round-tripped through the 600-unit mvhd timescale, exact),
+      // 16.16 tkhd dims, fourcc by id%3, 25+(id%5)*6 samples with a
+      // keyframe every 6 (ceil)
+      "SELECT doc_id AS asset_id, " +
+        "CAST(2000 + (doc_id % 7) * 500 AS BIGINT) AS duration_ms, " +
+        "CAST(16 * (1 + doc_id % 4) AS BIGINT) AS width, " +
+        "CAST(16 * (1 + doc_id % 3) AS BIGINT) AS height, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' " +
+        "ELSE 'av01' END AS codec, " +
+        "CAST(25 + (doc_id % 5) * 6 AS BIGINT) AS n_samples, " +
+        "CAST((25 + (doc_id % 5) * 6 + 5) // 6 AS BIGINT) AS n_keyframes " +
+        "FROM documents WHERE doc_id < 200 ORDER BY asset_id"),
     "q_mm7_motion_energy" -> (
       // temporal motion energy through the real GIF decode Spark-side;
       // the oracle replays |gifGray(f) - gifGray(f-1)| per pixel over

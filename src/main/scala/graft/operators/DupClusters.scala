@@ -36,9 +36,11 @@ import graft.functions.GraftFunctions
   *                    severing-isolated nodes self-label); what the gated
   *                    keeper consumes
   *   - `refuted/`  (a_id, b_id)                 — the dropped cut-set
-  *   - `verdicts/` (a_id, b_id, refuted)        — every weld verdict ever
-  *                    computed (monotone cache; append verifies only new
-  *                    weak edges)
+  *   - `verdicts/` (a_id, b_id, refuted)        — weld-verdict cache for
+  *                    edges in the live pair set (append verifies only
+  *                    new weak edges; [[vacuumVerdicts]] drops rows whose
+  *                    edge left the pair set, so the cache is pair-bounded
+  *                    rather than append-history-monotone)
   *   - `meta.tsv`                                — doc count + params;
   *                    its existence IS the published-index predicate
   *
@@ -63,10 +65,11 @@ object DupClusters {
     * the graph the gated keeper consumes; `refuted` is the dropped
     * cut-set (a_id, b_id), so warm consumers derive surviving pairs with
     * one graph-sized anti-join and zero corpus passes. `verdicts` stays a
-    * lazy reader like `sigs` — the (a_id, b_id, refuted) cache of every
-    * weld verdict ever computed, consumed only by [[append]] (its content
-    * is append-history-dependent — a superset of the current weak set —
-    * so it is a CACHE, never compared by the consistency specs). */
+    * lazy reader like `sigs` — the (a_id, b_id, refuted) weld-verdict
+    * cache, consumed only by [[append]] (its content depends on WHEN
+    * edges were verified — a superset of the current weak set, bounded
+    * by the live pair set via [[vacuumVerdicts]] — so it is a CACHE,
+    * never compared by the consistency specs). */
   final case class DupIndex(path: String, nDocs: Long, sigs: DataFrame,
                             pairs: DataFrame, clusters: DataFrame,
                             severed: DataFrame, refuted: DataFrame,
@@ -161,6 +164,21 @@ object DupClusters {
     load(s, path)
   }
 
+  /** Verdicts-cache vacuum (VERDICT r16 task 5): keep only cached weld
+    * verdicts whose edge still appears in the CURRENT pair set. Without
+    * it the cache is append-history-monotone — graph-bounded, but a
+    * long-lived gate rewrites an ever-growing superset wholesale each
+    * publish. Semantics-preserving by construction: the refuted set is
+    * `weak-now ∩ refuted-ever`, and an edge absent from `pairs` cannot
+    * be weak-now; if a dropped edge ever re-enters the pair set (a
+    * re-banded recipe is a new FormatVersion, so in practice it cannot),
+    * the append re-verifies it — same verdict, edit distances are
+    * immutable. One graph-sized left-semi join at publish time. */
+  private[graft] def vacuumVerdicts(prior: DataFrame,
+                                    pairs: DataFrame): DataFrame =
+    prior.select("a_id", "b_id", "refuted")
+      .join(pairs.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_semi")
+
   /** Stage the six frames + marker into `<path>.tmp-*`, publish by ONE
     * atomic rename. `pairs` must be persisted by the caller — components,
     * PageRank, the severing, and the parquet write all read it. `docs` is
@@ -192,8 +210,9 @@ object DupClusters {
     // work — while a cold build verifies the whole weak set; both paths
     // land the SAME refuted set (the weak-now ∩ refuted-ever semantics),
     // which is what keeps append ≡ from-scratch build.
-    val prior = priorVerdicts.getOrElse(
-      pairs.select("a_id", "b_id").limit(0)
+    val prior = priorVerdicts
+      .map(vacuumVerdicts(_, pairs))
+      .getOrElse(pairs.select("a_id", "b_id").limit(0)
         .withColumn("refuted", lit(false)))
     val weak = Dedup.weakEdges(pairs).select("a_id", "b_id").persist(lvl)
     try {

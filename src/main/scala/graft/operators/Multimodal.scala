@@ -1377,4 +1377,248 @@ object Multimodal {
           .as("h_cb"))
       .orderBy("asset_id")
   }
+
+  // ---- MP4/ISO-BMFF container metadata lane (VERDICT r16 task 3) ----
+
+  /** mvhd movie timescale of the synthetic MP4s — 600, the classic
+    * QuickTime default, chosen so the duration round-trip exercises real
+    * unit arithmetic (ms → units → ms) yet stays integer-exact: every
+    * [[mp4DurationMs]] is a multiple of 500 and 500·600/1000 = 300. */
+  val Mp4Timescale = 600L
+
+  /** mdhd media timescale + per-sample tick count: n samples of 512
+    * ticks at 12800 Hz — the 25 fps-ish shape real muxers emit. */
+  val Mp4MediaTimescale = 12800L
+  val Mp4SampleDelta = 512L
+
+  /** Sync-sample cadence of the synthetic track: samples 1, 1+6, 1+12, …
+    * are keyframes, so `n_keyframes = ceil(n_samples / 6)` — the closed
+    * form the oracle replays. */
+  val Mp4KeyInterval = 6
+
+  /** Closed-form per-asset MP4 facts (what the generator writes INTO the
+    * boxes and the DuckDB oracle recomputes arithmetically — the
+    * [[y4mGray]] posture for container metadata). */
+  def mp4DurationMs(id: Long): Long = 2000L + (id % 7) * 500L
+  def mp4Width(id: Long): Int = 16 * (1 + (id % 4)).toInt
+  def mp4Height(id: Long): Int = 16 * (1 + (id % 3)).toInt
+  def mp4Codec(id: Long): String = (id % 3) match {
+    case 0 => "avc1"; case 1 => "hvc1"; case _ => "av01"
+  }
+  def mp4SampleCount(id: Long): Int = 25 + ((id % 5) * 6).toInt
+
+  private def beBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val n = 8 + payload.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(n)
+    bb.putInt(n)
+    bb.put(typ.getBytes("US-ASCII"))
+    payload.foreach(bb.put)
+    bb.array()
+  }
+  private def beBytes(n: Int)(vals: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(n * vals.length)
+    vals.foreach { v =>
+      if (n == 4) bb.putInt(v.toInt)
+      else if (n == 2) bb.putShort(v.toShort)
+      else bb.put(v.toByte)
+    }
+    bb.array()
+  }
+
+  /** REAL (if minimal) ISO-BMFF files, generated executor-side: `ftyp` +
+    * `mdat` (samples first — the non-faststart layout, which makes the
+    * `stco` chunk offset computable before `moov` is built) + `moov`
+    * with the full parse surface [[qMm24]] exercises: `mvhd` (movie
+    * timescale/duration), `trak/tkhd` (16.16 fixed-point width/height),
+    * `mdia/mdhd` + `hdlr('vide')`, and an `stbl` carrying `stsd` (a
+    * proper 86-byte VisualSampleEntry with the codec fourcc), `stts`,
+    * `stss` (sync samples every [[Mp4KeyInterval]]), `stsz` (per-sample
+    * sizes), `stco`. Every field derives from the closed forms above, so
+    * the oracle replays the parse arithmetically with zero container
+    * headroom. Compressed-CODEC decode stays declared out of pure-JVM
+    * scope — this is the container-level lane that makes asset profiling
+    * and retention decisions real on MP4 corpora without a codec. */
+  def mp4Assets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = mp4SampleCount(id)
+          val sizes = Array.tabulate(n)(s => 100 + ((id + s) % 7).toInt)
+          val ftyp = beBox("ftyp", "isom".getBytes("US-ASCII"),
+            beBytes(4)(0x200L), "isommp42".getBytes("US-ASCII"))
+          val mdat = beBox("mdat", Array.tabulate(sizes.sum)(k =>
+            ((id + k) % 251).toByte))
+          val mdatPayloadOff = ftyp.length + 8
+          val durUnits = mp4DurationMs(id) * Mp4Timescale / 1000L
+          val mvhd = beBox("mvhd", beBytes(4)(0L /*v0+flags*/, 0L, 0L,
+              Mp4Timescale, durUnits, 0x00010000L),
+            beBytes(2)(0x0100L, 0L), beBytes(4)(0L, 0L),
+            beBytes(4)(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L,
+              0x40000000L),
+            beBytes(4)(0L, 0L, 0L, 0L, 0L, 0L, 2L /*next track*/))
+          val tkhd = beBox("tkhd", beBytes(4)(7L /*v0, flags=enabled*/,
+              0L, 0L, 1L /*track id*/, 0L, durUnits, 0L, 0L),
+            beBytes(2)(0L, 0L, 0L, 0L),
+            beBytes(4)(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L,
+              0x40000000L),
+            beBytes(4)(mp4Width(id).toLong << 16, mp4Height(id).toLong << 16))
+          val mdhd = beBox("mdhd", beBytes(4)(0L, 0L, 0L,
+              Mp4MediaTimescale, n * Mp4SampleDelta),
+            beBytes(2)(0x55C4L /*'und'*/, 0L))
+          val hdlr = beBox("hdlr", beBytes(4)(0L, 0L),
+            "vide".getBytes("US-ASCII"), beBytes(4)(0L, 0L, 0L),
+            "VideoHandler ".getBytes("US-ASCII"))
+          val entry = { // 86-byte VisualSampleEntry
+            val bb = java.nio.ByteBuffer.allocate(86)
+            bb.putInt(86); bb.put(mp4Codec(id).getBytes("US-ASCII"))
+            bb.put(new Array[Byte](6)); bb.putShort(1) // data_ref_index
+            bb.put(new Array[Byte](16))
+            bb.putShort(mp4Width(id).toShort); bb.putShort(mp4Height(id).toShort)
+            bb.putInt(0x00480000); bb.putInt(0x00480000); bb.putInt(0)
+            bb.putShort(1); bb.put(new Array[Byte](32))
+            bb.putShort(0x18); bb.putShort(-1)
+            bb.array()
+          }
+          val stsd = beBox("stsd", beBytes(4)(0L, 1L), entry)
+          val stts = beBox("stts", beBytes(4)(0L, 1L, n.toLong,
+            Mp4SampleDelta))
+          val nKey = (n + Mp4KeyInterval - 1) / Mp4KeyInterval
+          val stss = beBox("stss", beBytes(4)(0L, nKey.toLong),
+            beBytes(4)(Array.tabulate(nKey)(k =>
+              1L + k.toLong * Mp4KeyInterval): _*))
+          val stsz = beBox("stsz", beBytes(4)(0L, 0L, n.toLong),
+            beBytes(4)(sizes.map(_.toLong): _*))
+          val stco = beBox("stco", beBytes(4)(0L, 1L,
+            mdatPayloadOff.toLong))
+          val stbl = beBox("stbl", stsd, stts, stss, stsz, stco)
+          val minf = beBox("minf", stbl)
+          val mdia = beBox("mdia", mdhd, hdlr, minf)
+          val trak = beBox("trak", tkhd, mdia)
+          val moov = beBox("moov", mvhd, trak)
+          (id, "video", ftyp ++ mdat ++ moov)
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Pure-JVM ISO-BMFF box walk — duration, resolution, codec fourcc,
+    * sample/keyframe counts, NO codec touched. Generic container
+    * recursion (`moov/trak/mdia/minf/stbl`), version-aware `mvhd`/`tkhd`
+    * offsets (v0 32-bit and v1 64-bit times), `size==1` largesize and
+    * `size==0` to-end boxes handled, a missing `stss` means every sample
+    * is sync (the ISO default). None on ANY malformed structure — a box
+    * overrunning its parent, a truncated header, a zero movie timescale
+    * — the family's corrupt-input contract: drop the clip, never throw. */
+  object Mp4BoxReader {
+    final case class Meta(durationMs: Long, width: Int, height: Int,
+                          codec: String, nSamples: Long, nKeyframes: Long)
+    private val Containers =
+      Set("moov", "trak", "mdia", "minf", "stbl", "edts", "udta")
+
+    def parse(bytes: Array[Byte]): Option[Meta] = {
+      def be32(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+      var ts = -1L; var dur = -1L; var w = -1; var h = -1
+      var codec: Option[String] = None
+      var nSamples = -1L; var nKey = -1L; var sawMoov = false
+      def walk(start: Int, end: Int): Boolean = {
+        var o = start
+        while (o < end) {
+          if (o + 8 > end) return false
+          val size32 = be32(o)
+          val typ = new String(bytes, o + 4, 4, "US-ASCII")
+          val (hdr, boxEnd) =
+            if (size32 == 1L) {
+              if (o + 16 > end) return false
+              val ls = be64(o + 8)
+              if (ls < 16L || ls > (end - o).toLong) return false
+              (16, o + ls.toInt)
+            } else if (size32 == 0L) (8, end)
+            else {
+              if (size32 < 8L || size32 > (end - o).toLong) return false
+              (8, o + size32.toInt)
+            }
+          val p = o + hdr
+          typ match {
+            case t if Containers(t) =>
+              if (t == "moov") sawMoov = true
+              if (!walk(p, boxEnd)) return false
+            case "mvhd" =>
+              if (p + 4 > boxEnd) return false
+              if (bytes(p) == 0) { // v0: 32-bit times
+                if (p + 20 > boxEnd) return false
+                ts = be32(p + 12); dur = be32(p + 16)
+              } else { // v1: 64-bit times
+                if (p + 32 > boxEnd) return false
+                ts = be32(p + 20); dur = be64(p + 24)
+              }
+            case "tkhd" =>
+              if (p + 4 > boxEnd) return false
+              val wOff = if (bytes(p) == 0) p + 76 else p + 88
+              if (wOff + 8 > boxEnd) return false
+              w = (be32(wOff) >> 16).toInt; h = (be32(wOff + 4) >> 16).toInt
+            case "stsd" =>
+              if (p + 16 > boxEnd || be32(p + 4) < 1L) return false
+              codec = Some(new String(bytes, p + 12, 4, "US-ASCII"))
+            case "stss" =>
+              if (p + 8 > boxEnd) return false
+              nKey = be32(p + 4)
+            case "stsz" =>
+              if (p + 12 > boxEnd) return false
+              nSamples = be32(p + 8)
+            case _ => ()
+          }
+          o = boxEnd
+        }
+        true
+      }
+      try {
+        if (!walk(0, bytes.length)) return None
+        if (!sawMoov || ts <= 0L || dur < 0L || w < 0 || h < 0 ||
+          codec.isEmpty || nSamples < 0L) return None
+        // absent stss: every sample is a sync sample (ISO 14496-12)
+        val keys = if (nKey >= 0L) nKey else nSamples
+        Some(Meta(dur * 1000L / ts, w, h, codec.get, nSamples, keys))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Q-MM24 — MP4 CONTAINER METADATA (VERDICT r16 task 3): per asset,
+    * the container-level facts a 100 TB video curation pass filters and
+    * budgets on — duration, resolution, codec id, sample and keyframe
+    * counts — from a pure-JVM box walk, no codec. This is the honest MP4
+    * shape for the declared no-codec boundary: real corpora are MP4/MKV,
+    * and profiling/retention decisions need exactly these fields.
+    *
+    * Scale: generation and parse fuse into ONE mapPartitions stage —
+    * clip bytes never cross an exchange (the mm family invariant,
+    * PlanAuditSpec); only the per-asset metadata rows shuffle for the
+    * final order. The parse is O(total box bytes) per clip with O(1)
+    * state; a malformed container drops (None), never fails the job. */
+  def qMm24(spark: SparkSession, dir: String): DataFrame =
+    mp4Meta(mp4Assets(spark, dir)).orderBy("asset_id")
+
+  /** The narrow kernel of [[qMm24]] over any (asset_id, kind, bytes)
+    * frame — batched mapPartitions, no exchange (PlanAuditSpec's mm
+    * family list pins it); malformed containers drop per the
+    * [[Mp4BoxReader]] contract. */
+  def mp4Meta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            Mp4BoxReader.parse(a.bytes).map(m =>
+              (a.asset_id, m.durationMs, m.width.toLong, m.height.toLong,
+                m.codec, m.nSamples, m.nKeyframes))
+          }
+        }
+      }
+      .toDF("asset_id", "duration_ms", "width", "height", "codec",
+        "n_samples", "n_keyframes")
+  }
 }

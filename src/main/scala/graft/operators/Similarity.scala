@@ -370,6 +370,43 @@ object Similarity {
       cache.getOrCompute(s, indexPath(dir, lloydIters, cells))(
         loadOrBuild(s, dir, lloydIters, cells))
 
+    /** CACHED q_sim22 recall/scan curve under the SERVING index's
+      * fingerprint (VERDICT r16 task 4): a serving fleet polling
+      * `CALL graft.system.ivfindex(..., target_recall_pm => N)` must not
+      * re-run the 5-point probe sweep per call. Computed ONCE per index
+      * state — lazily, on first request — from the exact [[qSim22]]
+      * frame (the curve's definition and this cache's only producer),
+      * published sweep-point-sized INSIDE the index dir by the house
+      * staged-rename protocol, and read thereafter. The dir is
+      * fingerprint-keyed, so a changed corpus or quantizer config gets a
+      * fresh curve for free and retention sweeps the curve with its
+      * generation. The registry query stays the live sweep. */
+    /** Where [[cachedNprobeCurve]] persists (spec hook). */
+    private[graft] def nprobeCurvePath(dir: String): String =
+      sub(indexPath(dir, 0, IvfCells), "nprobe_curve")
+
+    def cachedNprobeCurve(s: SparkSession, dir: String): DataFrame = {
+      build(s, dir, lloydIters = 0) // the dir must exist before the sidecar
+      val p = nprobeCurvePath(dir)
+      if (!store.exists(p)) {
+        withIndexLock(p + ".lock") {
+          if (!store.exists(p)) {
+            val staging = p + ".tmp-" +
+              java.util.UUID.randomUUID().toString.take(8)
+            qSim22(s, dir).write.mode("overwrite").parquet(staging)
+            if (!store.rename(staging, p)) {
+              store.deleteRecursive(staging)
+              // a racing JVM published first: serve its copy below
+              if (!store.exists(p))
+                throw new IllegalStateException(
+                  s"ivf index: publishing the nprobe curve at $p failed")
+            }
+          }
+        }
+      }
+      s.read.parquet(p)
+    }
+
     /** Incremental index maintenance: assign NEW vectors (`vec_id`,
       * `embedding`) with the stored quantizer — a map-only, delta-sized
       * job, no corpus pass — and append them cell-partitioned into the

@@ -663,6 +663,24 @@ class DupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("verdicts cache vacuum (VERDICT r16 task 5): a verdict whose edge " +
+    "left the pair set drops at publish; the artifact stays pair-bounded") {
+    import spark.implicits._
+    val prior = Seq((1L, 2L, true), (3L, 4L, false), (5L, 6L, true))
+      .toDF("a_id", "b_id", "refuted")
+    val pairs = Seq((1L, 2L, 0), (3L, 4L, 1)).toDF("a_id", "b_id", "ham")
+    val kept = DupClusters.vacuumVerdicts(prior, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(kept == Set((1L, 2L, true), (3L, 4L, false)),
+      s"the (5,6) verdict must drop with its edge: $kept")
+    // the invariant on the real artifact: every cached verdict's edge is
+    // in the live pair set (vacuum runs at every publish)
+    val idx = DupClusters.build(spark, sf)
+    assert(idx.verdicts.join(idx.pairs.select("a_id", "b_id"),
+      Seq("a_id", "b_id"), "left_anti").isEmpty,
+      "artifact verdicts must be a subset of the live pair set")
+  }
+
   test("extVectors gate (VERDICT r16 task 2): external encoder vectors " +
     "ride the _commits marker exactly once; crash replay finishes the " +
     "staged append; an unseeded lane refuses") {

@@ -555,6 +555,12 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_severed_components") ==
       graft.operators.Dedup.qG12(spark, dir)
         .select("component_sev").distinct().count(), s"$r")
+    // the verdicts-cache size (VERDICT r16 task 5): pair-bounded by the
+    // publish-time vacuum — every cached edge is in the live pair set
+    assert(r.getAs[Long]("n_cached_verdicts") == idx.verdicts.count(), s"$r")
+    assert(idx.verdicts.join(idx.pairs.select("a_id", "b_id"),
+      Seq("a_id", "b_id"), "left_anti").isEmpty,
+      "every cached verdict's edge must be in the live pair set")
     // the q_g13 depth verdict rides the same row, pinned to the query
     val dep = graft.operators.Dedup.qG13(spark, dir)
       .groupBy("graph").agg(max("depth").as("mx"))
@@ -676,6 +682,35 @@ class MaintenanceSpec extends AnyFunSuite {
       r3.getAs[Long]("rec_recall_pm") == 1000L, s"$r3")
     // no target: the sweep is skipped, guidance columns read 0
     assert(r.getAs[Long]("recommended_nprobe") == 0L, s"$r")
+    // VERDICT r16 task 4: the r2 call computed + PUBLISHED the curve
+    // under the index fingerprint; a warm call answers from that parquet
+    // without launching the probe sweep's jobs
+    assert(graft.core.Storage.hadoop.exists(
+      graft.operators.Similarity.IvfIndex.nprobeCurvePath(dir)),
+      "the nprobe curve must persist beside the index lanes")
+    @volatile var warmJobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        warmJobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val r4 =
+      try {
+        val out = spark.sql(s"CALL graftiv.system.ivfindex(dir => '$dir', " +
+          s"target_recall_pm => $target)").head()
+        // listener delivery is async — settle until the count is stable
+        var prev = -1
+        while (prev != warmJobs) { prev = warmJobs; Thread.sleep(300) }
+        out
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert((r4.getAs[Long]("recommended_nprobe"),
+      r4.getAs[Long]("rec_recall_pm"),
+      r4.getAs[Long]("rec_scan_pm")) == want,
+      s"cached-curve recommendation must be unchanged: $r4 vs $want")
+    assert(warmJobs <= 8,
+      s"a warm target_recall_pm call must read the cached curve, not " +
+        s"re-run the probe sweep: $warmJobs jobs")
   }
 
   test("SQL surface: CALL graft.system.mmivf builds/loads the multimodal " +

@@ -646,7 +646,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "audioVad" -> Multimodal.audioVad(
         Multimodal.wavAssets(spark, sf), Multimodal.WavDecoder),
       "sampleY4mFrames" -> Multimodal.sampleY4mFrames(
-        Multimodal.y4mAssets(spark, sf), Multimodal.FrameSampleStride))) {
+        Multimodal.y4mAssets(spark, sf), Multimodal.FrameSampleStride),
+      "mp4Meta" -> Multimodal.mp4Meta(Multimodal.mp4Assets(spark, sf)))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),

@@ -247,6 +247,55 @@ class PropertySpec extends AnyFunSuite {
         s"sampled frames: $partial")
   }
 
+  test("MP4 lane (q_mm24): the box walk reads back exactly what the muxer " +
+    "wrote; malformed containers drop; absent stss means all-sync") {
+    import graft.operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val parsed = Multimodal.qMm24(spark, sf).collect()
+    assert(parsed.length == 200, s"one row per asset: ${parsed.length}")
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Multimodal.mp4DurationMs(id) &&
+        r.getLong(2) == Multimodal.mp4Width(id).toLong &&
+        r.getLong(3) == Multimodal.mp4Height(id).toLong &&
+        r.getString(4) == Multimodal.mp4Codec(id) &&
+        r.getLong(5) == Multimodal.mp4SampleCount(id).toLong &&
+        r.getLong(6) == (Multimodal.mp4SampleCount(id) +
+          Multimodal.Mp4KeyInterval - 1) / Multimodal.Mp4KeyInterval,
+        s"box walk must round-trip the muxed facts: $r")
+    }
+    // corrupt-input contract: drop, never throw
+    import spark.implicits._
+    val good = Multimodal.mp4Assets(spark, sf)
+      .where(col("asset_id") === 0L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    val truncated = good.take(good.length - 40) // moov overruns the file
+    val badSize = good.clone() // ftyp size 5 < 8: malformed header
+    badSize(0) = 0; badSize(1) = 0; badSize(2) = 0; badSize(3) = 5
+    val ftypLen = be32(good, 0)
+    val noMoov = good.take(ftypLen + be32(good, ftypLen)) // ftyp+mdat only
+    val junk = Seq((1L, "video", truncated), (2L, "video", badSize),
+      (3L, "video", noMoov)).toDF("asset_id", "kind", "bytes")
+    assert(Multimodal.mp4Meta(junk).isEmpty,
+      "malformed containers must drop, never throw")
+    // ISO default: NO stss box = every sample is a sync sample. Rename
+    // the stss fourcc to 'free' (a real padding type) — sizes and
+    // structure stay valid, the parser just never sees a sync table
+    val freed = good.clone()
+    val stssAt = good.indexOfSlice("stss".getBytes("US-ASCII"))
+    assert(stssAt > 0)
+    "free".getBytes("US-ASCII").zipWithIndex
+      .foreach { case (b, k) => freed(stssAt + k) = b }
+    val allSync = Multimodal.mp4Meta(
+      Seq((9L, "video", freed)).toDF("asset_id", "kind", "bytes")).collect()
+    assert(allSync.length == 1 &&
+      allSync(0).getLong(6) == allSync(0).getLong(5),
+      s"absent stss must report every sample as sync: ${allSync.toSeq}")
+  }
+
   test("shard packing (q_t42) is bucket-width invariant and partitions the corpus") {
     import graft.operators.TextAnalysis
     val sf = "/root/testdata/sf0.001"

@@ -311,4 +311,63 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) > graft.operators.Dedup.MaxBlockSide),
       s"oversized block must be skipped entirely: ${pairs.take(3).toSeq}")
   }
+
+  test("severing chain holds its declared bounds over two decades " +
+    "(sf0.001 -> sf0.1): weak/refuted edges linear in the pair graph, " +
+    "verdicts cache pair-bounded, reuse delta-bounded (VERDICT r16 task 6)") {
+    // The severing cost curve as a SPEC: per corpus state the build pays
+    // edit-distance verification on weak (zero-triangle) edges only, the
+    // cache is bounded by the live pair set (the r16 vacuum), and an
+    // append re-verifies only never-cached weak edges. Pin all three at
+    // the next decade so the curve is not just a bench observation.
+    val small = "/root/testdata/sf0.001"
+    val large = "/root/testdata/sf0.1"
+    def shape(d: String): (Long, Long, Long, Long) = {
+      val idx = graft.operators.DupClusters.build(spark, d)
+      (idx.pairs.count(),
+        graft.operators.Dedup.weakEdges(idx.pairs).count(),
+        idx.refuted.count(), idx.verdicts.count())
+    }
+    val (pS, wS, rS, vS) = shape(small)
+    val (pL, wL, rL, vL) = shape(large)
+    info(s"pairs $pS -> $pL, weak $wS -> $wL, refuted $rS -> $rL, " +
+      s"verdicts $vS -> $vL")
+    // structural bounds at BOTH scales: refuted <= weak <= pairs, and the
+    // cache covers the weak set while never exceeding the pair set
+    for ((p, w, r, v) <- Seq((pS, wS, rS, vS), (pL, wL, rL, vL))) {
+      assert(r <= w && w <= p, s"refuted $r <= weak $w <= pairs $p")
+      assert(w <= v && v <= p, s"weak $w <= verdicts $v <= pairs $p")
+    }
+    // growth bounds: the verification queue (weak) and the cut-set
+    // (refuted) grow no faster than the pair graph, with margin — the
+    // linearity that keeps the text-fetch leg graph-sized at 100 TB
+    val margin = 1.5
+    val pairRatio = pL.toDouble / math.max(pS, 1L)
+    assert(wL.toDouble / math.max(wS, 1L) <= margin * pairRatio,
+      f"weak edges super-linear in pairs: $wS -> $wL at $pairRatio%.1fx")
+    assert(rL.toDouble / math.max(rS, 1L) <= margin * pairRatio,
+      f"refuted edges super-linear in pairs: $rS -> $rL at $pairRatio%.1fx")
+    // reuse is delta-bounded in COUNT: append an isolated delta and the
+    // cache grows by at most the never-cached weak edges (the carry-
+    // forward subset law is pinned in DupClustersSpec; this is the
+    // arithmetic the cost model depends on)
+    val root = Files.createTempDirectory(Paths.get("target"), "sever-scale")
+      .toString
+    val docs = graft.core.Tables.documents(spark, small)
+    docs.where(col("doc_id") < 400)
+      .write.parquet(s"$root/documents.parquet")
+    val pre = graft.operators.DupClusters.build(spark, root)
+    val preVerdicts = pre.verdicts.count()
+    val delta = docs.where(col("doc_id") >= 400)
+    delta.write.mode("append").parquet(s"$root/documents.parquet")
+    val post = graft.operators.DupClusters.append(spark, root, pre,
+      delta.select("doc_id", "text"))
+    val postWeak = graft.operators.Dedup.weakEdges(post.pairs)
+    val neverCached = postWeak.select("a_id", "b_id")
+      .join(pre.verdicts.select("a_id", "b_id"), Seq("a_id", "b_id"),
+        "left_anti").count()
+    assert(post.verdicts.count() <= preVerdicts + neverCached,
+      s"append must verify only never-cached weak edges: " +
+        s"${post.verdicts.count()} > $preVerdicts + $neverCached")
+  }
 }
