@@ -245,6 +245,7 @@ object SparkEntry {
     "q_mm22_ext_ivf"        -> (MmIvf.qMm22 _),
     "q_mm23_y4m_sample"     -> (Multimodal.qMm23 _),
     "q_mm24_mp4_meta"       -> (Multimodal.qMm24 _),
+    "q_mm25_mp4_keyframes"  -> (Multimodal.qMm25 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2685,6 +2686,25 @@ object SparkEntry {
         "CAST(25 + (doc_id % 5) * 6 AS BIGINT) AS n_samples, " +
         "CAST((25 + (doc_id % 5) * 6 + 5) // 6 AS BIGINT) AS n_keyframes " +
         "FROM documents WHERE doc_id < 200 ORDER BY asset_id"),
+    "q_mm25_mp4_keyframes" -> (
+      // Spark walks the REAL stss/stsz/stsc/stco tables (two-chunk
+      // layout) for sync-sample byte ranges; the oracle replays the
+      // muxer's closed forms — per-sample size 100+(id+s-1)%7, offsets a
+      // running sum from the mdat payload base 32 (ftyp 24B + mdat hdr),
+      // keyframes every 6th sample starting at 1. Chunk contiguity makes
+      // the two-chunk layout one cumulative sum
+      "WITH d AS (SELECT doc_id, 25 + (doc_id % 5) * 6 AS n " +
+        "FROM documents WHERE doc_id < 200), " +
+        "smp AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS s FROM d), " +
+        "cum AS (SELECT doc_id, s, 100 + (doc_id + s - 1) % 7 AS size, " +
+        "32 + coalesce(sum(100 + (doc_id + s - 1) % 7) OVER " +
+        "(PARTITION BY doc_id ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
+        "FROM smp) " +
+        "SELECT doc_id AS asset_id, CAST(s AS BIGINT) AS sample_no, " +
+        "CAST(off AS BIGINT) AS frame_offset, " +
+        "CAST(size AS BIGINT) AS frame_size " +
+        "FROM cum WHERE (s - 1) % 6 = 0 ORDER BY asset_id, sample_no"),
     "q_mm7_motion_energy" -> (
       // temporal motion energy through the real GIF decode Spark-side;
       // the oracle replays |gifGray(f) - gifGray(f-1)| per pixel over

@@ -1396,6 +1396,12 @@ object Multimodal {
     * form the oracle replays. */
   val Mp4KeyInterval = 6
 
+  /** Samples in the first mdat chunk of the synthetic track (the rest
+    * fill chunk 2) — two chunks so [[Mp4BoxReader.keyframeMap]]'s stsc
+    * sample→chunk mapping is exercised, contiguous so the oracle's
+    * offset arithmetic stays one running sum. */
+  val Mp4Chunk1Samples = 10
+
   /** Closed-form per-asset MP4 facts (what the generator writes INTO the
     * boxes and the DuckDB oracle recomputes arithmetically — the
     * [[y4mGray]] posture for container metadata). */
@@ -1469,7 +1475,7 @@ object Multimodal {
             beBytes(2)(0x55C4L /*'und'*/, 0L))
           val hdlr = beBox("hdlr", beBytes(4)(0L, 0L),
             "vide".getBytes("US-ASCII"), beBytes(4)(0L, 0L, 0L),
-            "VideoHandler ".getBytes("US-ASCII"))
+            "VideoHandler".getBytes("US-ASCII"), beBytes(1)(0L))
           val entry = { // 86-byte VisualSampleEntry
             val bb = java.nio.ByteBuffer.allocate(86)
             bb.putInt(86); bb.put(mp4Codec(id).getBytes("US-ASCII"))
@@ -1490,9 +1496,17 @@ object Multimodal {
               1L + k.toLong * Mp4KeyInterval): _*))
           val stsz = beBox("stsz", beBytes(4)(0L, 0L, n.toLong),
             beBytes(4)(sizes.map(_.toLong): _*))
-          val stco = beBox("stco", beBytes(4)(0L, 1L,
-            mdatPayloadOff.toLong))
-          val stbl = beBox("stbl", stsd, stts, stss, stsz, stco)
+          // TWO chunks (first Mp4Chunk1Samples samples, then the rest) so
+          // the sample→chunk mapping in [[Mp4BoxReader.keyframeMap]] is
+          // genuinely exercised; chunks are CONTIGUOUS in mdat, so the
+          // oracle's offset closed form stays a single running sum
+          val stsc = beBox("stsc", beBytes(4)(0L, 2L,
+            1L, Mp4Chunk1Samples.toLong, 1L,
+            2L, (n - Mp4Chunk1Samples).toLong, 1L))
+          val stco = beBox("stco", beBytes(4)(0L, 2L,
+            mdatPayloadOff.toLong,
+            mdatPayloadOff.toLong + sizes.take(Mp4Chunk1Samples).sum))
+          val stbl = beBox("stbl", stsd, stts, stsc, stss, stsz, stco)
           val minf = beBox("minf", stbl)
           val mdia = beBox("mdia", mdhd, hdlr, minf)
           val trak = beBox("trak", tkhd, mdia)
@@ -1513,75 +1527,176 @@ object Multimodal {
   object Mp4BoxReader {
     final case class Meta(durationMs: Long, width: Int, height: Int,
                           codec: String, nSamples: Long, nKeyframes: Long)
+    /** One sync sample's fetchable byte range: 1-based sample number,
+      * absolute file offset, size — what a sampled decoder reads. */
+    final case class Keyframe(sampleNo: Long, offset: Long, size: Long)
+
     private val Containers =
       Set("moov", "trak", "mdia", "minf", "stbl", "edts", "udta")
 
+    private def be32(bytes: Array[Byte], o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    private def be64(bytes: Array[Byte], o: Int): Long =
+      (be32(bytes, o) << 32) | be32(bytes, o + 4)
+
+    /** Shared box iteration: visit every box (containers included, then
+      * recurse into them). `visit(typ, payloadStart, boxEnd)` returns
+      * false to flag a malformed leaf; structural damage (a box
+      * overrunning its parent, a truncated header, a bad largesize) is
+      * detected here. Returns false on ANY malformation. */
+    private def walkBoxes(bytes: Array[Byte], start: Int, end: Int)(
+        visit: (String, Int, Int) => Boolean): Boolean = {
+      var o = start
+      while (o < end) {
+        if (o + 8 > end) return false
+        val size32 = be32(bytes, o)
+        val typ = new String(bytes, o + 4, 4, "US-ASCII")
+        val (hdr, boxEnd) =
+          if (size32 == 1L) {
+            if (o + 16 > end) return false
+            val ls = be64(bytes, o + 8)
+            if (ls < 16L || ls > (end - o).toLong) return false
+            (16, o + ls.toInt)
+          } else if (size32 == 0L) (8, end)
+          else {
+            if (size32 < 8L || size32 > (end - o).toLong) return false
+            (8, o + size32.toInt)
+          }
+        if (!visit(typ, o + hdr, boxEnd)) return false
+        if (Containers(typ) && !walkBoxes(bytes, o + hdr, boxEnd)(visit))
+          return false
+        o = boxEnd
+      }
+      true
+    }
+
     def parse(bytes: Array[Byte]): Option[Meta] = {
-      def be32(o: Int): Long =
-        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
-          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
-      def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
       var ts = -1L; var dur = -1L; var w = -1; var h = -1
       var codec: Option[String] = None
       var nSamples = -1L; var nKey = -1L; var sawMoov = false
-      def walk(start: Int, end: Int): Boolean = {
-        var o = start
-        while (o < end) {
-          if (o + 8 > end) return false
-          val size32 = be32(o)
-          val typ = new String(bytes, o + 4, 4, "US-ASCII")
-          val (hdr, boxEnd) =
-            if (size32 == 1L) {
-              if (o + 16 > end) return false
-              val ls = be64(o + 8)
-              if (ls < 16L || ls > (end - o).toLong) return false
-              (16, o + ls.toInt)
-            } else if (size32 == 0L) (8, end)
-            else {
-              if (size32 < 8L || size32 > (end - o).toLong) return false
-              (8, o + size32.toInt)
+      def visit(typ: String, p: Int, boxEnd: Int): Boolean = {
+        typ match {
+          case "moov" => sawMoov = true
+          case "mvhd" =>
+            if (p + 4 > boxEnd) return false
+            if (bytes(p) == 0) { // v0: 32-bit times
+              if (p + 20 > boxEnd) return false
+              ts = be32(bytes, p + 12); dur = be32(bytes, p + 16)
+            } else { // v1: 64-bit times
+              if (p + 32 > boxEnd) return false
+              ts = be32(bytes, p + 20); dur = be64(bytes, p + 24)
             }
-          val p = o + hdr
-          typ match {
-            case t if Containers(t) =>
-              if (t == "moov") sawMoov = true
-              if (!walk(p, boxEnd)) return false
-            case "mvhd" =>
-              if (p + 4 > boxEnd) return false
-              if (bytes(p) == 0) { // v0: 32-bit times
-                if (p + 20 > boxEnd) return false
-                ts = be32(p + 12); dur = be32(p + 16)
-              } else { // v1: 64-bit times
-                if (p + 32 > boxEnd) return false
-                ts = be32(p + 20); dur = be64(p + 24)
-              }
-            case "tkhd" =>
-              if (p + 4 > boxEnd) return false
-              val wOff = if (bytes(p) == 0) p + 76 else p + 88
-              if (wOff + 8 > boxEnd) return false
-              w = (be32(wOff) >> 16).toInt; h = (be32(wOff + 4) >> 16).toInt
-            case "stsd" =>
-              if (p + 16 > boxEnd || be32(p + 4) < 1L) return false
-              codec = Some(new String(bytes, p + 12, 4, "US-ASCII"))
-            case "stss" =>
-              if (p + 8 > boxEnd) return false
-              nKey = be32(p + 4)
-            case "stsz" =>
-              if (p + 12 > boxEnd) return false
-              nSamples = be32(p + 8)
-            case _ => ()
-          }
-          o = boxEnd
+          case "tkhd" =>
+            if (p + 4 > boxEnd) return false
+            val wOff = if (bytes(p) == 0) p + 76 else p + 88
+            if (wOff + 8 > boxEnd) return false
+            w = (be32(bytes, wOff) >> 16).toInt
+            h = (be32(bytes, wOff + 4) >> 16).toInt
+          case "stsd" =>
+            if (p + 16 > boxEnd || be32(bytes, p + 4) < 1L) return false
+            codec = Some(new String(bytes, p + 12, 4, "US-ASCII"))
+          case "stss" =>
+            if (p + 8 > boxEnd) return false
+            nKey = be32(bytes, p + 4)
+          case "stsz" =>
+            if (p + 12 > boxEnd) return false
+            nSamples = be32(bytes, p + 8)
+          case _ => ()
         }
         true
       }
       try {
-        if (!walk(0, bytes.length)) return None
+        if (!walkBoxes(bytes, 0, bytes.length)(visit)) return None
         if (!sawMoov || ts <= 0L || dur < 0L || w < 0 || h < 0 ||
           codec.isEmpty || nSamples < 0L) return None
         // absent stss: every sample is a sync sample (ISO 14496-12)
         val keys = if (nKey >= 0L) nKey else nSamples
         Some(Meta(dur * 1000L / ts, w, h, codec.get, nSamples, keys))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Sync-sample BYTE RANGES from the sample tables alone — the MP4
+      * analogue of the Y4M closed-form seek: stsz (sizes), stco/co64
+      * (chunk bases), stsc (sample-to-chunk runs), stss (sync numbers;
+      * absent = every sample). A sampled decoder fetches exactly these
+      * ranges and touches no other corpus bytes — the honest 100 TB
+      * keyframe-sampling shape for compressed video, with the codec
+      * itself still out of scope. General chunk mapping: each stsc run
+      * covers chunks [first_chunk, next run's first_chunk), samples lay
+      * out contiguously within a chunk from its stco base. None on any
+      * inconsistency (chunks don't cover the sample count, truncated
+      * tables, missing stco/stsc/stsz). */
+    def keyframeMap(bytes: Array[Byte]): Option[Seq[Keyframe]] = {
+      var sizes: Array[Long] = null
+      var stco: Array[Long] = null
+      var stsc: Array[(Long, Long)] = null
+      var stss: Array[Long] = null
+      def visit(typ: String, p: Int, boxEnd: Int): Boolean = {
+        typ match {
+          case "stsz" =>
+            if (p + 12 > boxEnd) return false
+            val uniform = be32(bytes, p + 4)
+            val n = be32(bytes, p + 8)
+            if (n > Int.MaxValue.toLong) return false
+            if (uniform != 0L) sizes = Array.fill(n.toInt)(uniform)
+            else {
+              if (p + 12 + 4L * n > boxEnd) return false
+              sizes = Array.tabulate(n.toInt)(k => be32(bytes, p + 12 + 4 * k))
+            }
+          case "stco" =>
+            if (p + 8 > boxEnd) return false
+            val n = be32(bytes, p + 4)
+            if (p + 8 + 4L * n > boxEnd) return false
+            stco = Array.tabulate(n.toInt)(k => be32(bytes, p + 8 + 4 * k))
+          case "co64" =>
+            if (p + 8 > boxEnd) return false
+            val n = be32(bytes, p + 4)
+            if (p + 8 + 8L * n > boxEnd) return false
+            stco = Array.tabulate(n.toInt)(k => be64(bytes, p + 8 + 8 * k))
+          case "stsc" =>
+            if (p + 8 > boxEnd) return false
+            val n = be32(bytes, p + 4)
+            if (p + 8 + 12L * n > boxEnd) return false
+            stsc = Array.tabulate(n.toInt)(k =>
+              (be32(bytes, p + 8 + 12 * k), be32(bytes, p + 12 + 12 * k)))
+          case "stss" =>
+            if (p + 8 > boxEnd) return false
+            val n = be32(bytes, p + 4)
+            if (p + 8 + 4L * n > boxEnd) return false
+            stss = Array.tabulate(n.toInt)(k => be32(bytes, p + 8 + 4 * k))
+          case _ => ()
+        }
+        true
+      }
+      try {
+        if (!walkBoxes(bytes, 0, bytes.length)(visit)) return None
+        if (sizes == null || stco == null || stsc == null) return None
+        if (stsc.isEmpty || stsc(0)._1 != 1L ||
+          stsc.exists(_._2 <= 0L) ||
+          stsc.sliding(2).exists(w => w.length == 2 && w(1)._1 <= w(0)._1))
+          return None
+        val sync: Long => Boolean =
+          if (stss == null) _ => true else stss.toSet.contains
+        val out = Seq.newBuilder[Keyframe]
+        var s = 0 // 0-based sample cursor
+        var run = 0
+        var c = 1
+        while (c <= stco.length && s < sizes.length) {
+          while (run + 1 < stsc.length && stsc(run + 1)._1 <= c) run += 1
+          var within = 0L
+          var j = 0L
+          while (j < stsc(run)._2 && s < sizes.length) {
+            val sampleNo = (s + 1).toLong
+            if (sync(sampleNo))
+              out += Keyframe(sampleNo, stco(c - 1) + within, sizes(s))
+            within += sizes(s)
+            s += 1; j += 1
+          }
+          c += 1
+        }
+        if (s != sizes.length) return None // chunks failed to cover samples
+        Some(out.result())
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
@@ -1600,6 +1715,40 @@ object Multimodal {
     * state; a malformed container drops (None), never fails the job. */
   def qMm24(spark: SparkSession, dir: String): DataFrame =
     mp4Meta(mp4Assets(spark, dir)).orderBy("asset_id")
+
+  /** Q-MM25 — MP4 KEYFRAME BYTE-RANGE MAP: per asset, every sync
+    * sample's (sample_no, frame_offset, frame_size) derived purely from
+    * the stss/stsz/stsc/stco tables — the MP4 generalization of the Y4M
+    * closed-form seek ([[sampleY4mFrames]]): a sampled decoder fetches
+    * exactly these byte ranges and decodes ONLY keyframes, which is the
+    * honest 100 TB shape for compressed-video frame sampling (the codec
+    * itself stays declared out of pure-JVM scope — this lane hands a
+    * GPU/codec fleet its fetch plan). The synthetic track lays samples
+    * across TWO chunks, so the stsc sample→chunk mapping is live, while
+    * chunk contiguity keeps the oracle a single running sum.
+    *
+    * Scale: same fused shape as [[qMm24]] — muxing and table walk in one
+    * mapPartitions stage, only (asset, keyframe)-sized metadata rows
+    * reach the exchange for the output sort. */
+  def qMm25(spark: SparkSession, dir: String): DataFrame =
+    mp4KeyframeMap(mp4Assets(spark, dir)).orderBy("asset_id", "sample_no")
+
+  /** Narrow kernel of [[qMm25]]: batched mapPartitions, no exchange;
+    * malformed containers drop ([[Mp4BoxReader.keyframeMap]] contract). */
+  def mp4KeyframeMap(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            Mp4BoxReader.keyframeMap(a.bytes).toSeq.flatten.map(k =>
+              (a.asset_id, k.sampleNo, k.offset, k.size))
+          }
+        }
+      }
+      .toDF("asset_id", "sample_no", "frame_offset", "frame_size")
+  }
 
   /** The narrow kernel of [[qMm24]] over any (asset_id, kind, bytes)
     * frame — batched mapPartitions, no exchange (PlanAuditSpec's mm

@@ -647,7 +647,9 @@ class PlanAuditSpec extends AnyFunSuite {
         Multimodal.wavAssets(spark, sf), Multimodal.WavDecoder),
       "sampleY4mFrames" -> Multimodal.sampleY4mFrames(
         Multimodal.y4mAssets(spark, sf), Multimodal.FrameSampleStride),
-      "mp4Meta" -> Multimodal.mp4Meta(Multimodal.mp4Assets(spark, sf)))) {
+      "mp4Meta" -> Multimodal.mp4Meta(Multimodal.mp4Assets(spark, sf)),
+      "mp4KeyframeMap" ->
+        Multimodal.mp4KeyframeMap(Multimodal.mp4Assets(spark, sf)))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),

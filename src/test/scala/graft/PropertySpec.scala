@@ -294,6 +294,25 @@ class PropertySpec extends AnyFunSuite {
     assert(allSync.length == 1 &&
       allSync(0).getLong(6) == allSync(0).getLong(5),
       s"absent stss must report every sample as sync: ${allSync.toSeq}")
+    // keyframe map (q_mm25): the sync-sample byte ranges must be the mdat
+    // running sum ACROSS BOTH chunks (the stsc mapping is live), and a
+    // clip without chunk bases (stco renamed away) drops entirely
+    val kf = Multimodal.Mp4BoxReader.keyframeMap(good).get
+    val n0 = Multimodal.mp4SampleCount(0L)
+    assert(kf.map(_.sampleNo) == (1 to n0 by 6).map(_.toLong),
+      s"sync samples every 6th from 1: ${kf.map(_.sampleNo)}")
+    val sizes0 = Array.tabulate(n0)(s => 100L + (s % 7))
+    val offs = sizes0.scanLeft(32L)(_ + _)
+    assert(kf.forall(k => k.offset == offs(k.sampleNo.toInt - 1) &&
+      k.size == sizes0(k.sampleNo.toInt - 1)),
+      s"offsets must be the mdat running sum across both chunks: $kf")
+    val noStco = good.clone()
+    val stcoAt = good.indexOfSlice("stco".getBytes("US-ASCII"))
+    assert(stcoAt > 0)
+    "free".getBytes("US-ASCII").zipWithIndex
+      .foreach { case (b, k) => noStco(stcoAt + k) = b }
+    assert(Multimodal.Mp4BoxReader.keyframeMap(noStco).isEmpty,
+      "a clip without chunk bases must drop from the keyframe map")
   }
 
   test("shard packing (q_t42) is bucket-width invariant and partitions the corpus") {
