@@ -246,6 +246,7 @@ object SparkEntry {
     "q_mm23_y4m_sample"     -> (Multimodal.qMm23 _),
     "q_mm24_mp4_meta"       -> (Multimodal.qMm24 _),
     "q_mm25_mp4_keyframes"  -> (Multimodal.qMm25 _),
+    "q_mm26_mkv_meta"       -> (Multimodal.qMm26 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2705,6 +2706,18 @@ object SparkEntry {
         "CAST(off AS BIGINT) AS frame_offset, " +
         "CAST(size AS BIGINT) AS frame_size " +
         "FROM cum WHERE (s - 1) % 6 = 0 ORDER BY asset_id, sample_no"),
+    "q_mm26_mkv_meta" -> (
+      // Spark walks REAL EBML structure (unknown-size Segment, Info
+      // TimestampScale + float64 Duration, Tracks/TrackEntry/Video,
+      // opaque Cluster skipped); the oracle replays the muxed closed
+      // forms — 1 ms ticks make the float64 duration the exact integer
+      "SELECT doc_id AS asset_id, " +
+        "CAST(3000 + (doc_id % 5) * 250 AS BIGINT) AS duration_ms, " +
+        "CAST(32 * (1 + doc_id % 3) AS BIGINT) AS width, " +
+        "CAST(24 * (1 + doc_id % 4) AS BIGINT) AS height, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'V_MPEG4/ISO/AVC' " +
+        "WHEN 1 THEN 'V_MPEGH/ISO/HEVC' ELSE 'V_AV1' END AS codec " +
+        "FROM documents WHERE doc_id < 200 ORDER BY asset_id"),
     "q_mm7_motion_energy" -> (
       // temporal motion energy through the real GIF decode Spark-side;
       // the oracle replays |gifGray(f) - gifGray(f-1)| per pixel over

