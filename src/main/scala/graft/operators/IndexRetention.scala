@@ -126,9 +126,16 @@ private[graft] object IndexRetention {
     // VARIANT suffixes (`-i0`, `-k16`, `-p3` — letter+digits) stay
     // DISTINCT generations: collapsing different quantizer configs of
     // one fingerprint into a single keep slot would silently deepen the
-    // sweep beyond the lane grouping this key exists for.
-    val LaneSuffix = "-[a-z]+$".r
-    def genOf(n: String): String = LaneSuffix.replaceFirstIn(n, "")
+    // sweep beyond the lane grouping this key exists for. The strip is
+    // ANCHORED to the published `v<ver>-<32-hex>` shape so an
+    // unrecognized dir name still forms its own group (a bare
+    // `-[a-z]+$` strip would merge e.g. an all-letter fingerprint's
+    // tail into another unit).
+    val Known = "^(v\\d+-[0-9a-f]{32}.*?)(-[a-z]+)?$".r
+    def genOf(n: String): String = n match {
+      case Known(stem, _) => stem
+      case _              => n // unrecognized shape: own group
+    }
     val keptGens = keepLastN.map { n =>
       real.groupBy(s => genOf(s.name)).toSeq
         .sortBy { case (_, ds) => -ds.map(_.createdMs).max }

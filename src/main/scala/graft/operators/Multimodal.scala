@@ -1540,13 +1540,22 @@ object Multimodal {
     private def be64(bytes: Array[Byte], o: Int): Long =
       (be32(bytes, o) << 32) | be32(bytes, o + 4)
 
+    /** Real files nest well under 10 container levels; a crafted file of
+      * nothing but nested container headers would otherwise recurse once
+      * per 8 bytes and StackOverflowError past the catch (fatal, not
+      * NonFatal) — depth beyond the bound is malformation, drop. */
+    private val MaxBoxDepth = 32
+
     /** Shared box iteration: visit every box (containers included, then
       * recurse into them). `visit(typ, payloadStart, boxEnd)` returns
       * false to flag a malformed leaf; structural damage (a box
-      * overrunning its parent, a truncated header, a bad largesize) is
-      * detected here. Returns false on ANY malformation. */
-    private def walkBoxes(bytes: Array[Byte], start: Int, end: Int)(
+      * overrunning its parent, a truncated header, a bad largesize,
+      * nesting past [[MaxBoxDepth]]) is detected here. Returns false on
+      * ANY malformation. */
+    private def walkBoxes(bytes: Array[Byte], start: Int, end: Int,
+                          depth: Int = 0)(
         visit: (String, Int, Int) => Boolean): Boolean = {
+      if (depth > MaxBoxDepth) return false
       var o = start
       while (o < end) {
         if (o + 8 > end) return false
@@ -1564,7 +1573,8 @@ object Multimodal {
             (8, o + size32.toInt)
           }
         if (!visit(typ, o + hdr, boxEnd)) return false
-        if (Containers(typ) && !walkBoxes(bytes, o + hdr, boxEnd)(visit))
+        if (Containers(typ) &&
+          !walkBoxes(bytes, o + hdr, boxEnd, depth + 1)(visit))
           return false
         o = boxEnd
       }
@@ -1638,7 +1648,11 @@ object Multimodal {
             if (p + 12 > boxEnd) return false
             val uniform = be32(bytes, p + 4)
             val n = be32(bytes, p + 8)
-            if (n > Int.MaxValue.toLong) return false
+            // a clip cannot hold more samples than it has bytes (each
+            // sample is >= 1 byte of mdat): a corrupt uniform-size count
+            // must drop the clip, not demand a count-proportional
+            // allocation (OutOfMemoryError is not catchable here)
+            if (n > bytes.length.toLong) return false
             if (uniform != 0L) sizes = Array.fill(n.toInt)(uniform)
             else {
               if (p + 12 + 4L * n > boxEnd) return false
@@ -1874,7 +1888,11 @@ object Multimodal {
         val v = if (keepMarker) raw else raw & ((1L << (7 * len)) - 1)
         Some((v, len))
       }
-      def walk(start: Int, end: Int): Boolean = {
+      // depth-bounded like Mp4BoxReader.walkBoxes: a crafted file of
+      // nothing but nested 2-byte TrackEntry headers must drop, not
+      // StackOverflowError past the catch
+      def walk(start: Int, end: Int, depth: Int = 0): Boolean = {
+        if (depth > 32) return false
         var o = start
         while (o < end) {
           val idp = vint(o, end, keepMarker = true, maxLen = 4) match {
@@ -1893,7 +1911,7 @@ object Multimodal {
           idp._1 match {
             case id if Containers(id) =>
               if (id == 0x18538067L) sawSegment = true
-              if (!walk(p, pEnd.toInt)) return false
+              if (!walk(p, pEnd.toInt, depth + 1)) return false
             case 0x2AD7B1L => scale = beN(p, (pEnd - p).toInt)
             case 0x4489L =>
               val n = (pEnd - p).toInt

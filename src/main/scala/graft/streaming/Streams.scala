@@ -767,11 +767,6 @@ object Streams {
     require(extVectors.isEmpty || advanceMm,
       "dedupGateBatch: extVectors ride the advanceMm lane protocol — " +
         "set advanceMm = true (and advanceIndex) as well")
-    require(extVectors.isEmpty || corpusDir.forall(
-      graft.operators.MmIvf.hasExternal),
-      "dedupGateBatch: extVectors need a SEEDED external mm lane at the " +
-        "corpus's current fingerprint — build it once with " +
-        "MmIvf.buildExternal(corpusDir, Some(vectors)) before streaming")
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
     // fail fast with a clear message: the ANN lane fingerprints and appends
@@ -845,13 +840,30 @@ object Streams {
         val prior = graft.operators.MmIvf.loadAt(spark,
           st.readString(s"$deltaDir/_extprior").trim)
         graft.operators.MmIvf.appendExternal(spark, corpusDir.get, prior,
-          spark.read.parquet(s"$deltaDir/extv")); ()
+          readStagedExtv(spark, deltaDir)); ()
       }
       commit()
       st.deleteRecursive(deltaDir)
       upkeep()
       return (0L, 0L)
     }
+    // the SEEDED-lane check runs only on the FRESH path — after the
+    // committed-marker and staged-delta branches above. A crash replay
+    // after publishDelta has already moved the fingerprint (the staged
+    // extv/ + _extprior exist precisely to finish that append), and a
+    // replay of an old committed batch may arrive after later batches
+    // moved it further: both must short-circuit on their markers, never
+    // refuse here. On a fresh batch the lane must be current — seeded
+    // before the first gated batch, and advanced by EVERY admitted batch
+    // thereafter (extVectors on each gate call), or re-seeded via
+    // buildExternal after any batch that advanced the corpus without it.
+    require(extVectors.isEmpty || corpusDir.forall(
+      graft.operators.MmIvf.hasExternal),
+      "dedupGateBatch: extVectors need a SEEDED external mm lane at the " +
+        "corpus's current fingerprint — build it once with " +
+        "MmIvf.buildExternal(corpusDir, Some(vectors)) before streaming, " +
+        "and pass extVectors on every gated batch so the lane tracks the " +
+        "corpus")
     val n = batch.count()
     if (n == 0) { commit(); upkeep(); return (0L, 0L) }
     val bands = bandKeys(batch)
@@ -996,7 +1008,7 @@ object Streams {
       // the lane without the caller's full vector frame.
       priorExt.foreach { pe =>
         graft.operators.MmIvf.appendExternal(spark, dir, pe,
-          spark.read.parquet(s"$deltaDir/extv")); ()
+          readStagedExtv(spark, deltaDir)); ()
       }
       ()
     }
@@ -1011,6 +1023,17 @@ object Streams {
     compactGateStore(spark, storeDir)
     (nAdmit, n - nAdmit)
   }
+
+  /** Read the staged ext-lane delta with an EXPLICIT schema: a batch
+    * whose supplied vectors all belonged to rejected docs stages an
+    * EMPTY frame (Spark may emit zero part files for it), and schema
+    * inference over zero files throws — but the append must still run so
+    * the lane republishes at the post-delta fingerprint and stays
+    * current for the next batch's seeded check. */
+  private def readStagedExtv(spark: SparkSession,
+                             deltaDir: String): DataFrame =
+    spark.read.schema("asset_id BIGINT, f ARRAY<BIGINT>")
+      .parquet(s"$deltaDir/extv")
 
   /** Step 2 of [[dedupGateBatch]]'s staged-delta landing: MOVE every data
     * file of the published staging dir into the corpus under a

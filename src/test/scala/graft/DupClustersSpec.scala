@@ -770,6 +770,40 @@ class DupClustersSpec extends AnyFunSuite {
       assert(adm1Ids.toSet.subsetOf(ext2Ids.toSet),
         "crash replay must finish the staged external append")
       assert(ext2.cellIds.toSeq == seeded.cellIds.toSeq)
+      // EMPTY ext delta (review r17): vectors that all belong to
+      // rejected/absent docs still commit the batch and REPUBLISH the
+      // lane at the new fingerprint (explicit-schema read of the empty
+      // staged frame), so the next batch's seeded check stays green
+      val (a2, r2) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batchOf(200, 230), 2L, advanceIndex = true,
+        corpusDir = Some(root), advanceMm = true,
+        extVectors = Some(vecsOf(900L until 930L)))
+      assert(a2 > 0, "docs must admit even when no ext vector matches")
+      MmIvf.evictSession(spark)
+      val ext3 = MmIvf.buildExternal(spark, root)
+      assert(ext3.feats.count() == ext2Ids.length.toLong,
+        "an empty ext delta must republish the lane unchanged")
+      // REPLAY of an old committed batch after the fingerprint moved on
+      // (review r17): must short-circuit on its marker, never hit the
+      // seeded check
+      assert(graft.streaming.Streams.dedupGateBatch(spark, store,
+        batchOf(100, 150), 0L, advanceIndex = true, corpusDir = Some(root),
+        advanceMm = true,
+        extVectors = Some(vecsOf(100L until 150L))) == (0L, 0L),
+        "a committed batch's replay is a no-op at any later fingerprint")
+      // and a FRESH batch against a lane another batch left behind
+      // (corpus advanced without extVectors) refuses with the seeded
+      // message — the operator contract the scaladoc states
+      val (a3, _) = graft.streaming.Streams.dedupGateBatch(
+        spark, store, batchOf(230, 250), 3L, advanceIndex = true,
+        corpusDir = Some(root), advanceMm = true)
+      assert(a3 > 0)
+      val stale = intercept[IllegalArgumentException](
+        graft.streaming.Streams.dedupGateBatch(spark, store,
+          batchOf(250, 260), 4L, advanceIndex = true,
+          corpusDir = Some(root), advanceMm = true,
+          extVectors = Some(vecsOf(250L until 260L))))
+      assert(stale.getMessage.contains("SEEDED"), stale.getMessage)
     } finally {
       prevMm match {
         case Some(p) => sys.props("graft.mmivf.root") = p

@@ -834,6 +834,34 @@ class MaintenanceSpec extends AnyFunSuite {
       s"v3-$fpA-i0-k256", s"v3-$fpB-i1-k16"))
   }
 
+  test("expire_indexes: unrecognized dir shapes form their OWN " +
+    "generation (review r17 — the lane strip is anchored to " +
+    "v<ver>-<32-hex>)") {
+    // a bare `-[a-z]+$` strip would collapse data-alpha/data-beta into
+    // one 'data' unit and keep_last_n=1 would then keep BOTH; anchored,
+    // they are two units and the older one sweeps
+    val root = Files.createTempDirectory(Paths.get("target"), "gen-anchor")
+      .toAbsolutePath.toString
+    val st = graft.core.Storage.hadoop
+    def put(name: String, ageMs: Long): Unit = {
+      st.mkdirs(s"$root/$name")
+      st.writeString(s"$root/$name/centroids.tsv", "x\n")
+      Files.setLastModifiedTime(Paths.get(root, name, "centroids.tsv"),
+        java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    val fpLive = "f" * 32
+    put(s"v1-$fpLive-k8", 0L)
+    put("data-alpha", 3 * 3600L * 1000L)
+    put("data-beta", 2 * 3600L * 1000L)
+    val swept = graft.operators.IndexRetention
+      .sweep(st, root, "mm", Set(fpLive), Some(1), None)
+    assert(swept.map(_.name).toSet == Set("data-alpha"),
+      s"only the older unrecognized unit sweeps: ${swept.map(_.name)}")
+    assert(st.listDirNames(root).toSet ==
+      Set(s"v1-$fpLive-k8", "data-beta"))
+  }
+
   test("expire_indexes: stale fingerprints swept, live + lock-held survive, bounds compose") {
     val dir = "/root/testdata/sf0.001"
     val st = graft.core.Storage.hadoop

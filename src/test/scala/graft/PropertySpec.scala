@@ -315,6 +315,52 @@ class PropertySpec extends AnyFunSuite {
       "a clip without chunk bases must drop from the keyframe map")
   }
 
+  test("container walkers survive adversarial inputs (review r17): huge " +
+    "uniform stsz count and pathological nesting drop, never throw") {
+    import graft.operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val good = Multimodal.mp4Assets(spark, sf)
+      .where(col("asset_id") === 0L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    // uniform-size stsz with sample_count 0x7FFFFFFF: pre-fix this
+    // demanded a ~16 GB Array.fill (OutOfMemoryError escapes the catch);
+    // the count is bounded by the clip's byte length now
+    val hugeStsz = good.clone()
+    val stszAt = good.indexOfSlice("stsz".getBytes("US-ASCII"))
+    assert(stszAt > 0)
+    // payload starts at fourcc+4: v/f, then uniform size, then count
+    hugeStsz(stszAt + 8) = 0; hugeStsz(stszAt + 9) = 0
+    hugeStsz(stszAt + 10) = 0; hugeStsz(stszAt + 11) = 100 // uniform size
+    hugeStsz(stszAt + 12) = 0x7F.toByte
+    hugeStsz(stszAt + 13) = 0xFF.toByte
+    hugeStsz(stszAt + 14) = 0xFF.toByte
+    hugeStsz(stszAt + 15) = 0xFF.toByte // sample_count
+    assert(Multimodal.Mp4BoxReader.keyframeMap(hugeStsz).isEmpty,
+      "an impossible uniform sample count must drop the clip")
+    // 1000 nested container headers (both formats): the depth bound
+    // flags malformation instead of recursing once per level
+    var mp4Nest = Array.emptyByteArray
+    for (_ <- 1 to 1000) {
+      val bb = java.nio.ByteBuffer.allocate(8 + mp4Nest.length)
+      bb.putInt(8 + mp4Nest.length)
+      bb.put("moov".getBytes("US-ASCII")); bb.put(mp4Nest)
+      mp4Nest = bb.array()
+    }
+    assert(Multimodal.Mp4BoxReader.parse(mp4Nest).isEmpty &&
+      Multimodal.Mp4BoxReader.keyframeMap(mp4Nest).isEmpty,
+      "deep MP4 nesting must drop, never overflow the stack")
+    var ebmlNest = Array.emptyByteArray
+    for (_ <- 1 to 1000) {
+      val sz = ebmlNest.length
+      val szB =
+        if (sz < 127) Array((0x80 | sz).toByte)
+        else Array((0x40 | (sz >> 8)).toByte, (sz & 0xff).toByte)
+      ebmlNest = Array(0xAE.toByte) ++ szB ++ ebmlNest
+    }
+    assert(Multimodal.EbmlReader.parse(ebmlNest).isEmpty,
+      "deep EBML nesting must drop, never overflow the stack")
+  }
+
   test("MKV lane (q_mm26): the EBML walk reads back exactly what the " +
     "muxer wrote through an unknown-size Segment; malformed files drop") {
     import graft.operators.Multimodal
