@@ -247,6 +247,8 @@ object SparkEntry {
     "q_mm24_mp4_meta"       -> (Multimodal.qMm24 _),
     "q_mm25_mp4_keyframes"  -> (Multimodal.qMm25 _),
     "q_mm26_mkv_meta"       -> (Multimodal.qMm26 _),
+    "q_mm27_mkv_keyframes"  -> (Multimodal.qMm27 _),
+    "q_mm28_mp3_meta"       -> (Multimodal.qMm28 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2343,17 +2345,32 @@ object SparkEntry {
         "CAST(CASE WHEN tv4 >= 3000 AND prev_tv4 >= 3000 THEN 1 ELSE 0 END AS BIGINT) AS alert " +
         "FROM al ORDER BY w_start"),
     "q_st13_gate_verdict" -> (minhashSigSql +
-      // the gate's two rejection lanes on a fixture batch (docs 100..249)
-      // vs the eval frame (doc_id < 20): contaminated = shares an 8-token
-      // gram (the q_t11 rule, precedence) > dup = band key shared with a
-      // smaller in-batch doc_id (q_d4 banding, min-id-wins) > admit
+      // the gate's three rejection lanes on a fixture batch (docs
+      // 100..249) vs the eval frame (doc_id < 20): contaminated = shares
+      // an 8-token gram (the q_t11 rule, precedence) > contaminated_fuzzy
+      // = verified MinHash near-dup of an eval doc (the q_t24 chain:
+      // band collision + shingle Jaccard >= 2000 e4) > dup = band key
+      // shared with a smaller in-batch doc_id (q_d4 banding, min-id-wins)
+      // > admit
       ", sig AS (SELECT doc_id, " + minhashMinsSql +
-      " FROM h WHERE doc_id >= 100 AND doc_id < 250 GROUP BY doc_id), " +
+      " FROM h WHERE (doc_id >= 100 AND doc_id < 250) OR doc_id < 20 " +
+      "GROUP BY doc_id), " +
       "bands AS (SELECT doc_id, 1 AS band, m1 || '_' || m2 AS bk FROM sig " +
       "UNION ALL SELECT doc_id, 2, m3 || '_' || m4 FROM sig), " +
-      "dup AS (SELECT DISTINCT b.doc_id FROM bands b " +
-      "JOIN (SELECT band, bk, min(doc_id) AS first_id FROM bands GROUP BY band, bk) f " +
+      "bb AS (SELECT * FROM bands WHERE doc_id >= 100), " +
+      "dup AS (SELECT DISTINCT b.doc_id FROM bb b " +
+      "JOIN (SELECT band, bk, min(doc_id) AS first_id FROM bb GROUP BY band, bk) f " +
       "ON f.band = b.band AND f.bk = b.bk AND b.doc_id > f.first_id), " +
+      "fcand AS (SELECT DISTINCT b.doc_id AS c_id, a.doc_id AS e_id " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk " +
+      "AND a.doc_id < 20 AND b.doc_id >= 100), " +
+      "gs AS (SELECT doc_id, list_distinct(list(g)) AS gl FROM grams " +
+      "WHERE doc_id < 20 OR (doc_id >= 100 AND doc_id < 250) " +
+      "GROUP BY doc_id), " +
+      "fz AS (SELECT c.c_id AS doc_id FROM fcand c " +
+      "JOIN gs x ON c.c_id = x.doc_id JOIN gs y ON c.e_id = y.doc_id " +
+      "GROUP BY c.c_id HAVING max((CAST(len(list_intersect(x.gl, y.gl)) AS BIGINT) * 10000) " +
+      "// len(list_distinct(list_concat(x.gl, y.gl)))) >= 2000), " +
       "tok8 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
       "ix8 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
       "FROM tok8 WHERE len(w) >= 8), " +
@@ -2362,8 +2379,10 @@ object SparkEntry {
       "ct AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN ev USING (gram) " +
       "WHERE g8.doc_id >= 100 AND g8.doc_id < 250) " +
       "SELECT d.doc_id, CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' " +
+      "WHEN fz.doc_id IS NOT NULL THEN 'contaminated_fuzzy' " +
       "WHEN dup.doc_id IS NOT NULL THEN 'dup' ELSE 'admit' END AS verdict " +
       "FROM documents d LEFT JOIN ct ON ct.doc_id = d.doc_id " +
+      "LEFT JOIN fz ON fz.doc_id = d.doc_id " +
       "LEFT JOIN dup ON dup.doc_id = d.doc_id " +
       "WHERE d.doc_id >= 100 AND d.doc_id < 250 ORDER BY d.doc_id"),
     "q_st7_funnel_join" -> (
@@ -2717,6 +2736,43 @@ object SparkEntry {
         "CAST(24 * (1 + doc_id % 4) AS BIGINT) AS height, " +
         "CASE doc_id % 3 WHEN 0 THEN 'V_MPEG4/ISO/AVC' " +
         "WHEN 1 THEN 'V_MPEGH/ISO/HEVC' ELSE 'V_AV1' END AS codec " +
+        "FROM documents WHERE doc_id < 200 ORDER BY asset_id"),
+    "q_mm27_mkv_keyframes" -> (
+      // Spark walks the REAL Cluster SimpleBlock headers (keyframe flag
+      // bit) cross-checked against the REAL Cues index; the oracle
+      // replays the muxer's EBML offset algebra, which collapses to
+      // frame_offset = 87 + len(codec) + 6b + 10*(b//4) + prefix-sum of
+      // block sizes (segment data at 28, Info 23, Tracks 20+clen; each
+      // cluster pays 6 header + 4 Timestamp = 10, each SimpleBlock 6);
+      // keys = cluster-opening blocks plus the (id+b)%5 mid-cluster extras
+      "WITH d AS (SELECT doc_id, 8 + (doc_id % 5) * 4 AS n " +
+        "FROM documents WHERE doc_id < 200), " +
+        "blk AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS b FROM d), " +
+        "cum AS (SELECT doc_id, b, 40 + (doc_id + b) % 23 AS sz, " +
+        "coalesce(sum(40 + (doc_id + b) % 23) OVER " +
+        "(PARTITION BY doc_id ORDER BY b " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS psz " +
+        "FROM blk) " +
+        "SELECT doc_id AS asset_id, CAST(b + 1 AS BIGINT) AS block_no, " +
+        "CAST(b * 40 AS BIGINT) AS t_ms, " +
+        "CAST(87 + (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 16 " +
+        "ELSE 5 END) + 6 * b + 10 * (b // 4) + psz AS BIGINT) AS frame_offset, " +
+        "CAST(sz AS BIGINT) AS frame_size " +
+        "FROM cum WHERE b % 4 = 0 OR (b % 4 = 2 AND (doc_id + b) % 5 = 0) " +
+        "ORDER BY asset_id, block_no"),
+    "q_mm28_mp3_meta" -> (
+      // Spark hops REAL MPEG-1 Layer III frame headers (ID3v2 skip,
+      // bitrate/sample-rate indexes, padding bits); the oracle replays
+      // the muxed closed forms — duration = frames * 1152 samples / rate
+      "SELECT doc_id AS asset_id, " +
+        "CAST(20 + (doc_id % 7) * 5 AS BIGINT) AS n_frames, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192 " +
+        "ELSE 256 END AS BIGINT) AS bitrate_kbps, " +
+        "CAST(CASE (doc_id % 9) // 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
+        "ELSE 32000 END AS BIGINT) AS sample_rate, " +
+        "CAST(((20 + (doc_id % 7) * 5) * 1152000) // " +
+        "(CASE (doc_id % 9) // 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
+        "ELSE 32000 END) AS BIGINT) AS duration_ms " +
         "FROM documents WHERE doc_id < 200 ORDER BY asset_id"),
     "q_mm7_motion_energy" -> (
       // temporal motion energy through the real GIF decode Spark-side;

@@ -514,19 +514,31 @@ private[core] final class MmIvfProcedure
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("dir", StringType).build(),
-    ProcedureParameter.in("lane", StringType).defaultValue("'img'").build())
+    ProcedureParameter.in("lane", StringType).defaultValue("'img'").build(),
+    ProcedureParameter.in("target_recall_pm", IntegerType).defaultValue("-1")
+      .comment("when >= 0: recommend the smallest nprobe whose measured " +
+        "recall (cached per-lane curve) meets the target").build())
 
   override def isDeterministic: Boolean = false
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = input.getUTF8String(0).toString
     val lane = input.getUTF8String(1).toString
-    require(lane == "img" || lane == "aud",
-      s"mmivf: unknown lane '$lane' (one of: img, aud)")
-    val idx =
-      if (lane == "aud")
-        graft.operators.MmIvf.buildAudio(SparkSession.active, dir)
-      else graft.operators.MmIvf.build(SparkSession.active, dir)
+    val targetRecallPm = input.getInt(2)
+    require(lane == "img" || lane == "aud" || lane == "ext",
+      s"mmivf: unknown lane '$lane' (one of: img, aud, ext)")
+    // the ext lane is never fixture-built implicitly (hasExternal's
+    // contract — a gate expecting encoder vectors must not find fixture
+    // quantization published at its fingerprint); require an explicit
+    // prior buildExternal instead
+    require(lane != "ext" || graft.operators.MmIvf.hasExternal(dir),
+      "mmivf: the ext lane is not seeded at this corpus fingerprint — " +
+        "build it explicitly with MmIvf.buildExternal(dir, Some(vectors))")
+    val idx = lane match {
+      case "aud" => graft.operators.MmIvf.buildAudio(SparkSession.active, dir)
+      case "ext" => graft.operators.MmIvf.buildExternal(SparkSession.active, dir)
+      case _     => graft.operators.MmIvf.build(SparkSession.active, dir)
+    }
     // occupancy verdict, the ivfindex shape: hot cells degrade probe cost,
     // empty cells waste nprobe budget — both are retrain/re-seed evidence
     val counts = idx.feats.groupBy("cell").count()
@@ -536,16 +548,38 @@ private[core] final class MmIvfProcedure
       if (counts.isEmpty || total == 0L) 0L else counts.max * 1000L / total
     val nHot = counts.count(c => c * idx.cellIds.length > 2L * total).toLong
     val nEmpty = (idx.cellIds.length - counts.length).toLong
+    // SERVING GUIDANCE (VERDICT r17 task 2 — the ivfindex posture per mm
+    // lane): with a target, recommend the SMALLEST nprobe whose measured
+    // recall meets it, read from the lane's CACHED curve — the first
+    // request per lane state pays the sweep once and publishes it inside
+    // the lane dir; every call after reads a sweep-point-sized parquet
+    // (MaintenanceSpec pins recommendation and warm job-count).
+    val (recNprobe, recRecall, recScan) =
+      if (targetRecallPm < 0) (0L, 0L, 0L)
+      else {
+        val curve = graft.operators.MmIvf
+          .cachedNprobeCurve(SparkSession.active, dir, lane)
+          .select("nprobe", "recall_pm", "scan_pm")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        curve.find(_._2 >= targetRecallPm).getOrElse(curve.last) match {
+          case (np, rec, scan) => (np, rec, scan)
+        }
+      }
     val schema = StructType(Seq(
       StructField("index_path", StringType, nullable = false),
       StructField("n_cells", LongType, nullable = false),
       StructField("n_assets", LongType, nullable = false),
       StructField("max_share_pm", LongType, nullable = false),
       StructField("n_hot_cells", LongType, nullable = false),
-      StructField("n_empty_cells", LongType, nullable = false)))
+      StructField("n_empty_cells", LongType, nullable = false),
+      StructField("recommended_nprobe", LongType, nullable = false),
+      StructField("rec_recall_pm", LongType, nullable = false),
+      StructField("rec_scan_pm", LongType, nullable = false)))
     val row = new GenericInternalRow(Array[Any](
       GraftProcedures.utf8(idx.path), idx.cellIds.length.toLong, total,
-      maxSharePm, nHot, nEmpty))
+      maxSharePm, nHot, nEmpty, recNprobe, recRecall, recScan))
     java.util.List.of[Scan](new GraftProcedures.OneRowScan(schema, row))
       .iterator()
   }
@@ -795,6 +829,11 @@ private[core] final class ExpireIndexesProcedure
       .build(),
     ProcedureParameter.in("older_than_ms", LongType).defaultValue("-1")
       .comment("only drop dirs published before this epoch-ms (-1 = unset)")
+      .build(),
+    ProcedureParameter.in("gate_store_dirs", StringType).defaultValue("''")
+      .comment("comma-separated live dedup-gate store dirs: generations " +
+        "their staged _extprior pointers still reference are pinned " +
+        "(an mm sweep without them can wedge a crashed ext-lane batch)")
       .build())
 
   override def isDeterministic: Boolean = false
@@ -805,17 +844,19 @@ private[core] final class ExpireIndexesProcedure
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val keepN = Some(input.getInt(2)).filter(_ >= 0)
     val olderMs = Some(input.getLong(3)).filter(_ >= 0)
+    val gates = input.getUTF8String(4).toString
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val swept = kind match {
       case "ivf" => graft.operators.Similarity.IvfIndex
         .expireStale(dirs, keepN, olderMs)
       case "dup" => graft.operators.DupClusters.expireStale(dirs, keepN, olderMs)
       case "lex" => graft.operators.LexIndex.expireStale(dirs, keepN, olderMs)
-      case "mm"  => graft.operators.MmIvf.expireStale(dirs, keepN, olderMs)
+      case "mm"  => graft.operators.MmIvf.expireStale(dirs, keepN, olderMs, gates)
       case "all" =>
         graft.operators.Similarity.IvfIndex.expireStale(dirs, keepN, olderMs) ++
           graft.operators.DupClusters.expireStale(dirs, keepN, olderMs) ++
           graft.operators.LexIndex.expireStale(dirs, keepN, olderMs) ++
-          graft.operators.MmIvf.expireStale(dirs, keepN, olderMs)
+          graft.operators.MmIvf.expireStale(dirs, keepN, olderMs, gates)
       case other => throw new IllegalArgumentException(
         s"expire_indexes: unknown kind '$other' (ivf | dup | lex | mm | all)")
     }

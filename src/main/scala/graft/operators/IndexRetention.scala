@@ -71,9 +71,17 @@ private[graft] object IndexRetention {
   /** Sweep one index root. `liveFingerprints` are substrings that mark a
     * dir as live (the current corpus fingerprints — dir names embed them
     * between the version prefix and the parameter suffix). */
+  /** `protectedNames` (ADVICE r17): exact dir NAMES that must survive this
+    * sweep regardless of age or keep_last_n — the mm sweep passes the
+    * generations still referenced by a live gate's staged
+    * `_commits/<id>.delta/_extprior` pointer, whose crash replay needs that
+    * exact published dir back ([[MmIvf.loadAt]]). Unlike live
+    * fingerprints these are superseded dirs, so the substring filter
+    * cannot express them. */
   def sweep(store: graft.core.Storage, root: String, kind: String,
             liveFingerprints: Set[String], keepLastN: Option[Int],
-            olderThanMs: Option[Long]): Seq[Swept] = {
+            olderThanMs: Option[Long],
+            protectedNames: Set[String] = Set.empty): Seq[Swept] = {
     require(keepLastN.nonEmpty || olderThanMs.nonEmpty,
       "expire_indexes: set keep_last_n and/or older_than_ms")
     require(keepLastN.forall(_ >= 0) && olderThanMs.forall(_ >= 0),
@@ -103,7 +111,8 @@ private[graft] object IndexRetention {
     val names = store.listDirNames(root).filterNot(lockHeld)
     val (stagingNames, realNames) = names.partition(_.contains(".tmp-"))
     val cands = (realNames.filterNot(n =>
-        liveFingerprints.exists(n.contains)) ++ stagingNames)
+        liveFingerprints.exists(n.contains) || protectedNames.contains(n))
+        ++ stagingNames)
       .map { n =>
         val p = path(n)
         val files = store.walk(p)

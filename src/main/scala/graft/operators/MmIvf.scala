@@ -149,14 +149,38 @@ object MmIvf {
     * listed corpus's live fingerprint, never a lock-held build. `dirs`
     * must list EVERY corpus served from this root. */
   def expireStale(dirs: Seq[String], keepLastN: Option[Int],
-                  olderThanMs: Option[Long]): Seq[IndexRetention.Swept] =
+                  olderThanMs: Option[Long],
+                  gateStoreDirs: Seq[String] = Nil): Seq[IndexRetention.Swept] =
     IndexRetention.sweep(store, indexRoot, "mm",
       dirs.flatMap { d =>
         val corpus =
           new org.apache.hadoop.fs.Path(d, "documents.parquet").toString
         IndexRetention.liveCorpusFile(store, d, corpus)
           .map(_ => Similarity.IvfIndex.fileFingerprint(corpus))
-      }.toSet, keepLastN, olderThanMs)
+      }.toSet, keepLastN, olderThanMs,
+      protectedNames = extPriorPins(gateStoreDirs))
+
+  /** Generations a live gate's crash replay still needs (ADVICE r17):
+    * every staged `_commits/<id>.delta/_extprior` under the listed gate
+    * store dirs names the pre-delta ext index whose [[loadAt]] finishes
+    * the interrupted append — sweeping it wedges that batch permanently
+    * (re-seed is the only recovery). The sweep pins those exact dir
+    * names. List every gate store dir that feeds a swept corpus; the
+    * gate's own upkeep passes its own automatically. Pointer-file reads
+    * only — staged-delta-count-sized, no data touched. */
+  private[graft] def extPriorPins(gateStoreDirs: Seq[String]): Set[String] =
+    gateStoreDirs.flatMap { sd =>
+      val commits = s"$sd/_commits"
+      if (!store.exists(commits)) Nil
+      else store.listDirNames(commits).filter(_.endsWith(".delta"))
+        .flatMap { d =>
+          val ptr = s"$commits/$d/_extprior"
+          if (store.exists(ptr))
+            Some(new org.apache.hadoop.fs.Path(
+              store.readString(ptr).trim).getName)
+          else None
+        }
+    }.toSet
 
   /** Per-asset 8-component integer AUDIO feature vector — [[Multimodal
     * .audioPrints]]'s frame energies as an array column: the same
@@ -562,11 +586,12 @@ object MmIvf {
   /** The shared served-ANN probe: top-5 per probe asset (asset_id < 10),
     * cells ranked by the lane's registered quantizer, candidates from
     * probed cells only, exact integer squared-L2, (d2, n_id) total
-    * order. */
-  private def servedTopK(idx: Index): DataFrame = {
+    * order. `nprobe` defaults to the serving [[Probe]]; the recall sweep
+    * ([[nprobeCurve]]) varies it. */
+  private def servedTopK(idx: Index, nprobe: Int = Probe): DataFrame = {
     val probes = idx.feats.where(col("asset_id") < 10)
       .selectExpr("asset_id AS q_id", "f AS fq",
-        s"explode(${idx.fn}(transform(f, x -> CAST(x AS DOUBLE)), $Probe)) AS cell")
+        s"explode(${idx.fn}(transform(f, x -> CAST(x AS DOUBLE)), $nprobe)) AS cell")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("d2"), col("n_id"))
     broadcast(probes).join(idx.feats, "cell")
@@ -581,5 +606,112 @@ object MmIvf {
       .select(col("q_id"), col("n_id"), col("d2"),
         col("rnk").cast("long").as("rnk"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** Sweep points for the mm recall curve. The last entry equals
+    * [[Cells]], so the exact lane is the final sweep point (recall 1000
+    * pm by construction) — [[Similarity.NprobeSweep]]'s shape. */
+  private[graft] val NprobeSweep = Seq(1, 2, 4, Cells)
+
+  /** Measured recall/scan curve for a lane's served top-5 (VERDICT r17
+    * task 2 — the text lane's q_sim22 posture on the mm lanes): for each
+    * sweep nprobe, the fraction (pm) of the EXACT top-5 the probed-cells
+    * serving recovers, and the candidate-scan fraction it pays. Same
+    * measurement discipline as [[Similarity.qSim22]]: the exact lane is
+    * the nprobe=[[Cells]] sweep point computed once; the recall
+    * denominator is measured, never assumed; scans drive the output so
+    * every sweep point emits exactly one row; the corpus total rides the
+    * plan as a one-row broadcast. Sweep-point-sized output; candidates
+    * are probe-count × cell-sized, never all-pairs. */
+  private[graft] def nprobeCurve(s: SparkSession, idx: Index): DataFrame = {
+    def tops(np: Int): DataFrame =
+      servedTopK(idx, np)
+        .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_id"))
+    val topAll = tops(Cells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sweep = NprobeSweep.filter(_ < Cells).map(tops)
+      .reduce(_.unionAll(_)).unionAll(topAll)
+    val exact = topAll.select("q_id", "n_id")
+    val hits = sweep.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    val sizes = idx.feats.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val ranked = idx.feats.where(col("asset_id") < 10)
+      .selectExpr("asset_id AS q_id",
+        s"posexplode(${idx.fn}(transform(f, x -> CAST(x AS DOUBLE)), " +
+          s"$Cells)) AS (pos, cell)")
+      .join(broadcast(sizes), "cell")
+    val nProbes = idx.feats.where(col("asset_id") < 10).count()
+    val scans = NprobeSweep.map { np =>
+      ranked.where(col("pos") < np)
+        .agg((sum("csz") - nProbes).as("n_candidates"))
+        .select(lit(np.toLong).as("nprobe"), col("n_candidates"))
+    }.reduce(_.unionAll(_))
+    val nExact = topAll.count()
+    val totals = idx.feats.agg(count(lit(1)).as("n_total"))
+    scans.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("nprobe"),
+        expr(s"(coalesce(hits, 0L) * 1000) DIV $nExact").as("recall_pm"),
+        col("n_candidates"),
+        expr(s"(n_candidates * 1000) DIV ($nProbes * (n_total - 1))")
+          .as("scan_pm"))
+      .orderBy("nprobe")
+  }
+
+  /** Where [[cachedNprobeCurve]] persists for a lane (spec hook) —
+    * INSIDE the lane's fingerprint dir, so a changed corpus gets a fresh
+    * curve for free and retention sweeps the curve with its generation
+    * (the [[Similarity.IvfIndex.cachedNprobeCurve]] contract on each mm
+    * lane). */
+  private[graft] def nprobeCurvePath(dir: String, lane: String): String =
+    sub(indexPath(dir, lane), "nprobe_curve")
+
+  /** CACHED per-lane recall curve (VERDICT r17 task 2): computed ONCE
+    * per lane index state — lazily, on first request — published
+    * sweep-point-sized inside the lane dir by the house staged-rename
+    * protocol (leftover-staging hygiene included), read thereafter.
+    * `lane` ∈ img | aud | ext; the ext lane must already be PUBLISHED
+    * (seeded by an explicit [[buildExternal]]) — a curve request must
+    * never fixture-build a lane the gate expects to carry encoder
+    * vectors ([[hasExternal]]'s contract). */
+  def cachedNprobeCurve(s: SparkSession, dir: String,
+                        lane: String): DataFrame = {
+    require(lane == "img" || lane == "aud" || lane == "ext",
+      s"mm-ivf nprobe curve: unknown lane '$lane' (img | aud | ext)")
+    val idx = lane match {
+      case "img" => build(s, dir)
+      case "aud" => buildAudio(s, dir)
+      case _ =>
+        require(hasExternal(dir),
+          "mm-ivf nprobe curve: the ext lane is not seeded at this " +
+            "corpus fingerprint — build it explicitly with " +
+            "buildExternal(dir, Some(vectors)) first (a curve request " +
+            "must not fixture-build an encoder lane)")
+        buildExternal(s, dir)
+    }
+    val p = nprobeCurvePath(dir, lane)
+    if (!store.exists(p)) {
+      Similarity.IvfIndex.withIndexLock(p + ".lock") {
+        if (!store.exists(p)) {
+          // clear leftovers from a crashed previous attempt (they live
+          // inside the published lane dir, outside the root .tmp- sweep)
+          val parent = p.substring(0, p.lastIndexOf('/'))
+          val base = p.substring(p.lastIndexOf('/') + 1)
+          store.listDirNames(parent)
+            .filter(_.startsWith(base + ".tmp-"))
+            .foreach(n => store.deleteRecursive(s"$parent/$n"))
+          val staging = p + ".tmp-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          nprobeCurve(s, idx).write.mode("overwrite").parquet(staging)
+          if (!store.rename(staging, p)) {
+            store.deleteRecursive(staging)
+            if (!store.exists(p))
+              throw new IllegalStateException(
+                s"mm-ivf index: publishing the nprobe curve at $p failed")
+          }
+        }
+      }
+    }
+    s.read.parquet(p)
   }
 }

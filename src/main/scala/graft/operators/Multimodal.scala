@@ -1618,8 +1618,11 @@ object Multimodal {
       }
       try {
         if (!walkBoxes(bytes, 0, bytes.length)(visit)) return None
-        if (!sawMoov || ts <= 0L || dur < 0L || w < 0 || h < 0 ||
-          codec.isEmpty || nSamples < 0L) return None
+        // dur near Long.MaxValue (adversarial v1 mvhd) would overflow
+        // dur * 1000 into a bogus/negative duration — implausible
+        // durations are malformation, drop (ADVICE r17)
+        if (!sawMoov || ts <= 0L || dur < 0L || dur > Long.MaxValue / 1000L ||
+          w < 0 || h < 0 || codec.isEmpty || nSamples < 0L) return None
         // absent stss: every sample is a sync sample (ISO 14496-12)
         val keys = if (nKey >= 0L) nKey else nSamples
         Some(Meta(dur * 1000L / ts, w, h, codec.get, nSamples, keys))
@@ -1780,6 +1783,23 @@ object Multimodal {
     case _ => "V_AV1"
   }
 
+  /** MKV block/cluster closed forms (round 18, q_mm27 — the Matroska
+    * half of the keyframe-map pair). Every cluster holds exactly
+    * [[MkvBlocksPerCluster]] SimpleBlocks at [[MkvBlockDeltaMs]] ticks;
+    * block sizes stay < 127 so every SimpleBlock size VINT is one byte
+    * and the oracle's offset algebra reduces to one running sum. */
+  val MkvBlocksPerCluster = 4
+  val MkvBlockDeltaMs = 40L
+  def mkvBlockCount(id: Long): Int = (8 + (id % 5) * 4).toInt
+  def mkvBlockSize(id: Long, b: Int): Int = 40 + ((id + b) % 23).toInt
+  /** Keyframes: every cluster-opening block (the Matroska norm — clusters
+    * start at keyframes) PLUS an occasional mid-cluster key, so the
+    * SimpleBlock flag byte is load-bearing, not recoverable from block
+    * position alone. */
+  def mkvIsKey(id: Long, b: Int): Boolean =
+    b % MkvBlocksPerCluster == 0 ||
+      (b % MkvBlocksPerCluster == 2 && (id + b) % 5 == 0)
+
   private def ebmlVint(v: Long): Array[Byte] = {
     var l = 1
     while (l < 8 && v >= (1L << (7 * l)) - 1) l += 1
@@ -1808,9 +1828,18 @@ object Multimodal {
     * all-ones VINT — the streamed-file shape every robust demuxer must
     * handle; it extends to end-of-file), containing Info (TimestampScale
     * 1e6 ns + float64 Duration), Tracks → TrackEntry (TrackType video,
-    * CodecID string, Video → PixelWidth/PixelHeight) and one Cluster
-    * with an opaque payload the parser must skip. Every field derives
-    * from the closed forms above. */
+    * CodecID string, Video → PixelWidth/PixelHeight), then
+    * [[mkvBlockCount]]/[[MkvBlocksPerCluster]] Clusters — each a
+    * Timestamp element plus [[MkvBlocksPerCluster]] SimpleBlocks whose
+    * flag byte carries the real keyframe bit ([[mkvIsKey]]) — and a
+    * trailing Cues element (CuePoint → CueTime + CueTrackPositions →
+    * CueTrack/CueClusterPosition, positions relative to the segment data
+    * start per the Matroska spec). Cues AFTER the clusters keeps every
+    * CueClusterPosition a pure function of the preceding bytes, so the
+    * DuckDB oracle replays the whole offset algebra as one running sum.
+    * Cluster timestamps and cue fields are written as fixed 2-byte
+    * uints (EBML permits leading zero octets) for the same reason.
+    * Every field derives from the closed forms above. */
   def mkvAssets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
@@ -1833,14 +1862,39 @@ object Multimodal {
             ebmlEl(ebmlId(0x86), mkvCodec(id).getBytes("US-ASCII")),
             video)
           val tracks = ebmlEl(ebmlId(0x16, 0x54, 0xAE, 0x6B), track)
-          val cluster = ebmlEl(ebmlId(0x1F, 0x43, 0xB6, 0x75),
-            ebmlEl(ebmlId(0xE7), ebmlUint(0L)), // cluster Timestamp
-            ebmlEl(ebmlId(0xA3), // SimpleBlock: opaque to the meta walk
-              Array.tabulate(64 + (id % 32).toInt)(k =>
-                ((id * 3 + k) % 251).toByte)))
+          val nClusters = mkvBlockCount(id) / MkvBlocksPerCluster
+          val clusters = Array.tabulate(nClusters) { c =>
+            val blocks = (0 until MkvBlocksPerCluster).map { j =>
+              val b = c * MkvBlocksPerCluster + j
+              val sz = mkvBlockSize(id, b)
+              val rel = (j * MkvBlockDeltaMs).toInt // int16 BE, 0..120
+              val hdr = Array[Byte](0x81.toByte, // track 1 (1-byte VINT)
+                ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+                if (mkvIsKey(id, b)) 0x80.toByte else 0x00.toByte)
+              ebmlEl(ebmlId(0xA3), hdr, // SimpleBlock, no lacing
+                Array.tabulate(sz)(k => ((id * 3 + b * 7 + k) % 251).toByte))
+            }
+            ebmlEl(ebmlId(0x1F, 0x43, 0xB6, 0x75),
+              (ebmlEl(ebmlId(0xE7), beBytes(2)( // cluster Timestamp
+                c.toLong * MkvBlocksPerCluster * MkvBlockDeltaMs))
+                +: blocks): _*)
+          }
+          // CueClusterPosition is relative to the segment DATA start
+          val clusterPos =
+            clusters.scanLeft((info.length + tracks.length).toLong)(_ + _.length)
+          val cuePoints = Array.tabulate(nClusters) { c =>
+            ebmlEl(ebmlId(0xBB), // CuePoint
+              ebmlEl(ebmlId(0xB3), beBytes(2)( // CueTime
+                c.toLong * MkvBlocksPerCluster * MkvBlockDeltaMs)),
+              ebmlEl(ebmlId(0xB7), // CueTrackPositions
+                ebmlEl(ebmlId(0xF7), ebmlUint(1L)), // CueTrack
+                ebmlEl(ebmlId(0xF1), beBytes(2)(clusterPos(c)))))
+          }
+          val cues = ebmlEl(ebmlId(0x1C, 0x53, 0xBB, 0x6B), cuePoints: _*)
           // Segment of UNKNOWN size: 0x01 + 7 bytes 0xFF (all data bits
           // set) — extends to end of file
-          val segBody = info ++ tracks ++ cluster
+          val segBody = info ++ tracks ++
+            clusters.foldLeft(Array.emptyByteArray)(_ ++ _) ++ cues
           val segment = ebmlId(0x18, 0x53, 0x80, 0x67) ++
             ebmlId(0x01, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF) ++
             segBody
@@ -1861,33 +1915,53 @@ object Multimodal {
   object EbmlReader {
     final case class Meta(durationMs: Long, width: Int, height: Int,
                           codec: String)
+    /** One keyframe SimpleBlock's fetchable byte range: 1-based global
+      * block number, absolute timestamp (cluster Timestamp + in-block
+      * relative int16, in TimestampScale ticks = ms here), absolute file
+      * offset of the frame payload, payload size. */
+    final case class KeyBlock(blockNo: Long, tMs: Long, offset: Long,
+                              size: Long)
     private val Containers: Set[Long] =
       Set(0x18538067L, 0x1549A966L, 0x1654AE6BL, 0xAEL, 0xE0L)
+
+    private def beN(bytes: Array[Byte], o: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (bytes(o + i) & 0xffL); i += 1 }
+      v
+    }
+    /** Unsigned-int element payload, bounded (ADVICE r17): EBML uints
+      * are 1-8 octets; a 0- or >8-byte "uint" is malformation — reading
+      * it through [[beN]] would shift in garbage (and overflow the Long),
+      * so drop instead. Values past 2^63 surface as negative and are
+      * rejected by every caller's range check. */
+    private def uintEl(bytes: Array[Byte], p: Int, pEnd: Long): Option[Long] = {
+      val n = (pEnd - p).toInt
+      if (n <= 0 || n > 8) None else Some(beN(bytes, p, n))
+    }
+    // (value, lengthInBytes); IDs keep the marker bit (class spelling),
+    // sizes strip it; None on a zero first byte or a truncated field
+    private def vint(bytes: Array[Byte], o: Int, end: Int, keepMarker: Boolean,
+                     maxLen: Int): Option[(Long, Int)] = {
+      if (o >= end) return None
+      val b0 = bytes(o) & 0xff
+      if (b0 == 0) return None
+      val len = java.lang.Integer.numberOfLeadingZeros(b0) - 24 + 1
+      if (len > maxLen || o + len > end) return None
+      val raw = beN(bytes, o, len)
+      val v = if (keepMarker) raw else raw & ((1L << (7 * len)) - 1)
+      Some((v, len))
+    }
 
     def parse(bytes: Array[Byte]): Option[Meta] = {
       var scale = 1000000L
       var dur = Double.NaN
-      var w = -1; var h = -1
+      var w = -1L; var h = -1L
       var codec: Option[String] = None
       var sawSegment = false
-      def beN(o: Int, n: Int): Long = {
-        var v = 0L; var i = 0
-        while (i < n) { v = (v << 8) | (bytes(o + i) & 0xffL); i += 1 }
-        v
-      }
-      // (value, lengthInBytes); IDs keep the marker bit (class spelling),
-      // sizes strip it; None on a zero first byte or a truncated field
-      def vint(o: Int, end: Int, keepMarker: Boolean,
-               maxLen: Int): Option[(Long, Int)] = {
-        if (o >= end) return None
-        val b0 = bytes(o) & 0xff
-        if (b0 == 0) return None
-        val len = java.lang.Integer.numberOfLeadingZeros(b0) - 24 + 1
-        if (len > maxLen || o + len > end) return None
-        val raw = beN(o, len)
-        val v = if (keepMarker) raw else raw & ((1L << (7 * len)) - 1)
-        Some((v, len))
-      }
+      def beNl(o: Int, n: Int): Long = beN(bytes, o, n)
+      def vintL(o: Int, end: Int, keepMarker: Boolean,
+                maxLen: Int): Option[(Long, Int)] =
+        vint(bytes, o, end, keepMarker, maxLen)
       // depth-bounded like Mp4BoxReader.walkBoxes: a crafted file of
       // nothing but nested 2-byte TrackEntry headers must drop, not
       // StackOverflowError past the catch
@@ -1895,10 +1969,10 @@ object Multimodal {
         if (depth > 32) return false
         var o = start
         while (o < end) {
-          val idp = vint(o, end, keepMarker = true, maxLen = 4) match {
+          val idp = vintL(o, end, keepMarker = true, maxLen = 4) match {
             case Some(x) => x; case None => return false
           }
-          val szpOpt = vint(o + idp._2, end, keepMarker = false, maxLen = 8)
+          val szpOpt = vintL(o + idp._2, end, keepMarker = false, maxLen = 8)
           val szp = szpOpt match {
             case Some(x) => x; case None => return false
           }
@@ -1912,17 +1986,20 @@ object Multimodal {
             case id if Containers(id) =>
               if (id == 0x18538067L) sawSegment = true
               if (!walk(p, pEnd.toInt, depth + 1)) return false
-            case 0x2AD7B1L => scale = beN(p, (pEnd - p).toInt)
+            case 0x2AD7B1L =>
+              scale = uintEl(bytes, p, pEnd).getOrElse(return false)
             case 0x4489L =>
               val n = (pEnd - p).toInt
-              if (n == 8) dur = java.lang.Double.longBitsToDouble(beN(p, 8))
+              if (n == 8) dur = java.lang.Double.longBitsToDouble(beNl(p, 8))
               else if (n == 4)
-                dur = java.lang.Float.intBitsToFloat(beN(p, 4).toInt).toDouble
+                dur = java.lang.Float.intBitsToFloat(beNl(p, 4).toInt).toDouble
               else return false
             case 0x86L =>
               codec = Some(new String(bytes, p, (pEnd - p).toInt, "US-ASCII"))
-            case 0xB0L => w = beN(p, (pEnd - p).toInt).toInt
-            case 0xBAL => h = beN(p, (pEnd - p).toInt).toInt
+            case 0xB0L =>
+              w = uintEl(bytes, p, pEnd).getOrElse(return false)
+            case 0xBAL =>
+              h = uintEl(bytes, p, pEnd).getOrElse(return false)
             case _ => ()
           }
           o = pEnd.toInt
@@ -1931,9 +2008,148 @@ object Multimodal {
       }
       try {
         if (!walk(0, bytes.length)) return None
-        if (!sawSegment || dur.isNaN || dur < 0 || w <= 0 || h <= 0 ||
+        // w/h past Int.MaxValue (or negative via a 2^63+ uint) are
+        // malformation, not a resolution — drop rather than truncate
+        if (!sawSegment || dur.isNaN || dur < 0 || w <= 0L || h <= 0L ||
+          w > Int.MaxValue.toLong || h > Int.MaxValue.toLong ||
           codec.isEmpty || scale <= 0L) return None
-        Some(Meta(math.round(dur * (scale.toDouble / 1e6)), w, h, codec.get))
+        Some(Meta(math.round(dur * (scale.toDouble / 1e6)),
+          w.toInt, h.toInt, codec.get))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Keyframe SimpleBlock BYTE RANGES from the Cluster block headers +
+      * Cues cross-check — the Matroska analogue of
+      * [[Mp4BoxReader.keyframeMap]] (VERDICT r17 task 1): a sampled
+      * decoder fetches exactly these ranges and decodes ONLY keyframes.
+      * Clusters stay opaque except each SimpleBlock's header (track
+      * VINT + int16 relative timestamp + flags byte; bit 0x80 = key);
+      * lacing (flag bits 0x06) is out of the declared scope and drops
+      * the clip. When a Cues element is present it must AGREE with the
+      * walked clusters — one CuePoint per cluster, CueTime equal to the
+      * cluster Timestamp, CueClusterPosition equal to the cluster's
+      * offset from the segment data start — a seek index that lies is
+      * malformation, not data. None on ANY malformation, never throws. */
+    def keyframeMap(bytes: Array[Byte]): Option[Seq[KeyBlock]] = {
+      val clusters = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val cues = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val out = Seq.newBuilder[KeyBlock]
+      var blockNo = 0L
+      var sawSegment = false
+      var sawCues = false
+
+      // generic child iteration: onEl decides recursion/leaf handling;
+      // returns false on structural damage (same VINT rules as parse)
+      def children(start: Int, end: Int, depth: Int)(
+          onEl: (Long, Int, Int, Int) => Boolean): Boolean = {
+        if (depth > 32) return false
+        var o = start
+        while (o < end) {
+          val idp = vint(bytes, o, end, keepMarker = true, maxLen = 4) match {
+            case Some(x) => x; case None => return false
+          }
+          val szp = vint(bytes, o + idp._2, end, keepMarker = false,
+            maxLen = 8) match {
+            case Some(x) => x; case None => return false
+          }
+          val p = o + idp._2 + szp._2
+          val unknown = szp._1 == (1L << (7 * szp._2)) - 1
+          if (!unknown && szp._1 > Int.MaxValue.toLong) return false
+          val pEnd = if (unknown) end.toLong else p + szp._1
+          if (pEnd > end) return false
+          if (!onEl(idp._1, o, p, pEnd.toInt)) return false
+          o = pEnd.toInt
+        }
+        true
+      }
+
+      def simpleBlock(p: Int, pEnd: Int, clusterTs: Long): Boolean = {
+        val trk = vint(bytes, p, pEnd, keepMarker = false, maxLen = 8) match {
+          case Some(x) => x; case None => return false
+        }
+        val hp = p + trk._2
+        if (hp + 3 > pEnd) return false
+        val rel = ((bytes(hp) & 0xff) << 8 | (bytes(hp + 1) & 0xff)).toShort
+        val flags = bytes(hp + 2) & 0xff
+        if ((flags & 0x06) != 0) return false // lacing: out of scope, drop
+        blockNo += 1
+        if ((flags & 0x80) != 0)
+          out += KeyBlock(blockNo, clusterTs + rel, (hp + 3).toLong,
+            (pEnd - hp - 3).toLong)
+        true
+      }
+
+      def cluster(p: Int, pEnd: Int, segBase: Int, elStart: Int,
+                  depth: Int): Boolean = {
+        var ts = -1L
+        val ok = children(p, pEnd, depth) { (id, _, cp, cpEnd) =>
+          id match {
+            case 0xE7L => uintEl(bytes, cp, cpEnd) match {
+              case Some(v) => ts = v; true
+              case None => false
+            }
+            case 0xA3L =>
+              // Matroska requires the cluster Timestamp before any block
+              ts >= 0L && simpleBlock(cp, cpEnd, ts)
+            case _ => true // BlockGroup etc.: out of scope here, skip
+          }
+        }
+        if (!ok || ts < 0L) return false
+        clusters += ((ts, (elStart - segBase).toLong))
+        true
+      }
+
+      def cuePoint(p: Int, pEnd: Int, depth: Int): Boolean = {
+        var time = -1L; var pos = -1L
+        val ok = children(p, pEnd, depth) { (id, _, cp, cpEnd) =>
+          id match {
+            case 0xB3L => uintEl(bytes, cp, cpEnd) match {
+              case Some(v) => time = v; true
+              case None => false
+            }
+            case 0xB7L =>
+              children(cp, cpEnd, depth + 1) { (cid, _, ccp, ccpEnd) =>
+                if (cid != 0xF1L) true
+                else uintEl(bytes, ccp, ccpEnd) match {
+                  case Some(v) => pos = v; true
+                  case None => false
+                }
+              }
+            case _ => true
+          }
+        }
+        if (!ok || time < 0L || pos < 0L) return false
+        cues += ((time, pos))
+        true
+      }
+
+      def segment(p: Int, pEnd: Int, depth: Int): Boolean =
+        children(p, pEnd, depth) { (id, elStart, cp, cpEnd) =>
+          id match {
+            case 0x1F43B675L => cluster(cp, cpEnd, p, elStart, depth + 1)
+            case 0x1C53BB6BL =>
+              sawCues = true
+              children(cp, cpEnd, depth + 1) { (cid, _, ccp, ccpEnd) =>
+                if (cid == 0xBBL) cuePoint(ccp, ccpEnd, depth + 2) else true
+              }
+            case _ => true // Info/Tracks/unknown: metadata lane's job
+          }
+        }
+
+      try {
+        val ok = children(0, bytes.length, 0) { (id, _, p, pEnd) =>
+          if (id == 0x18538067L) {
+            sawSegment = true
+            segment(p, pEnd, 1)
+          } else true // EBML header etc.
+        }
+        if (!ok || !sawSegment) return None
+        // a present seek index must agree with the walked clusters
+        if (sawCues && (cues.length != clusters.length ||
+          cues.zip(clusters).exists { case ((ct, cp), (ts, pos)) =>
+            ct != ts || cp != pos
+          })) return None
+        Some(out.result())
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
@@ -1945,6 +2161,39 @@ object Multimodal {
     * contract as [[qMm24]]; only metadata rows reach the output sort. */
   def qMm26(spark: SparkSession, dir: String): DataFrame =
     mkvMeta(mkvAssets(spark, dir)).orderBy("asset_id")
+
+  /** Q-MM27 — MKV/WebM KEYFRAME BYTE-RANGE MAP (VERDICT r17 task 1): per
+    * asset, every keyframe SimpleBlock's (block_no, t_ms, frame_offset,
+    * frame_size) from the real Cluster block headers, cross-checked
+    * against the real Cues seek index ([[EbmlReader.keyframeMap]]) — the
+    * Matroska half of the [[qMm25]] pair. A 100 TB video corpus is MP4
+    * *and* MKV/WebM; this hands a codec fleet its keyframe fetch plan on
+    * both, with the codec itself still out of pure-JVM scope.
+    *
+    * Scale: same fused shape as the rest of the family — muxing and the
+    * EBML walk in one mapPartitions stage, clip bytes never cross an
+    * exchange; only (asset, keyframe)-sized metadata rows reach the
+    * output sort. The walk is O(file bytes) with O(#clusters) state. */
+  def qMm27(spark: SparkSession, dir: String): DataFrame =
+    mkvKeyframeMap(mkvAssets(spark, dir)).orderBy("asset_id", "block_no")
+
+  /** Narrow kernel of [[qMm27]]: batched mapPartitions, no exchange;
+    * malformed containers (including a lying Cues index) drop per the
+    * [[EbmlReader.keyframeMap]] contract. */
+  def mkvKeyframeMap(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            EbmlReader.keyframeMap(a.bytes).toSeq.flatten.map(k =>
+              (a.asset_id, k.blockNo, k.tMs, k.offset, k.size))
+          }
+        }
+      }
+      .toDF("asset_id", "block_no", "t_ms", "frame_offset", "frame_size")
+  }
 
   /** Narrow kernel of [[qMm26]] (PlanAuditSpec mm family list). */
   def mkvMeta(assets: DataFrame): DataFrame = {
@@ -1961,6 +2210,156 @@ object Multimodal {
         }
       }
       .toDF("asset_id", "duration_ms", "width", "height", "codec")
+  }
+
+  // ---- MP3 compressed-audio metadata lane (round 18, VERDICT r17
+  //      task 4 — the audio half of the container arc) ----
+
+  /** Closed-form per-asset MP3 facts. Bitrate and sample rate vary on
+    * independent residues so a crossover bug cannot hash-cancel; frame
+    * count spans 20..50. MPEG-1 Layer III: 1152 samples per frame, frame
+    * length floor(144 * bitrate / sample_rate) + padding. */
+  def mp3BitrateKbps(id: Long): Int = (id % 3) match {
+    case 0 => 128; case 1 => 192; case _ => 256
+  }
+  def mp3SampleRate(id: Long): Int = ((id % 9) / 3) match {
+    case 0 => 44100; case 1 => 48000; case _ => 32000
+  }
+  def mp3FrameCount(id: Long): Int = (20 + (id % 7) * 5).toInt
+  /** Real MPEG-1 padding bit, alternated per frame so the hop arithmetic
+    * (frame length + 1 on padded frames) is load-bearing — a walker that
+    * ignores it desyncs and drops every clip. */
+  def mp3Padded(id: Long, f: Int): Boolean = (id + f) % 2 == 0
+
+  /** MPEG-1 Layer III bitrate-index table (kbps; index 0 = free and
+    * 15 = reserved are malformation here). ISO/IEC 11172-3. */
+  private val Mp3Bitrates =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** REAL (if minimal) MP3 streams, generated executor-side: an optional
+    * ID3v2 tag (even ids — "ID3", version, flags, synchsafe 28-bit size;
+    * every robust MP3 walker must skip it) followed by
+    * [[mp3FrameCount]] CBR MPEG-1 Layer III frames — 0xFFFB sync,
+    * bitrate/sample-rate indexes from the closed forms, real padding
+    * bits, mono. Frame payloads are opaque deterministic fill (the codec
+    * stays out of pure-JVM scope; this is the container walk that prices
+    * and profiles a 100 TB audio corpus). */
+  def mp3Assets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val br = mp3BitrateKbps(id)
+          val sr = mp3SampleRate(id)
+          val brIdx = Mp3Bitrates.indexOf(br)
+          val srIdx = Mp3SampleRates.indexOf(sr)
+          val id3 =
+            if (id % 2 == 0) {
+              val payload = (id % 23).toInt // synchsafe: fits 7 bits
+              "ID3".getBytes("US-ASCII") ++
+                Array[Byte](4, 0, 0, 0, 0, 0, payload.toByte) ++
+                Array.fill(payload)(0x20.toByte)
+            } else Array.emptyByteArray
+          val frames = Array.tabulate(mp3FrameCount(id)) { f =>
+            val pad = if (mp3Padded(id, f)) 1 else 0
+            val flen = 144 * br * 1000 / sr + pad
+            val frame = new Array[Byte](flen)
+            frame(0) = 0xFF.toByte
+            frame(1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+            frame(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+            frame(3) = 0xC0.toByte // mono
+            var k = 4
+            while (k < flen) {
+              frame(k) = ((id * 5 + f * 3 + k) % 251).toByte; k += 1
+            }
+            frame
+          }
+          (id, "audio", id3 ++ frames.foldLeft(Array.emptyByteArray)(_ ++ _))
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Pure-JVM MP3 frame-header walk — frame count, bitrate, sample rate,
+    * duration; NO codec touched. Skips a leading ID3v2 tag (synchsafe
+    * size), then hops frame to frame via the MPEG-1 Layer III length
+    * formula (bitrate/sample-rate indexes + padding bit). The declared
+    * scope is CBR MPEG-1 Layer III mono/stereo: version or layer bits
+    * other than MPEG-1/Layer-III, free/reserved bitrate or sample-rate
+    * indexes, a mid-stream bitrate change (VBR), a frame overrunning the
+    * file, trailing garbage, or an empty stream are all malformation —
+    * None, never throw (the container family's contract). The walk is
+    * O(file bytes) with O(1) state and zero allocation. */
+  object Mp3Reader {
+    final case class Meta(nFrames: Long, bitrateKbps: Int, sampleRate: Int,
+                          durationMs: Long)
+
+    def parse(bytes: Array[Byte]): Option[Meta] = try {
+      var o = 0
+      // ID3v2: "ID3" + version(2) + flags(1) + synchsafe size(4)
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+        if ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) < 0) return None
+        val sz = (bytes(6) << 21) | (bytes(7) << 14) | (bytes(8) << 7) |
+          bytes(9)
+        if (10L + sz > bytes.length.toLong) return None
+        o = 10 + sz
+      }
+      var n = 0L
+      var br = -1; var sr = -1
+      while (o < bytes.length) {
+        if (o + 4 > bytes.length) return None
+        val b1 = bytes(o) & 0xff; val b2 = bytes(o + 1) & 0xff
+        val b3 = bytes(o + 2) & 0xff
+        if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None // sync
+        if (((b2 >> 3) & 3) != 3) return None // MPEG-1 only
+        if (((b2 >> 1) & 3) != 1) return None // Layer III only
+        val brIdx = (b3 >> 4) & 0xF
+        val srIdx = (b3 >> 2) & 3
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+        val fbr = Mp3Bitrates(brIdx); val fsr = Mp3SampleRates(srIdx)
+        if (br < 0) { br = fbr; sr = fsr }
+        else if (fbr != br || fsr != sr) return None // CBR-only scope
+        val flen = 144 * fbr * 1000 / fsr + ((b3 >> 1) & 1)
+        if (o + flen > bytes.length) return None // truncated final frame
+        o += flen
+        n += 1
+      }
+      if (n == 0L) return None
+      Some(Meta(n, br, sr, n * 1152L * 1000L / sr))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Q-MM28 — MP3 CONTAINER METADATA (VERDICT r17 task 4): per asset,
+    * the facts an audio curation pass filters and budgets on — frame
+    * count, bitrate, sample rate, duration — from a pure-JVM frame-header
+    * walk ([[Mp3Reader]]), completing the container arc's audio half
+    * alongside MP4 ([[qMm24]]) and MKV ([[qMm26]]).
+    *
+    * Scale: generation and walk fuse into ONE mapPartitions stage — clip
+    * bytes never cross an exchange (the mm family invariant); only the
+    * per-asset metadata rows shuffle for the final order. */
+  def qMm28(spark: SparkSession, dir: String): DataFrame =
+    mp3Meta(mp3Assets(spark, dir)).orderBy("asset_id")
+
+  /** Narrow kernel of [[qMm28]]: batched mapPartitions, no exchange;
+    * malformed streams drop per the [[Mp3Reader]] contract. */
+  def mp3Meta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            Mp3Reader.parse(a.bytes).map(m =>
+              (a.asset_id, m.nFrames, m.bitrateKbps.toLong,
+                m.sampleRate.toLong, m.durationMs))
+          }
+        }
+      }
+      .toDF("asset_id", "n_frames", "bitrate_kbps", "sample_rate",
+        "duration_ms")
   }
 
   /** The narrow kernel of [[qMm24]] over any (asset_id, kind, bytes)

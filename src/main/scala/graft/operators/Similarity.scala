@@ -391,6 +391,16 @@ object Similarity {
       if (!store.exists(p)) {
         withIndexLock(p + ".lock") {
           if (!store.exists(p)) {
+            // hygiene (ADVICE r17): a crash between a previous attempt's
+            // parquet write and its rename leaks `nprobe_curve.tmp-*`
+            // INSIDE the published index dir, where the index-root .tmp-
+            // sweep never looks — clear any leftovers under the lock
+            // before staging, mirroring publishAppended
+            val parent = p.substring(0, p.lastIndexOf('/'))
+            val base = p.substring(p.lastIndexOf('/') + 1)
+            store.listDirNames(parent)
+              .filter(_.startsWith(base + ".tmp-"))
+              .foreach(n => store.deleteRecursive(s"$parent/$n"))
             val staging = p + ".tmp-" +
               java.util.UUID.randomUUID().toString.take(8)
             qSim22(s, dir).write.mode("overwrite").parquet(staging)

@@ -535,24 +535,35 @@ object Streams {
     * held-out eval frame (doc_id < 20) with the gate's own two rejection
     * lanes — `contaminated` (shares a verbatim 8-token gram with the eval
     * set, the [[graft.operators.TextAnalysis.qT11]] rule the
-    * `decontamEval` opt-in runs at the door) taking precedence over `dup`
-    * (a band key shared with a smaller doc_id in the same batch — rule (b)
-    * min-id-wins, bands via [[bandKeys]] so the batch form and the live
-    * gate can never drift), else `admit`. The oracle replays both lanes
-    * (the q_t11 gram kernel + the q_d4 banding CTEs) and the precedence.
+    * `decontamEval` opt-in runs at the door) taking precedence over
+    * `contaminated_fuzzy` (a verified MinHash near-dup of an eval doc —
+    * the [[graft.operators.TextAnalysis.qT24]] rule the `decontamFuzzy`
+    * opt-in runs at the door, VERDICT r17 task 3: shingle Jaccard ≥ 0.2
+    * against any eval doc, candidates via [[fuzzyEvalPairsOf]]), over
+    * `dup` (a band key shared with a smaller doc_id in the same batch —
+    * rule (b) min-id-wins, bands via [[bandKeys]] so the batch form and
+    * the live gate can never drift), else `admit`. The oracle replays
+    * all three lanes (the q_t11 gram kernel + the q_t24 fuzzy chain +
+    * the q_d4 banding CTEs) and the precedence.
     *
-    * Scale: the eval gram set broadcasts (eval-sized); the dup leg is one
-    * band-keyed agg over batch-sized bands — both lanes micro-batch-
-    * bounded exactly like the live gate. */
+    * Scale: the eval gram set, eval band keys, and eval shingle lists all
+    * broadcast (eval-sized); the dup leg is one band-keyed agg over
+    * batch-sized bands; the fuzzy verify shingles candidates only — every
+    * lane micro-batch-bounded exactly like the live gate. */
   def qSt13(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val batch = docs.where(col("doc_id") >= 100 && col("doc_id") < 250)
+    val evalDocs = docs.where(col("doc_id") < 20)
     val evalGrams = graft.operators.TextAnalysis
-      .tokenGrams(docs.where(col("doc_id") < 20)).select("gram").distinct()
+      .tokenGrams(evalDocs).select("gram").distinct()
     val contam = graft.operators.TextAnalysis.tokenGrams(batch)
       .join(broadcast(evalGrams), "gram")
       .select("doc_id").distinct().withColumn("c", lit(1))
+    val fuzzy = fuzzyEvalPairsOf(batch.select("doc_id", "text"),
+        evalDocs.select("doc_id", "text"))
+      .where(col("jac_e4") >= FuzzyContamJacE4)
+      .select("doc_id").distinct().withColumn("f", lit(1))
     val bands = bandKeys(batch)
     val dup = bands
       .join(bands.groupBy("band", "bk").agg(min("doc_id").as("first_id")),
@@ -561,9 +572,11 @@ object Streams {
       .select("doc_id").distinct().withColumn("d", lit(1))
     batch.select("doc_id")
       .join(contam, Seq("doc_id"), "left")
+      .join(fuzzy, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("c") === 1, lit("contaminated"))
+          .when(col("f") === 1, lit("contaminated_fuzzy"))
           .when(col("d") === 1, lit("dup"))
           .otherwise(lit("admit")).as("verdict"))
       .orderBy("doc_id")
@@ -698,6 +711,19 @@ object Streams {
     * refuses loudly inside appendExternal — rebuilding needs the caller's
     * full vector frame, which the gate does not hold.
     *
+    * ONCE SEEDED, PASS `extVectors` ON EVERY GATED BATCH (VERDICT r17
+    * task 5): each admitted batch moves the corpus fingerprint, and only
+    * the ext append republishes the lane at the new one — a batch gated
+    * WITHOUT `extVectors` leaves the lane at the old fingerprint, and
+    * the next `extVectors` batch refuses with an explicit re-seed
+    * ([[graft.operators.MmIvf.buildExternal]] with the full vector
+    * frame) as the only recovery. For a batch whose documents carry no
+    * vectors, pass `Some(spark.emptyDataset[...].toDF("asset_id", "f"))`
+    * — an EMPTY (asset_id BIGINT, f ARRAY<BIGINT>) frame: the empty
+    * staged delta republishes the lane at the post-batch fingerprint
+    * (zero new vectors indexed), keeping it current for the next real
+    * append (spec-pinned in StreamingSpec).
+    *
     * Maintenance opt-ins, both AFTER the commit marker (so a crash
     * mid-upkeep replays as a committed no-op):
     *  - `autoExpireKeepLast = Some(n)`: every admitted batch publishes a
@@ -715,8 +741,14 @@ object Streams {
     * the dup legs: batch docs sharing a verbatim 8-token gram with the
     * eval frame (the [[graft.operators.TextAnalysis.qT11]] rule) are
     * rejected and quarantined to the store's `_contam` channel
-    * (doc_id, text, batch_id) — eval leakage never enters the corpus, so
-    * the offline q_t11/q_t38 passes become audits instead of cleanups.
+    * (doc_id, text, batch_id, reason) — eval leakage never enters the
+    * corpus, so the offline q_t11/q_t38 passes become audits instead of
+    * cleanups. `decontamFuzzy = true` (VERDICT r17 task 3) adds the
+    * [[graft.operators.TextAnalysis.qT24]] rule as a second door lane:
+    * batch docs whose verified shingle Jaccard against any eval doc
+    * reaches [[FuzzyContamJacE4]] (candidates via MinHash banding,
+    * [[fuzzyEvalPairsOf]]) quarantine with reason `fuzzy` — paraphrased
+    * leakage refused at the door, not clawed back offline.
     * [[qSt13]] is the oracle-checked batch form of the combined verdict. */
   /** The gate's LSH band keys for a (doc_id, text) frame: [[graft
     * .operators.Dedup.qD4]]'s 2×2 banding of the fused `minhash_sig`
@@ -733,6 +765,41 @@ object Streams {
           |  named_struct('band', 2, 'bk', concat(ms.m3, '_', ms.m4)))) AS b""".stripMargin)
       .selectExpr("doc_id", "b.band AS band", "b.bk AS bk")
 
+  /** The fuzzy-decontam flag threshold — shingle Jaccard ≥ 0.2 in
+    * integer permyriad, [[graft.operators.TextAnalysis.qT24]]'s `flagged`
+    * rule verbatim, so the gate lane and the offline audit can never
+    * disagree on what counts as paraphrased leakage. */
+  private[graft] val FuzzyContamJacE4 = 2000L
+
+  /** [[graft.operators.TextAnalysis.fuzzyEvalPairs]]'s kernel over two
+    * FRAMES (VERDICT r17 task 3 — the gate's fuzzy lane and [[qSt13]]'s
+    * batch form share it): candidates via the gate's own 2×2 MinHash
+    * banding ([[bandKeys]] on both sides), verified with exact 3-token
+    * shingle Jaccard in integer permyriad. Returns (doc_id, e_id,
+    * jac_e4) for batch × eval band collisions only.
+    *
+    * Scale: the eval side is benchmark-sized — its band keys AND its
+    * shingle lists broadcast; the batch side pays one fused signature
+    * pass plus shingling of the CANDIDATES only. Never batch × eval
+    * all-pairs. */
+  private[graft] def fuzzyEvalPairsOf(batch: DataFrame,
+                                      ev: DataFrame): DataFrame = {
+    val bBands = bandKeys(batch.select("doc_id", "text"))
+    val eBands = bandKeys(ev.select("doc_id", "text"))
+      .withColumnRenamed("doc_id", "e_id")
+    val cand = bBands.join(broadcast(eBands), Seq("band", "bk"))
+      .select("doc_id", "e_id").distinct()
+    val gc = batch.join(cand.select("doc_id").distinct(), Seq("doc_id"))
+      .selectExpr("doc_id", "word_shingles(text, 3) AS gc")
+    val ge = ev.selectExpr("doc_id AS e_id", "word_shingles(text, 3) AS ge")
+      .join(broadcast(cand.select("e_id").distinct()), Seq("e_id"))
+    cand.join(gc, "doc_id").join(broadcast(ge), "e_id")
+      .withColumn("jac_e4",
+        expr("(CAST(size(array_intersect(gc, ge)) AS BIGINT) * 10000) " +
+          "DIV size(array_union(gc, ge))"))
+      .select("doc_id", "e_id", "jac_e4")
+  }
+
   def dedupGateBatch(spark: SparkSession, storeDir: String,
       batch: DataFrame, batchId: Long, advanceIndex: Boolean = false,
       corpusDir: Option[String] = None,
@@ -742,7 +809,11 @@ object Streams {
       autoExpireKeepLast: Option[Int] = None,
       vacuumCommitsBelow: Option[Long] = None,
       decontamEval: Option[DataFrame] = None,
+      decontamFuzzy: Boolean = false,
       extVectors: Option[DataFrame] = None): (Long, Long) = {
+    require(!decontamFuzzy || decontamEval.nonEmpty,
+      "dedupGateBatch: decontamFuzzy is a second lane of the decontamEval " +
+        "protocol — pass the eval frame as well")
     require(!advanceIndex || corpusDir.nonEmpty,
       "dedupGateBatch: advanceIndex = true needs the corpusDir the " +
         "admitted delta lands in")
@@ -767,6 +838,24 @@ object Streams {
     require(extVectors.isEmpty || advanceMm,
       "dedupGateBatch: extVectors ride the advanceMm lane protocol — " +
         "set advanceMm = true (and advanceIndex) as well")
+    // ADVICE r17: the staged extv/ copy is read back on crash replay with
+    // a hard (asset_id BIGINT, f ARRAY<BIGINT>) schema — a frame that
+    // stages as e.g. array<int> would fail only at replay, AFTER the
+    // staged rename landed the docs, wedging the batch on every retry.
+    // Refuse a contract-violating caller before anything is staged.
+    extVectors.foreach { ev =>
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val cols = ev.columns.toSet
+      val fOk = cols.contains("f") && (ev.schema("f").dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      require(cols.contains("asset_id") &&
+        ev.schema("asset_id").dataType == LongType && fOk,
+        "dedupGateBatch: extVectors must carry (asset_id BIGINT, " +
+          "f ARRAY<BIGINT>) — the staged crash-replay copy is read back " +
+          s"with exactly that schema; got ${ev.schema.simpleString}")
+    }
     graft.functions.GraftFunctions.register(spark)
     val st = graft.core.Storage.hadoop
     // fail fast with a clear message: the ANN lane fingerprints and appends
@@ -799,7 +888,11 @@ object Streams {
             .expireStale(Seq(d), Some(n), None); ()
         }
         if (advanceMm) {
-          graft.operators.MmIvf.expireStale(Seq(d), Some(n), None); ()
+          // the gate pins its OWN staged _extprior generations (ADVICE
+          // r17): self-upkeep must never sweep a generation a concurrent
+          // crash replay of this gate still needs
+          graft.operators.MmIvf.expireStale(Seq(d), Some(n), None,
+            gateStoreDirs = Seq(storeDir)); ()
         }
       }
       vacuumCommitsBelow.foreach(f => vacuumGateCommits(storeDir, f))
@@ -882,7 +975,7 @@ object Streams {
     // pattern) for audit. Replay of an uncommitted crash can duplicate
     // channel rows (decision-neutral, same ids — the docs/bands caveat);
     // a committed batch short-circuits at the marker as always.
-    val contaminated = decontamEval match {
+    val verbatim = decontamEval match {
       case Some(ev) =>
         val evalGrams = graft.operators.TextAnalysis
           .tokenGrams(ev.select("doc_id", "text")).select("gram").distinct()
@@ -892,14 +985,40 @@ object Streams {
           .localCheckpoint(eager = true)
       case None => batch.select("doc_id").limit(0)
     }
+    // FUZZY LANE (opt-in, VERDICT r17 task 3): a verified MinHash
+    // near-dup of an eval doc — the qT24 rule run AT THE DOOR, so a
+    // lightly paraphrased eval answer (few exact 8-grams, high shingle
+    // Jaccard) is refused instead of clawed back by the offline q_t24
+    // pass. Candidates via the gate's own banding against the
+    // BROADCAST eval band keys, exact-Jaccard verified, threshold =
+    // qT24's flag rule. Verbatim hits take precedence (one reason per
+    // doc in the quarantine channel).
+    val fuzzy = decontamEval match {
+      case Some(ev) if decontamFuzzy =>
+        fuzzyEvalPairsOf(batch.select("doc_id", "text"),
+            ev.select("doc_id", "text"))
+          .where(col("jac_e4") >= FuzzyContamJacE4)
+          .select("doc_id").distinct()
+          .join(verbatim, Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = true)
+      case _ => batch.select("doc_id").limit(0)
+    }
     // ADVICE r15: only launch the quarantine append when the batch
-    // actually rejected something — the count reads the eagerly
+    // actually rejected something — the counts read the eagerly
     // checkpointed blocks, so a clean batch pays no write job and a
-    // never-rejecting store never grows a _contam dir
-    if (decontamEval.nonEmpty && contaminated.count() > 0)
-      batch.join(contaminated, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text"), lit(batchId).as("batch_id"))
+    // never-rejecting store never grows a _contam dir. Each quarantined
+    // row carries its rejection `reason` (verbatim | fuzzy) for audit.
+    val nVerbatim = if (decontamEval.nonEmpty) verbatim.count() else 0L
+    val nFuzzy = if (decontamFuzzy) fuzzy.count() else 0L
+    if (nVerbatim + nFuzzy > 0L)
+      batch.join(verbatim, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), lit(batchId).as("batch_id"),
+          lit("verbatim").as("reason"))
+        .union(batch.join(fuzzy, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text"), lit(batchId).as("batch_id"),
+            lit("fuzzy").as("reason")))
         .write.mode("append").parquet(s"$storeDir/_contam")
+    val contaminated = verbatim.union(fuzzy)
     val bandsPath = s"$storeDir/bands"
     val rejectedStore =
       if (st.exists(bandsPath)) {

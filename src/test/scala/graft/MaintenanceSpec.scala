@@ -752,6 +752,73 @@ class MaintenanceSpec extends AnyFunSuite {
         spark.sql(s"CALL graftmm.system.mmivf(dir => '$dir', lane => 'x')")
           .head())
       assert(eBad.getMessage.contains("unknown lane"), eBad.getMessage)
+      // SERVING GUIDANCE (VERDICT r17 task 2 — recall-curve parity with
+      // the text lane): no target → guidance columns read 0
+      assert(r.getAs[Long]("recommended_nprobe") == 0L, s"$r")
+      // with a target: recommendation pinned EQUAL to the measured
+      // per-lane curve — smallest nprobe meeting it
+      val target = 900
+      val curveImg = graft.operators.MmIvf
+        .cachedNprobeCurve(spark, dir, "img")
+        .select("nprobe", "recall_pm", "scan_pm").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+      val want = curveImg.find(_._2 >= target).getOrElse(curveImg.last)
+      val rg = spark.sql(s"CALL graftmm.system.mmivf(dir => '$dir', " +
+        s"target_recall_pm => $target)").head()
+      assert((rg.getAs[Long]("recommended_nprobe"),
+        rg.getAs[Long]("rec_recall_pm"),
+        rg.getAs[Long]("rec_scan_pm")) == want,
+        s"guidance must equal the measured img curve: $rg vs $want")
+      // the curve persists INSIDE the lane's fingerprint dir, so
+      // retention sweeps it with its generation
+      val curvePath = graft.operators.MmIvf.nprobeCurvePath(dir, "img")
+      assert(graft.core.Storage.hadoop.exists(curvePath) &&
+        curvePath.startsWith(idx.path),
+        s"curve must live inside the lane dir: $curvePath vs ${idx.path}")
+      // a warm call answers from the cached parquet, never the sweep
+      @volatile var warmJobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          warmJobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val rw =
+        try {
+          val out = spark.sql(s"CALL graftmm.system.mmivf(dir => '$dir', " +
+            s"target_recall_pm => $target)").head()
+          var prev = -1
+          while (prev != warmJobs) { prev = warmJobs; Thread.sleep(300) }
+          out
+        } finally spark.sparkContext.removeSparkListener(listener)
+      assert((rw.getAs[Long]("recommended_nprobe"),
+        rw.getAs[Long]("rec_recall_pm"),
+        rw.getAs[Long]("rec_scan_pm")) == want,
+        s"cached-curve recommendation must be unchanged: $rw vs $want")
+      assert(warmJobs <= 8,
+        s"warm mm guidance must read the cached curve: $warmJobs jobs")
+      // an unmeetable target falls back to probing every cell (the aud
+      // lane gets its own curve under its own -aud dir)
+      val ru = spark.sql(s"CALL graftmm.system.mmivf(dir => '$dir', " +
+        s"lane => 'aud', target_recall_pm => 1001)").head()
+      assert(ru.getAs[Long]("recommended_nprobe") ==
+        graft.operators.MmIvf.Cells.toLong &&
+        ru.getAs[Long]("rec_recall_pm") == 1000L, s"$ru")
+      assert(graft.core.Storage.hadoop.exists(
+        graft.operators.MmIvf.nprobeCurvePath(dir, "aud")))
+      // the EXT lane refuses implicit fixture seeding on the guidance
+      // path too (hasExternal's contract) — and serves guidance once
+      // explicitly seeded
+      val eExt = intercept[Exception](
+        spark.sql(s"CALL graftmm.system.mmivf(dir => '$dir', " +
+          s"lane => 'ext', target_recall_pm => $target)").head())
+      assert(eExt.getMessage.contains("not seeded"), eExt.getMessage)
+      graft.operators.MmIvf.buildExternal(spark, dir) // explicit seed
+      val re = spark.sql(s"CALL graftmm.system.mmivf(dir => '$dir', " +
+        s"lane => 'ext', target_recall_pm => 1001)").head()
+      assert(re.getAs[Long]("recommended_nprobe") ==
+        graft.operators.MmIvf.Cells.toLong &&
+        re.getAs[Long]("rec_recall_pm") == 1000L, s"$re")
       // the mm kind's retention sweep protects BOTH lanes' live dirs
       val swept = graft.operators.MmIvf.expireStale(Seq(dir), Some(0), None)
       assert(swept.isEmpty, s"live mm index must survive a keep-0 sweep: $swept")
@@ -800,6 +867,55 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(remaining ==
       Set(s"v1-$fpLive-k8", s"v1-$fpB-k8", s"v1-$fpB-k8-aud"),
       s"the kept generation must retain BOTH lanes: $remaining")
+  }
+
+  test("mm retention pins generations a live gate's _extprior still " +
+    "references (ADVICE r17)") {
+    // a crashed ext-lane batch's staged _extprior names the pre-delta
+    // generation its replay must loadAt; an out-of-band keep-0 sweep
+    // must not take it while the pointer is live — and must take it
+    // once the gate is no longer listed (or the staging is gone)
+    val root = Files.createTempDirectory(Paths.get("target"), "mm-pin")
+      .toAbsolutePath.toString
+    val st = graft.core.Storage.hadoop
+    def put(name: String, ageMs: Long): Unit = {
+      st.mkdirs(s"$root/$name")
+      st.writeString(s"$root/$name/centroids.tsv", "x\n")
+      Files.setLastModifiedTime(Paths.get(root, name, "centroids.tsv"),
+        java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    val fpLive = "f" * 32
+    val fpA = "a" * 32 // superseded generation, img + ext lanes
+    put(s"v1-$fpLive-k8", 0L)
+    put(s"v1-$fpA-k8", 4 * 3600L * 1000L)
+    put(s"v1-$fpA-k8-ext", 4 * 3600L * 1000L)
+    val gate = Files.createTempDirectory(Paths.get("target"), "pin-gate")
+      .toAbsolutePath.toString
+    st.mkdirs(s"$gate/_commits/7.delta/extv")
+    st.writeString(s"$gate/_commits/7.delta/_extprior",
+      s"$root/v1-$fpA-k8-ext\n")
+    val pins = graft.operators.MmIvf.extPriorPins(Seq(gate))
+    assert(pins == Set(s"v1-$fpA-k8-ext"), s"$pins")
+    // a gate store with no staged deltas pins nothing
+    assert(graft.operators.MmIvf.extPriorPins(
+      Seq(Files.createTempDirectory(Paths.get("target"), "pin-empty")
+        .toAbsolutePath.toString)).isEmpty)
+    val swept1 = graft.operators.IndexRetention
+      .sweep(st, root, "mm", Set(fpLive), Some(0), None,
+        protectedNames = pins)
+    assert(swept1.map(_.name).toSet == Set(s"v1-$fpA-k8") &&
+      st.exists(s"$root/v1-$fpA-k8-ext"),
+      s"the _extprior generation must survive the sweep: " +
+        s"${swept1.map(_.name)}")
+    // with the pointer gone (replay finished, delta cleaned), the same
+    // sweep takes it
+    st.deleteRecursive(s"$gate/_commits/7.delta")
+    val swept2 = graft.operators.IndexRetention
+      .sweep(st, root, "mm", Set(fpLive), Some(0), None,
+        protectedNames = graft.operators.MmIvf.extPriorPins(Seq(gate)))
+    assert(swept2.map(_.name) == Seq(s"v1-$fpA-k8-ext"),
+      s"${swept2.map(_.name)}")
   }
 
   test("expire_indexes: quantizer-variant dirs of one fingerprint are " +

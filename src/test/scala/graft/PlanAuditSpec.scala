@@ -650,7 +650,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "mp4Meta" -> Multimodal.mp4Meta(Multimodal.mp4Assets(spark, sf)),
       "mp4KeyframeMap" ->
         Multimodal.mp4KeyframeMap(Multimodal.mp4Assets(spark, sf)),
-      "mkvMeta" -> Multimodal.mkvMeta(Multimodal.mkvAssets(spark, sf)))) {
+      "mkvMeta" -> Multimodal.mkvMeta(Multimodal.mkvAssets(spark, sf)),
+      "mkvKeyframeMap" ->
+        Multimodal.mkvKeyframeMap(Multimodal.mkvAssets(spark, sf)),
+      "mp3Meta" -> Multimodal.mp3Meta(Multimodal.mp3Assets(spark, sf)))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),

@@ -406,6 +406,111 @@ class PropertySpec extends AnyFunSuite {
       "malformed MKV files must drop, never throw")
   }
 
+  test("MKV keyframe map (q_mm27): block-header keyframes match the muxed " +
+    "closed forms; a lying Cues index or lacing drops; absent Cues is fine") {
+    import graft.operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.qMm27(spark, sf).collect()
+    // independent replay of the muxer's offset algebra per asset — the
+    // same arithmetic the DuckDB oracle runs (frame_offset = 87 + clen +
+    // 6b + 10*(b//4) + prefix-sum of sizes)
+    var expected = 0
+    for (id <- 0L until Multimodal.AssetDocBound) {
+      val clen = Multimodal.mkvCodec(id).length
+      var psz = 0L
+      for (b <- 0 until Multimodal.mkvBlockCount(id)) {
+        val sz = Multimodal.mkvBlockSize(id, b)
+        if (Multimodal.mkvIsKey(id, b)) expected += 1
+        if (Multimodal.mkvIsKey(id, b)) {
+          val r = rows(expected - 1)
+          assert(r.getLong(0) == id && r.getLong(1) == b + 1 &&
+            r.getLong(2) == b * Multimodal.MkvBlockDeltaMs &&
+            r.getLong(3) == 87L + clen + 6L * b + 10L * (b / 4) + psz &&
+            r.getLong(4) == sz.toLong,
+            s"keyframe row must replay the muxed algebra: $r (id=$id b=$b)")
+        }
+        psz += sz
+      }
+    }
+    assert(rows.length == expected, s"${rows.length} vs $expected keyframes")
+    import spark.implicits._
+    val good = Multimodal.mkvAssets(spark, sf)
+      .where(col("asset_id") === 0L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    // first SimpleBlock's flags byte: header 16 + segment id/size 12 +
+    // info 23 + tracks 20+15 + cluster hdr 6 + Timestamp el 4 +
+    // SimpleBlock id/size 2 + track VINT 1 + int16 rel ts 2 = abs 101
+    val laced = good.clone()
+    assert((laced(101) & 0xff) == 0x80, "fixture drift: expected key flags")
+    laced(101) = (laced(101) | 0x06).toByte // EBML lacing: declared out of scope
+    // a Cues index that disagrees with the walked clusters is malformation
+    val cuesAt = good.indexOfSlice(
+      Seq(0x1C, 0x53, 0xBB, 0x6B).map(_.toByte))
+    assert(cuesAt > 0)
+    val lyingCue = good.clone()
+    // first CuePoint: id/size 2 + CueTime el 4 + CueTrackPositions id/size
+    // 2 + CueTrack el 3 + CueClusterPosition id/size 2 + pos hi byte 1 →
+    // pos lo byte at cues payload start (cuesAt+5) + 14
+    lyingCue(cuesAt + 5 + 14) = (lyingCue(cuesAt + 5 + 14) + 1).toByte
+    val truncated = good.take(good.length - 10) // cut inside the Cues
+    val junk = Seq((1L, "video", laced), (2L, "video", lyingCue),
+      (3L, "video", truncated)).toDF("asset_id", "kind", "bytes")
+    assert(Multimodal.mkvKeyframeMap(junk).isEmpty,
+      "lacing, a lying seek index, and truncation must all drop")
+    // Cues are OPTIONAL: rename the id away (still a valid unknown
+    // 4-byte id) and the block-header walk alone must yield the same map
+    val noCues = good.clone()
+    noCues(cuesAt) = 0x1A.toByte
+    val fromBlocks = Multimodal.EbmlReader.keyframeMap(noCues).get
+    assert(fromBlocks == Multimodal.EbmlReader.keyframeMap(good).get &&
+      fromBlocks.nonEmpty,
+      "absent Cues must fall back to the block headers alone")
+  }
+
+  test("MP3 lane (q_mm28): the frame-header walk reads back the muxed " +
+    "closed forms; desync, VBR, reserved indexes, bad ID3 all drop") {
+    import graft.operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val parsed = Multimodal.qMm28(spark, sf).collect()
+    assert(parsed.length == 200, s"one row per asset: ${parsed.length}")
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.mp3FrameCount(id).toLong
+      val sr = Multimodal.mp3SampleRate(id)
+      assert(r.getLong(1) == n &&
+        r.getLong(2) == Multimodal.mp3BitrateKbps(id).toLong &&
+        r.getLong(3) == sr.toLong &&
+        r.getLong(4) == n * 1152L * 1000L / sr,
+        s"frame walk must round-trip the muxed facts: $r")
+    }
+    import spark.implicits._
+    // id 1 has no ID3 tag: frames start at byte 0
+    val good = Multimodal.mp3Assets(spark, sf)
+      .where(col("asset_id") === 1L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    assert((good(0) & 0xff) == 0xFF, "fixture drift: expected frame sync")
+    val badSync = good.clone(); badSync(0) = 0x12
+    val truncated = good.take(good.length - 3) // final frame overruns
+    val reserved = good.clone()
+    reserved(2) = (0xF << 4).toByte // bitrate index 15 = reserved
+    val vbr = good.clone()
+    // second frame: id 1 is 192 kbps @ 44100, frame 0 unpadded ((1+0)%2=1)
+    val f1At = 144 * 192 * 1000 / 44100
+    assert((vbr(f1At) & 0xff) == 0xFF, "fixture drift: frame 1 sync")
+    vbr(f1At + 2) = ((9 << 4) | (vbr(f1At + 2) & 0x0F)).toByte // 128 kbps
+    // id 0 carries an ID3v2 tag; a non-synchsafe size byte is malformed
+    val tagged = Multimodal.mp3Assets(spark, sf)
+      .where(col("asset_id") === 0L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    assert(tagged(0) == 'I'.toByte, "fixture drift: expected ID3 tag")
+    val badId3 = tagged.clone(); badId3(9) = 0x80.toByte
+    val junk = Seq((1L, "audio", badSync), (2L, "audio", truncated),
+      (3L, "audio", reserved), (4L, "audio", vbr), (5L, "audio", badId3))
+      .toDF("asset_id", "kind", "bytes")
+    assert(Multimodal.mp3Meta(junk).isEmpty,
+      "malformed MP3 streams must drop, never throw")
+  }
+
   test("shard packing (q_t42) is bucket-width invariant and partitions the corpus") {
     import graft.operators.TextAnalysis
     val sf = "/root/testdata/sf0.001"

@@ -678,6 +678,119 @@ class StreamingSpec extends AnyFunSuite {
       "a clean batch must not create the quarantine channel")
   }
 
+  test("ST-9 fuzzy decontam lane (VERDICT r17 task 3): a paraphrased eval " +
+    "doc quarantines with reason=fuzzy; verbatim keeps precedence; opt-out " +
+    "admits it") {
+    // 20 distinct words; the paraphrase changes words 8 and 16, so every
+    // 8-token window differs (no verbatim gram) while 12/18 shingles
+    // survive (Jaccard ~0.5 >= the 0.2 flag rule) and the MinHash bands
+    // still collide — exactly the leakage the verbatim lane cannot see
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango"
+    val eval = spark.range(1).selectExpr("0L AS doc_id", s"'$evalText' AS text")
+    // words 8 and 13 changed: every 8-token window of the 20 contains a
+    // changed word (no verbatim gram survives), 12/18 shingles persist
+    // (Jaccard 0.5 >= the 0.2 flag rule), and this particular pair was
+    // searched to band-collide under the fused minhash_sig (the guard
+    // below catches kernel drift)
+    val paraText = "alpha bravo charlie delta echo foxtrot golf chx8v1 " +
+      "india juliet kilo lima chy13v1 november oscar papa quebec romeo " +
+      "sierra tango"
+    // fixture sanity: the paraphrase is a FUZZY-lane candidate (bands
+    // collide, Jaccard over threshold) but not a verbatim one
+    val para1 = Seq((2L, paraText)).toDF("doc_id", "text")
+    val fp = Streams.fuzzyEvalPairsOf(para1, eval).collect()
+    assert(fp.length == 1 && fp(0).getLong(2) >= Streams.FuzzyContamJacE4,
+      s"fixture drift: paraphrase must band-collide and verify: ${fp.toSeq}")
+    val batch = Seq(
+      (1L, s"intro words then $evalText trailing tail"), // verbatim leak
+      (2L, paraText),                                    // paraphrased leak
+      (3L, "completely different words forming another shingle set entirely"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "fuzzy-gate").toString
+    assert(Streams.dedupGateBatch(spark, store, batch, 0L,
+      decontamEval = Some(eval), decontamFuzzy = true) == (1L, 2L))
+    assert(spark.read.parquet(s"$store/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L),
+      "only the clean doc may enter the corpus")
+    val contam = spark.read.parquet(s"$store/_contam")
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(contam == Set((1L, "verbatim"), (2L, "fuzzy")),
+      s"one reason per quarantined doc, verbatim precedence: $contam")
+    // the lane is OPT-IN: without decontamFuzzy the paraphrase walks in
+    // (the exact r17-verdict gap this lane closes)
+    val store2 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "fuzzy-off").toString
+    assert(Streams.dedupGateBatch(spark, store2, batch, 0L,
+      decontamEval = Some(eval)) == (2L, 1L),
+      "without the fuzzy lane only the verbatim leak is refused")
+    // fuzzy without the eval frame is a contract violation
+    val e = intercept[IllegalArgumentException](
+      Streams.dedupGateBatch(spark, store2, batch, 1L, decontamFuzzy = true))
+    assert(e.getMessage.contains("decontamEval"), e.getMessage)
+  }
+
+  test("ST-9 vector-less ext batch (VERDICT r17 task 5): an EMPTY " +
+    "extVectors frame keeps a seeded lane current; a malformed schema " +
+    "refuses before staging") {
+    import graft.operators.MmIvf
+    val store = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "extv-empty").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-extvcorpus").toString
+    val prevMm = sys.props.get("graft.mmivf.root")
+    sys.props("graft.mmivf.root") = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "mm-extv").toString
+    try {
+      val all = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      all.where(col("doc_id") < 100).write.parquet(s"$root/documents.parquet")
+      def vecsOf(ids: Seq[Long]) = ids
+        .map(i => (i, Seq.tabulate(4)(d => (i * 7 + d * 3) % 11)))
+        .toDF("asset_id", "f")
+      def batchOf(lo: Int, hi: Int) =
+        all.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id", "text")
+      MmIvf.buildExternal(spark, root, Some(vecsOf(0L until 100L)))
+      // ADVICE r17: a frame that would stage fine but fail the replay-side
+      // ARRAY<BIGINT> read refuses AT THE DOOR, before anything is staged
+      val bad = intercept[IllegalArgumentException](
+        Streams.dedupGateBatch(spark, store, batchOf(100, 120), 0L,
+          advanceIndex = true, corpusDir = Some(root), advanceMm = true,
+          extVectors = Some(Seq.empty[(Long, Seq[Int])].toDF("asset_id", "f"))))
+      assert(bad.getMessage.contains("ARRAY<BIGINT>"), bad.getMessage)
+      assert(!graft.core.Storage.hadoop.exists(s"$store/_commits"),
+        "a refused batch must stage nothing")
+      // the scaladoc recipe: a batch whose admitted docs carry no vectors
+      // passes Some(empty frame) — the lane republishes at the post-batch
+      // fingerprint with zero new vectors and stays current
+      val empty = Seq.empty[(Long, Seq[Long])].toDF("asset_id", "f")
+      val (a0, _) = Streams.dedupGateBatch(spark, store, batchOf(100, 120),
+        0L, advanceIndex = true, corpusDir = Some(root), advanceMm = true,
+        extVectors = Some(empty))
+      assert(a0 > 0, "the vector-less batch's docs must admit")
+      MmIvf.evictSession(spark)
+      assert(MmIvf.buildExternal(spark, root).feats.count() == 100L,
+        "an empty extVectors frame must republish the lane unchanged")
+      // ... and the NEXT real append is accepted (the lane never went
+      // stale), indexing exactly the admitted new ids
+      val (a1, _) = Streams.dedupGateBatch(spark, store, batchOf(120, 140),
+        1L, advanceIndex = true, corpusDir = Some(root), advanceMm = true,
+        extVectors = Some(vecsOf(120L until 140L)))
+      assert(a1 > 0)
+      MmIvf.evictSession(spark)
+      assert(MmIvf.buildExternal(spark, root).feats.count() == 100L + a1,
+        "the post-recipe real append must index the admitted delta")
+    } finally {
+      prevMm match {
+        case Some(p) => sys.props("graft.mmivf.root") = p
+        case None    => sys.props.remove("graft.mmivf.root")
+      }
+      MmIvf.evictSession(spark)
+    }
+  }
+
   test("ST-9 store maintenance: bounded files under many batches; decisions survive compaction; crashed swap heals") {
     val store = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "gate-compact").toString
