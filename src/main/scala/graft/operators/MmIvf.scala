@@ -629,6 +629,16 @@ object MmIvf {
         .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_id"))
     val topAll = tops(Cells)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbes = idx.feats.where(col("asset_id") < 10).count()
+    val nExact = topAll.count()
+    // guard (review r18): a lane with no probe assets (a corpus grown
+    // purely from ids >= 10) or too few vectors to have exact neighbors
+    // would divide by zero here and DURABLY cache NULL rows that poison
+    // every later guidance call — refuse loudly before anything persists
+    require(nProbes > 0 && nExact > 0,
+      s"mm-ivf nprobe curve: the lane at ${idx.path} has $nProbes probe " +
+        s"assets (asset_id < 10) and $nExact exact neighbor rows — the " +
+        "recall sweep needs both; guidance is undefined for this corpus")
     val sweep = NprobeSweep.filter(_ < Cells).map(tops)
       .reduce(_.unionAll(_)).unionAll(topAll)
     val exact = topAll.select("q_id", "n_id")
@@ -640,15 +650,13 @@ object MmIvf {
         s"posexplode(${idx.fn}(transform(f, x -> CAST(x AS DOUBLE)), " +
           s"$Cells)) AS (pos, cell)")
       .join(broadcast(sizes), "cell")
-    val nProbes = idx.feats.where(col("asset_id") < 10).count()
     val scans = NprobeSweep.map { np =>
       ranked.where(col("pos") < np)
         .agg((sum("csz") - nProbes).as("n_candidates"))
         .select(lit(np.toLong).as("nprobe"), col("n_candidates"))
     }.reduce(_.unionAll(_))
-    val nExact = topAll.count()
     val totals = idx.feats.agg(count(lit(1)).as("n_total"))
-    scans.join(hits, Seq("nprobe"), "left")
+    val result = scans.join(hits, Seq("nprobe"), "left")
       .crossJoin(broadcast(totals))
       .select(col("nprobe"),
         expr(s"(coalesce(hits, 0L) * 1000) DIV $nExact").as("recall_pm"),
@@ -656,6 +664,12 @@ object MmIvf {
         expr(s"(n_candidates * 1000) DIV ($nProbes * (n_total - 1))")
           .as("scan_pm"))
       .orderBy("nprobe")
+    // materialize the sweep-point-sized result so the exact lane's
+    // persisted frame can be released NOW (review r18 — the returned
+    // frame must not pin topAll in executor storage for the session)
+    val rows = result.collect()
+    topAll.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** Where [[cachedNprobeCurve]] persists for a lane (spec hook) —
@@ -678,40 +692,22 @@ object MmIvf {
                         lane: String): DataFrame = {
     require(lane == "img" || lane == "aud" || lane == "ext",
       s"mm-ivf nprobe curve: unknown lane '$lane' (img | aud | ext)")
-    val idx = lane match {
-      case "img" => build(s, dir)
-      case "aud" => buildAudio(s, dir)
-      case _ =>
-        require(hasExternal(dir),
-          "mm-ivf nprobe curve: the ext lane is not seeded at this " +
-            "corpus fingerprint — build it explicitly with " +
-            "buildExternal(dir, Some(vectors)) first (a curve request " +
-            "must not fixture-build an encoder lane)")
-        buildExternal(s, dir)
-    }
-    val p = nprobeCurvePath(dir, lane)
-    if (!store.exists(p)) {
-      Similarity.IvfIndex.withIndexLock(p + ".lock") {
-        if (!store.exists(p)) {
-          // clear leftovers from a crashed previous attempt (they live
-          // inside the published lane dir, outside the root .tmp- sweep)
-          val parent = p.substring(0, p.lastIndexOf('/'))
-          val base = p.substring(p.lastIndexOf('/') + 1)
-          store.listDirNames(parent)
-            .filter(_.startsWith(base + ".tmp-"))
-            .foreach(n => store.deleteRecursive(s"$parent/$n"))
-          val staging = p + ".tmp-" +
-            java.util.UUID.randomUUID().toString.take(8)
-          nprobeCurve(s, idx).write.mode("overwrite").parquet(staging)
-          if (!store.rename(staging, p)) {
-            store.deleteRecursive(staging)
-            if (!store.exists(p))
-              throw new IllegalStateException(
-                s"mm-ivf index: publishing the nprobe curve at $p failed")
-          }
-        }
+    // by-name sweep block: a WARM call reads the published parquet and
+    // never builds/loads the lane index at all (review r18); the cold
+    // path builds the lane first, so the sidecar's parent dir exists
+    Similarity.IvfIndex.publishSidecarOnce(s, nprobeCurvePath(dir, lane)) {
+      val idx = lane match {
+        case "img" => build(s, dir)
+        case "aud" => buildAudio(s, dir)
+        case _ =>
+          require(hasExternal(dir),
+            "mm-ivf nprobe curve: the ext lane is not seeded at this " +
+              "corpus fingerprint — build it explicitly with " +
+              "buildExternal(dir, Some(vectors)) first (a curve request " +
+              "must not fixture-build an encoder lane)")
+          buildExternal(s, dir)
       }
+      nprobeCurve(s, idx)
     }
-    s.read.parquet(p)
   }
 }

@@ -2023,9 +2023,14 @@ object Multimodal {
       * [[Mp4BoxReader.keyframeMap]] (VERDICT r17 task 1): a sampled
       * decoder fetches exactly these ranges and decodes ONLY keyframes.
       * Clusters stay opaque except each SimpleBlock's header (track
-      * VINT + int16 relative timestamp + flags byte; bit 0x80 = key);
-      * lacing (flag bits 0x06) is out of the declared scope and drops
-      * the clip. When a Cues element is present it must AGREE with the
+      * VINT + int16 relative timestamp + flags byte; bit 0x80 = key).
+      * The declared scope is a SINGLE-track SimpleBlock stream: lacing
+      * (flag bits 0x06), a BlockGroup element (0xA0 — the B-frame
+      * reference structure), and a second track number all drop the
+      * clip rather than return a fetch plan with silently missing or
+      * foreign-track entries (review r18 — a keyframe map that lies by
+      * omission is worse than no map). When a Cues element is present
+      * it must AGREE with the
       * walked clusters — one CuePoint per cluster, CueTime equal to the
       * cluster Timestamp, CueClusterPosition equal to the cluster's
       * offset from the segment data start — a seek index that lies is
@@ -2035,6 +2040,7 @@ object Multimodal {
       val cues = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val out = Seq.newBuilder[KeyBlock]
       var blockNo = 0L
+      var track = -1L // single-track scope: first seen track binds it
       var sawSegment = false
       var sawCues = false
 
@@ -2067,6 +2073,9 @@ object Multimodal {
         val trk = vint(bytes, p, pEnd, keepMarker = false, maxLen = 8) match {
           case Some(x) => x; case None => return false
         }
+        if (trk._1 <= 0L) return false // track numbers are >= 1
+        if (track < 0L) track = trk._1
+        else if (trk._1 != track) return false // multi-track: out of scope
         val hp = p + trk._2
         if (hp + 3 > pEnd) return false
         val rel = ((bytes(hp) & 0xff) << 8 | (bytes(hp + 1) & 0xff)).toShort
@@ -2091,7 +2100,9 @@ object Multimodal {
             case 0xA3L =>
               // Matroska requires the cluster Timestamp before any block
               ts >= 0L && simpleBlock(cp, cpEnd, ts)
-            case _ => true // BlockGroup etc.: out of scope here, skip
+            case 0xA0L => false // BlockGroup: out of scope — drop, never
+                                // return a map with missing keyframes
+            case _ => true
           }
         }
         if (!ok || ts < 0L) return false

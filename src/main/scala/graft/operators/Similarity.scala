@@ -385,17 +385,25 @@ object Similarity {
     private[graft] def nprobeCurvePath(dir: String): String =
       sub(indexPath(dir, 0, IvfCells), "nprobe_curve")
 
-    def cachedNprobeCurve(s: SparkSession, dir: String): DataFrame = {
-      build(s, dir, lloydIters = 0) // the dir must exist before the sidecar
-      val p = nprobeCurvePath(dir)
+    def cachedNprobeCurve(s: SparkSession, dir: String): DataFrame =
+      // qSim22 builds/warm-loads the index itself, so the dir exists
+      // before the sidecar stages inside it
+      publishSidecarOnce(s, nprobeCurvePath(dir))(qSim22(s, dir))
+
+    /** Publish a small sidecar parquet ONCE under the house protocol
+      * (shared by the text and mm curve caches — review r18 dedupe):
+      * lock, leftover-staging hygiene (ADVICE r17: a crash between a
+      * previous attempt's write and its rename leaks `<base>.tmp-*`
+      * INSIDE the published index dir, where the index-root .tmp- sweep
+      * never looks), stage, atomic rename; a racing JVM's loser discards
+      * its staging and serves the winner's copy. `frame` is by-name —
+      * a warm call never computes it (nor builds anything it closes
+      * over). Returns the published parquet. */
+    private[graft] def publishSidecarOnce(s: SparkSession, p: String)(
+        frame: => DataFrame): DataFrame = {
       if (!store.exists(p)) {
         withIndexLock(p + ".lock") {
           if (!store.exists(p)) {
-            // hygiene (ADVICE r17): a crash between a previous attempt's
-            // parquet write and its rename leaks `nprobe_curve.tmp-*`
-            // INSIDE the published index dir, where the index-root .tmp-
-            // sweep never looks — clear any leftovers under the lock
-            // before staging, mirroring publishAppended
             val parent = p.substring(0, p.lastIndexOf('/'))
             val base = p.substring(p.lastIndexOf('/') + 1)
             store.listDirNames(parent)
@@ -403,13 +411,13 @@ object Similarity {
               .foreach(n => store.deleteRecursive(s"$parent/$n"))
             val staging = p + ".tmp-" +
               java.util.UUID.randomUUID().toString.take(8)
-            qSim22(s, dir).write.mode("overwrite").parquet(staging)
+            frame.write.mode("overwrite").parquet(staging)
             if (!store.rename(staging, p)) {
               store.deleteRecursive(staging)
               // a racing JVM published first: serve its copy below
               if (!store.exists(p))
                 throw new IllegalStateException(
-                  s"ivf index: publishing the nprobe curve at $p failed")
+                  s"publishing the sidecar at $p failed")
             }
           }
         }

@@ -780,11 +780,14 @@ object Streams {
     *
     * Scale: the eval side is benchmark-sized — its band keys AND its
     * shingle lists broadcast; the batch side pays one fused signature
-    * pass plus shingling of the CANDIDATES only. Never batch × eval
+    * pass plus shingling of the CANDIDATES only (the live gate passes
+    * its already-checkpointed band frame via `batchBands`, so the
+    * signature pass stays computed once per batch). Never batch × eval
     * all-pairs. */
-  private[graft] def fuzzyEvalPairsOf(batch: DataFrame,
-                                      ev: DataFrame): DataFrame = {
-    val bBands = bandKeys(batch.select("doc_id", "text"))
+  private[graft] def fuzzyEvalPairsOf(batch: DataFrame, ev: DataFrame,
+      batchBands: Option[DataFrame] = None): DataFrame = {
+    val bBands = batchBands.getOrElse(bandKeys(batch.select("doc_id", "text")))
+      .select("doc_id", "band", "bk")
     val eBands = bandKeys(ev.select("doc_id", "text"))
       .withColumnRenamed("doc_id", "e_id")
     val cand = bBands.join(broadcast(eBands), Seq("band", "bk"))
@@ -996,7 +999,7 @@ object Streams {
     val fuzzy = decontamEval match {
       case Some(ev) if decontamFuzzy =>
         fuzzyEvalPairsOf(batch.select("doc_id", "text"),
-            ev.select("doc_id", "text"))
+            ev.select("doc_id", "text"), batchBands = Some(bands))
           .where(col("jac_e4") >= FuzzyContamJacE4)
           .select("doc_id").distinct()
           .join(verbatim, Seq("doc_id"), "left_anti")
@@ -1010,6 +1013,30 @@ object Streams {
     // row carries its rejection `reason` (verbatim | fuzzy) for audit.
     val nVerbatim = if (decontamEval.nonEmpty) verbatim.count() else 0L
     val nFuzzy = if (decontamFuzzy) fuzzy.count() else 0L
+    // one-time legacy migration (review r18): a store quarantined into
+    // before the fuzzy lane holds 3-column (doc_id, text, batch_id)
+    // files; appending 4-column rows would leave the dir mixed-schema,
+    // and the compaction rewrite (mergeSchema off) could then silently
+    // collapse it to whichever footer wins — dropping `reason`. Every
+    // legacy row predates the fuzzy lane, so its reason IS verbatim;
+    // rewrite once through the compaction's own swap protocol
+    // ([[healGateStore]] recovers a crash at any point).
+    if (nVerbatim + nFuzzy > 0L && st.exists(s"$storeDir/_contam") &&
+      !spark.read.parquet(s"$storeDir/_contam").columns.contains("reason")) {
+      val live = s"$storeDir/_contam"
+      val migrated = spark.read.parquet(live)
+        .withColumn("reason", lit("verbatim"))
+        .localCheckpoint(eager = true)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      migrated.write.mode("overwrite").parquet(s"$live.compact-$tag")
+      migrated.unpersist()
+      if (!(st.rename(live, s"$live.trash-$tag") &&
+          st.rename(s"$live.compact-$tag", live)))
+        throw new IllegalStateException(
+          s"gate store: _contam reason migration swap failed for $live " +
+            "(heal on next entry)")
+      st.deleteRecursive(s"$live.trash-$tag")
+    }
     if (nVerbatim + nFuzzy > 0L)
       batch.join(verbatim, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"), lit(batchId).as("batch_id"),
@@ -1512,7 +1539,9 @@ object Streams {
     var before = 0; var after = 0
     // _contam compacts like docs: one parquet append per contaminated
     // batch is the same unbounded-small-file disease, and a plain rewrite
-    // preserves the channel's (doc_id, text, batch_id) rows
+    // preserves the channel's (doc_id, text, batch_id, reason) rows
+    // (legacy 3-column stores are reason-migrated at the first
+    // quarantine append, so the dir is never mixed-schema here)
     for (sub <- Seq("bands", "docs", "_contam")) {
       val live = s"$storeDir/$sub"
       if (st.exists(live)) {

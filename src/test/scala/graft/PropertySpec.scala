@@ -453,10 +453,19 @@ class PropertySpec extends AnyFunSuite {
     // pos lo byte at cues payload start (cuesAt+5) + 14
     lyingCue(cuesAt + 5 + 14) = (lyingCue(cuesAt + 5 + 14) + 1).toByte
     val truncated = good.take(good.length - 10) // cut inside the Cues
+    // single-track SimpleBlock scope (review r18): a BlockGroup element
+    // or a second track number must DROP — a fetch plan with silently
+    // missing or foreign-track keyframes is worse than no plan
+    assert((good(96) & 0xff) == 0xA3 && (good(98) & 0xff) == 0x81,
+      "fixture drift: first SimpleBlock id/track bytes moved")
+    val blockGroup = good.clone(); blockGroup(96) = 0xA0.toByte
+    val foreignTrack = good.clone(); foreignTrack(98) = 0x82.toByte
     val junk = Seq((1L, "video", laced), (2L, "video", lyingCue),
-      (3L, "video", truncated)).toDF("asset_id", "kind", "bytes")
+      (3L, "video", truncated), (4L, "video", blockGroup),
+      (5L, "video", foreignTrack)).toDF("asset_id", "kind", "bytes")
     assert(Multimodal.mkvKeyframeMap(junk).isEmpty,
-      "lacing, a lying seek index, and truncation must all drop")
+      "lacing, a lying seek index, truncation, a BlockGroup, and a " +
+        "second track must all drop")
     // Cues are OPTIONAL: rename the id away (still a valid unknown
     // 4-byte id) and the block-header walk alone must yield the same map
     val noCues = good.clone()

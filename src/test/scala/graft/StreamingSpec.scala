@@ -731,6 +731,21 @@ class StreamingSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Streams.dedupGateBatch(spark, store2, batch, 1L, decontamFuzzy = true))
     assert(e.getMessage.contains("decontamEval"), e.getMessage)
+    // legacy-store migration (review r18): a pre-fuzzy 3-column _contam
+    // channel is reason-migrated ONCE at the first quarantine append
+    // (all legacy rows predate the fuzzy lane → verbatim), so the dir
+    // is never mixed-schema and compaction cannot drop the column
+    val store3 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "legacy-gate").toString
+    Seq((90L, "old quarantined text", 7L)).toDF("doc_id", "text", "batch_id")
+      .write.parquet(s"$store3/_contam")
+    assert(Streams.dedupGateBatch(spark, store3, batch, 0L,
+      decontamEval = Some(eval), decontamFuzzy = true) == (1L, 2L))
+    val migrated = spark.read.parquet(s"$store3/_contam")
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(migrated == Set((90L, "verbatim"), (1L, "verbatim"), (2L, "fuzzy")),
+      s"legacy rows must migrate to reason=verbatim exactly once: $migrated")
   }
 
   test("ST-9 vector-less ext batch (VERDICT r17 task 5): an EMPTY " +
