@@ -249,6 +249,8 @@ object SparkEntry {
     "q_mm26_mkv_meta"       -> (Multimodal.qMm26 _),
     "q_mm27_mkv_keyframes"  -> (Multimodal.qMm27 _),
     "q_mm28_mp3_meta"       -> (Multimodal.qMm28 _),
+    "q_mm29_warc_records"   -> (Warc.qMm29 _),
+    "q_mm30_warc_http"      -> (Warc.qMm30 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2774,6 +2776,51 @@ object SparkEntry {
         "(CASE (doc_id % 9) // 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
         "ELSE 32000 END) AS BIGINT) AS duration_ms " +
         "FROM documents WHERE doc_id < 200 ORDER BY asset_id"),
+    "q_mm29_warc_records" -> (
+      // Spark walks REAL WARC/1.0 records (version line, WARC-Type,
+      // fixed-width Content-Length, record terminator); the oracle
+      // replays the muxer's closed forms — header block 88+len(type)
+      // bytes, payload lengths per kind, offsets one running sum
+      "WITH d AS (SELECT doc_id, 1 + 2 * (2 + doc_id % 3) AS n " +
+        "FROM documents WHERE doc_id < 200), " +
+        "rec AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS r FROM d), " +
+        "t AS (SELECT doc_id, r, " +
+        "CASE WHEN r = 0 THEN 'warcinfo' WHEN r % 2 = 1 THEN 'request' " +
+        "ELSE 'response' END AS typ, " +
+        "CASE WHEN r = 0 THEN 30 + doc_id % 17 " +
+        "WHEN r % 2 = 1 THEN 40 + (doc_id + 11 * r) % 23 " +
+        "ELSE 147 + (3 * doc_id + 11 * r) % 53 END AS plen, " +
+        "CASE WHEN r % 2 = 1 THEN 95 ELSE 96 END AS hdr FROM rec), " +
+        "cum AS (SELECT doc_id, r, typ, plen, hdr, " +
+        "coalesce(sum(hdr + plen + 4) OVER (PARTITION BY doc_id ORDER BY r " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base " +
+        "FROM t) " +
+        "SELECT doc_id AS asset_id, CAST(r + 1 AS BIGINT) AS record_no, " +
+        "typ AS rec_type, CAST(base + hdr AS BIGINT) AS payload_offset, " +
+        "CAST(plen AS BIGINT) AS payload_len " +
+        "FROM cum ORDER BY asset_id, record_no"),
+    "q_mm30_warc_http" -> (
+      // the crawl-to-text step: HTTP/1.1 status + body byte range inside
+      // each response payload (inner Content-Length cross-checked
+      // Spark-side); the oracle adds the fixed 67-byte HTTP block to the
+      // q_mm29 offset algebra and replays the status residue
+      "WITH d AS (SELECT doc_id, 1 + 2 * (2 + doc_id % 3) AS n " +
+        "FROM documents WHERE doc_id < 200), " +
+        "rec AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS r FROM d), " +
+        "t AS (SELECT doc_id, r, " +
+        "CASE WHEN r = 0 THEN 30 + doc_id % 17 " +
+        "WHEN r % 2 = 1 THEN 40 + (doc_id + 11 * r) % 23 " +
+        "ELSE 147 + (3 * doc_id + 11 * r) % 53 END AS plen, " +
+        "CASE WHEN r % 2 = 1 THEN 95 ELSE 96 END AS hdr FROM rec), " +
+        "cum AS (SELECT doc_id, r, plen, hdr, " +
+        "coalesce(sum(hdr + plen + 4) OVER (PARTITION BY doc_id ORDER BY r " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base " +
+        "FROM t) " +
+        "SELECT doc_id AS asset_id, CAST(r + 1 AS BIGINT) AS record_no, " +
+        "CAST(CASE WHEN (doc_id + r) % 7 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status, " +
+        "CAST(base + hdr + 67 AS BIGINT) AS body_offset, " +
+        "CAST(80 + (3 * doc_id + 11 * r) % 53 AS BIGINT) AS body_len " +
+        "FROM cum WHERE r > 0 AND r % 2 = 0 ORDER BY asset_id, record_no"),
     "q_mm7_motion_energy" -> (
       // temporal motion energy through the real GIF decode Spark-side;
       // the oracle replays |gifGray(f) - gifGray(f-1)| per pixel over

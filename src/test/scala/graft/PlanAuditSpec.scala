@@ -653,7 +653,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "mkvMeta" -> Multimodal.mkvMeta(Multimodal.mkvAssets(spark, sf)),
       "mkvKeyframeMap" ->
         Multimodal.mkvKeyframeMap(Multimodal.mkvAssets(spark, sf)),
-      "mp3Meta" -> Multimodal.mp3Meta(Multimodal.mp3Assets(spark, sf)))) {
+      "mp3Meta" -> Multimodal.mp3Meta(Multimodal.mp3Assets(spark, sf)),
+      "warcRecordMap" ->
+        graft.operators.Warc.warcRecordMap(
+          graft.operators.Warc.warcAssets(spark, sf)),
+      "warcHttpMap" ->
+        graft.operators.Warc.warcHttpMap(
+          graft.operators.Warc.warcAssets(spark, sf)))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),

@@ -476,6 +476,73 @@ class PropertySpec extends AnyFunSuite {
       "absent Cues must fall back to the block headers alone")
   }
 
+  test("WARC lane (q_mm29/q_mm30): the record walk and HTTP parse read " +
+    "back the muxed closed forms; truncation, a bad version line, a " +
+    "non-numeric or lying Content-Length all drop") {
+    import graft.operators.{Multimodal, Warc}
+    val sf = "/root/testdata/sf0.001"
+    val rows = Warc.qMm29(spark, sf).collect()
+    var i = 0
+    for (id <- 0L until Multimodal.AssetDocBound) {
+      var base = 0L
+      for (r <- 0 until Warc.warcRecordCount(id)) {
+        val typ = Warc.warcType(r)
+        val hdr = Warc.WarcHeaderBase + typ.length
+        val plen = typ match {
+          case "warcinfo" => Warc.warcInfoLen(id)
+          case "request"  => Warc.warcRequestLen(id, r)
+          case _          => Warc.HttpBlockLen + Warc.warcBodyLen(id, r)
+        }
+        val row = rows(i)
+        assert(row.getLong(0) == id && row.getLong(1) == r + 1 &&
+          row.getString(2) == typ && row.getLong(3) == base + hdr &&
+          row.getLong(4) == plen.toLong,
+          s"record map must replay the muxed algebra: $row (id=$id r=$r)")
+        base += hdr + plen + 4
+        i += 1
+      }
+    }
+    assert(rows.length == i, s"${rows.length} vs $i records")
+    // HTTP layer: every response's body range and status replay too
+    val https = Warc.qMm30(spark, sf).collect()
+    assert(https.nonEmpty && https.forall { h =>
+      val (id, r) = (h.getLong(0), (h.getLong(1) - 1).toInt)
+      h.getLong(2) == Warc.warcStatus(id, r).toLong &&
+        h.getLong(4) == Warc.warcBodyLen(id, r).toLong
+    }, "HTTP rows must replay status and body-length closed forms")
+    import spark.implicits._
+    val good = Warc.warcAssets(spark, sf)
+      .where(col("asset_id") === 0L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    val badVersion = good.clone(); badVersion(5) = '2'.toByte // WARC/2.0
+    val truncated = good.take(good.length - 3) // final terminator cut
+    // Content-Length value byte -> non-numeric (first record's header)
+    val clAt = good.indexOfSlice("Content-Length: ".getBytes("US-ASCII"))
+    assert(clAt > 0)
+    val badLen = good.clone(); badLen(clAt + 16) = 'x'.toByte
+    // lying INNER HTTP Content-Length: the record walk still passes
+    // (outer lengths intact) but the HTTP layer must drop the clip
+    val innerAt = {
+      // find the Content-Length INSIDE a response payload: scan for the
+      // HTTP status line, then the next Content-Length after it
+      val st = good.indexOfSlice("HTTP/1.1 ".getBytes("US-ASCII"))
+      assert(st > 0)
+      good.indexOfSlice("Content-Length: ".getBytes("US-ASCII"), st)
+    }
+    assert(innerAt > 0)
+    val lyingHttp = good.clone()
+    lyingHttp(innerAt + 16) = '9'.toByte // 9xxxx never matches the body
+    val junk = Seq((1L, "warc", badVersion), (2L, "warc", truncated),
+      (3L, "warc", badLen)).toDF("asset_id", "kind", "bytes")
+    assert(Warc.warcRecordMap(junk).isEmpty,
+      "malformed WARC files must drop from the record map")
+    assert(Warc.warcHttpMap(
+      Seq((4L, "warc", lyingHttp)).toDF("asset_id", "kind", "bytes")).isEmpty,
+      "a lying inner HTTP Content-Length must drop the clip")
+    assert(Warc.WarcReader.parse(lyingHttp).nonEmpty,
+      "the record walk alone accepts it — only the HTTP layer cross-checks")
+  }
+
   test("MP3 lane (q_mm28): the frame-header walk reads back the muxed " +
     "closed forms; desync, VBR, reserved indexes, bad ID3 all drop") {
     import graft.operators.Multimodal
