@@ -251,6 +251,9 @@ object SparkEntry {
     "q_mm28_mp3_meta"       -> (Multimodal.qMm28 _),
     "q_mm29_warc_records"   -> (Warc.qMm29 _),
     "q_mm30_warc_http"      -> (Warc.qMm30 _),
+    "q_mm31_tar_members"    -> (Tar.qMm31 _),
+    "q_mm32_wds_samples"    -> (Tar.qMm32 _),
+    "q_mm33_sniff_profile"  -> (Profile.qMm33 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2821,6 +2824,80 @@ object SparkEntry {
         "CAST(base + hdr + 67 AS BIGINT) AS body_offset, " +
         "CAST(80 + (3 * doc_id + 11 * r) % 53 AS BIGINT) AS body_len " +
         "FROM cum WHERE r > 0 AND r % 2 = 0 ORDER BY asset_id, record_no"),
+    "q_mm31_tar_members" -> (
+      // Spark walks REAL ustar headers (verified checksums, octal
+      // sizes, 512-byte block hops); the oracle replays the muxer's
+      // closed forms — each member costs 512 + ceil(size/512)*512
+      // bytes, offsets one running sum
+      "WITH d AS (SELECT doc_id, 3 * (3 + doc_id % 4) AS n " +
+        "FROM documents WHERE doc_id < 200), " +
+        "mem AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS m FROM d), " +
+        "t AS (SELECT doc_id, m, " +
+        "CASE m % 3 WHEN 0 THEN 200 + (doc_id + 7 * (m // 3)) % 64 " +
+        "WHEN 1 THEN 50 + (doc_id * 3 + (m // 3)) % 40 " +
+        "ELSE 30 + (doc_id + 11 * (m // 3)) % 20 END AS sz, " +
+        "printf('%06d', doc_id * 100 + m // 3) || " +
+        "CASE m % 3 WHEN 0 THEN '.jpg' WHEN 1 THEN '.txt' " +
+        "ELSE '.json' END AS name FROM mem), " +
+        "cum AS (SELECT doc_id, m, name, sz, " +
+        "coalesce(sum(512 + ((sz + 511) // 512) * 512) OVER " +
+        "(PARTITION BY doc_id ORDER BY m " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base " +
+        "FROM t) " +
+        "SELECT doc_id AS asset_id, CAST(m + 1 AS BIGINT) AS member_no, " +
+        "name, CAST(base + 512 AS BIGINT) AS data_offset, " +
+        "CAST(sz AS BIGINT) AS size " +
+        "FROM cum ORDER BY asset_id, member_no"),
+    "q_mm32_wds_samples" -> (
+      // WebDataset sample-integrity audit over the member map: per
+      // sample key, member count, total bytes, modality flags — the
+      // oracle replays the three modality closed forms per sample
+      "WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS ns " +
+        "FROM documents WHERE doc_id < 200), " +
+        "s AS (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS k FROM d) " +
+        "SELECT doc_id AS asset_id, " +
+        "printf('%06d', doc_id * 100 + k) AS sample_key, " +
+        "CAST(3 AS BIGINT) AS n_members, " +
+        "CAST(280 + (doc_id + 7 * k) % 64 + (doc_id * 3 + k) % 40 + " +
+        "(doc_id + 11 * k) % 20 AS BIGINT) AS total_bytes, " +
+        "CAST(1 AS BIGINT) AS has_img, CAST(1 AS BIGINT) AS has_txt, " +
+        "CAST(1 AS BIGINT) AS has_meta " +
+        "FROM s ORDER BY asset_id, sample_key"),
+    "q_mm33_sniff_profile" -> (
+      // one pass over a MIXED six-format corpus: Spark sniffs magic
+      // bytes and dispatches to the right container walk; the oracle
+      // replays each residue class's closed forms (the mkv keyframe
+      // count needs its block enumeration, hence the CTE)
+      "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), " +
+        "mkvk AS (SELECT doc_id, count(1) AS nk FROM " +
+        "(SELECT d.doc_id, unnest(generate_series(0, 8 + (d.doc_id % 5) * 4 - 1)) AS b " +
+        "FROM d WHERE d.doc_id % 6 = 1) x " +
+        "WHERE b % 4 = 0 OR (b % 4 = 2 AND (doc_id + b) % 5 = 0) " +
+        "GROUP BY doc_id) " +
+        "SELECT d.doc_id AS asset_id, " +
+        "CASE d.doc_id % 6 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mkv' " +
+        "WHEN 2 THEN 'mp3' WHEN 3 THEN 'warc' WHEN 4 THEN 'tar' " +
+        "ELSE 'png' END AS format, " +
+        "CAST(CASE d.doc_id % 6 " +
+        "WHEN 0 THEN 2000 + (d.doc_id % 7) * 500 " +
+        "WHEN 1 THEN 3000 + (d.doc_id % 5) * 250 " +
+        "WHEN 2 THEN ((20 + (d.doc_id % 7) * 5) * 1152000) // " +
+        "(CASE (d.doc_id % 9) // 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
+        "ELSE 32000 END) ELSE 0 END AS BIGINT) AS duration_ms, " +
+        "CAST(CASE d.doc_id % 6 WHEN 0 THEN 16 * (1 + d.doc_id % 4) " +
+        "WHEN 1 THEN 32 * (1 + d.doc_id % 3) " +
+        "WHEN 5 THEN 4 + d.doc_id % 13 ELSE 0 END AS BIGINT) AS width, " +
+        "CAST(CASE d.doc_id % 6 WHEN 0 THEN 16 * (1 + d.doc_id % 3) " +
+        "WHEN 1 THEN 24 * (1 + d.doc_id % 4) " +
+        "WHEN 5 THEN 4 + d.doc_id % 7 ELSE 0 END AS BIGINT) AS height, " +
+        "CAST(CASE d.doc_id % 6 WHEN 0 THEN 25 + (d.doc_id % 5) * 6 " +
+        "WHEN 1 THEN mkvk.nk " +
+        "WHEN 2 THEN 20 + (d.doc_id % 7) * 5 " +
+        "WHEN 3 THEN 5 + (d.doc_id % 3) * 2 " +
+        "WHEN 4 THEN 3 * (3 + d.doc_id % 4) " +
+        "ELSE 1 END AS BIGINT) AS n_items " +
+        "FROM d LEFT JOIN mkvk ON mkvk.doc_id = d.doc_id " +
+        "ORDER BY asset_id"),
     "q_mm7_motion_energy" -> (
       // temporal motion energy through the real GIF decode Spark-side;
       // the oracle replays |gifGray(f) - gifGray(f-1)| per pixel over

@@ -659,7 +659,13 @@ class PlanAuditSpec extends AnyFunSuite {
           graft.operators.Warc.warcAssets(spark, sf)),
       "warcHttpMap" ->
         graft.operators.Warc.warcHttpMap(
-          graft.operators.Warc.warcAssets(spark, sf)))) {
+          graft.operators.Warc.warcAssets(spark, sf)),
+      "tarMemberMap" ->
+        graft.operators.Tar.tarMemberMap(
+          graft.operators.Tar.tarAssets(spark, sf)),
+      "sniffProfile" ->
+        graft.operators.Profile.sniffProfile(
+          graft.operators.Profile.mixedAssets(spark, sf)))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("MapPartitions"),

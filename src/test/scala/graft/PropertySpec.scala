@@ -543,6 +543,97 @@ class PropertySpec extends AnyFunSuite {
       "the record walk alone accepts it — only the HTTP layer cross-checks")
   }
 
+  test("TAR lane (q_mm31/q_mm32): the ustar walk reads back the muxed " +
+    "closed forms; a corrupted header (checksum), bad size field, " +
+    "missing end marker, and non-file typeflag all drop") {
+    import graft.operators.{Multimodal, Tar}
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tar.qMm31(spark, sf).collect()
+    var i = 0
+    for (id <- 0L until Multimodal.AssetDocBound) {
+      var base = 0L
+      for (m <- 0 until Tar.tarMemberCount(id)) {
+        val sz = Tar.tarMemberLen(id, m)
+        val row = rows(i)
+        assert(row.getLong(0) == id && row.getLong(1) == m + 1 &&
+          row.getString(2) == Tar.tarMemberName(id, m) &&
+          row.getLong(3) == base + 512L && row.getLong(4) == sz.toLong,
+          s"member map must replay the muxed algebra: $row (id=$id m=$m)")
+        base += 512L + (sz + 511L) / 512L * 512L
+        i += 1
+      }
+    }
+    assert(rows.length == i, s"${rows.length} vs $i members")
+    // the sample audit: every synthetic sample is complete (3 members,
+    // all three modalities) with the closed-form byte total
+    val audit = Tar.qMm32(spark, sf).collect()
+    assert(audit.length == (0L until Multimodal.AssetDocBound)
+      .map(Tar.tarSampleCount(_)).sum, s"${audit.length} samples")
+    audit.foreach { r =>
+      val id = r.getLong(0)
+      val k = (r.getString(1).toLong - id * 100).toInt
+      assert(r.getLong(2) == 3L &&
+        r.getLong(3) == (Tar.tarJpgLen(id, k) + Tar.tarTxtLen(id, k) +
+          Tar.tarJsonLen(id, k)).toLong &&
+        r.getLong(4) == 1L && r.getLong(5) == 1L && r.getLong(6) == 1L,
+        s"sample audit must replay the modality closed forms: $r")
+    }
+    import spark.implicits._
+    val good = Tar.tarAssets(spark, sf)
+      .where(col("asset_id") === 0L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    // flip one name byte: the stored checksum no longer matches — the
+    // walker must drop the archive, never emit a map off a corrupt header
+    val corrupt = good.clone(); corrupt(0) = (corrupt(0) + 1).toByte
+    val badSize = good.clone(); badSize(124) = 'x'.toByte // non-octal
+    val noEnd = good.take(good.length - 1024) // end marker gone
+    // directory typeflag with the checksum FIXED UP (+'5'-'0'), so the
+    // drop is the typeflag scope rule, not a checksum side effect
+    val dirFlag = good.clone(); dirFlag(156) = '5'.toByte
+    val fixedCs = java.lang.Long.toOctalString(
+      java.lang.Long.parseLong(new String(good, 148, 6, "US-ASCII"), 8) + 5)
+    ("0" * (6 - fixedCs.length) + fixedCs).getBytes("US-ASCII")
+      .zipWithIndex.foreach { case (b, j) => dirFlag(148 + j) = b }
+    val junk = Seq((1L, "tar", corrupt), (2L, "tar", badSize),
+      (3L, "tar", noEnd), (4L, "tar", dirFlag))
+      .toDF("asset_id", "kind", "bytes")
+    assert(Tar.tarMemberMap(junk).isEmpty,
+      "corrupt/odd tar archives must drop, never throw")
+  }
+
+  test("sniff profiler (q_mm33): every mixed-corpus asset routes to its " +
+    "format's walk by magic bytes alone; unknown blobs drop") {
+    import graft.operators.{Multimodal, Profile}
+    val sf = "/root/testdata/sf0.001"
+    val rows = Profile.qMm33(spark, sf).collect()
+    assert(rows.length == 200, s"one profile row per asset: ${rows.length}")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val want = (id % 6) match {
+        case 0 => "mp4"; case 1 => "mkv"; case 2 => "mp3"
+        case 3 => "warc"; case 4 => "tar"; case _ => "png"
+      }
+      assert(r.getString(1) == want, s"sniff must recover the format: $r")
+    }
+    // spot-check normalization across three formats
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(2) == Multimodal.mp4DurationMs(0L) &&
+      byId(0L).getLong(5) == Multimodal.mp4SampleCount(0L).toLong)
+    assert(byId(5L).getLong(3) == 4L + 5 % 13 &&
+      byId(5L).getLong(4) == 4L + 5 % 7) // png IHDR geometry
+    assert(byId(2L).getLong(5) == Multimodal.mp3FrameCount(2L).toLong)
+    // an unsniffable blob drops; a sniffed-but-malformed one too
+    import spark.implicits._
+    val junkBytes = Array.tabulate(64)(i => (i * 7 % 251).toByte)
+    val mkvTrunc = Multimodal.mkvAssets(spark, sf)
+      .where(col("asset_id") === 1L)
+      .collect()(0).getAs[Array[Byte]]("bytes").dropRight(9)
+    val junk = Seq((1L, "bin", junkBytes), (2L, "bin", mkvTrunc))
+      .toDF("asset_id", "kind", "bytes")
+    assert(Profile.sniffProfile(junk).isEmpty,
+      "unknown and malformed blobs must drop from the profile")
+  }
+
   test("MP3 lane (q_mm28): the frame-header walk reads back the muxed " +
     "closed forms; desync, VBR, reserved indexes, bad ID3 all drop") {
     import graft.operators.Multimodal
