@@ -2890,7 +2890,10 @@ object SparkEntry {
         "CAST(CASE d.doc_id % 6 WHEN 0 THEN 16 * (1 + d.doc_id % 3) " +
         "WHEN 1 THEN 24 * (1 + d.doc_id % 4) " +
         "WHEN 5 THEN 4 + d.doc_id % 7 ELSE 0 END AS BIGINT) AS height, " +
-        "CAST(CASE d.doc_id % 6 WHEN 0 THEN 25 + (d.doc_id % 5) * 6 " +
+        // n_items = independently-FETCHABLE items: video keyframes
+        // (mp4 ceil(n/6) via stss, mkv via SimpleBlock flags), audio
+        // frames, warc records, tar members, 1 per still image
+        "CAST(CASE d.doc_id % 6 WHEN 0 THEN (25 + (d.doc_id % 5) * 6 + 5) // 6 " +
         "WHEN 1 THEN mkvk.nk " +
         "WHEN 2 THEN 20 + (d.doc_id % 7) * 5 " +
         "WHEN 3 THEN 5 + (d.doc_id % 3) * 2 " +

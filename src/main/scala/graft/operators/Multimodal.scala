@@ -1132,10 +1132,12 @@ object Multimodal {
     * → color type 0) canvases, encoded through the actual PNG writer —
     * so every header field the parser extracts varies per asset and a
     * wrong byte offset cannot accidentally match the oracle. */
-  def pngMetaAssets(spark: SparkSession, dir: String): DataFrame = {
+  def pngMetaAssets(spark: SparkSession, dir: String,
+                    keep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).where(col("doc_id") < 300)
-      .select(col("doc_id").as("asset_id")).as[Long]
+    val ids = Tables.documents(spark, dir).where(col("doc_id") < 300)
+      .select(col("doc_id").as("asset_id"))
+    keep.fold(ids)(ids.where(_)).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = 4 + (id % 13).toInt
@@ -1444,10 +1446,12 @@ object Multimodal {
     * headroom. Compressed-CODEC decode stays declared out of pure-JVM
     * scope — this is the container-level lane that makes asset profiling
     * and retention decisions real on MP4 corpora without a codec. */
-  def mp4Assets(spark: SparkSession, dir: String): DataFrame = {
+  def mp4Assets(spark: SparkSession, dir: String,
+                keep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
-      .select(col("doc_id").as("asset_id")).as[Long]
+    val ids = Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id"))
+    keep.fold(ids)(ids.where(_)).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = mp4SampleCount(id)
@@ -1840,10 +1844,12 @@ object Multimodal {
     * Cluster timestamps and cue fields are written as fixed 2-byte
     * uints (EBML permits leading zero octets) for the same reason.
     * Every field derives from the closed forms above. */
-  def mkvAssets(spark: SparkSession, dir: String): DataFrame = {
+  def mkvAssets(spark: SparkSession, dir: String,
+                keep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
-      .select(col("doc_id").as("asset_id")).as[Long]
+    val ids = Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id"))
+    keep.fold(ids)(ids.where(_)).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val header = ebmlEl(ebmlId(0x1A, 0x45, 0xDF, 0xA3),
@@ -2256,10 +2262,12 @@ object Multimodal {
     * bits, mono. Frame payloads are opaque deterministic fill (the codec
     * stays out of pure-JVM scope; this is the container walk that prices
     * and profiles a 100 TB audio corpus). */
-  def mp3Assets(spark: SparkSession, dir: String): DataFrame = {
+  def mp3Assets(spark: SparkSession, dir: String,
+                keep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
-      .select(col("doc_id").as("asset_id")).as[Long]
+    val ids = Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id"))
+    keep.fold(ids)(ids.where(_)).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val br = mp3BitrateKbps(id)

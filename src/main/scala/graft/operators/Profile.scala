@@ -21,16 +21,69 @@ import org.apache.spark.sql.functions._
   * at 100 TB an unknown format is a quarantine row, not a job failure. */
 object Profile {
 
-  /** One normalized profile row; 0 where a format has no such fact. */
+  /** One normalized profile row; 0 where a format has no such fact.
+    * `nItems` is the format's count of INDEPENDENTLY-FETCHABLE items —
+    * the unit a downstream range-reading consumer budgets on: video
+    * keyframes (mp4/mkv — the seekable decode points, review r18: both
+    * video formats report the same semantics), audio frames, WARC
+    * records, tar members, 1 for a single image. */
   final case class Row(format: String, durationMs: Long, width: Long,
                        height: Long, nItems: Long)
+
+  /** PNG structural walk (review r18: the sniff must VALIDATE, not
+    * trust 4 signature bytes): full 8-byte signature, IHDR first
+    * (length 13) with positive dimensions, every chunk's CRC-32
+    * verified over type+data (the lying-index posture — a corrupted
+    * chunk drops the image), IEND last, no trailing garbage. Returns
+    * (width, height). Pure JVM, O(file bytes), no decode. */
+  private[graft] def pngStructure(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 8 + 25 ||
+      !sig.zipWithIndex.forall { case (b, i) => (bytes(i) & 0xff) == b })
+      return None
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var o = 8
+    var first = true
+    var dims: Option[(Long, Long)] = None
+    var ended = false
+    while (!ended) {
+      if (o + 12 > bytes.length) return None
+      val len = be32(o)
+      if (len > bytes.length.toLong) return None
+      val typ = new String(bytes, o + 4, 4, "US-ASCII")
+      val dataEnd = o + 8 + len.toInt
+      if (dataEnd + 4 > bytes.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, o + 4, 4 + len.toInt)
+      if (crc.getValue != be32(dataEnd)) return None // corrupted chunk
+      if (first) {
+        if (typ != "IHDR" || len != 13L) return None
+        val (w, h) = (be32(o + 8), be32(o + 12))
+        if (w <= 0L || h <= 0L) return None
+        dims = Some((w, h))
+        first = false
+      } else if (typ == "IEND") {
+        if (len != 0L || dataEnd + 4 != bytes.length) return None
+        ended = true
+      }
+      o = dataEnd + 4
+    }
+    dims
+  }
 
   /** Sniff the container format from magic bytes and run its walk.
     * Order matters only for safety: every branch keys on a distinct
     * anchored signature (WARC's version line, PNG's signature, EBML's
     * 4-byte id, ISO-BMFF's `ftyp` at offset 4, ustar's magic at 257,
     * MP3's ID3 tag or frame sync) — none of the muxed formats can
-    * shadow another. None on an unknown or malformed container. */
+    * shadow another. None on an unknown or malformed container.
+    * The mkv branch pays TWO walks (the meta parse and the keyframe
+    * map) — a declared trade: both are O(bytes) over an already-fetched
+    * blob and the walkers keep distinct scopes (meta is lenient about
+    * cluster internals, the map is strict about them), so fusing them
+    * would entangle two independently spec-pinned contracts. */
   private[graft] def sniff(bytes: Array[Byte]): Option[Row] = {
     def at(o: Int, s: String): Boolean =
       bytes.length >= o + s.length &&
@@ -40,14 +93,8 @@ object Profile {
     if (at(0, "WARC/1.0"))
       Warc.WarcReader.parse(bytes).map(rs =>
         Row("warc", 0L, 0L, 0L, rs.length.toLong))
-    else if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && at(1, "PNG"))
-      // IHDR geometry straight from the header bytes (the q_mm10 fast
-      // path, JVM-side): width/height big-endian at offsets 16/20
-      Some(Row("png", 0L, 0L, 0L, 1L).copy(
-        width = ((bytes(16) & 0xffL) << 24) | ((bytes(17) & 0xffL) << 16) |
-          ((bytes(18) & 0xffL) << 8) | (bytes(19) & 0xffL),
-        height = ((bytes(20) & 0xffL) << 24) | ((bytes(21) & 0xffL) << 16) |
-          ((bytes(22) & 0xffL) << 8) | (bytes(23) & 0xffL)))
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && at(1, "PNG"))
+      pngStructure(bytes).map { case (w, h) => Row("png", 0L, w, h, 1L) }
     else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1A &&
       (bytes(1) & 0xff) == 0x45 && (bytes(2) & 0xff) == 0xDF &&
       (bytes(3) & 0xff) == 0xA3)
@@ -59,7 +106,7 @@ object Profile {
     else if (at(4, "ftyp"))
       Multimodal.Mp4BoxReader.parse(bytes).map(m =>
         Row("mp4", m.durationMs, m.width.toLong, m.height.toLong,
-          m.nSamples))
+          m.nKeyframes))
     else if (at(257, "ustar"))
       Tar.TarReader.parse(bytes).map(ms =>
         Row("tar", 0L, 0L, 0L, ms.length.toLong))
@@ -73,21 +120,23 @@ object Profile {
   /** The mixed fixture corpus: six container formats on disjoint
     * asset_id residue classes, unioned narrowly; the `kind` column is
     * NEUTRALIZED to `bin` so the sniffer cannot peek — format recovery
-    * is the magic bytes' job alone. */
-  private[graft] def mixedAssets(spark: SparkSession, dir: String): DataFrame =
+    * is the magic bytes' job alone. The residue predicate pushes INTO
+    * each muxer (review r18): generation runs only for each format's
+    * own sixth of the corpus, not all-then-filter above the
+    * mapPartitions where Catalyst cannot prune it. */
+  private[graft] def mixedAssets(spark: SparkSession, dir: String): DataFrame = {
+    def keep(r: Int) = Some(col("asset_id") % 6 === r &&
+      col("asset_id") < Multimodal.AssetDocBound)
     Seq(
-      Multimodal.mp4Assets(spark, dir) -> 0,
-      Multimodal.mkvAssets(spark, dir) -> 1,
-      Multimodal.mp3Assets(spark, dir) -> 2,
-      Warc.warcAssets(spark, dir) -> 3,
-      Tar.tarAssets(spark, dir) -> 4,
-      Multimodal.pngMetaAssets(spark, dir)
-        .where(col("asset_id") < Multimodal.AssetDocBound) -> 5)
-      .map { case (df, res) =>
-        df.where(col("asset_id") % 6 === res)
-          .select(col("asset_id"), lit("bin").as("kind"), col("bytes"))
-      }
+      Multimodal.mp4Assets(spark, dir, keep(0)),
+      Multimodal.mkvAssets(spark, dir, keep(1)),
+      Multimodal.mp3Assets(spark, dir, keep(2)),
+      Warc.warcAssets(spark, dir, keep(3)),
+      Tar.tarAssets(spark, dir, keep(4)),
+      Multimodal.pngMetaAssets(spark, dir, keep(5)))
+      .map(_.select(col("asset_id"), lit("bin").as("kind"), col("bytes")))
       .reduce(_.unionByName(_))
+  }
 
   /** Q-MM33 — MIXED-CORPUS PROFILE: one pass, six container formats,
     * one normalized catalog row per asset. */

@@ -91,10 +91,13 @@ object Tar {
   }
 
   /** REAL (if minimal) POSIX ustar WebDataset shards, executor-side. */
-  def tarAssets(spark: SparkSession, dir: String): DataFrame = {
+  def tarAssets(spark: SparkSession, dir: String,
+                keep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).where(col("doc_id") < Multimodal.AssetDocBound)
-      .select(col("doc_id").as("asset_id")).as[Long]
+    val ids = Tables.documents(spark, dir)
+      .where(col("doc_id") < Multimodal.AssetDocBound)
+      .select(col("doc_id").as("asset_id"))
+    keep.fold(ids)(ids.where(_)).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
@@ -133,17 +136,20 @@ object Tar {
       true
     }
 
-    /** Parse a POSIX numeric field: octal digits then NUL/space pad. */
+    /** Parse a POSIX numeric field: optional LEADING blanks (historic
+      * writers pad checksums as `%6o` with leading spaces — GNU tar's
+      * from_oct skips them, review r18), octal digits, NUL/space pad. */
     private def numeric(bytes: Array[Byte], o: Int, w: Int): Option[Long] = {
       var v = 0L
       var i = o
       var seen = false
+      while (i < o + w && !seen && (bytes(i) == ' ' || bytes(i) == 0)) i += 1
       while (i < o + w) {
         val c = bytes(i) & 0xff
         if (c >= '0' && c <= '7') {
           if (v > (Long.MaxValue >> 3)) return None
           v = (v << 3) | (c - '0'); seen = true; i += 1
-        } else if (c == 0 || c == ' ') i = o + w // pad: stop
+        } else if (c == 0 || c == ' ') i = o + w // trailing pad: stop
         else return None
       }
       if (seen) Some(v) else None

@@ -57,10 +57,13 @@ object Warc {
   private def pad5(n: Int): String = f"$n%05d"
 
   /** REAL (if minimal) WARC/1.0 files, generated executor-side. */
-  def warcAssets(spark: SparkSession, dir: String): DataFrame = {
+  def warcAssets(spark: SparkSession, dir: String,
+                 keep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).where(col("doc_id") < Multimodal.AssetDocBound)
-      .select(col("doc_id").as("asset_id")).as[Long]
+    val ids = Tables.documents(spark, dir)
+      .where(col("doc_id") < Multimodal.AssetDocBound)
+      .select(col("doc_id").as("asset_id"))
+    keep.fold(ids)(ids.where(_)).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val sb = new java.io.ByteArrayOutputStream()

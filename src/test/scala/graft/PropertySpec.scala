@@ -585,7 +585,20 @@ class PropertySpec extends AnyFunSuite {
     // flip one name byte: the stored checksum no longer matches — the
     // walker must drop the archive, never emit a map off a corrupt header
     val corrupt = good.clone(); corrupt(0) = (corrupt(0) + 1).toByte
-    val badSize = good.clone(); badSize(124) = 'x'.toByte // non-octal
+    // non-octal size field with the checksum FIXED UP ('x'-'0'), so the
+    // drop exercises the size validation, not the checksum compare
+    val badSize = good.clone(); badSize(124) = 'x'.toByte
+    val sizeCs = java.lang.Long.toOctalString(
+      java.lang.Long.parseLong(new String(good, 148, 6, "US-ASCII"), 8) +
+        ('x' - '0'))
+    ("0" * (6 - sizeCs.length) + sizeCs).getBytes("US-ASCII")
+      .zipWithIndex.foreach { case (b, j) => badSize(148 + j) = b }
+    // a SPACE-padded checksum field (the historic %6o layout) must parse
+    val spaceCs = good.clone()
+    var scj = 148
+    while (scj < 153 && spaceCs(scj) == '0') { spaceCs(scj) = ' '; scj += 1 }
+    assert(Tar.TarReader.parse(spaceCs).nonEmpty,
+      "space-padded octal checksums are valid POSIX numerics")
     val noEnd = good.take(good.length - 1024) // end marker gone
     // directory typeflag with the checksum FIXED UP (+'5'-'0'), so the
     // drop is the typeflag scope rule, not a checksum side effect
@@ -615,23 +628,35 @@ class PropertySpec extends AnyFunSuite {
       }
       assert(r.getString(1) == want, s"sniff must recover the format: $r")
     }
-    // spot-check normalization across three formats
+    // spot-check normalization across three formats; n_items = the
+    // fetchable-unit count (video keyframes, not raw samples)
     val byId = rows.map(r => r.getLong(0) -> r).toMap
     assert(byId(0L).getLong(2) == Multimodal.mp4DurationMs(0L) &&
-      byId(0L).getLong(5) == Multimodal.mp4SampleCount(0L).toLong)
+      byId(0L).getLong(5) == (Multimodal.mp4SampleCount(0L) +
+        Multimodal.Mp4KeyInterval - 1) / Multimodal.Mp4KeyInterval)
     assert(byId(5L).getLong(3) == 4L + 5 % 13 &&
       byId(5L).getLong(4) == 4L + 5 % 7) // png IHDR geometry
     assert(byId(2L).getLong(5) == Multimodal.mp3FrameCount(2L).toLong)
-    // an unsniffable blob drops; a sniffed-but-malformed one too
+    // an unsniffable blob drops; a sniffed-but-malformed one too — and
+    // the PNG branch VALIDATES (CRC over every chunk), it never trusts
+    // 4 signature bytes (review r18)
     import spark.implicits._
     val junkBytes = Array.tabulate(64)(i => (i * 7 % 251).toByte)
     val mkvTrunc = Multimodal.mkvAssets(spark, sf)
       .where(col("asset_id") === 1L)
       .collect()(0).getAs[Array[Byte]]("bytes").dropRight(9)
-    val junk = Seq((1L, "bin", junkBytes), (2L, "bin", mkvTrunc))
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A,
+      0x1A, 0x0A) ++ Array.tabulate(40)(i => (i * 3 % 251).toByte)
+    val goodPng = Multimodal.pngMetaAssets(spark, sf)
+      .where(col("asset_id") === 5L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    val bitRot = goodPng.clone()
+    bitRot(goodPng.length / 2) = (bitRot(goodPng.length / 2) ^ 0x40).toByte
+    val junk = Seq((1L, "bin", junkBytes), (2L, "bin", mkvTrunc),
+      (3L, "bin", fakePng), (4L, "bin", bitRot))
       .toDF("asset_id", "kind", "bytes")
     assert(Profile.sniffProfile(junk).isEmpty,
-      "unknown and malformed blobs must drop from the profile")
+      "unknown, malformed, signature-only, and bit-rotted blobs must drop")
   }
 
   test("MP3 lane (q_mm28): the frame-header walk reads back the muxed " +
