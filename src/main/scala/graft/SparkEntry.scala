@@ -254,6 +254,7 @@ object SparkEntry {
     "q_mm31_tar_members"    -> (Tar.qMm31 _),
     "q_mm32_wds_samples"    -> (Tar.qMm32 _),
     "q_mm33_sniff_profile"  -> (Profile.qMm33 _),
+    "q_mm34_flac_meta"      -> (Multimodal.qMm34 _),
     "q_mm12_audio_dups"     -> (Multimodal.qMm12 _),
     "q_mm13_jpeg_decode"    -> (Multimodal.qMm13 _),
     // document flattener (U-3 Generator; u4 slot — u3 is INTERSECT's)
@@ -2901,6 +2902,24 @@ object SparkEntry {
         "ELSE 1 END AS BIGINT) AS n_items " +
         "FROM d LEFT JOIN mkvk ON mkvk.doc_id = d.doc_id " +
         "ORDER BY asset_id"),
+    "q_mm34_flac_meta" -> (
+      // Spark walks REAL FLAC metadata blocks (fLaC magic, last-flag
+      // block chain, STREAMINFO's 64-bit packed field) and audits the
+      // header against measured audio bytes; the oracle replays the
+      // muxer's closed forms — duration = total samples * 1000 / rate,
+      // block count 3 on even ids (VORBIS_COMMENT present) else 2
+      "SELECT doc_id AS asset_id, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
+        "ELSE 96000 END AS BIGINT) AS sample_rate, " +
+        "CAST(1 + doc_id % 2 AS BIGINT) AS channels, " +
+        "CAST(16 + 8 * ((doc_id % 8) // 4) AS BIGINT) AS bits_per_sample, " +
+        "CAST(100000 + (doc_id % 13) * 7777 AS BIGINT) AS total_samples, " +
+        "CAST(2 + CASE doc_id % 2 WHEN 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS n_meta_blocks, " +
+        "CAST(((100000 + (doc_id % 13) * 7777) * 1000) // " +
+        "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
+        "ELSE 96000 END) AS BIGINT) AS duration_ms " +
+        "FROM documents WHERE doc_id < 200 ORDER BY asset_id"),
     "q_mm7_motion_energy" -> (
       // temporal motion energy through the real GIF decode Spark-side;
       // the oracle replays |gifGray(f) - gifGray(f-1)| per pixel over

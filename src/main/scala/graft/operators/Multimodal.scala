@@ -2381,6 +2381,199 @@ object Multimodal {
         "duration_ms")
   }
 
+  // ---- FLAC lossless-audio metadata lane (round 18 — the lossless
+  //      counterpart of the MP3 lane, completing the audio pair the
+  //      way q_mm26/q_mm27 completed the video pair) ----
+
+  /** Closed-form per-asset FLAC facts, on residues independent of the
+    * MP3 lane's so the two audio lanes cannot hash-cancel each other:
+    * sample rate on id%3, channels on id%2, bit depth on (id%8)/4
+    * (period 8 covers every channels×depth combination), total samples
+    * on id%13, frame size on id%11. Blocksize is the fixed 4096 of a
+    * typical encoder (STREAMINFO min == max — the constant-blocksize
+    * stream every mainstream FLAC encoder emits). */
+  def flacSampleRate(id: Long): Int = (id % 3) match {
+    case 0 => 44100; case 1 => 48000; case _ => 96000
+  }
+  def flacChannels(id: Long): Int = 1 + (id % 2).toInt
+  def flacBitsPerSample(id: Long): Int = 16 + 8 * ((id % 8) / 4).toInt
+  def flacTotalSamples(id: Long): Long = 100000L + (id % 13) * 7777L
+  def flacFrameSize(id: Long): Int = 200 + (id % 11).toInt * 9
+  val FlacBlockSize = 4096
+  /** Audio frames = ceil(total samples / blocksize) — the count the
+    * walker must re-derive to audit STREAMINFO against measured bytes. */
+  def flacFrameCount(id: Long): Long =
+    (flacTotalSamples(id) + FlacBlockSize - 1) / FlacBlockSize
+
+  /** REAL (if minimal) FLAC streams, generated executor-side: `fLaC`
+    * magic, a spec-shaped STREAMINFO metadata block (34 bytes — u16
+    * min/max blocksize, u24 min/max framesize, then the 64-bit packed
+    * field: 20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit
+    * total samples — and a 16-byte deterministic MD5 slot), an optional
+    * VORBIS_COMMENT block (even ids; every robust walker must hop it),
+    * a PADDING block carrying the last-metadata-block flag, then
+    * [[flacFrameCount]] fixed-size pseudo-frames (0xFFF8 sync,
+    * deterministic fill — the codec stays out of pure-JVM scope; this
+    * is the container walk that prices a lossless-audio corpus). */
+  def flacAssets(spark: SparkSession, dir: String,
+                 keep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).where(col("doc_id") < AssetDocBound)
+      .select(col("doc_id").as("asset_id"))
+    keep.fold(ids)(ids.where(_)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sr = flacSampleRate(id)
+          val ch = flacChannels(id)
+          val bps = flacBitsPerSample(id)
+          val total = flacTotalSamples(id)
+          val fsz = flacFrameSize(id)
+          val out = new java.io.ByteArrayOutputStream()
+          out.write("fLaC".getBytes("US-ASCII"))
+          // STREAMINFO: type 0, not last, length 34
+          out.write(Array[Byte](0, 0, 0, 34))
+          def be(v: Long, n: Int): Unit = {
+            var k = n - 1
+            while (k >= 0) { out.write(((v >>> (8 * k)) & 0xff).toInt); k -= 1 }
+          }
+          be(FlacBlockSize, 2); be(FlacBlockSize, 2) // min/max blocksize
+          be(fsz, 3); be(fsz, 3)                     // min/max framesize
+          be((sr.toLong << 44) | ((ch - 1).toLong << 41) |
+            ((bps - 1).toLong << 36) | total, 8)
+          var k = 0
+          while (k < 16) { out.write(((id * 7 + k * 13) % 251).toInt); k += 1 }
+          if (id % 2 == 0) { // VORBIS_COMMENT: type 4, not last
+            val clen = 8 + (id % 23).toInt
+            out.write(Array[Byte](4, 0, 0, clen.toByte))
+            k = 0
+            while (k < clen) { out.write(((id + k * 3) % 127).toInt); k += 1 }
+          }
+          val plen = (id % 19).toInt // PADDING: type 1, LAST metadata block
+          out.write(Array[Byte](0x81.toByte, 0, 0, plen.toByte))
+          k = 0
+          while (k < plen) { out.write(0); k += 1 }
+          var f = 0L
+          val nF = flacFrameCount(id)
+          while (f < nF) {
+            val frame = new Array[Byte](fsz)
+            frame(0) = 0xFF.toByte; frame(1) = 0xF8.toByte // frame sync
+            k = 2
+            while (k < fsz) {
+              frame(k) = ((id * 5 + f * 3 + k) % 251).toByte; k += 1
+            }
+            out.write(frame)
+            f += 1L
+          }
+          (id, "audio", out.toByteArray)
+        }
+      }.toDF("asset_id", "kind", "bytes")
+  }
+
+  /** Pure-JVM FLAC metadata-block walk — sample rate, channels, bit
+    * depth, total samples, duration; NO codec touched. Walks the `fLaC`
+    * magic then the metadata-block chain (1-byte last-flag+type header,
+    * u24 big-endian length) to the last-block flag, requiring exactly
+    * one STREAMINFO and requiring it FIRST (both spec mandates), then
+    * unpacks STREAMINFO's bit-packed 64-bit field. The declared scope is
+    * constant-blocksize constant-framesize streams (STREAMINFO min ==
+    * max for both — what mainstream encoders emit): the walker AUDITS
+    * the header against measured structure, requiring the bytes after
+    * the last metadata block to equal ceil(totalSamples/blocksize) ×
+    * framesize exactly — a STREAMINFO lying about its stream (the lying-
+    * index posture of the container family) drops the clip. Malformation
+    * — bad magic, a second STREAMINFO, the forbidden block type 127, a
+    * block overrunning the file, zero sample rate, out-of-spec blocksize
+    * (<16) or bit depth (<4), min>max, zero total samples, byte-count
+    * mismatch — is None, never throw. O(file bytes), O(1) state. */
+  object FlacReader {
+    final case class Meta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                          totalSamples: Long, nMetaBlocks: Int,
+                          durationMs: Long)
+
+    def parse(bytes: Array[Byte]): Option[Meta] = try {
+      if (bytes.length < 4 + 4 + 34) return None
+      if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+        bytes(3) == 'C')) return None
+      def be(o: Int, n: Int): Long = {
+        var v = 0L; var k = 0
+        while (k < n) { v = (v << 8) | (bytes(o + k) & 0xffL); k += 1 }
+        v
+      }
+      var o = 4
+      var last = false
+      var nBlocks = 0
+      var si: Option[Meta] = None
+      var auditFrames = 0L // frame geometry for the post-chain audit,
+      var auditFsz = 0L    // local — parse runs on 32 threads at once
+      while (!last) {
+        if (o + 4 > bytes.length) return None
+        val hdr = bytes(o) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        if (typ == 127) return None // forbidden sentinel type
+        val len = be(o + 1, 3)
+        if (o + 4 + len > bytes.length) return None
+        if (typ == 0) {
+          if (si.isDefined || nBlocks != 0 || len != 34L) return None
+          val minB = be(o + 4, 2); val maxB = be(o + 6, 2)
+          val minF = be(o + 8, 3); val maxF = be(o + 11, 3)
+          val packed = be(o + 14, 8)
+          val sr = (packed >>> 44).toInt
+          val ch = ((packed >>> 41) & 0x7).toInt + 1
+          val bps = ((packed >>> 36) & 0x1f).toInt + 1
+          val total = packed & 0xFFFFFFFFFL
+          if (minB < 16 || minB > maxB || minF > maxF || sr <= 0 ||
+            sr > 655350 || bps < 4 || total <= 0L) return None
+          // declared scope: constant blocksize AND framesize
+          if (minB != maxB || minF != maxF || minF <= 0L) return None
+          si = Some(Meta(sr, ch, bps, total, 0, total * 1000L / sr))
+          auditFrames = (total + maxB - 1) / maxB; auditFsz = maxF
+        } else if (nBlocks == 0) return None // STREAMINFO must be first
+        nBlocks += 1
+        o += 4 + len.toInt
+      }
+      si match {
+        case Some(m) =>
+          // audit: measured audio bytes must match STREAMINFO exactly
+          if (bytes.length.toLong - o != auditFrames * auditFsz) None
+          else Some(m.copy(nMetaBlocks = nBlocks))
+        case None => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Q-MM34 — FLAC CONTAINER METADATA: per asset, the facts a lossless-
+    * audio curation pass filters and budgets on — sample rate, channels,
+    * bit depth, total samples, metadata-block count, duration — from a
+    * pure-JVM metadata-block walk ([[FlacReader]]), pairing the lossy
+    * ([[qMm28]] MP3) and lossless halves of the audio container arc.
+    *
+    * Scale: generation and walk fuse into ONE mapPartitions stage — clip
+    * bytes never cross an exchange (the mm family invariant); only the
+    * per-asset metadata rows shuffle for the final order. */
+  def qMm34(spark: SparkSession, dir: String): DataFrame =
+    flacMeta(flacAssets(spark, dir)).orderBy("asset_id")
+
+  /** Narrow kernel of [[qMm34]]: batched mapPartitions, no exchange;
+    * malformed streams drop per the [[FlacReader]] contract. */
+  def flacMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "kind", "bytes").as[AssetRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { a =>
+            FlacReader.parse(a.bytes).map(m =>
+              (a.asset_id, m.sampleRate.toLong, m.channels.toLong,
+                m.bitsPerSample.toLong, m.totalSamples,
+                m.nMetaBlocks.toLong, m.durationMs))
+          }
+        }
+      }
+      .toDF("asset_id", "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "n_meta_blocks", "duration_ms")
+  }
+
   /** The narrow kernel of [[qMm24]] over any (asset_id, kind, bytes)
     * frame — batched mapPartitions, no exchange (PlanAuditSpec's mm
     * family list pins it); malformed containers drop per the

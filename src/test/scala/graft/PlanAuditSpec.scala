@@ -654,6 +654,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "mkvKeyframeMap" ->
         Multimodal.mkvKeyframeMap(Multimodal.mkvAssets(spark, sf)),
       "mp3Meta" -> Multimodal.mp3Meta(Multimodal.mp3Assets(spark, sf)),
+      "flacMeta" -> Multimodal.flacMeta(Multimodal.flacAssets(spark, sf)),
       "warcRecordMap" ->
         graft.operators.Warc.warcRecordMap(
           graft.operators.Warc.warcAssets(spark, sf)),

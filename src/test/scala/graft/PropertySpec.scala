@@ -703,6 +703,56 @@ class PropertySpec extends AnyFunSuite {
       "malformed MP3 streams must drop, never throw")
   }
 
+  test("FLAC lane (q_mm34): the metadata-block walk reads back the muxed " +
+    "closed forms; bad magic, lying STREAMINFO, forbidden type, " +
+    "misordered chain, min>max all drop") {
+    import graft.operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val parsed = Multimodal.qMm34(spark, sf).collect()
+    assert(parsed.length == 200, s"one row per asset: ${parsed.length}")
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      val sr = Multimodal.flacSampleRate(id)
+      val total = Multimodal.flacTotalSamples(id)
+      assert(r.getLong(1) == sr.toLong &&
+        r.getLong(2) == Multimodal.flacChannels(id).toLong &&
+        r.getLong(3) == Multimodal.flacBitsPerSample(id).toLong &&
+        r.getLong(4) == total &&
+        r.getLong(5) == (if (id % 2 == 0) 3L else 2L) &&
+        r.getLong(6) == total * 1000L / sr,
+        s"block walk must round-trip the muxed facts: $r")
+    }
+    import spark.implicits._
+    // id 1: no VORBIS_COMMENT — blocks are STREAMINFO @4, PADDING, frames
+    val good = Multimodal.flacAssets(spark, sf)
+      .where(col("asset_id") === 1L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    assert(good(0) == 'f'.toByte && good(4) == 0.toByte,
+      "fixture drift: expected fLaC magic + STREAMINFO first")
+    val badMagic = good.clone(); badMagic(0) = 'g'.toByte
+    val truncated = good.take(good.length - 3) // audit byte-count mismatch
+    // lying STREAMINFO: +0x10 to the packed field's bits-8..15 byte bumps
+    // total samples by 4096 — one whole extra block, so the derived frame
+    // count no longer matches measured audio bytes; must drop (a +1 bump
+    // would land inside the same ceil(total/4096) block and stay true)
+    val lying = good.clone(); lying(24) = (lying(24) + 0x10).toByte
+    // the PADDING header (after STREAMINFO's 4+34 bytes = offset 42)
+    // becomes last-flag | type 127 — the forbidden sentinel
+    assert((good(42) & 0xff) == 0x81, "fixture drift: expected PADDING hdr")
+    val forbidden = good.clone(); forbidden(42) = 0xFF.toByte
+    // STREAMINFO not first: its type byte says APPLICATION (2)
+    val misordered = good.clone(); misordered(4) = 2.toByte
+    // min blocksize 4096 > max blocksize 2048
+    val minOverMax = good.clone()
+    minOverMax(10) = 0x08.toByte; minOverMax(11) = 0x00.toByte
+    val junk = Seq((1L, "audio", badMagic), (2L, "audio", truncated),
+      (3L, "audio", lying), (4L, "audio", forbidden),
+      (5L, "audio", misordered), (6L, "audio", minOverMax))
+      .toDF("asset_id", "kind", "bytes")
+    assert(Multimodal.flacMeta(junk).isEmpty,
+      "malformed FLAC streams must drop, never throw")
+  }
+
   test("shard packing (q_t42) is bucket-width invariant and partitions the corpus") {
     import graft.operators.TextAnalysis
     val sf = "/root/testdata/sf0.001"
