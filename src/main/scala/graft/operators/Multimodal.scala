@@ -2385,12 +2385,14 @@ object Multimodal {
   //      counterpart of the MP3 lane, completing the audio pair the
   //      way q_mm26/q_mm27 completed the video pair) ----
 
-  /** Closed-form per-asset FLAC facts, on residues independent of the
-    * MP3 lane's so the two audio lanes cannot hash-cancel each other:
-    * sample rate on id%3, channels on id%2, bit depth on (id%8)/4
-    * (period 8 covers every channels×depth combination), total samples
-    * on id%13, frame size on id%11. Blocksize is the fixed 4096 of a
-    * typical encoder (STREAMINFO min == max — the constant-blocksize
+  /** Closed-form per-asset FLAC facts: sample rate on id%3, channels
+    * on id%2, bit depth on (id%8)/4 (period 8 covers every
+    * channels×depth combination), total samples on id%13, frame size on
+    * id%11. The moduli OVERLAP the MP3 lane's (both use %3 and %2) —
+    * the lanes cannot hash-cancel because they select different VALUES
+    * (44100/48000/96000 vs 128/192/256) into different column sets, not
+    * because the residues are disjoint. Blocksize is the fixed 4096 of
+    * a typical encoder (STREAMINFO min == max — the constant-blocksize
     * stream every mainstream FLAC encoder emits). */
   def flacSampleRate(id: Long): Int = (id % 3) match {
     case 0 => 44100; case 1 => 48000; case _ => 96000
@@ -2486,9 +2488,11 @@ object Multimodal {
     * (<16) or bit depth (<4), min>max, zero total samples, byte-count
     * mismatch — is None, never throw. O(file bytes), O(1) state. */
   object FlacReader {
+    /** `nFrames` is the audited audio-frame count — the independently-
+      * fetchable unit the sniff profiler reports for this format. */
     final case class Meta(sampleRate: Int, channels: Int, bitsPerSample: Int,
                           totalSamples: Long, nMetaBlocks: Int,
-                          durationMs: Long)
+                          durationMs: Long, nFrames: Long)
 
     def parse(bytes: Array[Byte]): Option[Meta] = try {
       if (bytes.length < 4 + 4 + 34) return None
@@ -2526,8 +2530,9 @@ object Multimodal {
             sr > 655350 || bps < 4 || total <= 0L) return None
           // declared scope: constant blocksize AND framesize
           if (minB != maxB || minF != maxF || minF <= 0L) return None
-          si = Some(Meta(sr, ch, bps, total, 0, total * 1000L / sr))
           auditFrames = (total + maxB - 1) / maxB; auditFsz = maxF
+          si = Some(Meta(sr, ch, bps, total, 0, total * 1000L / sr,
+            auditFrames))
         } else if (nBlocks == 0) return None // STREAMINFO must be first
         nBlocks += 1
         o += 4 + len.toInt

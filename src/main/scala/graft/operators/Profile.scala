@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * profile row per asset (format, duration, dimensions, item count) for
   * the catalog every later curation/budget decision reads. This is the
   * reference's full-scan surface (A1) lifted to a heterogeneous binary
-  * corpus: every per-format lane (q_mm24..q_mm31) composes into a single
-  * operator, proving the walkers share one dispatchable contract.
+  * corpus: every per-format lane (q_mm24..q_mm31, plus q_mm34's FLAC
+  * walker) composes into a single operator, proving the walkers share
+  * one dispatchable contract.
   *
   * Scale: the sniff reads a handful of magic bytes before committing to
   * a walk; generation (six muxers on disjoint residue classes, unioned
@@ -77,8 +78,12 @@ object Profile {
     * Order matters only for safety: every branch keys on a distinct
     * anchored signature (WARC's version line, PNG's signature, EBML's
     * 4-byte id, ISO-BMFF's `ftyp` at offset 4, ustar's magic at 257,
-    * MP3's ID3 tag or frame sync) — none of the muxed formats can
-    * shadow another. None on an unknown or malformed container.
+    * FLAC's `fLaC`, MP3's ID3 tag or frame sync) — none of the formats
+    * can shadow another (the MP3 frame-sync branch is the loosest
+    * signature, so it stays LAST; `fLaC` must precede it). None on an
+    * unknown or malformed container. The fixture corpus below muxes six
+    * of the seven dispatchable formats; the FLAC branch is pinned by
+    * its own spec row over a directly-built frame.
     * The mkv branch pays TWO walks (the meta parse and the keyframe
     * map) — a declared trade: both are O(bytes) over an already-fetched
     * blob and the walkers keep distinct scopes (meta is lenient about
@@ -110,6 +115,9 @@ object Profile {
     else if (at(257, "ustar"))
       Tar.TarReader.parse(bytes).map(ms =>
         Row("tar", 0L, 0L, 0L, ms.length.toLong))
+    else if (at(0, "fLaC"))
+      Multimodal.FlacReader.parse(bytes).map(m =>
+        Row("flac", m.durationMs, 0L, 0L, m.nFrames))
     else if (at(0, "ID3") || (bytes.length >= 2 &&
       (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xE0) == 0xE0))
       Multimodal.Mp3Reader.parse(bytes).map(m =>

@@ -657,6 +657,22 @@ class PropertySpec extends AnyFunSuite {
       .toDF("asset_id", "kind", "bytes")
     assert(Profile.sniffProfile(junk).isEmpty,
       "unknown, malformed, signature-only, and bit-rotted blobs must drop")
+    // the FLAC branch dispatches too (review r18: every shipped walker
+    // must be sniffable) — pinned over a directly-built frame since the
+    // six-format fixture corpus doesn't mux it
+    val flacBytes = Multimodal.flacAssets(spark, sf)
+      .where(col("asset_id") === 7L)
+      .collect()(0).getAs[Array[Byte]]("bytes")
+    val flacRows = Profile.sniffProfile(
+      Seq((7L, "bin", flacBytes)).toDF("asset_id", "kind", "bytes"))
+      .collect()
+    val total7 = Multimodal.flacTotalSamples(7L)
+    assert(flacRows.length == 1 && flacRows(0).getString(1) == "flac" &&
+      flacRows(0).getLong(2) ==
+        total7 * 1000L / Multimodal.flacSampleRate(7L) &&
+      flacRows(0).getLong(5) ==
+        (total7 + Multimodal.FlacBlockSize - 1) / Multimodal.FlacBlockSize,
+      s"fLaC magic must dispatch to the FLAC walk: ${flacRows.toSeq}")
   }
 
   test("MP3 lane (q_mm28): the frame-header walk reads back the muxed " +
@@ -745,9 +761,14 @@ class PropertySpec extends AnyFunSuite {
     // min blocksize 4096 > max blocksize 2048
     val minOverMax = good.clone()
     minOverMax(10) = 0x08.toByte; minOverMax(11) = 0x00.toByte
+    // a SECOND STREAMINFO (copy of the first, spliced in before the
+    // PADDING block) — the exactly-once spec mandate
+    val duplicated = good.slice(0, 42) ++ good.slice(4, 42) ++
+      good.slice(42, good.length)
     val junk = Seq((1L, "audio", badMagic), (2L, "audio", truncated),
       (3L, "audio", lying), (4L, "audio", forbidden),
-      (5L, "audio", misordered), (6L, "audio", minOverMax))
+      (5L, "audio", misordered), (6L, "audio", minOverMax),
+      (7L, "audio", duplicated))
       .toDF("asset_id", "kind", "bytes")
     assert(Multimodal.flacMeta(junk).isEmpty,
       "malformed FLAC streams must drop, never throw")
