@@ -281,27 +281,48 @@ object Dedup {
     docs.join(broadcast(oversized), Seq("blk"), "left_anti")
   }
 
+  /** Within-block candidate pairs (a_id < b_id) with both word sets and
+    * the exact intersection size — the [[qD10]]/[[qD14]] candidate
+    * generator, restructured in the round-19 optimization pass from a
+    * blk-keyed SELF-JOIN (two exchanges of the word-set-bearing frame +
+    * a sort-merge sort per side) to ONE exchange: group the capped blocks
+    * (collect_list is bounded by [[MaxBlockSide]] members per row, the
+    * cap the anti-join above enforces BEFORE anything shuffles) and
+    * explode the member list twice to enumerate ordered pairs in-row.
+    * Same candidate set, same verification arithmetic, half the shuffled
+    * bytes and one less sort (guide §2.4 "remove shuffles outright").
+    * |A∪B| is derived as |A|+|B|−|A∩B| (both sides are array_distinct),
+    * which drops the second O(n·m) array walk per pair. */
+  private def blockPairs(s: SparkSession, dir: String): DataFrame =
+    blockedDocs(s, dir)
+      .groupBy("blk").agg(collect_list(struct(col("doc_id"), col("w"))).as("m"))
+      .where(size(col("m")) >= 2)
+      .select(explode(col("m")).as("x"), col("m"))
+      .select(col("x.doc_id").as("a_id"), col("x.w").as("wa"),
+        explode(col("m")).as("y"))
+      .where(col("a_id") < col("y.doc_id"))
+      .select(col("a_id"), col("y.doc_id").as("b_id"), col("wa"),
+        col("y.w").as("wb"))
+      .withColumn("inter", expr("size(array_intersect(wa, wb))"))
+
   /** Q-D10 — BLOCKING-KEY dedup, the third candidate-generation technique
     * next to MinHash-LSH (qD4) and SimHash bands (qD6): the block key is
     * the first 12 characters of the normalized text, candidates are pairs
     * sharing a block, verification is exact word-set Jaccard. Classic
     * record-linkage blocking — cheaper than LSH (no signature pass; one
     * narrow key projection) but blind to edits inside the prefix, which is
-    * why an engine carries BOTH. Scale: the candidate join shuffles on the
-    * block key — work is Σ per-block C(n,2) with blocks capped at
-    * [[MaxBlockSide]] (supersized blocks skipped — see the cap's scaladoc),
-    * so candidates are ≤ docs × cap / 2: linear in corpus, never corpus². */
-  def qD10(s: SparkSession, dir: String): DataFrame = {
-    val docs = blockedDocs(s, dir)
-    val a = docs.selectExpr("doc_id AS a_id", "blk", "w AS wa")
-    val b = docs.selectExpr("doc_id AS b_id", "blk AS blkb", "w AS wb")
-    a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
+    * why an engine carries BOTH. Scale: the candidate generator shuffles
+    * once on the block key ([[blockPairs]]) — work is Σ per-block C(n,2)
+    * with blocks capped at [[MaxBlockSide]] (supersized blocks skipped —
+    * see the cap's scaladoc), so candidates are ≤ docs × cap / 2: linear
+    * in corpus, never corpus². */
+  def qD10(s: SparkSession, dir: String): DataFrame =
+    blockPairs(s, dir)
       .withColumn("jac",
-        expr("CAST(size(array_intersect(wa, wb)) AS DOUBLE) / size(array_union(wa, wb))"))
+        expr("CAST(inter AS DOUBLE) / (size(wa) + size(wb) - inter)"))
       .where(col("jac") >= 0.9)
       .selectExpr("a_id", "b_id", "ROUND(jac, 4) AS jac")
       .orderBy("a_id", "b_id")
-  }
 
   /** SimHash-32 per document: majority vote per bit over the md5-hashes of
     * the token stream (duplicates count — frequency weights the vote), via
@@ -436,22 +457,17 @@ object Dedup {
     * (engine-exact, no float); the rows where cont_e4 is high and jac_e4
     * low are exactly the dups qD10's own threshold misses.
     *
-    * Scale: identical shape to qD10 — one narrow block-key equi-join,
-    * per-block-squares work, never corpus²; the containment arithmetic is
-    * per-matched-row codegen. */
-  def qD14(s: SparkSession, dir: String): DataFrame = {
-    val docs = blockedDocs(s, dir)
-    val a = docs.selectExpr("doc_id AS a_id", "blk", "w AS wa")
-    val b = docs.selectExpr("doc_id AS b_id", "blk AS blkb", "w AS wb")
-    a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
-      .withColumn("inter", expr("size(array_intersect(wa, wb))"))
+    * Scale: identical shape to qD10 — [[blockPairs]]' one block-key
+    * exchange, per-block-squares work, never corpus²; the containment
+    * arithmetic is per-matched-row codegen. */
+  def qD14(s: SparkSession, dir: String): DataFrame =
+    blockPairs(s, dir)
       .withColumn("cont_e4",
         expr("(inter * 10000) DIV least(size(wa), size(wb))"))
       .where(col("cont_e4") >= 9000)
       .selectExpr("a_id", "b_id", "CAST(cont_e4 AS BIGINT) AS cont_e4",
-        "CAST((inter * 10000) DIV size(array_union(wa, wb)) AS BIGINT) AS jac_e4")
+        "CAST((inter * 10000) DIV (size(wa) + size(wb) - inter) AS BIGINT) AS jac_e4")
       .orderBy("a_id", "b_id")
-  }
 
   /** Q-G1 — degree histogram of the SimHash near-dup graph ([[qD6]]):
     * (degree, node count) rows — the first diagnostic a dedup-graph run

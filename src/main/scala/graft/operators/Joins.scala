@@ -89,11 +89,22 @@ object Joins {
 
   /** Q-J6 — composite-key join: hierarchical partition key
     * (migration.py:21-39) as a multi-column join key. Self-join of lineitem
-    * on (orderkey, linenumber). */
+    * on (orderkey, linenumber).
+    *
+    * The `merge` hint declares the join strategy (round-19 optimization,
+    * guide §3.1): both sides are the biggest fact table, so at scale
+    * neither may become a broadcast build side — yet at bench SF the
+    * planner's size estimate chose exactly that, collecting 600 k rows
+    * into a driver-built broadcast relation (1.18 s vs 0.63 s hinted,
+    * measured). With SMJ forced, the two sides are byte-identical shuffle
+    * subtrees, so ReuseExchange computes the composite-key exchange ONCE —
+    * one exchange + sorts, the plan a 100 TB self-join actually wants, and
+    * it spills gracefully where a shuffled-hash build can OOM on a fat
+    * partition. */
   def qJ6(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
     val r = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
-    l.join(r, Seq("l_orderkey", "l_linenumber"))
+    l.hint("merge").join(r, Seq("l_orderkey", "l_linenumber"))
       .agg(count(lit(1)).as("n"))
   }
 

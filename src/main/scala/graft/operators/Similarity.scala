@@ -1135,19 +1135,82 @@ object Similarity {
     * between candidates, so the greedy ranking is engine-exact and the
     * oracle replays it round by round (statically unrolled CTEs).
     *
-    * Scale: the shortlist is probe×20 rows; the pairwise-redundancy frame
-    * is probe×20×19 — both BOUNDED by serving parameters, independent of
-    * corpus size (the corpus was left behind at the shortlist stage, the
-    * q_sim16 posture). Each of the 4 greedy rounds is an equi-join +
-    * per-probe argmax window over those bounded frames; selection depth
-    * is the output size (5), never data-sized. Output carries rel and
+    * Scale: the shortlist is probe×20 rows — BOUNDED by serving
+    * parameters, independent of corpus size (the corpus was left behind
+    * at the shortlist stage, the q_sim16 posture). The greedy itself runs
+    * ON THE DRIVER over that checked-bounded shortlist (round-19
+    * optimization, guide §1.2 "the distributed algorithm" + §5: selection
+    * depth = output size over ≤ probes×topK rows is serving-layer work —
+    * the previous distributed form spent 6 eager localCheckpoint jobs and
+    * 4 rounds of join+window stages shuffling ≤ 100 rows; the driver form
+    * is two bounded jobs: probe + collect). The pairwise-redundancy dots
+    * (probes×20×19 of them, 64-dim int8) are exact integer arithmetic
+    * either way, so the ranking is engine-identical and the oracle
+    * replays it round by round (statically unrolled CTEs) — re-proven
+    * against the oracle when this form landed, and pinned bit-equal to
+    * [[qSim18Distributed]] by RecallSpec. Output carries rel and
     * mmr_rank so a consumer sees what diversity cost in relevance. */
   def qSim18(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val idx = IvfIndex.build(s, dir, lloydIters = 0)
-    // lineage TRUNCATED at the shortlist: the greedy below references it
-    // once per round, and without the checkpoint each reference re-runs
-    // the whole probe chain (the frame is probes × 20 rows — free to pin)
+    qSim18Greedy(s,
+      IvfIndex.probeInt8(s, dir, idx, topK = 20, probeLimit = 5)
+        .select(col("q_id"), col("n_id"), col("qdot").as("rel"))
+        .join(idx.qassigned.select(col("vec_id"), col("qv")),
+          col("n_id") === col("vec_id")),
+      maxRows = 5 * 20)
+  }
+
+  /** The MMR greedy over a serving-bounded shortlist, on the driver.
+    * `shortlist` must carry (q_id, n_id, rel, qv) and is REQUIRED to hold
+    * at most `maxRows` rows (checked — a corpus-sized frame here is a
+    * contract violation, never silently collected; the qD9 bounded-collect
+    * pattern). Integer MMR with λ = 1/2: per round pick the candidate
+    * maximizing rel − max_selected(dot), ties to the smaller n_id — the
+    * exact arithmetic the distributed form computed, in the same order. */
+  private[graft] def qSim18Greedy(s: SparkSession, shortlist: DataFrame,
+                                  maxRows: Int): DataFrame = {
+    import s.implicits._
+    val rows = shortlist.select(col("q_id"), col("n_id"), col("rel"),
+      col("qv")).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"qSim18 shortlist exceeds its serving bound ($maxRows)")
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val out = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
+      case (q, rs) =>
+        val cand = rs.map { r =>
+          (r.getLong(1), r.getLong(2),
+            r.getSeq[Any](3).map(_.asInstanceOf[Number].longValue).toArray)
+        }.sortBy(c => (-c._2, c._1)).toVector
+        var selected = Vector((cand.head._1, cand.head._2, 1L))
+        var selVecs = Vector(cand.head._3)
+        var remaining = cand.tail
+        for (k <- 2 to 5 if remaining.nonEmpty) {
+          val best = remaining
+            .map(c => (c, c._2 - selVecs.map(v => dot(c._3, v)).max))
+            .minBy { case (c, score) => (-score, c._1) }._1
+          selected :+= ((best._1, best._2, k.toLong))
+          selVecs :+= best._3
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+        selected.map(sel => (q, sel._1, sel._2, sel._3))
+    }
+    out.toDF("q_id", "n_id", "rel", "mmr_rank").orderBy("q_id", "mmr_rank")
+  }
+
+  /** The pre-round-19 DISTRIBUTED MMR greedy — retained as the equality
+    * oracle for [[qSim18Greedy]] (the [[lexLaneDirect]] pattern):
+    * SimilaritySpec pins the two bit-equal on the fixture corpus. Each of
+    * the 4 greedy rounds is an equi-join + per-probe argmax window over
+    * serving-bounded frames, with eager localCheckpoints truncating the
+    * per-round lineage. */
+  private[graft] def qSim18Distributed(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = IvfIndex.build(s, dir, lloydIters = 0)
     val sl = IvfIndex.probeInt8(s, dir, idx, topK = 20, probeLimit = 5)
       .select(col("q_id"), col("n_id"), col("qdot").as("rel"))
       .localCheckpoint(eager = true)
@@ -1181,8 +1244,6 @@ object Similarity {
         .where(col("r") === 1)
         .select(col("q_id"), col("n_id"), col("rel"),
           lit(k).cast("long").as("mmr_rank"))
-      // selection-depth frames (<= probes × k rows): truncate per round or
-      // round k's plan nests every earlier round's joins
       selected = selected.unionByName(next).localCheckpoint(eager = true)
     }
     selected.orderBy("q_id", "mmr_rank")

@@ -322,6 +322,20 @@ class RecallSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).values.forall(_.map(_._4).sorted == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("MMR diversify (q_sim18): driver-greedy form bit-equal to the retained distributed form") {
+    // round-19 optimization pin: the serving form runs the greedy on the
+    // driver over the checked-bounded shortlist; the pre-round-19
+    // distributed form is retained as the equality oracle (the
+    // lexLaneDirect pattern) and must stay bit-equal, schema included
+    val fast = Similarity.qSim18(spark, sf)
+    val ref = Similarity.qSim18Distributed(spark, sf)
+    assert(fast.schema.map(f => (f.name, f.dataType)) ==
+      ref.schema.map(f => (f.name, f.dataType)),
+      "driver-greedy schema drifted from the distributed form")
+    assert(fast.collect().map(_.toSeq).toSeq == ref.collect().map(_.toSeq).toSeq,
+      "driver-greedy MMR must equal the distributed greedy row for row")
+  }
+
   test("served hybrid (q_sim17): fusion contract identical, overlap vs exact-lane fusion measured") {
     // both hybrids call the SAME rrfFuse — the contract check is on the
     // OUTPUT (schema + per-probe list shape); the measured number is how
