@@ -142,6 +142,25 @@ object Bench {
     }
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: aggregate warmup failed: $e") }
+    // Round-19: the agg passes above leave the window, sort-merge-join and
+    // broadcast-join machinery cold, so WHICHEVER query first uses each
+    // operator class absorbs its one-off JIT/codegen-infrastructure cost —
+    // the same suite-global constant the agg warmup already removes for
+    // aggregation. One untimed, query-agnostic pass per operator class
+    // (tiny synthetic frames — this warms executor code paths, not data).
+    try {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy("id")
+      val r = spark.range(1000).selectExpr("id", "id % 7 AS p")
+      r.select(row_number().over(w).as("rn")).agg(count(lit(1))).collect()
+      r.join(broadcast(spark.range(10).selectExpr("id AS p")), "p")
+        .agg(count(lit(1))).collect()
+      r.hint("merge").join(r.selectExpr("id", "p AS p2"), "id")
+        .agg(count(lit(1))).collect()
+    }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: operator warmup failed: $e") }
 
     // A failing query must be VISIBLE in the artifact: swallowing the
     // throwable would time the exception path and record a plausible-looking

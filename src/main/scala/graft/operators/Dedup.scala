@@ -1973,7 +1973,7 @@ object Dedup {
 
   private[graft] def qD16Keyed(s: SparkSession, dir: String,
                                hashKeys: Boolean): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.spread(Tables.documents(s, dir))
       .select(split(lower(col("text")), " ").as("w"))
       // per-doc DISTINCT happens INSIDE the row (array_distinct before the
       // explode), so the gram stream needs no (doc_id, gram) exchange at
@@ -2021,7 +2021,7 @@ object Dedup {
 
   private[graft] def qD17Keyed(s: SparkSession, dir: String,
                                hashKeys: Boolean): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= 8,
           expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))

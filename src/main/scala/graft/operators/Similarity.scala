@@ -1030,57 +1030,83 @@ object Similarity {
     * The nprobe = [[IvfCells]] row probes every cell — recall_pm = 1000
     * by construction, the sweep's own calibration row.
     *
-    * Engine-exact: rankings reuse [[IvfIndex.probe]] verbatim (float-
-    * cosine candidates, n_id tiebreak — the oracle replays assignment,
-    * per-np cell sets, and both rankings); the accounting is integer DIV.
+    * Engine-exact: rankings replay [[IvfIndex.probe]]'s arithmetic
+    * (float-cosine candidates, n_id tiebreak — the oracle replays
+    * assignment, per-np cell sets, and both rankings); the accounting is
+    * integer DIV. Every sweep point's probed-cell set is a POS-PREFIX of
+    * the full cell ranking ([[graft.functions.IvfRankCells]] selects by
+    * (sim desc, cellId asc), so fn(v, np) == fn(v, K).take(np) by
+    * construction) — which is what lets the round-19 optimization score
+    * candidates ONCE instead of once per sweep point.
     *
-    * Scale: one warm index, 10 bounded probes; each sweep point is the
-    * qSim3 probe shape (broadcast probes ⋈ cell-partitioned assignment,
-    * per-probe rank window over probed-cell candidates); the exact lane
-    * is the nprobe=K point itself. Accounting frames are cell-count- and
-    * probe-count-sized. */
+    * Scale (round-19 shape): one warm index, 10 bounded probes, ONE
+    * qSim3-shaped scoring pass at nprobe = K (broadcast probes ⋈
+    * cell-partitioned assignment) carrying each candidate's cell rank
+    * `pos`; the five sweep points are pos-prefixes ranked in one window
+    * over the sweep-replicated frame (5 × candidates rows, probe-bounded),
+    * checkpointed at sweep × probes × k rows. The previous form planned a
+    * FULL probe subtree per sweep point (5 windows, 5 broadcast joins, a
+    * persisted exact lane + a plan-build count job) — 5× the stages for
+    * byte-identical output. Accounting frames are cell-count- and
+    * probe-count-sized; the exact-lane denominator and the corpus total
+    * both ride the plan as one-row broadcast aggregates. */
   def qSim22(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val idx = IvfIndex.build(s, dir, lloydIters = 0)
     graft.functions.IvfRankCells.register(s, idx.fn, idx.cellIds, idx.cents)
     val k = 10
-    def tops(np: Int): DataFrame =
-      IvfIndex.probe(s, dir, idx, nprobe = np, topK = k)
-        .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_id"))
-    // the exact lane IS the nprobe=K sweep point — computed once (the
-    // frame is probes × k = 100 rows, persisted, reused for both roles)
-    val topAll = tops(IvfCells)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sweep = NprobeSweep.filter(_ < IvfCells).map(tops)
-      .reduce(_.unionAll(_)).unionAll(topAll)
-    val exact = topAll.select("q_id", "n_id")
-    val hits = sweep.join(exact, Seq("q_id", "n_id"), "left_semi")
+    import s.implicits._
+    val nps = NprobeSweep.map(_.toLong)
+    // ONE scored-candidate pass at nprobe = K, keeping each candidate's
+    // probed-cell rank: sweep point np sees exactly the pos < np prefix
+    val scored = broadcast(Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        .selectExpr("vec_id AS q_id", "embedding AS eq",
+          s"posexplode(${idx.fn}(embedding, $IvfCells)) AS (pos, cell)"))
+      .join(idx.assigned, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "pos", "vec_id AS n_id",
+        "cosine_sim(eq, embedding) AS sim_raw")
+    val w = Window.partitionBy("nprobe", "q_id")
+      .orderBy(desc("sim_raw"), col("n_id"))
+    // bounded: sweep points × probes × k rows — checkpointed because the
+    // exact lane, the hits semi-join, and the denominator all reuse it
+    val ranked10 = scored
+      .select(explode(typedLit(nps)).as("nprobe"), col("q_id"), col("pos"),
+        col("n_id"), col("sim_raw"))
+      .where(col("pos") < col("nprobe"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("nprobe", "q_id", "n_id")
+      .localCheckpoint(eager = true)
+    val exact = ranked10.where(col("nprobe") === IvfCells.toLong)
+      .select("q_id", "n_id")
+    val hits = ranked10.join(exact, Seq("q_id", "n_id"), "left_semi")
       .groupBy("nprobe").agg(count(lit(1)).as("hits"))
     // candidate accounting: probed-cell sizes per sweep point (the rank
     // order of cells is the probe function's own), minus the self match
     // each of the 10 probes excludes
     val sizes = idx.assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
-    val ranked = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+    val scans = Tables.embeddings(s, dir).where(col("vec_id") < 10)
       .selectExpr("vec_id AS q_id",
         s"posexplode(${idx.fn}(embedding, $IvfCells)) AS (pos, cell)")
       .join(broadcast(sizes), "cell")
-    val scans = NprobeSweep.map { np =>
-      ranked.where(col("pos") < np)
-        .agg((sum("csz") - 10L).as("n_candidates"))
-        .select(lit(np.toLong).as("nprobe"), col("n_candidates"))
-    }.reduce(_.unionAll(_))
-    // ADVICE r15: scans DRIVES the output (exactly one row per sweep
-    // point even when a point recalls nothing — left join + coalesce);
-    // the recall denominator is MEASURED from the exact lane (the count
-    // also materializes the persisted frame — never assume 10×k rows);
-    // and the corpus total rides the plan as a one-row totals crossJoin
-    // off the cached assignment instead of a plan-build count job
-    val nExact = topAll.count()
+      .select(explode(typedLit(nps)).as("nprobe"), col("csz"), col("pos"))
+      .where(col("pos") < col("nprobe"))
+      .groupBy("nprobe").agg((sum("csz") - 10L).as("n_candidates"))
+    // ADVICE r15: the sweep-point frame DRIVES the output (exactly one row
+    // per sweep point even when a point recalls nothing — left joins +
+    // coalesce); the recall denominator is MEASURED from the exact lane
+    // (never assumed 10×k rows) and rides the plan as a one-row broadcast
+    // agg, as does the corpus total — no plan-build count jobs
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val totals = idx.assigned.agg(count(lit(1)).as("n_total"))
-    scans.join(hits, Seq("nprobe"), "left")
+    nps.toDF("nprobe")
+      .join(scans, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nExact))
       .crossJoin(broadcast(totals))
       .select(col("nprobe"),
-        expr(s"(coalesce(hits, 0L) * 1000) DIV $nExact").as("recall_pm"),
+        expr("(coalesce(hits, 0L) * 1000) DIV n_exact").as("recall_pm"),
         col("n_candidates"),
         expr("(n_candidates * 1000) DIV (10 * (n_total - 1))").as("scan_pm"))
       .orderBy("nprobe")

@@ -87,7 +87,8 @@ object TextAnalysis {
     * nothing (`sequence(1, n)` with n < 1 would generate DESCENDING —
     * guard, don't rely on it). */
   private[graft] def tokenGrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    Tables.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"), explode(when(size(col("w")) >= 8,
           expr("transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
         .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
