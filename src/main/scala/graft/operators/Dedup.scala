@@ -1918,8 +1918,46 @@ object Dedup {
   /** [[qG11]]'s core on a caller-supplied (a_id < b_id) edge frame with a
     * `ham` column: the edges supported by zero triangles. Factored so a
     * fixture spec can pin the semantics (two cliques welded by one bridge
-    * ⇒ exactly the bridge) without mining a corpus. */
-  private[graft] def weakEdges(pairs: DataFrame): DataFrame = {
+    * ⇒ exactly the bridge) without mining a corpus.
+    *
+    * HYBRID by declared bound like [[componentsOfPairs]] (round-19
+    * optimization): under `maxDriverPairs` edges the triangle probe runs
+    * on the driver over hash adjacency sets (O(Σ min-degree) set probes —
+    * microseconds on a graph that fits the bound) and re-attaches to the
+    * caller's frame by a broadcast semi-join; above the bound, the
+    * distributed O(Σ deg²) probe ([[weakEdgesDistributed]], unchanged,
+    * spec-pinned bit-equal on fixtures AND the mined corpus). The collect
+    * is explicitly limit-checked — never corpus-sized. */
+  private[graft] def weakEdges(pairs: DataFrame,
+                               maxDriverPairs: Int = MaxDriverPairs): DataFrame = {
+    val head = pairs.select("a_id", "b_id").limit(maxDriverPairs + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (head.length > maxDriverPairs) weakEdgesDistributed(pairs)
+    else {
+      val adj = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.Set[Long]]
+      head.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      // supported iff N(a) ∩ N(b) ≠ ∅ (w = a or w = b is impossible
+      // without self-loops, which a canonical a < b edge frame excludes)
+      val weak = head.filterNot { case (a, b) =>
+        val na = adj(a); val nb = adj(b)
+        val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
+        small.exists(big.contains)
+      }
+      import pairs.sparkSession.implicits._
+      pairs.join(broadcast(weak.toSeq.toDF("a_id", "b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+    }
+  }
+
+  /** The distributed triangle probe — the above-bound path of
+    * [[weakEdges]] and its equality oracle (the [[componentsOfPairs]]
+    * hybrid discipline): symmetrize, attach a's neighbors, semi-probe
+    * (b, w) against the adjacency, anti-join the supported set away. */
+  private[graft] def weakEdgesDistributed(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
     // an edge (a, b) is supported iff some w is adjacent to BOTH ends:

@@ -914,5 +914,17 @@ class DupClustersSpec extends AnyFunSuite {
     assert(pairSet(Dedup.weakEdges(idx.pairs.select("a_id", "b_id", "ham")))
       == expected, "distributed weak set must equal the driver replay")
     assert(Dedup.qG11(spark, sf).count() == expected.size.toLong)
+    // round-19 hybrid pin: the driver fast path (default bound) and the
+    // distributed probe (forced with maxDriverPairs = 0) must stay
+    // bit-equal on fixtures AND the mined corpus graph
+    val corpus = idx.pairs.select("a_id", "b_id", "ham")
+    assert(pairSet(Dedup.weakEdges(corpus, maxDriverPairs = 0)) ==
+      pairSet(Dedup.weakEdges(corpus)),
+      "hybrid weakEdges paths diverged on the corpus graph")
+    assert(pairSet(Dedup.weakEdges(welded, maxDriverPairs = 0)) ==
+      Set((3L, 4L, 2)) &&
+      pairSet(Dedup.weakEdges(chain, maxDriverPairs = 0)) ==
+        Set((7L, 8L, 1), (8L, 9L, 1)),
+      "forced-distributed weakEdges diverged on fixtures")
   }
 }
